@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface: hash aggregate, distinct, approximate distinct,
+  * argmax (reference R15/R26's per-category max-score selection,
+  * tables.py:190-202 → `max_by`), rollup/cube/grouping sets.
+  *
+  * All of these ride Spark's partial (map-side) aggregation + shuffle
+  * on the group keys; at 100 TB the partial agg collapses cardinality
+  * before the exchange, which is the scalable shape. `max_by` is the
+  * declarative argmax (Spark >= 3.3), no UDAF needed.
+  */
+object Aggregates {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape — the flagship: scan -> filter -> hash agg -> sort.
+    "q_agg_hash" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Exact distinct aggregation (expands to a two-phase agg under AQE).
+    "q_agg_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    }),
+
+    // HLL approximate distinct — no oracle (approx != hash-match); the
+    // 100 TB story: one pass, bounded memory, no exact-distinct expansion.
+    "q_agg_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    }),
+
+    // Argmax via max_by (reference R15/R26: per-category argmax over the
+    // header-score matrix, tables.py:190-202). Prices tie across parts, so
+    // the ordering key is a fixed-width (price, name) string — totally
+    // ordered and identical on the DuckDB side (plain numeric/struct
+    // argmax would be tie-nondeterministic / unsupported there).
+    "q_agg_argmax" -> ((s, d) => {
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(max_by(col("p_name"),
+            concat(format_string("%09.4f", col("p_retailprice")),
+              lit("|"), col("p_name"))).as("top_part"),
+          round(max(col("p_retailprice")), 4).as("top_price"))
+        .orderBy(col("p_brand").asc_nulls_first)
+    }),
+
+    // Hierarchical subtotals.
+    "q_agg_rollup" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 4).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // All grouping combinations.
+    "q_agg_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 4).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Explicit grouping sets (via SQL — the Dataset API has no direct
+    // groupingSets until 4.0's groupingSets; SQL keeps it portable).
+    "q_agg_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  round(sum(o_totalprice), 4) AS total, count(1) AS n
+          |FROM graft_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST,
+          |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(1) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "q_agg_argmax" ->
+      """SELECT p_brand,
+        |  arg_max(p_name, printf('%09.4f', p_retailprice) || '|' || p_name)
+        |    AS top_part,
+        |  round(max(p_retailprice), 4) AS top_price
+        |FROM part GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 4) AS total, count(1) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 4) AS total, count(1) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 4) AS total, count(1) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join surface. Strategy choices are made the Spark-first way: small
+  * dimensions are `broadcast()` (no shuffle of the fact side), large-large
+  * equi-joins go sort-merge on shuffled keys, and the reference's
+  * existence/dedup probes (reference database.py:43-61 `check_if_exists`,
+  * main.py:90 paper skip) become semi/anti joins that Catalyst turns into
+  * hash-join early-outs — O(1) per probe instead of the reference's one
+  * SELECT round-trip per row.
+  *
+  * At 100 TB: the broadcast side stays bounded (dims), the shuffled joins
+  * partition on the join key, and AQE re-plans skew at runtime.
+  */
+object Joins {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Broadcast hash equi-join: fact × small dim, zero fact shuffle.
+    "q_join_broadcast" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice")), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand").asc_nulls_first)
+    }),
+
+    // Shuffled hash join (hint overrides the SMJ default).
+    "q_join_shuffle_hash" -> ((s, d) => {
+      val o = Tables.orders(s, d).hint("SHUFFLE_HASH")
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+          round(col("o_totalprice"), 4).as("price"))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
+    // Sort-merge join: large × large on the shuffled key.
+    "q_join_sort_merge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).hint("MERGE")
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Left outer: customers with no orders keep a null extension.
+    "q_join_left_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 4).as("spend"),
+          count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("spend"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("c_custkey").asc_nulls_first)
+    }),
+
+    // Existence semi-join (reference R21 check_if_exists as a set op).
+    "q_join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey").asc_nulls_first)
+    }),
+
+    // Dedup / not-exists anti-join (reference R3 paper-skip: only ingest
+    // sources not already present — main.py:90-92).
+    "q_join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey").asc_nulls_first)
+    }),
+
+    // Non-equi theta/range join (bounded sides -> broadcast nested loop).
+    "q_join_theta_range" -> ((s, d) => {
+      val sp = Tables.supplier(s, d)
+      val c = Tables.customer(s, d)
+      sp.join(broadcast(c),
+          sp("s_nationkey") === c("c_nationkey") &&
+          sp("s_acctbal") < c("c_acctbal"))
+        .select(col("s_suppkey"), col("c_custkey"),
+          round(col("c_acctbal") - col("s_acctbal"), 4).as("gap"))
+        .orderBy(col("s_suppkey").asc_nulls_first,
+          col("c_custkey").asc_nulls_first)
+    }),
+
+    // As-of join: latest order at-or-before each event's timestamp for the
+    // matching user (generalizes reference R6's nearest-neighbor title
+    // join, tables.py:28-49 — "closest preceding" instead of "closest
+    // above"). Implemented as range join + max_by argmax; the 100 TB path
+    // is a union + sorted window per key (no pair blowup) — see
+    // StreamOps.sessionize for the windowed pattern.
+    "q_join_asof" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val o = Tables.orders(s, d)
+      e.join(o, e("user_id") === o("o_custkey") &&
+          o("o_orderdate") <= e("ts"))
+        .groupBy(col("event_id"))
+        // ordering key: fixed-width (orderdate, orderkey) string — total
+        // order with a unique tiebreak, identical lexicographic semantics
+        // in DuckDB (which lacks struct-ordered arg_max).
+        .agg(max_by(col("o_orderkey"),
+            concat(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+              lit("|"), lpad(col("o_orderkey").cast("string"), 20, "0")))
+            .as("last_orderkey"),
+          max(col("o_orderdate")).as("last_orderdate"))
+        .orderBy(col("event_id").asc_nulls_first)
+    }),
+
+    // Bounded cartesian product (reference R15's header × category score
+    // matrix shape, tables.py:181-189).
+    "q_join_cross" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      r.crossJoin(n)
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"),
+          col("n_name"))
+        .orderBy(col("r_regionkey").asc_nulls_first,
+          col("n_nationkey").asc_nulls_first)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      """SELECT p_brand, round(sum(l_extendedprice), 4) AS revenue, count(1) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
+    "q_join_shuffle_hash" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 4) AS price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_sort_merge" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(1) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_join_left_outer" ->
+      """SELECT c_custkey, c_mktsegment, spend,
+        |  coalesce(n_orders, 0) AS n_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, round(sum(o_totalprice), 4) AS spend,
+        |    count(1) AS n_orders
+        |  FROM orders GROUP BY o_custkey) AS agg ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+    "q_join_theta_range" ->
+      """SELECT s_suppkey, c_custkey, round(c_acctbal - s_acctbal, 4) AS gap
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+        |ORDER BY s_suppkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,
+    "q_join_asof" ->
+      """SELECT event_id,
+        |  arg_max(o_orderkey,
+        |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+        |    lpad(CAST(o_orderkey AS VARCHAR), 20, '0')) AS last_orderkey,
+        |  max(o_orderdate) AS last_orderdate
+        |FROM events JOIN orders
+        |  ON user_id = o_custkey AND o_orderdate <= ts
+        |GROUP BY event_id ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkFixture {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Smoke + targeted correctness for the relational core at sf0.001.
+  * The DuckDB differential oracle (driver t2 / tools/local_verify.py) is
+  * the primary correctness gate; these specs catch regressions fast.
+  */
+class RelationalSuite extends AnyFunSuite {
+  import SparkFixture._
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("all queries execute and are non-empty at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = fn(spark, sf).count()
+        if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"empty results: $empty")
+  }
+
+  test("q_agg_hash group counts sum to the filtered lineitem count") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+    val got = SparkEntry.queries("q_agg_hash")(spark, sf)
+    val total = got.agg(sum("count_order")).head.getLong(0)
+    assert(total == li.count())
+  }
+
+  test("q_topk_per_group emits at most 3 per customer") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_topk_per_group")(spark, sf)
+    val maxPer = got.groupBy("o_custkey").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxPer <= 3)
+  }
+
+  test("q_join_anti + semi partition the customers with such orders") {
+    val semi = SparkEntry.queries("q_join_semi")(spark, sf).count()
+    val c = Tables.customer(spark, sf).count()
+    assert(semi <= c)
+  }
+}
