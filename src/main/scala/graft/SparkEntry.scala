@@ -17,7 +17,13 @@ object SparkEntry {
     (Aggregates.queries, Aggregates.oracle),
     (Joins.queries, Joins.oracle),
     (Windows.queries, Windows.oracle),
-    (Scalars.queries, Scalars.oracle)
+    (Scalars.queries, Scalars.oracle),
+    (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
+    (CustomOps.queries, CustomOps.oracle),
+    (TextOps.queries, TextOps.oracle),
+    (DedupOps.queries, DedupOps.oracle),
+    (SimilarityOps.queries, SimilarityOps.oracle),
+    (MultimodalOps.queries, MultimodalOps.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

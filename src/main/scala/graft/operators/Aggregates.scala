@@ -22,12 +22,12 @@ object Aggregates {
         .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          graft.Det.r4(sum(col("l_quantity"))).as("sum_qty"),
+          graft.Det.r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+          graft.Det.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
             .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          graft.Det.r4(avg(col("l_quantity"))).as("avg_qty"),
+          graft.Det.r4(avg(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
@@ -62,7 +62,7 @@ object Aggregates {
         .agg(max_by(col("p_name"),
             concat(format_string("%09.4f", col("p_retailprice")),
               lit("|"), col("p_name"))).as("top_part"),
-          round(max(col("p_retailprice")), 4).as("top_price"))
+          graft.Det.r4(max(col("p_retailprice"))).as("top_price"))
         .orderBy(col("p_brand").asc_nulls_first)
     }),
 
@@ -70,7 +70,7 @@ object Aggregates {
     "q_agg_rollup" -> ((s, d) => {
       Tables.orders(s, d)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(round(sum(col("o_totalprice")), 4).as("total"),
+        .agg(graft.Det.r4(sum(col("o_totalprice"))).as("total"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
@@ -80,7 +80,7 @@ object Aggregates {
     "q_agg_cube" -> ((s, d) => {
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(round(sum(col("o_totalprice")), 4).as("total"),
+        .agg(graft.Det.r4(sum(col("o_totalprice"))).as("total"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
@@ -92,7 +92,7 @@ object Aggregates {
       Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
       s.sql(
         """SELECT o_orderstatus, o_orderpriority,
-          |  round(sum(o_totalprice), 4) AS total, count(1) AS n
+          |  floor((sum(o_totalprice)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS total, count(1) AS n
           |FROM graft_orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY o_orderstatus ASC NULLS FIRST,
@@ -103,11 +103,11 @@ object Aggregates {
   val oracle: Map[String, String] = Map(
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  floor((sum(l_quantity)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS sum_base_price,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS sum_disc_price,
+        |  floor((avg(l_quantity)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS avg_qty,
+        |  floor((avg(l_discount)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS avg_disc,
         |  count(1) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -122,22 +122,22 @@ object Aggregates {
       """SELECT p_brand,
         |  arg_max(p_name, printf('%09.4f', p_retailprice) || '|' || p_name)
         |    AS top_part,
-        |  round(max(p_retailprice), 4) AS top_price
+        |  floor((max(p_retailprice)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS top_price
         |FROM part GROUP BY p_brand
         |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
     "q_agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  round(sum(o_totalprice), 4) AS total, count(1) AS n
+        |  floor((sum(o_totalprice)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS total, count(1) AS n
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  round(sum(o_totalprice), 4) AS total, count(1) AS n
+        |  floor((sum(o_totalprice)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS total, count(1) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  round(sum(o_totalprice), 4) AS total, count(1) AS n
+        |  floor((sum(o_totalprice)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS total, count(1) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines over `documents` (and
+  * `embeddings`): exact, n-gram Jaccard, MinHash-LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design: the exact-pair operators (`ngram_jaccard`,
+  * `embedding`) are quadratic and exist as the verification/oracle tier;
+  * the sketch operators (`minhash`, `simhash`) are the 100 TB tier —
+  * LSH banding / chunk pigeonholing turn all-pairs comparison into an
+  * equi-join on band keys, shuffling each doc a constant number of times
+  * (bands), and only candidate pairs (same-band collisions) are verified
+  * exactly. Generalizes the reference's exact-dedup invariant
+  * (main.py:90 + database.py:19) and its near-duplicate defect
+  * ('1366 MV Xe' vs '1366 MeV Xe', SURVEY.md §5.2).
+  */
+object DedupOps {
+
+  /** (doc_id, sh: distinct token-trigram shingles, sz). Word 3-shingles
+    * are the unit of similarity; `array_distinct` makes them a set.
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(ts) - 3)," +
+          " i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2])))"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+
+  /** Exact trigram-set Jaccard for a joined pair carrying a_sh/b_sh. */
+  private def pairJaccard: Column =
+    graft.Det.r4(
+      size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("a_sh"), col("b_sh"))))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: one representative (min doc_id) per (lang, source)
+    // key — the deterministic dropDuplicates (reference R21).
+    "q_dedup_exact" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id").asc_nulls_first)
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (threshold 0.5): shingle
+    // explode -> equi-join on shingle -> per-pair intersection count.
+    "q_dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+      val a = ex.select(col("doc_id").as("d1"), col("sz").as("sz1"), col("g"))
+      val b = ex.select(col("doc_id").as("d2"), col("sz").as("sz2"), col("g"))
+      a.join(b, Seq("g")).filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("sz1"), col("d2"), col("sz2"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", graft.Det.r4(col("inter") /
+          (col("sz1") + col("sz2") - col("inter"))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
+    }),
+
+    // MinHash + LSH banding (32 hashes, 16 bands x 2 rows): candidates
+    // collide on a band key, then exact Jaccard verifies >= 0.5. No
+    // oracle: signatures are engine-hash-specific (xxhash64); recall vs
+    // the exact operator is asserted in DedupSuite.
+    "q_dedup_minhash" -> ((s, d) => {
+      val nHashes = 32
+      val sh = shingled(s, d)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val minhashes = (0 until nHashes).map(i =>
+        min(xxhash64(lit(i), col("g"))).as(s"h$i"))
+      val sig = ex.groupBy(col("doc_id"))
+        .agg(minhashes.head, minhashes.tail: _*)
+        .select(col("doc_id"),
+          array((0 until nHashes).map(i => col(s"h$i")): _*).as("sig"))
+      val bands = sig.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 15), b -> " +
+          "concat(b, ':', sig[2*b], ':', sig[2*b+1]))")).as("band"))
+      val cand = bands.alias("x").join(bands.alias("y"), Seq("band"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val withSets = cand
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("a_sh")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("b_sh")), Seq("d2"))
+      withSets.withColumn("jaccard", pairJaccard)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
+    }),
+
+    // SimHash (64-bit over shingle hashes) + 4x16-bit chunk pigeonhole:
+    // any pair within hamming distance 3 shares at least one chunk.
+    // Candidates equi-join on (chunk index, chunk value); verified by
+    // bit_count(xor) <= 3. No oracle (hash-specific); DedupSuite asserts
+    // the highest-similarity planted pair is caught.
+    "q_dedup_simhash" -> ((s, d) => {
+      val sh = shingled(s, d)
+      // One xxhash64 per shingle, then 64 codegen'd conditional sums with
+      // map-side partial aggregation — each doc shuffles as 64 longs.
+      // (A nested HOF formulation recomputed the hash per bit and ran
+      // interpreted: ~70x slower at sf0.1.)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        .withColumn("h", xxhash64(col("g")))
+      val bitSums = (0 until 64).map(k =>
+        sum(when(expr(s"(h >> $k) & 1") === 1, 1).otherwise(-1)).as(s"b$k"))
+      val sigExpr = (0 until 64)
+        .map(k => s"IF(b$k > 0, shiftleft(CAST(1 AS BIGINT), $k), CAST(0 AS BIGINT))")
+        .mkString(" + ")
+      val sig = ex.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), expr(sigExpr).as("simhash"))
+      val chunks = sig.select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), c -> " +
+          "concat(c, ':', (simhash >> (c * 16)) & 65535))")).as("chunk"))
+      val cand = chunks.alias("x").join(chunks.alias("y"), Seq("chunk"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("x.simhash").as("s1"),
+          col("y.doc_id").as("d2"), col("y.simhash").as("s2"))
+        .distinct()
+      cand.withColumn("hamming", bit_count(expr("s1 ^ s2")))
+        .filter(col("hamming") <= 3)
+        .select(col("d1"), col("d2"), col("hamming"))
+        .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
+    }),
+
+    // Embedding-cosine near-dup pairs over `embeddings` (threshold on the
+    // rounded score keeps the boundary identical across engines).
+    "q_dedup_embedding" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1"))
+      val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nrm").as("n2"))
+      a.crossJoin(b).filter(col("v1") < col("v2"))
+        .withColumn("cos", graft.Det.r4(
+          aggregate(zip_with(col("e1"), col("e2"),
+            (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2"))))
+        .filter(col("cos") >= 0.35)
+        .select(col("v1"), col("v2"), col("cos"))
+        .orderBy(col("v1").asc_nulls_first, col("v2").asc_nulls_first)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY doc_id ASC NULLS FIRST) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |  WHERE len(ts) >= 3),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, a.sz AS sz1, b.doc_id AS d2, b.sz AS sz2,
+        |    count(1) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT d1, d2, floor((inter / (sz1 + sz2 - inter)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS jaccard
+        |FROM pairs WHERE floor((inter / (sz1 + sz2 - inter)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) >= 0.5
+        |ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  floor((list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (a.nrm * b.nrm)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE floor((list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (a.nrm * b.nrm)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) >= 0.35
+        |ORDER BY v1 ASC NULLS FIRST, v2 ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -24,7 +24,7 @@ object Joins {
       val p = Tables.part(s, d)
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(round(sum(col("l_extendedprice")), 4).as("revenue"),
+        .agg(graft.Det.r4(sum(col("l_extendedprice"))).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy(col("p_brand").asc_nulls_first)
     }),
@@ -35,7 +35,7 @@ object Joins {
       val c = Tables.customer(s, d)
       o.join(c, o("o_custkey") === c("c_custkey"))
         .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
-          round(col("o_totalprice"), 4).as("price"))
+          graft.Det.r4(col("o_totalprice")).as("price"))
         .orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
@@ -46,7 +46,7 @@ object Joins {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .filter(col("o_orderstatus") === "F")
         .groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .agg(graft.Det.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
             .as("revenue"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority").asc_nulls_first)
@@ -57,7 +57,7 @@ object Joins {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
-        .agg(round(sum(col("o_totalprice")), 4).as("spend"),
+        .agg(graft.Det.r4(sum(col("o_totalprice"))).as("spend"),
           count(lit(1)).as("n_orders"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
         .select(col("c_custkey"), col("c_mktsegment"),
@@ -92,7 +92,7 @@ object Joins {
           sp("s_nationkey") === c("c_nationkey") &&
           sp("s_acctbal") < c("c_acctbal"))
         .select(col("s_suppkey"), col("c_custkey"),
-          round(col("c_acctbal") - col("s_acctbal"), 4).as("gap"))
+          graft.Det.r4(col("c_acctbal") - col("s_acctbal")).as("gap"))
         .orderBy(col("s_suppkey").asc_nulls_first,
           col("c_custkey").asc_nulls_first)
     }),
@@ -135,16 +135,16 @@ object Joins {
 
   val oracle: Map[String, String] = Map(
     "q_join_broadcast" ->
-      """SELECT p_brand, round(sum(l_extendedprice), 4) AS revenue, count(1) AS n
+      """SELECT p_brand, floor((sum(l_extendedprice)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue, count(1) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
     "q_join_shuffle_hash" ->
-      """SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 4) AS price
+      """SELECT o_orderkey, c_name, c_mktsegment, floor((o_totalprice) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_join_sort_merge" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue,
         |  count(1) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
@@ -153,7 +153,7 @@ object Joins {
       """SELECT c_custkey, c_mktsegment, spend,
         |  coalesce(n_orders, 0) AS n_orders
         |FROM customer LEFT JOIN (
-        |  SELECT o_custkey, round(sum(o_totalprice), 4) AS spend,
+        |  SELECT o_custkey, floor((sum(o_totalprice)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS spend,
         |    count(1) AS n_orders
         |  FROM orders GROUP BY o_custkey) AS agg ON c_custkey = o_custkey
         |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
@@ -168,7 +168,7 @@ object Joins {
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
     "q_join_theta_range" ->
-      """SELECT s_suppkey, c_custkey, round(c_acctbal - s_acctbal, 4) AS gap
+      """SELECT s_suppkey, c_custkey, floor((c_acctbal - s_acctbal) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS gap
         |FROM supplier JOIN customer
         |  ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
         |ORDER BY s_suppkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,

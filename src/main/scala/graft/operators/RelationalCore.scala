@@ -108,13 +108,13 @@ object RelationalCore {
         |  (CASE WHEN nullif(o_orderstatus,'F') IS NULL THEN 0 ELSE 1 END
         |   + CASE WHEN nullif(o_orderpriority,'3-MEDIUM') IS NULL THEN 0 ELSE 1 END
         |   + CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END
-        |   + CASE WHEN nullif(o_orderstatus,'O') IS NULL THEN 0 ELSE 1 END) / 4.0
+        |   + CASE WHEN nullif(o_orderstatus,'O') IS NULL THEN 0 ELSE 1 END) / CAST(4.0 AS DOUBLE)
         |    AS density
         |FROM orders
         |WHERE (CASE WHEN nullif(o_orderstatus,'F') IS NULL THEN 0 ELSE 1 END
         |   + CASE WHEN nullif(o_orderpriority,'3-MEDIUM') IS NULL THEN 0 ELSE 1 END
         |   + CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END
-        |   + CASE WHEN nullif(o_orderstatus,'O') IS NULL THEN 0 ELSE 1 END) / 4.0 >= 0.5
+        |   + CASE WHEN nullif(o_orderstatus,'O') IS NULL THEN 0 ELSE 1 END) / CAST(4.0 AS DOUBLE) >= 0.5
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_project_rename" ->
       """SELECT doc_id AS id,

@@ -52,11 +52,11 @@ object Scalars {
           // exact 4-decimal number, so the rounding is boundary-safe in
           // both engines (round-to-2 diverges at .xx5: Spark rounds the
           // shortest decimal repr, DuckDB the binary double).
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          graft.Det.r4(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("net"),
-          round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
-          round(log(col("l_extendedprice") + 1), 4).as("ln_price"),
-          round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+          graft.Det.r4(abs(col("l_discount") - 0.05)).as("disc_dev"),
+          graft.Det.r4(log(col("l_extendedprice") + 1)).as("ln_price"),
+          graft.Det.r4(pow(col("l_quantity"), 2)).as("qty_sq"),
           ceil(col("l_quantity")).cast("long").as("qty_ceil"),
           floor(col("l_tax") * 100).cast("long").as("tax_pct"),
           when(col("l_quantity") > 25, "bulk").otherwise("small").as("bucket"))
@@ -71,12 +71,12 @@ object Scalars {
         .select(
           col("vec_id"),
           size(col("embedding")).as("dim"),
-          round(sqrt(aggregate(col("embedding"), lit(0.0),
-            (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+          graft.Det.r4(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))))
             .as("l2_norm"),
-          round(element_at(col("embedding"), 1).cast("double"), 4).as("head"),
-          round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
-            (acc, x) => acc + x.cast("double")), 4).as("head8_sum"))
+          graft.Det.r4(element_at(col("embedding"), 1).cast("double")).as("head"),
+          graft.Det.r4(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (acc, x) => acc + x.cast("double"))).as("head8_sum"))
         .orderBy(col("vec_id").asc_nulls_first)
     }),
 
@@ -122,10 +122,10 @@ object Scalars {
         |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * (1 - l_discount), 4) AS net,
-        |  round(abs(l_discount - 0.05), 4) AS disc_dev,
-        |  round(ln(l_extendedprice + 1), 4) AS ln_price,
-        |  round(pow(l_quantity, 2), 4) AS qty_sq,
+        |  floor((l_extendedprice * (1 - l_discount)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS net,
+        |  floor((abs(l_discount - 0.05)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS disc_dev,
+        |  floor((ln(l_extendedprice + 1)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS ln_price,
+        |  floor((pow(l_quantity, 2)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS qty_sq,
         |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
         |  CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct,
         |  CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS bucket
@@ -133,11 +133,11 @@ object Scalars {
         |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""".stripMargin,
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
-        |  round(sqrt(list_sum(list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
-        |  round(CAST(embedding[1] AS DOUBLE), 4) AS head,
-        |  round(list_sum(list_transform(embedding[1:8],
-        |    x -> CAST(x AS DOUBLE))), 4) AS head8_sum
+        |  floor((sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS l2_norm,
+        |  floor((CAST(embedding[1] AS DOUBLE)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS head,
+        |  floor((list_sum(list_transform(embedding[1:8],
+        |    x -> CAST(x AS DOUBLE)))) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS head8_sum
         |FROM embeddings ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (dim-64 float vectors).
+  *
+  * Two tiers (SURVEY.md §7.6):
+  *   - `q_sim_topk_cosine`: brute-force cosine top-k — the exact baseline
+  *     and DuckDB-oracled correctness anchor. Quadratic: fine for the
+  *     verification corpus, not the 100 TB path.
+  *   - `q_sim_ann_lsh`: random-hyperplane LSH — vectors hash to sign-bit
+  *     buckets, candidates are same-bucket only, so comparisons drop from
+  *     |Q|x|N| to the bucket load. This is the scale path: bucketing is an
+  *     equi-join on the signature, shuffle-partitioned by bucket; recall
+  *     is tunable by planes/probes (asserted against brute force in
+  *     SimilaritySuite).
+  *
+  * The dot product is a codegen'd `zip_with`/`aggregate` fold in doubles —
+  * deterministic left-to-right, matching the oracle's list fold.
+  */
+object SimilarityOps {
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (LCG, fixed seed)
+    * — driver-side constants, broadcast into the plan as literals.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    var state = 0x2545F4914F6CDD1DL
+    def nextGaussianish(): Double = {
+      // xorshift64* -> uniform in [-1, 1); adequate for LSH directions.
+      state ^= state >>> 12; state ^= state << 25; state ^= state >>> 27
+      val u = (state * 0x2545F4914F6CDD1DL) >>> 11
+      u.toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+    Array.fill(nPlanes)(Array.fill(dim)(nextGaussianish()))
+  }
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))))
+
+  private val dot = (a: String, b: String) =>
+    aggregate(zip_with(col(a), col(b),
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-5 neighbors for the first 10 query vectors.
+    "q_sim_topk_cosine" -> ((s, d) => {
+      val e = withNorm(Tables.embeddings(s, d))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc_nulls_last, col("nid").asc_nulls_first)
+      q.join(broadcast(n), col("qid") =!= col("nid"))
+        .withColumn("cos", graft.Det.r4(dot("qe", "ne") / (col("qn") * col("nn"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("nid"), col("cos"))
+        .orderBy(col("qid").asc_nulls_first, col("rnk").asc_nulls_first)
+    }),
+
+    // LSH-bucketed approximate neighbors: 6 sign-bit planes -> 64
+    // buckets; top-3 per query within its bucket. No oracle (bucket
+    // assignment depends on engine-side constants); recall vs brute
+    // force asserted in SimilaritySuite.
+    "q_sim_ann_lsh" -> ((s, d) => {
+      val planes = hyperplanes(6, 64)
+      val planesCol = array(planes.map(p =>
+        array(p.map(v => lit(v)): _*)): _*)
+      val e = withNorm(Tables.embeddings(s, d))
+        .withColumn("planes", planesCol)
+        .withColumn("bucket", expr(
+          """aggregate(sequence(0, 5), 0, (acc, p) ->
+            |  acc * 2 + IF(aggregate(zip_with(embedding, planes[p],
+            |    (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),
+            |    (s, v) -> s + v) >= 0, 1, 0))""".stripMargin))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+      val q = e.select(col("bucket"), col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+      val n = e.select(col("bucket"), col("vec_id").as("nid"),
+        col("embedding").as("ne"), col("nrm").as("nn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc_nulls_last, col("nid").asc_nulls_first)
+      q.join(n, Seq("bucket")).filter(col("qid") =!= col("nid"))
+        .withColumn("cos", graft.Det.r4(dot("qe", "ne") / (col("qn") * col("nn"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("nid"), col("cos"), col("bucket"))
+        .orderBy(col("qid").asc_nulls_first, col("rnk").asc_nulls_first)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_topk_cosine" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, t.vec_id AS nid,
+        |    floor((list_sum(list_transform(list_zip(q.embedding, t.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (q.nrm * t.nrm)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS cos
+        |  FROM n q JOIN n t ON q.vec_id < 10 AND q.vec_id <> t.vec_id),
+        |ranked AS (
+        |  SELECT qid, nid, cos,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC NULLS LAST, nid ASC NULLS FIRST) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT qid, rnk, nid, cos FROM ranked WHERE rnk <= 5
+        |ORDER BY qid ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
+  )
+}

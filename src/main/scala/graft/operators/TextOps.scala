@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines over `documents`: language
+  * scoring, quality features, token counting, fingerprinting, per-corpus
+  * stats. All pure `functions._`/higher-order expressions — codegen'd,
+  * no UDFs — so each is a single scan with map-side aggregation only
+  * where grouped; at 100 TB these are embarrassingly parallel scans.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+  private val stopList = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language ID (n-gram/stopword heuristic): score text against an
+    // English stopword profile; emit the ratio and the call. (The corpus
+    // vocabulary is language-homogeneous, so the interesting part is the
+    // deterministic scoring pipeline, not the labels.)
+    "q_text_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("n_stop",
+          expr(s"size(filter(toks, t -> t IN $stopList))"))
+        .withColumn("stop_ratio",
+          graft.Det.r4(col("n_stop") / greatest(col("n_toks"), lit(1))))
+        .withColumn("pred_lang",
+          when(col("stop_ratio") >= 0.05, "en").otherwise("und"))
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          col("pred_lang"), col("stop_ratio"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // Quality scoring: length/stopword/punctuation/token-shape features
+    // combined into a bounded score.
+    "q_text_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN $stopList))"))
+        .withColumn("n_punct", regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")))
+        .withColumn("avg_tok_len",
+          graft.Det.r4((length(col("text")) - col("n_toks") + 1) /
+            greatest(col("n_toks"), lit(1)).cast("double")))
+        .withColumn("quality",
+          graft.Det.r4(least(col("n_toks") / lit(100.0), lit(1.0)) * 0.5 +
+            (lit(1.0) - least(col("n_punct") / greatest(length(col("text")), lit(1))
+              .cast("double") * 10, lit(1.0))) * 0.3 +
+            least(col("n_stop") / greatest(col("n_toks"), lit(1)).cast("double")
+              * 5, lit(1.0)) * 0.2))
+        .select(col("doc_id"), col("n_toks"), col("n_punct"),
+          col("avg_tok_len"), col("quality"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs / digit runs / single non-alphanumerics).
+    "q_text_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+            .as("bpe_tokens"),
+          length(col("text")).as("n_chars_measured"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // Document fingerprinting: order-sensitive polynomial rolling hash
+    // over characters, mod 1e9+7 — identical fold on the DuckDB side.
+    "q_text_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("""aggregate(
+                 |  transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))),
+                 |  CAST(0 AS BIGINT),
+                 |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin)
+            .as("fingerprint"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // Corpus stats per language: doc counts, token volume, distinct
+    // vocabulary (reference R19-shape lateral + aggregation).
+    "q_text_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_tokens"),
+          countDistinct(col("token")).as("vocab"))
+        .orderBy(col("lang").asc_nulls_first)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_langid" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  CASE WHEN floor((len(list_filter(string_split(text, ' '),
+         |      t -> t IN $stopList))
+         |    / greatest(len(string_split(text, ' ')), 1)) * 10000
+         |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) >= 0.05
+         |    THEN 'en' ELSE 'und' END AS pred_lang,
+         |  floor((len(list_filter(string_split(text, ' '), t -> t IN $stopList))
+         |    / greatest(len(string_split(text, ' ')), 1)) * 10000
+         |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS stop_ratio
+         |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_toks,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $stopList))
+         |      AS n_stop,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+         |    length(text) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_toks AS INT) AS n_toks,
+         |  CAST(n_punct AS INT) AS n_punct,
+         |  floor(((n_chars - n_toks + 1) / CAST(greatest(n_toks, 1) AS DOUBLE)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+         |    AS avg_tok_len,
+         |  round(least(n_toks / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |      * CAST(0.5 AS DOUBLE) +
+         |    (CAST(1.0 AS DOUBLE) - least(
+         |      n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 10,
+         |      CAST(1.0 AS DOUBLE))) * CAST(0.3 AS DOUBLE) +
+         |    least(n_stop / CAST(greatest(n_toks, 1) AS DOUBLE) * 5,
+         |      CAST(1.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE),
+         |    4) AS quality
+         |FROM f ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        |    AS INT) AS bpe_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_measured
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(1) AS total_tokens,
+        |  CAST(count(DISTINCT token) AS BIGINT) AS vocab
+        |FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents) t
+        |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
+  )
+}

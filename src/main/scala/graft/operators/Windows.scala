@@ -26,7 +26,7 @@ object Windows {
         .orderBy(col("c_acctbal").desc_nulls_last, col("c_custkey").asc_nulls_first)
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"),
-          round(col("c_acctbal"), 4).as("bal"),
+          graft.Det.r4(col("c_acctbal")).as("bal"),
           rank().over(wt).as("rnk"),
           dense_rank().over(wt).as("drnk"),
           row_number().over(w).as("rn"))
@@ -39,9 +39,9 @@ object Windows {
         .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey").asc_nulls_first)
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
-          round(col("o_totalprice"), 4).as("price"),
-          round(lag(col("o_totalprice"), 1).over(w), 4).as("prev_price"),
-          round(lead(col("o_totalprice"), 1).over(w), 4).as("next_price"))
+          graft.Det.r4(col("o_totalprice")).as("price"),
+          graft.Det.r4(lag(col("o_totalprice"), 1).over(w)).as("prev_price"),
+          graft.Det.r4(lead(col("o_totalprice"), 1).over(w)).as("next_price"))
         .orderBy(col("o_custkey").asc_nulls_first,
           col("o_orderkey").asc_nulls_first)
     }),
@@ -53,7 +53,7 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
-          round(sum(col("o_totalprice")).over(w), 4).as("running_spend"))
+          graft.Det.r4(sum(col("o_totalprice")).over(w)).as("running_spend"))
         .orderBy(col("o_custkey").asc_nulls_first,
           col("o_orderkey").asc_nulls_first)
     }),
@@ -66,7 +66,7 @@ object Windows {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"),
-          round(col("o_totalprice"), 4).as("price"))
+          graft.Det.r4(col("o_totalprice")).as("price"))
         .orderBy(col("o_custkey").asc_nulls_first, col("rn").asc_nulls_first)
     }),
 
@@ -76,7 +76,7 @@ object Windows {
       Tables.orders(s, d)
         .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
         .limit(100)
-        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
+        .select(col("o_orderkey"), graft.Det.r4(col("o_totalprice")).as("price"))
     }),
 
     // Set ops (reference R8 continuation-table union generalized).
@@ -103,7 +103,7 @@ object Windows {
 
   val oracle: Map[String, String] = Map(
     "q_window_rank" ->
-      """SELECT c_custkey, c_mktsegment, round(c_acctbal, 4) AS bal,
+      """SELECT c_custkey, c_mktsegment, floor((c_acctbal) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS bal,
         |  CAST(rank() OVER wt AS INT) AS rnk,
         |  CAST(dense_rank() OVER wt AS INT) AS drnk,
         |  CAST(row_number() OVER w AS INT) AS rn
@@ -114,16 +114,16 @@ object Windows {
         |    ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST)
         |ORDER BY c_mktsegment ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
     "q_window_analytic" ->
-      """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
-        |  round(lag(o_totalprice, 1) OVER w, 4) AS prev_price,
-        |  round(lead(o_totalprice, 1) OVER w, 4) AS next_price
+      """SELECT o_custkey, o_orderkey, floor((o_totalprice) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS price,
+        |  floor((lag(o_totalprice, 1) OVER w) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS prev_price,
+        |  floor((lead(o_totalprice, 1) OVER w) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS next_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
         |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_window_frame" ->
       """SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER w, 4) AS running_spend
+        |  floor((sum(o_totalprice) OVER w) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS running_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
@@ -131,7 +131,7 @@ object Windows {
         |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, price FROM (
-        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
+        |  SELECT o_custkey, o_orderkey, floor((o_totalprice) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS price,
         |    CAST(row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST)
         |      AS INT) AS rn
@@ -139,7 +139,7 @@ object Windows {
         |WHERE rn <= 3
         |ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
     "q_sort_limit" ->
-      """SELECT o_orderkey, round(o_totalprice, 4) AS price FROM orders
+      """SELECT o_orderkey, floor((o_totalprice) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS price FROM orders
         |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
         |LIMIT 100""".stripMargin,
     "q_set_union" ->

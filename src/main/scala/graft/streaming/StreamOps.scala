@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table.
+  *
+  * Each operator has two forms:
+  *   - the batch form registered in `SparkEntry.queries` (DuckDB-oracled:
+  *     identical aggregation expressed over the static table);
+  *   - the streaming form (`readStream`/MemoryStream) exercised in
+  *     `StreamingSuite` — same `window`/`session_window`/`withWatermark`
+  *     expressions over an unbounded source.
+  *
+  * Spark's time windows are epoch-aligned, so a 1-hour tumbling window
+  * start equals `date_trunc('hour', ts)` and a 15-minute slide enumerates
+  * the 4 surrounding starts — that equivalence is what the oracle SQL
+  * replays. At scale, windowed aggregation shuffles once on (window, key)
+  * with map-side partial aggregation; session windows shuffle on the key
+  * then merge sorted runs per key.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour window aggregate (streaming form: same expr after
+    * `readStream`). */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Det.r4(sum(col("value"))).as("total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("ws").asc_nulls_first, col("event_type").asc_nulls_first)
+
+  /** Sliding 1-hour window, 15-minute slide. */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), graft.Det.r4(sum(col("value"))).as("total"))
+      .select(col("w.start").as("ws"), col("n"), col("total"))
+      .orderBy(col("ws").asc_nulls_first)
+
+  /** Session window with a 10-minute gap, per user. A new session starts
+    * when the gap to the previous event is >= the gap duration (Spark's
+    * window is [start, last+gap), so an event landing exactly at the
+    * closed end opens a new session — the batch oracle uses `>=` to
+    * match).
+    */
+  def session(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), graft.Det.r4(sum(col("value"))).as("total"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n"), col("total"))
+      .orderBy(col("user_id").asc_nulls_first,
+        col("session_start").asc_nulls_first)
+
+  /** Batch replay of watermark late-data dropping: events arrive in
+    * event_id order; the watermark before each row is the running max
+    * event time minus 10 minutes; rows older than that are dropped, then
+    * a tumbling hourly count aggregates survivors. (This per-record
+    * watermark is deliberately stricter than Spark's per-micro-batch
+    * watermark; the true streaming semantics are covered by
+    * StreamingSuite with a MemoryStream.)
+    */
+  def watermarkLate(s: SparkSession, d: String): DataFrame = {
+    val arrival = Window.orderBy(col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("wm_base", max(col("ts")).over(arrival))
+      .filter(col("wm_base").isNull ||
+        col("ts") >= col("wm_base") - expr("INTERVAL 10 MINUTES"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+      .orderBy(col("ws").asc_nulls_first)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> (tumbling _),
+    "q_stream_sliding" -> (sliding _),
+    "q_stream_session" -> (session _),
+    "q_stream_watermark_late" -> (watermarkLate _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |  count(1) AS n, floor((sum(value)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2
+        |ORDER BY ws ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    "q_stream_sliding" ->
+      """SELECT make_timestamp((CAST(floor(epoch(ts)/900) AS BIGINT) - s.i)
+        |    * 900 * 1000000) AS ws,
+        |  count(1) AS n, floor((sum(value)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS total
+        |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s
+        |GROUP BY 1 ORDER BY ws ASC NULLS FIRST""".stripMargin,
+    "q_stream_session" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM gaps)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(1) AS n, floor((sum(value)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS total
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin,
+    "q_stream_watermark_late" ->
+      """WITH arr AS (
+        |  SELECT ts, max(ts) OVER (ORDER BY event_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_base
+        |  FROM events)
+        |SELECT date_trunc('hour', ts) AS ws, count(1) AS n
+        |FROM arr
+        |WHERE wm_base IS NULL OR ts >= wm_base - INTERVAL 10 MINUTE
+        |GROUP BY 1 ORDER BY ws ASC NULLS FIRST""".stripMargin
+  )
+}

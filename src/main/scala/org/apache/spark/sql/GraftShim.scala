@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column <-> Expression converters, needed
+  * to expose custom Catalyst expressions (e.g. `PartialRatioExpr`) as
+  * user-facing `Column` functions on Spark 4 (where `Column.expr` moved
+  * behind `classic.ExpressionUtils`).
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall/structure checks for the sketch-based operators against their
+  * exact counterparts (the exact operators themselves are DuckDB-oracled).
+  */
+class DedupSimilaritySuite extends AnyFunSuite {
+  import SparkFixture._
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf)
+      .select(col(if (name.contains("embedding")) "v1" else "d1"),
+        col(if (name.contains("embedding")) "v2" else "d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH recalls >= 80% of exact jaccard>=0.5 pairs, no junk") {
+    val exact = pairs("q_dedup_ngram_jaccard")
+    val lsh = pairs("q_dedup_minhash")
+    assert(exact.nonEmpty, "exact near-dup pairs expected in corpus")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall over ${exact.size} pairs")
+    // every LSH survivor passed the exact >= 0.5 verification
+    assert((lsh -- exact).isEmpty)
+  }
+
+  test("simhash candidates are a subset of exact near-dup pairs") {
+    val exact = pairs("q_dedup_ngram_jaccard")
+    val sim = pairs("q_dedup_simhash")
+    assert(sim.nonEmpty, "hamming<=3 pairs expected (corpus has ~0.99-jaccard dups)")
+    assert((sim -- exact).isEmpty,
+      s"simhash emitted non-near-dup pairs: ${(sim -- exact).take(5)}")
+  }
+
+  test("exact dedup keeps one representative per (lang, source)") {
+    val got = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    val keys = Tables.documents(spark, sf)
+      .select(col("lang"), col("source")).distinct().count()
+    assert(got.count() == keys)
+  }
+
+  test("ANN-LSH neighbors never beat the brute-force top-1") {
+    val brute = SparkEntry.queries("q_sim_topk_cosine")(spark, sf)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ann = SparkEntry.queries("q_sim_ann_lsh")(spark, sf)
+      .filter(col("qid") < 10)
+      .collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val (qid, cos) = (r.getLong(0), r.getDouble(3))
+      brute.get(qid).foreach(best => assert(cos <= best + 1e-9,
+        s"ANN found cos=$cos above brute best=$best for qid=$qid"))
+    }
+  }
+
+  test("embedding near-dup pairs agree with the declared threshold") {
+    val got = SparkEntry.queries("q_dedup_embedding")(spark, sf)
+    assert(got.filter(col("cos") < 0.35).count() == 0)
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.{AbbrevPairs, FuzzyMatch}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Unit + property tests for the custom-semantics functions (SURVEY.md
+  * §5.3.3): partial_ratio fuzzy scoring and the abbreviation-pair parser.
+  */
+class FunctionsSuite extends AnyFunSuite {
+
+  /** Seeded property loop (scalacheck-style, no bridge artifact needed
+    * offline). */
+  private def forSamples(n: Int)(body: Random => Unit): Unit = {
+    val rnd = new Random(42)
+    (1 to n).foreach(_ => body(rnd))
+  }
+  private def word(rnd: Random): String =
+    (1 to rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+
+  // --- partial_ratio ------------------------------------------------------
+
+  test("ratio matches difflib on the classic example") {
+    // difflib.SequenceMatcher(None, 'abcd', 'bcde').ratio() == 0.75
+    assert(FuzzyMatch.ratio("abcd", "bcde") == 0.75)
+  }
+
+  test("partial_ratio is 100 when one string contains the other") {
+    assert(FuzzyMatch.partialRatio("test", "this is a test") == 100)
+    assert(FuzzyMatch.partialRatio("this is a test", "test") == 100)
+    assert(FuzzyMatch.partialRatio("same", "same") == 100)
+  }
+
+  test("partial_ratio on near matches scores high but below 100") {
+    val s = FuzzyMatch.partialRatio("part number", "part numbr")
+    assert(s >= 75 && s < 100, s"got $s")
+  }
+
+  test("normalization collapses case and whitespace (tables.py:178 analog)") {
+    assert(FuzzyMatch.normalizedPartialRatio("Part\nNumber", "part  number") == 100)
+    assert(FuzzyMatch.normalizedPartialRatio("  DOSE   RATE ", "dose rate") == 100)
+  }
+
+  test("reference-shaped header variants clear the 75 threshold") {
+    // FIXTURES.md B2 messy headers vs canonical categories.
+    val cases = Seq(
+      ("Part\nNumber", "part number"),
+      ("MANUFACTURER", "manufacturer"),
+      ("Device  Function", "device function"),
+      ("App.\nSpec (Y/N)", "spec"),
+      ("Deg. Level", "deg level")) // reference's alias, tables.py:182-183
+    cases.foreach { case (header, cat) =>
+      val s = FuzzyMatch.normalizedPartialRatio(header, cat)
+      assert(s >= 75, s"'$header' vs '$cat' scored $s < 75")
+    }
+  }
+
+  test("empty / null inputs score 0") {
+    assert(FuzzyMatch.partialRatio("", "x") == 0)
+    assert(FuzzyMatch.partialRatio("x", "") == 0)
+    assert(FuzzyMatch.partialRatio(null, "x") == 0)
+  }
+
+  test("property: score in [0, 100]") {
+    forSamples(300) { rnd =>
+      val s = FuzzyMatch.partialRatio(word(rnd), word(rnd))
+      assert(s >= 0 && s <= 100)
+    }
+  }
+
+  test("property: symmetric for distinct lengths") {
+    // (shorter, longer) is picked by length, so differing lengths are
+    // order-insensitive by construction; equal-length inputs may anchor
+    // windows differently (difflib's partial_ratio shares this quirk).
+    forSamples(300) { rnd =>
+      val (a, b) = (word(rnd), word(rnd))
+      if (a.length != b.length)
+        assert(FuzzyMatch.partialRatio(a, b) == FuzzyMatch.partialRatio(b, a))
+    }
+  }
+
+  test("property: containment implies 100") {
+    forSamples(300) { rnd =>
+      val mid = word(rnd) + "x"
+      assert(FuzzyMatch.partialRatio(mid, word(rnd) + mid + word(rnd)) == 100)
+    }
+  }
+
+  // --- abbreviation pairs (FIXTURES.md B4/B5) ----------------------------
+
+  val b4 = "TID = Total Ionizing Dose\n" +
+    "SEE = Single Event Effects (heavy ion,\nproton)\n" +
+    "LET = Linear Energy Transfer"
+
+  test("parses 3 pairs; parenthesized newline does not split") {
+    val pairs = AbbrevPairs.parse(b4)
+    assert(pairs.size == 3)
+    assert(pairs(0) == ("tid", "total ionizing dose"))
+    assert(pairs(1) == ("see", "single event effects (heavy ion, proton)"))
+    assert(pairs(2) == ("let", "linear energy transfer"))
+  }
+
+  test("lines without '=' or with empty sides are dropped") {
+    assert(AbbrevPairs.parse("no separator here\n = missing left\nx =") == Nil)
+    assert(AbbrevPairs.parse(null) == Nil)
+  }
+
+  test("property: parser is total (never throws) and emits trimmed pairs") {
+    forSamples(300) { rnd =>
+      val chars = "ab =()\n\t"
+      val s = (1 to rnd.nextInt(40)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+      AbbrevPairs.parse(s).foreach { case (a, b) =>
+        assert(a.nonEmpty && b.nonEmpty)
+        assert(a == FuzzyMatch.norm(a) && b == FuzzyMatch.norm(b))
+      }
+    }
+  }
+
+  test("expansion replaces whole-word abbreviations (intended R20)") {
+    val pairs = Seq(("tid", "total ionizing dose"))
+    assert(AbbrevPairs.expand("the tid threshold", pairs) ==
+      "the total ionizing dose threshold")
+    // no partial-word replacement
+    assert(AbbrevPairs.expand("tidal wave", pairs) == "tidal wave")
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** True streaming semantics (FIXTURES.md B7): MemoryStream-driven
+  * tumbling windows, session merge, and watermark late-data dropping.
+  * The batch-equivalent forms are DuckDB-oracled via SparkEntry; these
+  * tests pin the streaming behavior the oracle can't see.
+  */
+class StreamingSuite extends AnyFunSuite {
+  import SparkFixture._
+
+  private def t(m: String): Timestamp = Timestamp.valueOf(m)
+
+  test("tumbling window streaming counts match the batch aggregation") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(t("2024-01-01 10:05:00"), 1, "a", 1.0),
+      Ev(t("2024-01-01 10:55:00"), 1, "a", 2.0),
+      Ev(t("2024-01-01 11:05:00"), 2, "b", 3.0))
+    val q = mem.toDF()
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumbling_out")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(got == Map("2024-01-01 10:00:00.0" -> 2L, "2024-01-01 11:00:00.0" -> 1L))
+  }
+
+  test("session windows merge within gap and split on >= gap") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(t("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Ev(t("2024-01-01 10:05:00"), 1, "a", 1.0), // within 10-min gap
+      Ev(t("2024-01-01 10:25:00"), 1, "a", 1.0), // gap 20 min -> new session
+      Ev(t("2024-01-01 10:06:00"), 2, "a", 1.0)) // separate user
+    val q = mem.toDF()
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"), col("user_id"), col("n"))
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("session_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", 1L, 2L),
+      ("2024-01-01 10:25:00.0", 1L, 1L),
+      ("2024-01-01 10:06:00.0", 2L, 1L)))
+  }
+
+  test("watermark drops events older than watermark across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    // batch 1: two on-time events in the 10:00 window
+    mem.addData(Ev(t("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Ev(t("2024-01-01 10:05:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: advance event time -> watermark passes 10:10, closing the
+    // 10:00 window (emitted with n=2)
+    mem.addData(Ev(t("2024-01-01 10:30:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // batch 3: a late event behind the watermark (10:20) must be dropped
+    mem.addData(Ev(t("2024-01-01 10:02:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // batch 4: advance far enough to close the 10:30 window too
+    mem.addData(Ev(t("2024-01-01 11:00:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wm_out").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(got("2024-01-01 10:00:00.0") == 2L,
+      s"late event must not inflate the closed window: $got")
+    assert(got("2024-01-01 10:30:00.0") == 1L)
+  }
+}
