@@ -1,0 +1,156 @@
+package graft.ingest
+
+import graft.functions.FuzzyMatch
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's ingest dataflow re-expressed as composable Spark
+  * operators (reference main.py:83-108 driver; SURVEY.md §3.1): one lazy
+  * DataFrame plan from raw extracted cells to canonical, validated,
+  * deduplicated rows. Each stage cites the reference behavior it
+  * re-creates; all of it is built-ins + the partial_ratio expression, so
+  * Catalyst sees the whole chain (predicate pushdown through the gates,
+  * column pruning into the scan).
+  */
+object Ingest {
+
+  /** Canonical output categories (reference rad_table, database.py:83-101). */
+  val canonicalCategories: Seq[String] = Seq(
+    "part number", "manufacturer", "tester id", "device function",
+    "category", "technology", "principal investigator", "results",
+    "spec", "dose rate", "proton energy", "degradation level",
+    "proton fluence", "misc info")
+
+  /** Aliases applied before scoring (reference tables.py:182-183 maps
+    * 'degradation level' via the alias 'deg level').
+    */
+  val categoryAliases: Map[String, Seq[String]] = Map(
+    "degradation level" -> Seq("deg level"))
+
+  /** R18 string normalization: newline flatten + whitespace collapse +
+    * trim + lower (tables.py:178, tables.py:230, database.py:28).
+    */
+  def normalize(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** R13 word-boundary containment (s_c_w, tables.py:140-141). */
+  def containsWord(c: Column, word: String): Column =
+    c.rlike("(?i)\\b" + java.util.regex.Pattern.quote(word) + "\\b")
+
+  /** R12 title classification (find_table_type, tables.py:145-153):
+    * 'principal investigator(s)' -> principal_investigator;
+    * 'abbreviation'/'acronym' -> abbreviation; 'test results' or
+    * ('table' and 'results') -> rad; otherwise null (dropped).
+    */
+  def classifyTitle(title: Column): Column =
+    when(title.rlike("(?i)\\bprincipal investigators?\\b"), "principal_investigator")
+      .when(title.rlike("(?i)\\babbreviations?\\b|\\bacronyms?\\b"), "abbreviation")
+      .when(title.rlike("(?i)\\btest results?\\b") ||
+            (containsWord(title, "table") && containsWord(title, "results")), "rad")
+      .otherwise(lit(null))
+
+  /** R7 table density: fraction of non-empty cells over value columns;
+    * tables with density <= 0.25 are dropped whole (tables.py:244-249,
+    * threshold at tables.py:89). Input: one row per cell (table_id,
+    * cell). Output: (table_id, density).
+    */
+  def tableDensity(cells: DataFrame, tableId: String, cell: String): DataFrame =
+    cells.groupBy(col(tableId))
+      .agg((sum(when(length(trim(col(cell))) > 0, 1).otherwise(0)) /
+        count(lit(1)).cast("double")).as("density"))
+
+  /** R15 fuzzy header -> category alignment: score every header cell
+    * against every canonical category with normalized partial_ratio
+    * (alias-aware), take the per-category argmax, keep score >= 75
+    * (tables.py:167-203; threshold tables.py:199). Runs driver-side over
+    * a header list — headers are tiny metadata, the data never moves.
+    * Returns category -> (headerIndex, score).
+    */
+  def mapHeader(header: Seq[String],
+      categories: Seq[String] = canonicalCategories,
+      aliases: Map[String, Seq[String]] = categoryAliases,
+      threshold: Int = 75): Map[String, (Int, Int)] = {
+    categories.flatMap { cat =>
+      val targets = cat +: aliases.getOrElse(cat, Nil)
+      val scored = header.zipWithIndex.map { case (h, i) =>
+        (i, targets.map(t => FuzzyMatch.normalizedPartialRatio(h, t)).max)
+      }
+      val (bestIdx, bestScore) = scored.maxBy { case (i, s) => (s, -i) }
+      if (bestScore >= threshold) Some(cat -> ((bestIdx, bestScore))) else None
+    }.toMap
+  }
+
+  /** R16 canonical projection: select the mapped source column per
+    * category (normalized), plus provenance columns (tables.py:216-242
+    * appends source_paper + source_paper_filename).
+    */
+  def projectCanonical(staged: DataFrame, mapping: Map[String, (Int, Int)],
+      sourcePaper: String, sourceFile: String): DataFrame = {
+    // backtick-quote the exact column name (messy headers contain
+    // newlines/dots that the bare column parser would split on)
+    val cols = mapping.toSeq.sortBy(_._1).map { case (cat, (idx, _)) =>
+      normalize(col("`" + staged.columns(idx) + "`")).as(cat.replace(' ', '_'))
+    }
+    staged.select(cols :+ lit(sourcePaper).as("source_paper")
+      :+ lit(sourceFile).as("source_paper_filename"): _*)
+  }
+
+  /** R17 row validity: mapped-value density over the canonical columns;
+    * rows under 0.5 are invalid (tables.py:252-263).
+    */
+  def withRowDensity(projected: DataFrame, mappedCols: Seq[String]): DataFrame = {
+    val nonNull = mappedCols.map(c =>
+      when(col(c).isNotNull && length(col(c)) > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    projected.withColumn("row_density",
+      nonNull / lit(mappedCols.size.toDouble))
+  }
+
+  /** R21 pre-insert dedup: keep only incoming rows whose key tuple does
+    * not already exist in the target — the reference's per-row EXISTS
+    * probe (database.py:19, database.py:43-61) as one anti-join. Also
+    * dedups within the batch itself. Idempotent: ingesting the same batch
+    * twice adds nothing (main.py:90 invariant).
+    */
+  def dedupAgainst(incoming: DataFrame, existing: DataFrame,
+      keys: Seq[String]): DataFrame =
+    incoming.dropDuplicates(keys)
+      .join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** R22 bulk append write (replaces the reference's INSERT+commit per
+    * row, database.py:31-32): dedup then one columnar append.
+    */
+  def appendDedup(incoming: DataFrame, targetPath: String,
+      keys: Seq[String]): Long = {
+    val spark = incoming.sparkSession
+    val existing =
+      try spark.read.parquet(targetPath)
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
+    val fresh = dedupAgainst(incoming, existing, keys).cache()
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").parquet(targetPath)
+    fresh.unpersist()
+    n
+  }
+
+  /** Tolerant measurement parser for the reference's string-encoded
+    * values ('<1', '>50', '50-300', 'HDR~65 LDR~30' — observed in
+    * main.db; SURVEY.md §7 hard part d): extracts a comparison operator
+    * and the first numeric value, keeping the raw string alongside for
+    * lossless storage.
+    */
+  def parseMeasurement(c: Column): Column = struct(
+    c.as("raw"),
+    when(c.rlike("^\\s*<"), "<")
+      .when(c.rlike("^\\s*>"), ">")
+      .when(c.rlike("^\\s*\\d+(\\.\\d+)?\\s*-\\s*\\d"), "range")
+      .when(c.rlike("~"), "approx")
+      .when(c.rlike("^\\s*\\d"), "=")
+      .otherwise(lit(null)).as("op"),
+    // nullif guards the no-match '' (ANSI mode rejects '' -> double)
+    nullif(regexp_extract(c, "(\\d+(?:\\.\\d+)?)", 1), lit(""))
+      .cast("double").as("value"),
+    nullif(regexp_extract(c, "\\d+(?:\\.\\d+)?\\s*-\\s*(\\d+(?:\\.\\d+)?)", 1),
+      lit("")).cast("double").as("value_hi"))
+}

@@ -59,7 +59,12 @@ object DedupOps {
       val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
       val a = ex.select(col("doc_id").as("d1"), col("sz").as("sz1"), col("g"))
       val b = ex.select(col("doc_id").as("d2"), col("sz").as("sz2"), col("g"))
-      a.join(b, Seq("g")).filter(col("d1") < col("d2"))
+      // length-bound pruning: jaccard >= 0.5 requires sz1 <= 2*sz2 and
+      // vice versa, so dissimilar-size pairs are cut at the join — a pure
+      // optimization (cannot change the >= 0.5 result set)
+      a.join(b, Seq("g"))
+        .filter(col("d1") < col("d2") &&
+          col("sz1") <= col("sz2") * 2 && col("sz2") <= col("sz1") * 2)
         .groupBy(col("d1"), col("sz1"), col("d2"), col("sz2"))
         .agg(count(lit(1)).as("inter"))
         .withColumn("jaccard", graft.Det.r4(col("inter") /
@@ -140,11 +145,15 @@ object DedupOps {
       val e = Tables.embeddings(s, d)
         .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))))
-      val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
-        col("nrm").as("n1"))
+      // repartition the probe side: a broadcast nested-loop over a
+      // 1-2-partition parquet scan would serialize the quadratic work on
+      // one core; spreading the stream side uses the whole executor pool
+      val a = e.repartition(col("vec_id"))
+        .select(col("vec_id").as("v1"), col("embedding").as("e1"),
+          col("nrm").as("n1"))
       val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
         col("nrm").as("n2"))
-      a.crossJoin(b).filter(col("v1") < col("v2"))
+      a.crossJoin(broadcast(b)).filter(col("v1") < col("v2"))
         .withColumn("cos", graft.Det.r4(
           aggregate(zip_with(col("e1"), col("e2"),
             (x, y) => x.cast("double") * y.cast("double")),

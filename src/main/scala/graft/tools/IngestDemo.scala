@@ -1,0 +1,80 @@
+package graft.tools
+
+import graft.ingest.{Ingest, Staging, TitleJoin}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end ingest walkthrough through the public `graft.ingest` API:
+  * messy extracted table -> classify -> fuzzy-align -> project ->
+  * validate -> stage -> veto -> promote -> dedup-append. Prints each
+  * stage's observable output; doubles as the usage example for the
+  * reference's ingest capability re-expressed on Spark.
+  */
+object IngestDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // 1. classification of extracted table titles (R12)
+    val titles = Seq("Table 3. Proton SEE Test Results",
+      "Abbreviations and Acronyms", "Random caption").toDF("title")
+      .withColumn("table_type", Ingest.classifyTitle(col("title")))
+    println("== classify =="); titles.show(false)
+
+    // 2. messy header -> canonical categories (R14/R15)
+    val header = Seq("Part\nNumber", "MANUFACTURER", "Device  Function",
+      "Technology", "Results", "App.\nSpec (Y/N)", "Dose Rate", "Deg. Level")
+    val mapping = Ingest.mapHeader(header)
+    println("== mapHeader ==")
+    mapping.toSeq.sortBy(_._2._1).foreach { case (cat, (idx, score)) =>
+      val h = header(idx).replace("\n", "\\n")
+      println(s"  col[$idx] '$h' -> $cat (score $score)") }
+
+    // 3. project + validate + measurement parse (R16/R17/R18)
+    val staged = Seq(
+      ("OP27", "Analog Devices", "op amp", "bipolar", "passed", "Y", "<1", "50-300"),
+      ("", "", "", "", "", "", "<1", ""),
+      ("2N2222", "Fairchild", "transistor", "bipolar", "failed", "N", "HDR~65 LDR~30", ">50"))
+      .toDF(header: _*)
+    val projected = Ingest.projectCanonical(staged, mapping, "2015 Compendium", "2015.pdf")
+    val mappedCols = mapping.keys.map(_.replace(' ', '_')).toSeq
+    val valid = Ingest.withRowDensity(projected, mappedCols)
+      .withColumn("dose_rate_parsed", Ingest.parseMeasurement(col("dose_rate")))
+    println("== projected + density + parsed ==")
+    valid.select("part_number", "manufacturer", "row_density",
+      "dose_rate", "dose_rate_parsed").show(false)
+
+    // 4. two-phase staging with veto (R9/R10/R11)
+    val base = java.nio.file.Files.createTempDirectory("graft_demo").toString
+    val keep = valid.filter(col("row_density") >= 0.5).drop("row_density", "dose_rate_parsed")
+    Staging.stage(Map("rad_2015" -> keep, "junk_table" -> titles), s"$base/stage")
+    Staging.veto(s"$base/stage", "junk_table")
+    val promoted = Staging.promote(spark, s"$base/stage", s"$base/final")
+    println(s"== staging == promoted=$promoted")
+
+    // 5. idempotent dedup append (R21/R22)
+    val keys = Seq("part_number", "manufacturer", "source_paper")
+    val n1 = Ingest.appendDedup(spark.read.parquet(s"$base/final/rad_2015"),
+      s"$base/warehouse/rad", keys)
+    val n2 = Ingest.appendDedup(spark.read.parquet(s"$base/final/rad_2015"),
+      s"$base/warehouse/rad", keys)
+    println(s"== appendDedup == first=$n1 rows, re-ingest=$n2 rows (idempotent)")
+    println("warehouse contents:")
+    spark.read.parquet(s"$base/warehouse/rad")
+      .select("part_number", "manufacturer", "spec", "dose_rate", "source_paper")
+      .show(false)
+
+    // 6. spatial nearest-above title join (R6)
+    val texts = Seq((1L, "Table 3. Proton Results", 100.0, 210.0),
+      (2L, "(continued)", 100.0, 205.0), (3L, "Footnote", 400.0, 190.0))
+      .toDF("obj_id", "text", "x_mid", "y_bottom")
+    val anchors = Seq((10L, 100.0, 209.0), (11L, 400.0, 185.0))
+      .toDF("table_id", "x_mid", "y_top")
+    println("== titleJoin ==")
+    TitleJoin.nearestAbove(texts, anchors).orderBy("table_id").show(false)
+    spark.stop()
+  }
+}

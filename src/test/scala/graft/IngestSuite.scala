@@ -1,0 +1,138 @@
+package graft
+
+import graft.ingest.{Ingest, Staging, TitleJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Ingest-analog pipeline specs over reference-shaped fixtures
+  * (FIXTURES.md B2/B3/B6): classification, fuzzy header mapping,
+  * canonical projection, density gates, dedup idempotence, two-phase
+  * staging, measurement parsing, spatial title join.
+  */
+class IngestSuite extends AnyFunSuite {
+  import SparkFixture._
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  test("classifyTitle follows the reference keyword rules (R12)") {
+    import spark.implicits._
+    val got = Seq(
+      "Table 3. Proton Test Results",
+      "List of Principal Investigators",
+      "Abbreviations and Acronyms",
+      "TID test results for 2015",
+      "Some unrelated caption")
+      .toDF("title")
+      .select(Ingest.classifyTitle(col("title")).as("t"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(Some("rad"), Some("principal_investigator"),
+      Some("abbreviation"), Some("rad"), None))
+  }
+
+  // FIXTURES.md B2 messy header
+  val messyHeader = Seq("Part\nNumber", "MANUFACTURER", "Device  Function",
+    "Technology", "Results", "App.\nSpec (Y/N)", "Dose Rate", "Deg. Level")
+
+  test("mapHeader aligns all 8 messy headers at >= 75 (R15)") {
+    val m = Ingest.mapHeader(messyHeader)
+    val expected = Map(
+      "part number" -> 0, "manufacturer" -> 1, "device function" -> 2,
+      "technology" -> 3, "results" -> 4, "spec" -> 5, "dose rate" -> 6,
+      "degradation level" -> 7)
+    expected.foreach { case (cat, idx) =>
+      assert(m.contains(cat), s"category '$cat' unmapped; got $m")
+      assert(m(cat)._1 == idx, s"'$cat' mapped to ${m(cat)._1}, want $idx")
+    }
+  }
+
+  test("end-to-end: project -> row density gate -> dedup append (R16/R17/R21/R22)") {
+    import spark.implicits._
+    val staged = Seq(
+      ("OP27", "Analog Devices", "op amp", "bipolar", "passed", "Y", "<1", "50-300"),
+      ("LM139", "National", "comparator", "bipolar", "failed", "N", ">50", "HDR~65 LDR~30"),
+      ("", "", "", "", "", "", "<1", ""), // sparse row -> density gate drops
+      ("OP27", "Analog Devices", "op amp", "bipolar", "passed", "Y", "<1", "50-300")) // dup
+      .toDF(messyHeader: _*)
+    val mapping = Ingest.mapHeader(messyHeader)
+    val projected = Ingest.projectCanonical(staged, mapping,
+      "2015 Compendium", "2015.pdf")
+    val mappedCols = mapping.keys.map(_.replace(' ', '_')).toSeq
+    val valid = Ingest.withRowDensity(projected, mappedCols)
+      .filter(col("row_density") >= 0.5)
+      .drop("row_density")
+    assert(valid.count() == 3) // sparse row dropped, dup still present
+
+    val target = Files.createTempDirectory("graft_ingest").toString + "/rad"
+    val keys = Seq("part_number", "manufacturer", "source_paper")
+    val n1 = Ingest.appendDedup(valid, target, keys)
+    assert(n1 == 2, "in-batch dup collapses on first write")
+    val n2 = Ingest.appendDedup(valid, target, keys)
+    assert(n2 == 0, "re-ingesting the same batch is a no-op (main.py:90)")
+    assert(spark.read.parquet(target).count() == 2)
+  }
+
+  test("two-phase staging: stage -> veto -> promote (R9/R10/R11)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stage").toString
+    val t1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val t2 = Seq((3, "c")).toDF("id", "v")
+    Staging.stage(Map("keep_me" -> t1, "veto_me" -> t2), s"$base/stage")
+    assert(Staging.staged(spark, s"$base/stage") == Seq("keep_me", "veto_me"))
+    Staging.veto(s"$base/stage", "veto_me")
+    val promoted = Staging.promote(spark, s"$base/stage", s"$base/final")
+    assert(promoted == Seq("keep_me"))
+    assert(spark.read.parquet(s"$base/final/keep_me").count() == 2)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/final/veto_me")))
+  }
+
+  test("measurement parser handles the reference's value shapes") {
+    import spark.implicits._
+    val got = Seq("<1", ">50", "50-300", "HDR~65 LDR~30", "17.5", "n/a")
+      .toDF("raw_in")
+      .select(Ingest.parseMeasurement(col("raw_in")).as("m"))
+      .select(col("m.op"), col("m.value"), col("m.value_hi"))
+      .collect()
+      .map(r => (Option(r.getString(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got(0) == (Some("<"), Some(1.0), None))
+    assert(got(1) == (Some(">"), Some(50.0), None))
+    assert(got(2) == (Some("range"), Some(50.0), Some(300.0)))
+    assert(got(3) == (Some("approx"), Some(65.0), None))
+    assert(got(4) == (Some("="), Some(17.5), None))
+    assert(got(5) == (None, None, None))
+  }
+
+  // FIXTURES.md B3: title candidates geometry
+  test("nearestAbove picks closest text above, merges two-line titles (R6)") {
+    val texts = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "Table 3. Proton Results", 100.0, 210.0),
+        Row(2L, "(continued from previous page)", 100.0, 205.0),
+        Row(3L, "Unrelated footnote", 400.0, 190.0),
+        Row(4L, "Far away header", 100.0, 900.0))),
+      StructType(Seq(StructField("obj_id", LongType),
+        StructField("text", StringType), StructField("x_mid", DoubleType),
+        StructField("y_bottom", DoubleType))))
+    val tables = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(10L, 100.0, 200.0), // title: obj 2 is closest (d=5) but obj 1 has 'table'... obj 2 wins on distance
+        Row(11L, 400.0, 185.0))), // obj 3 at d=5
+      StructType(Seq(StructField("table_id", LongType),
+        StructField("x_mid", DoubleType), StructField("y_top", DoubleType))))
+    val got = TitleJoin.nearestAbove(texts, tables)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) == "(continued from previous page)")
+    assert(got(11L) == "Unrelated footnote")
+    // two-line merge: make obj 1 the nearest for a third table
+    val tables2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(12L, 100.0, 209.0))),
+      StructType(Seq(StructField("table_id", LongType),
+        StructField("x_mid", DoubleType), StructField("y_top", DoubleType))))
+    val got2 = TitleJoin.nearestAbove(texts, tables2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // obj 1 (d=1) beats obj 4; contains 'table' -> next obj (2) concatenated
+    assert(got2(12L) == "Table 3. Proton Results (continued from previous page)")
+  }
+}
