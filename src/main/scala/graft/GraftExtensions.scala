@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.{AbbrevPairs, FuzzyMatch, PartialRatioExpr, RowDensityAgg}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.udf
+
+/** SQL surface for the custom operators: after registration, plain
+  * `spark.sql` users can call
+  *
+  *   - `partial_ratio(a, b)`         -> int 0..100 (Catalyst expression)
+  *   - `abbrev_pairs(text)`          -> array<struct<abbrev,expansion>>
+  *     (explode for the UDTF shape)
+  *   - `graft_row_density(nonNull)`  -> double (typed Aggregator, width 4)
+  *
+  * Two registration paths, both public API:
+  *   - `GraftExtensions.register(spark)` at runtime, or
+  *   - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *     (injects partial_ratio as a native function via
+  *     `SparkSessionExtensions.injectFunction`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    val builder: Seq[Expression] => Expression = { children =>
+      require(children.size == 2,
+        s"partial_ratio requires exactly 2 arguments, got ${children.size}")
+      PartialRatioExpr(children(0), children(1))
+    }
+    e.injectFunction((
+      FunctionIdentifier("partial_ratio"),
+      new ExpressionInfo(classOf[PartialRatioExpr].getName, "partial_ratio"),
+      builder))
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration of the full custom-function surface. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("partial_ratio",
+      udf((a: String, b: String) => FuzzyMatch.normalizedPartialRatio(a, b)))
+    spark.udf.register("abbrev_pairs",
+      udf((text: String) => AbbrevPairs.parse(text)))
+    spark.udf.register("graft_row_density",
+      org.apache.spark.sql.functions.udaf(new RowDensityAgg(4)))
+  }
+}
