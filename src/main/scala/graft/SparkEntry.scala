@@ -23,7 +23,8 @@ object SparkEntry {
     (TextOps.queries, TextOps.oracle),
     (DedupOps.queries, DedupOps.oracle),
     (SimilarityOps.queries, SimilarityOps.oracle),
-    (MultimodalOps.queries, MultimodalOps.oracle)
+    (MultimodalOps.queries, MultimodalOps.oracle),
+    (Extras.queries, Extras.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.Tables
+import graft.Det.r4
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Coverage extensions: full outer join, pivot, range-frame windows,
+  * exact percentiles — rounding out the relational surface beyond
+  * SURVEY.md §2.2 (recorded in §2.3).
+  */
+object Extras {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full outer join with null extension on both sides.
+    "q_join_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(r4(sum(col("o_totalprice"))).as("spend"))
+        .filter(col("spend") > 500000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("c_mktsegment"), col("spend"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // Pivot: order priorities spread into columns per status
+    // (RelationalGroupedDataset.pivot with explicit values).
+    "q_pivot_priority" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(r4(sum(col("o_totalprice"))))
+        .toDF("o_orderstatus", "p_urgent", "p_high", "p_medium",
+          "p_notspec", "p_low")
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    }),
+
+    // RANGE frame: running spend over a value window (all orders within
+    // 10000 below the current price, per customer).
+    "q_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").asc_nulls_first)
+        .rangeBetween(-10000L, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          r4(col("o_totalprice")).as("price"),
+          count(lit(1)).over(w).as("n_near"),
+          r4(sum(col("o_totalprice")).over(w)).as("near_spend"))
+        .orderBy(col("o_custkey").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first)
+    }),
+
+    // Exact percentiles (linear interpolation) per group.
+    "q_agg_percentile" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(r4(expr("percentile(c_acctbal, 0.5)")).as("p50"),
+          r4(expr("percentile(c_acctbal, 0.25)")).as("p25"),
+          r4(expr("percentile(c_acctbal, 0.95)")).as("p95"))
+        .orderBy(col("c_mktsegment").asc_nulls_first)
+    })
+  )
+
+  private def R(e: String) =
+    s"floor(($e) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "q_join_full_outer" ->
+      s"""SELECT coalesce(c_custkey, o_custkey) AS k, c_mktsegment, spend
+         |FROM (SELECT c_custkey, c_mktsegment FROM customer
+         |      WHERE c_acctbal > 9000) c
+         |FULL JOIN (
+         |  SELECT o_custkey, spend FROM (
+         |    SELECT o_custkey, ${R("sum(o_totalprice)")} AS spend
+         |    FROM orders GROUP BY o_custkey) t
+         |  WHERE spend > 500000) o
+         |ON c_custkey = o_custkey
+         |ORDER BY k ASC NULLS FIRST""".stripMargin,
+    "q_pivot_priority" ->
+      s"""SELECT o_orderstatus,
+         |  ${R("sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END)")} AS p_urgent,
+         |  ${R("sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END)")} AS p_high,
+         |  ${R("sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END)")} AS p_medium,
+         |  ${R("sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END)")} AS p_notspec,
+         |  ${R("sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END)")} AS p_low
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q_window_range_frame" ->
+      s"""SELECT o_custkey, o_orderkey, ${R("o_totalprice")} AS price,
+         |  count(1) OVER w AS n_near,
+         |  ${R("sum(o_totalprice) OVER w")} AS near_spend
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey
+         |  ORDER BY o_totalprice ASC NULLS FIRST
+         |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_agg_percentile" ->
+      s"""SELECT c_mktsegment,
+         |  ${R("quantile_cont(c_acctbal, 0.5)")} AS p50,
+         |  ${R("quantile_cont(c_acctbal, 0.25)")} AS p25,
+         |  ${R("quantile_cont(c_acctbal, 0.95)")} AS p95
+         |FROM customer GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin
+  )
+}

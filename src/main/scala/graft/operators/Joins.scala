@@ -100,23 +100,19 @@ object Joins {
     // As-of join: latest order at-or-before each event's timestamp for the
     // matching user (generalizes reference R6's nearest-neighbor title
     // join, tables.py:28-49 — "closest preceding" instead of "closest
-    // above"). Implemented as range join + max_by argmax; the 100 TB path
-    // is a union + sorted window per key (no pair blowup) — see
-    // StreamOps.sessionize for the windowed pattern.
+    // above"). Runs the scalable union+window AsOfJoin (one shuffle per
+    // side, no range-join pair blowup); the DuckDB oracle states the
+    // same semantics as range join + argmax, and AsOfJoinSuite proves
+    // the two forms agree.
     "q_join_asof" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val o = Tables.orders(s, d)
-      e.join(o, e("user_id") === o("o_custkey") &&
-          o("o_orderdate") <= e("ts"))
-        .groupBy(col("event_id"))
-        // ordering key: fixed-width (orderdate, orderkey) string — total
-        // order with a unique tiebreak, identical lexicographic semantics
-        // in DuckDB (which lacks struct-ordered arg_max).
-        .agg(max_by(col("o_orderkey"),
-            concat(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
-              lit("|"), lpad(col("o_orderkey").cast("string"), 20, "0")))
-            .as("last_orderkey"),
-          max(col("o_orderdate")).as("last_orderdate"))
+      AsOfJoin.asOf(Tables.events(s, d), Tables.orders(s, d),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("o_orderkey", "o_orderdate"),
+          rightTiebreak = "o_orderkey")
+        .filter(col("o_orderkey").isNotNull)
+        .select(col("event_id"), col("o_orderkey").as("last_orderkey"),
+          col("o_orderdate").as("last_orderdate"))
         .orderBy(col("event_id").asc_nulls_first)
     }),
 

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scalable union+window as-of join must agree exactly with the
+  * oracled join+argmax baseline (q_join_asof).
+  */
+class AsOfJoinSuite extends AnyFunSuite {
+  import SparkFixture._
+
+  test("union+window as-of equals the join+argmax baseline at sf0.001") {
+    val baseline = SparkEntry.queries("q_join_asof")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val got = AsOfJoin.asOf(
+      Tables.events(spark, sf), Tables.orders(spark, sf),
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      payload = Seq("o_orderkey", "o_orderdate"), rightTiebreak = "o_orderkey")
+      .filter(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    assert(got.size == baseline.size,
+      s"row counts differ: asOf=${got.size} baseline=${baseline.size}")
+    val diffs = baseline.collect {
+      case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+
+  test("equal-timestamp right rows are visible and max-tiebreak wins") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val probes = Seq((1L, t("2024-01-01 10:00:00"), "e1"))
+      .toDF("k", "ts", "name")
+    val builds = Seq(
+      (1L, t("2024-01-01 10:00:00"), 7L),   // same instant: visible
+      (1L, t("2024-01-01 10:00:00"), 9L),   // tie -> max tiebreak wins
+      (1L, t("2024-01-01 09:00:00"), 5L))
+      .toDF("k", "bts", "bid")
+    val got = AsOfJoin.asOf(probes, builds, "k", "k", "ts", "bts",
+      Seq("bid"), "bid").head
+    assert(got.getAs[Long]("bid") == 9L)
+  }
+}
