@@ -142,9 +142,9 @@ object DedupOps {
     // Embedding-cosine near-dup pairs over `embeddings` (threshold on the
     // rounded score keeps the boundary identical across engines).
     "q_dedup_embedding" -> ((s, d) => {
+      import graft.functions.VectorOps.{vec_dot, vec_norm}
       val e = Tables.embeddings(s, d)
-        .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+        .withColumn("nrm", vec_norm(col("embedding")))
       // repartition the probe side: a broadcast nested-loop over a
       // 1-2-partition parquet scan would serialize the quadratic work on
       // one core; spreading the stream side uses the whole executor pool
@@ -155,9 +155,7 @@ object DedupOps {
         col("nrm").as("n2"))
       a.crossJoin(broadcast(b)).filter(col("v1") < col("v2"))
         .withColumn("cos", graft.Det.r4(
-          aggregate(zip_with(col("e1"), col("e2"),
-            (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2"))))
+          vec_dot(col("e1"), col("e2")) / (col("n1") * col("n2"))))
         .filter(col("cos") >= 0.35)
         .select(col("v1"), col("v2"), col("cos"))
         .orderBy(col("v1").asc_nulls_first, col("v2").asc_nulls_first)

@@ -37,14 +37,14 @@ object SimilarityOps {
     Array.fill(nPlanes)(Array.fill(dim)(nextGaussianish()))
   }
 
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))))
+  import graft.functions.VectorOps.{vec_dot, vec_norm}
 
-  private val dot = (a: String, b: String) =>
-    aggregate(zip_with(col(a), col(b),
-      (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  // fused-loop Catalyst expressions (same fold order as the HOF form
+  // and the DuckDB oracle's list fold -> bit-equal results)
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", vec_norm(col("embedding")))
+
+  private val dot = (a: String, b: String) => vec_dot(col(a), col(b))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for the first 10 query vectors.
