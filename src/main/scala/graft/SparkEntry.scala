@@ -24,7 +24,8 @@ object SparkEntry {
     (DedupOps.queries, DedupOps.oracle),
     (SimilarityOps.queries, SimilarityOps.oracle),
     (MultimodalOps.queries, MultimodalOps.oracle),
-    (Extras.queries, Extras.oracle)
+    (Extras.queries, Extras.oracle),
+    (IvfAnn.queries, IvfAnn.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

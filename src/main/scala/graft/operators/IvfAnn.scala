@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorOps.{vec_dot, vec_norm}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor over `embeddings`:
+  * the second scale path next to the LSH variant (q_sim_ann_lsh).
+  *
+  * Build: K centroids via deterministic seeding (first K vectors) + a
+  * few Lloyd iterations, computed distributively (assignment is a
+  * per-row argmin against broadcast centroid literals; the update step
+  * is a posexplode + groupBy average). Centroids are K x dim doubles —
+  * driver-bounded regardless of corpus size.
+  *
+  * Query: probe the `nProbe` nearest cells, rank candidates by cosine,
+  * keep top-k. At 100 TB the vectors stay partitioned by cell (the
+  * assignment IS the partition key) and a query touches only
+  * nProbe/K of the data.
+  */
+object IvfAnn {
+
+  /** Argmin cell id for each vector against centroid literals. */
+  private def assignExpr(centroids: Array[Array[Double]]): String = {
+    // cents: array<array<double>>; track (bestIdx, bestDist) in a struct
+    s"""aggregate(sequence(0, ${centroids.length - 1}),
+       |  named_struct('i', -1, 'd', CAST('Infinity' AS DOUBLE)),
+       |  (acc, c) -> CASE WHEN
+       |      aggregate(zip_with(embedding, __cents[c],
+       |        (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+       |        CAST(0.0 AS DOUBLE), (s, v) -> s + v) < acc.d
+       |    THEN named_struct('i', c,
+       |      'd', aggregate(zip_with(embedding, __cents[c],
+       |        (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+       |        CAST(0.0 AS DOUBLE), (s, v) -> s + v))
+       |    ELSE acc END,
+       |  acc -> acc.i)""".stripMargin
+  }
+
+  private def centsCol(centroids: Array[Array[Double]]) =
+    array(centroids.map(c => array(c.map(lit): _*)): _*)
+
+  /** K-means cell assignment after `iters` Lloyd iterations. Returns
+    * (vectors with `cell`, final centroids).
+    */
+  def assign(e: DataFrame, k: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {
+    val spark = e.sparkSession
+    var centroids: Array[Array[Double]] = e
+      .filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var assigned: DataFrame = null
+    (0 until iters).foreach { _ =>
+      assigned = e.withColumn("__cents", centsCol(centroids))
+        .withColumn("cell", expr(assignExpr(centroids)))
+        .drop("__cents")
+      val upd = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val byCell = upd.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+    (assigned, centroids)
+  }
+
+  /** Top-k neighbors for query vectors (vec_id < nQueries) probing the
+    * nProbe nearest cells.
+    */
+  def query(s: SparkSession, d: String, k: Int = 16, iters: Int = 2,
+      nProbe: Int = 2, topK: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d).withColumn("nrm", vec_norm(col("embedding")))
+    val (assigned, centroids) = assign(e, k, iters)
+    // probe cells per query: nProbe nearest centroids
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .withColumn("__cents", centsCol(centroids))
+      .withColumn("probe_cells", expr(
+        s"""slice(transform(
+           |  array_sort(transform(sequence(0, ${centroids.length - 1}),
+           |    c -> named_struct(
+           |      'd', aggregate(zip_with(embedding, __cents[c],
+           |        (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+           |        CAST(0.0 AS DOUBLE), (s, v) -> s + v),
+           |      'c', c))),
+           |  x -> x.c), 1, $nProbe)""".stripMargin))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), explode(col("probe_cells")).as("cell"))
+    val cands = assigned.select(col("cell"), col("vec_id").as("nid"),
+      col("embedding").as("ne"), col("nrm").as("nn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc_nulls_last, col("nid").asc_nulls_first)
+    probes.join(cands, Seq("cell")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", graft.Det.r4(
+        vec_dot(col("qe"), col("ne")) / (col("qn") * col("nn"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos"), col("cell"))
+      .orderBy(col("qid").asc_nulls_first, col("rnk").asc_nulls_first)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ann_ivf" -> ((s, d) => query(s, d)))
+
+  val oracle: Map[String, String] = Map.empty // approximate, engine-side k-means
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.IvfAnn
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfAnnSuite extends AnyFunSuite {
+  import SparkFixture._
+
+  test("IVF ANN returns valid ranked neighbors with sane recall") {
+    val ivf = SparkEntry.queries("q_sim_ann_ivf")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    // structure: ranks 1..5 per query, no self-matches
+    ivf.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 5)
+      assert(r.getLong(0) != r.getLong(2))
+    }
+    // no ANN neighbor can beat the brute-force best
+    val brute = SparkEntry.queries("q_sim_topk_cosine")(spark, sf)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      brute.get(r.getLong(0)).foreach { best =>
+        assert(r.getDouble(3) <= best + 1e-9)
+      }
+    }
+    // recall@5 vs brute force: probing 2/16 cells should still find a
+    // fair share of true neighbors on smooth random data
+    val bruteSets = SparkEntry.queries("q_sim_topk_cosine")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val ivfSets = ivf.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = bruteSets.collect {
+      case (q, bs) if ivfSets.contains(q) =>
+        (bs & ivfSets(q)).size.toDouble / bs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall@5 $mean suspiciously low")
+  }
+}

@@ -61,6 +61,37 @@ class StreamingSuite extends AnyFunSuite {
       ("2024-01-01 10:06:00.0", 2L, 1L)))
   }
 
+  test("flatMapGroupsWithState sessionizer emits closed sessions with state") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.SessionEvent
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent]
+    val sessions = StatefulSessions.sessionize(
+      mem.toDS().withWatermark("ts", "1 minute").as[SessionEvent])
+    val q = sessions.writeStream.format("memory").queryName("stateful_out")
+      .outputMode("append").start()
+    // session 1: two events 5 min apart; then a 20-min gap opens session 2
+    mem.addData(SessionEvent(1L, t("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(1L, t("2024-01-01 10:05:00"), 2.0))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(1L, t("2024-01-01 10:25:00"), 5.0))
+    q.processAllAvailable()
+    // advance watermark far enough to time out session 2
+    mem.addData(SessionEvent(2L, t("2024-01-01 11:00:00"), 0.5))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(2L, t("2024-01-01 12:00:00"), 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stateful_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got.contains((1L, "2024-01-01 10:00:00.0", 2L, 3.0)),
+      s"closed first session expected; got $got")
+    assert(got.contains((1L, "2024-01-01 10:25:00.0", 1L, 5.0)),
+      s"timed-out second session expected; got $got")
+  }
+
   test("watermark drops events older than watermark across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
