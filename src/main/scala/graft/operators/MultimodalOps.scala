@@ -61,8 +61,47 @@ object MultimodalOps {
           col("decoded.channels"), size(col("frame_samples")).as("n_frames"),
           col("frame_samples"))
         .orderBy(col("doc_id").asc_nulls_first)
-    })
+    }),
+
+    // Batched (mapPartitions) decode: typed one-to-many frame extraction
+    // with per-partition codec context. Rows-only check (stub decode).
+    "q_multimodal_frames" -> ((s, d) => decodeBatched(s, d))
   )
+
+  /** Typed record for the batched decode path. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], meta_lang: String)
+  case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, feature: Double)
+
+  /** Batched decode via mapPartitions — the Scala analog of a
+    * mapInPandas batch UDF: payloads stream through a per-partition
+    * iterator (one codec context per partition, not per row), each
+    * emitting zero-or-more frame rows. The codec itself is STUBBED
+    * (deterministic pseudo-decode from the bytes — image/audio libraries
+    * are not in this container); the partitioning, batch shape, typed
+    * schema, and one-to-many row explosion are the real plumbing.
+    */
+  def decodeBatched(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val records = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+        col("lang").as("meta_lang"))
+      .as[MediaRecord]
+    records.mapPartitions { it =>
+      // STUB: a real implementation opens one decoder per partition here.
+      it.flatMap { rec =>
+        val nFrames = math.max(1, rec.payload.length / 128)
+        (0 until math.min(nFrames, 4)).iterator.map { f =>
+          val b = rec.payload(math.min(f * 128, rec.payload.length - 1))
+          DecodedFrame(rec.doc_id, f,
+            640 - (rec.payload.length % 640) % 640,
+            480 - (rec.payload.length % 480) % 480,
+            (b & 0xff) / 255.0)
+        }
+      }
+    }.toDF()
+      .orderBy(col("doc_id").asc_nulls_first, col("frame_idx").asc_nulls_first)
+  }
 
   val oracle: Map[String, String] = Map(
     "q_multimodal_meta" ->
