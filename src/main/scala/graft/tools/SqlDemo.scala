@@ -31,6 +31,22 @@ object SqlDemo {
     try spark.sql("SELECT partial_ratio('a') AS s").head
     catch { case e: Exception =>
       println("ARITY-ERR: " + e.getMessage.linesIterator.next()) }
+
+    // canonical DDL (reference R25): register + query via plain SQL
+    graft.Schemas.createTables(spark)
+    println("DDL tables: " + spark.sql(
+      "SHOW TABLES").collect().map(_.getString(1)).sorted.mkString(", "))
+    println("rad_table columns: " + spark.sql(
+      "SELECT * FROM rad_table").columns.length)
+    println("insert+query roundtrip: " + {
+      spark.sql("INSERT INTO rad_table VALUES (1, 'OP27', 'AD', null, null," +
+        " null, 'bipolar', null, 'passed', 'Y', '<1', null, null, null," +
+        " null, '2015 Compendium', '2015.pdf')")
+      spark.sql("SELECT part_number, spec, dose_rate FROM rad_table")
+        .collect().mkString(";")
+    })
+    graft.Schemas.canonicalTables.keys.foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
     spark.stop()
   }
 }
