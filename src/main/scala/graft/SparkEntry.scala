@@ -25,7 +25,8 @@ object SparkEntry {
     (SimilarityOps.queries, SimilarityOps.oracle),
     (MultimodalOps.queries, MultimodalOps.oracle),
     (Extras.queries, Extras.oracle),
-    (IvfAnn.queries, IvfAnn.oracle)
+    (IvfAnn.queries, IvfAnn.oracle),
+    (TypedApi.queries, TypedApi.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -74,8 +74,10 @@ object CustomOps {
     // (partial_ratio semantics).
     "q_fuzzy_header_map" -> ((s, d) => {
       import s.implicits._
-      val headers = Tables.names
-        .flatMap(n => Tables.load(s, d, n).schema.fieldNames.map(f => (n, f)))
+      // column names come from the declared corpus schemas — no parquet
+      // footer reads for pure metadata
+      val headers = graft.Schemas.corpus.toSeq.sortBy(_._1)
+        .flatMap { case (n, st) => st.fieldNames.map(f => (n, f)) }
         .toDF("table_name", "column_name")
       val cats = canonicalCategories.toDF("category")
       headers.crossJoin(cats)
