@@ -134,6 +134,35 @@ object Ingest {
     n
   }
 
+  /** Fuzzy near-duplicate elimination (motivated by the reference's own
+    * data defect: '1366 MV Xe' vs '1366 MeV Xe' survive exact dedup —
+    * SURVEY.md §5.2). Rows are blocked on exact values of `blockKeys`
+    * (a near-dup must agree on them), then within each block a row is
+    * dropped when a surviving earlier row (lower `idCol`) has
+    * partial_ratio >= `threshold` on `fuzzyCol` against ANY earlier row
+    * (lower `idCol`) of the block. Blocking keeps the pairwise
+    * comparison inside small groups — the scalable shape: the
+    * cross-pair work is bounded by the largest block, not the table.
+    */
+  def fuzzyDedup(df: DataFrame, blockKeys: Seq[String], fuzzyCol: String,
+      idCol: String, threshold: Int = 90): DataFrame = {
+    import graft.functions.PartialRatioExpr.partial_ratio
+    val a = df.select((blockKeys :+ fuzzyCol :+ idCol).map(col): _*)
+    val b = df.select(blockKeys.map(k => col(k).as(s"__$k")) :+
+      col(fuzzyCol).as("__other") :+ col(idCol).as("__oid"): _*)
+    val joinCond = blockKeys.map(k => col(k) === col(s"__$k"))
+      .reduce(_ && _) && col("__oid") < col(idCol)
+    val dominated = a.join(b, joinCond, "left_outer")
+      .withColumn("__sim",
+        when(col("__oid").isNotNull,
+          partial_ratio(col(fuzzyCol), col("__other"))).otherwise(lit(0)))
+      .groupBy((blockKeys :+ fuzzyCol :+ idCol).map(col): _*)
+      .agg(max(col("__sim")).as("__best"))
+      .filter(col("__best") >= threshold)
+      .select(col(idCol).as("__dropid"))
+    df.join(dominated, df(idCol) === col("__dropid"), "left_anti")
+  }
+
   /** Tolerant measurement parser for the reference's string-encoded
     * values ('<1', '>50', '50-300', 'HDR~65 LDR~30' — observed in
     * main.db; SURVEY.md §7 hard part d): extracts a comparison operator

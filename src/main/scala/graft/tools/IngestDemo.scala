@@ -67,6 +67,18 @@ object IngestDemo {
       .select("part_number", "manufacturer", "spec", "dose_rate", "source_paper")
       .show(false)
 
+    // 5b. fuzzy near-dup elimination (the reference's '1366 MV Xe' vs
+    // '1366 MeV Xe' defect, SURVEY.md §5.2)
+    val noisy = Seq(
+      (1L, "OP27", "1366 MeV Xe passed"),
+      (2L, "OP27", "1366 MV Xe passed"),
+      (3L, "OP27", "unrelated result"),
+      (4L, "LM139", "1366 MeV Xe passed"))
+      .toDF("id", "part_number", "results")
+    println("== fuzzyDedup == survivors:")
+    Ingest.fuzzyDedup(noisy, Seq("part_number"), "results", "id", 90)
+      .orderBy("id").show(false)
+
     // 6. spatial nearest-above title join (R6)
     val texts = Seq((1L, "Table 3. Proton Results", 100.0, 210.0),
       (2L, "(continued)", 100.0, 205.0), (3L, "Footnote", 400.0, 190.0))

@@ -86,6 +86,20 @@ class IngestSuite extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(s"$base/final/veto_me")))
   }
 
+  test("fuzzyDedup drops the reference's near-dup typo rows (§5.2)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "OP27", "1366 MeV Xe passed"),
+      (2L, "OP27", "1366 MV Xe passed"),   // typo twin of row 1 -> dropped
+      (3L, "OP27", "completely different result text"),
+      (4L, "LM139", "1366 MeV Xe passed")) // different block -> kept
+      .toDF("id", "part_number", "results")
+    val got = Ingest.fuzzyDedup(rows, Seq("part_number"), "results", "id",
+      threshold = 90)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 4L), s"got $got")
+  }
+
   test("measurement parser handles the reference's value shapes") {
     import spark.implicits._
     val got = Seq("<1", ">50", "50-300", "HDR~65 LDR~30", "17.5", "n/a")

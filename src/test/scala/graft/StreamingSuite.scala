@@ -61,6 +61,54 @@ class StreamingSuite extends AnyFunSuite {
       ("2024-01-01 10:06:00.0", 2L, 1L)))
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData(
+      Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(t("2024-01-01 10:01:00"), 1, "click", 2.0), // dup within watermark
+      Ev(t("2024-01-01 10:02:00"), 2, "click", 3.0))
+    q.processAllAvailable()
+    mem.addData(Ev(t("2024-01-01 10:03:00"), 1, "click", 4.0)) // still dup
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSeq
+    assert(got.size == 2, s"expected 2 unique (user, type) rows, got $got")
+    assert(got.toSet == Set((1L, "click"), (2L, "click")))
+  }
+
+  test("stream-stream interval join matches events within the time bound") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val c = clicks.toDF().select(col("user_id").as("c_user"),
+      col("ts").as("c_ts")).withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().select(col("user_id").as("b_user"),
+      col("ts").as("b_ts"), col("value")).withWatermark("b_ts", "10 minutes")
+    val joined = c.join(b,
+      expr("""c_user = b_user AND
+             |b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 5 MINUTES""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    clicks.addData(Ev(t("2024-01-01 10:00:00"), 1, "click", 0.0))
+    buys.addData(
+      Ev(t("2024-01-01 10:03:00"), 1, "buy", 9.99),   // within 5 min -> match
+      Ev(t("2024-01-01 10:09:00"), 1, "buy", 5.00))   // beyond bound -> no match
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 9.99)), s"got ${got.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions with state") {
     import graft.streaming.StatefulSessions
     import graft.streaming.StatefulSessions.SessionEvent
