@@ -55,6 +55,17 @@ object Extras {
           col("o_orderkey").asc_nulls_first)
     }),
 
+    // Deterministic collect/string-agg: sorted value list per group
+    // (sort_array makes the collect order-independent).
+    "q_agg_collect" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+            .as("suppliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey").asc_nulls_first)
+    }),
+
     // Exact percentiles (linear interpolation) per group.
     "q_agg_percentile" -> ((s, d) => {
       Tables.customer(s, d)
@@ -99,6 +110,12 @@ object Extras {
          |  ORDER BY o_totalprice ASC NULLS FIRST
          |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
          |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT s_nationkey,
+        |  array_to_string(list_sort(list(s_name)), ',') AS suppliers,
+        |  count(1) AS n
+        |FROM supplier GROUP BY s_nationkey
+        |ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin,
     "q_agg_percentile" ->
       s"""SELECT c_mktsegment,
          |  ${R("quantile_cont(c_acctbal, 0.5)")} AS p50,

@@ -42,6 +42,21 @@ class ScalePatternsSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("partitionBy write enables partition pruning at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.documents(spark, sf)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("lang") === "de")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("lang"), s"expected pruned scan, got:\n$scan")
+    // only the lang=de directory is read
+    val expected = Tables.documents(spark, sf)
+      .filter(col("lang") === "de").count()
+    assert(q.count() == expected)
+  }
+
   test("salted join returns exactly the plain join result") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
