@@ -76,6 +76,31 @@ object StreamOps {
       .orderBy(col("ws").asc_nulls_first)
   }
 
+  /** File-source streaming form: the events table as an unbounded
+    * stream (`readStream` + pathGlobFilter) — new files arriving in the
+    * directory would flow through the same plan. Same nanos handling as
+    * the batch loader.
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING," +
+        " value DOUBLE, props STRING")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming tumbling aggregation over the file source — identical
+    * expressions to the batch `tumbling`, exercised end-to-end in
+    * StreamingSuite with an AvailableNow trigger.
+    */
+  def tumblingStream(s: SparkSession, d: String): DataFrame =
+    eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),

@@ -50,6 +50,16 @@ object ScaleDemo {
     println("IVF-ANN sample:")
     ivf.show(6, false)
 
+    // file-source streaming: events parquet as an unbounded stream
+    import org.apache.spark.sql.streaming.Trigger
+    val sq = graft.streaming.StreamOps.tumblingStream(spark, sf)
+      .writeStream.format("memory").queryName("demo_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination(120000)
+    println("FILE-STREAM windows: " + spark.table("demo_stream").count() +
+      " (batch form: " +
+      graft.streaming.StreamOps.tumbling(spark, sf).count() + ")")
+
     // stateful sessionizer in batch mode over a tiny inline dataset
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val evs = Seq(

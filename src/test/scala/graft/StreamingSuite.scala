@@ -61,6 +61,24 @@ class StreamingSuite extends AnyFunSuite {
       ("2024-01-01 10:06:00.0", 2L, 1L)))
   }
 
+  test("file-source streaming tumbling agg matches the batch form") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = graft.streaming.StreamOps.tumblingStream(spark, sf)
+      .writeStream.format("memory").queryName("filestream_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("filestream_out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+        r.getLong(2)).toMap
+    val batch = graft.streaming.StreamOps.tumbling(spark, sf)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"streamed ${streamed.size} windows, batch ${batch.size}")
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
