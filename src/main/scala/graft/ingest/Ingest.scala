@@ -134,6 +134,50 @@ object Ingest {
     n
   }
 
+  /** R23 update (reference `add_to_entry_in_table`, database.py:35-41):
+    * vanilla Spark/parquet has no in-place update, so the pattern is
+    * read -> conditional rewrite -> atomic overwrite via a staging path.
+    * Returns the number of rows that matched the predicate.
+    */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      predicate: Column, assignments: Map[String, Column]): Long = {
+    val df = spark.read.parquet(tablePath)
+    val updated = assignments.foldLeft(df) { case (d, (c, v)) =>
+      d.withColumn(c, when(predicate, v).otherwise(col(c)))
+    }
+    val n = df.filter(predicate).count()
+    val stage = tablePath + "__stage"
+    updated.write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).write.mode("overwrite").parquet(tablePath)
+    n
+  }
+
+  /** R24 delete-with-limit (reference `delete_entry_from_table`,
+    * database.py:66-71): rewrite keeping rows that miss the predicate;
+    * an optional limit deletes only the first `limit` matches in
+    * `orderCol` order (the reference's LIMIT n delete).
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: Column, orderCol: String,
+      limit: Option[Int] = None): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(tablePath)
+    val victims = limit match {
+      case None => df.filter(predicate)
+      case Some(k) =>
+        df.filter(predicate)
+          .withColumn("__rn", row_number().over(
+            Window.orderBy(col(orderCol).asc_nulls_first)))
+          .filter(col("__rn") <= k).drop("__rn")
+    }
+    val n = victims.count()
+    val keep = df.join(victims, df.columns.toSeq, "left_anti")
+    val stage = tablePath + "__stage"
+    keep.write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).write.mode("overwrite").parquet(tablePath)
+    n
+  }
+
   /** Fuzzy near-duplicate elimination (motivated by the reference's own
     * data defect: '1366 MV Xe' vs '1366 MeV Xe' survive exact dedup —
     * SURVEY.md §5.2). Rows are blocked on exact values of `blockKeys`

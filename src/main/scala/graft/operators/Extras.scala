@@ -55,6 +55,43 @@ object Extras {
           col("o_orderkey").asc_nulls_first)
     }),
 
+    // Statistical aggregates (Welford-style accumulators in both
+    // engines; r4 absorbs accumulation-order noise).
+    "q_agg_stats" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(r4(stddev_samp(col("o_totalprice"))).as("sd"),
+          r4(var_samp(col("o_totalprice"))).as("variance"),
+          r4(corr(col("o_totalprice"), col("o_custkey"))).as("price_cust_corr"),
+          r4(covar_samp(col("o_totalprice"), col("o_custkey"))).as("cv"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    }),
+
+    // Scalar subquery: compare each row against a whole-table aggregate.
+    "q_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_ssq")
+      s.sql(
+        """SELECT o_orderkey,
+          |  floor((o_totalprice) * 10000 + CAST(0.5 AS DOUBLE))
+          |    / CAST(10000 AS DOUBLE) AS price
+          |FROM graft_orders_ssq
+          |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice)
+          |                            FROM graft_orders_ssq)
+          |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // JSON source round-trip (complements the CSV source): stage a
+    // bounded dim to JSON-lines, read back with an explicit schema.
+    "q_scan_json" -> ((s, d) => {
+      val stage = "/tmp/graft_stage/nation_json"
+      Tables.nation(s, d).orderBy("n_nationkey").coalesce(1)
+        .write.mode("overwrite").json(stage)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(stage)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey").asc_nulls_first)
+    }),
+
     // Deterministic collect/string-agg: sorted value list per group
     // (sort_array makes the collect order-independent).
     "q_agg_collect" -> ((s, d) => {
@@ -110,6 +147,25 @@ object Extras {
          |  ORDER BY o_totalprice ASC NULLS FIRST
          |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
          |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_agg_stats" ->
+      s"""SELECT o_orderstatus,
+         |  ${R("stddev_samp(o_totalprice)")} AS sd,
+         |  ${R("var_samp(o_totalprice)")} AS variance,
+         |  ${R("corr(o_totalprice, o_custkey)")} AS price_cust_corr,
+         |  ${R("covar_samp(o_totalprice, o_custkey)")} AS cv
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q_scalar_subquery" ->
+      s"""SELECT o_orderkey, ${R("o_totalprice")} AS price
+         |FROM orders
+         |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_scan_json" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM read_json('/tmp/graft_stage/nation_json/*.json',
+        |  columns={'n_nationkey':'INT','n_name':'VARCHAR','n_regionkey':'INT'},
+        |  format='newline_delimited')
+        |ORDER BY n_nationkey ASC NULLS FIRST""".stripMargin,
     "q_agg_collect" ->
       """SELECT s_nationkey,
         |  array_to_string(list_sort(list(s_name)), ',') AS suppliers,

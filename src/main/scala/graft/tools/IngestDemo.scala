@@ -67,6 +67,15 @@ object IngestDemo {
       .select("part_number", "manufacturer", "spec", "dose_rate", "source_paper")
       .show(false)
 
+    // 5a. CRUD rewrites (R23 update / R24 delete-with-limit)
+    val crud = s"$base/warehouse/rad"
+    val nUpd = Ingest.updateWhere(spark, crud,
+      col("part_number") === "op27", Map("spec" -> lit("n")))
+    val nDel = Ingest.deleteWhere(spark, crud,
+      col("part_number").isNotNull, "part_number", limit = Some(1))
+    println(s"== CRUD == updated=$nUpd deleted(limit 1)=$nDel, remaining:")
+    spark.read.parquet(crud).select("part_number", "spec").show(false)
+
     // 5b. fuzzy near-dup elimination (the reference's '1366 MV Xe' vs
     // '1366 MeV Xe' defect, SURVEY.md §5.2)
     val noisy = Seq(

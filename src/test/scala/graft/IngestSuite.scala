@@ -86,6 +86,28 @@ class IngestSuite extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(s"$base/final/veto_me")))
   }
 
+  test("updateWhere / deleteWhere rewrite the table (R23/R24)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_crud").toString + "/t"
+    Seq((1L, "OP27", "N"), (2L, "LM139", "N"), (3L, "OP27", "N"))
+      .toDF("id", "part", "spec")
+      .write.parquet(path)
+    // R23: update spec for one part
+    val updated = Ingest.updateWhere(spark, path,
+      col("part") === "OP27", Map("spec" -> lit("Y")))
+    assert(updated == 2)
+    val after = spark.read.parquet(path)
+    assert(after.filter(col("spec") === "Y").count() == 2)
+    assert(after.filter(col("spec") === "N").count() == 1)
+    // R24: delete with limit 1 (lowest id among matches)
+    val deleted = Ingest.deleteWhere(spark, path,
+      col("part") === "OP27", "id", limit = Some(1))
+    assert(deleted == 1)
+    val rest = spark.read.parquet(path)
+    assert(rest.count() == 2)
+    assert(rest.filter(col("id") === 1).count() == 0, "lowest-id match deleted")
+  }
+
   test("fuzzyDedup drops the reference's near-dup typo rows (§5.2)") {
     import spark.implicits._
     val rows = Seq(
