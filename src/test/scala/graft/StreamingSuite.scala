@@ -158,6 +158,36 @@ class StreamingSuite extends AnyFunSuite {
       s"timed-out second session expected; got $got")
   }
 
+  test("windowed state survives a restart via checkpoint (file sink)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Ev]
+    def start() = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    // run 1: two events land in the 10:00 window; nothing emitted yet
+    val q1 = start()
+    mem.addData(Ev(t("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Ev(t("2024-01-01 10:05:00"), 1, "a", 1.0))
+    q1.processAllAvailable(); q1.stop()
+    // run 2 (restart from checkpoint): advancing the watermark closes the
+    // 10:00 window -- its count must include the PRE-restart rows
+    val q2 = start()
+    mem.addData(Ev(t("2024-01-01 10:30:00"), 1, "a", 1.0))
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(got.get("2024-01-01 10:00:00.0").contains(2L),
+      s"state lost across restart: $got")
+  }
+
   test("watermark drops events older than watermark across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
