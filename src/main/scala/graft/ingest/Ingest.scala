@@ -136,7 +136,11 @@ object Ingest {
 
   /** R23 update (reference `add_to_entry_in_table`, database.py:35-41):
     * vanilla Spark/parquet has no in-place update, so the pattern is
-    * read -> conditional rewrite -> atomic overwrite via a staging path.
+    * read -> conditional rewrite -> two-phase copy through a staging
+    * path (stage fully written before the target is overwritten; NOT
+    * atomic — a crash between the two writes leaves the stage copy as
+    * the recovery source; transactional tables are a format concern,
+    * e.g. Iceberg/Delta, outside vanilla parquet).
     * Returns the number of rows that matched the predicate.
     */
   def updateWhere(spark: SparkSession, tablePath: String,
@@ -149,42 +153,60 @@ object Ingest {
     val stage = tablePath + "__stage"
     updated.write.mode("overwrite").parquet(stage)
     spark.read.parquet(stage).write.mode("overwrite").parquet(tablePath)
+    cleanupStage(spark, stage)
     n
   }
 
   /** R24 delete-with-limit (reference `delete_entry_from_table`,
     * database.py:66-71): rewrite keeping rows that miss the predicate;
     * an optional limit deletes only the first `limit` matches in
-    * `orderCol` order (the reference's LIMIT n delete).
+    * `orderCol` order (the reference's LIMIT n delete). The complement
+    * is computed positionally (row_number over the matches), NOT by
+    * anti-joining rows back — an anti-join on all columns would skip
+    * NULL-bearing victims (non-null-safe equality) and over-delete
+    * duplicate rows beyond the limit.
     */
   def deleteWhere(spark: SparkSession, tablePath: String,
       predicate: Column, orderCol: String,
       limit: Option[Int] = None): Long = {
     import org.apache.spark.sql.expressions.Window
     val df = spark.read.parquet(tablePath)
-    val victims = limit match {
-      case None => df.filter(predicate)
+    val matches = coalesce(predicate, lit(false))
+    val keep = limit match {
+      case None => df.filter(!matches)
       case Some(k) =>
-        df.filter(predicate)
+        df.withColumn("__m", matches)
           .withColumn("__rn", row_number().over(
-            Window.orderBy(col(orderCol).asc_nulls_first)))
-          .filter(col("__rn") <= k).drop("__rn")
+            Window.partitionBy(col("__m"))
+              .orderBy(col(orderCol).asc_nulls_first)))
+          .filter(!col("__m") || col("__rn") > k)
+          .drop("__m", "__rn")
     }
-    val n = victims.count()
-    val keep = df.join(victims, df.columns.toSeq, "left_anti")
+    val total = df.count()
     val stage = tablePath + "__stage"
     keep.write.mode("overwrite").parquet(stage)
     spark.read.parquet(stage).write.mode("overwrite").parquet(tablePath)
-    n
+    cleanupStage(spark, stage)
+    total - spark.read.parquet(tablePath).count()
+  }
+
+  /** Remove a staging directory left by the rewrite path. */
+  private def cleanupStage(spark: SparkSession, stage: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stage)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
   }
 
   /** Fuzzy near-duplicate elimination (motivated by the reference's own
     * data defect: '1366 MV Xe' vs '1366 MeV Xe' survive exact dedup —
     * SURVEY.md §5.2). Rows are blocked on exact values of `blockKeys`
     * (a near-dup must agree on them), then within each block a row is
-    * dropped when a surviving earlier row (lower `idCol`) has
-    * partial_ratio >= `threshold` on `fuzzyCol` against ANY earlier row
-    * (lower `idCol`) of the block. Blocking keeps the pairwise
+    * dropped when ANY earlier row (lower `idCol`) scores partial_ratio
+    * >= `threshold` on `fuzzyCol` — note: earlier, not earlier-AND-
+    * surviving, so a chain a~b~c with a!~c keeps only a (single-pass
+    * greedy semantics; survivor-only chains would need iteration).
+    * Blocking keeps the pairwise
     * comparison inside small groups — the scalable shape: the
     * cross-pair work is bounded by the largest block, not the table.
     */

@@ -30,9 +30,12 @@ object TitleJoin {
     val tab = tables.select(col("table_id"), col("x_mid").as("bx"),
       col("y_top").as("by"))
     val dist = sqrt(pow(col("tx") - col("bx"), 2) + pow(col("ty") - col("by"), 2))
-    val joined = tab.join(t, col("ty") >= col("by"), "left_outer")
+    // the distance bound is part of the JOIN condition, not a post-
+    // filter: a table whose candidates are all too far must still emit
+    // one (null-titled) row, exactly like a table with no text above it
+    val joined = tab.join(t,
+        col("ty") >= col("by") && dist < maxDistance, "left_outer")
       .withColumn("dist", dist)
-      .filter(col("dist") < maxDistance || col("obj_id").isNull)
     val best = joined.groupBy(col("table_id"))
       .agg(
         min_by(struct(col("obj_id"), col("text"), col("dist")),

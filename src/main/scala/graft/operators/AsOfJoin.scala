@@ -41,7 +41,10 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     // side 0 = build (right), side 1 = probe (left): at equal times the
     // build row sorts first, so it is visible to the probe row (<=).
-    val r = right.select(
+    // Null-keyed build rows are excluded (join semantics: NULL keys
+    // never match); null-keyed probe rows then see only probe rows in
+    // their partition and correctly get a null payload.
+    val r = right.filter(col(rightKey).isNotNull).select(
       col(rightKey).as("__key"), col(rightTime).as("__t"),
       lit(0).as("__side"), col(rightTiebreak).as("__tb"),
       struct(payload.map(col): _*).as("__payload"))

@@ -100,11 +100,11 @@ object CustomOps {
   val oracle: Map[String, String] = Map(
     "q_udaf_density" ->
       """SELECT o_orderstatus,
-        |  round(avg((CASE WHEN nullif(o_orderstatus,'F') IS NULL THEN 0 ELSE 1 END
+        |  floor((avg((CASE WHEN nullif(o_orderstatus,'F') IS NULL THEN 0 ELSE 1 END
         |    + CASE WHEN nullif(o_orderpriority,'3-MEDIUM') IS NULL THEN 0 ELSE 1 END
         |    + CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END
-        |    + CASE WHEN nullif(o_orderstatus,'O') IS NULL THEN 0 ELSE 1 END) / CAST(4.0 AS DOUBLE)),
-        |    4) AS density,
+        |    + CASE WHEN nullif(o_orderstatus,'O') IS NULL THEN 0 ELSE 1 END) / CAST(4.0 AS DOUBLE)))
+        |    * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS density,
         |  count(1) AS n
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin

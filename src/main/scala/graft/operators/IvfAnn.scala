@@ -22,21 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  /** Argmin cell id for each vector against centroid literals. */
+  /** Argmin cell id for each vector against centroid literals: each
+    * centroid distance is computed once into (d, c) structs; array_min's
+    * lexicographic order then picks (min distance, min cell).
+    */
   private def assignExpr(centroids: Array[Array[Double]]): String = {
-    // cents: array<array<double>>; track (bestIdx, bestDist) in a struct
-    s"""aggregate(sequence(0, ${centroids.length - 1}),
-       |  named_struct('i', -1, 'd', CAST('Infinity' AS DOUBLE)),
-       |  (acc, c) -> CASE WHEN
-       |      aggregate(zip_with(embedding, __cents[c],
-       |        (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-       |        CAST(0.0 AS DOUBLE), (s, v) -> s + v) < acc.d
-       |    THEN named_struct('i', c,
-       |      'd', aggregate(zip_with(embedding, __cents[c],
-       |        (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-       |        CAST(0.0 AS DOUBLE), (s, v) -> s + v))
-       |    ELSE acc END,
-       |  acc -> acc.i)""".stripMargin
+    s"""array_min(transform(sequence(0, ${centroids.length - 1}),
+       |  c -> named_struct(
+       |    'd', aggregate(zip_with(embedding, __cents[c],
+       |      (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+       |      CAST(0.0 AS DOUBLE), (s, v) -> s + v),
+       |    'c', c))).c""".stripMargin
   }
 
   private def centsCol(centroids: Array[Array[Double]]) =

@@ -31,8 +31,8 @@ object SimilarityOps {
     def nextGaussianish(): Double = {
       // xorshift64* -> uniform in [-1, 1); adequate for LSH directions.
       state ^= state >>> 12; state ^= state << 25; state ^= state >>> 27
-      val u = (state * 0x2545F4914F6CDD1DL) >>> 11
-      u.toDouble / (1L << 52).toDouble * 2.0 - 1.0
+      val u = (state * 0x2545F4914F6CDD1DL) >>> 11 // 53 random bits
+      u.toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
     Array.fill(nPlanes)(Array.fill(dim)(nextGaussianish()))
   }

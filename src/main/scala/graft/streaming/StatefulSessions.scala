@@ -44,8 +44,13 @@ object StatefulSessions {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastTs < gapMs =>
-                  cur = Some(s.copy(lastTs = t, n = s.n + 1,
+                // merge when the event touches the session's gap
+                // envelope [start - gap, lastTs + gap): min/max extend
+                // the bounds so an out-of-order (late but in-watermark)
+                // event never REWINDS lastTs and splits the session
+                case Some(s) if t < s.lastTs + gapMs && t >= s.start - gapMs =>
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    lastTs = math.max(s.lastTs, t), n = s.n + 1,
                     total = s.total + e.value))
                 case Some(s) =>
                   out += SessionOut(userId, new Timestamp(s.start), s.n, s.total)

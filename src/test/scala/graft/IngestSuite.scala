@@ -108,6 +108,39 @@ class IngestSuite extends AnyFunSuite {
     assert(rest.filter(col("id") === 1).count() == 0, "lowest-id match deleted")
   }
 
+  test("deleteWhere handles NULL columns and duplicate rows correctly") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_crud2").toString + "/t"
+    Seq((1L, "OP27", Some("x")), (2L, "OP27", None), // NULL column victim
+      (3L, "OP27", Some("x")), (3L, "OP27", Some("x"))) // exact duplicates
+      .toDF("id", "part", "note")
+      .write.parquet(path)
+    // delete all matches including the NULL-bearing row
+    val n1 = Ingest.deleteWhere(spark, path, col("id") === 2, "id")
+    assert(n1 == 1, s"NULL-column victim must be deleted, got $n1")
+    // limit=1 over exact duplicates removes exactly one copy
+    val n2 = Ingest.deleteWhere(spark, path, col("id") === 3, "id",
+      limit = Some(1))
+    assert(n2 == 1, s"limit=1 must delete one duplicate, got $n2")
+    assert(spark.read.parquet(path).filter(col("id") === 3).count() == 1)
+  }
+
+  test("nearestAbove keeps a null-titled row when all texts are too far") {
+    val texts = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "Far away header", 100.0, 900.0))),
+      StructType(Seq(StructField("obj_id", LongType),
+        StructField("text", StringType), StructField("x_mid", DoubleType),
+        StructField("y_bottom", DoubleType))))
+    val tables = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(10L, 100.0, 200.0))),
+      StructType(Seq(StructField("table_id", LongType),
+        StructField("x_mid", DoubleType), StructField("y_top", DoubleType))))
+    val got = TitleJoin.nearestAbove(texts, tables).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 10L && got(0).isNullAt(1),
+      s"table must survive with null title: ${got.toSeq}")
+  }
+
   test("fuzzyDedup drops the reference's near-dup typo rows (§5.2)") {
     import spark.implicits._
     val rows = Seq(

@@ -158,6 +158,37 @@ class StreamingSuite extends AnyFunSuite {
       s"timed-out second session expected; got $got")
   }
 
+  test("stateful sessionizer merges late in-watermark events without splitting") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.SessionEvent
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent]
+    val q = StatefulSessions.sessionize(
+      mem.toDS().withWatermark("ts", "30 minutes").as[SessionEvent])
+      .writeStream.format("memory").queryName("late_session_out")
+      .outputMode("append").start()
+    mem.addData(SessionEvent(1L, t("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable()
+    // late event BEFORE the session start but within its gap envelope
+    mem.addData(SessionEvent(1L, t("2024-01-01 09:55:00"), 2.0))
+    q.processAllAvailable()
+    // continues the same session (gap from 10:00 is 6 min < 10)
+    mem.addData(SessionEvent(1L, t("2024-01-01 10:06:00"), 4.0))
+    q.processAllAvailable()
+    // force timeout via a much-later event on another key
+    mem.addData(SessionEvent(2L, t("2024-01-01 12:00:00"), 0.0))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(2L, t("2024-01-01 14:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_session_out")
+      .filter(col("user_id") === 1)
+      .collect().map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("2024-01-01 09:55:00.0", 3L, 7.0)),
+      s"one merged session with extended start expected, got ${got.toSeq}")
+  }
+
   test("windowed state survives a restart via checkpoint (file sink)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
