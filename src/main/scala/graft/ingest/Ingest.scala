@@ -134,6 +134,26 @@ object Ingest {
     n
   }
 
+  /** Intended R20 at the DataFrame level (the reference's
+    * `abbreviation_expansion` is a behavioral no-op, main.py:45-50; this
+    * is the meant semantics): replace whole-word abbreviations with
+    * their expansions across the given columns. The pairs table is
+    * bounded (an abbreviation glossary), so it is collected and
+    * broadcast into a scalar UDF — each cell is rewritten in one pass.
+    */
+  def expandAbbreviations(df: DataFrame, cols: Seq[String],
+      pairs: DataFrame, abbrevCol: String = "abbrev",
+      expansionCol: String = "expansion"): DataFrame = {
+    val spark = df.sparkSession
+    val table: Seq[(String, String)] = pairs
+      .select(col(abbrevCol), col(expansionCol))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val bc = spark.sparkContext.broadcast(table)
+    val expandUdf = udf((s: String) =>
+      graft.functions.AbbrevPairs.expand(s, bc.value))
+    cols.foldLeft(df)((d, c) => d.withColumn(c, expandUdf(col(c))))
+  }
+
   /** R23 update (reference `add_to_entry_in_table`, database.py:35-41):
     * vanilla Spark/parquet has no in-place update, so the pattern is
     * read -> conditional rewrite -> two-phase copy through a staging

@@ -88,6 +88,17 @@ object IngestDemo {
     Ingest.fuzzyDedup(noisy, Seq("part_number"), "results", "id", 90)
       .orderBy("id").show(false)
 
+    // 5c. abbreviation glossary -> expansion (R19 parse + intended R20):
+    // pairs parsed from a glossary cell, then applied to a table
+    val glossary = "TID = Total Ionizing Dose\nSEE = Single Event Effects"
+    val pairsDf = graft.functions.AbbrevPairs.parse(glossary)
+      .toDF("abbrev", "expansion")
+    val reports = Seq((1L, "tid threshold reached during see testing"),
+      (2L, "tidal loads are unrelated")).toDF("id", "results")
+    println("== abbrev expansion ==")
+    Ingest.expandAbbreviations(reports, Seq("results"), pairsDf)
+      .orderBy("id").show(false)
+
     // 6. spatial nearest-above title join (R6)
     val texts = Seq((1L, "Table 3. Proton Results", 100.0, 210.0),
       (2L, "(continued)", 100.0, 205.0), (3L, "Footnote", 400.0, 190.0))

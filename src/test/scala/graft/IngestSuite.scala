@@ -155,6 +155,21 @@ class IngestSuite extends AnyFunSuite {
     assert(got == Set(1L, 3L, 4L), s"got $got")
   }
 
+  test("expandAbbreviations rewrites whole words across columns (intended R20)") {
+    import spark.implicits._
+    val pairs = Seq(("tid", "total ionizing dose"), ("see", "single event effects"))
+      .toDF("abbrev", "expansion")
+    val table = Seq(
+      (1L, "tid threshold exceeded", "see section 2"),
+      (2L, "tidal effects", "nothing here"))
+      .toDF("id", "results", "misc")
+    val got = Ingest.expandAbbreviations(table, Seq("results", "misc"), pairs)
+      .orderBy("id").collect()
+    assert(got(0).getString(1) == "total ionizing dose threshold exceeded")
+    assert(got(0).getString(2) == "single event effects section 2")
+    assert(got(1).getString(1) == "tidal effects", "no partial-word replacement")
+  }
+
   test("measurement parser handles the reference's value shapes") {
     import spark.implicits._
     val got = Seq("<1", ">50", "50-300", "HDR~65 LDR~30", "17.5", "n/a")
