@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case '\n'          => "\\n"
+      case '\r'          => "\\r"
+      case '\t'          => "\\t"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,15 +24,22 @@ object Bench {
     // untimed warmup: JVM/codegen/parquet-footer costs land here instead
     // of inflating whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // a failed query is recorded explicitly (name -> error) — never
+    // silently benched as ~0 s
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable => Some(t.toString.take(300)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }.toSeq
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + jsonEscape(e) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${results.count(_._3.isDefined)},"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

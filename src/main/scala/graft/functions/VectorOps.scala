@@ -93,10 +93,58 @@ case class L2NormExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_l2norm"
 }
 
+/** Dot product of an ArrayType(FloatType) column (left) against an
+  * ArrayType(DoubleType) column (right — typically a constant-folded
+  * centroid literal). Same fused codegen loop as [[DotProductExpr]];
+  * exists so float embeddings can be scored against double centroids
+  * without materializing a casted copy of either side.
+  */
+case class DotProductFDExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFDExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot_fd"
+}
+
 object VectorOps {
   /** Dot product of two ArrayType(FloatType) columns, double accumulator. */
   def vec_dot(a: Column, b: Column): Column =
     GraftShim.column(DotProductExpr(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Dot product of ArrayType(FloatType) x ArrayType(DoubleType). */
+  def vec_dot_fd(a: Column, b: Column): Column =
+    GraftShim.column(DotProductFDExpr(GraftShim.expression(a), GraftShim.expression(b)))
 
   /** L2 norm of an ArrayType(FloatType) column. */
   def vec_norm(a: Column): Column =

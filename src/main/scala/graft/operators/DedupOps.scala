@@ -78,12 +78,24 @@ object DedupOps {
     // collide on a band key, then exact Jaccard verifies >= 0.5. No
     // oracle: signatures are engine-hash-specific (xxhash64); recall vs
     // the exact operator is asserted in DedupSuite.
+    //
+    // Each shingle is hashed ONCE (xxhash64), and the 32 permutations are
+    // affine maps `a_i*h + b_i` over that hash (universal hashing, a_i
+    // odd so the map is a bijection mod 2^64) — codegen'd wrapping long
+    // arithmetic (AffineHashExpr; ANSI `*` would throw on the intended
+    // overflow) instead of 32 independent string-hash passes: ~32x less
+    // hashing work per shingle.
     "q_dedup_minhash" -> ((s, d) => {
+      import graft.functions.AffineHash.affine_hash
       val nHashes = 32
+      val rnd = new scala.util.Random(0x5eed)          // fixed seed: deterministic perms
+      val perms = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
       val sh = shingled(s, d)
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val minhashes = (0 until nHashes).map(i =>
-        min(xxhash64(lit(i), col("g"))).as(s"h$i"))
+        .withColumn("h", xxhash64(col("g")))
+      val minhashes = perms.toIndexedSeq.zipWithIndex.map { case ((a, b), i) =>
+        min(affine_hash(col("h"), a, b)).as(s"h$i")
+      }
       val sig = ex.groupBy(col("doc_id"))
         .agg(minhashes.head, minhashes.tail: _*)
         .select(col("doc_id"),

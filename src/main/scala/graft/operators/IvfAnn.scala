@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.VectorOps.{vec_dot, vec_norm}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.VectorOps.{vec_dot, vec_dot_fd, vec_norm}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,21 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  /** Argmin cell id for each vector against centroid literals: each
-    * centroid distance is computed once into (d, c) structs; array_min's
-    * lexicographic order then picks (min distance, min cell).
+  /** Per-centroid squared-distance surrogate `‖c‖² − 2·x·c`: the row term
+    * `‖x‖²` is constant within a row, so argmin / nearest-cell ordering
+    * over centroids is unchanged, and dropping it halves the arithmetic.
+    * Each column is a single fused codegen loop (`vec_dot_fd`) against a
+    * constant-folded centroid literal — no interpreted HOF lambdas, no
+    * per-row intermediate arrays (the round-1 nested transform/aggregate
+    * formulation ran interpreted and dominated the whole bench at 18 s).
     */
-  private def assignExpr(centroids: Array[Array[Double]]): String = {
-    s"""array_min(transform(sequence(0, ${centroids.length - 1}),
-       |  c -> named_struct(
-       |    'd', aggregate(zip_with(embedding, __cents[c],
-       |      (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-       |      CAST(0.0 AS DOUBLE), (s, v) -> s + v),
-       |    'c', c))).c""".stripMargin
-  }
+  private def distStructs(centroids: Array[Array[Double]]): Column =
+    array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      val cn2 = c.map(x => x * x).sum
+      struct(
+        (lit(cn2) - lit(2.0) * vec_dot_fd(col("embedding"),
+          array(c.map(lit).toSeq: _*))).as("d"),
+        lit(i).as("c"))
+    }: _*)
 
-  private def centsCol(centroids: Array[Array[Double]]) =
-    array(centroids.map(c => array(c.map(lit): _*)): _*)
+  /** Argmin cell id: array_min's lexicographic (d, c) order picks
+    * (min distance, min cell) — same tie-break as sorting.
+    */
+  private def cellCol(centroids: Array[Array[Double]]): Column =
+    array_min(distStructs(centroids)).getField("c")
 
   /** K-means cell assignment after `iters` Lloyd iterations. Returns
     * (vectors with `cell`, final centroids).
@@ -49,9 +56,7 @@ object IvfAnn {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var assigned: DataFrame = null
     (0 until iters).foreach { _ =>
-      assigned = e.withColumn("__cents", centsCol(centroids))
-        .withColumn("cell", expr(assignExpr(centroids)))
-        .drop("__cents")
+      assigned = e.withColumn("cell", cellCol(centroids))
       val upd = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -76,18 +81,12 @@ object IvfAnn {
       nProbe: Int = 2, topK: Int = 5, nQueries: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, d).withColumn("nrm", vec_norm(col("embedding")))
     val (assigned, centroids) = assign(e, k, iters)
-    // probe cells per query: nProbe nearest centroids
+    // probe cells per query: nProbe nearest centroids (codegen'd distance
+    // structs; sort/slice run over a K-element array per query row only)
     val probes = assigned.filter(col("vec_id") < nQueries)
-      .withColumn("__cents", centsCol(centroids))
-      .withColumn("probe_cells", expr(
-        s"""slice(transform(
-           |  array_sort(transform(sequence(0, ${centroids.length - 1}),
-           |    c -> named_struct(
-           |      'd', aggregate(zip_with(embedding, __cents[c],
-           |        (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-           |        CAST(0.0 AS DOUBLE), (s, v) -> s + v),
-           |      'c', c))),
-           |  x -> x.c), 1, $nProbe)""".stripMargin))
+      .withColumn("__dists", distStructs(centroids))
+      .withColumn("probe_cells",
+        expr(s"slice(transform(array_sort(__dists), x -> x.c), 1, $nProbe)"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), explode(col("probe_cells")).as("cell"))
     val cands = assigned.select(col("cell"), col("vec_id").as("nid"),

@@ -49,7 +49,9 @@ object MultimodalOps {
 
     // Decode + "frame sample": stubbed decode struct + strided byte
     // samples (every 64th byte) as the frame-sampling plumbing. No
-    // oracle: the decode struct is stub semantics by design.
+    // oracle: the decode struct is stub semantics by design. The sample
+    // array is emitted CSV-flattened (`frame_csv`) — scalar columns only,
+    // so downstream sort/hash harnesses need no array support.
     "q_multimodal_decode" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("payload", encode(col("text"), "utf-8"))
@@ -59,7 +61,8 @@ object MultimodalOps {
             "i -> ascii(substr(text, i, 1)))"))
         .select(col("doc_id"), col("decoded.width"), col("decoded.height"),
           col("decoded.channels"), size(col("frame_samples")).as("n_frames"),
-          col("frame_samples"))
+          array_join(expr("transform(frame_samples, x -> cast(x as string))"),
+            ",").as("frame_csv"))
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
