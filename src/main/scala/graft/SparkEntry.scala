@@ -26,7 +26,8 @@ object SparkEntry {
     (MultimodalOps.queries, MultimodalOps.oracle),
     (Extras.queries, Extras.oracle),
     (IvfAnn.queries, IvfAnn.oracle),
-    (TypedApi.queries, TypedApi.oracle)
+    (TypedApi.queries, TypedApi.oracle),
+    (graft.ingest.BinaryIngest.queries, graft.ingest.BinaryIngest.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

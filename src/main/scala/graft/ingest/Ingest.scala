@@ -180,27 +180,37 @@ object Ingest {
   /** R24 delete-with-limit (reference `delete_entry_from_table`,
     * database.py:66-71): rewrite keeping rows that miss the predicate;
     * an optional limit deletes only the first `limit` matches in
-    * `orderCol` order (the reference's LIMIT n delete). The complement
-    * is computed positionally (row_number over the matches), NOT by
-    * anti-joining rows back — an anti-join on all columns would skip
-    * NULL-bearing victims (non-null-safe equality) and over-delete
-    * duplicate rows beyond the limit.
+    * `orderCol` order (the reference's LIMIT n delete).
+    *
+    * The limit path tags rows with a per-row id, picks the first-k
+    * victims via a distributed TopK (`orderBy.limit(k)` plans as
+    * TakeOrderedAndProject — every partition contributes only its local
+    * top-k, no global single-task sort), and removes them with a
+    * broadcast anti-join on the id (victims ≤ k rows). Victims are NOT
+    * anti-joined by row content — that would skip NULL-bearing victims
+    * (non-null-safe equality) and over-delete duplicates beyond the
+    * limit. The id is `monotonically_increasing_id` over the parquet
+    * scan, stable across the plan's two branches because file-scan
+    * splits (and hence partition indexes and in-partition row order)
+    * are fixed at planning time; the id is also the tie-break, so equal
+    * `orderCol` values delete deterministically.
     */
   def deleteWhere(spark: SparkSession, tablePath: String,
       predicate: Column, orderCol: String,
       limit: Option[Int] = None): Long = {
-    import org.apache.spark.sql.expressions.Window
     val df = spark.read.parquet(tablePath)
     val matches = coalesce(predicate, lit(false))
     val keep = limit match {
       case None => df.filter(!matches)
       case Some(k) =>
-        df.withColumn("__m", matches)
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("__m"))
-              .orderBy(col(orderCol).asc_nulls_first)))
-          .filter(!col("__m") || col("__rn") > k)
-          .drop("__m", "__rn")
+        val withId = df.withColumn("__id", monotonically_increasing_id())
+        val victims = withId.filter(matches)
+          .orderBy(col(orderCol).asc_nulls_first, col("__id").asc)
+          .limit(k)
+          .select(col("__id").as("__vid"))
+        withId.join(broadcast(victims),
+            col("__id") === col("__vid"), "left_anti")
+          .drop("__id")
     }
     val total = df.count()
     val stage = tablePath + "__stage"

@@ -18,11 +18,30 @@ import scala.jdk.CollectionConverters._
   */
 object Staging {
 
-  /** Phase 1: write each named table into the staging area. */
-  def stage(tables: Map[String, DataFrame], stageDir: String): Unit =
+  /** Phase 1: write each named table into the staging area. With
+    * `csvMirror = true`, each table is additionally written as headered
+    * CSV under `<stageDir>/csv/<name>` — the reference's literal R9
+    * checkpoint format (tables.py:99-104), kept for human review /
+    * spreadsheet editing; the parquet copy remains the dtype-authoritative
+    * one that `promote` republishes.
+    */
+  def stage(tables: Map[String, DataFrame], stageDir: String,
+      csvMirror: Boolean = false): Unit =
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$stageDir/$name")
+      if (csvMirror)
+        df.write.mode("overwrite").option("header", "true")
+          .csv(s"$stageDir/csv/$name")
     }
+
+  /** Read back a CSV mirror written by [[stage]] (R10), with an explicit
+    * schema so dtypes survive the text round-trip — the failure the
+    * reference hits when CSV turns its ints into floats (tables.py:233-234).
+    */
+  def readCsvMirror(spark: SparkSession, stageDir: String, name: String,
+      schema: String): DataFrame =
+    spark.read.option("header", "true").schema(schema)
+      .csv(s"$stageDir/csv/$name")
 
   /** List the table names still present (not vetoed) in the staging area. */
   def staged(spark: SparkSession, stageDir: String): Seq[String] = {
@@ -31,6 +50,7 @@ object Staging {
     else Files.list(p).iterator.asScala
       .filter(Files.isDirectory(_))
       .map(_.getFileName.toString)
+      .filter(_ != "csv") // the R9 CSV mirror area, not a staged table
       .toSeq.sorted
   }
 

@@ -23,7 +23,7 @@ object DedupOps {
   /** (doc_id, sh: distinct token-trigram shingles, sz). Word 3-shingles
     * are the unit of similarity; `array_distinct` makes them a set.
     */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("ts", split(col("text"), " "))
       .filter(size(col("ts")) >= 3)
@@ -37,6 +37,59 @@ object DedupOps {
     graft.Det.r4(
       size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
         size(array_union(col("a_sh"), col("b_sh"))))
+
+  /** Exact n-gram Jaccard near-dup pairs over a `shingled` frame:
+    * shingle explode -> equi-join on shingle -> per-pair intersection
+    * count -> threshold.
+    *
+    * `dfCap` is the skew guard for the 100 TB tier: the equi-join's work
+    * per shingle key is quadratic in that shingle's document frequency —
+    * one stop-phrase shingle shared by k docs emits k²/2 pairs into a
+    * single hot partition. With `dfCap = Some(c)`, shingles seen in more
+    * than c documents are dropped *from the join only* (sz stays the true
+    * set size), bounding every join key to ≤ c·(c−1)/2 emitted pairs and
+    * the whole join to predictable skew at any corpus size.
+    *
+    * Semantics under the cap: for a pair sharing m capped shingles the
+    * computed score is (I−m)/(U+m) ≤ I/U — a strict underestimate, so the
+    * cap only *drops* pairs, never invents them, and a pair whose true
+    * jaccard clears the threshold by margin ≥ m·(1+τ)/U is still caught.
+    * It is OPT-IN (`None` = exact, the oracle tier): on this corpus the
+    * df distribution is flat (small vocab — PPJoin prefix filtering was
+    * measured and rejected for the same reason), so the cap buys nothing
+    * locally; it exists for hot-key corpora at scale. The subset property
+    * is asserted in DedupSimilaritySuite.
+    */
+  def ngramJaccardPairs(sh: DataFrame, threshold: Double,
+      dfCap: Option[Int] = None): DataFrame = {
+    val exAll = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+    val ex = dfCap match {
+      case None => exAll
+      case Some(c) =>
+        // df per shingle is a partial-agg count (skew-safe even on hot
+        // keys); the join back is on the same key the main join uses
+        val df = exAll.groupBy(col("g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= c)
+          .select(col("g"))
+        exAll.join(df, Seq("g"))
+    }
+    val a = ex.select(col("doc_id").as("d1"), col("sz").as("sz1"), col("g"))
+    val b = ex.select(col("doc_id").as("d2"), col("sz").as("sz2"), col("g"))
+    // length-bound pruning: jaccard >= t requires t*sz1 <= sz2 and vice
+    // versa, so dissimilar-size pairs are cut at the join — a pure
+    // optimization (cannot change the >= t result set)
+    a.join(b, Seq("g"))
+      .filter(col("d1") < col("d2") &&
+        col("sz1") * threshold <= col("sz2") &&
+        col("sz2") * threshold <= col("sz1"))
+      .groupBy(col("d1"), col("sz1"), col("d2"), col("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", graft.Det.r4(col("inter") /
+        (col("sz1") + col("sz2") - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one representative (min doc_id) per (lang, source)
@@ -54,23 +107,10 @@ object DedupOps {
 
     // Exact n-gram Jaccard near-dup pairs (threshold 0.5): shingle
     // explode -> equi-join on shingle -> per-pair intersection count.
+    // dfCap = None here (the exact/oracle tier); see ngramJaccardPairs
+    // for the opt-in hot-shingle skew guard used at scale.
     "q_dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = shingled(s, d)
-      val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
-      val a = ex.select(col("doc_id").as("d1"), col("sz").as("sz1"), col("g"))
-      val b = ex.select(col("doc_id").as("d2"), col("sz").as("sz2"), col("g"))
-      // length-bound pruning: jaccard >= 0.5 requires sz1 <= 2*sz2 and
-      // vice versa, so dissimilar-size pairs are cut at the join — a pure
-      // optimization (cannot change the >= 0.5 result set)
-      a.join(b, Seq("g"))
-        .filter(col("d1") < col("d2") &&
-          col("sz1") <= col("sz2") * 2 && col("sz2") <= col("sz1") * 2)
-        .groupBy(col("d1"), col("sz1"), col("d2"), col("sz2"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard", graft.Det.r4(col("inter") /
-          (col("sz1") + col("sz2") - col("inter"))))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("d1"), col("d2"), col("jaccard"))
+      ngramJaccardPairs(shingled(s, d), 0.5)
         .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
     }),
 

@@ -33,6 +33,25 @@ class DedupSimilaritySuite extends AnyFunSuite {
       s"simhash emitted non-near-dup pairs: ${(sim -- exact).take(5)}")
   }
 
+  test("dfCap shingle guard: generous cap is lossless, any cap only drops") {
+    val sh = operators.DedupOps.shingled(spark, sf).cache()
+    try {
+      val exact = operators.DedupOps.ngramJaccardPairs(sh, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // cap above the corpus's max shingle df -> identical result set
+      val maxDf = sh.select(explode(col("sh")).as("g"))
+        .groupBy("g").count().agg(max("count")).head.getLong(0)
+      val capped = operators.DedupOps.ngramJaccardPairs(sh, 0.5, Some(maxDf.toInt))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped == exact, "cap >= max df must be a no-op")
+      // aggressive cap: strictly a subset (underestimates jaccard, never
+      // invents pairs) — the documented scale-guard semantics
+      val tight = operators.DedupOps.ngramJaccardPairs(sh, 0.5, Some(3))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((tight -- exact).isEmpty, s"cap invented pairs: ${(tight -- exact).take(5)}")
+    } finally { sh.unpersist(); () }
+  }
+
   test("exact dedup keeps one representative per (lang, source)") {
     val got = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val keys = Tables.documents(spark, sf)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ingest.{Ingest, Staging, TitleJoin}
+import graft.ingest.{BinaryIngest, Ingest, Staging, TitleJoin}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -218,5 +218,45 @@ class IngestSuite extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // obj 1 (d=1) beats obj 4; contains 'table' -> next obj (2) concatenated
     assert(got2(12L) == "Table 3. Proton Results (continued from previous page)")
+  }
+
+  test("CSV staging mirror round-trips a table with dtypes intact (R9/R10)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_csvmirror").toString
+    val t = Seq((1, "alpha"), (2, "beta"), (3, "gamma")).toDF("id", "name")
+    Staging.stage(Map("dim" -> t), s"$base/stage", csvMirror = true)
+    // the csv/ mirror area must not register as a staged table
+    assert(Staging.staged(spark, s"$base/stage") == Seq("dim"))
+    val back = Staging.readCsvMirror(spark, s"$base/stage", "dim",
+      "id INT, name STRING")
+    assert(back.schema.map(_.dataType.simpleString) == Seq("int", "string"),
+      "explicit schema must survive the text round-trip")
+    assert(back.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSeq == Seq((1, "alpha"), (2, "beta"), (3, "gamma")))
+  }
+
+  test("binary manifest: sha256/length match java.security digests (R4 analog)") {
+    val docsDir = BinaryIngest.defaultDocsDir
+    val m = BinaryIngest.manifest(spark, docsDir).collect()
+      .map(r => r.getAs[String]("file_name") ->
+        (r.getAs[Long]("length"), r.getAs[String]("sha256"))).toMap
+    assert(m.nonEmpty, s"no PDFs found under $docsDir")
+    val (fname, (len, sha)) = m.head match { case (k, v) => (k, v) }
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(docsDir, fname))
+    assert(bytes.length.toLong == len)
+    val expect = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+    assert(sha == expect, s"$fname sha mismatch")
+  }
+
+  test("binary paper-skip anti-join drops already-ingested files (R3)") {
+    val docsDir = BinaryIngest.defaultDocsDir
+    val m = BinaryIngest.manifest(spark, docsDir, withSha = false)
+    val all = m.count()
+    val seen = m.limit(3)
+    val fresh = BinaryIngest.skipIngested(m, seen)
+    assert(fresh.count() == all - 3)
+    // idempotence: skipping against everything yields nothing
+    assert(BinaryIngest.skipIngested(m, m).count() == 0)
   }
 }

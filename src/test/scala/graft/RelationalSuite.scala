@@ -65,4 +65,21 @@ class RelationalSuite extends AnyFunSuite {
     val c = Tables.customer(spark, sf).count()
     assert(semi <= c)
   }
+
+  test("q_agg_approx_distinct stays within HLL error bounds of exact") {
+    import org.apache.spark.sql.functions._
+    // rsd = 0.02 is a standard-deviation bound; 5 sigma (10% relative
+    // error) is a deterministic-in-practice acceptance band per group
+    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val relErr = math.abs(approx(k) - n).toDouble / n
+      assert(relErr <= 0.10, s"group $k: approx=${approx(k)} exact=$n relErr=$relErr")
+    }
+  }
 }
