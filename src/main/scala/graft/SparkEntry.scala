@@ -27,7 +27,10 @@ object SparkEntry {
     (Extras.queries, Extras.oracle),
     (IvfAnn.queries, IvfAnn.oracle),
     (TypedApi.queries, TypedApi.oracle),
-    (graft.ingest.BinaryIngest.queries, graft.ingest.BinaryIngest.oracle)
+    (graft.ingest.BinaryIngest.queries, graft.ingest.BinaryIngest.oracle),
+    (SqlSurface.queries, SqlSurface.oracle),
+    (PipelineOps.queries, PipelineOps.oracle),
+    (EmbeddingOps.queries, EmbeddingOps.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

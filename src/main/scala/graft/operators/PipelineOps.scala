@@ -1,0 +1,322 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents`: deterministic
+  * hash sampling, sequence packing, TF-IDF / BM25 relevance, inverted
+  * index construction, PII redaction, and near-dup cluster resolution
+  * (connected components over the pair graph).
+  *
+  * Everything except the CC iteration is a declarative one-or-two-shuffle
+  * plan; sampling/redaction are map-only scans. The portable hash used
+  * for sampling is an md5 prefix (not Spark's `hash()`/`xxhash64`) so
+  * the SAME rows are selected by any engine that re-runs the recipe —
+  * reproducible corpus splits are a pipeline requirement, not a nicety.
+  */
+object PipelineOps {
+
+  /** Portable deterministic 32-bit hash of a column: first 8 hex chars of
+    * md5, as a bigint. Identical in DuckDB via
+    * `CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)`.
+    */
+  private def md5Hash32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts labeled with itself; each round every node takes the min of
+    * its own and its neighbors' labels; converged when nothing changes.
+    * Labels converge to the min doc_id of each component — the canonical
+    * cluster representative.
+    *
+    * Rounds = graph diameter (near-dup clusters are short chains; the
+    * planted corpus converges in <= 3). For 100 TB graphs with long
+    * chains, the alternating large-star/small-star formulation (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    * drops rounds to O(log n) with the same per-round join shape — the
+    * shuffle structure below (edges equi-joined to labels on node id)
+    * is unchanged, only the relabeling rule tightens.
+    * `localCheckpoint` truncates the lineage each round so the plan does
+    * not grow with the iteration count.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("cluster")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      converged = next.except(labels).isEmpty
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25Terms = Seq("join", "hash", "scan")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic hash sampling: keep ~25% of docs by md5-prefix hash,
+    // with a 10-way shard bucket. No RNG state, no seed plumbing: the
+    // sample is a pure function of the key, so re-runs, other engines,
+    // and incremental arrivals all agree on membership. Map-only scan.
+    "q_sample_hash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("hv", md5Hash32(col("doc_id")))
+        .filter(col("hv") % 100 < 25)
+        .select(col("doc_id"), col("lang"), (col("hv") % 10).as("bucket"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // Sequence packing: assign docs to fixed-capacity training bins
+    // (2048 tokens) per language, in doc_id order — bin = the running
+    // token count before this doc, div capacity. Window partitioned by
+    // lang: each language packs independently and in parallel.
+    "q_pack_tokens" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          floor((col("cum") - col("n_toks")) / lit(2048)).cast("bigint")
+            .as("bin"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // TF-IDF: top-3 terms per document (docs < 100) with idf computed
+    // over the FULL corpus. tf is pushed down to the filtered docs; df
+    // and N are corpus-wide partial aggregations. Tie-break on term so
+    // the top-3 cut is total-ordered.
+    "q_text_tfidf" -> ((s, d) => {
+      val t = toks(s, d)
+      val tf = t.filter(col("doc_id") < 100)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfT = t.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(dfT, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          Det.r4(col("tf") * log(col("n_docs") / col("df").cast("double"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("tfidf").desc, col("term").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
+        .orderBy(col("doc_id").asc_nulls_first, col("term").asc_nulls_first)
+    }),
+
+    // BM25 (k1=1.2, b=0.75) for a fixed conjunctive query, top-20 docs.
+    // Per-term contributions are summed via per-term conditional
+    // aggregates in a FIXED order — a bare sum() over the melted rows
+    // would add floats in partition order and diverge from the oracle in
+    // the last bits. idf uses the +1 form (always positive).
+    "q_text_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val tf = toks(s, d).filter(col("term").isin(bm25Terms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val contrib = tf.join(broadcast(dfT), Seq("term"))
+        .join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("c", col("idf") * (col("tf") * lit(bm25K1 + 1.0)) /
+          (col("tf") + lit(bm25K1) *
+            (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+      val perTerm = bm25Terms.map(t =>
+        sum(when(col("term") === t, col("c"))).as(s"c_$t"))
+      contrib.groupBy(col("doc_id"))
+        .agg(perTerm.head, perTerm.tail: _*)
+        .withColumn("bm25", Det.r4(bm25Terms.map(t =>
+          coalesce(col(s"c_$t"), lit(0.0))).reduce(_ + _)))
+        .select(col("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc_nulls_first)
+        .limit(20)
+    }),
+
+    // Inverted index: term -> document frequency + first-10 posting list
+    // (CSV string — scalar output only). Postings are collected sorted;
+    // collect_list alone is partition-order-nondeterministic.
+    "q_text_inverted_index" -> ((s, d) => {
+      toks(s, d).distinct()
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 10),
+            ",").as("postings"))
+        .filter(col("df") >= 5)
+        .orderBy(col("term").asc_nulls_first)
+    }),
+
+    // PII redaction: plant a deterministic email + phone per row, then
+    // scrub both with regexes portable across Java regex and RE2.
+    // Map-only scan; the count column audits what was removed.
+    "q_text_pii_redact" -> ((s, d) => {
+      val emailPat = "[A-Za-z0-9.]+@[A-Za-z.]+"
+      val phonePat = "\\b555-[0-9]{4}\\b"
+      Tables.documents(s, d)
+        .withColumn("planted", concat(
+          lit("contact "), col("lang"), col("doc_id").cast("string"),
+          lit("@mail.com call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" "), substring(col("text"), 1, 40)))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("planted"), emailPat, "[EMAIL]"),
+            phonePat, "[PHONE]").as("redacted"),
+          regexp_count(col("planted"), lit(emailPat)).as("n_emails"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // Near-dup cluster resolution: connected components over the exact
+    // n-gram Jaccard pair graph; cluster id = min doc_id in component.
+    // This is the step that turns pairwise dedup output into "keep one
+    // per cluster" decisions.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = DedupOps.ngramJaccardPairs(DedupOps.shingled(s, d), 0.5)
+        .select(col("d1"), col("d2"))
+      connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    })
+  )
+
+  private def r4sql(inner: String, alias: String) =
+    s"floor(($inner) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS $alias"
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id, lang, hv % 10 AS bucket FROM h
+        |WHERE hv % 100 < 25 ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_pack_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(n_toks AS INT) AS n_toks,
+        |  CAST(floor((sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id ASC
+        |    ROWS UNBOUNDED PRECEDING) - n_toks) / 2048) AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_text_tfidf" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(1) AS tf FROM t
+         |       WHERE doc_id < 100 GROUP BY doc_id, term),
+         |dft AS (SELECT term, count(1) AS df
+         |        FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
+         |n AS (SELECT count(1) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    ${r4sql("tf.tf * ln(n.n_docs / CAST(dft.df AS DOUBLE))", "tfidf")}
+         |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf DESC, term ASC) AS rn FROM sc)
+         |SELECT doc_id, term, tf, tfidf FROM r WHERE rn <= 3
+         |ORDER BY doc_id ASC NULLS FIRST, term ASC NULLS FIRST""".stripMargin,
+    "q_text_bm25" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         |st AS (SELECT count(1) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(1) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |  WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, term),
+         |dft AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         |c AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0) *
+         |      (tf.tf * (1.2 + 1.0)) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+         |  FROM tf JOIN dft ON tf.term = dft.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |agg AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN term = 'join' THEN c END) AS c_join,
+         |    sum(CASE WHEN term = 'hash' THEN c END) AS c_hash,
+         |    sum(CASE WHEN term = 'scan' THEN c END) AS c_scan
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id,
+         |  ${r4sql("coalesce(c_join, 0.0) + coalesce(c_hash, 0.0) + coalesce(c_scan, 0.0)", "bm25")}
+         |FROM agg
+         |ORDER BY bm25 DESC, doc_id ASC NULLS FIRST LIMIT 20""".stripMargin,
+    "q_text_inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |p AS (SELECT DISTINCT doc_id, term FROM t)
+        |SELECT term, count(1) AS df,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',')
+        |    AS postings
+        |FROM p GROUP BY term HAVING count(1) >= 5
+        |ORDER BY term ASC NULLS FIRST""".stripMargin,
+    "q_text_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'contact ' || lang || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.com call 555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ||
+        |    substring(text, 1, 40) AS planted
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(planted, '[A-Za-z0-9.]+@[A-Za-z.]+', '[EMAIL]', 'g'),
+        |    '\b555-[0-9]{4}\b', '[PHONE]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(planted, '[A-Za-z0-9.]+@[A-Za-z.]+'))
+        |    AS INT) AS n_emails
+        |FROM p ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |  WHERE len(ts) >= 3),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, a.sz AS sz1, b.doc_id AS d2, b.sz AS sz2,
+        |    count(1) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |edges AS (
+        |  SELECT d1, d2 FROM pairs
+        |  WHERE floor((inter / (sz1 + sz2 - inter)) * 10000
+        |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) >= 0.5),
+        |sym AS (SELECT d1 AS a, d2 AS b FROM edges
+        |        UNION SELECT d2, d1 FROM edges),
+        |nodes AS (SELECT DISTINCT a AS n FROM sym),
+        |reach(n, r) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.n)
+        |SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  )
+}

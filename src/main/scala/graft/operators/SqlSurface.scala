@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining relational-surface operators a user of a general engine
+  * reaches for weekly: unpivot/melt, ntile bucketing, positional
+  * explode, deterministic mode + exact median, regexp extract-all, and
+  * date-spine gap filling. All declarative `functions._` plans —
+  * Catalyst prunes/pushes and codegens every one of them; scale notes
+  * per query where the shape has a 100 TB caveat.
+  */
+object SqlSurface {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Unpivot/melt: wide per-measure aggregate -> long (measure, total)
+    // form — the inverse of q_pivot_priority. Aggregates first (25 rows),
+    // so the melt is a driver-size reshape of an already-reduced frame;
+    // at 100 TB the only heavy stage is the partial-agg groupBy.
+    "q_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(Det.r4(avg(col("l_quantity"))).as("quantity"),
+          Det.r4(avg(col("l_extendedprice"))).as("extendedprice"),
+          Det.r4(avg(col("l_discount"))).as("discount"),
+          Det.r4(avg(col("l_tax"))).as("tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("quantity"), col("extendedprice"), col("discount"),
+            col("tax")),
+          "measure", "avg_value")
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("measure").asc_nulls_first)
+    }),
+
+    // ntile quartiles over account balance. A global ntile is a total
+    // order by construction (single-task sort at scale) — acceptable for
+    // cardinalities like "customers"; for 100 TB facts use
+    // approxQuantile cut-points + a broadcast range join instead.
+    "q_window_ntile" -> ((s, d) => {
+      Tables.customer(s, d)
+        .withColumn("tile", ntile(4).over(
+          Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_cust"),
+          Det.r4(min(col("c_acctbal"))).as("lo"),
+          Det.r4(max(col("c_acctbal"))).as("hi"))
+        .orderBy(col("tile").asc_nulls_first)
+    }),
+
+    // Positional explode (lateral with ordinality): token + 0-based
+    // position. Output bounded to doc_id < 50; map-only explode scan.
+    "q_posexplode" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .orderBy(col("doc_id").asc_nulls_first, col("pos").asc_nulls_first)
+    }),
+
+    // Deterministic mode (count + explicit tie-break on the value — the
+    // builtin `mode()` is tie-nondeterministic) + exact interpolated
+    // median per segment. Mode = two-level aggregation: the first
+    // groupBy is partial-agg'd map-side, so a hot segment never
+    // concentrates raw rows.
+    "q_agg_mode_median" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val mode = c.groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("c_mktsegment"))
+            .orderBy(col("cnt").desc, col("c_nationkey").asc)))
+        .filter(col("rn") === 1)
+        .select(col("c_mktsegment"), col("c_nationkey").as("mode_nation"))
+      c.groupBy(col("c_mktsegment"))
+        .agg(Det.r4(expr("percentile(c_acctbal, 0.5)")).as("median_acctbal"),
+          count(lit(1)).as("n_cust"))
+        .join(mode, Seq("c_mktsegment"))
+        .orderBy(col("c_mktsegment").asc_nulls_first)
+    }),
+
+    // regexp_extract_all: all digit runs in the JSON props payload,
+    // re-joined to a scalar so downstream harnesses see no arrays.
+    "q_regexp_extract_all" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          array_join(expr("regexp_extract_all(props, '[0-9]+', 0)"), ";")
+            .as("nums"))
+        .orderBy(col("event_id").asc_nulls_first)
+    }),
+
+    // Date-spine gap fill: generate every day between min and max order
+    // date, left-join daily counts, zero-fill gaps. The spine explodes
+    // from a 1-row aggregate (bounded by calendar span, not data volume)
+    // and broadcast-joins the aggregated counts.
+    "q_date_spine" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("day", to_date(col("o_orderdate")))
+      val spine = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val cnt = o.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+      spine.join(cnt, Seq("day"), "left_outer")
+        // emit the day as a yyyy-MM-dd string: pandas-side DATE handling
+        // differs between engines in the comparison harness
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .orderBy(col("day").asc_nulls_first)
+    })
+  )
+
+  private val r4open = "floor(("
+  private def r4close(alias: String) =
+    s") * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS $alias"
+
+  val oracle: Map[String, String] = Map(
+    "q_unpivot" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag,
+         |    ${r4open}avg(l_quantity)${r4close("quantity")},
+         |    ${r4open}avg(l_extendedprice)${r4close("extendedprice")},
+         |    ${r4open}avg(l_discount)${r4close("discount")},
+         |    ${r4open}avg(l_tax)${r4close("tax")}
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, measure, avg_value FROM a
+         |UNPIVOT (avg_value FOR measure IN (quantity, extendedprice, discount, tax))
+         |ORDER BY l_returnflag ASC NULLS FIRST, measure ASC NULLS FIRST""".stripMargin,
+    "q_window_ntile" ->
+      s"""WITH t AS (
+         |  SELECT c_acctbal,
+         |    ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS tile
+         |  FROM customer)
+         |SELECT tile, count(1) AS n_cust,
+         |  ${r4open}min(c_acctbal)${r4close("lo")},
+         |  ${r4open}max(c_acctbal)${r4close("hi")}
+         |FROM t GROUP BY tile ORDER BY tile ASC NULLS FIRST""".stripMargin,
+    "q_posexplode" ->
+      """SELECT doc_id,
+        |  CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+        |  unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin,
+    "q_agg_mode_median" ->
+      s"""WITH m AS (
+         |  SELECT c_mktsegment, c_nationkey,
+         |    row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY count(1) DESC, c_nationkey ASC) AS rn
+         |  FROM customer GROUP BY c_mktsegment, c_nationkey),
+         |a AS (
+         |  SELECT c_mktsegment,
+         |    ${r4open}median(c_acctbal)${r4close("median_acctbal")},
+         |    count(1) AS n_cust
+         |  FROM customer GROUP BY c_mktsegment)
+         |SELECT a.c_mktsegment, a.median_acctbal, a.n_cust,
+         |  m.c_nationkey AS mode_nation
+         |FROM a JOIN m ON a.c_mktsegment = m.c_mktsegment AND m.rn = 1
+         |ORDER BY a.c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "q_regexp_extract_all" ->
+      """SELECT event_id, event_type,
+        |  array_to_string(regexp_extract_all(props, '[0-9]+'), ';') AS nums
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "q_date_spine" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |    AS day FROM b),
+        |cnt AS (SELECT day, count(1) AS cnt FROM o GROUP BY day)
+        |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+        |  coalesce(cnt.cnt, 0) AS n_orders
+        |FROM spine LEFT JOIN cnt ON spine.day = cnt.day
+        |ORDER BY day ASC NULLS FIRST""".stripMargin
+  )
+}

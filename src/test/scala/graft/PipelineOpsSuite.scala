@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.{EmbeddingOps, PipelineOps, SqlSurface}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property checks for the round-2 pipeline/SQL-surface/embedding
+  * operators (the oracle-bearing forms are DuckDB-hash-gated; these
+  * assert the semantic invariants the hashes can't articulate).
+  */
+class PipelineOpsSuite extends AnyFunSuite {
+  import SparkFixture._
+
+  test("connectedComponents labels every node with its component min") {
+    import spark.implicits._
+    // chain 1-2-3, triangle 10-11-12 (+ redundant edge), pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("d1", "d2")
+    val got = PipelineOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("q_dedup_clusters covers exactly the docs in near-dup pairs") {
+    val pairDocs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .select(col("d1").as("d")).union(
+        SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+          .select(col("d2").as("d")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val clusters = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.keySet == pairDocs)
+    // every cluster id is a member of its own cluster (the representative)
+    clusters.values.toSet.foreach { c: Long => assert(clusters(c) == c) }
+  }
+
+  test("hash sampling is deterministic and bucket-bounded") {
+    val a = SparkEntry.queries("q_sample_hash")(spark, sf).collect()
+    val b = SparkEntry.queries("q_sample_hash")(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq,
+      "same rows on every run — no RNG state")
+    assert(a.nonEmpty)
+    assert(a.forall(r => (0 until 10).contains(r.getLong(2).toInt)))
+    // ~25% +- wide slack (md5 is uniform; 500 docs at sf0.001)
+    val frac = a.length.toDouble /
+      Tables.documents(spark, sf).count().toDouble
+    assert(frac > 0.15 && frac < 0.35, s"sample fraction $frac")
+  }
+
+  test("token packing: bins are per-lang contiguous and capacity-derived") {
+    val rows = SparkEntry.queries("q_pack_tokens")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_._1)
+      // bin sequence is non-decreasing in doc order
+      assert(inOrder.map(_._4).sliding(2).forall(
+        s => s.length < 2 || s(0) <= s(1)))
+      // bin index equals running-prefix-sum div capacity
+      var cum = 0L
+      inOrder.foreach { case (_, _, n, bin) =>
+        assert(bin == cum / 2048, s"bin $bin vs cum $cum")
+        cum += n
+      }
+    }
+  }
+
+  test("bm25 output is rank-ordered and bounded to top 20") {
+    val got = SparkEntry.queries("q_text_bm25")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length <= 20 && got.nonEmpty)
+    assert(got.map(_._2).sliding(2).forall(s => s.length < 2 || s(0) >= s(1)),
+      "descending bm25")
+  }
+
+  test("tfidf emits at most 3 terms per doc, idf of ubiquitous terms ~ 0") {
+    val got = SparkEntry.queries("q_text_tfidf")(spark, sf).collect()
+    val perDoc = got.groupBy(_.getLong(0))
+    assert(perDoc.values.forall(_.length <= 3))
+    assert(got.forall(_.getLong(2) >= 1))
+  }
+
+  test("pii redaction removes every planted email and phone") {
+    val got = SparkEntry.queries("q_text_pii_redact")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val red = r.getString(1)
+      assert(!red.contains("@mail.com"), s"email survived: $red")
+      assert(!red.matches(".*\\b555-[0-9]{4}\\b.*"), s"phone survived: $red")
+      assert(red.contains("[EMAIL]") && red.contains("[PHONE]"))
+      assert(r.getInt(2) >= 1)
+    }
+  }
+
+  test("embedding quantization stays in int8 range for unit vectors") {
+    val got = SparkEntry.queries("q_embed_quantize")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      (4 to 7).foreach { i =>
+        val q = r.getInt(i)
+        assert(q >= -128 && q <= 127, s"q$i=$q out of int8 range")
+      }
+      assert(math.abs(r.getDouble(2) - 1.0) < 0.01, "unit-norm corpus")
+    }
+  }
+
+  test("centroid output is |labels| x dim and n_vecs sums to corpus size") {
+    val got = SparkEntry.queries("q_embed_centroid")(spark, sf)
+    val labels = Tables.embeddings(spark, sf)
+      .select(countDistinct(col("label"))).head.getLong(0)
+    assert(got.count() == labels * 64)
+    val perLabelN = got.groupBy(col("label"))
+      .agg(max(col("n_vecs")).as("n")).agg(sum(col("n"))).head.getLong(0)
+    assert(perLabelN == Tables.embeddings(spark, sf).count())
+  }
+
+  test("date spine has no gaps and preserves the total order count") {
+    val got = SparkEntry.queries("q_date_spine")(spark, sf).collect()
+    val days = got.map(_.getString(0))
+    assert(days.length ==
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head),
+        java.time.LocalDate.parse(days.last)) + 1,
+      "one row per calendar day, gap-free")
+    assert(got.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+  }
+
+  test("ntile quartiles partition all customers with balanced sizes") {
+    val got = SparkEntry.queries("q_window_ntile")(spark, sf).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val sizes = got.map(_.getLong(1))
+    assert(sizes.sum == Tables.customer(spark, sf).count())
+    assert(sizes.max - sizes.min <= 1, "ntile balance property")
+  }
+}
