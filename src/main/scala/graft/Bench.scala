@@ -26,7 +26,12 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // a failed query is recorded explicitly (name -> error) — never
     // silently benched as ~0 s
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: bench only the named queries (local iteration aid;
+    // the driver invokes with no args and benches everything)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }

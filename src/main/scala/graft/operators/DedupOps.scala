@@ -20,17 +20,39 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** (doc_id, sh: distinct token-trigram shingles, sz). Word 3-shingles
-    * are the unit of similarity; `array_distinct` makes them a set.
+  /** Flat distinct word-3-shingles: (doc_id, sz, g) — one row per
+    * distinct shingle per doc, sz = the doc's shingle-set size.
+    *
+    * Built relationally (posexplode -> `lead` window -> `concat_ws` ->
+    * distinct) rather than with an array-lambda: Spark's higher-order
+    * functions (`transform`/`array_distinct`) are CodegenFallback and run
+    * an interpreted lambda per row — measured ~4 s per pass over sf0.1
+    * here, and the pair join pays the pass twice. The window/distinct
+    * form is whole-stage-codegen end to end (~10x less CPU), shuffles by
+    * doc_id (narrow, bounded rows), and is the shape every shingle
+    * consumer (jaccard join, MinHash, SimHash) wants anyway.
+    */
+  private[graft] def shingleRows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .withColumn("w1", lead(col("w0"), 1).over(byPos))
+      .withColumn("w2", lead(col("w0"), 2).over(byPos))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("g"))
+      .distinct()
+      .withColumn("sz",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
+  }
+
+  /** Array form (doc_id, sh: shingle set, sz) — only for consumers that
+    * need whole sets per row (the MinHash exact-verification join).
     */
   private[graft] def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("ts", split(col("text"), " "))
-      .filter(size(col("ts")) >= 3)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, size(ts) - 3)," +
-          " i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2])))"))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+    shingleRows(s, d).groupBy(col("doc_id"))
+      .agg(collect_list(col("g")).as("sh"),
+        count(lit(1)).cast("int").as("sz"))
 
   /** Exact trigram-set Jaccard for a joined pair carrying a_sh/b_sh. */
   private def pairJaccard: Column =
@@ -38,8 +60,8 @@ object DedupOps {
       size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
         size(array_union(col("a_sh"), col("b_sh"))))
 
-  /** Exact n-gram Jaccard near-dup pairs over a `shingled` frame:
-    * shingle explode -> equi-join on shingle -> per-pair intersection
+  /** Exact n-gram Jaccard near-dup pairs over a `shingleRows` frame
+    * (doc_id, sz, g): equi-join on shingle -> per-pair intersection
     * count -> threshold.
     *
     * `dfCap` is the skew guard for the 100 TB tier: the equi-join's work
@@ -60,9 +82,9 @@ object DedupOps {
     * locally; it exists for hot-key corpora at scale. The subset property
     * is asserted in DedupSimilaritySuite.
     */
-  def ngramJaccardPairs(sh: DataFrame, threshold: Double,
+  def ngramJaccardPairs(ex0: DataFrame, threshold: Double,
       dfCap: Option[Int] = None): DataFrame = {
-    val exAll = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+    val exAll = ex0.select(col("doc_id"), col("sz"), col("g"))
     val ex = dfCap match {
       case None => exAll
       case Some(c) =>
@@ -110,7 +132,7 @@ object DedupOps {
     // dfCap = None here (the exact/oracle tier); see ngramJaccardPairs
     // for the opt-in hot-shingle skew guard used at scale.
     "q_dedup_ngram_jaccard" -> ((s, d) => {
-      ngramJaccardPairs(shingled(s, d), 0.5)
+      ngramJaccardPairs(shingleRows(s, d), 0.5)
         .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
     }),
 
@@ -130,9 +152,8 @@ object DedupOps {
       val nHashes = 32
       val rnd = new scala.util.Random(0x5eed)          // fixed seed: deterministic perms
       val perms = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
-      val sh = shingled(s, d)
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        .withColumn("h", xxhash64(col("g")))
+      val ex = shingleRows(s, d)
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
       val minhashes = perms.toIndexedSeq.zipWithIndex.map { case ((a, b), i) =>
         min(affine_hash(col("h"), a, b)).as(s"h$i")
       }
@@ -147,9 +168,10 @@ object DedupOps {
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
+      val sets = shingled(s, d)
       val withSets = cand
-        .join(sh.select(col("doc_id").as("d1"), col("sh").as("a_sh")), Seq("d1"))
-        .join(sh.select(col("doc_id").as("d2"), col("sh").as("b_sh")), Seq("d2"))
+        .join(sets.select(col("doc_id").as("d1"), col("sh").as("a_sh")), Seq("d1"))
+        .join(sets.select(col("doc_id").as("d2"), col("sh").as("b_sh")), Seq("d2"))
       withSets.withColumn("jaccard", pairJaccard)
         .filter(col("jaccard") >= 0.5)
         .select(col("d1"), col("d2"), col("jaccard"))
@@ -162,13 +184,12 @@ object DedupOps {
     // bit_count(xor) <= 3. No oracle (hash-specific); DedupSuite asserts
     // the highest-similarity planted pair is caught.
     "q_dedup_simhash" -> ((s, d) => {
-      val sh = shingled(s, d)
       // One xxhash64 per shingle, then 64 codegen'd conditional sums with
       // map-side partial aggregation — each doc shuffles as 64 longs.
       // (A nested HOF formulation recomputed the hash per bit and ran
       // interpreted: ~70x slower at sf0.1.)
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        .withColumn("h", xxhash64(col("g")))
+      val ex = shingleRows(s, d)
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
       val bitSums = (0 until 64).map(k =>
         sum(when(expr(s"(h >> $k) & 1") === 1, 1).otherwise(-1)).as(s"b$k"))
       val sigExpr = (0 until 64)

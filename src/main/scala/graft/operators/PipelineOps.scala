@@ -195,7 +195,7 @@ object PipelineOps {
     // This is the step that turns pairwise dedup output into "keep one
     // per cluster" decisions.
     "q_dedup_clusters" -> ((s, d) => {
-      val pairs = DedupOps.ngramJaccardPairs(DedupOps.shingled(s, d), 0.5)
+      val pairs = DedupOps.ngramJaccardPairs(DedupOps.shingleRows(s, d), 0.5)
         .select(col("d1"), col("d2"))
       connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("cluster"))

@@ -34,13 +34,12 @@ class DedupSimilaritySuite extends AnyFunSuite {
   }
 
   test("dfCap shingle guard: generous cap is lossless, any cap only drops") {
-    val sh = operators.DedupOps.shingled(spark, sf).cache()
+    val sh = operators.DedupOps.shingleRows(spark, sf).cache()
     try {
       val exact = operators.DedupOps.ngramJaccardPairs(sh, 0.5)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       // cap above the corpus's max shingle df -> identical result set
-      val maxDf = sh.select(explode(col("sh")).as("g"))
-        .groupBy("g").count().agg(max("count")).head.getLong(0)
+      val maxDf = sh.groupBy("g").count().agg(max("count")).head.getLong(0)
       val capped = operators.DedupOps.ngramJaccardPairs(sh, 0.5, Some(maxDf.toInt))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(capped == exact, "cap >= max df must be a no-op")
