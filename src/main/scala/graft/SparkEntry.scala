@@ -30,7 +30,8 @@ object SparkEntry {
     (graft.ingest.BinaryIngest.queries, graft.ingest.BinaryIngest.oracle),
     (SqlSurface.queries, SqlSurface.oracle),
     (PipelineOps.queries, PipelineOps.oracle),
-    (EmbeddingOps.queries, EmbeddingOps.oracle)
+    (EmbeddingOps.queries, EmbeddingOps.oracle),
+    (QualityOps.queries, QualityOps.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

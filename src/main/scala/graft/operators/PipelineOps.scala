@@ -46,8 +46,12 @@ object PipelineOps {
     * not grow with the iteration count.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    // checkpoint the pair input first: the symmetric union below reads it
+    // twice, and without materialization Spark would recompute the
+    // (potentially expensive) pair-producing plan once per branch
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(p.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node"))
@@ -58,14 +62,16 @@ object PipelineOps {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("cluster")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+      // carry the previous label through the checkpoint so convergence is
+      // a cheap scan of the materialized round, not an extra join job
       val next = labels
         .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left_outer")
-        .select(col("node"),
+        .select(col("node"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
-      converged = next.except(labels).isEmpty
-      labels = next
+      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next.drop("prev")
       it += 1
     }
     edges.unpersist()

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse maintenance + data-quality operators: MERGE-style upsert
+  * (the engine's R22/R23 bulk-CRUD generalized to one atomic
+  * update-or-insert pass), per-column table profiling, text
+  * normalization, and the batch-equivalent of streaming dedup.
+  *
+  * The upsert is the full-outer-join formulation every lakehouse MERGE
+  * lowers to: one shuffle on the key, coalesce per column; at 100 TB the
+  * delta side is typically small enough to broadcast, turning MERGE into
+  * a map-side stitch.
+  */
+object QualityOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MERGE INTO semantics: a deterministic delta (1/97 of keys updated:
+    // status 'U', price +10%; 1/101 re-keyed past max as inserts, status
+    // 'N') full-outer-joined to the target, delta winning per column.
+    // The insert-side row_number is a global window over ~1% of rows —
+    // bounded by the delta, never the target.
+    "q_merge_upsert" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val upd = t.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), lit("U").as("d_status"),
+          (col("o_totalprice") * 1.1).as("d_price"))
+      val maxk = t.agg(max(col("o_orderkey")).as("mk"))
+      val ins = t.filter(col("o_orderkey") % 101 === 0)
+        .crossJoin(broadcast(maxk))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("o_orderkey").asc)))
+        .select((col("mk") + col("rn")).as("o_orderkey"),
+          lit("N").as("d_status"), col("o_totalprice").as("d_price"))
+      val delta = upd.unionByName(ins)
+      t.join(delta, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("d_status"), col("o_orderstatus")).as("status"),
+          Det.r4(coalesce(col("d_price"), col("o_totalprice"))).as("price"))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
+    // Table profiling (data-quality audit): one aggregation pass
+    // computing count/nulls/distinct/min/max per column, melted to one
+    // row per column. Output is bounded by column count, not rows;
+    // distinct counts are exact (swap in approx_count_distinct at the
+    // 100 TB tier).
+    "q_profile_table" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      def prof(c: String, minS: org.apache.spark.sql.Column,
+          maxS: org.apache.spark.sql.Column) =
+        struct(lit(c).as("column"), count(lit(1)).as("n_rows"),
+          count(when(col(c).isNull, lit(1))).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          minS.cast("string").as("min_s"), maxS.cast("string").as("max_s"))
+      l.agg(
+        prof("l_quantity", Det.r4(min(col("l_quantity"))),
+          Det.r4(max(col("l_quantity")))).as("p1"),
+        prof("l_returnflag", min(col("l_returnflag")),
+          max(col("l_returnflag"))).as("p2"),
+        prof("l_discount", Det.r4(min(col("l_discount"))),
+          Det.r4(max(col("l_discount")))).as("p3"),
+        prof("l_suppkey", min(col("l_suppkey")),
+          max(col("l_suppkey"))).as("p4"))
+        .select(explode(array(col("p1"), col("p2"), col("p3"), col("p4")))
+          .as("p"))
+        .select(col("p.column"), col("p.n_rows"), col("p.n_null"),
+          col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
+        .orderBy(col("column").asc_nulls_first)
+    }),
+
+    // Text normalization: plant deterministic case/punctuation noise,
+    // then lower -> strip non-alphanumerics -> collapse runs of spaces
+    // -> trim. Map-only scan; the emitted delta length audits how much
+    // was scrubbed.
+    "q_text_normalize" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("noisy", concat(
+          upper(substring(col("text"), 1, 20)), lit("!! "), col("text")))
+        .withColumn("norm", trim(regexp_replace(regexp_replace(
+          lower(col("noisy")), "[^a-z0-9 ]", ""), " +", " ")))
+        .select(col("doc_id"),
+          substring(col("norm"), 1, 60).as("norm_head"),
+          (length(col("noisy")) - length(col("norm"))).as("n_stripped"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // Batch-equivalent of streaming deduplication (dropDuplicates over a
+    // keyed stream): first event per (user_id, event_type) plus the
+    // number of duplicates dropped. The streaming form
+    // (dropDuplicatesWithinWatermark) is exercised in StreamingSuite;
+    // this form is its deterministic whole-input answer.
+    "q_stream_dedup" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("first_ts"),
+          (count(lit(1)) - 1).as("n_dropped"))
+        .orderBy(col("user_id").asc_nulls_first,
+          col("event_type").asc_nulls_first)
+    })
+  )
+
+  private def r4sql(inner: String, alias: String) =
+    s"floor(($inner) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS $alias"
+
+  val oracle: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |upd AS (
+         |  SELECT o_orderkey, 'U' AS d_status,
+         |    o_totalprice * 1.1 AS d_price
+         |  FROM t WHERE o_orderkey % 97 = 0),
+         |mk AS (SELECT max(o_orderkey) AS mk FROM t),
+         |ins AS (
+         |  SELECT mk.mk + row_number() OVER (ORDER BY o_orderkey ASC)
+         |      AS o_orderkey,
+         |    'N' AS d_status, o_totalprice AS d_price
+         |  FROM t CROSS JOIN mk WHERE o_orderkey % 101 = 0),
+         |delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         |SELECT coalesce(t.o_orderkey, delta.o_orderkey) AS o_orderkey,
+         |  coalesce(delta.d_status, t.o_orderstatus) AS status,
+         |  ${r4sql("coalesce(delta.d_price, t.o_totalprice)", "price")}
+         |FROM t FULL OUTER JOIN delta ON t.o_orderkey = delta.o_orderkey
+         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_profile_table" ->
+      s"""WITH p AS (
+         |  SELECT 'l_quantity' AS "column", count(1) AS n_rows,
+         |    count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_null,
+         |    count(DISTINCT l_quantity) AS n_distinct,
+         |    CAST(floor(min(l_quantity) * 10000 + CAST(0.5 AS DOUBLE))
+         |      / CAST(10000 AS DOUBLE) AS VARCHAR) AS min_s,
+         |    CAST(floor(max(l_quantity) * 10000 + CAST(0.5 AS DOUBLE))
+         |      / CAST(10000 AS DOUBLE) AS VARCHAR) AS max_s
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_returnflag', count(1),
+         |    count(CASE WHEN l_returnflag IS NULL THEN 1 END),
+         |    count(DISTINCT l_returnflag),
+         |    CAST(min(l_returnflag) AS VARCHAR),
+         |    CAST(max(l_returnflag) AS VARCHAR)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_discount', count(1),
+         |    count(CASE WHEN l_discount IS NULL THEN 1 END),
+         |    count(DISTINCT l_discount),
+         |    CAST(floor(min(l_discount) * 10000 + CAST(0.5 AS DOUBLE))
+         |      / CAST(10000 AS DOUBLE) AS VARCHAR) AS min_s,
+         |    CAST(floor(max(l_discount) * 10000 + CAST(0.5 AS DOUBLE))
+         |      / CAST(10000 AS DOUBLE) AS VARCHAR) AS max_s
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_suppkey', count(1),
+         |    count(CASE WHEN l_suppkey IS NULL THEN 1 END),
+         |    count(DISTINCT l_suppkey),
+         |    CAST(min(l_suppkey) AS VARCHAR),
+         |    CAST(max(l_suppkey) AS VARCHAR)
+         |  FROM lineitem)
+         |SELECT "column", n_rows, n_null, n_distinct, min_s, max_s
+         |FROM p ORDER BY "column" ASC NULLS FIRST""".stripMargin,
+    "q_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    upper(substring(text, 1, 20)) || '!! ' || text AS noisy
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substring(trim(regexp_replace(regexp_replace(
+        |    lower(noisy), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 60)
+        |    AS norm_head,
+        |  CAST(length(noisy) - length(trim(regexp_replace(regexp_replace(
+        |    lower(noisy), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |    AS INT) AS n_stripped
+        |FROM n ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, min(ts) AS first_ts,
+        |  count(1) - 1 AS n_dropped
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin
+  )
+}

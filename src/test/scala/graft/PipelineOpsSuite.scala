@@ -127,6 +127,34 @@ class PipelineOpsSuite extends AnyFunSuite {
     assert(got.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
   }
 
+  test("merge upsert grows the target by exactly the insert count") {
+    val t = Tables.orders(spark, sf)
+    val nIns = t.filter(col("o_orderkey") % 101 === 0).count()
+    val merged = SparkEntry.queries("q_merge_upsert")(spark, sf)
+    assert(merged.count() == t.count() + nIns)
+    assert(merged.filter(col("status") === "N").count() == nIns)
+    // updates replace in place: key count unchanged for 'U' rows
+    val nUpd = t.filter(col("o_orderkey") % 97 === 0).count()
+    assert(merged.filter(col("status") === "U").count() == nUpd)
+  }
+
+  test("profile emits one row per profiled column with zero nulls here") {
+    val got = SparkEntry.queries("q_profile_table")(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq ==
+      Seq("l_discount", "l_quantity", "l_returnflag", "l_suppkey"))
+    assert(got.forall(_.getLong(2) == 0L))
+    assert(got.forall(r => r.getLong(3) <= r.getLong(1)))
+  }
+
+  test("text normalization output is lowercase alphanumeric single-spaced") {
+    val got = SparkEntry.queries("q_text_normalize")(spark, sf).collect()
+    got.foreach { r =>
+      val s = r.getString(1)
+      assert(s.matches("[a-z0-9 ]*") && !s.contains("  "), s)
+      assert(r.getInt(2) >= 2, "at least the planted '!!' was stripped")
+    }
+  }
+
   test("ntile quartiles partition all customers with balanced sizes") {
     val got = SparkEntry.queries("q_window_ntile")(spark, sf).collect()
     assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
