@@ -31,7 +31,8 @@ object SparkEntry {
     (SqlSurface.queries, SqlSurface.oracle),
     (PipelineOps.queries, PipelineOps.oracle),
     (EmbeddingOps.queries, EmbeddingOps.oracle),
-    (QualityOps.queries, QualityOps.oracle)
+    (QualityOps.queries, QualityOps.oracle),
+    (AnalyticsOps.queries, AnalyticsOps.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

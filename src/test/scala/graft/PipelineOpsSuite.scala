@@ -116,6 +116,46 @@ class PipelineOpsSuite extends AnyFunSuite {
     assert(perLabelN == Tables.embeddings(spark, sf).count())
   }
 
+  test("funnel: conversions are purchase-after-signup only, hours > 0") {
+    val got = SparkEntry.queries("q_funnel")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val converted = r.getBoolean(3)
+      assert(converted == !r.isNullAt(2))
+      if (converted) {
+        assert(r.getTimestamp(2).after(r.getTimestamp(1)))
+        assert(r.getDouble(4) > 0.0)
+      } else assert(r.isNullAt(4))
+    }
+  }
+
+  test("cohort retention: offset-0 cell counts every cohort member") {
+    val got = SparkEntry.queries("q_cohort_retention")(spark, sf).collect()
+    assert(got.forall(_.getInt(1) >= 0))
+    val week0 = got.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
+    val users = Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(week0 == users, "every user is active in their own first week")
+  }
+
+  test("histogram bins cover all orders exactly once") {
+    val got = SparkEntry.queries("q_histogram")(spark, sf).collect()
+    assert(got.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    got.foreach { r =>
+      assert(r.getDouble(2) >= r.getLong(0) * 25000.0 - 1e-6)
+      assert(r.getDouble(3) < (r.getLong(0) + 1) * 25000.0 + 1e-6)
+    }
+  }
+
+  test("quota sampling caps each language at 30, deterministically") {
+    val a = SparkEntry.queries("q_sample_quota")(spark, sf).collect()
+    val b = SparkEntry.queries("q_sample_quota")(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    val perLang = a.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(perLang.values.forall(_ <= 30))
+    assert(a.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 30))
+  }
+
   test("date spine has no gaps and preserves the total order count") {
     val got = SparkEntry.queries("q_date_spine")(spark, sf).collect()
     val days = got.map(_.getString(0))
