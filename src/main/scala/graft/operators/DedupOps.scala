@@ -84,7 +84,12 @@ object DedupOps {
     */
   def ngramJaccardPairs(ex0: DataFrame, threshold: Double,
       dfCap: Option[Int] = None): DataFrame = {
+    // materialize the shingle rows once: both sides of the self-join (and
+    // the optional df-cap branch) read them, and Spark has no automatic
+    // common-subplan reuse above the exchange — without this the whole
+    // shingle-construction pipeline runs once per branch
     val exAll = ex0.select(col("doc_id"), col("sz"), col("g"))
+      .localCheckpoint()
     val ex = dfCap match {
       case None => exAll
       case Some(c) =>

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits for the scale claims the scaladocs make: what is
+  * said to be map-only must not shuffle, what is said to broadcast must
+  * broadcast, scans must prune and push down, and the dedup hot path must
+  * stay out of interpreted higher-order functions.
+  */
+class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  import SparkFixture._
+
+  test("shingle construction plans no interpreted array lambdas") {
+    val plan = operators.DedupOps.shingleRows(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("array_distinct") && !plan.contains("transform("),
+      s"shingleRows must stay codegen-friendly, got:\n$plan")
+  }
+
+  test("hash sampling shuffles only for the presentation sort") {
+    val q = SparkEntry.queries("q_sample_hash")(spark, sf)
+    q.collect()
+    val shuffles = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e.outputPartitioning
+    }
+    assert(shuffles.forall(_.isInstanceOf[RangePartitioning]),
+      s"sampling itself must be map-only; found hash shuffles: $shuffles")
+  }
+
+  test("date spine joins its aggregated counts by broadcast") {
+    val q = SparkEntry.queries("q_date_spine")(spark, sf)
+    q.collect()
+    val bhj = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "expected a broadcast join for the spine stitch")
+  }
+
+  test("column pruning reaches the parquet scan (q_text_tokens)") {
+    val q = SparkEntry.queries("q_text_tokens")(spark, sf)
+    q.collect()
+    val scans = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { cols =>
+      assert(!cols.contains("lang") && !cols.contains("source"),
+        s"scan reads more columns than the query needs: $cols")
+    }
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val q = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    q.collect()
+    val pushed = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("GreaterThan(l_quantity"),
+      s"filter not pushed to scan: $pushed")
+  }
+
+  test("profile table is a single aggregation pass over one scan") {
+    val q = SparkEntry.queries("q_profile_table")(spark, sf)
+    q.collect()
+    val scans = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.length == 1,
+      s"profile must not rescan per column, found ${scans.length} scans")
+  }
+}
