@@ -65,6 +65,65 @@ object AnalyticsOps {
         .orderBy(col("bin").asc_nulls_first)
     }),
 
+    // Interval join: purchases within 24h after a signup, per user — the
+    // batch form of the stream-stream interval join (StreamingSuite runs
+    // the watermarked streaming form). The user_id equi-key keeps this a
+    // hash join; the time bounds are a post-join range filter, never a
+    // cartesian blowup.
+    "q_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val su = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      su.join(pu, Seq("user_id"))
+        .filter(col("p_ts") > col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
+        .select(col("user_id"), col("s_ts"), col("p_ts"),
+          Det.r4(col("value")).as("value"))
+        .orderBy(col("user_id").asc_nulls_first, col("s_ts").asc_nulls_first,
+          col("p_ts").asc_nulls_first)
+    }),
+
+    // Event-transition matrix (first-order markov counts): next event
+    // per user by time, with per-from-state transition probability.
+    // One window pass + one aggregation; ties on ts break by event_id
+    // so the sequence is total-ordered.
+    "q_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wf = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prob",
+          Det.r4(col("n") / sum(col("n")).over(wf)))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("next_type").asc_nulls_first)
+    }),
+
+    // Top-5 word bigrams per language: lead-window bigram construction
+    // (the codegen-friendly shingle pattern), counted per lang, ranked
+    // with a total-order tie-break.
+    "q_text_bigrams" -> ((s, d) => {
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val rk = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("bigram").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+        .withColumn("w1", lead(col("w0"), 1).over(byPos))
+        .filter(col("w1").isNotNull)
+        .select(col("lang"), concat_ws(" ", col("w0"), col("w1")).as("bigram"))
+        .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("bigram"), col("n"), col("rk"))
+        .orderBy(col("lang").asc_nulls_first, col("rk").asc_nulls_first)
+    }),
+
     // Per-group quota sampling: keep at most 30 docs per language,
     // chosen by portable md5 order (reproducible across engines and
     // runs — the training-mix "cap each source" step). One window pass
@@ -119,6 +178,51 @@ object AnalyticsOps {
          |  ${r4sql("min(o_totalprice)", "lo")},
          |  ${r4sql("max(o_totalprice)", "hi")}
          |FROM orders GROUP BY bin ORDER BY bin ASC NULLS FIRST""".stripMargin,
+    "q_interval_join" ->
+      s"""WITH su AS (
+         |  SELECT user_id, ts AS s_ts FROM events
+         |  WHERE event_type = 'signup'),
+         |pu AS (
+         |  SELECT user_id, ts AS p_ts, value FROM events
+         |  WHERE event_type = 'purchase')
+         |SELECT su.user_id, su.s_ts, pu.p_ts,
+         |  ${r4sql("pu.value", "value")}
+         |FROM su JOIN pu ON su.user_id = pu.user_id
+         |WHERE pu.p_ts > su.s_ts
+         |  AND pu.p_ts <= su.s_ts + INTERVAL 24 HOURS
+         |ORDER BY su.user_id ASC NULLS FIRST, su.s_ts ASC NULLS FIRST,
+         |  pu.p_ts ASC NULLS FIRST""".stripMargin,
+    "q_event_transitions" ->
+      s"""WITH nx AS (
+         |  SELECT event_type,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts ASC, event_id ASC) AS next_type
+         |  FROM events),
+         |c AS (
+         |  SELECT event_type, next_type, count(1) AS n FROM nx
+         |  WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+         |SELECT event_type, next_type, n,
+         |  ${r4sql("n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)", "prob")}
+         |FROM c ORDER BY event_type ASC NULLS FIRST,
+         |  next_type ASC NULLS FIRST""".stripMargin,
+    "q_text_bigrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w0,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |bg AS (
+        |  SELECT lang, w0 || ' ' || lead(w0, 1) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ASC) AS bigram,
+        |    lead(w0, 1) OVER (PARTITION BY doc_id ORDER BY pos ASC) AS w1
+        |  FROM t),
+        |c AS (
+        |  SELECT lang, bigram, count(1) AS n FROM bg
+        |  WHERE w1 IS NOT NULL GROUP BY lang, bigram),
+        |r AS (
+        |  SELECT lang, bigram, n, row_number() OVER (PARTITION BY lang
+        |    ORDER BY n DESC, bigram ASC) AS rk FROM c)
+        |SELECT lang, bigram, n, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+        |ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
     "q_sample_quota" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

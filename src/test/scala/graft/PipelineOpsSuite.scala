@@ -156,6 +156,33 @@ class PipelineOpsSuite extends AnyFunSuite {
     assert(a.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 30))
   }
 
+  test("interval join results are within the 24h window, keyed by user") {
+    val got = SparkEntry.queries("q_interval_join")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (s, p) = (r.getTimestamp(1), r.getTimestamp(2))
+      assert(p.after(s))
+      assert(p.getTime - s.getTime <= 24L * 3600 * 1000)
+    }
+  }
+
+  test("event transition probabilities sum to 1 per from-state") {
+    val got = SparkEntry.queries("q_event_transitions")(spark, sf).collect()
+    got.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val total = rows.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 0.01, s"$from sums to $total")
+    }
+  }
+
+  test("bigrams: at most 5 per lang, counts non-increasing in rank") {
+    val got = SparkEntry.queries("q_text_bigrams")(spark, sf).collect()
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(byRank.sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
+    }
+  }
+
   test("date spine has no gaps and preserves the total order count") {
     val got = SparkEntry.queries("q_date_spine")(spark, sf).collect()
     val days = got.map(_.getString(0))
