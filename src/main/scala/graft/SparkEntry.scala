@@ -32,7 +32,8 @@ object SparkEntry {
     (PipelineOps.queries, PipelineOps.oracle),
     (EmbeddingOps.queries, EmbeddingOps.oracle),
     (QualityOps.queries, QualityOps.oracle),
-    (AnalyticsOps.queries, AnalyticsOps.oracle)
+    (AnalyticsOps.queries, AnalyticsOps.oracle),
+    (Flagship.queries, Flagship.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

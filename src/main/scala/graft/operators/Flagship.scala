@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Flagship multi-join analytical queries (TPC-H Q3/Q5 shapes) and
+  * distribution window functions — the end-to-end showcase of join
+  * planning: dimensions broadcast, facts sort-merge/shuffle-hash join on
+  * their keys, aggregation partials map-side, and the final top-k is a
+  * TakeOrderedAndProject, never a global single-task sort.
+  */
+object Flagship {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q5 shape: revenue by customer nation for one region and one year.
+    // region/nation broadcast (tiny dims), customer joins shuffled on
+    // custkey, orders filtered by date before joining lineitem — the
+    // filter runs at the scan, shrinking the fact join's build side.
+    "q_star_join" -> ((s, d) => {
+      val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, d)
+      val cust = Tables.customer(s, d)
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1997-01-01")
+      val li = Tables.lineitem(s, d)
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Det.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name").asc_nulls_first)
+    }),
+
+    // Q3 shape (shipping priority): top-10 open orders by revenue for
+    // one segment. The limit plans as TakeOrderedAndProject over the
+    // aggregated frame.
+    "q_ship_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderdate") < "1998-01-01")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-06-01")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Det.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc_nulls_first)
+        .limit(10)
+    }),
+
+    // Distribution window functions: percent_rank and cume_dist of
+    // account balance within each market segment.
+    "q_window_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          Det.r4(percent_rank().over(w)).as("pr"),
+          Det.r4(cume_dist().over(w)).as("cd"))
+        .orderBy(col("c_custkey").asc_nulls_first)
+    })
+  )
+
+  private def r4sql(inner: String, alias: String) =
+    s"floor(($inner) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS $alias"
+
+  val oracle: Map[String, String] = Map(
+    "q_star_join" ->
+      s"""SELECT n_name,
+         |  ${r4sql("sum(l_extendedprice * (1.0 - l_discount))", "revenue")},
+         |  count(1) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY n_name ASC NULLS FIRST""".stripMargin,
+    "q_ship_priority" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         |  ${r4sql("sum(l_extendedprice * (1.0 - l_discount))", "revenue")}
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate >= TIMESTAMP '1996-06-01'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey ASC NULLS FIRST
+         |LIMIT 10""".stripMargin,
+    "q_window_distribution" ->
+      s"""SELECT c_custkey, c_mktsegment,
+         |  ${r4sql("percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)", "pr")},
+         |  ${r4sql("cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)", "cd")}
+         |FROM customer ORDER BY c_custkey ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -66,6 +66,20 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"filter not pushed to scan: $pushed")
   }
 
+  test("star join broadcasts its dimensions; top-k plans as TakeOrdered") {
+    val star = SparkEntry.queries("q_star_join")(spark, sf)
+    star.collect()
+    val bhj = collectWithSubqueries(star.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 2, s"nation+region should broadcast, found ${bhj.size}")
+    val topk = SparkEntry.queries("q_ship_priority")(spark, sf)
+    topk.collect()
+    assert(topk.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "order-by-limit must plan as distributed top-k, not a global sort")
+  }
+
   test("profile table is a single aggregation pass over one scan") {
     val q = SparkEntry.queries("q_profile_table")(spark, sf)
     q.collect()
