@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions.udf
   *   - `partial_ratio(a, b)`         -> int 0..100 (Catalyst expression)
   *   - `abbrev_pairs(text)`          -> array<struct<abbrev,expansion>>
   *     (explode for the UDTF shape)
+  *   - `abbrev_pairs_gen(text)`      -> native Generator (LATERAL VIEW
+  *     position; no intermediate array)
   *   - `graft_row_density(nonNull)`  -> double (typed Aggregator, width 4)
   *
   * Two registration paths, both public API:
@@ -32,6 +34,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("partial_ratio"),
       new ExpressionInfo(classOf[PartialRatioExpr].getName, "partial_ratio"),
       builder))
+    val genBuilder: Seq[Expression] => Expression = { children =>
+      require(children.size == 1,
+        s"abbrev_pairs_gen requires exactly 1 argument, got ${children.size}")
+      graft.functions.AbbrevPairsGen(children.head)
+    }
+    e.injectFunction((
+      FunctionIdentifier("abbrev_pairs_gen"),
+      new ExpressionInfo(classOf[graft.functions.AbbrevPairsGen].getName,
+        "abbrev_pairs_gen"),
+      genBuilder))
   }
 }
 

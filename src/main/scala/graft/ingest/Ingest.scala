@@ -220,6 +220,35 @@ object Ingest {
     total - spark.read.parquet(tablePath).count()
   }
 
+  /** Lakehouse small-file compaction: rewrite a parquet table so each
+    * output file is ~`targetMB`. Streaming appends and per-batch
+    * `appendDedup` calls accrete small files; a scan then pays one task
+    * + one footer read per file, and at 100 TB the file count (not the
+    * byte count) becomes the scheduler bottleneck. File count =
+    * ceil(current bytes / target), same staged-rewrite safety as
+    * `updateWhere`. Returns (files before, files after).
+    */
+  def compact(spark: SparkSession, tablePath: String,
+      targetMB: Int = 128): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles() = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (bytes + targetMB.toLong * 1024 * 1024 - 1) / (targetMB.toLong * 1024 * 1024))
+    val df = spark.read.parquet(tablePath).repartition(nOut.toInt)
+    val stage = tablePath + "__stage"
+    df.write.mode("overwrite").parquet(stage)
+    // re-shape on the republish too: a plain read-back packs the staged
+    // files into maxPartitionBytes-sized splits and would undo the target
+    spark.read.parquet(stage).repartition(nOut.toInt)
+      .write.mode("overwrite").parquet(tablePath)
+    cleanupStage(spark, stage)
+    (before.length.toLong, parquetFiles().length.toLong)
+  }
+
   /** Remove a staging directory left by the rewrite path. */
   private def cleanupStage(spark: SparkSession, stage: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(stage)

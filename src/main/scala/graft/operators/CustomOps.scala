@@ -35,18 +35,20 @@ object CustomOps {
     }),
 
     // UDTF shape (reference R19): parse 'A = B' lines — newlines inside
-    // parentheses do NOT split — into exploded (abbrev, expansion) rows.
+    // parentheses do NOT split — into generated (abbrev, expansion) rows.
     // Input cells are derived from part attributes to exercise the
-    // parenthesis lock.
+    // parenthesis lock. Runs as a native Catalyst Generator inside
+    // GenerateExec (AbbrevPairsGen): no intermediate array value, no UDF
+    // boundary; the udf+explode array form stays available in SQL as
+    // `abbrev_pairs`.
     "q_udtf_abbrev_pairs" -> ((s, d) => {
-      val parseUdf = udf((text: String) => AbbrevPairs.parse(text))
+      import graft.functions.AbbrevPairsGen.abbrev_pairs_gen
       Tables.part(s, d)
         .withColumn("cell",
           concat(lit("PT = "), col("p_type"), lit("\nBR = "), col("p_brand"),
             lit(" (brand\ncode)"), lit("\nSZ = "), col("p_size").cast("string")))
-        .select(col("p_partkey"), explode(parseUdf(col("cell"))).as("pair"))
-        .select(col("p_partkey"), col("pair._1").as("abbrev"),
-          col("pair._2").as("expansion"))
+        .select(col("p_partkey"),
+          abbrev_pairs_gen(col("cell")).as(Seq("abbrev", "expansion")))
         .orderBy(col("p_partkey").asc_nulls_first, col("abbrev").asc_nulls_first)
     }),
 

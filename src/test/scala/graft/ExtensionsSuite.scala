@@ -41,6 +41,17 @@ class ExtensionsSuite extends AnyFunSuite {
         .getOrCreate()
       val r = s2.sql("SELECT partial_ratio('dose rate', 'DOSE   RATE') AS s").head
       assert(r.getInt(0) == 100)
+      // the injected Generator works in LATERAL VIEW position — the SQL
+      // UDTF surface of reference R19
+      val pairs = s2.sql(
+        """SELECT abbrev, expansion FROM VALUES
+          |  ('TID = Total Ionizing Dose\nSEE = Single Event Effects (heavy ion,\nproton)')
+          |  AS t(cell)
+          |LATERAL VIEW abbrev_pairs_gen(cell) g AS abbrev, expansion
+          |ORDER BY abbrev""".stripMargin).collect()
+      assert(pairs.map(_.getString(0)).toSeq == Seq("see", "tid"))
+      assert(pairs.find(_.getString(0) == "see").get.getString(1) ==
+        "single event effects (heavy ion, proton)")
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

@@ -92,6 +92,22 @@ class FunctionsSuite extends AnyFunSuite {
     "SEE = Single Event Effects (heavy ion,\nproton)\n" +
     "LET = Linear Energy Transfer"
 
+  test("Generator form emits exactly what the driver-side parser emits") {
+    import SparkFixture.spark
+    import spark.implicits._
+    import graft.functions.AbbrevPairsGen.abbrev_pairs_gen
+    import org.apache.spark.sql.functions.col
+    val got = Seq(b4).toDF("cell")
+      .select(abbrev_pairs_gen(col("cell")).as(Seq("abbrev", "expansion")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == AbbrevPairs.parse(b4))
+    // null input generates zero rows, not a null row
+    val n = Seq(Option.empty[String]).toDF("cell")
+      .select(abbrev_pairs_gen(col("cell")).as(Seq("abbrev", "expansion")))
+      .count()
+    assert(n == 0)
+  }
+
   test("parses 3 pairs; parenthesized newline does not split") {
     val pairs = AbbrevPairs.parse(b4)
     assert(pairs.size == 3)

@@ -235,6 +235,20 @@ class IngestSuite extends AnyFunSuite {
       .toSeq == Seq((1, "alpha"), (2, "beta"), (3, "gamma")))
   }
 
+  test("compaction collapses a fragmented table without changing rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(64).write.parquet(dir)
+    val checksumBefore = spark.read.parquet(dir)
+      .agg(sum(col("doc_id")), count(lit(1))).head
+    val (before, after) = Ingest.compact(spark, dir, targetMB = 128)
+    assert(before == 64 && after == 1,
+      s"expected 64 -> 1 files, got $before -> $after")
+    val checksumAfter = spark.read.parquet(dir)
+      .agg(sum(col("doc_id")), count(lit(1))).head
+    assert(checksumBefore == checksumAfter)
+  }
+
   test("binary manifest: sha256/length match java.security digests (R4 analog)") {
     val docsDir = BinaryIngest.defaultDocsDir
     val m = BinaryIngest.manifest(spark, docsDir).collect()
