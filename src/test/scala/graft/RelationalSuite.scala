@@ -66,6 +66,17 @@ class RelationalSuite extends AnyFunSuite {
     assert(semi <= c)
   }
 
+  test("approx_percentile lands within accuracy bounds of the exact value") {
+    import org.apache.spark.sql.functions._
+    val r = Tables.lineitem(spark, sf).agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact")).head
+    val (a, e) = (r.getDouble(0), r.getDouble(1))
+    // accuracy=1000 bounds rank error at n/1000; translate to a loose
+    // relative value-error band for this distribution
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
+
   test("q_agg_approx_distinct stays within HLL error bounds of exact") {
     import org.apache.spark.sql.functions._
     // rsd = 0.02 is a standard-deviation bound; 5 sigma (10% relative
