@@ -101,6 +101,42 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
 
+  /** Streaming MERGE sink: every micro-batch upserts into a parquet
+    * table keyed by `key` (batch rows win column-wise) via foreachBatch —
+    * the lakehouse streaming-sink pattern. The per-batch merge is the
+    * same full-outer-join formulation as `QualityOps.q_merge_upsert`;
+    * the staged rewrite keeps readers off half-written state. On vanilla
+    * parquet a replayed epoch re-merges idempotently (same keys, same
+    * values); end-to-end exactly-once additionally needs a transactional
+    * table format (Delta/Iceberg), which is a format concern, not a
+    * planning one.
+    */
+  def upsertSink(stream: DataFrame, tablePath: String, key: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val hp = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val cols = batch.columns.filterNot(_ == key)
+        val merged =
+          if (!fs.exists(hp)) batch
+          else {
+            val t = s.read.parquet(tablePath).alias("t")
+            val b = batch.alias("b")
+            t.join(b, col(s"t.$key") === col(s"b.$key"), "full_outer")
+              .select(coalesce(col(s"b.$key"), col(s"t.$key")).as(key) +:
+                cols.map(c => coalesce(col(s"b.$c"), col(s"t.$c")).as(c)): _*)
+          }
+        val stage = tablePath + "__stage"
+        merged.write.mode("overwrite").parquet(stage)
+        s.read.parquet(stage).write.mode("overwrite").parquet(tablePath)
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        ()
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),

@@ -17,6 +17,25 @@ class StreamingSuite extends AnyFunSuite {
 
   private def t(m: String): Timestamp = Timestamp.valueOf(m)
 
+  test("foreachBatch upsert sink merges micro-batches into a keyed table") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.upsertSink(
+      mem.toDF().toDF("k", "v"), s"$dir/table", "k", s"$dir/ckpt")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((2L, "B"), (3L, "c"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/table")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c"),
+        s"second batch must win per key, got $got")
+    } finally q.stop()
+  }
+
   test("tumbling window streaming counts match the batch aggregation") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
