@@ -111,16 +111,25 @@ object FuzzyMatch {
 }
 
 /** Catalyst expression form: evaluated per-row without UDF serialization
-  * overhead (interpreted eval; the string algorithm dominates cost, so a
-  * doGenCode would only inline the same call).
+  * overhead. `doGenCode` emits a direct static call, so the expression
+  * participates in whole-stage codegen (no CodegenFallback row
+  * materialization between the scan and the score); the string algorithm
+  * itself stays in one JIT-friendly helper.
   */
 case class PartialRatioExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(l: Any, r: Any): Any =
     FuzzyMatch.normalizedPartialRatio(
       l.asInstanceOf[UTF8String].toString,
       r.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.FuzzyMatch.normalizedPartialRatio(" +
+        s"$l.toString(), $r.toString());")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PartialRatioExpr =
     copy(left = newLeft, right = newRight)

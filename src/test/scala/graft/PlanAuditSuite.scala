@@ -80,6 +80,17 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "order-by-limit must plan as distributed top-k, not a global sort")
   }
 
+  test("partial_ratio participates in whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val q = SparkEntry.queries("q_udf_fuzzy_ratio")(spark, sf)
+    q.collect()
+    val inCodegen = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case w: WholeStageCodegenExec => w.toString
+    }.exists(_.contains("partial_ratio"))
+    assert(inCodegen,
+      "partial_ratio must run inside a codegen stage, not as fallback")
+  }
+
   test("profile table is a single aggregation pass over one scan") {
     val q = SparkEntry.queries("q_profile_table")(spark, sf)
     q.collect()
