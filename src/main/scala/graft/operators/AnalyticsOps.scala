@@ -127,7 +127,11 @@ object AnalyticsOps {
     // Per-group quota sampling: keep at most 30 docs per language,
     // chosen by portable md5 order (reproducible across engines and
     // runs — the training-mix "cap each source" step). One window pass
-    // partitioned by the quota key.
+    // partitioned by the quota key; rank<=k plans as WindowGroupLimit,
+    // so map tasks emit at most k rows per group before the shuffle.
+    // For groups of billions where even the map-side pass matters,
+    // pre-filter on a generous hash threshold (keep hash < c*k/|group|
+    // candidates) before the exact rank — same result, bounded input.
     "q_sample_quota" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("hk", md5(col("doc_id").cast("string")))

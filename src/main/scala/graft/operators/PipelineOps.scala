@@ -98,7 +98,11 @@ object PipelineOps {
     // Sequence packing: assign docs to fixed-capacity training bins
     // (2048 tokens) per language, in doc_id order — bin = the running
     // token count before this doc, div capacity. Window partitioned by
-    // lang: each language packs independently and in parallel.
+    // lang: each language packs independently and in parallel. The
+    // running sum is inherently sequential per group, so at 100 TB the
+    // partition key becomes (lang, shard) — pack within hash shards and
+    // offset each shard's bins by the shards' token totals (one tiny
+    // prefix-sum over shard aggregates); same outputs, group skew gone.
     "q_pack_tokens" -> ((s, d) => {
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
       Tables.documents(s, d)
@@ -164,15 +168,28 @@ object PipelineOps {
     }),
 
     // Inverted index: term -> document frequency + first-10 posting list
-    // (CSV string — scalar output only). Postings are collected sorted;
-    // collect_list alone is partition-order-nondeterministic.
+    // (CSV string — scalar output only). The posting list is rank-limited
+    // BEFORE collect_list: collecting every doc_id and slicing afterwards
+    // would buffer a stop-word term's entire posting set (millions of ids
+    // at corpus scale) in one aggregation state. The row_number window
+    // and the groupBy share the `term` hash partitioning, so the limit
+    // costs no extra shuffle; df is a separate partial-agg count joined
+    // back on the same key. The rank filter plans as WindowGroupLimit
+    // (plan-asserted): every map task emits at most 10 rows per term
+    // BEFORE the shuffle, so even a term present in every document moves
+    // O(partitions x 10), not O(corpus).
     "q_text_inverted_index" -> ((s, d) => {
-      toks(s, d).distinct()
-        .groupBy(col("term"))
-        .agg(count(lit(1)).as("df"),
-          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 10),
-            ",").as("postings"))
+      val p = toks(s, d).distinct()
+      val dfc = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 5)
+      val top10 = p.withColumn("rk", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("doc_id").asc)))
+        .filter(col("rk") <= 10)
+        .groupBy(col("term"))
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+      dfc.join(top10, Seq("term"))
+        .select(col("term"), col("df"), col("postings"))
         .orderBy(col("term").asc_nulls_first)
     }),
 

@@ -80,6 +80,13 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "order-by-limit must plan as distributed top-k, not a global sort")
   }
 
+  test("inverted-index posting limit plans as map-side WindowGroupLimit") {
+    val q = SparkEntry.queries("q_text_inverted_index")(spark, sf)
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank<=10 must prune map-side, or hot terms buffer whole posting sets")
+  }
+
   test("partial_ratio participates in whole-stage codegen") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     val q = SparkEntry.queries("q_udf_fuzzy_ratio")(spark, sf)
