@@ -90,6 +90,73 @@ object SqlSurface {
         .orderBy(col("event_id").asc_nulls_first)
     }),
 
+    // Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep duplicate
+    // multiplicity (the distinct forms are q_set_except/intersect).
+    // Spark plans both as aggregated counts + generate — no sort.
+    "q_set_except_all" -> ((s, d) => {
+      val a = Tables.lineitem(s, d).select(col("l_suppkey"), col("l_returnflag"))
+      val b = Tables.lineitem(s, d).filter(col("l_linenumber") <= 2)
+        .select(col("l_suppkey"), col("l_returnflag"))
+      a.exceptAll(b)
+        .groupBy(col("l_suppkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_suppkey").asc_nulls_first,
+          col("l_returnflag").asc_nulls_first)
+    }),
+    "q_set_intersect_all" -> ((s, d) => {
+      val a = Tables.lineitem(s, d).select(col("l_suppkey"), col("l_returnflag"))
+      val b = Tables.lineitem(s, d).filter(col("l_linenumber") >= 2)
+        .select(col("l_suppkey"), col("l_returnflag"))
+      a.intersectAll(b)
+        .groupBy(col("l_suppkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_suppkey").asc_nulls_first,
+          col("l_returnflag").asc_nulls_first)
+    }),
+
+    // Null semantics: null-safe equality (<=>), nullif/nvl round-trips,
+    // and null-aware counting — the comparisons that silently drop rows
+    // when written with bare `=`.
+    "q_null_semantics" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("maybe", nullif(col("o_orderstatus"), lit("F")))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("maybe")).as("n_nonnull"),
+          count(when(col("maybe") <=> lit(null), lit(1))).as("n_null_safe_eq"),
+          count(when(col("maybe") <=> col("o_orderstatus"), lit(1)))
+            .as("n_unchanged"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Conditional aggregation (FILTER-clause form): per-flag measures in
+    // one pass instead of one scan per condition.
+    "q_conditional_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          expr("count_if(l_quantity > 25)").as("n_bulk"),
+          Det.r4(expr("avg(l_extendedprice) FILTER (WHERE l_discount > 0.05)"))
+            .as("avg_discounted"),
+          expr("count_if(l_returnflag = 'R')").as("n_returned"))
+        .orderBy(col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Decimal-typed aggregation: exact fixed-point sums (no float
+    // drift), surfaced as doubles only at the boundary for the
+    // cross-engine comparison.
+    "q_decimal_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("dec_price", col("l_extendedprice").cast("decimal(18,4)"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("dec_price")).cast("double").as("exact_sum"),
+          count(lit(1)).as("n"))
+        .withColumn("exact_sum", Det.r4(col("exact_sum")))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    }),
+
     // Date-spine gap fill: generate every day between min and max order
     // date, left-join daily counts, zero-fill gaps. The spine explodes
     // from a 1-row aggregate (bounded by calendar span, not data volume)
@@ -159,6 +226,51 @@ object SqlSurface {
       """SELECT event_id, event_type,
         |  array_to_string(regexp_extract_all(props, '[0-9]+'), ';') AS nums
         |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "q_set_except_all" ->
+      """WITH a AS (SELECT l_suppkey, l_returnflag FROM lineitem),
+        |b AS (SELECT l_suppkey, l_returnflag FROM lineitem
+        |      WHERE l_linenumber <= 2),
+        |x AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |SELECT l_suppkey, l_returnflag, count(1) AS n FROM x
+        |GROUP BY l_suppkey, l_returnflag
+        |ORDER BY l_suppkey ASC NULLS FIRST,
+        |  l_returnflag ASC NULLS FIRST""".stripMargin,
+    "q_set_intersect_all" ->
+      """WITH a AS (SELECT l_suppkey, l_returnflag FROM lineitem),
+        |b AS (SELECT l_suppkey, l_returnflag FROM lineitem
+        |      WHERE l_linenumber >= 2),
+        |x AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |SELECT l_suppkey, l_returnflag, count(1) AS n FROM x
+        |GROUP BY l_suppkey, l_returnflag
+        |ORDER BY l_suppkey ASC NULLS FIRST,
+        |  l_returnflag ASC NULLS FIRST""".stripMargin,
+    "q_null_semantics" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |    nullif(o_orderstatus, 'F') AS maybe
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  count(1) AS n_rows,
+        |  count(maybe) AS n_nonnull,
+        |  count(CASE WHEN maybe IS NOT DISTINCT FROM NULL THEN 1 END)
+        |    AS n_null_safe_eq,
+        |  count(CASE WHEN maybe IS NOT DISTINCT FROM o_orderstatus THEN 1 END)
+        |    AS n_unchanged
+        |FROM t GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_conditional_agg" ->
+      s"""SELECT l_linestatus,
+         |  count(1) FILTER (WHERE l_quantity > 25) AS n_bulk,
+         |  ${r4open}avg(l_extendedprice) FILTER (WHERE l_discount > 0.05)${r4close("avg_discounted")},
+         |  count(1) FILTER (WHERE l_returnflag = 'R') AS n_returned
+         |FROM lineitem GROUP BY l_linestatus
+         |ORDER BY l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_decimal_agg" ->
+      s"""SELECT l_returnflag,
+         |  ${r4open}CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)${r4close("exact_sum")},
+         |  count(1) AS n
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "q_date_spine" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders),
         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),

@@ -222,6 +222,23 @@ class PipelineOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("exceptAll keeps multiplicity: count = max(0, a_count - b_count)") {
+    val li = Tables.lineitem(spark, sf)
+    val aCnt = li.groupBy(col("l_suppkey"), col("l_returnflag"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bCnt = li.filter(col("l_linenumber") <= 2)
+      .groupBy(col("l_suppkey"), col("l_returnflag"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = SparkEntry.queries("q_set_except_all")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    aCnt.foreach { case (k, a) =>
+      val expect = math.max(0L, a - bCnt.getOrElse(k, 0L))
+      assert(got.getOrElse(k, 0L) == expect, s"key $k")
+    }
+  }
+
   test("ntile quartiles partition all customers with balanced sizes") {
     val got = SparkEntry.queries("q_window_ntile")(spark, sf).collect()
     assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
