@@ -89,6 +89,27 @@ object QualityOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // The reference's tolerant measurement parser (R12; '<1', '>50',
+    // '50-300', 'HDR~65 LDR~30' as observed in its golden db) under the
+    // oracle gate: deterministic measurement strings are synthesized
+    // from order keys, parsed by Ingest.parseMeasurement, and the struct
+    // flattened. Map-only scan; the regexes are RE2/Java-portable.
+    "q_parse_measurements" -> ((s, d) => {
+      val k = col("o_orderkey")
+      val raw = when(k % 5 === 0, concat(lit("<"), (k % 97).cast("string")))
+        .when(k % 5 === 1, concat(lit(">"), (k % 97).cast("string")))
+        .when(k % 5 === 2, concat((k % 50).cast("string"), lit("-"),
+          (k % 50 + 25).cast("string")))
+        .when(k % 5 === 3, concat(lit("HDR~"), (k % 80).cast("string"),
+          lit(" LDR~"), (k % 30).cast("string")))
+        .otherwise((k % 100).cast("string"))
+      Tables.orders(s, d)
+        .withColumn("m", graft.ingest.Ingest.parseMeasurement(raw))
+        .select(col("o_orderkey"), col("m.raw"), col("m.op"),
+          col("m.value"), col("m.value_hi"))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
     // Batch-equivalent of streaming deduplication (dropDuplicates over a
     // keyed stream): first event per (user_id, event_type) plus the
     // number of duplicates dropped. The streaming form
@@ -175,6 +196,37 @@ object QualityOps {
         |    lower(noisy), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
         |    AS INT) AS n_stripped
         |FROM n ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_parse_measurements" ->
+      """WITH r AS (
+        |  SELECT o_orderkey,
+        |    CASE
+        |      WHEN o_orderkey % 5 = 0
+        |        THEN '<' || CAST(o_orderkey % 97 AS VARCHAR)
+        |      WHEN o_orderkey % 5 = 1
+        |        THEN '>' || CAST(o_orderkey % 97 AS VARCHAR)
+        |      WHEN o_orderkey % 5 = 2
+        |        THEN CAST(o_orderkey % 50 AS VARCHAR) || '-' ||
+        |             CAST(o_orderkey % 50 + 25 AS VARCHAR)
+        |      WHEN o_orderkey % 5 = 3
+        |        THEN 'HDR~' || CAST(o_orderkey % 80 AS VARCHAR) ||
+        |             ' LDR~' || CAST(o_orderkey % 30 AS VARCHAR)
+        |      ELSE CAST(o_orderkey % 100 AS VARCHAR)
+        |    END AS raw
+        |  FROM orders)
+        |SELECT o_orderkey, raw,
+        |  CASE
+        |    WHEN regexp_matches(raw, '^\s*<') THEN '<'
+        |    WHEN regexp_matches(raw, '^\s*>') THEN '>'
+        |    WHEN regexp_matches(raw, '^\s*\d+(\.\d+)?\s*-\s*\d') THEN 'range'
+        |    WHEN regexp_matches(raw, '~') THEN 'approx'
+        |    WHEN regexp_matches(raw, '^\s*\d') THEN '='
+        |    ELSE NULL
+        |  END AS op,
+        |  CAST(nullif(regexp_extract(raw, '(\d+(?:\.\d+)?)', 1), '')
+        |    AS DOUBLE) AS value,
+        |  CAST(nullif(regexp_extract(raw, '\d+(?:\.\d+)?\s*-\s*(\d+(?:\.\d+)?)', 1), '')
+        |    AS DOUBLE) AS value_hi
+        |FROM r ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_stream_dedup" ->
       """SELECT user_id, event_type, min(ts) AS first_ts,
         |  count(1) - 1 AS n_dropped
