@@ -1,0 +1,43 @@
+package graft
+
+import graft.pipeline.CorpusPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end composition check: the full preprocessing pipeline built
+  * from the engine's own operators, run on the real corpus.
+  */
+class CorpusPipelineSuite extends AnyFunSuite {
+  import SparkFixture._
+
+  test("pipeline stages only ever shrink the corpus; output is well-formed") {
+    val out = Files.createTempDirectory("graft_pipe").toString + "/corpus"
+    val r = CorpusPipeline.run(spark, sf, out)
+    assert(r.input > 0)
+    assert(r.afterQuality <= r.input)
+    assert(r.afterExact <= r.afterQuality)
+    assert(r.afterNearDup <= r.afterExact)
+    assert(r.afterQuota <= r.afterNearDup)
+    assert(r.afterNearDup < r.input,
+      "the planted near-dup pairs must cost some documents")
+    val written = spark.read.parquet(out)
+    assert(written.count() == r.afterQuota)
+    // partitioned layout by lang survives the round-trip
+    assert(written.select(countDistinct(col("lang"))).head.getLong(0) > 1)
+    // packing invariant: bin ids are dense non-negative per lang
+    assert(written.filter(col("bin") < 0).count() == 0)
+    // near-dup victims are gone: re-running pair detection on the output
+    // at the same threshold finds no cross-doc cluster (every survivor
+    // is its own representative)
+    val survivors = written.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val clusters = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(rr => rr.getLong(0) -> rr.getLong(1))
+    clusters.foreach { case (node, cluster) =>
+      if (survivors.contains(node))
+        assert(node == cluster || !survivors.contains(cluster),
+          s"near-dup pair ($node, $cluster) both survived")
+    }
+  }
+}
