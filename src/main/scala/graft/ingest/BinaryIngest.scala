@@ -73,12 +73,13 @@ object BinaryIngest {
     })
   )
 
+  // interpolated, not hardcoded: both sides must honor GRAFT_DOCS_DIR
   val oracle: Map[String, String] = Map(
     "q_scan_binary" ->
-      """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
-        |  size AS length
-        |FROM read_blob('/root/reference/docs/*.pdf')
-        |WHERE regexp_extract(filename, '([^/]+)$', 1) >= '2010'
-        |ORDER BY file_name ASC NULLS FIRST""".stripMargin
+      s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+         |  size AS length
+         |FROM read_blob('$defaultDocsDir/*.pdf')
+         |WHERE regexp_extract(filename, '([^/]+)$$', 1) >= '2010'
+         |ORDER BY file_name ASC NULLS FIRST""".stripMargin
   )
 }

@@ -32,10 +32,17 @@ object DedupOps {
     * doc_id (narrow, bounded rows), and is the shape every shingle
     * consumer (jaccard join, MinHash, SimHash) wants anyway.
     */
-  private[graft] def shingleRows(s: SparkSession, d: String): DataFrame = {
+  private[graft] def shingleRows(s: SparkSession, d: String): DataFrame =
+    shingleRowsOf(Tables.documents(s, d))
+
+  /** Same construction over any (doc_id, text) frame — callers that have
+    * already normalized/filtered their text (e.g. CorpusPipeline) must
+    * shingle THAT text, not a fresh table scan.
+    */
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
       .withColumn("w1", lead(col("w0"), 1).over(byPos))
       .withColumn("w2", lead(col("w0"), 2).over(byPos))

@@ -75,6 +75,11 @@ object PipelineOps {
       it += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "component diameter exceeds the cap; raise maxIter or switch to " +
+          "the large-star/small-star relabeling")
     labels
   }
 

@@ -42,10 +42,14 @@ object CorpusPipeline {
     val normalized = docs
       .withColumn("text", trim(regexp_replace(col("text"), " +", " ")))
 
-    // 2. quality gate (map-only): token floor.
+    // 2. quality gate (map-only): token floor. Each stage boundary is
+    //    localCheckpoint'ed: the report fires one action per stage and
+    //    the write a final one — without materialization the exact-dedup
+    //    shuffle would re-execute for every downstream action.
     val quality = normalized
       .withColumn("n_toks", size(split(col("text"), " ")))
       .filter(col("n_toks") >= minTokens)
+      .localCheckpoint()
     val afterQuality = quality.count()
 
     // 3. exact dedup: one survivor per exact text (content-hash key, not
@@ -55,21 +59,25 @@ object CorpusPipeline {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__h")).orderBy(col("doc_id").asc)))
       .filter(col("__rn") === 1).drop("__h", "__rn")
+      .localCheckpoint()
     val afterExact = exact.count()
 
     // 4. near-dup resolution: pair graph -> connected components -> keep
-    //    each cluster's min doc_id. The pair source here is the exact
-    //    jaccard tier (right for test scale); at 100 TB pass the
-    //    MinHash-LSH candidate pairs instead — the CC and the keep rule
-    //    are unchanged.
-    val sh = DedupOps.shingleRows(spark, sfDir)
-      .join(exact.select(col("doc_id")), Seq("doc_id"))
+    //    each cluster's min doc_id. Shingles are built from the SURVIVING
+    //    NORMALIZED text (stage-1 output) — shingling a fresh table scan
+    //    would score raw whitespace variants differently and miss exactly
+    //    the pairs normalization exists to catch. The pair source here is
+    //    the exact jaccard tier (right for test scale); at 100 TB pass
+    //    the MinHash-LSH candidate pairs instead — the CC and the keep
+    //    rule are unchanged.
+    val sh = DedupOps.shingleRowsOf(exact.select(col("doc_id"), col("text")))
     val pairs = DedupOps.ngramJaccardPairs(sh, jaccardThreshold)
       .select(col("d1"), col("d2"))
     val clusters = PipelineOps.connectedComponents(pairs)
     val victims = clusters.filter(col("node") =!= col("cluster"))
       .select(col("node").as("doc_id"))
     val nearDeduped = exact.join(victims, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val afterNearDup = nearDeduped.count()
 
     // 5. per-language quota by portable hash order (reproducible mix).
@@ -79,6 +87,7 @@ object CorpusPipeline {
         Window.partitionBy(col("lang"))
           .orderBy(col("__hk").asc, col("doc_id").asc)))
       .filter(col("__rk") <= quotaPerLang).drop("__hk", "__rk")
+      .localCheckpoint()
     val afterQuota = quota.count()
 
     // 6. sequence packing into fixed-capacity bins per language.

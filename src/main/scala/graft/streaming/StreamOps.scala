@@ -104,12 +104,18 @@ object StreamOps {
   /** Streaming MERGE sink: every micro-batch upserts into a parquet
     * table keyed by `key` (batch rows win column-wise) via foreachBatch —
     * the lakehouse streaming-sink pattern. The per-batch merge is the
-    * same full-outer-join formulation as `QualityOps.q_merge_upsert`;
-    * the staged rewrite keeps readers off half-written state. On vanilla
-    * parquet a replayed epoch re-merges idempotently (same keys, same
-    * values); end-to-end exactly-once additionally needs a transactional
-    * table format (Delta/Iceberg), which is a format concern, not a
-    * planning one.
+    * same full-outer-join formulation as `QualityOps.q_merge_upsert`.
+    *
+    * Commit protocol: the merged state is fully written to a stage
+    * directory, then published with delete+rename (one metadata swap —
+    * not two full writes). Crash recovery enumerates the states: during
+    * the stage write the target is untouched; between stage completion
+    * and delete the target is still the old epoch (the replayed batch
+    * re-merges into it idempotently); between delete and rename the
+    * target is absent but the stage holds the complete merged state, so
+    * the next epoch reads the stage as its merge source. True
+    * exactly-once with concurrent readers needs a transactional table
+    * format (Delta/Iceberg) — a format concern, not a planning one.
     */
   def upsertSink(stream: DataFrame, tablePath: String, key: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -117,22 +123,29 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val hp = new org.apache.hadoop.fs.Path(tablePath)
-        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(tablePath)
+        val stage = new org.apache.hadoop.fs.Path(tablePath + "__stage")
+        val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
         val cols = batch.columns.filterNot(_ == key)
-        val merged =
-          if (!fs.exists(hp)) batch
-          else {
-            val t = s.read.parquet(tablePath).alias("t")
+        val sourcePath =
+          if (fs.exists(target)) Some(tablePath)
+          else if (fs.exists(stage)) Some(stage.toString) // crashed mid-publish
+          else None
+        val merged = sourcePath match {
+          case None => batch
+          case Some(p) =>
+            val t = s.read.parquet(p).alias("t")
             val b = batch.alias("b")
             t.join(b, col(s"t.$key") === col(s"b.$key"), "full_outer")
               .select(coalesce(col(s"b.$key"), col(s"t.$key")).as(key) +:
                 cols.map(c => coalesce(col(s"b.$c"), col(s"t.$c")).as(c)): _*)
-          }
-        val stage = tablePath + "__stage"
-        merged.write.mode("overwrite").parquet(stage)
-        s.read.parquet(stage).write.mode("overwrite").parquet(tablePath)
-        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+              // eager materialization severs the plan from the files the
+              // publish step is about to delete (incl. stage-as-source)
+              .localCheckpoint()
+        }
+        merged.write.mode("overwrite").parquet(stage.toString)
+        fs.delete(target, true)
+        fs.rename(stage, target)
         ()
       }
       .start()
