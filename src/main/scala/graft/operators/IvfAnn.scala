@@ -30,7 +30,7 @@ object IvfAnn {
     * per-row intermediate arrays (the round-1 nested transform/aggregate
     * formulation ran interpreted and dominated the whole bench at 18 s).
     */
-  private def distStructs(centroids: Array[Array[Double]]): Column =
+  private[operators] def distStructs(centroids: Array[Array[Double]]): Column =
     array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       val cn2 = c.map(x => x * x).sum
       struct(

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.functions.VectorOps.{vec_dot, vec_norm}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: build once, query many — the production shape
+  * of `IvfAnn` (which derives its cells inline per query).
+  *
+  * Layout: `<path>/vectors` is parquet PARTITIONED BY the cell id, so a
+  * probe that touches nProbe of K cells reads nProbe/K of the data via
+  * partition pruning — the directory structure IS the inverted file.
+  * `<path>/centroids` stores the K x dim model (driver-bounded).
+  * At 100 TB the index build is one k-means pass + one partitioned
+  * write; searches are small probe-side joins against a pruned scan.
+  */
+object IvfIndex {
+
+  case class Handle(centroids: Array[Array[Double]], path: String)
+
+  /** Build and persist the index from an embeddings frame
+    * (vec_id, embedding).
+    */
+  def fit(e: DataFrame, k: Int, iters: Int, path: String): Handle = {
+    val withNorm = e.withColumn("nrm", vec_norm(col("embedding")))
+    val (assigned, cents) = IvfAnn.assign(withNorm, k, iters)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(path + "/vectors")
+    val s = e.sparkSession
+    import s.implicits._
+    cents.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(path + "/centroids")
+    Handle(cents, path)
+  }
+
+  /** Reload a persisted index (centroids only — vectors stay on disk). */
+  def load(s: SparkSession, path: String): Handle = {
+    val cents = s.read.parquet(path + "/centroids").orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    Handle(cents, path)
+  }
+
+  /** Top-k cosine neighbors for a query frame (vec_id, embedding),
+    * probing the nProbe nearest cells per query against the stored,
+    * cell-partitioned vectors.
+    */
+  def search(s: SparkSession, h: Handle, queries: DataFrame,
+      nProbe: Int = 2, topK: Int = 5): DataFrame = {
+    val probes = queries
+      .withColumn("nrm", vec_norm(col("embedding")))
+      .withColumn("__dists", IvfAnn.distStructs(h.centroids))
+      .withColumn("probe_cells",
+        expr(s"slice(transform(array_sort(__dists), x -> x.c), 1, $nProbe)"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), explode(col("probe_cells")).as("cell"))
+    val cands = s.read.parquet(h.path + "/vectors")
+      .select(col("cell"), col("vec_id").as("nid"),
+        col("embedding").as("ne"), col("nrm").as("nn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc_nulls_last, col("nid").asc_nulls_first)
+    probes.join(cands, Seq("cell")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", graft.Det.r4(
+        vec_dot(col("qe"), col("ne")) / (col("qn") * col("nn"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos"), col("cell"))
+      .orderBy(col("qid").asc_nulls_first, col("rnk").asc_nulls_first)
+  }
+}

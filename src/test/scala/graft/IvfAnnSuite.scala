@@ -38,4 +38,24 @@ class IvfAnnSuite extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.2, s"mean recall@5 $mean suspiciously low")
   }
+
+  test("persisted IvfIndex search matches the inline query path exactly") {
+    import graft.operators.{IvfAnn, IvfIndex}
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    val e = Tables.embeddings(spark, sf)
+    IvfIndex.fit(e, k = 16, iters = 2, path)
+    val loaded = IvfIndex.load(spark, path)
+    val got = IvfIndex.search(spark, loaded,
+        e.filter(col("vec_id") < 10), nProbe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val inline = IvfAnn.query(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == inline,
+      "same deterministic seeding must yield identical neighbors")
+    // the on-disk layout IS the inverted file: one directory per cell
+    val cells = new java.io.File(path + "/vectors").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cells.nonEmpty, "vectors must be partitioned by cell")
+  }
 }
