@@ -89,6 +89,22 @@ object QualityOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // URL field extraction (training-data provenance parsing): host,
+    // path, and query string pulled from synthesized per-doc URLs with
+    // portable regexes (no parse_url — DuckDB lacks it). Map-only scan.
+    "q_url_extract" -> ((s, d) => {
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("lang"), lit("/"),
+        col("doc_id").cast("string"), lit("?rev="), (col("doc_id") % 7).cast("string"))
+      Tables.documents(s, d)
+        .withColumn("url", url)
+        .select(col("doc_id"), col("url"),
+          regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("host"),
+          regexp_extract(col("url"), "^https?://[^/]+(/[^?]*)", 1).as("path"),
+          regexp_extract(col("url"), "\\?(.*)$", 1).as("query"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
     // The reference's tolerant measurement parser (R12; '<1', '>50',
     // '50-300', 'HDR~65 LDR~30' as observed in its golden db) under the
     // oracle gate: deterministic measurement strings are synthesized
@@ -196,6 +212,18 @@ object QualityOps {
         |    lower(noisy), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
         |    AS INT) AS n_stripped
         |FROM n ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_url_extract" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/docs/' || lang || '/' ||
+        |    CAST(doc_id AS VARCHAR) || '?rev=' || CAST(doc_id % 7 AS VARCHAR)
+        |      AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS query
+        |FROM u ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_parse_measurements" ->
       """WITH r AS (
         |  SELECT o_orderkey,

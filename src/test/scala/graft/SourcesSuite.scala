@@ -53,6 +53,20 @@ class SourcesSuite extends AnyFunSuite {
     } finally { got.unpersist(); () }
   }
 
+  test("mergeSchema unions evolving parquet schemas with null backfill") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v1").write.parquet(dir + "/gen=1")
+    Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "v1", "v2")
+      .write.parquet(dir + "/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "gen"))
+    assert(merged.count() == 4)
+    // old-generation rows surface the new column as null, not an error
+    assert(merged.filter(col("gen") === 1 && col("v2").isNull).count() == 2)
+    assert(merged.filter(col("gen") === 2 && col("v2").isNotNull).count() == 2)
+  }
+
   test("Observation collects pipeline metrics without a second pass") {
     val obs = new org.apache.spark.sql.Observation("ingest_metrics")
     val out = Tables.documents(spark, sf)
