@@ -157,6 +157,27 @@ object SqlSurface {
         .orderBy(col("l_returnflag").asc_nulls_first)
     }),
 
+    // Pure-SQL entry point: LATERAL correlated subquery (top order per
+    // customer) through spark.sql over registered views — the same
+    // Catalyst plan surface the DataFrame queries use, exercised the way
+    // a SQL-first user would drive the engine. Catalyst decorrelates the
+    // lateral into a ranked join, not a per-row re-execution.
+    "q_sql_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c.c_custkey, c.c_mktsegment,
+               t.o_orderkey AS top_order, t.o_totalprice AS top_price
+        FROM v_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+        ) t
+        ORDER BY c.c_custkey ASC NULLS FIRST""")
+        .withColumn("top_price", Det.r4(col("top_price")))
+    }),
+
     // Date-spine gap fill: generate every day between min and max order
     // date, left-join daily counts, zero-fill gaps. The spine explodes
     // from a 1-row aggregate (bounded by calendar span, not data volume)
@@ -271,6 +292,17 @@ object SqlSurface {
          |  count(1) AS n
          |FROM lineitem GROUP BY l_returnflag
          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "q_sql_lateral" ->
+      s"""SELECT c.c_custkey, c.c_mktsegment,
+         |  t.o_orderkey AS top_order,
+         |  ${r4open}t.o_totalprice${r4close("top_price")}
+         |FROM customer c,
+         |LATERAL (
+         |  SELECT o_orderkey, o_totalprice FROM orders o
+         |  WHERE o.o_custkey = c.c_custkey
+         |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+         |) t
+         |ORDER BY c.c_custkey ASC NULLS FIRST""".stripMargin,
     "q_date_spine" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders),
         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
