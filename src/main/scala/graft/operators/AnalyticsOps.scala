@@ -52,6 +52,25 @@ object AnalyticsOps {
           col("week_offset").asc_nulls_first)
     }),
 
+    // Forward fill (LOCF): carry the last observed value over nulls per
+    // key in event-time order — the gap-filling semantic sensor/metric
+    // pipelines need. Nulls are planted deterministically (every 5th
+    // event loses its value); `last(_, ignoreNulls)` over an unbounded-
+    // preceding frame is a single window pass per key.
+    "q_window_fill" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("gappy",
+          when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("filled",
+          Det.r4(last(col("gappy"), ignoreNulls = true).over(w)))
+        .select(col("event_id"), col("user_id"),
+          Det.r4(col("gappy")).as("gappy"), col("filled"))
+        .orderBy(col("event_id").asc_nulls_first)
+    }),
+
     // Fixed-width histogram of order totals: bin = floor(x / 25000).
     // Single partial-agg'd groupBy; bins bounded by the value domain.
     "q_histogram" -> ((s, d) => {
@@ -176,6 +195,15 @@ object AnalyticsOps {
         |GROUP BY f.cohort_week, week_offset
         |ORDER BY f.cohort_week ASC NULLS FIRST,
         |  week_offset ASC NULLS FIRST""".stripMargin,
+    "q_window_fill" ->
+      s"""WITH g AS (
+         |  SELECT event_id, user_id, ts,
+         |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS gappy
+         |  FROM events)
+         |SELECT event_id, user_id,
+         |  ${r4sql("gappy", "gappy")},
+         |  ${r4sql("last_value(gappy IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", "filled")}
+         |FROM g ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "q_histogram" ->
       s"""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
          |  count(1) AS n,
