@@ -52,6 +52,30 @@ object AnalyticsOps {
           col("week_offset").asc_nulls_first)
     }),
 
+    // Session feature extraction: lag-gap sessionization (10-minute
+    // inactivity closes a session) then per-session behavioral features
+    // — the event-stream counterpart of per-document quality features.
+    // Two window passes + one aggregation, all keyed by user.
+    "q_session_features" -> ((s, d) => {
+      val byT = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(byT)) > 600L * 1000000L, 1)
+            .otherwise(when(lag(col("ts"), 1).over(byT).isNull, 1).otherwise(0)))
+        .withColumn("sess_id", sum(col("new_sess")).over(byT))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(
+          min(col("ts")).as("sess_start"),
+          expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+            .as("duration_sec"),
+          count(lit(1)).as("n_events"),
+          expr("count_if(event_type = 'purchase')").as("n_purchases"),
+          Det.r4(sum(coalesce(col("value"), lit(0.0)))).as("total_value"))
+        .orderBy(col("user_id").asc_nulls_first, col("sess_id").asc_nulls_first)
+    }),
+
     // Forward fill (LOCF): carry the last observed value over nulls per
     // key in event-time order — the gap-filling semantic sensor/metric
     // pipelines need. Nulls are planted deterministically (every 5th
@@ -195,6 +219,30 @@ object AnalyticsOps {
         |GROUP BY f.cohort_week, week_offset
         |ORDER BY f.cohort_week ASC NULLS FIRST,
         |  week_offset ASC NULLS FIRST""".stripMargin,
+    "q_session_features" ->
+      s"""WITH m AS (
+         |  SELECT user_id, event_id, ts, event_type, value,
+         |    CASE
+         |      WHEN lag(ts, 1) OVER (PARTITION BY user_id
+         |        ORDER BY ts ASC, event_id ASC) IS NULL THEN 1
+         |      WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+         |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+         |        > 600 * 1000000 THEN 1
+         |      ELSE 0 END AS new_sess
+         |  FROM events),
+         |s AS (
+         |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ts ASC, event_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+         |  FROM m)
+         |SELECT user_id, sess_id, min(ts) AS sess_start,
+         |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+         |    AS duration_sec,
+         |  count(1) AS n_events,
+         |  count(1) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+         |  ${r4sql("sum(coalesce(value, 0.0))", "total_value")}
+         |FROM s GROUP BY user_id, sess_id
+         |ORDER BY user_id ASC NULLS FIRST, sess_id ASC NULLS FIRST""".stripMargin,
     "q_window_fill" ->
       s"""WITH g AS (
          |  SELECT event_id, user_id, ts,

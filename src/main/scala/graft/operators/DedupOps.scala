@@ -125,7 +125,39 @@ object DedupOps {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Asymmetric containment near-dup pairs: containment(A in B) =
+    * |A∩B| / |A| — catches a document whose shingle set is (mostly) a
+    * SUBSET of another's (prefix/suffix/template duplication), which
+    * symmetric Jaccard under-scores when the containing doc is much
+    * larger. Same equi-join + intersection-count shape as the Jaccard
+    * tier (same skew properties; dfCap applies upstream if needed);
+    * emitted directed: d_small's set is contained in d_big's.
+    */
+  def containmentPairs(ex0: DataFrame, threshold: Double): DataFrame = {
+    val exAll = ex0.select(col("doc_id"), col("sz"), col("g")).localCheckpoint()
+    val a = exAll.select(col("doc_id").as("d_small"), col("sz").as("sz_s"), col("g"))
+    val b = exAll.select(col("doc_id").as("d_big"), col("sz").as("sz_b"), col("g"))
+    // length bound (pure pruning): inter <= sz_b, so containment >= t
+    // needs sz_b >= t*sz_s — cannot change the result set
+    a.join(b, Seq("g"))
+      .filter(col("d_small") =!= col("d_big") &&
+        col("sz_b") >= col("sz_s") * threshold)
+      .groupBy(col("d_small"), col("sz_s"), col("d_big"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", graft.Det.r4(col("inter") / col("sz_s")))
+      .filter(col("containment") >= threshold &&
+        (col("sz_s") < col("sz_b") ||
+          (col("sz_s") === col("sz_b") && col("d_small") < col("d_big"))))
+      .select(col("d_small"), col("d_big"), col("containment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Asymmetric containment tier (threshold 0.8): sub-document
+    // duplication the symmetric Jaccard tier under-scores.
+    "q_dedup_containment" -> ((s, d) => {
+      containmentPairs(shingleRows(s, d), 0.8)
+        .orderBy(col("d_small").asc_nulls_first, col("d_big").asc_nulls_first)
+    }),
     // Exact dedup: one representative (min doc_id) per (lang, source)
     // key — the deterministic dropDuplicates (reference R21).
     "q_dedup_exact" -> ((s, d) => {
@@ -248,6 +280,27 @@ object DedupOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |  WHERE len(ts) >= 3),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS d_small, a.sz AS sz_s,
+        |    b.doc_id AS d_big, b.sz AS sz_b, count(1) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT d_small, d_big,
+        |  floor((inter / CAST(sz_s AS DOUBLE)) * 10000
+        |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS containment
+        |FROM pairs
+        |WHERE floor((inter / CAST(sz_s AS DOUBLE)) * 10000
+        |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) >= 0.8
+        |  AND (sz_s < sz_b OR (sz_s = sz_b AND d_small < d_big))
+        |ORDER BY d_small ASC NULLS FIRST, d_big ASC NULLS FIRST""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
