@@ -22,8 +22,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer costs land here instead
-    // of inflating whichever query happens to run first
+    // of inflating whichever query happens to run first; touch every
+    // corpus table of the benched sf so listing + footer reads (memoized
+    // in Tables.load) and the OS page cache are warm for all queries
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    Tables.names.foreach { n =>
+      try { Tables.load(spark, sfDir, n).count(); () }
+      catch { case _: Throwable => () }
+    }
     // a failed query is recorded explicitly (name -> error) — never
     // silently benched as ~0 s
     // optional args: bench only the named queries (local iteration aid;
