@@ -157,6 +157,23 @@ object SqlSurface {
         .orderBy(col("l_returnflag").asc_nulls_first)
     }),
 
+    // Multiple exact COUNT(DISTINCT ...) in one aggregation: Catalyst
+    // rewrites this through an Expand node (one duplicate of each row
+    // per distinct-column group) — a distinct plan shape from the
+    // single-distinct queries, and the one that surprises users with a
+    // 3x shuffle volume. Scale note: for wide dashboards prefer one
+    // approx_count_distinct per column (no Expand).
+    "q_multi_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"),
+          countDistinct(col("l_orderkey")).as("d_orders"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    }),
+
     // Pure-SQL entry point: LATERAL correlated subquery (top order per
     // customer) through spark.sql over registered views — the same
     // Catalyst plan surface the DataFrame queries use, exercised the way
@@ -292,6 +309,14 @@ object SqlSurface {
          |  count(1) AS n
          |FROM lineitem GROUP BY l_returnflag
          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "q_multi_count_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d_supps,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d_orders,
+        |  count(1) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "q_sql_lateral" ->
       s"""SELECT c.c_custkey, c.c_mktsegment,
          |  t.o_orderkey AS top_order,
