@@ -57,6 +57,55 @@ class ScalePatternsSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(q.count() == expected)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // one hot key dominating the left side; thresholds lowered so the
+    // test corpus trips the same skew machinery a 100 TB job would
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val skewed = (1 to 200000).map(i =>
+        (if (i % 10 == 0) i.toLong % 7 else 0L, s"payload_$i")).toDF("k", "p")
+      val dim = (0L to 6L).map(k => (k, s"dim_$k")).toDF("k", "d")
+      val joined = skewed.join(dim.hint("MERGE"), Seq("k"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot partition as skewed:\n$plan")
+    } finally {
+      Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .foreach(spark.conf.unset)
+    }
+  }
+
+  test("dynamic partition pruning injects a runtime filter into the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.documents(spark, sf)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir + "/fact")
+    // the dim must be a file relation with a REAL selective filter: a
+    // local Seq constant-folds the filter away and DPP never fires
+    Tables.documents(spark, sf).select(col("lang")).distinct()
+      .withColumn("grp", when(col("lang") === "de", 1).otherwise(2))
+      .write.mode("overwrite").parquet(dir + "/dim")
+    val dim = spark.read.parquet(dir + "/dim").filter(col("grp") === 1)
+    val fact = spark.read.parquet(dir + "/fact")
+    val joined = fact.join(dim, Seq("lang"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter in the scan:\n$plan")
+    assert(joined.count() ==
+      Tables.documents(spark, sf).filter(col("lang") === "de").count())
+  }
+
   test("salted join returns exactly the plain join result") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
