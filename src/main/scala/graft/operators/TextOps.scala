@@ -82,6 +82,27 @@ object TextOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // Character-entropy quality signal (gibberish / mojibake detection):
+    // Shannon entropy of the per-document character distribution, plus
+    // alphabet size. Low entropy = repetitive filler, abnormally high =
+    // random noise; a standard cheap filter feature in corpus cleaning.
+    // Char explode -> two partial-agg groupBys keyed by doc.
+    "q_text_entropy" -> ((s, d) => {
+      val chars = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+      val f = chars.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("n"))
+      val t = f.groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("tot"), count(lit(1)).as("alphabet"))
+      f.join(t, Seq("doc_id"))
+        .withColumn("p", col("n") / col("tot").cast("double"))
+        .groupBy(col("doc_id"), col("alphabet"))
+        .agg(graft.Det.r4(-sum(col("p") * log(col("p")))).as("entropy"))
+        .select(col("doc_id"), col("alphabet"), col("entropy"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
     // Corpus stats per language: doc counts, token volume, distinct
     // vocabulary (reference R19-shape lateral + aggregation).
     "q_text_stats" -> ((s, d) => {
@@ -145,6 +166,21 @@ object TextOps {
         |        i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |f AS (SELECT doc_id, ch, count(1) AS n FROM c
+        |      WHERE ch <> '' GROUP BY doc_id, ch),
+        |t AS (SELECT doc_id, sum(n) AS tot, count(1) AS alphabet
+        |      FROM f GROUP BY doc_id)
+        |SELECT f.doc_id, CAST(t.alphabet AS BIGINT) AS alphabet,
+        |  floor((-sum((f.n / CAST(t.tot AS DOUBLE)) *
+        |    ln(f.n / CAST(t.tot AS DOUBLE)))) * 10000
+        |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS entropy
+        |FROM f JOIN t ON f.doc_id = t.doc_id
+        |GROUP BY f.doc_id, t.alphabet
+        |ORDER BY f.doc_id ASC NULLS FIRST""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  count(1) AS total_tokens,
