@@ -27,8 +27,12 @@ object Bench {
     // in Tables.load) and the OS page cache are warm for all queries
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     Tables.names.foreach { n =>
-      try { Tables.load(spark, sfDir, n).count(); () }
-      catch { case _: Throwable => () }
+      // events needs its nanos conf — Tables.events, not a raw load
+      try {
+        val df = if (n == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, n)
+        df.count(); ()
+      } catch { case _: Throwable => () }
     }
     // a failed query is recorded explicitly (name -> error) — never
     // silently benched as ~0 s

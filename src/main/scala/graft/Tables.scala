@@ -27,9 +27,13 @@ object Tables {
   private val plans =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // purge entries of stopped sessions so the cache can't pin dead
+    // session object graphs in a long-lived JVM
+    plans.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     plans.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
       spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

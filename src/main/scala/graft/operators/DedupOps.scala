@@ -53,14 +53,6 @@ object DedupOps {
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))
   }
 
-  /** Array form (doc_id, sh: shingle set, sz) — only for consumers that
-    * need whole sets per row (the MinHash exact-verification join).
-    */
-  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d).groupBy(col("doc_id"))
-      .agg(collect_list(col("g")).as("sh"),
-        count(lit(1)).cast("int").as("sz"))
-
   /** Exact trigram-set Jaccard for a joined pair carrying a_sh/b_sh. */
   private def pairJaccard: Column =
     graft.Det.r4(
@@ -111,12 +103,15 @@ object DedupOps {
     val a = ex.select(col("doc_id").as("d1"), col("sz").as("sz1"), col("g"))
     val b = ex.select(col("doc_id").as("d2"), col("sz").as("sz2"), col("g"))
     // length-bound pruning: jaccard >= t requires t*sz1 <= sz2 and vice
-    // versa, so dissimilar-size pairs are cut at the join — a pure
-    // optimization (cannot change the >= t result set)
+    // versa — applied with half-ulp-of-r4 slack (5e-5) because the FINAL
+    // filter tests the ROUNDED score: a true jaccard of t - 4.9e-5 rounds
+    // up to t and must survive the prune. With the slack this is a pure
+    // optimization (cannot change the rounded >= t result set).
+    val tSlack = math.max(0.0, threshold - 0.00005)
     a.join(b, Seq("g"))
       .filter(col("d1") < col("d2") &&
-        col("sz1") * threshold <= col("sz2") &&
-        col("sz2") * threshold <= col("sz1"))
+        col("sz1") * tSlack <= col("sz2") &&
+        col("sz2") * tSlack <= col("sz1"))
       .groupBy(col("d1"), col("sz1"), col("d2"), col("sz2"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", graft.Det.r4(col("inter") /
@@ -137,11 +132,13 @@ object DedupOps {
     val exAll = ex0.select(col("doc_id"), col("sz"), col("g")).localCheckpoint()
     val a = exAll.select(col("doc_id").as("d_small"), col("sz").as("sz_s"), col("g"))
     val b = exAll.select(col("doc_id").as("d_big"), col("sz").as("sz_b"), col("g"))
-    // length bound (pure pruning): inter <= sz_b, so containment >= t
-    // needs sz_b >= t*sz_s — cannot change the result set
+    // size bound (pure pruning): the directed output filter requires
+    // sz_s <= sz_b, so smaller-into-larger is the only shape that can
+    // emit — strictly stronger than the threshold-derived bound and
+    // unaffected by score rounding
     a.join(b, Seq("g"))
       .filter(col("d_small") =!= col("d_big") &&
-        col("sz_b") >= col("sz_s") * threshold)
+        col("sz_s") <= col("sz_b"))
       .groupBy(col("d_small"), col("sz_s"), col("d_big"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("containment", graft.Det.r4(col("inter") / col("sz_s")))
@@ -196,8 +193,11 @@ object DedupOps {
       val nHashes = 32
       val rnd = new scala.util.Random(0x5eed)          // fixed seed: deterministic perms
       val perms = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
-      val ex = shingleRows(s, d)
-        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      // one materialized shingle frame feeds BOTH the signature pass and
+      // the exact-verification sets — the construction pipeline is the
+      // expensive stage and Spark has no common-subplan reuse
+      val shRows = shingleRows(s, d).localCheckpoint()
+      val ex = shRows.select(col("doc_id"), xxhash64(col("g")).as("h"))
       val minhashes = perms.toIndexedSeq.zipWithIndex.map { case ((a, b), i) =>
         min(affine_hash(col("h"), a, b)).as(s"h$i")
       }
@@ -212,7 +212,8 @@ object DedupOps {
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      val sets = shingled(s, d)
+      val sets = shRows.groupBy(col("doc_id"))
+        .agg(collect_list(col("g")).as("sh"))
       val withSets = cand
         .join(sets.select(col("doc_id").as("d1"), col("sh").as("a_sh")), Seq("d1"))
         .join(sets.select(col("doc_id").as("d2"), col("sh").as("b_sh")), Seq("d2"))

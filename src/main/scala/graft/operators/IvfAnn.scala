@@ -46,18 +46,19 @@ object IvfAnn {
     array_min(distStructs(centroids)).getField("c")
 
   /** K-means cell assignment after `iters` Lloyd iterations. Returns
-    * (vectors with `cell`, final centroids).
+    * (vectors with `cell`, final centroids). The returned assignment is
+    * recomputed against the FINAL centroids — assignments from inside
+    * the loop lag one update step behind, and persisting/probing a
+    * lagging assignment against the final model silently costs recall
+    * (a vector can sit in a cell that is no longer its nearest).
     */
   def assign(e: DataFrame, k: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {
-    val spark = e.sparkSession
     var centroids: Array[Array[Double]] = e
       .filter(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    var assigned: DataFrame = null
     (0 until iters).foreach { _ =>
-      assigned = e.withColumn("cell", cellCol(centroids))
-      val upd = assigned
+      val upd = e.withColumn("cell", cellCol(centroids))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("v")).as("m"))
@@ -71,7 +72,7 @@ object IvfAnn {
         }
       }.toArray
     }
-    (assigned, centroids)
+    (e.withColumn("cell", cellCol(centroids)), centroids)
   }
 
   /** Top-k neighbors for query vectors (vec_id < nQueries) probing the
