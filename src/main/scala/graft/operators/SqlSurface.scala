@@ -157,6 +157,20 @@ object SqlSurface {
         .orderBy(col("l_returnflag").asc_nulls_first)
     }),
 
+    // Boolean aggregates: every/some (bool_and/bool_or) per group — the
+    // "all rows satisfy / any row satisfies" invariant checks data-
+    // quality gates are written with.
+    "q_agg_bool" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("every(o_totalprice > 0)").as("all_positive"),
+          expr("some(o_orderstatus = 'F')").as("any_finished"),
+          expr("every(o_orderdate >= TIMESTAMP '1995-01-01')").as("all_in_era"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    }),
+
     // Multiple exact COUNT(DISTINCT ...) in one aggregation: Catalyst
     // rewrites this through an Expand node (one duplicate of each row
     // per distinct-column group) — a distinct plan shape from the
@@ -309,6 +323,14 @@ object SqlSurface {
          |  count(1) AS n
          |FROM lineitem GROUP BY l_returnflag
          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "q_agg_bool" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderstatus = 'F') AS any_finished,
+        |  bool_and(o_orderdate >= TIMESTAMP '1995-01-01') AS all_in_era,
+        |  count(1) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_multi_count_distinct" ->
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts,
