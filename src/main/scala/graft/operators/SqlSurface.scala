@@ -157,6 +157,19 @@ object SqlSurface {
         .orderBy(col("l_returnflag").asc_nulls_first)
     }),
 
+    // Null-preserving explode (explode_outer): rows with an empty array
+    // survive as a single null row instead of vanishing — the lateral
+    // semantics that keep "documents with zero matches" visible to
+    // downstream aggregation. Oracle emulates via LEFT JOIN LATERAL.
+    "q_explode_outer" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("longs",
+          expr("filter(split(text, ' '), t -> length(t) > 6)"))
+        .select(col("doc_id"), explode_outer(col("longs")).as("long_tok"))
+        .orderBy(col("doc_id").asc_nulls_first,
+          col("long_tok").asc_nulls_first)
+    }),
+
     // Boolean aggregates: every/some (bool_and/bool_or) per group — the
     // "all rows satisfy / any row satisfies" invariant checks data-
     // quality gates are written with.
@@ -323,6 +336,15 @@ object SqlSurface {
          |  count(1) AS n
          |FROM lineitem GROUP BY l_returnflag
          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "q_explode_outer" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 6) AS longs
+        |  FROM documents)
+        |SELECT t.doc_id, u.long_tok
+        |FROM t LEFT JOIN LATERAL (SELECT unnest(t.longs) AS long_tok) u
+        |  ON TRUE
+        |ORDER BY doc_id ASC NULLS FIRST, long_tok ASC NULLS FIRST""".stripMargin,
     "q_agg_bool" ->
       """SELECT o_orderpriority,
         |  bool_and(o_totalprice > 0) AS all_positive,
