@@ -25,14 +25,19 @@ object Bench {
     // of inflating whichever query happens to run first; touch every
     // corpus table of the benched sf so listing + footer reads (memoized
     // in Tables.load) and the OS page cache are warm for all queries
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // warmup failures are surfaced on stderr (stdout stays one parseable
+    // JSON line) — a poisoned table path must not disappear silently
+    try SparkEntry.entry(spark).count()
+    catch { case t: Throwable =>
+      System.err.println(s"WARMUP FAILED entry: ${t.toString.take(300)}") }
     Tables.names.foreach { n =>
       // events needs its nanos conf — Tables.events, not a raw load
       try {
         val df = if (n == "events") Tables.events(spark, sfDir)
                  else Tables.load(spark, sfDir, n)
         df.count(); ()
-      } catch { case _: Throwable => () }
+      } catch { case t: Throwable =>
+        System.err.println(s"WARMUP FAILED $n: ${t.toString.take(300)}") }
     }
     // a failed query is recorded explicitly (name -> error) — never
     // silently benched as ~0 s

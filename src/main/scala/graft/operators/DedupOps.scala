@@ -81,6 +81,24 @@ object DedupOps {
     * locally; it exists for hot-key corpora at scale. The subset property
     * is asserted in DedupSimilaritySuite.
     */
+  /** Drop shingles whose document frequency exceeds `cap` from a
+    * materialized (doc_id, sz, g) frame — the join side only; `sz` stays
+    * the true set size, so every capped score is a strict underestimate
+    * (drop-only; see the callers' bound arguments). df per shingle is a
+    * partial-agg count (skew-safe even on hot keys); the join back is on
+    * the same key the main join uses.
+    */
+  private def applyDfCap(exAll: DataFrame, dfCap: Option[Int]): DataFrame =
+    dfCap match {
+      case None => exAll
+      case Some(c) =>
+        val df = exAll.groupBy(col("g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= c)
+          .select(col("g"))
+        exAll.join(df, Seq("g"))
+    }
+
   def ngramJaccardPairs(ex0: DataFrame, threshold: Double,
       dfCap: Option[Int] = None): DataFrame = {
     // materialize the shingle rows once: both sides of the self-join (and
@@ -89,17 +107,7 @@ object DedupOps {
     // shingle-construction pipeline runs once per branch
     val exAll = ex0.select(col("doc_id"), col("sz"), col("g"))
       .localCheckpoint()
-    val ex = dfCap match {
-      case None => exAll
-      case Some(c) =>
-        // df per shingle is a partial-agg count (skew-safe even on hot
-        // keys); the join back is on the same key the main join uses
-        val df = exAll.groupBy(col("g"))
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= c)
-          .select(col("g"))
-        exAll.join(df, Seq("g"))
-    }
+    val ex = applyDfCap(exAll, dfCap)
     val a = ex.select(col("doc_id").as("d1"), col("sz").as("sz1"), col("g"))
     val b = ex.select(col("doc_id").as("d2"), col("sz").as("sz2"), col("g"))
     // length-bound pruning: jaccard >= t requires t*sz1 <= sz2 and vice
@@ -125,13 +133,20 @@ object DedupOps {
     * SUBSET of another's (prefix/suffix/template duplication), which
     * symmetric Jaccard under-scores when the containing doc is much
     * larger. Same equi-join + intersection-count shape as the Jaccard
-    * tier (same skew properties; dfCap applies upstream if needed);
-    * emitted directed: d_small's set is contained in d_big's.
+    * tier — and the same hot-shingle skew exposure, so the same opt-in
+    * `dfCap` guard: a capped shingle is removed from the join only, `sz_s`
+    * stays the true set size, and a pair sharing m capped shingles scores
+    * (I−m)/sz_s ≤ I/sz_s — a strict underestimate, so the cap only DROPS
+    * pairs, never invents them (containment has no size-ratio prune to
+    * interact with, making the bound even simpler than the Jaccard case).
+    * Emitted directed: d_small's set is contained in d_big's.
     */
-  def containmentPairs(ex0: DataFrame, threshold: Double): DataFrame = {
+  def containmentPairs(ex0: DataFrame, threshold: Double,
+      dfCap: Option[Int] = None): DataFrame = {
     val exAll = ex0.select(col("doc_id"), col("sz"), col("g")).localCheckpoint()
-    val a = exAll.select(col("doc_id").as("d_small"), col("sz").as("sz_s"), col("g"))
-    val b = exAll.select(col("doc_id").as("d_big"), col("sz").as("sz_b"), col("g"))
+    val ex = applyDfCap(exAll, dfCap)
+    val a = ex.select(col("doc_id").as("d_small"), col("sz").as("sz_s"), col("g"))
+    val b = ex.select(col("doc_id").as("d_big"), col("sz").as("sz_b"), col("g"))
     // size bound (pure pruning): the directed output filter requires
     // sz_s <= sz_b, so smaller-into-larger is the only shape that can
     // emit — strictly stronger than the threshold-derived bound and
@@ -146,6 +161,55 @@ object DedupOps {
         (col("sz_s") < col("sz_b") ||
           (col("sz_s") === col("sz_b") && col("d_small") < col("d_big"))))
       .select(col("d_small"), col("d_big"), col("containment"))
+  }
+
+  /** MinHash-LSH near-dup pairs over a `shingleRows` frame — the 100 TB
+    * sketch tier, exposed as a pair SOURCE so cluster resolution
+    * (connected components) and the corpus pipeline can compose over it
+    * interchangeably with the exact tier.
+    *
+    * 32 minhashes (one xxhash64 per shingle + 32 codegen'd affine
+    * permutations `a_i*h + b_i`, a_i odd — see AffineHashExpr; 32x less
+    * hashing than independent string hashes), 16 bands x 2 rows; band
+    * collisions become candidate pairs via an equi-join on the band key
+    * (each doc shuffles a constant 16 rows — never all-pairs), then exact
+    * Jaccard verifies >= threshold, so every EMITTED pair is a true
+    * near-dup pair: precision 1.0, recall asserted >= 80% vs the exact
+    * tier in DedupSimilaritySuite.
+    */
+  def minhashLshPairs(shRows0: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.AffineHash.affine_hash
+    val nHashes = 32
+    val rnd = new scala.util.Random(0x5eed)          // fixed seed: deterministic perms
+    val perms = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    // one materialized shingle frame feeds BOTH the signature pass and
+    // the exact-verification sets — the construction pipeline is the
+    // expensive stage and Spark has no common-subplan reuse
+    val shRows = shRows0.select(col("doc_id"), col("sz"), col("g"))
+      .localCheckpoint()
+    val ex = shRows.select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val minhashes = perms.toIndexedSeq.zipWithIndex.map { case ((a, b), i) =>
+      min(affine_hash(col("h"), a, b)).as(s"h$i")
+    }
+    val sig = ex.groupBy(col("doc_id"))
+      .agg(minhashes.head, minhashes.tail: _*)
+      .select(col("doc_id"),
+        array((0 until nHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      explode(expr("transform(sequence(0, 15), b -> " +
+        "concat(b, ':', sig[2*b], ':', sig[2*b+1]))")).as("band"))
+    val cand = bands.alias("x").join(bands.alias("y"), Seq("band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val sets = shRows.groupBy(col("doc_id"))
+      .agg(collect_list(col("g")).as("sh"))
+    val withSets = cand
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("a_sh")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("b_sh")), Seq("d2"))
+    withSets.withColumn("jaccard", pairJaccard)
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -177,49 +241,11 @@ object DedupOps {
         .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
     }),
 
-    // MinHash + LSH banding (32 hashes, 16 bands x 2 rows): candidates
-    // collide on a band key, then exact Jaccard verifies >= 0.5. No
-    // oracle: signatures are engine-hash-specific (xxhash64); recall vs
-    // the exact operator is asserted in DedupSuite.
-    //
-    // Each shingle is hashed ONCE (xxhash64), and the 32 permutations are
-    // affine maps `a_i*h + b_i` over that hash (universal hashing, a_i
-    // odd so the map is a bijection mod 2^64) — codegen'd wrapping long
-    // arithmetic (AffineHashExpr; ANSI `*` would throw on the intended
-    // overflow) instead of 32 independent string-hash passes: ~32x less
-    // hashing work per shingle.
+    // MinHash + LSH banding: see minhashLshPairs. No oracle: the
+    // candidate set is engine-hash-specific (xxhash64); recall vs the
+    // exact operator is asserted in DedupSimilaritySuite.
     "q_dedup_minhash" -> ((s, d) => {
-      import graft.functions.AffineHash.affine_hash
-      val nHashes = 32
-      val rnd = new scala.util.Random(0x5eed)          // fixed seed: deterministic perms
-      val perms = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
-      // one materialized shingle frame feeds BOTH the signature pass and
-      // the exact-verification sets — the construction pipeline is the
-      // expensive stage and Spark has no common-subplan reuse
-      val shRows = shingleRows(s, d).localCheckpoint()
-      val ex = shRows.select(col("doc_id"), xxhash64(col("g")).as("h"))
-      val minhashes = perms.toIndexedSeq.zipWithIndex.map { case ((a, b), i) =>
-        min(affine_hash(col("h"), a, b)).as(s"h$i")
-      }
-      val sig = ex.groupBy(col("doc_id"))
-        .agg(minhashes.head, minhashes.tail: _*)
-        .select(col("doc_id"),
-          array((0 until nHashes).map(i => col(s"h$i")): _*).as("sig"))
-      val bands = sig.select(col("doc_id"),
-        explode(expr("transform(sequence(0, 15), b -> " +
-          "concat(b, ':', sig[2*b], ':', sig[2*b+1]))")).as("band"))
-      val cand = bands.alias("x").join(bands.alias("y"), Seq("band"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      val sets = shRows.groupBy(col("doc_id"))
-        .agg(collect_list(col("g")).as("sh"))
-      val withSets = cand
-        .join(sets.select(col("doc_id").as("d1"), col("sh").as("a_sh")), Seq("d1"))
-        .join(sets.select(col("doc_id").as("d2"), col("sh").as("b_sh")), Seq("d2"))
-      withSets.withColumn("jaccard", pairJaccard)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("d1"), col("d2"), col("jaccard"))
+      minhashLshPairs(shingleRows(s, d), 0.5)
         .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
     }),
 

@@ -111,6 +111,21 @@ object Extras {
           r4(expr("percentile(c_acctbal, 0.25)")).as("p25"),
           r4(expr("percentile(c_acctbal, 0.95)")).as("p95"))
         .orderBy(col("c_mktsegment").asc_nulls_first)
+    }),
+
+    // Small-file compaction round trip (lakehouse maintenance, reference
+    // R22's write path at scale): fragment `documents` into 16 files,
+    // compact to the 128 MB target (-> 1 file at bench scale), and emit
+    // the audited counts. The oracle pins the expected file counts and
+    // that no rows were lost — compaction is a rewrite, not a transform.
+    "q_compact_files" -> ((s, d) => {
+      import s.implicits._
+      val path = s"/tmp/graft_compact_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Tables.documents(s, d).repartition(16)
+        .write.mode("overwrite").parquet(path)
+      val (before, after) = graft.ingest.Ingest.compact(s, path, targetMB = 128)
+      val n = s.read.parquet(path).count()
+      Seq((before, after, n)).toDF("files_before", "files_after", "n_rows")
     })
   )
 
@@ -178,6 +193,12 @@ object Extras {
          |  ${R("quantile_cont(c_acctbal, 0.25)")} AS p25,
          |  ${R("quantile_cont(c_acctbal, 0.95)")} AS p95
          |FROM customer GROUP BY c_mktsegment
-         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin
+         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+    // expected post-conditions of the compaction rewrite: 16 fragments in,
+    // ceil(bytes/128MB)=1 file out at verify/bench scale, zero row loss
+    "q_compact_files" ->
+      """SELECT CAST(16 AS BIGINT) AS files_before,
+        |  CAST(1 AS BIGINT) AS files_after,
+        |  (SELECT count(1) FROM documents) AS n_rows""".stripMargin
   )
 }

@@ -104,7 +104,21 @@ object IvfAnn {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sim_ann_ivf" -> ((s, d) => query(s, d)))
+    "q_sim_ann_ivf" -> ((s, d) => query(s, d)),
+
+    // Persisted-index round trip: fit (k-means + cell-PARTITIONED vector
+    // write — the directory structure IS the inverted file), reload
+    // centroids from disk, then probe-search the first 20 vectors. No
+    // oracle (engine-side k-means); IvfAnnSuite asserts persisted-search
+    // parity with the inline operator and recall vs brute force.
+    "q_ivf_index_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val path = s"/tmp/graft_ivf_index_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val e = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      IvfIndex.fit(e, k = 16, iters = 5, path)
+      val h = IvfIndex.load(s, path)
+      IvfIndex.search(s, h, e.filter(col("vec_id") < 20), nProbe = 2, topK = 5)
+    }))
 
   val oracle: Map[String, String] = Map.empty // approximate, engine-side k-means
 }

@@ -29,59 +29,82 @@ object PipelineOps {
     Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
 
-  /** Connected components by iterative min-label propagation: every node
-    * starts labeled with itself; each round every node takes the min of
-    * its own and its neighbors' labels; converged when nothing changes.
-    * Labels converge to the min doc_id of each component — the canonical
-    * cluster representative.
+  /** Connected components by alternating large-star/small-star edge
+    * relabeling (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14). Each round is two grouped self-joins on node id —
+    * the same equi-join shuffle shape as one min-label-propagation step —
+    * but the edge set contracts toward a star forest rooted at each
+    * component's minimum node in O(log n) rounds instead of O(diameter):
+    * a 100-node chain (templated-spam shape) converges in ~6 alternations
+    * where label propagation needs ~100.
     *
-    * Rounds = graph diameter (near-dup clusters are short chains; the
-    * planted corpus converges in <= 3). For 100 TB graphs with long
-    * chains, the alternating large-star/small-star formulation (Kiveris
-    * et al., "Connected Components in MapReduce and Beyond", SoCC'14)
-    * drops rounds to O(log n) with the same per-round join shape — the
-    * shuffle structure below (edges equi-joined to labels on node id)
-    * is unchanged, only the relabeling rule tightens.
-    * `localCheckpoint` truncates the lineage each round so the plan does
-    * not grow with the iteration count.
+    *  - large-star: every node a connects its strictly-larger neighbors
+    *    to m = min(N(a) ∪ {a}); keeps edges oriented large→small.
+    *  - small-star: over the (u > v)-oriented edges, every node u rewires
+    *    itself and its smaller neighbors to their minimum.
+    *
+    * Both steps preserve connectivity; the fixed point is a star forest,
+    * from which labels read off directly (center = component min).
+    * `localCheckpoint` truncates lineage each round so the plan does not
+    * grow with the iteration count.
+    *
+    * Returns (labels, rounds): labels = (node, cluster) for every node
+    * that appears in a pair, cluster = min doc_id of its component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // checkpoint the pair input first: the symmetric union below reads it
-    // twice, and without materialization Spark would recompute the
-    // (potentially expensive) pair-producing plan once per branch
+  def connectedComponentsWithRounds(pairs: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
+    // checkpoint the pair input first: the orientation select reads it
+    // twice (greatest/least), and without materialization Spark would
+    // recompute the (potentially expensive) pair-producing plan per branch
     val p = pairs.localCheckpoint()
-    val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(p.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("cluster", col("node"))
-      .localCheckpoint()
+    // canonical large→small orientation, self-loops dropped
+    var edges = p.select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var it = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (!converged && it < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("dst"), col("cluster")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      // carry the previous label through the checkpoint so convergence is
-      // a cheap scan of the materialized round, not an extra join job
-      val next = labels
-        .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left_outer")
-        .select(col("node"), col("cluster").as("prev"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
-      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
-      labels = next.drop("prev")
+      // large-star: N(a) from both directions; m = min(N(a) ∪ {a});
+      // emit (b, m) for every neighbor b > a. b > a >= m keeps the
+      // large→small orientation invariant.
+      val nbrs = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val lMin = nbrs.groupBy(col("a"))
+        .agg(least(min(col("b")), first(col("a"))).as("m"))
+      val afterLarge = nbrs.join(lMin, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: per u, m = min of its smaller neighbors; rewire u and
+      // every smaller neighbor v != m to m. All emitted edges stay
+      // large→small (v > m by minimality).
+      val sMin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = afterLarge.join(sMin, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(sMin.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      // fixed point: the oriented distinct edge sets are equal
+      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      edges = next
       it += 1
     }
-    edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
-          "component diameter exceeds the cap; raise maxIter or switch to " +
-          "the large-star/small-star relabeling")
-    labels
+          "large-star/small-star needs O(log n) rounds, so this indicates " +
+          "a pathological input; raise maxIter")
+    // star forest: every non-center appears exactly once as u with its
+    // center as v; centers appear only as v and label themselves
+    val labels = edges.select(col("u").as("node"), col("v").as("cluster"))
+      .union(edges.select(col("v").as("node"), col("v").as("cluster")))
+      .distinct()
+    (labels, it)
   }
+
+  /** Connected components; see [[connectedComponentsWithRounds]]. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
 
   private val bm25K1 = 1.2
   private val bm25B = 0.75
@@ -224,6 +247,20 @@ object PipelineOps {
     // per cluster" decisions.
     "q_dedup_clusters" -> ((s, d) => {
       val pairs = DedupOps.ngramJaccardPairs(DedupOps.shingleRows(s, d), 0.5)
+        .select(col("d1"), col("d2"))
+      connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // The production composition: connected components over the
+    // MinHash-LSH candidate pairs (each verified >= threshold by exact
+    // Jaccard) instead of the quadratic exact pair join. No oracle
+    // (candidates are engine-hash-specific); DedupSimilaritySuite asserts
+    // LSH-sourced clusters are a subset of the exact clusters with >= 80%
+    // doc coverage.
+    "q_dedup_clusters_lsh" -> ((s, d) => {
+      val pairs = DedupOps.minhashLshPairs(DedupOps.shingleRows(s, d), 0.5)
         .select(col("d1"), col("d2"))
       connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("cluster"))

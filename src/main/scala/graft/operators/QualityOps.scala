@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lakehouse maintenance + data-quality operators: MERGE-style upsert
@@ -21,8 +20,10 @@ object QualityOps {
     // MERGE INTO semantics: a deterministic delta (1/97 of keys updated:
     // status 'U', price +10%; 1/101 re-keyed past max as inserts, status
     // 'N') full-outer-joined to the target, delta winning per column.
-    // The insert-side row_number is a global window over ~1% of rows —
-    // bounded by the delta, never the target.
+    // Insert keys are max+rank: the rank comes from the parallel
+    // range-partition + zipWithIndex pattern (ScalePatterns.withGlobalRank)
+    // — identical values to a global row_number (the sort key is unique)
+    // with no single-task window, so even a "big delta" merge scales.
     "q_merge_upsert" -> ((s, d) => {
       val t = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -30,10 +31,10 @@ object QualityOps {
         .select(col("o_orderkey"), lit("U").as("d_status"),
           (col("o_totalprice") * 1.1).as("d_price"))
       val maxk = t.agg(max(col("o_orderkey")).as("mk"))
-      val ins = t.filter(col("o_orderkey") % 101 === 0)
+      val ins = ScalePatterns.withGlobalRank(
+          t.filter(col("o_orderkey") % 101 === 0), "rn",
+          col("o_orderkey").asc)
         .crossJoin(broadcast(maxk))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("o_orderkey").asc)))
         .select((col("mk") + col("rn")).as("o_orderkey"),
           lit("N").as("d_status"), col("o_totalprice").as("d_price"))
       val delta = upd.unionByName(ins)

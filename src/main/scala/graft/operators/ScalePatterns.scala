@@ -42,6 +42,28 @@ object ScalePatterns {
     * join — every left row still meets every matching right row exactly
     * once — but a hot key's rows now hash to `saltFactor` partitions.
     */
+  /** Global sequential ranks (1..n in `order`) WITHOUT a single-task
+    * window: range-repartition on the sort key, sort within partitions,
+    * then zipWithIndex — the per-partition offsets come from one count
+    * job over the partition sizes (the classic prefix-sum-of-partition-
+    * counts pattern), so every partition numbers its rows in parallel.
+    * Equals `row_number().over(Window.orderBy(order))` whenever the sort
+    * key is unique (with ties the rank among tied rows is arbitrary in
+    * BOTH formulations — range boundaries here, partition order there).
+    */
+  def withGlobalRank(df: DataFrame, idCol: String,
+      order: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    s.createDataFrame(ranked, schema)
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
     val salted = left.withColumn("__salt",

@@ -30,10 +30,18 @@ object CorpusPipeline {
 
   /** Run the full pipeline; writes the packed corpus partitioned by lang
     * under `outDir` and returns per-stage counts.
+    *
+    * `pairSource` selects the near-dup pair tier: the default is the
+    * exact n-gram Jaccard join (right for test scale / the oracle tier);
+    * pass [[DedupOps.minhashLshPairs]] for the 100 TB sketch tier — both
+    * take (shingleFrame, threshold) and emit verified (d1, d2, score)
+    * pairs, and the CC + keep rule downstream are unchanged.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       minTokens: Int = 10, jaccardThreshold: Double = 0.5,
-      quotaPerLang: Int = 200, binTokens: Int = 2048): Report = {
+      quotaPerLang: Int = 200, binTokens: Int = 2048,
+      pairSource: (DataFrame, Double) => DataFrame =
+        DedupOps.ngramJaccardPairs(_, _, None)): Report = {
     val docs = Tables.documents(spark, sfDir)
     val input = docs.count()
 
@@ -66,12 +74,11 @@ object CorpusPipeline {
     //    each cluster's min doc_id. Shingles are built from the SURVIVING
     //    NORMALIZED text (stage-1 output) — shingling a fresh table scan
     //    would score raw whitespace variants differently and miss exactly
-    //    the pairs normalization exists to catch. The pair source here is
-    //    the exact jaccard tier (right for test scale); at 100 TB pass
-    //    the MinHash-LSH candidate pairs instead — the CC and the keep
-    //    rule are unchanged.
+    //    the pairs normalization exists to catch. The pair tier is the
+    //    caller's `pairSource` (exact jaccard by default, MinHash-LSH at
+    //    100 TB) — the CC and the keep rule are unchanged either way.
     val sh = DedupOps.shingleRowsOf(exact.select(col("doc_id"), col("text")))
-    val pairs = DedupOps.ngramJaccardPairs(sh, jaccardThreshold)
+    val pairs = pairSource(sh, jaccardThreshold)
       .select(col("d1"), col("d2"))
     val clusters = PipelineOps.connectedComponents(pairs)
     val victims = clusters.filter(col("node") =!= col("cluster"))

@@ -40,4 +40,24 @@ class CorpusPipelineSuite extends AnyFunSuite {
           s"near-dup pair ($node, $cluster) both survived")
     }
   }
+
+  test("MinHash-LSH pair source composes into the pipeline (100 TB tier)") {
+    val outE = Files.createTempDirectory("graft_pipe_e").toString + "/corpus"
+    val outL = Files.createTempDirectory("graft_pipe_l").toString + "/corpus"
+    val e = CorpusPipeline.run(spark, sf, outE)
+    val l = CorpusPipeline.run(spark, sf, outL,
+      pairSource = operators.DedupOps.minhashLshPairs)
+    // the pre-near-dup stages are pair-source-independent
+    assert(l.afterExact == e.afterExact)
+    // LSH candidates are exact-verified: it can only MISS pairs, so it
+    // never removes more docs than the exact tier...
+    assert(l.afterNearDup >= e.afterNearDup)
+    // ...and with >= 80% pair recall it still catches most victims
+    val eVictims = e.afterExact - e.afterNearDup
+    val lVictims = l.afterExact - l.afterNearDup
+    assert(eVictims > 0, "planted near-dups must cost docs in the exact run")
+    assert(lVictims * 2 >= eVictims,
+      s"LSH tier caught $lVictims of $eVictims exact victims")
+    assert(spark.read.parquet(outL).count() == l.afterQuota)
+  }
 }

@@ -51,6 +51,42 @@ class DedupSimilaritySuite extends AnyFunSuite {
     } finally { sh.unpersist(); () }
   }
 
+  test("LSH-sourced clusters refine the exact clusters with >= 80% coverage") {
+    val exact = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = SparkEntry.queries("q_dedup_clusters_lsh")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    // LSH pairs are exact-verified, so a missed candidate can only SPLIT
+    // a cluster, never merge two: every LSH cluster sits inside exactly
+    // one exact cluster
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      s"LSH clustered docs the exact tier didn't: ${(lsh.keySet -- exact.keySet).take(5)}")
+    lsh.groupBy(_._2).foreach { case (c, members) =>
+      val exactLabels = members.keySet.map(exact)
+      assert(exactLabels.size == 1,
+        s"LSH cluster $c spans exact clusters $exactLabels")
+    }
+    val coverage = lsh.size.toDouble / exact.size
+    assert(coverage >= 0.8, s"cluster doc coverage $coverage over ${exact.size}")
+  }
+
+  test("containment dfCap: generous cap is lossless, any cap only drops") {
+    val sh = operators.DedupOps.shingleRows(spark, sf).cache()
+    try {
+      val exact = operators.DedupOps.containmentPairs(sh, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val maxDf = sh.groupBy("g").count().agg(max("count")).head.getLong(0)
+      val capped = operators.DedupOps.containmentPairs(sh, 0.8, Some(maxDf.toInt))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped == exact, "cap >= max df must be a no-op")
+      val tight = operators.DedupOps.containmentPairs(sh, 0.8, Some(3))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((tight -- exact).isEmpty,
+        s"cap invented pairs: ${(tight -- exact).take(5)}")
+    } finally { sh.unpersist(); () }
+  }
+
   test("exact dedup keeps one representative per (lang, source)") {
     val got = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val keys = Tables.documents(spark, sf)

@@ -58,4 +58,16 @@ class IvfAnnSuite extends AnyFunSuite {
       .filter(_.getName.startsWith("cell="))
     assert(cells.nonEmpty, "vectors must be partitioned by cell")
   }
+
+  test("q_ivf_index_search emits ranked top-5 rows for the probe set") {
+    val got = SparkEntry.queries("q_ivf_index_search")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(qid < 20)
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length).toSeq,
+        s"ranks must be dense 1..k for qid=$qid")
+      assert(rs.length <= 5)
+      assert(rs.forall(r => r.getLong(2) != qid), "no self-matches")
+    }
+  }
 }

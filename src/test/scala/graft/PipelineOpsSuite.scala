@@ -24,6 +24,20 @@ class PipelineOpsSuite extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("large-star/small-star contracts a 100-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph is the worst case for min-label propagation (needs
+    // ~diameter rounds = 99); the star contraction must do it in O(log n)
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) =
+      PipelineOps.connectedComponentsWithRounds(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 100L).map(_ -> 1L).toMap)
+    assert(rounds <= 10,
+      s"O(log n) contraction expected, took $rounds rounds " +
+        "(a diameter loop would need ~100)")
+  }
+
   test("q_dedup_clusters covers exactly the docs in near-dup pairs") {
     val pairDocs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
       .select(col("d1").as("d")).union(

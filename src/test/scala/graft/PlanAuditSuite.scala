@@ -80,6 +80,15 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "order-by-limit must plan as distributed top-k, not a global sort")
   }
 
+  test("merge upsert plans no single-partition window for insert ids") {
+    val q = SparkEntry.queries("q_merge_upsert")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"insert-id ranks must come from the parallel range+zipWithIndex " +
+        s"pattern, not a global window, got:\n$plan")
+  }
+
   test("inverted-index posting limit plans as map-side WindowGroupLimit") {
     val q = SparkEntry.queries("q_text_inverted_index")(spark, sf)
     q.collect()
