@@ -61,6 +61,18 @@ object PipelineOps {
     var edges = p.select(greatest(col("d1"), col("d2")).as("u"),
         least(col("d1"), col("d2")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // cheap fixed-point detector: (count, xor of row hashes) per edge set
+    // — one partial-agg job per round instead of an exceptAll join (xor,
+    // not sum: ANSI mode would throw on the intended wrap-around). Equal
+    // checksums are CONFIRMED with the deterministic exceptAll (paid
+    // once, on the final round), so a 2^-64 hash collision can delay
+    // convergence detection but never mis-report it.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edgeSum = checksum(edges)
     var it = 0
     var converged = edges.isEmpty
     while (!converged && it < maxIter) {
@@ -84,9 +96,13 @@ object PipelineOps {
         .select(col("v").as("u"), col("m").as("v"))
         .union(sMin.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint()
-      // fixed point: the oriented distinct edge sets are equal
-      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      // fixed point: the oriented distinct edge sets are equal — checked
+      // by checksum first, confirmed exactly only when checksums match
+      val nextSum = checksum(next)
+      converged = nextSum == edgeSum &&
+        next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
       edges = next
+      edgeSum = nextSum
       it += 1
     }
     if (!converged)
