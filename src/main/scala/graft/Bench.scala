@@ -53,13 +53,18 @@ object Bench {
         catch { case t: Throwable => Some(t.toString.take(300)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }.toSeq
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the JSON line compact enough for
+    // tail-limited log capture to hold the whole line (117 queries at
+    // full double repr overflow a ~4 KB tail and parse as nothing)
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val fails = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${results.count(_._3.isDefined)},"failures":$fails,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"n_failed":${results.count(_._3.isDefined)},"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

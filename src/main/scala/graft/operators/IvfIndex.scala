@@ -46,6 +46,12 @@ object IvfIndex {
   /** Top-k cosine neighbors for a query frame (vec_id, embedding),
     * probing the nProbe nearest cells per query against the stored,
     * cell-partitioned vectors.
+    *
+    * The distinct probed cell set (bounded by K — model state, never
+    * data) is collected and pushed as a LITERAL partition filter on the
+    * vector scan: pruning is guaranteed by the plan (asserted in
+    * IvfAnnSuite), not left to dynamic-pruning heuristics — a probe that
+    * touches nProbe of K cells reads only those directories.
     */
   def search(s: SparkSession, h: Handle, queries: DataFrame,
       nProbe: Int = 2, topK: Int = 5): DataFrame = {
@@ -56,7 +62,11 @@ object IvfIndex {
         expr(s"slice(transform(array_sort(__dists), x -> x.c), 1, $nProbe)"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), explode(col("probe_cells")).as("cell"))
+      .localCheckpoint()  // read twice: the cell-set pass and the join
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.get(0))
     val cands = s.read.parquet(h.path + "/vectors")
+      .filter(col("cell").isin(probedCells: _*))
       .select(col("cell"), col("vec_id").as("nid"),
         col("embedding").as("ne"), col("nrm").as("nn"))
     val w = Window.partitionBy(col("qid"))

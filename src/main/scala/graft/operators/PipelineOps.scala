@@ -83,10 +83,12 @@ object PipelineOps {
         .union(edges.select(col("v").as("a"), col("u").as("b")))
       val lMin = nbrs.groupBy(col("a"))
         .agg(least(min(col("b")), first(col("a"))).as("m"))
+      // no distinct here: duplicate edges are harmless to the min
+      // aggregations below and the round's final distinct canonicalizes —
+      // dropping it saves one exchange per round
       val afterLarge = nbrs.join(lMin, Seq("a"))
         .filter(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: per u, m = min of its smaller neighbors; rewire u and
       // every smaller neighbor v != m to m. All emitted edges stay
       // large→small (v > m by minimality).
@@ -122,6 +124,38 @@ object PipelineOps {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
     connectedComponentsWithRounds(pairs, maxIter)._1
 
+  /** Sequence packing by shard-and-offset — the 100 TB form of the
+    * windowed pack in `q_pack_tokens`, producing IDENTICAL bins.
+    *
+    * A per-language running token sum is inherently sequential, so the
+    * plain window serializes each language onto one task. Sharding fixes
+    * that without changing the output: split each language into doc_id
+    * RANGES (order-preserving, so global cumulative sum = previous
+    * shards' totals + within-shard cumulative sum), compute the running
+    * sum within each (lang, shard) in parallel, then offset by the
+    * prefix-summed shard totals. The offset window runs over the
+    * AGGREGATED (lang, shard) frame — #shards rows, bounded model-state,
+    * never the corpus — and joins back by broadcast.
+    */
+  def packTokensSharded(docs: DataFrame, binTokens: Int,
+      shardWidth: Long): DataFrame = {
+    val base = docs
+      .withColumn("n_toks", size(split(col("text"), " ")))
+      .withColumn("__shard", floor(col("doc_id") / shardWidth))
+    val wIn = Window.partitionBy(col("lang"), col("__shard"))
+      .orderBy(col("doc_id").asc)
+    val within = base.withColumn("__cum_in", sum(col("n_toks")).over(wIn))
+    val wShard = Window.partitionBy(col("lang")).orderBy(col("__shard").asc)
+    val offsets = base.groupBy(col("lang"), col("__shard"))
+      .agg(sum(col("n_toks")).as("__tot"))
+      .withColumn("__off", sum(col("__tot")).over(wShard) - col("__tot"))
+      .select(col("lang"), col("__shard"), col("__off"))
+    within.join(broadcast(offsets), Seq("lang", "__shard"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        floor((col("__off") + col("__cum_in") - col("n_toks")) / lit(binTokens))
+          .cast("bigint").as("bin"))
+  }
+
   private val bm25K1 = 1.2
   private val bm25B = 0.75
   private val bm25Terms = Seq("join", "hash", "scan")
@@ -155,6 +189,14 @@ object PipelineOps {
         .select(col("doc_id"), col("lang"), col("n_toks"),
           floor((col("cum") - col("n_toks")) / lit(2048)).cast("bigint")
             .as("bin"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // The shard-and-offset form of q_pack_tokens (see packTokensSharded):
+    // same bins, verified by the SAME oracle SQL — the scale path is
+    // hash-gated against the sequential definition, not just documented.
+    "q_pack_tokens_sharded" -> ((s, d) => {
+      packTokensSharded(Tables.documents(s, d), 2048, shardWidth = 1000L)
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
@@ -287,6 +329,15 @@ object PipelineOps {
   private def r4sql(inner: String, alias: String) =
     s"floor(($inner) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS $alias"
 
+  private val packTokensOracle =
+    """WITH t AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+      |  FROM documents)
+      |SELECT doc_id, lang, CAST(n_toks AS INT) AS n_toks,
+      |  CAST(floor((sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id ASC
+      |    ROWS UNBOUNDED PRECEDING) - n_toks) / 2048) AS BIGINT) AS bin
+      |FROM t ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_sample_hash" ->
       """WITH h AS (
@@ -296,14 +347,9 @@ object PipelineOps {
         |  FROM documents)
         |SELECT doc_id, lang, hv % 10 AS bucket FROM h
         |WHERE hv % 100 < 25 ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
-    "q_pack_tokens" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
-        |  FROM documents)
-        |SELECT doc_id, lang, CAST(n_toks AS INT) AS n_toks,
-        |  CAST(floor((sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id ASC
-        |    ROWS UNBOUNDED PRECEDING) - n_toks) / 2048) AS BIGINT) AS bin
-        |FROM t ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_pack_tokens" -> packTokensOracle,
+    // the sharded pack must reproduce the sequential definition exactly
+    "q_pack_tokens_sharded" -> packTokensOracle,
     "q_text_tfidf" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

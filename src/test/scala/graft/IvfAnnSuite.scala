@@ -4,7 +4,8 @@ import graft.operators.IvfAnn
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class IvfAnnSuite extends AnyFunSuite {
+class IvfAnnSuite extends AnyFunSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import SparkFixture._
 
   test("IVF ANN returns valid ranked neighbors with sane recall") {
@@ -57,6 +58,22 @@ class IvfAnnSuite extends AnyFunSuite {
     val cells = new java.io.File(path + "/vectors").listFiles()
       .filter(_.getName.startsWith("cell="))
     assert(cells.nonEmpty, "vectors must be partitioned by cell")
+    // and the search scan proves the pruning: only probed cell
+    // directories are read (literal partition filter from the bounded
+    // probe-cell set)
+    val search = IvfIndex.search(spark, loaded,
+      e.filter(col("vec_id") < 10), nProbe = 2, topK = 5)
+    search.collect()
+    val scans = collectWithSubqueries(search.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("vectors")) => f
+    }
+    assert(scans.nonEmpty, "expected a file scan over the vectors dir")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        "vector scan must carry a partition filter on cell")
+      assert(f.relation.partitionSchema.fieldNames.contains("cell"))
+    }
   }
 
   test("q_ivf_index_search emits ranked top-5 rows for the probe set") {

@@ -81,6 +81,19 @@ class PipelineOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("sharded packing reproduces the sequential windowed pack exactly") {
+    // the 100 TB shard-and-offset form must be bit-identical to the
+    // per-language sequential definition (it also shares the oracle SQL);
+    // shardWidth=7 forces many shards and uneven shard sizes
+    val seq = SparkEntry.queries("q_pack_tokens")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val shard = PipelineOps.packTokensSharded(
+        Tables.documents(spark, sf), 2048, shardWidth = 7L)
+      .orderBy(col("doc_id").asc_nulls_first)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(shard.toSeq == seq.toSeq)
+  }
+
   test("bm25 output is rank-ordered and bounded to top 20") {
     val got = SparkEntry.queries("q_text_bm25")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))

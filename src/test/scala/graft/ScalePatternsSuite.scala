@@ -13,6 +13,25 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScalePatternsSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
   import SparkFixture._
 
+  test("withGlobalRank equals row_number over the total order on unique keys") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val got = ScalePatterns.withGlobalRank(df, "rk", col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("rk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = df.withColumn("rk",
+        row_number().over(Window.orderBy(col("o_orderkey").asc)))
+      .select(col("o_orderkey"), col("rk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == expected,
+      "parallel range+zipWithIndex ranks must equal the global window's")
+    // and the plan must NOT contain the single-partition window
+    val plan = ScalePatterns.withGlobalRank(df, "rk", col("o_orderkey").asc)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window expected, got:\n$plan")
+  }
+
   test("bucketed co-located join plans no shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
