@@ -53,12 +53,12 @@ object PipelineOps {
     */
   def connectedComponentsWithRounds(pairs: DataFrame,
       maxIter: Int = 20): (DataFrame, Int) = {
-    // checkpoint the pair input first: the orientation select reads it
-    // twice (greatest/least), and without materialization Spark would
-    // recompute the (potentially expensive) pair-producing plan per branch
-    val p = pairs.localCheckpoint()
-    // canonical large→small orientation, self-loops dropped
-    var edges = p.select(greatest(col("d1"), col("d2")).as("u"),
+    // canonical large→small orientation, self-loops dropped. The
+    // (potentially expensive) pair-producing plan is read exactly ONCE —
+    // greatest/least run in the same projection pass — and the distinct's
+    // localCheckpoint materializes the result for the iteration, so no
+    // separate checkpoint of the input is needed.
+    var edges = pairs.select(greatest(col("d1"), col("d2")).as("u"),
         least(col("d1"), col("d2")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     // cheap fixed-point detector: (count, xor of row hashes) per edge set

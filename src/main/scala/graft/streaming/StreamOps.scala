@@ -62,12 +62,32 @@ object StreamOps {
     * watermark is deliberately stricter than Spark's per-micro-batch
     * watermark; the true streaming semantics are covered by
     * StreamingSuite with a MemoryStream.)
+    *
+    * The running max is computed shard-and-offset (like the sharded
+    * sequence pack): a global prefix max equals greatest(within-shard
+    * prefix max, max over all PREVIOUS shards), `greatest` skipping
+    * nulls. Shards are event_id ranges (order-preserving), the per-shard
+    * maxima frame is #shards rows (bounded model state — its tiny
+    * prefix-max window never sees the corpus), so no single-task window
+    * touches event-scale data.
     */
   def watermarkLate(s: SparkSession, d: String): DataFrame = {
-    val arrival = Window.orderBy(col("event_id").asc_nulls_first)
+    val shardWidth = 4096L
+    val base = Tables.events(s, d)
+      .withColumn("__shard", floor(col("event_id") / shardWidth))
+    val wIn = Window.partitionBy(col("__shard"))
+      .orderBy(col("event_id").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, d)
-      .withColumn("wm_base", max(col("ts")).over(arrival))
+    val wShard = Window.orderBy(col("__shard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__shard"))
+      .agg(max(col("ts")).as("__sh_max"))
+      .withColumn("__off", max(col("__sh_max")).over(wShard))
+      .select(col("__shard"), col("__off"))
+    base
+      .withColumn("__in_prev", max(col("ts")).over(wIn))
+      .join(broadcast(offsets), Seq("__shard"))
+      .withColumn("wm_base", greatest(col("__in_prev"), col("__off")))
       .filter(col("wm_base").isNull ||
         col("ts") >= col("wm_base") - expr("INTERVAL 10 MINUTES"))
       .groupBy(window(col("ts"), "1 hour").as("w"))
