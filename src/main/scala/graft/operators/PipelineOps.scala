@@ -150,8 +150,12 @@ object PipelineOps {
       .agg(sum(col("n_toks")).as("__tot"))
       .withColumn("__off", sum(col("__tot")).over(wShard) - col("__tot"))
       .select(col("lang"), col("__shard"), col("__off"))
-    within.join(broadcast(offsets), Seq("lang", "__shard"))
-      .select(col("doc_id"), col("lang"), col("n_toks"),
+    // null-safe join keys: a plain inner join would silently DROP rows
+    // with a null lang/doc_id, where the windowed form keeps them
+    within.join(broadcast(offsets),
+        within("lang") <=> offsets("lang") &&
+          within("__shard") <=> offsets("__shard"))
+      .select(within("doc_id"), within("lang"), within("n_toks"),
         floor((col("__off") + col("__cum_in") - col("n_toks")) / lit(binTokens))
           .cast("bigint").as("bin"))
   }

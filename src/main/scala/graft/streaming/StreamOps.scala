@@ -84,9 +84,12 @@ object StreamOps {
       .agg(max(col("ts")).as("__sh_max"))
       .withColumn("__off", max(col("__sh_max")).over(wShard))
       .select(col("__shard"), col("__off"))
-    base
-      .withColumn("__in_prev", max(col("ts")).over(wIn))
-      .join(broadcast(offsets), Seq("__shard"))
+    // null-safe shard key: an inner join would drop a null event_id row
+    // that the windowed form keeps
+    val withPrev = base.withColumn("__in_prev", max(col("ts")).over(wIn))
+    withPrev
+      .join(broadcast(offsets),
+        withPrev("__shard") <=> offsets("__shard"))
       .withColumn("wm_base", greatest(col("__in_prev"), col("__off")))
       .filter(col("wm_base").isNull ||
         col("ts") >= col("wm_base") - expr("INTERVAL 10 MINUTES"))
