@@ -115,15 +115,17 @@ object Extras {
 
     // Small-file compaction round trip (lakehouse maintenance, reference
     // R22's write path at scale): fragment `documents` into 16 files,
-    // compact to the 128 MB target (-> 1 file at bench scale), and emit
-    // the audited counts. The oracle pins the expected file counts and
-    // that no rows were lost — compaction is a rewrite, not a transform.
+    // compact to a 1 GiB target, and emit the audited counts. The oracle
+    // pins the expected file counts and that no rows were lost —
+    // compaction is a rewrite, not a transform. The 1 GiB target keeps
+    // files_after=1 for any sf whose documents parquet stays under it
+    // (sf0.1 is ~20 MB), so the pinned oracle isn't a scale-knob trap.
     "q_compact_files" -> ((s, d) => {
       import s.implicits._
       val path = s"/tmp/graft_compact_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       Tables.documents(s, d).repartition(16)
         .write.mode("overwrite").parquet(path)
-      val (before, after) = graft.ingest.Ingest.compact(s, path, targetMB = 128)
+      val (before, after) = graft.ingest.Ingest.compact(s, path, targetMB = 1024)
       val n = s.read.parquet(path).count()
       Seq((before, after, n)).toDF("files_before", "files_after", "n_rows")
     })

@@ -49,7 +49,11 @@ object PipelineOps {
     * grow with the iteration count.
     *
     * Returns (labels, rounds): labels = (node, cluster) for every node
-    * that appears in a pair, cluster = min doc_id of its component.
+    * that appears in a NON-SELF pair, cluster = min doc_id of its
+    * component. Self-pairs (d, d) are ignored — a node with only
+    * self-loops is its own singleton and gets no row (the engine's pair
+    * sources emit d1 < d2 only); callers that want identity rows for
+    * such nodes union them in explicitly.
     */
   def connectedComponentsWithRounds(pairs: DataFrame,
       maxIter: Int = 20): (DataFrame, Int) = {
@@ -134,8 +138,11 @@ object PipelineOps {
     * shards' totals + within-shard cumulative sum), compute the running
     * sum within each (lang, shard) in parallel, then offset by the
     * prefix-summed shard totals. The offset window runs over the
-    * AGGREGATED (lang, shard) frame — #shards rows, bounded model-state,
-    * never the corpus — and joins back by broadcast.
+    * AGGREGATED (lang, shard) frame — id-range/shardWidth rows, never
+    * the corpus — and joins back by broadcast. That frame is model-state
+    * ONLY if shardWidth scales with the corpus (pick ~rows/cluster-cores;
+    * the decomposition nests another level if even the shard frame grows
+    * too large) — callers must size it, nothing here does.
     */
   def packTokensSharded(docs: DataFrame, binTokens: Int,
       shardWidth: Long): DataFrame = {
@@ -199,6 +206,9 @@ object PipelineOps {
     // The shard-and-offset form of q_pack_tokens (see packTokensSharded):
     // same bins, verified by the SAME oracle SQL — the scale path is
     // hash-gated against the sequential definition, not just documented.
+    // shardWidth=1000 is sized to force MULTIPLE shards at verify scale
+    // (exercising the offset stitch); production callers size it to the
+    // corpus per the scaladoc.
     "q_pack_tokens_sharded" -> ((s, d) => {
       packTokensSharded(Tables.documents(s, d), 2048, shardWidth = 1000L)
         .orderBy(col("doc_id").asc_nulls_first)

@@ -36,12 +36,6 @@ object ScalePatterns {
       key: String): DataFrame =
     spark.table(leftName).join(spark.table(rightName), key)
 
-  /** Skew-safe equi-join: left rows get a deterministic salt in
-    * [0, saltFactor); right rows are replicated once per salt value; the
-    * join key becomes (key, salt). Result set is identical to the plain
-    * join — every left row still meets every matching right row exactly
-    * once — but a hot key's rows now hash to `saltFactor` partitions.
-    */
   /** Global sequential ranks (1..n in `order`) WITHOUT a single-task
     * window: range-repartition on the sort key, sort within partitions,
     * then zipWithIndex — the per-partition offsets come from one count
@@ -50,11 +44,20 @@ object ScalePatterns {
     * Equals `row_number().over(Window.orderBy(order))` whenever the sort
     * key is unique (with ties the rank among tied rows is arbitrary in
     * BOTH formulations — range boundaries here, partition order there).
+    *
+    * EAGER: the sorted input is localCheckpoint'ed (one materializing
+    * job at call time) because zipWithIndex computes its offsets in a
+    * job of its own — without the checkpoint the whole sort pipeline
+    * would execute twice. The rank stitch itself runs as RDD[Row]
+    * (outside codegen): right for a bounded side (a merge delta), not
+    * for a hot inner loop.
     */
   def withGlobalRank(df: DataFrame, idCol: String,
       order: org.apache.spark.sql.Column*): DataFrame = {
     val s = df.sparkSession
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint()
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         idCol, org.apache.spark.sql.types.LongType, nullable = false))
@@ -64,6 +67,12 @@ object ScalePatterns {
     s.createDataFrame(ranked, schema)
   }
 
+  /** Skew-safe equi-join: left rows get a deterministic salt in
+    * [0, saltFactor); right rows are replicated once per salt value; the
+    * join key becomes (key, salt). Result set is identical to the plain
+    * join — every left row still meets every matching right row exactly
+    * once — but a hot key's rows now hash to `saltFactor` partitions.
+    */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
     val salted = left.withColumn("__salt",

@@ -66,13 +66,16 @@ object StreamOps {
     * The running max is computed shard-and-offset (like the sharded
     * sequence pack): a global prefix max equals greatest(within-shard
     * prefix max, max over all PREVIOUS shards), `greatest` skipping
-    * nulls. Shards are event_id ranges (order-preserving), the per-shard
-    * maxima frame is #shards rows (bounded model state — its tiny
-    * prefix-max window never sees the corpus), so no single-task window
-    * touches event-scale data.
+    * nulls. Shards are event_id ranges (order-preserving), so no
+    * single-task window touches event-scale data — only the per-shard
+    * maxima frame, which is id-range/shardWidth rows. That frame is
+    * model-state ONLY if shardWidth scales with the corpus (pick
+    * ~rows/cluster-cores; the decomposition nests another level if even
+    * that frame grows too large). The default is sized to exercise
+    * multiple shards at test scale, not for production id ranges.
     */
-  def watermarkLate(s: SparkSession, d: String): DataFrame = {
-    val shardWidth = 4096L
+  def watermarkLate(s: SparkSession, d: String,
+      shardWidth: Long = 4096L): DataFrame = {
     val base = Tables.events(s, d)
       .withColumn("__shard", floor(col("event_id") / shardWidth))
     val wIn = Window.partitionBy(col("__shard"))
@@ -177,7 +180,7 @@ object StreamOps {
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (session _),
-    "q_stream_watermark_late" -> (watermarkLate _)
+    "q_stream_watermark_late" -> ((s, d) => watermarkLate(s, d))
   )
 
   val oracle: Map[String, String] = Map(
