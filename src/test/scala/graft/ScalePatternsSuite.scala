@@ -125,6 +125,45 @@ class ScalePatternsSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       Tables.documents(spark, sf).filter(col("lang") === "de").count())
   }
 
+  test("runtime bloom filter prunes the big side of a selective join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    // both sides must be file relations: the filter creation side seeds
+    // the bloom from a real scan, and the application side must be big
+    // enough (thresholds lowered below) for the rewrite to pay off
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").parquet(dir + "/fact")
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(dir + "/dim")
+    val old = (
+      spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      // force a shuffle join: a broadcast join gets no bloom rewrite
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = spark.read.parquet(dir + "/dim")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val fact = spark.read.parquet(dir + "/fact")
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"expected a runtime bloom filter on the fact scan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", old._1)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old._2)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old._3)
+    }
+  }
+
   test("salted join returns exactly the plain join result") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
