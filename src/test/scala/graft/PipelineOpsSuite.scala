@@ -38,6 +38,47 @@ class PipelineOpsSuite extends AnyFunSuite {
         "(a diameter loop would need ~100)")
   }
 
+  test("CC labels match a union-find reference on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC0FFEE)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val edges = Seq.fill(50)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = PipelineOps.connectedComponents(edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: star CC diverged from union-find")
+    }
+  }
+
+  test("sharded packing keeps null-lang rows (null-safe stitch join)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("en"), "a b c d e"),
+      (2L, Option.empty[String], "f g h"),
+      (3L, Option("en"), "i j"),
+      (4L, Option.empty[String], "k l m n"))
+      .toDF("doc_id", "lang", "text")
+    val got = PipelineOps.packTokensSharded(docs, binTokens = 4, shardWidth = 2L)
+    assert(got.count() == 4, "null-lang rows must survive the offset join")
+    // null lang packs as its own group, same as the windowed definition
+    val nullBins = got.filter(col("lang").isNull)
+      .orderBy(col("doc_id")).collect().map(_.getLong(3))
+    assert(nullBins.toSeq == Seq(0L, 0L),
+      "3 tokens then 4 tokens: second doc starts at cum=3, bin floor(3/4)=0")
+  }
+
   test("q_dedup_clusters covers exactly the docs in near-dup pairs") {
     val pairDocs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
       .select(col("d1").as("d")).union(

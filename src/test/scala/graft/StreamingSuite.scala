@@ -238,6 +238,18 @@ class StreamingSuite extends AnyFunSuite {
       s"state lost across restart: $got")
   }
 
+  test("watermark replay is shard-width invariant (sharded == one shard)") {
+    // one giant shard degenerates to the plain global prefix max, so any
+    // width must reproduce it exactly — the decomposition is semantics-free
+    def run(w: Long) =
+      graft.streaming.StreamOps.watermarkLate(spark, sf, shardWidth = w)
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toSeq
+    val single = run(Long.MaxValue)
+    assert(single.nonEmpty)
+    assert(run(4096L) == single)
+    assert(run(17L) == single, "uneven tiny shards must not change output")
+  }
+
   test("rate source plugs into the same keyed aggregation (source pluggability)") {
     // the sandbox has no Kafka; the built-in rate source proves the
     // transforms are source-agnostic beyond files/MemoryStream
