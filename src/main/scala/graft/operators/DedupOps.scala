@@ -54,7 +54,7 @@ object DedupOps {
   }
 
   /** Exact trigram-set Jaccard for a joined pair carrying a_sh/b_sh. */
-  private def pairJaccard: Column =
+  private[operators] def pairJaccard: Column =
     graft.Det.r4(
       size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
         size(array_union(col("a_sh"), col("b_sh"))))
@@ -128,6 +128,30 @@ object DedupOps {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Cross-corpus exact Jaccard pairs: A-side shingles against B-side
+    * shingles only (no A×A, no B×B) — the INCREMENTAL dedup shape, where
+    * A is the standing corpus and B a new batch. Work per shingle key is
+    * df_A·df_B instead of (df_A+df_B)²/2, and the batch side is usually
+    * tiny relative to the corpus, so this is far cheaper than re-running
+    * the full self-join on A∪B. Emits (d1 ∈ A, d2 ∈ B, jaccard ≥ t);
+    * the same length-bound prune as the symmetric tier applies.
+    */
+  def crossNgramJaccardPairs(exA: DataFrame, exB: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = exA.select(col("doc_id").as("d1"), col("sz").as("sz1"), col("g"))
+    val b = exB.select(col("doc_id").as("d2"), col("sz").as("sz2"), col("g"))
+    val tSlack = math.max(0.0, threshold - 0.00005)
+    a.join(b, Seq("g"))
+      .filter(col("sz1") * tSlack <= col("sz2") &&
+        col("sz2") * tSlack <= col("sz1"))
+      .groupBy(col("d1"), col("sz1"), col("d2"), col("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", graft.Det.r4(col("inter") /
+        (col("sz1") + col("sz2") - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** Asymmetric containment near-dup pairs: containment(A in B) =
     * |A∩B| / |A| — catches a document whose shingle set is (mostly) a
     * SUBSET of another's (prefix/suffix/template duplication), which
@@ -177,33 +201,46 @@ object DedupOps {
     * near-dup pair: precision 1.0, recall asserted >= 80% vs the exact
     * tier in DedupSimilaritySuite.
     */
-  def minhashLshPairs(shRows0: DataFrame, threshold: Double): DataFrame = {
+  /** LSH band keys for a `shingleRows` frame: (doc_id, band), 16 bands
+    * of 2 minhash rows each, band key = index:sig:sig. Deterministic
+    * (fixed-seed affine permutations over one xxhash64 per shingle), so
+    * bands computed in DIFFERENT runs — or persisted by MinHashIndex and
+    * probed later — collide identically. Each doc emits exactly 16 rows.
+    */
+  private[operators] def bandRows(shRows: DataFrame): DataFrame = {
     import graft.functions.AffineHash.affine_hash
     val nHashes = 32
     val rnd = new scala.util.Random(0x5eed)          // fixed seed: deterministic perms
     val perms = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    val ex = shRows.select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val minhashes = perms.toIndexedSeq.zipWithIndex.map { case ((a, b), i) =>
+      min(affine_hash(col("h"), a, b)).as(s"h$i")
+    }
+    ex.groupBy(col("doc_id"))
+      .agg(minhashes.head, minhashes.tail: _*)
+      .select(col("doc_id"),
+        array((0 until nHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, 15), b -> " +
+          "concat(b, ':', sig[2*b], ':', sig[2*b+1]))")).as("band"))
+  }
+
+  /** Distinct-shingle sets per doc (doc_id, sh) for exact verification. */
+  private[operators] def shingleSets(shRows: DataFrame): DataFrame =
+    shRows.groupBy(col("doc_id")).agg(collect_list(col("g")).as("sh"))
+
+  def minhashLshPairs(shRows0: DataFrame, threshold: Double): DataFrame = {
     // one materialized shingle frame feeds BOTH the signature pass and
     // the exact-verification sets — the construction pipeline is the
     // expensive stage and Spark has no common-subplan reuse
     val shRows = shRows0.select(col("doc_id"), col("sz"), col("g"))
       .localCheckpoint()
-    val ex = shRows.select(col("doc_id"), xxhash64(col("g")).as("h"))
-    val minhashes = perms.toIndexedSeq.zipWithIndex.map { case ((a, b), i) =>
-      min(affine_hash(col("h"), a, b)).as(s"h$i")
-    }
-    val sig = ex.groupBy(col("doc_id"))
-      .agg(minhashes.head, minhashes.tail: _*)
-      .select(col("doc_id"),
-        array((0 until nHashes).map(i => col(s"h$i")): _*).as("sig"))
-    val bands = sig.select(col("doc_id"),
-      explode(expr("transform(sequence(0, 15), b -> " +
-        "concat(b, ':', sig[2*b], ':', sig[2*b+1]))")).as("band"))
+    val bands = bandRows(shRows)
     val cand = bands.alias("x").join(bands.alias("y"), Seq("band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val sets = shRows.groupBy(col("doc_id"))
-      .agg(collect_list(col("g")).as("sh"))
+    val sets = shingleSets(shRows)
     val withSets = cand
       .join(sets.select(col("doc_id").as("d1"), col("sh").as("a_sh")), Seq("d1"))
       .join(sets.select(col("doc_id").as("d2"), col("sh").as("b_sh")), Seq("d2"))
@@ -229,6 +266,31 @@ object DedupOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // Incremental dedup — the production loop: a new batch (doc_id % 5
+    // == 0, ~20%) is admitted against the standing corpus (the rest)
+    // WITHOUT reprocessing it. Exact tier: content-hash anti-join
+    // (16-byte digests move, not text). Near-dup tier: cross-corpus
+    // Jaccard (A×B only, never A×A — see crossNgramJaccardPairs; at
+    // 100 TB swap in MinHashIndex.probe against the persisted band
+    // index, suite-asserted equivalent-modulo-recall). Survivors =
+    // incoming minus both victim sets.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val exactSafe = incoming.join(
+        existing.select(md5(col("text")).as("__h")).distinct(),
+        md5(incoming("text")) === col("__h"), "left_anti")
+      val sh = shingleRows(s, d).localCheckpoint()
+      val victims = crossNgramJaccardPairs(
+          sh.filter(col("doc_id") % 5 =!= 0),
+          sh.filter(col("doc_id") % 5 === 0), 0.5)
+        .select(col("d2").as("doc_id")).distinct()
+      exactSafe.join(victims, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
@@ -328,6 +390,33 @@ object DedupOps {
         |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) >= 0.8
         |  AND (sz_s < sz_b OR (sz_s = sz_b AND d_small < d_big))
         |ORDER BY d_small ASC NULLS FIRST, d_big ASC NULLS FIRST""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |  WHERE len(ts) >= 3),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS g FROM sh),
+        |cp AS (
+        |  SELECT a.doc_id AS d1, a.sz AS sz1, b.doc_id AS d2, b.sz AS sz2,
+        |    count(1) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g
+        |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        |  GROUP BY 1, 2, 3, 4),
+        |victims AS (
+        |  SELECT DISTINCT d2 FROM cp
+        |  WHERE floor((inter / (sz1 + sz2 - inter)) * 10000
+        |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) >= 0.5),
+        |exact_dup AS (
+        |  SELECT DISTINCT i.doc_id FROM documents i
+        |  JOIN documents e ON i.text = e.text AND e.doc_id % 5 <> 0
+        |  WHERE i.doc_id % 5 = 0)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 5 = 0
+        |  AND doc_id NOT IN (SELECT d2 FROM victims)
+        |  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -87,6 +87,33 @@ class DedupSimilaritySuite extends AnyFunSuite {
     } finally { sh.unpersist(); () }
   }
 
+  test("persisted MinHash index probe: precision 1.0, >= 80% cross recall") {
+    val sh = operators.DedupOps.shingleRows(spark, sf).cache()
+    try {
+      val shEx = sh.filter(col("doc_id") % 5 =!= 0)
+      val shInc = sh.filter(col("doc_id") % 5 === 0)
+      val exact = operators.DedupOps.crossNgramJaccardPairs(shEx, shInc, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty, "planted cross-split near-dup pairs expected")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mh").toString + "/idx"
+      operators.MinHashIndex.fit(shEx, path)
+      val probed = operators.MinHashIndex.probe(spark, path, shInc, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((probed -- exact).isEmpty,
+        s"probe invented pairs: ${(probed -- exact).take(5)}")
+      val recall = (exact & probed).size.toDouble / exact.size
+      assert(recall >= 0.8, s"probe recall $recall over ${exact.size} pairs")
+      // and the survivors the oracled incremental query admits are
+      // exactly the incoming docs minus victims of the exact tier
+      val survivors = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+        .collect().map(_.getLong(0)).toSet
+      val victims = exact.map(_._2)
+      assert((survivors & victims).isEmpty,
+        "no admitted doc may be a verified near-dup of the corpus")
+    } finally { sh.unpersist(); () }
+  }
+
   test("exact dedup keeps one representative per (lang, source)") {
     val got = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val keys = Tables.documents(spark, sf)
