@@ -18,17 +18,17 @@ object SqlDemo {
 
     println("INJECTED partial_ratio('Deg. Level','degradation level') = " +
       spark.sql("SELECT partial_ratio('Deg. Level', 'degradation level') AS s")
-        .head.getInt(0))
+        .head().getInt(0))
 
     graft.GraftExtensions.register(spark)
     println("ABBREV pairs parsed = " +
       spark.sql("SELECT abbrev_pairs('TID = Total Ionizing Dose\nSEE = See (a,\nb)') AS p")
-        .head.getSeq[Any](0).size)
+        .head().getSeq[Any](0).size)
     println("DENSITY over (4,2,0) width 4 = " +
       spark.sql("SELECT graft_row_density(x) AS d FROM VALUES (4),(2),(0) AS t(x)")
-        .head.getDouble(0))
+        .head().getDouble(0))
 
-    try spark.sql("SELECT partial_ratio('a') AS s").head
+    try spark.sql("SELECT partial_ratio('a') AS s").head()
     catch { case e: Exception =>
       println("ARITY-ERR: " + e.getMessage.linesIterator.next()) }
 
