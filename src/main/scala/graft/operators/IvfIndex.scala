@@ -66,7 +66,7 @@ object IvfIndex {
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.get(0))
     val cands = s.read.parquet(h.path + "/vectors")
-      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
       .select(col("cell"), col("vec_id").as("nid"),
         col("embedding").as("ne"), col("nrm").as("nn"))
     val w = Window.partitionBy(col("qid"))

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * re-shingled. Band keys are deterministic (fixed-seed permutations,
   * `DedupOps.bandRows`), which is what makes cross-run probing sound.
   *
+  * At 100 TB, write `bands` BUCKETED by band key
+  * (`ScalePatterns.writeBucketed` shape) so each probe shuffles only the
+  * batch side against the pre-bucketed corpus, and let the candidate
+  * join's runtime bloom filter (plan-asserted in ScalePatternsSuite)
+  * prune the `sets` lookup to matched docs.
+  *
   * Generalizes the reference's ingest-skip invariant (main.py:90,
   * database.py:19 — "don't re-admit what's already in the DB") from
   * exact file identity to near-duplicate content identity.

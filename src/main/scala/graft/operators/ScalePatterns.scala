@@ -76,7 +76,7 @@ object ScalePatterns {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(saltFactor))
         .cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

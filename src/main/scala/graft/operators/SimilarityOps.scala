@@ -71,8 +71,8 @@ object SimilarityOps {
     // force asserted in SimilaritySuite.
     "q_sim_ann_lsh" -> ((s, d) => {
       val planes = hyperplanes(6, 64)
-      val planesCol = array(planes.map(p =>
-        array(p.map(v => lit(v)): _*)): _*)
+      val planesCol = array(planes.toIndexedSeq.map(p =>
+        array(p.toIndexedSeq.map(v => lit(v)): _*)): _*)
       val e = withNorm(Tables.embeddings(s, d))
         .withColumn("planes", planesCol)
         .withColumn("bucket", expr(

@@ -163,8 +163,9 @@ object StreamOps {
             val t = s.read.parquet(p).alias("t")
             val b = batch.alias("b")
             t.join(b, col(s"t.$key") === col(s"b.$key"), "full_outer")
-              .select(coalesce(col(s"b.$key"), col(s"t.$key")).as(key) +:
-                cols.map(c => coalesce(col(s"b.$c"), col(s"t.$c")).as(c)): _*)
+              .select((coalesce(col(s"b.$key"), col(s"t.$key")).as(key) +:
+                cols.toIndexedSeq.map(c =>
+                  coalesce(col(s"b.$c"), col(s"t.$c")).as(c))): _*)
               // eager materialization severs the plan from the files the
               // publish step is about to delete (incl. stage-as-source)
               .localCheckpoint()

@@ -24,7 +24,7 @@ class CorpusPipelineSuite extends AnyFunSuite {
     val written = spark.read.parquet(out)
     assert(written.count() == r.afterQuota)
     // partitioned layout by lang survives the round-trip
-    assert(written.select(countDistinct(col("lang"))).head.getLong(0) > 1)
+    assert(written.select(countDistinct(col("lang"))).head().getLong(0) > 1)
     // packing invariant: bin ids are dense non-negative per lang
     assert(written.filter(col("bin") < 0).count() == 0)
     // near-dup victims are gone: re-running pair detection on the output

@@ -39,7 +39,7 @@ class DedupSimilaritySuite extends AnyFunSuite {
       val exact = operators.DedupOps.ngramJaccardPairs(sh, 0.5)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       // cap above the corpus's max shingle df -> identical result set
-      val maxDf = sh.groupBy("g").count().agg(max("count")).head.getLong(0)
+      val maxDf = sh.groupBy("g").count().agg(max("count")).head().getLong(0)
       val capped = operators.DedupOps.ngramJaccardPairs(sh, 0.5, Some(maxDf.toInt))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(capped == exact, "cap >= max df must be a no-op")
@@ -76,7 +76,7 @@ class DedupSimilaritySuite extends AnyFunSuite {
     try {
       val exact = operators.DedupOps.containmentPairs(sh, 0.8)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val maxDf = sh.groupBy("g").count().agg(max("count")).head.getLong(0)
+      val maxDf = sh.groupBy("g").count().agg(max("count")).head().getLong(0)
       val capped = operators.DedupOps.containmentPairs(sh, 0.8, Some(maxDf.toInt))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(capped == exact, "cap >= max df must be a no-op")

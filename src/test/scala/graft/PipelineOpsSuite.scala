@@ -177,10 +177,10 @@ class PipelineOpsSuite extends AnyFunSuite {
   test("centroid output is |labels| x dim and n_vecs sums to corpus size") {
     val got = SparkEntry.queries("q_embed_centroid")(spark, sf)
     val labels = Tables.embeddings(spark, sf)
-      .select(countDistinct(col("label"))).head.getLong(0)
+      .select(countDistinct(col("label"))).head().getLong(0)
     assert(got.count() == labels * 64)
     val perLabelN = got.groupBy(col("label"))
-      .agg(max(col("n_vecs")).as("n")).agg(sum(col("n"))).head.getLong(0)
+      .agg(max(col("n_vecs")).as("n")).agg(sum(col("n"))).head().getLong(0)
     assert(perLabelN == Tables.embeddings(spark, sf).count())
   }
 
@@ -202,7 +202,7 @@ class PipelineOpsSuite extends AnyFunSuite {
     assert(got.forall(_.getInt(1) >= 0))
     val week0 = got.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
     val users = Tables.events(spark, sf)
-      .select(countDistinct(col("user_id"))).head.getLong(0)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
     assert(week0 == users, "every user is active in their own first week")
   }
 

@@ -48,7 +48,7 @@ class RelationalSuite extends AnyFunSuite {
     val li = Tables.lineitem(spark, sf)
       .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
     val got = SparkEntry.queries("q_agg_hash")(spark, sf)
-    val total = got.agg(sum("count_order")).head.getLong(0)
+    val total = got.agg(sum("count_order")).head().getLong(0)
     assert(total == li.count())
   }
 
@@ -56,7 +56,7 @@ class RelationalSuite extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("q_topk_per_group")(spark, sf)
     val maxPer = got.groupBy("o_custkey").count()
-      .agg(max("count")).head.getLong(0)
+      .agg(max("count")).head().getLong(0)
     assert(maxPer <= 3)
   }
 

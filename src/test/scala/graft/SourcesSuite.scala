@@ -19,8 +19,8 @@ class SourcesSuite extends AnyFunSuite {
     val back = spark.read.orc(dir)
     assert(back.schema == docs.schema)
     assert(back.count() == docs.count())
-    assert(back.agg(sum(col("doc_id"))).head.getLong(0) ==
-      docs.agg(sum(col("doc_id"))).head.getLong(0))
+    assert(back.agg(sum(col("doc_id"))).head().getLong(0) ==
+      docs.agg(sum(col("doc_id"))).head().getLong(0))
   }
 
   test("text source reads raw lines; lineSep and wholetext stay intact") {
