@@ -30,13 +30,23 @@ import org.apache.spark.sql.functions._
 object MinHashIndex {
 
   /** Sketch `shRows` (a `DedupOps.shingleRows` frame) into `path`. */
-  def fit(shRows0: DataFrame, path: String): Unit = {
+  def fit(shRows0: DataFrame, path: String): Unit =
+    write(shRows0, path, "overwrite")
+
+  /** Add new (already-admitted) docs' sketches to an existing index —
+    * the incremental-ingest publish step. Callers guarantee the doc_ids
+    * are new; the index itself never dedups.
+    */
+  def append(shRows0: DataFrame, path: String): Unit =
+    write(shRows0, path, "append")
+
+  private def write(shRows0: DataFrame, path: String, mode: String): Unit = {
     val shRows = shRows0.select(col("doc_id"), col("sz"), col("g"))
       .localCheckpoint()  // bands and sets both read it
     DedupOps.bandRows(shRows)
-      .write.mode("overwrite").parquet(path + "/bands")
+      .write.mode(mode).parquet(path + "/bands")
     DedupOps.shingleSets(shRows)
-      .write.mode("overwrite").parquet(path + "/sets")
+      .write.mode(mode).parquet(path + "/sets")
   }
 
   /** Probe an incoming batch (as a `shingleRows` frame) against the

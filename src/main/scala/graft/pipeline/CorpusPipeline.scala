@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import graft.operators.{DedupOps, PipelineOps}
+import graft.operators.{DedupOps, MinHashIndex, PipelineOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -109,5 +109,100 @@ object CorpusPipeline {
     val nBins = spark.read.parquet(outDir)
       .select(col("lang"), col("bin")).distinct().count()
     Report(input, afterQuality, afterExact, afterNearDup, afterQuota, nBins)
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental ingest: admit new batches against a standing corpus
+  // without ever reprocessing it — the production loop once the initial
+  // corpus is built. Generalizes the reference's idempotent dedup-append
+  // invariant (main.py:90, database.py:19: re-running ingest adds
+  // nothing) from exact row identity to near-duplicate content identity:
+  // re-ingesting an already-admitted batch admits ZERO documents
+  // (asserted in CorpusPipelineSuite).
+  // ---------------------------------------------------------------------
+
+  case class IncrementalReport(batch: Long, afterQuality: Long,
+      afterExact: Long, admitted: Long, corpusSize: Long)
+
+  private def gate(docs: DataFrame, minTokens: Int): DataFrame = docs
+    .withColumn("text", trim(regexp_replace(col("text"), " +", " ")))
+    .withColumn("n_toks", size(split(col("text"), " ")))
+    .filter(col("n_toks") >= minTokens)
+
+  /** Initialize the standing corpus from a first document set: normalize
+    * + quality gate + exact dedup, write the survivors to `corpusDir`,
+    * and sketch them into the MinHash index at `indexPath`. (Use
+    * [[run]] first for full historical cleaning — near-dup clusters,
+    * quotas — and seed from its output when that matters.)
+    */
+  def seedCorpus(spark: SparkSession, docs: DataFrame, corpusDir: String,
+      indexPath: String, minTokens: Int = 10): Long = {
+    val gated = gate(docs, minTokens)
+    val seeded = gated
+      .withColumn("__h", md5(col("text")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__h")).orderBy(col("doc_id").asc)))
+      .filter(col("__rn") === 1).drop("__h", "__rn")
+      .localCheckpoint()
+    seeded.write.mode("overwrite").parquet(corpusDir)
+    MinHashIndex.fit(
+      DedupOps.shingleRowsOf(seeded.select(col("doc_id"), col("text"))),
+      indexPath)
+    seeded.count()
+  }
+
+  /** Admit one batch against the standing corpus. The corpus itself is
+    * touched only through (a) its content-hash column (16-byte digests)
+    * and (b) the persisted MinHash index — never re-shingled, never
+    * re-scanned quadratically. Admission order semantics match the
+    * sequential "one doc at a time" definition: a batch doc is dropped
+    * if it exactly or nearly matches the corpus, then near-dup groups
+    * WITHIN the surviving batch keep their min doc_id. Admitted docs are
+    * appended to `corpusDir` and their bands/sets to the index, so the
+    * next batch (or a replay of this one) sees them.
+    */
+  def runIncremental(spark: SparkSession, batch: DataFrame,
+      corpusDir: String, indexPath: String, minTokens: Int = 10,
+      threshold: Double = 0.5): IncrementalReport = {
+    val nBatch = batch.count()
+    val gated = gate(batch, minTokens).localCheckpoint()
+    val afterQuality = gated.count()
+
+    // exact tier: dedup within the batch, then against corpus digests
+    val corpusHashes = spark.read.parquet(corpusDir)
+      .select(md5(col("text")).as("__h")).distinct()
+    val exactSafe = gated
+      .withColumn("__h", md5(col("text")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__h")).orderBy(col("doc_id").asc)))
+      .filter(col("__rn") === 1)
+      .join(corpusHashes, Seq("__h"), "left_anti").drop("__h", "__rn")
+      .localCheckpoint()
+    val afterExact = exactSafe.count()
+
+    // near-dup vs corpus: one probe of the persisted band index
+    val sh = DedupOps.shingleRowsOf(
+      exactSafe.select(col("doc_id"), col("text"))).localCheckpoint()
+    val corpusVictims = MinHashIndex.probe(spark, indexPath, sh, threshold)
+      .select(col("d2").as("doc_id")).distinct()
+    val corpusSafe = exactSafe.join(corpusVictims, Seq("doc_id"), "left_anti")
+
+    // near-dup within the surviving batch: LSH pairs -> CC -> keep min
+    val shSafe = sh.join(corpusSafe.select(col("doc_id")), Seq("doc_id"))
+    val batchVictims = PipelineOps.connectedComponents(
+        DedupOps.minhashLshPairs(shSafe, threshold)
+          .select(col("d1"), col("d2")))
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as("doc_id"))
+    val admitted = corpusSafe.join(batchVictims, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val nAdmitted = admitted.count()
+
+    // publish: corpus rows + index bands/sets for the admitted docs only
+    admitted.write.mode("append").parquet(corpusDir)
+    val shAdmitted = sh.join(admitted.select(col("doc_id")), Seq("doc_id"))
+    MinHashIndex.append(shAdmitted, indexPath)
+    IncrementalReport(nBatch, afterQuality, afterExact, nAdmitted,
+      spark.read.parquet(corpusDir).count())
   }
 }

@@ -41,6 +41,30 @@ class CorpusPipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("incremental ingest is near-dup idempotent (re-ingest admits zero)") {
+    val dir = Files.createTempDirectory("graft_inc").toString
+    val docs = Tables.documents(spark, sf)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val seeded = CorpusPipeline.seedCorpus(
+      spark, existing, s"$dir/corpus", s"$dir/idx")
+    assert(seeded > 0)
+    val r1 = CorpusPipeline.runIncremental(
+      spark, batch, s"$dir/corpus", s"$dir/idx")
+    assert(r1.admitted > 0, "non-duplicate batch docs must be admitted")
+    assert(r1.admitted < r1.afterExact,
+      "planted cross-split near-dups must be rejected by the index probe")
+    assert(r1.corpusSize == seeded + r1.admitted,
+      "corpus grows by exactly the admitted count")
+    // the reference's idempotent-append invariant, generalized to
+    // near-dup identity: replaying the same batch admits nothing
+    val r2 = CorpusPipeline.runIncremental(
+      spark, batch, s"$dir/corpus", s"$dir/idx")
+    assert(r2.admitted == 0,
+      s"re-ingest must admit zero, admitted ${r2.admitted}")
+    assert(r2.corpusSize == r1.corpusSize)
+  }
+
   test("MinHash-LSH pair source composes into the pipeline (100 TB tier)") {
     val outE = Files.createTempDirectory("graft_pipe_e").toString + "/corpus"
     val outL = Files.createTempDirectory("graft_pipe_l").toString + "/corpus"
