@@ -45,19 +45,13 @@ object CorpusPipeline {
     val docs = Tables.documents(spark, sfDir)
     val input = docs.count()
 
-    // 1. normalize (map-only): whitespace collapse + trim; keep original
-    //    casing — tokens are the dedup unit and the corpus is cased.
-    val normalized = docs
-      .withColumn("text", trim(regexp_replace(col("text"), " +", " ")))
-
-    // 2. quality gate (map-only): token floor. Each stage boundary is
+    // 1+2. normalize + quality gate (both map-only; shared with the
+    //    incremental path via gate() so batch and full runs can never
+    //    disagree on admission rules). Each stage boundary is
     //    localCheckpoint'ed: the report fires one action per stage and
     //    the write a final one — without materialization the exact-dedup
     //    shuffle would re-execute for every downstream action.
-    val quality = normalized
-      .withColumn("n_toks", size(split(col("text"), " ")))
-      .filter(col("n_toks") >= minTokens)
-      .localCheckpoint()
+    val quality = gate(docs, minTokens).localCheckpoint()
     val afterQuality = quality.count()
 
     // 3. exact dedup: one survivor per exact text (content-hash key, not
@@ -124,26 +118,37 @@ object CorpusPipeline {
   case class IncrementalReport(batch: Long, afterQuality: Long,
       afterExact: Long, admitted: Long, corpusSize: Long)
 
+  /** Stages 1+2 of admission (normalize + token floor), shared verbatim
+    * by [[run]], [[seedCorpus]] and [[runIncremental]] so full and
+    * incremental processing can never disagree on admission rules.
+    * Whitespace collapse + trim only; casing is kept — tokens are the
+    * dedup unit and the corpus is cased.
+    */
   private def gate(docs: DataFrame, minTokens: Int): DataFrame = docs
     .withColumn("text", trim(regexp_replace(col("text"), " +", " ")))
     .withColumn("n_toks", size(split(col("text"), " ")))
     .filter(col("n_toks") >= minTokens)
 
+  /** Exact-dedup within a gated frame and stamp the persisted
+    * `content_hash` column (md5 of normalized text) — the 16-byte key
+    * future batches' exact tier scans INSTEAD of re-hashing corpus text.
+    */
+  private def exactDedupWithHash(gated: DataFrame): DataFrame = gated
+    .withColumn("content_hash", md5(col("text")))
+    .withColumn("__rn", row_number().over(
+      Window.partitionBy(col("content_hash")).orderBy(col("doc_id").asc)))
+    .filter(col("__rn") === 1).drop("__rn")
+
   /** Initialize the standing corpus from a first document set: normalize
-    * + quality gate + exact dedup, write the survivors to `corpusDir`,
-    * and sketch them into the MinHash index at `indexPath`. (Use
-    * [[run]] first for full historical cleaning — near-dup clusters,
-    * quotas — and seed from its output when that matters.)
+    * + quality gate + exact dedup, write the survivors (with their
+    * `content_hash` column) to `corpusDir`, and sketch them into the
+    * MinHash index at `indexPath`. (Use [[run]] first for full
+    * historical cleaning — near-dup clusters, quotas — and seed from its
+    * output when that matters.)
     */
   def seedCorpus(spark: SparkSession, docs: DataFrame, corpusDir: String,
       indexPath: String, minTokens: Int = 10): Long = {
-    val gated = gate(docs, minTokens)
-    val seeded = gated
-      .withColumn("__h", md5(col("text")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__h")).orderBy(col("doc_id").asc)))
-      .filter(col("__rn") === 1).drop("__h", "__rn")
-      .localCheckpoint()
+    val seeded = exactDedupWithHash(gate(docs, minTokens)).localCheckpoint()
     seeded.write.mode("overwrite").parquet(corpusDir)
     MinHashIndex.fit(
       DedupOps.shingleRowsOf(seeded.select(col("doc_id"), col("text"))),
@@ -152,33 +157,47 @@ object CorpusPipeline {
   }
 
   /** Admit one batch against the standing corpus. The corpus itself is
-    * touched only through (a) its content-hash column (16-byte digests)
-    * and (b) the persisted MinHash index — never re-shingled, never
-    * re-scanned quadratically. Admission order semantics match the
-    * sequential "one doc at a time" definition: a batch doc is dropped
-    * if it exactly or nearly matches the corpus, then near-dup groups
-    * WITHIN the surviving batch keep their min doc_id. Admitted docs are
-    * appended to `corpusDir` and their bands/sets to the index, so the
-    * next batch (or a replay of this one) sees them.
+    * touched only through (a) its persisted `content_hash` column
+    * (16-byte digests — the text column is never re-read) and (b) the
+    * persisted MinHash index — never re-shingled, never re-scanned
+    * quadratically.
+    *
+    * Admission policy: a batch doc is dropped if it exactly or nearly
+    * matches the corpus; near-dup CLUSTERS within the surviving batch
+    * (connected components over verified LSH pairs) keep their min
+    * doc_id — the same transitive policy as [[run]], so a chain A~B~C
+    * admits only A even when A~C is below threshold. To keep replays
+    * idempotent under that policy, the index receives the sketches of
+    * EVERY corpus-safe batch doc (representatives AND their cluster
+    * victims): a replayed or future chain member then matches its
+    * nearest indexed neighbor even though only the representative lives
+    * in the corpus. The corpus parquet itself stays admitted-docs-only.
+    *
+    * Contract: `doc_id` is the global primary key — callers assign ids
+    * unique across all batches (the reference's R22 contract). A reused
+    * id would defeat the probe's self-pair filter and conflate distinct
+    * documents in every downstream join.
+    *
+    * The publish step is two independent appends (corpus, then index);
+    * a crash between them leaves admitted docs unindexed — run
+    * [[reconcile]] on restart to detect and repair that window.
     */
   def runIncremental(spark: SparkSession, batch: DataFrame,
       corpusDir: String, indexPath: String, minTokens: Int = 10,
       threshold: Double = 0.5): IncrementalReport = {
     val nBatch = batch.count()
-    val gated = gate(batch, minTokens).localCheckpoint()
-    val afterQuality = gated.count()
+    val gated = gate(batch, minTokens)
 
-    // exact tier: dedup within the batch, then against corpus digests
+    // exact tier: dedup within the batch, then against the corpus's
+    // persisted digests (a 16-byte column scan, pruned to one column)
     val corpusHashes = spark.read.parquet(corpusDir)
-      .select(md5(col("text")).as("__h")).distinct()
-    val exactSafe = gated
-      .withColumn("__h", md5(col("text")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__h")).orderBy(col("doc_id").asc)))
-      .filter(col("__rn") === 1)
-      .join(corpusHashes, Seq("__h"), "left_anti").drop("__h", "__rn")
+      .select(col("content_hash")).distinct()
+    val corpusSizeBefore = spark.read.parquet(corpusDir).count()
+    val exactSafe = exactDedupWithHash(gated)
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
       .localCheckpoint()
     val afterExact = exactSafe.count()
+    val afterQuality = gated.count()
 
     // near-dup vs corpus: one probe of the persisted band index
     val sh = DedupOps.shingleRowsOf(
@@ -186,6 +205,7 @@ object CorpusPipeline {
     val corpusVictims = MinHashIndex.probe(spark, indexPath, sh, threshold)
       .select(col("d2").as("doc_id")).distinct()
     val corpusSafe = exactSafe.join(corpusVictims, Seq("doc_id"), "left_anti")
+      .localCheckpoint()  // consumed by the pair join AND the admit anti-join
 
     // near-dup within the surviving batch: LSH pairs -> CC -> keep min
     val shSafe = sh.join(corpusSafe.select(col("doc_id")), Seq("doc_id"))
@@ -198,11 +218,34 @@ object CorpusPipeline {
       .localCheckpoint()
     val nAdmitted = admitted.count()
 
-    // publish: corpus rows + index bands/sets for the admitted docs only
+    // publish: corpus rows for admitted docs; index sketches for every
+    // corpus-safe doc (see scaladoc — replay idempotence under the
+    // transitive cluster policy needs the victims' sketches too)
     admitted.write.mode("append").parquet(corpusDir)
-    val shAdmitted = sh.join(admitted.select(col("doc_id")), Seq("doc_id"))
-    MinHashIndex.append(shAdmitted, indexPath)
+    MinHashIndex.append(
+      sh.join(corpusSafe.select(col("doc_id")), Seq("doc_id")), indexPath)
     IncrementalReport(nBatch, afterQuality, afterExact, nAdmitted,
-      spark.read.parquet(corpusDir).count())
+      corpusSizeBefore + nAdmitted)
+  }
+
+  /** Detect and repair the publish window [[runIncremental]] documents:
+    * corpus docs missing from the band index (crash between the corpus
+    * append and the index append) are re-shingled and appended. Returns
+    * the number of repaired docs. Idempotent; cheap when consistent
+    * (two id-column scans and an anti-join).
+    */
+  def reconcile(spark: SparkSession, corpusDir: String,
+      indexPath: String): Long = {
+    val corpus = spark.read.parquet(corpusDir)
+    val indexed = spark.read.parquet(indexPath + "/bands")
+      .select(col("doc_id")).distinct()
+    val missing = corpus.join(indexed, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val n = missing.count()
+    if (n > 0)
+      MinHashIndex.append(
+        DedupOps.shingleRowsOf(missing.select(col("doc_id"), col("text"))),
+        indexPath)
+    n
   }
 }

@@ -65,6 +65,50 @@ class CorpusPipelineSuite extends AnyFunSuite {
     assert(r2.corpusSize == r1.corpusSize)
   }
 
+  test("incremental replay is idempotent on transitive near-dup chains") {
+    import spark.implicits._
+    // A~B and B~C above threshold, but A~C below: the transitive cluster
+    // policy admits only A, and replay idempotence requires B's AND C's
+    // sketches in the index (C matches nothing admitted). Constructed so
+    // J(A,B)=J(B,C)=22/34≈0.65, J(A,C)=16/40=0.40 on word trigrams.
+    def w(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val s24 = w("s", 24)
+    val a = (w("x", 6) ++ s24).mkString(" ")
+    val b = (s24 ++ w("y", 6)).mkString(" ")
+    val c = (s24.drop(6) ++ w("y", 6) ++ w("z", 6)).mkString(" ")
+    val dir = Files.createTempDirectory("graft_chain").toString
+    val seedDocs = Seq((100L, "en", w("q", 30).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    CorpusPipeline.seedCorpus(spark, seedDocs, s"$dir/corpus", s"$dir/idx")
+    val batch = Seq((1L, "en", a), (2L, "en", b), (3L, "en", c))
+      .toDF("doc_id", "lang", "text")
+    val r1 = CorpusPipeline.runIncremental(
+      spark, batch, s"$dir/corpus", s"$dir/idx")
+    assert(r1.admitted == 1, s"chain must collapse to its representative, got ${r1.admitted}")
+    val r2 = CorpusPipeline.runIncremental(
+      spark, batch, s"$dir/corpus", s"$dir/idx")
+    assert(r2.admitted == 0,
+      s"chain tail must stay rejected on replay, admitted ${r2.admitted}")
+  }
+
+  test("reconcile repairs a corpus/index gap from a torn publish") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rec").toString
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    CorpusPipeline.seedCorpus(spark, docs, s"$dir/corpus", s"$dir/idx")
+    assert(CorpusPipeline.reconcile(spark, s"$dir/corpus", s"$dir/idx") == 0,
+      "a clean publish needs no repair")
+    // simulate the torn window: rebuild the index from only half the docs
+    val half = spark.read.parquet(s"$dir/corpus").filter(col("doc_id") % 2 === 0)
+    graft.operators.MinHashIndex.fit(
+      graft.operators.DedupOps.shingleRowsOf(
+        half.select(col("doc_id"), col("text"))), s"$dir/idx")
+    val repaired = CorpusPipeline.reconcile(spark, s"$dir/corpus", s"$dir/idx")
+    assert(repaired > 0)
+    assert(CorpusPipeline.reconcile(spark, s"$dir/corpus", s"$dir/idx") == 0,
+      "reconcile is idempotent")
+  }
+
   test("MinHash-LSH pair source composes into the pipeline (100 TB tier)") {
     val outE = Files.createTempDirectory("graft_pipe_e").toString + "/corpus"
     val outL = Files.createTempDirectory("graft_pipe_l").toString + "/corpus"
