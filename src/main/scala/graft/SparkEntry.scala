@@ -33,6 +33,7 @@ object SparkEntry {
     (EmbeddingOps.queries, EmbeddingOps.oracle),
     (QualityOps.queries, QualityOps.oracle),
     (AnalyticsOps.queries, AnalyticsOps.oracle),
+    (TrainingOps.queries, TrainingOps.oracle),
     (Flagship.queries, Flagship.oracle)
   )
 

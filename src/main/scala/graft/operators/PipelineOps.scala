@@ -22,7 +22,7 @@ object PipelineOps {
     * md5, as a bigint. Identical in DuckDB via
     * `CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)`.
     */
-  private def md5Hash32(c: Column): Column =
+  private[operators] def md5Hash32(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
 
   private def toks(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorOps.{vec_dot, vec_norm}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators — the curation steps a
+  * large-scale LLM data pipeline runs AFTER the dedup tiers
+  * ([[DedupOps]]) and quality scores ([[TextOps]]): benchmark
+  * decontamination (GPT-3 appendix C's n-gram overlap rule),
+  * intra-document repetition scoring (Gopher's repetition filters,
+  * Rae et al. 2021 §A.1), cross-document duplicated-span ratio
+  * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+  * Models Better"), deterministic global training-order shuffle,
+  * per-source epoch up-sampling (mixture weights), and SemDeDup-style
+  * semantic dedup over embeddings (Abbas et al. 2023).
+  *
+  * All operators are shuffle-bounded: n-gram joins are equi-joins on
+  * the gram key (the benchmark side of decontamination is tiny and
+  * broadcasts), scoring is partial-aggregation, epoch mixing is
+  * map-only row replication, and the global shuffle reuses
+  * [[ScalePatterns.withGlobalRank]] (range partition + per-partition
+  * offsets — no single-partition window).
+  */
+object TrainingOps {
+
+  /** Word n-gram rows (doc_id, g), duplicates KEPT — repetition scoring
+    * needs multiplicity. Same posexplode + lead construction as
+    * [[DedupOps.shingleRowsOf]] (codegen'd; no interpreted HOF lambdas),
+    * generalized to n and without the distinct.
+    */
+  private[operators] def ngramRows(docs: DataFrame, n: Int): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads: Seq[Column] = (1 until n).map(i =>
+      lead(col("w0"), i).over(byPos).as(s"w$i"))
+    val parts: Seq[Column] = (0 until n).map(i => col(s"w$i"))
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(col("doc_id") +: col("w0") +: leads: _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"))
+  }
+
+  /** Benchmark decontamination: drop any corpus document sharing at
+    * least one word `n`-gram with the benchmark (eval) set — the GPT-3 /
+    * PaLM containment rule (they used 13-grams on web-scale text; n is
+    * a parameter here). The benchmark gram set is tiny relative to the
+    * corpus — MBs of eval data vs 100 TB — so the semi-join broadcasts
+    * and the whole operator is one corpus scan.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val benchGrams = ngramRows(benchmark, n).select(col("g")).distinct()
+    val contaminated = ngramRows(docs, n)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-document duplicate-trigram fraction `1 − distinct/total` —
+    * Gopher's in-document repetition signal (Rae et al. 2021 §A.1.1):
+    * boilerplate and generation loops repeat the same n-grams. One
+    * partial-aggregable groupBy per doc; count_distinct is exact
+    * per-group (grams of one doc), never global.
+    */
+  def repetitionScores(docs: DataFrame): DataFrame =
+    ngramRows(docs, 3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_tris"),
+        count_distinct(col("g")).as("distinct_tris"))
+      .withColumn("dup_frac",
+        graft.Det.r4(lit(1.0) - col("distinct_tris") / col("total_tris")))
+
+  /** Per-document cross-corpus duplicated-span ratio: the fraction of a
+    * doc's DISTINCT trigrams that occur in ≥ 2 distinct documents
+    * (Lee et al. 2022's duplicated-text measure at shingle granularity).
+    * Two shuffles: gram → document-frequency (partial agg), then the
+    * same hot-gram equi-join shape as the exact dedup tiers to stamp
+    * each doc's share. df is the OUTPUT here, so no dfCap applies.
+    */
+  def duplicatedSpanScores(ex: DataFrame): DataFrame = {
+    val dfc = ex.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    ex.join(dfc, Seq("g"))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(count(when(col("df") >= 2, 1)).as("shared"))
+      .withColumn("shared_frac", graft.Det.r4(col("shared") / col("sz")))
+      .select(col("doc_id"), col("sz").cast("long").as("sz"),
+        col("shared"), col("shared_frac"))
+  }
+
+  /** Deterministic global training-order shuffle: order = portable
+    * 32-bit hash of (salt, doc_id), position materialized with
+    * [[ScalePatterns.withGlobalRank]] (repartitionByRange + zipWithIndex
+    * offsets — the scale-clean global row number; a bare
+    * `row_number() OVER (ORDER BY …)` would single-partition 100 TB).
+    * Same salt ⇒ same permutation on every run/cluster; a new epoch is
+    * just a new salt.
+    */
+  def globalShuffle(docs: DataFrame, salt: String): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("lang"),
+      PipelineOps.md5Hash32(concat_ws(":", lit(salt), col("doc_id"))).as("hv"))
+    ScalePatterns.withGlobalRank(hashed, "pos",
+      col("hv").asc_nulls_first, col("doc_id").asc_nulls_first)
+  }
+
+  /** Per-source epoch up-sampling: each source's documents are repeated
+    * `reps` times (mixture weighting by repetition, the standard way to
+    * hit target domain proportions without fractional sampling). Here
+    * `reps ∈ {1,2,3}` derives deterministically from the source name;
+    * in production it comes from a (broadcast) weights table. Map-only
+    * row replication — explode(sequence) — no shuffle at any scale.
+    */
+  def epochMix(docs: DataFrame): DataFrame = docs
+    .withColumn("reps", PipelineOps.md5Hash32(col("source")) % 3 + 1)
+    .withColumn("epoch", explode(sequence(lit(0L), col("reps") - 1)))
+    .select(col("doc_id"), col("source"), col("reps"), col("epoch"))
+
+  /** SemDeDup (Abbas et al. 2023): k-means the embedding space (reusing
+    * [[IvfAnn.assign]]'s deterministic seeding + distributed Lloyd
+    * steps), then compare vectors ONLY within their cluster — the
+    * within-cell self-join replaces the quadratic all-pairs scan; each
+    * pair is verified by exact cosine, so emitted drops are always true
+    * near-dups (the approximation only MISSES cross-cell pairs).
+    * Keep-min-id per pair, like the exact embedding tier. Returns the
+    * surviving (vec_id, label) rows.
+    */
+  def semanticDedup(e0: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val e = e0.withColumn("nrm", vec_norm(col("embedding")))
+    val (assigned, _) = IvfAnn.assign(e, k, iters)
+    val cells = assigned.select(col("cell"), col("vec_id"),
+      col("embedding"), col("nrm")).localCheckpoint()
+    val a = cells.select(col("cell"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = cells.select(col("cell"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("v1") < col("v2"))
+      .filter(graft.Det.r4(vec_dot(col("e1"), col("e2")) /
+        (col("n1") * col("n2"))) >= threshold)
+      .select(col("v2").as("vec_id")).distinct()
+    e0.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: eval set = doc_id % 23 == 0, 5-grams.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminate(
+        docs.filter(col("doc_id") % 23 =!= 0),
+        docs.filter(col("doc_id") % 23 === 0), n = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    "q_text_repetition" -> ((s, d) =>
+      repetitionScores(Tables.documents(s, d))
+        .orderBy(col("doc_id").asc_nulls_first)),
+
+    "q_dedup_spans" -> ((s, d) =>
+      duplicatedSpanScores(DedupOps.shingleRows(s, d))
+        .orderBy(col("doc_id").asc_nulls_first)),
+
+    "q_shuffle_global" -> ((s, d) =>
+      globalShuffle(Tables.documents(s, d), "shuf42")
+        .orderBy(col("pos").asc_nulls_first)),
+
+    "q_mix_epochs" -> ((s, d) =>
+      epochMix(Tables.documents(s, d))
+        .orderBy(col("doc_id").asc_nulls_first,
+          col("epoch").asc_nulls_first)),
+
+    // k-means seed is engine-defined → no SQL oracle; exactness
+    // (drops ⊆ brute-force cosine pairs) + recall are unit-asserted
+    // in TrainingOpsSuite.
+    "q_dedup_semantic" -> ((s, d) =>
+      semanticDedup(Tables.embeddings(s, d), k = 4, iters = 2,
+        threshold = 0.35)
+        .orderBy(col("vec_id").asc_nulls_first))
+  )
+
+  private val gram5 =
+    """list_transform(range(1, len(ts) - 3),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+      |           ts[i+3] || ' ' || ts[i+4])""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH g5 AS (
+        |  SELECT doc_id, unnest(list_distinct($gram5)) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |  WHERE len(ts) >= 5),
+        |bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 23 = 0),
+        |cont AS (
+        |  SELECT DISTINCT doc_id FROM g5
+        |  WHERE doc_id % 23 <> 0 AND g IN (SELECT g FROM bench))
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 23 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(range(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS tris
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |  WHERE len(ts) >= 3)
+        |SELECT doc_id, len(tris) AS total_tris,
+        |  len(list_distinct(tris)) AS distinct_tris,
+        |  floor((1.0 - len(list_distinct(tris)) / CAST(len(tris) AS DOUBLE))
+        |    * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS dup_frac
+        |FROM t ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_dedup_spans" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |  WHERE len(ts) >= 3),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS g FROM sh),
+        |dfc AS (SELECT g, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1)
+        |SELECT e.doc_id, any_value(e.sz) AS sz,
+        |  count(CASE WHEN d.df >= 2 THEN 1 END) AS shared,
+        |  floor((count(CASE WHEN d.df >= 2 THEN 1 END)
+        |      / CAST(any_value(e.sz) AS DOUBLE))
+        |    * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS shared_frac
+        |FROM ex e JOIN dfc d ON e.g = d.g
+        |GROUP BY e.doc_id ORDER BY e.doc_id ASC NULLS FIRST""".stripMargin,
+    "q_shuffle_global" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5('shuf42:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id, lang, hv,
+        |  row_number() OVER (ORDER BY hv ASC NULLS FIRST,
+        |    doc_id ASC NULLS FIRST) AS pos
+        |FROM h ORDER BY pos ASC NULLS FIRST""".stripMargin,
+    "q_mix_epochs" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT) % 3 + 1
+        |      AS reps
+        |  FROM documents)
+        |SELECT doc_id, source, reps, unnest(generate_series(0, reps - 1))
+        |  AS epoch
+        |FROM r ORDER BY doc_id ASC NULLS FIRST, epoch ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -89,6 +89,37 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
         s"pattern, not a global window, got:\n$plan")
   }
 
+  test("decontamination broadcasts the benchmark gram set") {
+    val q = SparkEntry.queries("q_decontaminate")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan
+    val bhjSemi = collectWithSubqueries(plan) {
+      case b: BroadcastHashJoinExec if b.joinType.sql.contains("SEMI") => b
+    }
+    assert(bhjSemi.nonEmpty,
+      s"the eval-set grams are MBs vs a 100 TB corpus — the contamination " +
+        s"probe must be a broadcast semi-join, got:\n$plan")
+  }
+
+  test("global shuffle plans no single-partition window for positions") {
+    val q = SparkEntry.queries("q_shuffle_global")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"training-order positions must come from the parallel " +
+        s"range+zipWithIndex pattern, not a global window, got:\n$plan")
+  }
+
+  test("epoch mixing is map-only up to the presentation sort") {
+    val q = SparkEntry.queries("q_mix_epochs")(spark, sf)
+    q.collect()
+    val shuffles = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e.outputPartitioning
+    }
+    assert(shuffles.forall(_.isInstanceOf[RangePartitioning]),
+      s"row replication must not shuffle; found hash shuffles: $shuffles")
+  }
+
   test("inverted-index posting limit plans as map-side WindowGroupLimit") {
     val q = SparkEntry.queries("q_text_inverted_index")(spark, sf)
     q.collect()

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{DedupOps, TrainingOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior checks for the training-corpus preparation operators. The
+  * SQL-expressible ones (decontaminate/repetition/spans/shuffle/mix)
+  * are DuckDB-oracled; these tests pin the SEMANTICS on constructed
+  * inputs, plus the exactness/recall contract of the un-oracled
+  * semantic dedup tier.
+  */
+class TrainingOpsSuite extends AnyFunSuite {
+  import SparkFixture._
+
+  test("decontaminate drops exactly the docs sharing a benchmark n-gram") {
+    import spark.implicits._
+    val bench = Seq((1000L, "the quick brown fox jumps over lazy dogs"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox jumps too"), // shares 5-gram
+      (2L, "quick brown fox jumps over"),                      // shares 5-gram
+      (3L, "the quick brown fox sleeps all day long"),         // only 4-gram
+      (4L, "completely unrelated content with no overlap here")
+    ).toDF("doc_id", "text")
+    val kept = TrainingOps.decontaminate(corpus, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+  }
+
+  test("repetition score is 0 for distinct text, high for a loop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // 6 trigrams, all distinct
+      (2L, "x y z x y z x y z x y z")     // 10 trigrams, 3 distinct
+    ).toDF("doc_id", "text")
+    val rows = TrainingOps.repetitionScores(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((6L, 6L, 0.0)))
+    assert(rows(2L) == ((10L, 3L, 0.7)))
+  }
+
+  test("duplicated-span ratio: templated docs score 1, unique doc 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared template body one two three"),
+      (2L, "shared template body one two three"),  // full dup of 1
+      (3L, "entirely different words in this doc")
+    ).toDF("doc_id", "text")
+    val rows = TrainingOps
+      .duplicatedSpanScores(DedupOps.shingleRowsOf(docs))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(1L) == 1.0 && rows(2L) == 1.0 && rows(3L) == 0.0)
+  }
+
+  test("global shuffle is a deterministic permutation, not id order") {
+    val a = TrainingOps.globalShuffle(Tables.documents(spark, sf), "shuf42")
+    val b = TrainingOps.globalShuffle(Tables.documents(spark, sf), "shuf42")
+    val ra = a.orderBy(col("pos")).collect().map(r => (r.getLong(0), r.getLong(3)))
+    val rb = b.orderBy(col("pos")).collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(ra.sameElements(rb), "same salt must reproduce the permutation")
+    assert(ra.map(_._2).toSeq == (1L to ra.length).toSeq, "pos is 1..N dense")
+    assert(ra.map(_._1).toSet.size == ra.length, "each doc appears once")
+    assert(ra.map(_._1).toSeq != ra.map(_._1).sorted.toSeq,
+      "hash order must differ from doc_id order")
+    val other = TrainingOps.globalShuffle(Tables.documents(spark, sf), "shuf43")
+      .orderBy(col("pos")).collect().map(_.getLong(0))
+    assert(other.toSeq != ra.map(_._1).toSeq, "new salt => new permutation")
+  }
+
+  test("epoch mix replicates each doc exactly reps times, epochs 0..reps-1") {
+    val m = TrainingOps.epochMix(Tables.documents(spark, sf))
+    val byDoc = m.groupBy(col("doc_id"))
+      .agg(max(col("reps")).as("reps"), count(lit(1)).as("n"),
+        min(col("epoch")).as("lo"), max(col("epoch")).as("hi"))
+    assert(byDoc.filter(col("n") =!= col("reps") || col("lo") =!= 0 ||
+      col("hi") =!= col("reps") - 1).count() == 0)
+    assert(m.select(min(col("reps")), max(col("reps"))).collect().head
+      .toSeq == Seq(1L, 3L), "source-derived reps must span the 1..3 range")
+  }
+
+  test("semantic dedup drops only true cosine near-dups, with recall") {
+    // brute-force drop set at the same threshold/policy (v2 of each pair)
+    val bruteDrops = SparkEntry.queries("q_dedup_embedding")(spark, sf)
+      .select(col("v2")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(bruteDrops.nonEmpty, "corpus plants cosine>=0.35 pairs")
+    val all = Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val survivors = SparkEntry.queries("q_dedup_semantic")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val semDrops = all -- survivors
+    assert((semDrops -- bruteDrops).isEmpty,
+      s"semantic drops must be exact-verified: ${(semDrops -- bruteDrops).take(5)}")
+    val recall = (semDrops & bruteDrops).size.toDouble / bruteDrops.size
+    assert(recall >= 0.5,
+      s"within-cluster pass should catch most near-dups, recall=$recall")
+  }
+}
