@@ -146,6 +146,51 @@ object TrainingOps {
       .select(col("vec_id"), col("label"))
   }
 
+  /** Per-document cross-entropy under an add-one-smoothed unigram LM
+    * trained on the corpus itself — the CCNet-style "perplexity against
+    * a reference LM" quality filter (Wenzek et al. 2020), with the
+    * reference LM made deterministic (corpus unigrams) so the score is
+    * oracle-checkable. xent = avg over tokens of −ln p(w),
+    * p(w) = (count(w)+1) / (N+V). The LM is vocabulary-sized (≪ corpus);
+    * the token→LM equi-join is the standard hot-term join — broadcast
+    * when V fits, else it shuffles on term like the TF-IDF tier.
+    */
+  def perplexityScores(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"),
+      count_distinct(col("term")).as("v"))
+    toks.join(lm, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        graft.Det.r4(avg(-log((col("c") + 1) /
+          (col("n") + col("v")).cast("double")))).as("xent"))
+  }
+
+  /** Greedy per-language token-budget sampling: walk each language's
+    * docs in deterministic salted-hash order, admitting while the
+    * tokens consumed BEFORE the doc are under budget (so the budget may
+    * overshoot by at most one doc — the greedy-fill convention). The
+    * running sum is a per-language window: parallel across languages,
+    * sequential within one — the same group-sequential shape as
+    * `q_pack_tokens`, with the same shard-and-offset scale path
+    * ([[PipelineOps]]' sharded packer) when one language outgrows a task.
+    */
+  def tokenBudgetSample(docs: DataFrame, budget: Long, salt: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hv").asc_nulls_first, col("doc_id").asc_nulls_first)
+    docs
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("hv",
+        PipelineOps.md5Hash32(concat_ws(":", lit(salt), col("doc_id"))))
+      .withColumn("cum_before",
+        (sum(col("n_toks")).over(w) - col("n_toks")).cast("long"))
+      .filter(col("cum_before") < budget)
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_before"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: eval set = doc_id % 23 == 0, 5-grams.
     "q_decontaminate" -> ((s, d) => {
@@ -173,6 +218,15 @@ object TrainingOps {
       epochMix(Tables.documents(s, d))
         .orderBy(col("doc_id").asc_nulls_first,
           col("epoch").asc_nulls_first)),
+
+    "q_text_perplexity" -> ((s, d) =>
+      perplexityScores(Tables.documents(s, d))
+        .orderBy(col("doc_id").asc_nulls_first)),
+
+    "q_sample_token_budget" -> ((s, d) =>
+      tokenBudgetSample(Tables.documents(s, d), budget = 2000L,
+        salt = "budget7")
+        .orderBy(col("doc_id").asc_nulls_first)),
 
     // k-means seed is engine-defined → no SQL oracle; exactness
     // (drops ⊆ brute-force cosine pairs) + recall are unit-asserted
@@ -237,6 +291,33 @@ object TrainingOps {
         |  row_number() OVER (ORDER BY hv ASC NULLS FIRST,
         |    doc_id ASC NULLS FIRST) AS pos
         |FROM h ORDER BY pos ASC NULLS FIRST""".stripMargin,
+    "q_text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT term) AS v FROM toks),
+        |lm AS (SELECT term, count(*) AS c FROM toks GROUP BY 1)
+        |SELECT t.doc_id, count(*) AS n_toks,
+        |  floor(avg(-ln((l.c + 1) / CAST((SELECT n FROM tot)
+        |      + (SELECT v FROM tot) AS DOUBLE)))
+        |    * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS xent
+        |FROM toks t JOIN lm l ON t.term = l.term
+        |GROUP BY t.doc_id ORDER BY t.doc_id ASC NULLS FIRST""".stripMargin,
+    "q_sample_token_budget" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+        |    CAST(('0x' || substring(md5('budget7:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) AS hv
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_toks,
+        |    CAST(sum(n_toks) OVER (PARTITION BY lang
+        |      ORDER BY hv ASC NULLS FIRST, doc_id ASC NULLS FIRST)
+        |      - n_toks AS BIGINT) AS cum_before
+        |  FROM h)
+        |SELECT doc_id, lang, n_toks, cum_before FROM c
+        |WHERE cum_before < 2000
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_mix_epochs" ->
       """WITH r AS (
         |  SELECT doc_id, source,

@@ -228,6 +228,39 @@ object CorpusPipeline {
       corpusSizeBefore + nAdmitted)
   }
 
+  /** Continuous corpus admission: stream document-batch files landing
+    * under `sourceDir` through [[runIncremental]] with a foreachBatch
+    * sink — the Structured-Streaming composition of the incremental
+    * path. Micro-batch delivery is at-least-once on recovery, which is
+    * exactly why it composes safely here: [[runIncremental]] is
+    * near-dup-idempotent (replayed docs match their own sketches in the
+    * band index and are dropped), so a re-delivered micro-batch admits
+    * nothing twice. Caller picks the trigger: `Trigger.AvailableNow()`
+    * drains the backlog and stops (the tested shape); the default
+    * processing-time trigger tails the directory forever.
+    */
+  def streamIncremental(spark: SparkSession, sourceDir: String,
+      corpusDir: String, indexPath: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      minTokens: Int = 10, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val batches = spark.readStream
+      .schema(graft.Schemas.corpus("documents"))
+      .parquet(sourceDir)
+    batches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          runIncremental(spark, batch.toDF(), corpusDir, indexPath,
+            minTokens, threshold)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Detect and repair the publish window [[runIncremental]] documents:
     * corpus docs missing from the band index (crash between the corpus
     * append and the index append) are re-shingled and appended. Returns

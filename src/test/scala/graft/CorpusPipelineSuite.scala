@@ -109,6 +109,39 @@ class CorpusPipelineSuite extends AnyFunSuite {
       "reconcile is idempotent")
   }
 
+  test("streaming admission drains batches and stays idempotent on replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_adm").toString
+    val (src, corpus, idx) = (s"$dir/in", s"$dir/corpus", s"$dir/idx")
+    def doc(id: Long, text: String) = (id, text, "en", "src0", text.length.toLong)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    CorpusPipeline.seedCorpus(spark,
+      Seq(doc(1L, (1 to 30).map(i => s"s$i").mkString(" ")))
+        .toDF(cols: _*), corpus, idx)
+    // two landed batch files: new doc + an exact dup of the seed
+    Seq(doc(2L, (1 to 30).map(i => s"t$i").mkString(" ")))
+      .toDF(cols: _*).write.parquet(s"$src/b1")
+    Seq(doc(3L, (1 to 30).map(i => s"s$i").mkString(" ")))
+      .toDF(cols: _*).write.parquet(s"$src/b2")
+    def drain(): Unit = {
+      val q = CorpusPipeline.streamIncremental(spark, s"$src/*", corpus,
+        idx, s"$dir/ckpt", Trigger.AvailableNow())
+      q.awaitTermination(120000); ()
+    }
+    drain()
+    val admitted = spark.read.parquet(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 2L),
+      s"new doc admitted, corpus dup rejected: got $admitted")
+    // a FRESH checkpoint re-delivers both files — admission must not grow
+    val q2 = CorpusPipeline.streamIncremental(spark, s"$src/*", corpus,
+      idx, s"$dir/ckpt2", Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(corpus).count() == 2,
+      "replayed batches must admit nothing")
+  }
+
   test("MinHash-LSH pair source composes into the pipeline (100 TB tier)") {
     val outE = Files.createTempDirectory("graft_pipe_e").toString + "/corpus"
     val outL = Files.createTempDirectory("graft_pipe_l").toString + "/corpus"

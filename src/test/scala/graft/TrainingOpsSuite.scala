@@ -80,6 +80,39 @@ class TrainingOpsSuite extends AnyFunSuite {
       .toSeq == Seq(1L, 3L), "source-derived reps must span the 1..3 range")
   }
 
+  test("perplexity ranks rare-token docs above common-token docs") {
+    import spark.implicits._
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "alpha beta gamma delta")) :+
+        (99L, "xylo quor zynth wub")
+    ).toDF("doc_id", "text")
+    val scores = TrainingOps.perplexityScores(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(99L) > scores(1L),
+      s"rare tokens must score higher cross-entropy: $scores")
+    assert(scores.filterKeys(_ != 99L).values.toSet.size == 1,
+      "identical docs score identically")
+  }
+
+  test("token budget admits greedily per language up to the budget") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 2000L
+    val picked = TrainingOps.tokenBudgetSample(docs, budget, "budget7")
+    assert(picked.filter(col("cum_before") >= budget).count() == 0)
+    // greedy fill: per language, either the budget is reached (the last
+    // admitted doc crosses it) or the whole language was admitted
+    val perLang = picked.groupBy(col("lang"))
+      .agg(sum(col("n_toks")).as("got"), count(lit(1)).as("n"))
+      .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("total")), "lang")
+      .collect()
+    perLang.foreach { r =>
+      val (got, n, total) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(got >= budget || n == total,
+        s"lang ${r.getString(0)}: admitted $got tokens of budget $budget " +
+          s"with ${total - n} docs left unconsidered")
+    }
+  }
+
   test("semantic dedup drops only true cosine near-dups, with recall") {
     // brute-force drop set at the same threshold/policy (v2 of each pair)
     val bruteDrops = SparkEntry.queries("q_dedup_embedding")(spark, sf)
