@@ -30,12 +30,27 @@ class PipelineOpsSuite extends AnyFunSuite {
     // ~diameter rounds = 99); the star contraction must do it in O(log n)
     val chain = (1L until 100L).map(i => (i, i + 1)).toDF("d1", "d2")
     val (labels, rounds) =
-      PipelineOps.connectedComponentsWithRounds(chain)
+      PipelineOps.connectedComponentsWithRounds(chain, localFinishEdges = 0L)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (1L to 100L).map(_ -> 1L).toMap)
+    assert(rounds > 0, "localFinishEdges=0 must force the distributed path")
     assert(rounds <= 10,
       s"O(log n) contraction expected, took $rounds rounds " +
         "(a diameter loop would need ~100)")
+  }
+
+  test("local union-find endgame matches the distributed star path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xBEEF)
+    val edges = Seq.fill(80)(
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.toDF("d1", "d2")
+    val (local, r0) = PipelineOps.connectedComponentsWithRounds(edges)
+    val (dist, rD) = PipelineOps.connectedComponentsWithRounds(
+      edges, localFinishEdges = 0L)
+    assert(r0 == 0 && rD > 0)
+    assert(local.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      dist.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
   test("CC labels match a union-find reference on seeded random graphs") {
