@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import graft.operators.{DedupOps, MinHashIndex, PipelineOps}
+import graft.operators.{DedupOps, MinHashIndex, PipelineOps, TrainingOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
 /** The end-to-end training-corpus preprocessing pipeline, composed from
   * the engine's own operators:
   *
-  *   normalize -> quality gate -> exact dedup -> near-dup cluster
+  *   normalize -> quality gate -> optional curation gates
+  *   (benchmark decontamination / repetition / perplexity ceilings,
+  *   from the TrainingOps tier) -> exact dedup -> near-dup cluster
   *   resolve (MinHash-free exact tier at test scale; swap the pair
   *   source for the LSH tier at 100 TB) -> per-language quota ->
   *   fixed-capacity sequence packing -> partitioned parquet write.
@@ -25,8 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  case class Report(input: Long, afterQuality: Long, afterExact: Long,
-      afterNearDup: Long, afterQuota: Long, nBins: Long)
+  case class Report(input: Long, afterQuality: Long, afterCuration: Long,
+      afterExact: Long, afterNearDup: Long, afterQuota: Long, nBins: Long)
 
   /** Run the full pipeline; writes the packed corpus partitioned by lang
     * under `outDir` and returns per-stage counts.
@@ -41,7 +43,10 @@ object CorpusPipeline {
       minTokens: Int = 10, jaccardThreshold: Double = 0.5,
       quotaPerLang: Int = 200, binTokens: Int = 2048,
       pairSource: (DataFrame, Double) => DataFrame =
-        DedupOps.ngramJaccardPairs(_, _, None)): Report = {
+        DedupOps.ngramJaccardPairs(_, _, None),
+      benchmark: Option[DataFrame] = None,
+      maxRepetition: Option[Double] = None,
+      maxXent: Option[Double] = None): Report = {
     val docs = Tables.documents(spark, sfDir)
     val input = docs.count()
 
@@ -54,9 +59,34 @@ object CorpusPipeline {
     val quality = gate(docs, minTokens).localCheckpoint()
     val afterQuality = quality.count()
 
+    // 2.5 (optional) curation gates from the TrainingOps tier, cheapest
+    //    first: benchmark decontamination (broadcast semi-join probe),
+    //    in-document repetition ceiling, and a perplexity ceiling under
+    //    the corpus's own unigram LM (self-scoring: outliers against the
+    //    corpus distribution are exactly the gibberish the filter
+    //    targets). All disabled by default; when disabled this stage
+    //    adds zero jobs and afterCuration == afterQuality.
+    val curated0 = benchmark
+      .map(b => TrainingOps.decontaminate(quality, b, n = 5))
+      .getOrElse(quality)
+    val curated1 = maxRepetition.map { t =>
+      val victims = TrainingOps.repetitionScores(curated0)
+        .filter(col("dup_frac") > t).select(col("doc_id"))
+      curated0.join(victims, Seq("doc_id"), "left_anti")
+    }.getOrElse(curated0)
+    val curated2 = maxXent.map { t =>
+      val victims = TrainingOps.perplexityScores(curated1)
+        .filter(col("xent") > t).select(col("doc_id"))
+      curated1.join(victims, Seq("doc_id"), "left_anti")
+    }.getOrElse(curated1)
+    val curationOn =
+      benchmark.nonEmpty || maxRepetition.nonEmpty || maxXent.nonEmpty
+    val curated = if (curationOn) curated2.localCheckpoint() else quality
+    val afterCuration = if (curationOn) curated.count() else afterQuality
+
     // 3. exact dedup: one survivor per exact text (content-hash key, not
     //    the raw text, so the shuffle moves 16-byte digests).
-    val exact = quality
+    val exact = curated
       .withColumn("__h", md5(col("text")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__h")).orderBy(col("doc_id").asc)))
@@ -102,7 +132,8 @@ object CorpusPipeline {
     packed.write.mode("overwrite").partitionBy("lang").parquet(outDir)
     val nBins = spark.read.parquet(outDir)
       .select(col("lang"), col("bin")).distinct().count()
-    Report(input, afterQuality, afterExact, afterNearDup, afterQuota, nBins)
+    Report(input, afterQuality, afterCuration, afterExact, afterNearDup,
+      afterQuota, nBins)
   }
 
   // ---------------------------------------------------------------------

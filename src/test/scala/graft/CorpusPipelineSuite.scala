@@ -16,7 +16,9 @@ class CorpusPipelineSuite extends AnyFunSuite {
     val r = CorpusPipeline.run(spark, sf, out)
     assert(r.input > 0)
     assert(r.afterQuality <= r.input)
-    assert(r.afterExact <= r.afterQuality)
+    assert(r.afterCuration == r.afterQuality,
+      "curation gates default off — the stage must be a no-op")
+    assert(r.afterExact <= r.afterCuration)
     assert(r.afterNearDup <= r.afterExact)
     assert(r.afterQuota <= r.afterNearDup)
     assert(r.afterNearDup < r.input,
@@ -39,6 +41,23 @@ class CorpusPipelineSuite extends AnyFunSuite {
         assert(node == cluster || !survivors.contains(cluster),
           s"near-dup pair ($node, $cluster) both survived")
     }
+  }
+
+  test("curation gates drop contaminated and repetitive docs end-to-end") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_pipe_cur").toString + "/corpus"
+    // benchmark = a verbatim 5-gram slice of a real corpus doc
+    val probe = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 7).select("text").head().getString(0)
+    val bench = Seq((9000L, probe.split(" ").take(5).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = CorpusPipeline.run(spark, sf, out,
+      benchmark = Some(bench), maxRepetition = Some(0.9),
+      maxXent = Some(100.0))
+    assert(r.afterCuration < r.afterQuality,
+      "the planted contamination must cost at least doc 7")
+    assert(!spark.read.parquet(out).filter(col("doc_id") === 7)
+      .head(1).nonEmpty, "contaminated doc must not be in the output")
   }
 
   test("incremental ingest is near-dup idempotent (re-ingest admits zero)") {
