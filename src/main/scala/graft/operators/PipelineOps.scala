@@ -50,8 +50,9 @@ object PipelineOps {
     *
     * Returns (labels, rounds): labels = (node, cluster) for every node
     * that appears in a NON-SELF pair, cluster = min doc_id of its
-    * component; rounds = 0 when the edge set was small enough for the
-    * driver-local union-find endgame (see `localFinishEdges`). Self-pairs (d, d) are ignored — a node with only
+    * component; rounds = the number of distributed star rounds that ran
+    * before the driver-local union-find endgame engaged (0 when the
+    * input was already under `localFinishEdges`). Self-pairs (d, d) are ignored — a node with only
     * self-loops is its own singleton and gets no row (the engine's pair
     * sources emit d1 < d2 only); callers that want identity rows for
     * such nodes union them in explicitly.
@@ -87,10 +88,15 @@ object PipelineOps {
     // frame. The bound is EDGES (collected ≤ 16 B × localFinishEdges),
     // not input rows; pass localFinishEdges = 0 to force the fully
     // distributed path.
-    if (edgeSum._1 <= localFinishEdges) {
+    // Both star steps preserve the node set (every node keeps at least
+    // one incident edge until the forest is read off) and component
+    // connectivity, so finishing locally on a PARTIALLY contracted edge
+    // set yields the same (node, component-min) labels as running the
+    // rounds to their fixed point.
+    def localFinish(e: DataFrame): DataFrame = {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
+      val es = e.select(col("u"), col("v")).as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -103,10 +109,12 @@ object PipelineOps {
         val (ru, rv) = (find(u), find(v))
         if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
       }
-      val labels = es.iterator.flatMap(e => Iterator(e._1, e._2))
+      val labels = es.iterator.flatMap(p => Iterator(p._1, p._2))
         .toSet[Long].toSeq.map(n => (n, find(n)))
-      return (labels.toDF("node", "cluster"), 0)
+      labels.toDF("node", "cluster")
     }
+    if (edgeSum._1 <= localFinishEdges)
+      return (localFinish(edges), 0)
     var it = 0
     var converged = edges.isEmpty
     while (!converged && it < maxIter) {
@@ -135,11 +143,16 @@ object PipelineOps {
       // fixed point: the oriented distinct edge sets are equal — checked
       // by checksum first, confirmed exactly only when checksums match
       val nextSum = checksum(next)
+      it += 1
+      // geometric contraction usually brings a huge graph under the
+      // local bound within a few rounds — take the endgame as soon as
+      // the per-round count (already paid for by the checksum) allows
+      if (nextSum._1 <= localFinishEdges)
+        return (localFinish(next), it)
       converged = nextSum == edgeSum &&
         next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
       edges = next
       edgeSum = nextSum
-      it += 1
     }
     if (!converged)
       throw new IllegalStateException(

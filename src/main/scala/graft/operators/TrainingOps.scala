@@ -156,8 +156,12 @@ object TrainingOps {
     * when V fits, else it shuffles on term like the TF-IDF tier.
     */
   def perplexityScores(docs: DataFrame): DataFrame = {
+    // materialized once: the LM aggregate, the (N, V) totals and the
+    // scoring join each read the token frame — without the checkpoint
+    // one action would tokenize the corpus three times
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
+      .localCheckpoint()
     val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val tot = toks.agg(count(lit(1)).as("n"),
       count_distinct(col("term")).as("v"))

@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   *   source for the LSH tier at 100 TB) -> per-language quota ->
   *   fixed-capacity sequence packing -> partitioned parquet write.
   *
-  * Every stage is a declarative DataFrame transform; nothing collects to
-  * the driver. The stage ordering is the cost-aware one: cheap map-only
+  * Every stage is a declarative DataFrame transform; the only
+  * driver-side materialization is the near-dup stage's bounded CC
+  * endgame (≤ `localFinishEdges` canonical edges — see
+  * [[PipelineOps.connectedComponentsWithRounds]]; pass 0 there to
+  * forbid it). The stage ordering is the cost-aware one: cheap map-only
   * gates (normalize, quality) run first to shrink the corpus before the
   * shuffling stages (dedup joins, windows), and the near-dup stage
   * receives only quality survivors. Counts come back in a report struct
@@ -66,22 +69,25 @@ object CorpusPipeline {
     //    corpus distribution are exactly the gibberish the filter
     //    targets). All disabled by default; when disabled this stage
     //    adds zero jobs and afterCuration == afterQuality.
+    // each ENABLED gate checkpoints its output: the next gate's plan
+    // references its input twice (main branch + victims branch), so an
+    // unmaterialized boundary would re-execute the previous gate's
+    // n-gram subtree once per reference
     val curated0 = benchmark
-      .map(b => TrainingOps.decontaminate(quality, b, n = 5))
+      .map(b => TrainingOps.decontaminate(quality, b, n = 5).localCheckpoint())
       .getOrElse(quality)
     val curated1 = maxRepetition.map { t =>
       val victims = TrainingOps.repetitionScores(curated0)
         .filter(col("dup_frac") > t).select(col("doc_id"))
-      curated0.join(victims, Seq("doc_id"), "left_anti")
+      curated0.join(victims, Seq("doc_id"), "left_anti").localCheckpoint()
     }.getOrElse(curated0)
-    val curated2 = maxXent.map { t =>
+    val curated = maxXent.map { t =>
       val victims = TrainingOps.perplexityScores(curated1)
         .filter(col("xent") > t).select(col("doc_id"))
-      curated1.join(victims, Seq("doc_id"), "left_anti")
+      curated1.join(victims, Seq("doc_id"), "left_anti").localCheckpoint()
     }.getOrElse(curated1)
     val curationOn =
       benchmark.nonEmpty || maxRepetition.nonEmpty || maxXent.nonEmpty
-    val curated = if (curationOn) curated2.localCheckpoint() else quality
     val afterCuration = if (curationOn) curated.count() else afterQuality
 
     // 3. exact dedup: one survivor per exact text (content-hash key, not
@@ -209,20 +215,31 @@ object CorpusPipeline {
     * id would defeat the probe's self-pair filter and conflate distinct
     * documents in every downstream join.
     *
-    * The publish step is two independent appends (corpus, then index);
-    * a crash between them leaves admitted docs unindexed — run
-    * [[reconcile]] on restart to detect and repair that window.
+    * The publish step is three ordered appends (victims sidecar, then
+    * corpus, then index); a crash between any two leaves a window that
+    * [[reconcile]] detects and repairs — run it on restart before
+    * replaying batches.
     */
   def runIncremental(spark: SparkSession, batch: DataFrame,
       corpusDir: String, indexPath: String, minTokens: Int = 10,
       threshold: Double = 0.5): IncrementalReport = {
     val nBatch = batch.count()
-    val gated = gate(batch, minTokens)
+    // materialized: the exact tier and the afterQuality count both read
+    // it — unmaterialized, each extra action would re-scan and
+    // re-normalize the batch source (per micro-batch, in the streaming
+    // composition)
+    val gated = gate(batch, minTokens).localCheckpoint()
 
     // exact tier: dedup within the batch, then against the corpus's
-    // persisted digests (a 16-byte column scan, pruned to one column)
-    val corpusHashes = spark.read.parquet(corpusDir)
-      .select(col("content_hash")).distinct()
+    // persisted digests (a 16-byte column scan, pruned to one column).
+    // A corpus written before the digest column existed is tolerated by
+    // deriving it on the fly (one-time full-text scan; re-seed or add
+    // the column to get the cheap path).
+    val corpusRaw = spark.read.parquet(corpusDir)
+    val corpusHashes = (if (corpusRaw.columns.contains("content_hash"))
+        corpusRaw.select(col("content_hash"))
+      else corpusRaw.select(md5(col("text")).as("content_hash")))
+      .distinct()
     val corpusSizeBefore = spark.read.parquet(corpusDir).count()
     val exactSafe = exactDedupWithHash(gated)
       .join(corpusHashes, Seq("content_hash"), "left_anti")
@@ -238,25 +255,66 @@ object CorpusPipeline {
     val corpusSafe = exactSafe.join(corpusVictims, Seq("doc_id"), "left_anti")
       .localCheckpoint()  // consumed by the pair join AND the admit anti-join
 
-    // near-dup within the surviving batch: LSH pairs -> CC -> keep min
+    // near-dup within the surviving batch: LSH pairs -> CC -> keep min.
+    // Victims keep their cluster label: the representative's doc_id is
+    // what makes a torn publish recoverable (see the sidecar below).
     val shSafe = sh.join(corpusSafe.select(col("doc_id")), Seq("doc_id"))
     val batchVictims = PipelineOps.connectedComponents(
         DedupOps.minhashLshPairs(shSafe, threshold)
           .select(col("d1"), col("d2")))
       .filter(col("node") =!= col("cluster"))
-      .select(col("node").as("doc_id"))
-    val admitted = corpusSafe.join(batchVictims, Seq("doc_id"), "left_anti")
+      .select(col("node").as("doc_id"), col("cluster").as("rep_id"))
+      .localCheckpoint()
+    val admitted = corpusSafe
+      .join(batchVictims.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val nAdmitted = admitted.count()
 
-    // publish: corpus rows for admitted docs; index sketches for every
-    // corpus-safe doc (see scaladoc — replay idempotence under the
-    // transitive cluster policy needs the victims' sketches too)
+    // publish, in recovery order (each step makes the next repairable by
+    // [[reconcile]]):
+    //   1. victims sidecar (doc_id, text, rep_id) — the cluster victims'
+    //      text, keyed by their admitted representative. Without it a
+    //      crash before the index append would lose the victims'
+    //      sketches forever (their text lives nowhere else), and a
+    //      replayed chain A~B~C with A~C below threshold would re-admit
+    //      C. reconcile purges sidecar rows whose rep never landed
+    //      (crash before step 2) and re-sketches the rest (crash before
+    //      step 3).
+    //   2. corpus rows for admitted docs.
+    //   3. index sketches for every corpus-safe doc (representatives AND
+    //      victims — replay idempotence under the transitive cluster
+    //      policy needs the victims' sketches too).
+    corpusSafe.join(batchVictims, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("rep_id"))
+      .write.mode("append").parquet(victimsDir(corpusDir))
     admitted.write.mode("append").parquet(corpusDir)
     MinHashIndex.append(
       sh.join(corpusSafe.select(col("doc_id")), Seq("doc_id")), indexPath)
     IncrementalReport(nBatch, afterQuality, afterExact, nAdmitted,
       corpusSizeBefore + nAdmitted)
+  }
+
+  /** Sidecar of within-batch cluster victims (doc_id, text, rep_id),
+    * sibling to the corpus directory; owned by this object.
+    */
+  private def victimsDir(corpusDir: String): String =
+    corpusDir.stripSuffix("/") + "_victims"
+
+  private def readVictims(spark: SparkSession, corpusDir: String): DataFrame = {
+    val path = victimsDir(corpusDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rep_id",
+          org.apache.spark.sql.types.LongType))))
   }
 
   /** Continuous corpus admission: stream document-batch files landing
@@ -292,24 +350,57 @@ object CorpusPipeline {
       .start()
   }
 
-  /** Detect and repair the publish window [[runIncremental]] documents:
-    * corpus docs missing from the band index (crash between the corpus
-    * append and the index append) are re-shingled and appended. Returns
-    * the number of repaired docs. Idempotent; cheap when consistent
-    * (two id-column scans and an anti-join).
+  /** Detect and repair the publish windows [[runIncremental]] documents,
+    * in their recovery order:
+    *
+    *  1. PURGE sidecar victims whose representative never landed in the
+    *     corpus (crash between the sidecar append and the corpus
+    *     append): the batch will be replayed from scratch, so those
+    *     victims' rows must not linger (their sketches cannot be in the
+    *     index — the index append is the last publish step). The purge
+    *     rewrites the sidecar via stage-then-swap; the delete/rename
+    *     instant is the one remaining non-atomic window and loses at
+    *     most the sidecar (re-running reconcile after a crash there
+    *     sees an absent/complete sidecar, never a torn one).
+    *  2. RE-SKETCH docs missing from the band index: corpus docs, and
+    *     sidecar victims whose representative IS in the corpus (crash
+    *     between the corpus append and the index append) — restoring
+    *     the victims' sketches is what keeps a replayed near-dup chain
+    *     A~B~C (A~C below threshold) from re-admitting its tail.
+    *
+    * Returns purged + re-sketched row count (0 ⇔ consistent).
+    * Idempotent; cheap when consistent (id-column scans + anti-joins).
     */
   def reconcile(spark: SparkSession, corpusDir: String,
       indexPath: String): Long = {
     val corpus = spark.read.parquet(corpusDir)
-    val indexed = spark.read.parquet(indexPath + "/bands")
-      .select(col("doc_id")).distinct()
-    val missing = corpus.join(indexed, Seq("doc_id"), "left_anti")
+    val corpusReps = corpus.select(col("doc_id").as("rep_id"))
+    val victims = readVictims(spark, corpusDir).localCheckpoint()
+    val orphans = victims.join(corpusReps, Seq("rep_id"), "left_anti")
+    val nOrphans = orphans.count()
+    if (nOrphans > 0) {
+      val keep = victims.join(corpusReps, Seq("rep_id"), "left_semi")
+        .select(col("doc_id"), col("text"), col("rep_id"))
+        .localCheckpoint()
+      val dir = victimsDir(corpusDir)
+      keep.write.mode("overwrite").parquet(dir + ".tmp")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(dir + ".tmp"),
+        new org.apache.hadoop.fs.Path(dir))
+    }
+    val indexed = MinHashIndex.indexedIds(spark, indexPath)
+    val validVictims = victims.join(corpusReps, Seq("rep_id"), "left_semi")
+    val missing = corpus.select(col("doc_id"), col("text"))
+      .union(validVictims.select(col("doc_id"), col("text")))
+      .join(indexed, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val n = missing.count()
     if (n > 0)
       MinHashIndex.append(
         DedupOps.shingleRowsOf(missing.select(col("doc_id"), col("text"))),
         indexPath)
-    n
+    n + nOrphans
   }
 }

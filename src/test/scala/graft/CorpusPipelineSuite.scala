@@ -128,6 +128,46 @@ class CorpusPipelineSuite extends AnyFunSuite {
       "reconcile is idempotent")
   }
 
+  test("reconcile repairs BOTH torn-publish windows on a near-dup chain") {
+    import spark.implicits._
+    // same chain as the replay test: A~B~C above threshold, A~C below
+    def w(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val s24 = w("s", 24)
+    val a = (w("x", 6) ++ s24).mkString(" ")
+    val b = (s24 ++ w("y", 6)).mkString(" ")
+    val c = (s24.drop(6) ++ w("y", 6) ++ w("z", 6)).mkString(" ")
+    val dir = Files.createTempDirectory("graft_torn").toString
+    val (corpus, idx) = (s"$dir/corpus", s"$dir/idx")
+    CorpusPipeline.seedCorpus(spark,
+      Seq((100L, "en", w("q", 30).mkString(" ")))
+        .toDF("doc_id", "lang", "text"), corpus, idx)
+    val batch = Seq((1L, "en", a), (2L, "en", b), (3L, "en", c))
+      .toDF("doc_id", "lang", "text")
+    assert(CorpusPipeline.runIncremental(
+      spark, batch, corpus, idx).admitted == 1)
+    // window 2->3 (crash before the index append): rebuild the index
+    // from corpus docs only — the cluster victims' sketches vanish, the
+    // sidecar survives
+    graft.operators.MinHashIndex.fit(
+      graft.operators.DedupOps.shingleRowsOf(
+        spark.read.parquet(corpus).select(col("doc_id"), col("text"))), idx)
+    assert(CorpusPipeline.reconcile(spark, corpus, idx) >= 2,
+      "the victims' sketches must be restored from the sidecar")
+    val replay = CorpusPipeline.runIncremental(spark, batch, corpus, idx)
+    assert(replay.admitted == 0,
+      s"chain tail must stay rejected after repair, admitted ${replay.admitted}")
+    // window 1->2 (crash before the corpus append): a sidecar victim
+    // whose representative never landed must be purged, not re-indexed
+    Seq((50L, w("k", 30).mkString(" "), 999L))
+      .toDF("doc_id", "text", "rep_id")
+      .write.mode("append").parquet(s"${corpus}_victims")
+    assert(CorpusPipeline.reconcile(spark, corpus, idx) >= 1)
+    assert(spark.read.parquet(s"${corpus}_victims")
+      .filter(col("doc_id") === 50L).count() == 0, "orphan purged")
+    assert(CorpusPipeline.reconcile(spark, corpus, idx) == 0,
+      "reconcile is idempotent after both repairs")
+  }
+
   test("streaming admission drains batches and stays idempotent on replay") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
