@@ -195,6 +195,47 @@ object TrainingOps {
       .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_before"))
   }
 
+  /** The final training-order manifest — the capstone composition of
+    * this tier: per-source epoch up-sampling ([[epochMix]]), then a
+    * deterministic global shuffle of the replicated stream (salted hash
+    * over (doc_id, epoch), positions via [[ScalePatterns.withGlobalRank]]),
+    * then token packing of the SHUFFLED order into fixed-capacity bins.
+    * The running token sum over a global order would be one task as a
+    * window; it decomposes exactly like [[PipelineOps.packTokensSharded]]
+    * — within-shard cumulative sums over dense-position ranges, stitched
+    * by a prefix sum over the shard AGGREGATES (rows/shardWidth rows,
+    * broadcast back) — so the manifest is bit-identical to the
+    * sequential definition at any shard width. shardWidth must scale
+    * with the corpus (~rows/cluster-cores).
+    */
+  def trainingManifest(docs: DataFrame, binTokens: Int, salt: String,
+      shardWidth: Long): DataFrame = {
+    val keyed = epochMix(docs)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("hv", PipelineOps.md5Hash32(
+        concat_ws(":", lit(salt), col("doc_id"), col("epoch"))))
+      .select(col("doc_id"), col("epoch"), col("hv"), col("n_toks"))
+    val ranked = ScalePatterns.withGlobalRank(keyed, "pos",
+      col("hv").asc_nulls_first, col("doc_id").asc_nulls_first,
+      col("epoch").asc_nulls_first)
+    val base = ranked.withColumn("__shard",
+      floor((col("pos") - 1) / shardWidth))
+    val wIn = Window.partitionBy(col("__shard")).orderBy(col("pos").asc)
+    val within = base.withColumn("__cum_in", sum(col("n_toks")).over(wIn))
+    // the stitch window runs over shard SUMMARIES only — bounded by
+    // rows/shardWidth, never the manifest itself
+    val wShard = Window.orderBy(col("__shard").asc)
+    val offsets = base.groupBy(col("__shard"))
+      .agg(sum(col("n_toks")).as("__tot"))
+      .withColumn("__off", sum(col("__tot")).over(wShard) - col("__tot"))
+      .select(col("__shard"), col("__off"))
+    within.join(broadcast(offsets), Seq("__shard"))
+      .select(col("pos"), col("doc_id"), col("epoch"), col("n_toks"),
+        floor((col("__off") + col("__cum_in") - col("n_toks")) /
+          lit(binTokens)).cast("bigint").as("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: eval set = doc_id % 23 == 0, 5-grams.
     "q_decontaminate" -> ((s, d) => {
@@ -222,6 +263,12 @@ object TrainingOps {
       epochMix(Tables.documents(s, d))
         .orderBy(col("doc_id").asc_nulls_first,
           col("epoch").asc_nulls_first)),
+
+    // shardWidth 500 exercises multi-shard stitching at test scale
+    "q_training_manifest" -> ((s, d) =>
+      trainingManifest(Tables.documents(s, d), binTokens = 2048,
+        salt = "man1", shardWidth = 500L)
+        .orderBy(col("pos").asc_nulls_first)),
 
     "q_text_perplexity" -> ((s, d) =>
       perplexityScores(Tables.documents(s, d))
@@ -295,6 +342,30 @@ object TrainingOps {
         |  row_number() OVER (ORDER BY hv ASC NULLS FIRST,
         |    doc_id ASC NULLS FIRST) AS pos
         |FROM h ORDER BY pos ASC NULLS FIRST""".stripMargin,
+    "q_training_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT) % 3 + 1
+        |      AS reps
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(generate_series(0, reps - 1)) AS epoch
+        |  FROM m),
+        |k AS (
+        |  SELECT e.doc_id, e.epoch,
+        |    CAST(('0x' || substring(md5('man1:' || CAST(e.doc_id AS VARCHAR)
+        |      || ':' || CAST(e.epoch AS VARCHAR)), 1, 8)) AS BIGINT) AS hv,
+        |    len(string_split(d.text, ' ')) AS n_toks
+        |  FROM e JOIN documents d ON e.doc_id = d.doc_id),
+        |r AS (
+        |  SELECT doc_id, epoch, n_toks,
+        |    row_number() OVER (ORDER BY hv ASC NULLS FIRST,
+        |      doc_id ASC NULLS FIRST, epoch ASC NULLS FIRST) AS pos
+        |  FROM k)
+        |SELECT pos, doc_id, epoch, n_toks,
+        |  CAST(floor((sum(n_toks) OVER (ORDER BY pos ASC
+        |    ROWS UNBOUNDED PRECEDING) - n_toks) / 2048) AS BIGINT) AS bin
+        |FROM r ORDER BY pos ASC NULLS FIRST""".stripMargin,
     "q_text_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

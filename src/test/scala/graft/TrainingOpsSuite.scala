@@ -113,6 +113,28 @@ class TrainingOpsSuite extends AnyFunSuite {
     }
   }
 
+  test("training manifest is shard-width invariant and matches the naive pack") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pos", "doc_id", "epoch", "n_toks", "bin")
+        .collect().map(_.toSeq).toSet
+    val narrow = TrainingOps.trainingManifest(docs, 2048, "man1", 100L)
+    val wide = TrainingOps.trainingManifest(docs, 2048, "man1", 1000000L)
+    assert(rows(narrow) == rows(wide),
+      "bins must not depend on the shard decomposition")
+    // naive single-window definition (test-only; one task)
+    val naive = narrow.select("pos", "doc_id", "epoch", "n_toks")
+      .withColumn("bin", floor((sum(col("n_toks"))
+        .over(Window.orderBy(col("pos").asc)) - col("n_toks")) / lit(2048))
+        .cast("bigint"))
+    assert(rows(narrow) == rows(naive))
+    // epochs multiply presence: every (doc, epoch) pair appears once
+    val n = narrow.count()
+    assert(n > docs.count(), "up-sampled manifest outgrows the corpus")
+    assert(narrow.select("doc_id", "epoch").distinct().count() == n)
+  }
+
   test("semantic dedup drops only true cosine near-dups, with recall") {
     // brute-force drop set at the same threshold/policy (v2 of each pair)
     val bruteDrops = SparkEntry.queries("q_dedup_embedding")(spark, sf)
