@@ -173,6 +173,31 @@ object TrainingOps {
           (col("n") + col("v")).cast("double")))).as("xent"))
   }
 
+  /** [[perplexityScores]] generalized to an external reference LM:
+    * score `docs` under the add-one-smoothed unigram distribution of
+    * `refDocs` (e.g. a standing corpus, or a held-out high-quality
+    * slice — the actual CCNet setup). Tokens unseen in the reference
+    * take the smoothing floor p = 1/(N+V) via a left join (an inner
+    * join would silently DROP out-of-vocabulary tokens and score
+    * gibberish as fluent). The reference tokenization is one scan; at
+    * scale, fit the LM once and reuse it across batches rather than
+    * recomputing per call.
+    */
+  def perplexityScoresAgainst(docs: DataFrame, refDocs: DataFrame): DataFrame = {
+    val refToks = refDocs.select(explode(split(col("text"), " ")).as("term"))
+      .localCheckpoint()
+    val lm = refToks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = refToks.agg(count(lit(1)).as("n"),
+      count_distinct(col("term")).as("v"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(lm, Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        graft.Det.r4(avg(-log((coalesce(col("c"), lit(0L)) + 1) /
+          (col("n") + col("v")).cast("double")))).as("xent"))
+  }
+
   /** Greedy per-language token-budget sampling: walk each language's
     * docs in deterministic salted-hash order, admitting while the
     * tokens consumed BEFORE the doc are under budget (so the budget may

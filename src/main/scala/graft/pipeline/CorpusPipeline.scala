@@ -69,23 +69,7 @@ object CorpusPipeline {
     //    corpus distribution are exactly the gibberish the filter
     //    targets). All disabled by default; when disabled this stage
     //    adds zero jobs and afterCuration == afterQuality.
-    // each ENABLED gate checkpoints its output: the next gate's plan
-    // references its input twice (main branch + victims branch), so an
-    // unmaterialized boundary would re-execute the previous gate's
-    // n-gram subtree once per reference
-    val curated0 = benchmark
-      .map(b => TrainingOps.decontaminate(quality, b, n = 5).localCheckpoint())
-      .getOrElse(quality)
-    val curated1 = maxRepetition.map { t =>
-      val victims = TrainingOps.repetitionScores(curated0)
-        .filter(col("dup_frac") > t).select(col("doc_id"))
-      curated0.join(victims, Seq("doc_id"), "left_anti").localCheckpoint()
-    }.getOrElse(curated0)
-    val curated = maxXent.map { t =>
-      val victims = TrainingOps.perplexityScores(curated1)
-        .filter(col("xent") > t).select(col("doc_id"))
-      curated1.join(victims, Seq("doc_id"), "left_anti").localCheckpoint()
-    }.getOrElse(curated1)
+    val curated = curate(quality, benchmark, maxRepetition, maxXent)
     val curationOn =
       benchmark.nonEmpty || maxRepetition.nonEmpty || maxXent.nonEmpty
     val afterCuration = if (curationOn) curated.count() else afterQuality
@@ -152,8 +136,41 @@ object CorpusPipeline {
   // (asserted in CorpusPipelineSuite).
   // ---------------------------------------------------------------------
 
+  /** Per-batch admission counts. `afterQuality` counts the docs
+    * surviving the normalize+token-floor gate AND any enabled
+    * batch-local curation gates (they share the same admission stage).
+    */
   case class IncrementalReport(batch: Long, afterQuality: Long,
       afterExact: Long, admitted: Long, corpusSize: Long)
+
+  /** The optional curation chain (benchmark decontamination, repetition
+    * ceiling, perplexity ceiling), shared by [[run]] and
+    * [[runIncremental]] so full and incremental processing apply
+    * identical admission rules. Each ENABLED gate checkpoints its
+    * output: the next gate's plan references its input twice (main
+    * branch + victims branch), so an unmaterialized boundary would
+    * re-execute the previous gate's n-gram subtree once per reference.
+    * When all gates are None this is the identity and adds zero jobs.
+    * The perplexity gate self-scores against `docs` itself — right for
+    * a full corpus; for a per-batch LM reference use
+    * [[TrainingOps.perplexityScoresAgainst]] with the standing corpus.
+    */
+  private def curate(docs: DataFrame, benchmark: Option[DataFrame],
+      maxRepetition: Option[Double], maxXent: Option[Double]): DataFrame = {
+    val c0 = benchmark
+      .map(b => TrainingOps.decontaminate(docs, b, n = 5).localCheckpoint())
+      .getOrElse(docs)
+    val c1 = maxRepetition.map { t =>
+      val victims = TrainingOps.repetitionScores(c0)
+        .filter(col("dup_frac") > t).select(col("doc_id"))
+      c0.join(victims, Seq("doc_id"), "left_anti").localCheckpoint()
+    }.getOrElse(c0)
+    maxXent.map { t =>
+      val victims = TrainingOps.perplexityScores(c1)
+        .filter(col("xent") > t).select(col("doc_id"))
+      c1.join(victims, Seq("doc_id"), "left_anti").localCheckpoint()
+    }.getOrElse(c1)
+  }
 
   /** Stages 1+2 of admission (normalize + token floor), shared verbatim
     * by [[run]], [[seedCorpus]] and [[runIncremental]] so full and
@@ -222,13 +239,19 @@ object CorpusPipeline {
     */
   def runIncremental(spark: SparkSession, batch: DataFrame,
       corpusDir: String, indexPath: String, minTokens: Int = 10,
-      threshold: Double = 0.5): IncrementalReport = {
+      threshold: Double = 0.5,
+      benchmark: Option[DataFrame] = None,
+      maxRepetition: Option[Double] = None): IncrementalReport = {
     val nBatch = batch.count()
     // materialized: the exact tier and the afterQuality count both read
     // it — unmaterialized, each extra action would re-scan and
     // re-normalize the batch source (per micro-batch, in the streaming
-    // composition)
-    val gated = gate(batch, minTokens).localCheckpoint()
+    // composition). The optional curation gates mirror [[run]]'s
+    // (batch-local ones only: the perplexity gate needs a reference LM
+    // — see [[TrainingOps.perplexityScoresAgainst]] — so it is not
+    // offered per batch).
+    val gated = curate(gate(batch, minTokens), benchmark,
+      maxRepetition, None).localCheckpoint()
 
     // exact tier: dedup within the batch, then against the corpus's
     // persisted digests (a 16-byte column scan, pruned to one column).
@@ -331,7 +354,9 @@ object CorpusPipeline {
   def streamIncremental(spark: SparkSession, sourceDir: String,
       corpusDir: String, indexPath: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger,
-      minTokens: Int = 10, threshold: Double = 0.5)
+      minTokens: Int = 10, threshold: Double = 0.5,
+      benchmark: Option[DataFrame] = None,
+      maxRepetition: Option[Double] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val batches = spark.readStream
       .schema(graft.Schemas.corpus("documents"))
@@ -343,7 +368,7 @@ object CorpusPipeline {
           org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           runIncremental(spark, batch.toDF(), corpusDir, indexPath,
-            minTokens, threshold)
+            minTokens, threshold, benchmark, maxRepetition)
           ()
         }
       }

@@ -128,6 +128,28 @@ class CorpusPipelineSuite extends AnyFunSuite {
       "reconcile is idempotent")
   }
 
+  test("incremental admission applies the batch-local curation gates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_inc_cur").toString
+    val (corpus, idx) = (s"$dir/corpus", s"$dir/idx")
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    CorpusPipeline.seedCorpus(spark,
+      Seq((1L, "en", words("s", 30))).toDF("doc_id", "lang", "text"),
+      corpus, idx)
+    val contaminated = "held out eval five gram " + words("c", 20)
+    val batch = Seq(
+      (10L, "en", contaminated),
+      (11L, "en", words("ok", 30))
+    ).toDF("doc_id", "lang", "text")
+    val bench = Seq((900L, "held out eval five gram")).toDF("doc_id", "text")
+    val r = CorpusPipeline.runIncremental(spark, batch, corpus, idx,
+      benchmark = Some(bench))
+    assert(r.afterQuality == 1 && r.admitted == 1,
+      s"the contaminated batch doc must be gated out, got $r")
+    assert(spark.read.parquet(corpus)
+      .filter(col("doc_id") === 10L).count() == 0)
+  }
+
   test("reconcile repairs BOTH torn-publish windows on a near-dup chain") {
     import spark.implicits._
     // same chain as the replay test: A~B~C above threshold, A~C below

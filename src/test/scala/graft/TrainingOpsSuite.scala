@@ -94,6 +94,21 @@ class TrainingOpsSuite extends AnyFunSuite {
       "identical docs score identically")
   }
 
+  test("reference-LM perplexity floors OOV tokens instead of dropping them") {
+    import spark.implicits._
+    val ref = (1 to 20).map(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // fully in-vocabulary
+      (2L, "qqq www eee rrr")           // fully OOV
+    ).toDF("doc_id", "text")
+    val s = TrainingOps.perplexityScoresAgainst(docs, ref)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(s(2L)._1 == 4L, "OOV tokens must still be counted")
+    assert(s(2L)._2 > s(1L)._2,
+      s"OOV text must score the smoothing floor, not vanish: $s")
+  }
+
   test("token budget admits greedily per language up to the budget") {
     val docs = Tables.documents(spark, sf)
     val budget = 2000L
