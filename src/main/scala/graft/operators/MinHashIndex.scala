@@ -33,10 +33,6 @@ object MinHashIndex {
   def fit(shRows0: DataFrame, path: String): Unit =
     write(shRows0, path, "overwrite")
 
-  /** Add new (already-admitted) docs' sketches to an existing index —
-    * the incremental-ingest publish step. Callers guarantee the doc_ids
-    * are new; the index itself never dedups.
-    */
   /** Distinct doc_ids present in the index — the membership view
     * consistency checks (e.g. CorpusPipeline.reconcile) compare against,
     * kept here so the on-disk layout stays this object's private
@@ -45,6 +41,10 @@ object MinHashIndex {
   def indexedIds(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path + "/bands").select(col("doc_id")).distinct()
 
+  /** Add new (already-admitted) docs' sketches to an existing index —
+    * the incremental-ingest publish step. Callers guarantee the doc_ids
+    * are new; the index itself never dedups.
+    */
   def append(shRows0: DataFrame, path: String): Unit =
     write(shRows0, path, "append")
 

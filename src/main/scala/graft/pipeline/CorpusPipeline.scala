@@ -204,6 +204,14 @@ object CorpusPipeline {
       indexPath: String, minTokens: Int = 10): Long = {
     val seeded = exactDedupWithHash(gate(docs, minTokens)).localCheckpoint()
     seeded.write.mode("overwrite").parquet(corpusDir)
+    // a fresh seed resets ALL admission state: a stale victims sidecar
+    // from a previous incremental history would otherwise feed reconcile
+    // phantom victims (old text re-sketched into the new index whenever
+    // an old rep_id collides with a new doc_id)
+    val vDir = victimsDir(corpusDir)
+    org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(vDir), spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(vDir), true)
     MinHashIndex.fit(
       DedupOps.shingleRowsOf(seeded.select(col("doc_id"), col("text"))),
       indexPath)
@@ -249,9 +257,16 @@ object CorpusPipeline {
     // composition). The optional curation gates mirror [[run]]'s
     // (batch-local ones only: the perplexity gate needs a reference LM
     // — see [[TrainingOps.perplexityScoresAgainst]] — so it is not
-    // offered per batch).
-    val gated = curate(gate(batch, minTokens), benchmark,
-      maxRepetition, None).localCheckpoint()
+    // offered per batch). When gates are on, the gate() output is
+    // checkpointed FIRST — the first gate's dual-branch plan (victims +
+    // anti-join) would otherwise re-scan the batch source twice — and
+    // curate's last enabled gate checkpoints the final frame.
+    val gated = {
+      val g = gate(batch, minTokens)
+      if (benchmark.nonEmpty || maxRepetition.nonEmpty)
+        curate(g.localCheckpoint(), benchmark, maxRepetition, None)
+      else g.localCheckpoint()
+    }
 
     // exact tier: dedup within the batch, then against the corpus's
     // persisted digests (a 16-byte column scan, pruned to one column).
@@ -263,7 +278,7 @@ object CorpusPipeline {
         corpusRaw.select(col("content_hash"))
       else corpusRaw.select(md5(col("text")).as("content_hash")))
       .distinct()
-    val corpusSizeBefore = spark.read.parquet(corpusDir).count()
+    val corpusSizeBefore = corpusRaw.count()
     val exactSafe = exactDedupWithHash(gated)
       .join(corpusHashes, Seq("content_hash"), "left_anti")
       .localCheckpoint()
@@ -411,14 +426,26 @@ object CorpusPipeline {
       keep.write.mode("overwrite").parquet(dir + ".tmp")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(dir + ".tmp"),
-        new org.apache.hadoop.fs.Path(dir))
+      // HDFS-style FileSystems report failure by RETURNING false, not
+      // throwing — a swallowed false here would report orphans as purged
+      // while they linger (or silently drop the sidecar on a failed
+      // rename)
+      if (!fs.delete(new org.apache.hadoop.fs.Path(dir), true))
+        throw new java.io.IOException(s"sidecar purge: delete($dir) failed")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(dir + ".tmp"),
+          new org.apache.hadoop.fs.Path(dir)))
+        throw new java.io.IOException(
+          s"sidecar purge: rename($dir.tmp -> $dir) failed — " +
+            "re-run reconcile after restoring the .tmp directory")
     }
     val indexed = MinHashIndex.indexedIds(spark, indexPath)
     val validVictims = victims.join(corpusReps, Seq("rep_id"), "left_semi")
+    // docs under 3 tokens produce no trigram shingles and CAN never be
+    // indexed — excluding them keeps "returns 0" ⇔ "consistent" (they
+    // are equally invisible to every probe, so nothing is lost)
     val missing = corpus.select(col("doc_id"), col("text"))
       .union(validVictims.select(col("doc_id"), col("text")))
+      .filter(size(split(col("text"), " ")) >= 3)
       .join(indexed, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val n = missing.count()

@@ -59,7 +59,7 @@ object TrainingDemo {
     println(s"== manifest ==")
     manifest.orderBy(col("pos")).show(8, truncate = false)
     println(s"rows: ${manifest.count()}, bins: " +
-      manifest.select(max(col("bin"))).head().getLong(0))
+      manifest.select(countDistinct(col("bin"))).head().getLong(0))
     spark.stop()
   }
 }

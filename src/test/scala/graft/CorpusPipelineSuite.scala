@@ -188,6 +188,13 @@ class CorpusPipelineSuite extends AnyFunSuite {
       .filter(col("doc_id") === 50L).count() == 0, "orphan purged")
     assert(CorpusPipeline.reconcile(spark, corpus, idx) == 0,
       "reconcile is idempotent after both repairs")
+    // a fresh seed resets ALL admission state including the sidecar —
+    // stale victims must not leak phantom sketches into the new index
+    CorpusPipeline.seedCorpus(spark,
+      Seq((1000L, "en", w("r", 30).mkString(" ")))
+        .toDF("doc_id", "lang", "text"), corpus, idx)
+    assert(CorpusPipeline.reconcile(spark, corpus, idx) == 0,
+      "a re-seeded corpus starts consistent")
   }
 
   test("streaming admission drains batches and stays idempotent on replay") {
