@@ -41,13 +41,23 @@ object DedupOps {
     */
   private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // explode over an INDEX sequence + element_at, not posexplode +
+    // window lead: the lead form shuffles and sorts every TOKEN row by
+    // doc_id before the grams even exist — the largest data volume in
+    // the whole dedup pipeline at corpus scale. Indexing into the split
+    // array needs no ordering at all, so the scan, the generate and the
+    // distinct's map side fuse into one codegen stage with zero
+    // pre-gram shuffles (the filter keeps sequence() ascending:
+    // sub-trigram docs emit nothing, as before).
     docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
-      .withColumn("w1", lead(col("w0"), 1).over(byPos))
-      .withColumn("w2", lead(col("w0"), 2).over(byPos))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("g"))
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")) - 2)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("ts"), col("i")),
+        element_at(col("ts"), col("i") + 1),
+        element_at(col("ts"), col("i") + 2)).as("g"))
       .distinct()
       .withColumn("sz",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))

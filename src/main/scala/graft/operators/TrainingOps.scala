@@ -27,20 +27,19 @@ import org.apache.spark.sql.functions._
 object TrainingOps {
 
   /** Word n-gram rows (doc_id, g), duplicates KEPT — repetition scoring
-    * needs multiplicity. Same posexplode + lead construction as
-    * [[DedupOps.shingleRowsOf]] (codegen'd; no interpreted HOF lambdas),
+    * needs multiplicity. Same shuffle-free explode(sequence) +
+    * element_at construction as [[DedupOps.shingleRowsOf]] (codegen'd,
+    * no ordering requirement, no token-level window shuffle),
     * generalized to n and without the distinct.
     */
   private[operators] def ngramRows(docs: DataFrame, n: Int): DataFrame = {
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads: Seq[Column] = (1 until n).map(i =>
-      lead(col("w0"), i).over(byPos).as(s"w$i"))
-    val parts: Seq[Column] = (0 until n).map(i => col(s"w$i"))
+    val parts: Seq[Column] = (0 until n).map(j =>
+      element_at(col("ts"), col("i") + j))
     docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
-      .select(col("doc_id") +: col("w0") +: leads: _*)
-      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"))
       .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"))
   }
 
