@@ -15,6 +15,30 @@ class DedupSimilaritySuite extends AnyFunSuite {
         col(if (name.contains("embedding")) "v2" else "d2"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("shingle construction matches a plain sliding-window reference") {
+    import spark.implicits._
+    // seeded generator covering the edge shapes: short docs (< 3
+    // tokens emit nothing), repeated grams (distinct), empty tokens
+    // from double spaces (kept as tokens, exactly like split())
+    val rnd = new scala.util.Random(0x5417)
+    val vocab = Vector("a", "bb", "ccc", "", "d e") // "" ~ double space
+    val docs = (1L to 40L).map { id =>
+      val n = rnd.nextInt(7) // 0..6 tokens
+      (id, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      val ts = text.split(" ", -1).toSeq
+      val grams = if (ts.size < 3) Seq.empty
+        else ts.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      grams.map(g => (id, g, grams.size))
+    }.toSet
+    val got = operators.DedupOps
+      .shingleRowsOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+  }
+
   test("minhash-LSH recalls >= 80% of exact jaccard>=0.5 pairs, no junk") {
     val exact = pairs("q_dedup_ngram_jaccard")
     val lsh = pairs("q_dedup_minhash")
