@@ -305,7 +305,9 @@ object TrainingOps {
 
     // k-means seed is engine-defined → no SQL oracle; exactness
     // (drops ⊆ brute-force cosine pairs) + recall are unit-asserted
-    // in TrainingOpsSuite.
+    // in TrainingOpsSuite. k=4 suits the 500-vector test corpus; at
+    // scale pick k ~ sqrt(n) (SemDeDup used 50k cells for 5B docs) so
+    // the within-cell self-join stays ~n^1.5 total work.
     "q_dedup_semantic" -> ((s, d) =>
       semanticDedup(Tables.embeddings(s, d), k = 4, iters = 2,
         threshold = 0.35)

@@ -154,6 +154,9 @@ object CorpusPipeline {
     * The perplexity gate self-scores against `docs` itself — right for
     * a full corpus; for a per-batch LM reference use
     * [[TrainingOps.perplexityScoresAgainst]] with the standing corpus.
+    * The decontamination n-gram width is fixed at the 5-gram default;
+    * call [[TrainingOps.decontaminate]] directly for other widths
+    * (GPT-3/PaLM used 13-grams on web-scale text).
     */
   private def curate(docs: DataFrame, benchmark: Option[DataFrame],
       maxRepetition: Option[Double], maxXent: Option[Double]): DataFrame = {
