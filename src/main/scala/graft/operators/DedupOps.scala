@@ -39,25 +39,30 @@ object DedupOps {
     * already normalized/filtered their text (e.g. CorpusPipeline) must
     * shingle THAT text, not a fresh table scan.
     */
-  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // explode over an INDEX sequence + element_at, not posexplode +
-    // window lead: the lead form shuffles and sorts every TOKEN row by
-    // doc_id before the grams even exist — the largest data volume in
-    // the whole dedup pipeline at corpus scale. Indexing into the split
-    // array needs no ordering at all, so the scan, the generate and the
-    // distinct's map side fuse into one codegen stage with zero
-    // pre-gram shuffles (the filter keeps sequence() ascending:
-    // sub-trigram docs emit nothing, as before).
+  /** Word n-gram rows (doc_id, g), duplicates KEPT. Explode over an
+    * INDEX sequence + element_at, not posexplode + window lead: the
+    * lead form shuffles and sorts every TOKEN row by doc_id before the
+    * grams even exist — the largest data volume in the whole dedup
+    * pipeline at corpus scale. Indexing into the split array needs no
+    * ordering at all, so the scan, the generate and the consumer's map
+    * side fuse into one codegen stage with zero pre-gram shuffles (the
+    * filter keeps sequence() ascending: sub-n-token docs emit nothing).
+    * The single shared tokenization for every gram consumer —
+    * dedup shingles, decontamination, repetition scoring.
+    */
+  private[graft] def gramRows(docs: DataFrame, n: Int): DataFrame = {
+    val parts = (0 until n).map(j => element_at(col("ts"), col("i") + j))
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= 3)
+      .filter(size(col("ts")) >= n)
       .select(col("doc_id"), col("ts"),
-        explode(sequence(lit(1), size(col("ts")) - 2)).as("i"))
-      .select(col("doc_id"), concat_ws(" ",
-        element_at(col("ts"), col("i")),
-        element_at(col("ts"), col("i") + 1),
-        element_at(col("ts"), col("i") + 2)).as("g"))
+        explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"))
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"))
+  }
+
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    gramRows(docs, 3)
       .distinct()
       .withColumn("sz",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).cast("int"))

@@ -27,21 +27,12 @@ import org.apache.spark.sql.functions._
 object TrainingOps {
 
   /** Word n-gram rows (doc_id, g), duplicates KEPT — repetition scoring
-    * needs multiplicity. Same shuffle-free explode(sequence) +
-    * element_at construction as [[DedupOps.shingleRowsOf]] (codegen'd,
-    * no ordering requirement, no token-level window shuffle),
-    * generalized to n and without the distinct.
+    * needs multiplicity. Delegates to the engine's single shared gram
+    * builder ([[DedupOps.gramRows]]) so a tokenization change can never
+    * desynchronize the curation tiers from the dedup tiers.
     */
-  private[operators] def ngramRows(docs: DataFrame, n: Int): DataFrame = {
-    val parts: Seq[Column] = (0 until n).map(j =>
-      element_at(col("ts"), col("i") + j))
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= n)
-      .select(col("doc_id"), col("ts"),
-        explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"))
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"))
-  }
+  private[operators] def ngramRows(docs: DataFrame, n: Int): DataFrame =
+    DedupOps.gramRows(docs, n)
 
   /** Benchmark decontamination: drop any corpus document sharing at
     * least one word `n`-gram with the benchmark (eval) set — the GPT-3 /
@@ -112,8 +103,10 @@ object TrainingOps {
     * in production it comes from a (broadcast) weights table. Map-only
     * row replication — explode(sequence) — no shuffle at any scale.
     */
+  private def epochReps: Column = PipelineOps.md5Hash32(col("source")) % 3 + 1
+
   def epochMix(docs: DataFrame): DataFrame = docs
-    .withColumn("reps", PipelineOps.md5Hash32(col("source")) % 3 + 1)
+    .withColumn("reps", epochReps)
     .withColumn("epoch", explode(sequence(lit(0L), col("reps") - 1)))
     .select(col("doc_id"), col("source"), col("reps"), col("epoch"))
 
@@ -234,9 +227,14 @@ object TrainingOps {
     */
   def trainingManifest(docs: DataFrame, binTokens: Int, salt: String,
       shardWidth: Long): DataFrame = {
-    val keyed = epochMix(docs)
-      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    // epoch derivation inlined (same epochReps column as epochMix)
+    // rather than joining the mix back against docs for the text — the
+    // replication must stay map-only; a corpus-sized shuffle join just
+    // to recover n_toks would betray the operator's own scale claim
+    val keyed = docs
       .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("reps", epochReps)
+      .withColumn("epoch", explode(sequence(lit(0L), col("reps") - 1)))
       .withColumn("hv", PipelineOps.md5Hash32(
         concat_ws(":", lit(salt), col("doc_id"), col("epoch"))))
       .select(col("doc_id"), col("epoch"), col("hv"), col("n_toks"))

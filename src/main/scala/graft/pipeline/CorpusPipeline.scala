@@ -160,8 +160,15 @@ object CorpusPipeline {
     */
   private def curate(docs: DataFrame, benchmark: Option[DataFrame],
       maxRepetition: Option[Double], maxXent: Option[Double]): DataFrame = {
+    // the benchmark gets gate()'s whitespace normalization too: `docs`
+    // arrives normalized, and a raw benchmark's double-spaced 5-grams
+    // would tokenize differently and never match the corpus's grams —
+    // defeating the containment probe on exactly the verbatim overlaps
+    // it exists to catch
     val c0 = benchmark
-      .map(b => TrainingOps.decontaminate(docs, b, n = 5).localCheckpoint())
+      .map(b => TrainingOps.decontaminate(docs,
+        b.withColumn("text", trim(regexp_replace(col("text"), " +", " "))),
+        n = 5).localCheckpoint())
       .getOrElse(docs)
     val c1 = maxRepetition.map { t =>
       val victims = TrainingOps.repetitionScores(c0)
@@ -212,9 +219,9 @@ object CorpusPipeline {
     // phantom victims (old text re-sketched into the new index whenever
     // an old rep_id collides with a new doc_id)
     val vDir = victimsDir(corpusDir)
-    org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(vDir), spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(vDir), true)
+    val vPath = new org.apache.hadoop.fs.Path(vDir)
+    vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(vPath, true)
     MinHashIndex.fit(
       DedupOps.shingleRowsOf(seeded.select(col("doc_id"), col("text"))),
       indexPath)
@@ -276,9 +283,15 @@ object CorpusPipeline {
     // A corpus written before the digest column existed is tolerated by
     // deriving it on the fly (one-time full-text scan; re-seed or add
     // the column to get the cheap path).
+    // Mixed corpora (legacy files + digest-bearing appends) read the
+    // legacy rows' content_hash as NULL — and NULL never equi-joins, so
+    // trusting the column blindly would silently re-admit exact dups of
+    // every legacy doc. The null probe is footer-stats cheap; only a
+    // fully-digested corpus takes the 16-byte-column fast path.
     val corpusRaw = spark.read.parquet(corpusDir)
-    val corpusHashes = (if (corpusRaw.columns.contains("content_hash"))
-        corpusRaw.select(col("content_hash"))
+    val hasDigests = corpusRaw.columns.contains("content_hash") &&
+      corpusRaw.filter(col("content_hash").isNull).isEmpty
+    val corpusHashes = (if (hasDigests) corpusRaw.select(col("content_hash"))
       else corpusRaw.select(md5(col("text")).as("content_hash")))
       .distinct()
     val corpusSizeBefore = corpusRaw.count()
@@ -343,9 +356,9 @@ object CorpusPipeline {
 
   private def readVictims(spark: SparkSession, corpusDir: String): DataFrame = {
     val path = victimsDir(corpusDir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath))
       spark.read.parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -376,6 +389,11 @@ object CorpusPipeline {
       benchmark: Option[DataFrame] = None,
       maxRepetition: Option[Double] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // a restarting stream IS the crash-recovery path: repair any torn
+    // publish BEFORE the checkpoint re-delivers the in-flight batch,
+    // or the replay meets a half-published corpus (admitted docs whose
+    // sketches are missing) and re-admits their near-dups
+    reconcile(spark, corpusDir, indexPath)
     val batches = spark.readStream
       .schema(graft.Schemas.corpus("documents"))
       .parquet(sourceDir)
@@ -393,55 +411,34 @@ object CorpusPipeline {
       .start()
   }
 
-  /** Detect and repair the publish windows [[runIncremental]] documents,
-    * in their recovery order:
+  /** Detect and repair the publish windows [[runIncremental]] documents:
     *
-    *  1. PURGE sidecar victims whose representative never landed in the
-    *     corpus (crash between the sidecar append and the corpus
-    *     append): the batch will be replayed from scratch, so those
-    *     victims' rows must not linger (their sketches cannot be in the
-    *     index — the index append is the last publish step). The purge
-    *     rewrites the sidecar via stage-then-swap; the delete/rename
-    *     instant is the one remaining non-atomic window and loses at
-    *     most the sidecar (re-running reconcile after a crash there
-    *     sees an absent/complete sidecar, never a torn one).
-    *  2. RE-SKETCH docs missing from the band index: corpus docs, and
+    *  1. RE-SKETCH docs missing from the band index: corpus docs, and
     *     sidecar victims whose representative IS in the corpus (crash
     *     between the corpus append and the index append) — restoring
     *     the victims' sketches is what keeps a replayed near-dup chain
     *     A~B~C (A~C below threshold) from re-admitting its tail.
+    *  2. GC the sidecar: drop orphan victims whose representative never
+    *     landed (crash between the sidecar append and the corpus append
+    *     — the batch will replay from scratch, so they must not linger)
+    *     and victims whose sketches are now durably indexed (keeping
+    *     their text would grow the sidecar without bound across
+    *     batches). The rewrite is stage-then-swap; the delete/rename
+    *     instant is the one remaining non-atomic window and loses at
+    *     most the sidecar (a re-run then sees an absent/complete
+    *     sidecar, never a torn one).
     *
-    * Returns purged + re-sketched row count (0 ⇔ consistent).
-    * Idempotent; cheap when consistent (id-column scans + anti-joins).
+    * Returns orphaned + re-sketched row count (0 ⇔ consistent; GC of
+    * already-indexed rows is maintenance, not a repair, and does not
+    * count). Idempotent; cheap when consistent (id-column scans +
+    * anti-joins over a normally-empty sidecar).
     */
   def reconcile(spark: SparkSession, corpusDir: String,
       indexPath: String): Long = {
     val corpus = spark.read.parquet(corpusDir)
     val corpusReps = corpus.select(col("doc_id").as("rep_id"))
     val victims = readVictims(spark, corpusDir).localCheckpoint()
-    val orphans = victims.join(corpusReps, Seq("rep_id"), "left_anti")
-    val nOrphans = orphans.count()
-    if (nOrphans > 0) {
-      val keep = victims.join(corpusReps, Seq("rep_id"), "left_semi")
-        .select(col("doc_id"), col("text"), col("rep_id"))
-        .localCheckpoint()
-      val dir = victimsDir(corpusDir)
-      keep.write.mode("overwrite").parquet(dir + ".tmp")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-      // HDFS-style FileSystems report failure by RETURNING false, not
-      // throwing — a swallowed false here would report orphans as purged
-      // while they linger (or silently drop the sidecar on a failed
-      // rename)
-      if (!fs.delete(new org.apache.hadoop.fs.Path(dir), true))
-        throw new java.io.IOException(s"sidecar purge: delete($dir) failed")
-      if (!fs.rename(new org.apache.hadoop.fs.Path(dir + ".tmp"),
-          new org.apache.hadoop.fs.Path(dir)))
-        throw new java.io.IOException(
-          s"sidecar purge: rename($dir.tmp -> $dir) failed — " +
-            "re-run reconcile after restoring the .tmp directory")
-    }
-    val indexed = MinHashIndex.indexedIds(spark, indexPath)
+    val nOrphans = victims.join(corpusReps, Seq("rep_id"), "left_anti").count()
     val validVictims = victims.join(corpusReps, Seq("rep_id"), "left_semi")
     // docs under 3 tokens produce no trigram shingles and CAN never be
     // indexed — excluding them keeps "returns 0" ⇔ "consistent" (they
@@ -449,13 +446,45 @@ object CorpusPipeline {
     val missing = corpus.select(col("doc_id"), col("text"))
       .union(validVictims.select(col("doc_id"), col("text")))
       .filter(size(split(col("text"), " ")) >= 3)
-      .join(indexed, Seq("doc_id"), "left_anti")
+      .join(MinHashIndex.indexedIds(spark, indexPath),
+        Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val n = missing.count()
     if (n > 0)
       MinHashIndex.append(
         DedupOps.shingleRowsOf(missing.select(col("doc_id"), col("text"))),
         indexPath)
+    // sidecar GC: after the repairs above, drop rows that are orphans
+    // (their batch never landed — they must not linger into a replay)
+    // or already fully indexed (their sketches are durable; keeping the
+    // text would grow the sidecar without bound across batches). The
+    // sidecar thus shrinks back to only victims of publishes still in
+    // flight — normally empty.
+    val keep = validVictims
+      .join(MinHashIndex.indexedIds(spark, indexPath),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("rep_id"))
+      .localCheckpoint()
+    if (keep.count() < victims.count()) {
+      val dir = victimsDir(corpusDir)
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // HDFS-style FileSystems report failure by RETURNING false, not
+      // throwing — a swallowed false would report rows as purged while
+      // they linger (or silently drop the sidecar on a failed rename)
+      if (keep.isEmpty) {
+        if (fs.exists(dirPath) && !fs.delete(dirPath, true))
+          throw new java.io.IOException(s"sidecar GC: delete($dir) failed")
+      } else {
+        keep.write.mode("overwrite").parquet(dir + ".tmp")
+        if (!fs.delete(dirPath, true))
+          throw new java.io.IOException(s"sidecar GC: delete($dir) failed")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(dir + ".tmp"), dirPath))
+          throw new java.io.IOException(
+            s"sidecar GC: rename($dir.tmp -> $dir) failed — " +
+              "re-run reconcile after restoring the .tmp directory")
+      }
+    }
     n + nOrphans
   }
 }
