@@ -32,22 +32,43 @@ object AsOfJoin {
     * @param payload     right columns to carry (must include rightTime's
     *                    values if wanted in the output)
     * @param rightTiebreak column breaking equal-time ties (max wins)
+    * @param direction   "backward" (latest right <= leftTime, default)
+    *                    or "forward" (earliest right >= leftTime) —
+    *                    pandas merge_asof's direction, same sorted-pass
+    *                    plan with the frame and tie order mirrored
+    * @param tolerance   optional bound predicate (probeTime, matchedTime)
+    *                    => boolean; a match failing it nulls the payload
+    *                    (the probe row is kept) — type-agnostic, so
+    *                    timestamp callers write e.g.
+    *                    (l, r) => l <= r + expr("INTERVAL 1 HOUR")
     */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      payload: Seq[String], rightTiebreak: String): DataFrame = {
+      payload: Seq[String], rightTiebreak: String,
+      direction: String = "backward",
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
 
     val leftCols = left.columns.toSeq
-    // side 0 = build (right), side 1 = probe (left): at equal times the
-    // build row sorts first, so it is visible to the probe row (<=).
-    // Null-keyed build rows are excluded (join semantics: NULL keys
-    // never match); null-keyed probe rows then see only probe rows in
-    // their partition and correctly get a null payload.
+    // Backward: build side 0 sorts BEFORE the probe (side 1) at equal
+    // times, so a right row at exactly leftTime is visible to the
+    // running `last` over (unboundedPreceding, currentRow). Forward
+    // mirrors everything: build side 2 sorts AFTER the probe at equal
+    // times, visible to `first` over (currentRow, unboundedFollowing),
+    // and the tiebreak sort flips so max-tiebreak still wins among
+    // equal-time rights. Null-keyed build rows are excluded (join
+    // semantics: NULL keys never match); null-keyed probe rows then see
+    // only probe rows in their partition and correctly get a null
+    // payload. The matched right TIME rides inside the carried struct
+    // (`__bt`) so the tolerance bound can test it without a second pass.
     val r = right.filter(col(rightKey).isNotNull).select(
       col(rightKey).as("__key"), col(rightTime).as("__t"),
-      lit(0).as("__side"), col(rightTiebreak).as("__tb"),
-      struct(payload.map(col): _*).as("__payload"))
+      lit(if (fwd) 2 else 0).as("__side"), col(rightTiebreak).as("__tb"),
+      struct(col(rightTime).as("__bt"),
+        struct(payload.map(col): _*).as("__p")).as("__payload"))
     val l = left.select(
       col(leftKey).as("__key"), col(leftTime).as("__t"),
       lit(1).as("__side"), lit(null).cast(r.schema("__tb").dataType).as("__tb"),
@@ -56,17 +77,26 @@ object AsOfJoin {
     val unioned = r.withColumn("__row", lit(null).cast(l.schema("__row").dataType))
       .unionByName(l)
 
-    val w = Window.partitionBy(col("__key"))
+    val tbOrder = if (fwd) col("__tb").desc_nulls_last
+      else col("__tb").asc_nulls_first
+    val w0 = Window.partitionBy(col("__key"))
       .orderBy(col("__t").asc_nulls_first, col("__side").asc_nulls_first,
-        col("__tb").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbOrder)
+    val w = if (fwd) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = if (fwd) first(col("__payload"), ignoreNulls = true)
+      else last(col("__payload"), ignoreNulls = true)
 
     val carried = unioned
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__match", pick.over(w))
       .filter(col("__side") === 1)
+    val bounded = tolerance.fold(col("__match")) { p =>
+      when(col("__match").isNotNull &&
+        p(col("__t"), col("__match").getField("__bt")), col("__match"))
+    }
 
     val out = leftCols.map(c => col("__row").getField(c).as(c)) ++
-      payload.map(c => col("__match").getField(c).as(c))
+      payload.map(c => bounded.getField("__p").getField(c).as(c))
     carried.select(out: _*)
   }
 }

@@ -116,6 +116,31 @@ object Joins {
         .orderBy(col("event_id").asc_nulls_first)
     }),
 
+    // Forward as-of with a tolerance bound (pandas merge_asof parity):
+    // each order's customer's NEXT order on a later day, within 365
+    // days — repeat-purchase latency. Same sorted-pass plan as the
+    // backward form, frame and tie order mirrored; probing from
+    // `date + 1 day` makes the semantics strictly-later-day (and
+    // excludes the row's self-match in the self as-of).
+    "q_join_asof_forward" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val probe = o.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"))
+        .withColumn("after", col("o_orderdate") + expr("INTERVAL 1 DAY"))
+      val build = o.select(col("o_custkey").as("c2"),
+        col("o_orderdate").as("n_date"), col("o_orderkey").as("n_key"))
+      AsOfJoin.asOf(probe, build,
+          leftKey = "o_custkey", rightKey = "c2",
+          leftTime = "after", rightTime = "n_date",
+          payload = Seq("n_key", "n_date"),
+          rightTiebreak = "n_key", direction = "forward",
+          tolerance = Some((l, r) => r <= l + expr("INTERVAL 364 DAYS")))
+        .filter(col("n_key").isNotNull)
+        .select(col("o_orderkey"), col("n_key").as("next_orderkey"),
+          col("n_date").as("next_orderdate"))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
     // Bounded cartesian product (reference R15's header × category score
     // matrix shape, tables.py:181-189).
     "q_join_cross" -> ((s, d) => {
@@ -177,6 +202,21 @@ object Joins {
         |FROM events JOIN orders
         |  ON user_id = o_custkey AND o_orderdate <= ts
         |GROUP BY event_id ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    // forward pick = earliest date, max orderkey among equal dates: the
+    // inverted zero-padded key makes arg_min's composite order (date
+    // asc, orderkey desc)
+    "q_join_asof_forward" ->
+      """SELECT o1.o_orderkey,
+        |  arg_min(o2.o_orderkey,
+        |    strftime(o2.o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+        |    lpad(CAST(1000000000000 - o2.o_orderkey AS VARCHAR), 20, '0'))
+        |    AS next_orderkey,
+        |  min(o2.o_orderdate) AS next_orderdate
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey
+        |    AND o2.o_orderdate >= o1.o_orderdate + INTERVAL 1 DAY
+        |    AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 365 DAY
+        |GROUP BY o1.o_orderkey ORDER BY o1.o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation

@@ -46,4 +46,45 @@ class AsOfJoinSuite extends AnyFunSuite {
       Seq("bid"), "bid").head
     assert(got.getAs[Long]("bid") == 9L)
   }
+
+  test("forward direction picks the earliest right >= probe time") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val probes = Seq(
+      (1L, t("2024-01-01 10:00:00"), "e1"),
+      (1L, t("2024-01-01 12:30:00"), "e2"),  // nothing at/after -> null
+      (2L, t("2024-01-01 10:00:00"), "e3"))  // other key only -> null
+      .toDF("k", "ts", "name")
+    val builds = Seq(
+      (1L, t("2024-01-01 09:00:00"), 5L),    // before: invisible forward
+      (1L, t("2024-01-01 10:00:00"), 7L),    // same instant: visible
+      (1L, t("2024-01-01 10:00:00"), 9L),    // tie -> max tiebreak wins
+      (1L, t("2024-01-01 11:00:00"), 11L))
+      .toDF("k", "bts", "bid")
+    val got = AsOfJoin.asOf(probes, builds, "k", "k", "ts", "bts",
+      Seq("bid"), "bid", direction = "forward")
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[Any]("bid"))).toMap
+    assert(got == Map("e1" -> Some(9L), "e2" -> None, "e3" -> None))
+  }
+
+  test("tolerance nulls matches outside the bound, keeps probe rows") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val probes = Seq(
+      (1L, t("2024-01-01 10:00:00"), "near"),
+      (1L, t("2024-01-01 23:00:00"), "far"))
+      .toDF("k", "ts", "name")
+    val builds = Seq((1L, t("2024-01-01 09:30:00"), 5L))
+      .toDF("k", "bts", "bid")
+    val got = AsOfJoin.asOf(probes, builds, "k", "k", "ts", "bts",
+      Seq("bid"), "bid",
+      tolerance = Some((l, r) => l <= r + expr("INTERVAL 1 HOUR")))
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[Any]("bid"))).toMap
+    assert(got == Map("near" -> Some(5L), "far" -> None),
+      "matches beyond the tolerance must null out, rows must survive")
+  }
 }
