@@ -99,4 +99,66 @@ object AsOfJoin {
       payload.map(c => bounded.getField("__p").getField(c).as(c))
     carried.select(out: _*)
   }
+
+  /** Nearest-match as-of (pandas merge_asof direction="nearest"): for
+    * each left row, the right row minimizing |rightTime − leftTime| on
+    * the same key; equal distances prefer the backward (≤) match, and
+    * equal times within a side the max tiebreak — consistent with the
+    * directional forms. ONE shuffle on the key: both directional
+    * carries run as two window frames over the same hash partitioning
+    * (the second differs only in sort order — an in-partition re-sort,
+    * no exchange). Works for numeric and timestamp times alike: the
+    * distance comparison subtracts columns, so timestamps compare as
+    * day-time intervals. `tolerance` bounds each side before the
+    * comparison; a left row with no in-bound match keeps a null
+    * payload.
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String], rightTiebreak: String,
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // build side 0 sorts before the probe at equal times: an equal-time
+    // right lands in the BACKWARD frame with distance zero and wins the
+    // comparison, so the forward frame's exclusion of it is harmless
+    val r = right.filter(col(rightKey).isNotNull).select(
+      col(rightKey).as("__key"), col(rightTime).as("__t"),
+      lit(0).as("__side"), col(rightTiebreak).as("__tb"),
+      struct(col(rightTime).as("__bt"),
+        struct(payload.map(col): _*).as("__p")).as("__payload"))
+    val l = left.select(
+      col(leftKey).as("__key"), col(leftTime).as("__t"),
+      lit(1).as("__side"), lit(null).cast(r.schema("__tb").dataType).as("__tb"),
+      lit(null).cast(r.schema("__payload").dataType).as("__payload"),
+      struct(leftCols.map(col): _*).as("__row"))
+    val unioned = r.withColumn("__row", lit(null).cast(l.schema("__row").dataType))
+      .unionByName(l)
+
+    val wB = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc_nulls_first, col("__side").asc_nulls_first,
+        col("__tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc_nulls_first, col("__side").asc_nulls_first,
+        col("__tb").desc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned
+      .withColumn("__mb", last(col("__payload"), ignoreNulls = true).over(wB))
+      .withColumn("__mf", first(col("__payload"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+
+    def ok(m: Column): Column = m.isNotNull &&
+      tolerance.fold(lit(true))(p => p(col("__t"), m.getField("__bt")))
+    val (bm, fm) = (col("__mb"), col("__mf"))
+    val pick = when(ok(bm) && ok(fm),
+        when(col("__t") - bm.getField("__bt") <=
+          fm.getField("__bt") - col("__t"), bm).otherwise(fm))
+      .when(ok(bm), bm)
+      .when(ok(fm), fm)
+
+    val out = leftCols.map(c => col("__row").getField(c).as(c)) ++
+      payload.map(c => pick.getField("__p").getField(c).as(c))
+    carried.select(out: _*)
+  }
 }

@@ -141,6 +141,26 @@ object Joins {
         .orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // Nearest as-of (merge_asof direction=nearest): the lineitem whose
+    // ship date is closest in time to its order's date — the synthetic
+    // ship dates fall on BOTH sides of the order date, so both
+    // directional carries are genuinely exercised.
+    "q_join_asof_nearest" -> ((s, d) => {
+      val probe = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val build = Tables.lineitem(s, d).select(col("l_orderkey").as("k2"),
+        col("l_shipdate"), col("l_linenumber"))
+      AsOfJoin.asOfNearest(probe, build,
+          leftKey = "o_orderkey", rightKey = "k2",
+          leftTime = "o_orderdate", rightTime = "l_shipdate",
+          payload = Seq("l_linenumber", "l_shipdate"),
+          rightTiebreak = "l_linenumber")
+        .filter(col("l_linenumber").isNotNull)
+        .select(col("o_orderkey"), col("l_linenumber").as("near_line"),
+          col("l_shipdate").as("near_shipdate"))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
     // Bounded cartesian product (reference R15's header × category score
     // matrix shape, tables.py:181-189).
     "q_join_cross" -> ((s, d) => {
@@ -217,6 +237,20 @@ object Joins {
         |    AND o2.o_orderdate >= o1.o_orderdate + INTERVAL 1 DAY
         |    AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 365 DAY
         |GROUP BY o1.o_orderkey ORDER BY o1.o_orderkey ASC NULLS FIRST""".stripMargin,
+    // composite minimizes (|distance|, backward-first, max linenumber):
+    // exactly asOfNearest's pick order
+    "q_join_asof_nearest" ->
+      """WITH j AS (
+        |  SELECT o_orderkey, l_linenumber, l_shipdate,
+        |    lpad(CAST(abs(CAST(epoch_us(l_shipdate) AS BIGINT)
+        |        - CAST(epoch_us(o_orderdate) AS BIGINT)) AS VARCHAR), 20, '0')
+        |      || (CASE WHEN l_shipdate <= o_orderdate THEN '0' ELSE '1' END)
+        |      || lpad(CAST(100000000 - l_linenumber AS VARCHAR), 9, '0')
+        |      AS rankkey
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT o_orderkey, arg_min(l_linenumber, rankkey) AS near_line,
+        |  arg_min(l_shipdate, rankkey) AS near_shipdate
+        |FROM j GROUP BY o_orderkey ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation

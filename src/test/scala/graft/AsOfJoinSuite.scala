@@ -69,6 +69,26 @@ class AsOfJoinSuite extends AnyFunSuite {
     assert(got == Map("e1" -> Some(9L), "e2" -> None, "e3" -> None))
   }
 
+  test("nearest picks the closer side; ties prefer backward") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val probes = Seq(
+      (1L, t("2024-01-01 10:00:00"), "closerAfter"),   // 30m fwd vs 2h back
+      (2L, t("2024-01-01 10:00:00"), "closerBefore"),  // 15m back vs 1h fwd
+      (3L, t("2024-01-01 10:00:00"), "tie"))           // 1h both sides
+      .toDF("k", "ts", "name")
+    val builds = Seq(
+      (1L, t("2024-01-01 08:00:00"), 1L), (1L, t("2024-01-01 10:30:00"), 2L),
+      (2L, t("2024-01-01 09:45:00"), 3L), (2L, t("2024-01-01 11:00:00"), 4L),
+      (3L, t("2024-01-01 09:00:00"), 5L), (3L, t("2024-01-01 11:00:00"), 6L))
+      .toDF("k", "bts", "bid")
+    val got = AsOfJoin.asOfNearest(probes, builds, "k", "k", "ts", "bts",
+      Seq("bid"), "bid")
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[Long]("bid")).toMap
+    assert(got == Map("closerAfter" -> 2L, "closerBefore" -> 3L, "tie" -> 5L))
+  }
+
   test("tolerance nulls matches outside the bound, keeps probe rows") {
     import spark.implicits._
     import java.sql.Timestamp
