@@ -90,9 +90,13 @@ object AsOfJoin {
     val carried = unioned
       .withColumn("__match", pick.over(w))
       .filter(col("__side") === 1)
-    val bounded = tolerance.fold(col("__match")) { p =>
-      when(col("__match").isNotNull &&
-        p(col("__t"), col("__match").getField("__bt")), col("__match"))
+    // a null probe time matches nothing in either direction — backward
+    // gets that from nulls_first sorting (no build precedes a null),
+    // but forward would otherwise see every build following it
+    val bounded0 = when(col("__t").isNotNull, col("__match"))
+    val bounded = tolerance.fold(bounded0) { p =>
+      when(bounded0.isNotNull &&
+        p(col("__t"), bounded0.getField("__bt")), bounded0)
     }
 
     val out = leftCols.map(c => col("__row").getField(c).as(c)) ++
@@ -148,7 +152,8 @@ object AsOfJoin {
       .withColumn("__mf", first(col("__payload"), ignoreNulls = true).over(wF))
       .filter(col("__side") === 1)
 
-    def ok(m: Column): Column = m.isNotNull &&
+    // null probe times match nothing (see asOf's forward guard)
+    def ok(m: Column): Column = col("__t").isNotNull && m.isNotNull &&
       tolerance.fold(lit(true))(p => p(col("__t"), m.getField("__bt")))
     val (bm, fm) = (col("__mb"), col("__mf"))
     val pick = when(ok(bm) && ok(fm),
