@@ -120,6 +120,18 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"row replication must not shuffle; found hash shuffles: $shuffles")
   }
 
+  test("nearest as-of runs both directional carries on ONE key shuffle") {
+    val q = SparkEntry.queries("q_join_asof_nearest")(spark, sf)
+    q.collect()
+    val shuffles = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e.outputPartitioning
+    }
+    val hashShuffles = shuffles.filter(_.isInstanceOf[HashPartitioning])
+    assert(hashShuffles.size == 1,
+      s"both window frames must share one key partitioning " +
+        s"(second differs only by an in-partition re-sort): $shuffles")
+  }
+
   test("inverted-index posting limit plans as map-side WindowGroupLimit") {
     val q = SparkEntry.queries("q_text_inverted_index")(spark, sf)
     q.collect()
