@@ -51,6 +51,21 @@ object Aggregates {
         .orderBy(col("l_returnflag").asc_nulls_first)
     }),
 
+    // Approximate percentiles (Greenwald-Khanna sketch) — no oracle
+    // (sketch internals differ from DuckDB's t-digest); the error bound
+    // vs the exact tier is asserted in RelationalSuite. The 100 TB
+    // story: one pass, bounded mergeable per-group state, no sort —
+    // the exact interpolated form (q_agg_percentile) needs the whole
+    // group's values.
+    "q_agg_approx_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(1000))
+          .as("approx_price_quartiles"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    }),
+
     // Argmax via max_by (reference R15/R26: per-category argmax over the
     // header-score matrix, tables.py:190-202). Prices tie across parts, so
     // the ordering key is a fixed-width (price, name) string — totally

@@ -77,6 +77,20 @@ class RelationalSuite extends AnyFunSuite {
     assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
   }
 
+  test("q_agg_approx_percentile quartiles track the exact tier per group") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q_agg_approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+        .as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, qs) <- exact; (e, a) <- qs.zip(approx(k)))
+      assert(math.abs(a - e) / e < 0.05,
+        s"group $k: approx=$a exact=$e beyond the rank-error band")
+  }
+
   test("q_agg_approx_distinct stays within HLL error bounds of exact") {
     import org.apache.spark.sql.functions._
     // rsd = 0.02 is a standard-deviation bound; 5 sigma (10% relative
