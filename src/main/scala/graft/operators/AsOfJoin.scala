@@ -23,6 +23,36 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** The tag+union frame every as-of variant sorts: build rows carry
+    * (time, tiebreak, payload-with-matched-time), probe rows their
+    * whole original row. Build rows with a null KEY are excluded (join
+    * semantics: NULL keys never match) and so are null TIMES — a null
+    * time satisfies neither `<=` nor `>=` any probe time, but
+    * nulls-first sorting would otherwise park them at the partition
+    * head where every backward frame sees them. Null-keyed/timed probe
+    * rows are kept and resolve to a null payload downstream.
+    */
+  private def taggedUnion(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String], rightTiebreak: String,
+      buildSide: Int, leftCols: Seq[String]): DataFrame = {
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__key"), col(rightTime).as("__t"),
+        lit(buildSide).as("__side"), col(rightTiebreak).as("__tb"),
+        struct(col(rightTime).as("__bt"),
+          struct(payload.map(col): _*).as("__p")).as("__payload"))
+    val l = left.select(
+      col(leftKey).as("__key"), col(leftTime).as("__t"),
+      lit(1).as("__side"), lit(null).cast(r.schema("__tb").dataType).as("__tb"),
+      lit(null).cast(r.schema("__payload").dataType).as("__payload"),
+      struct(leftCols.map(col): _*).as("__row"))
+    r.withColumn("__row", lit(null).cast(l.schema("__row").dataType))
+      .unionByName(l)
+  }
+
   /** @param left        probe side
     * @param right       build side
     * @param leftKey     join key column name on left
@@ -59,23 +89,12 @@ object AsOfJoin {
     // mirrors everything: build side 2 sorts AFTER the probe at equal
     // times, visible to `first` over (currentRow, unboundedFollowing),
     // and the tiebreak sort flips so max-tiebreak still wins among
-    // equal-time rights. Null-keyed build rows are excluded (join
-    // semantics: NULL keys never match); null-keyed probe rows then see
-    // only probe rows in their partition and correctly get a null
-    // payload. The matched right TIME rides inside the carried struct
-    // (`__bt`) so the tolerance bound can test it without a second pass.
-    val r = right.filter(col(rightKey).isNotNull).select(
-      col(rightKey).as("__key"), col(rightTime).as("__t"),
-      lit(if (fwd) 2 else 0).as("__side"), col(rightTiebreak).as("__tb"),
-      struct(col(rightTime).as("__bt"),
-        struct(payload.map(col): _*).as("__p")).as("__payload"))
-    val l = left.select(
-      col(leftKey).as("__key"), col(leftTime).as("__t"),
-      lit(1).as("__side"), lit(null).cast(r.schema("__tb").dataType).as("__tb"),
-      lit(null).cast(r.schema("__payload").dataType).as("__payload"),
-      struct(leftCols.map(col): _*).as("__row"))
-    val unioned = r.withColumn("__row", lit(null).cast(l.schema("__row").dataType))
-      .unionByName(l)
+    // equal-time rights. The matched right TIME rides inside the
+    // carried struct (`__bt`) so the tolerance bound can test it
+    // without a second pass.
+    val unioned = taggedUnion(left, right, leftKey, rightKey,
+      leftTime, rightTime, payload, rightTiebreak,
+      buildSide = if (fwd) 2 else 0, leftCols)
 
     val tbOrder = if (fwd) col("__tb").desc_nulls_last
       else col("__tb").asc_nulls_first
@@ -126,18 +145,9 @@ object AsOfJoin {
     // build side 0 sorts before the probe at equal times: an equal-time
     // right lands in the BACKWARD frame with distance zero and wins the
     // comparison, so the forward frame's exclusion of it is harmless
-    val r = right.filter(col(rightKey).isNotNull).select(
-      col(rightKey).as("__key"), col(rightTime).as("__t"),
-      lit(0).as("__side"), col(rightTiebreak).as("__tb"),
-      struct(col(rightTime).as("__bt"),
-        struct(payload.map(col): _*).as("__p")).as("__payload"))
-    val l = left.select(
-      col(leftKey).as("__key"), col(leftTime).as("__t"),
-      lit(1).as("__side"), lit(null).cast(r.schema("__tb").dataType).as("__tb"),
-      lit(null).cast(r.schema("__payload").dataType).as("__payload"),
-      struct(leftCols.map(col): _*).as("__row"))
-    val unioned = r.withColumn("__row", lit(null).cast(l.schema("__row").dataType))
-      .unionByName(l)
+    val unioned = taggedUnion(left, right, leftKey, rightKey,
+      leftTime, rightTime, payload, rightTiebreak,
+      buildSide = 0, leftCols)
 
     val wB = Window.partitionBy(col("__key"))
       .orderBy(col("__t").asc_nulls_first, col("__side").asc_nulls_first,

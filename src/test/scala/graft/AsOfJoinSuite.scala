@@ -69,6 +69,24 @@ class AsOfJoinSuite extends AnyFunSuite {
     assert(got == Map("e1" -> Some(9L), "e2" -> None, "e3" -> None))
   }
 
+  test("null BUILD times never match (they satisfy neither <= nor >=)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val probes = Seq((1L, t("2024-01-01 10:00:00"), "p"))
+      .toDF("k", "ts", "name")
+    val builds = Seq((1L, Option.empty[Timestamp], 5L))
+      .toDF("k", "bts", "bid")
+    Seq("backward", "forward").foreach { dir =>
+      val m = AsOfJoin.asOf(probes, builds, "k", "k", "ts", "bts",
+        Seq("bid"), "bid", direction = dir).head
+      assert(m.isNullAt(m.fieldIndex("bid")), s"$dir matched a null time")
+    }
+    val n = AsOfJoin.asOfNearest(probes, builds, "k", "k", "ts", "bts",
+      Seq("bid"), "bid").head
+    assert(n.isNullAt(n.fieldIndex("bid")), "nearest matched a null time")
+  }
+
   test("null probe times match nothing in any direction") {
     import spark.implicits._
     import java.sql.Timestamp
