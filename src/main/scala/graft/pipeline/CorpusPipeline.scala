@@ -253,7 +253,10 @@ object CorpusPipeline {
     * The publish step is three ordered appends (victims sidecar, then
     * corpus, then index); a crash between any two leaves a window that
     * [[reconcile]] detects and repairs — run it on restart before
-    * replaying batches.
+    * replaying batches. SINGLE WRITER: batches must be admitted one at
+    * a time (the shape [[streamIncremental]]'s serialized micro-batches
+    * give for free) — two concurrent admissions could each pass the
+    * other's probe before either publishes, admitting mutual near-dups.
     */
   def runIncremental(spark: SparkSession, batch: DataFrame,
       corpusDir: String, indexPath: String, minTokens: Int = 10,
