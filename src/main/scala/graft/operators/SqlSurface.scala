@@ -201,6 +201,33 @@ object SqlSurface {
         .orderBy(col("l_returnflag").asc_nulls_first)
     }),
 
+    // Pure-SQL recursive CTE (Spark 4.x WITH RECURSIVE): walk each
+    // user's first four events in time order, accumulating the path —
+    // linked-list traversal the optimizer cannot unroll statically.
+    // Identical SQL runs on the DuckDB side, so the recursion semantics
+    // themselves are oracle-gated. Recursion depth is bounded by the
+    // rn <= 4 predicate, not engine limits.
+    "q_sql_recursive" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("v_events")
+      s.sql("""
+        WITH RECURSIVE seq AS (
+          SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC) AS rn
+          FROM v_events),
+        walk AS (
+          SELECT user_id, rn, CAST(event_type AS STRING) AS path
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.user_id, s.rn, w.path || '>' || s.event_type
+          FROM walk w JOIN seq s
+            ON s.user_id = w.user_id AND s.rn = w.rn + 1
+          WHERE s.rn <= 4)
+        SELECT user_id, max(rn) AS depth, max_by(path, rn) AS path
+        FROM walk GROUP BY user_id
+        ORDER BY user_id ASC NULLS FIRST""")
+    }),
+
     // Pure-SQL entry point: LATERAL correlated subquery (top order per
     // customer) through spark.sql over registered views — the same
     // Catalyst plan surface the DataFrame queries use, exercised the way
@@ -361,6 +388,23 @@ object SqlSurface {
         |  count(1) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "q_sql_recursive" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT user_id, rn, CAST(event_type AS VARCHAR) AS path
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, w.path || '>' || s.event_type
+        |  FROM walk w JOIN seq s
+        |    ON s.user_id = w.user_id AND s.rn = w.rn + 1
+        |  WHERE s.rn <= 4)
+        |SELECT user_id, max(rn) AS depth, arg_max(path, rn) AS path
+        |FROM walk GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
     "q_sql_lateral" ->
       s"""SELECT c.c_custkey, c.c_mktsegment,
          |  t.o_orderkey AS top_order,
