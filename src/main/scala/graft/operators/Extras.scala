@@ -92,6 +92,19 @@ object Extras {
         .orderBy(col("n_nationkey").asc_nulls_first)
     }),
 
+    // Spark 4 VARIANT for semi-structured columns: parse once into the
+    // binary variant encoding, extract typed fields lazily — the
+    // schema-on-read path for ragged JSON at lake scale (no per-query
+    // string re-parsing, pushdown-friendly shredding). Oracled against
+    // DuckDB's json_extract of the same field.
+    "q_scan_variant" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k_val"))
+        .orderBy(col("event_id").asc_nulls_first)
+    }),
+
     // Deterministic collect/string-agg: sorted value list per group
     // (sort_array makes the collect order-independent).
     "q_agg_collect" -> ((s, d) => {
@@ -183,6 +196,10 @@ object Extras {
         |  columns={'n_nationkey':'INT','n_name':'VARCHAR','n_regionkey':'INT'},
         |  format='newline_delimited')
         |ORDER BY n_nationkey ASC NULLS FIRST""".stripMargin,
+    "q_scan_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "q_agg_collect" ->
       """SELECT s_nationkey,
         |  array_to_string(list_sort(list(s_name)), ',') AS suppliers,
