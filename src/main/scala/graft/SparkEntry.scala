@@ -34,6 +34,7 @@ object SparkEntry {
     (QualityOps.queries, QualityOps.oracle),
     (AnalyticsOps.queries, AnalyticsOps.oracle),
     (TrainingOps.queries, TrainingOps.oracle),
+    (TemporalOps.queries, TemporalOps.oracle),
     (Flagship.queries, Flagship.oracle)
   )
 

@@ -66,6 +66,27 @@ object Aggregates {
         .orderBy(col("l_returnflag").asc_nulls_first)
     }),
 
+    // Apache DataSketches HLL — the re-aggregable distinct sketch: the
+    // per-group binary sketches are materialized state that can be
+    // persisted, shipped, and merged (hll_union_agg) WITHOUT the raw
+    // data, which is what a 100 TB rollup actually needs (the plain
+    // approx_count_distinct estimate is a dead end — it can't be
+    // re-aggregated upward). Output: per-flag estimates plus the merged
+    // ALL row union'd from the group sketches, proving the two-level
+    // merge. No oracle (sketch estimates are engine-specific); the
+    // estimate-vs-exact error bound is asserted in RelationalSuite.
+    "q_agg_hll_sketch" -> ((s, d) => {
+      val sk = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"))
+      val per = sk.select(col("l_returnflag").as("flag"),
+        expr("hll_sketch_estimate(sk)").as("est_orders"))
+      val all = sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("est_orders"))
+        .select(lit("ALL").as("flag"), col("est_orders"))
+      per.unionByName(all).orderBy(col("flag").asc_nulls_first)
+    }),
+
     // Argmax via max_by (reference R15/R26: per-category argmax over the
     // header-score matrix, tables.py:190-202). Prices tie across parts, so
     // the ordering key is a fixed-width (price, name) string — totally

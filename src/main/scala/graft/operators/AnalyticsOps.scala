@@ -184,6 +184,50 @@ object AnalyticsOps {
         .filter(col("rk") <= 30)
         .select(col("doc_id"), col("lang"), col("rk"))
         .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // Skyline (Pareto frontier): parts not dominated on (min price,
+    // max size). The all-pairs NOT EXISTS definition is quadratic; this
+    // plan is the scalable two-pass form — (1) per-price max size, a
+    // partial-agg'd groupBy; (2) a prefix-max over the PRICE-AGGREGATED
+    // frame (cardinality = distinct prices, orders of magnitude below
+    // row count; for a truly continuous axis shard the prefix max like
+    // ScalePatterns.withGlobalRank); (3) a broadcast semi-join back.
+    // Equal (price, size) pairs dominate neither way, so both survive —
+    // matching the NOT EXISTS oracle exactly.
+    "q_skyline" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val perPrice = p.groupBy(col("p_retailprice"))
+        .agg(max(col("p_size")).as("pmax"))
+      val w = Window.orderBy(col("p_retailprice").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = perPrice
+        .withColumn("prevmax", max(col("pmax")).over(w))
+        .filter(col("prevmax").isNull || col("pmax") > col("prevmax"))
+        .select(col("p_retailprice"), col("pmax"))
+      p.join(broadcast(sky), Seq("p_retailprice"))
+        .filter(col("p_size") === col("pmax"))
+        .select(col("p_partkey"),
+          Det.r4(col("p_retailprice")).as("price"), col("p_size"))
+        .orderBy(col("p_partkey").asc_nulls_first)
+    }),
+
+    // Per-type z-score anomalies: group stats via partial-agg'd groupBy
+    // + broadcast join back (NOT a window over event_type — five huge
+    // window partitions would concentrate all rows on five tasks at
+    // corpus scale; the stats frame is 5 rows, the join is map-only).
+    "q_anomaly_zscore" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val stats = e.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sigma"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", Det.r4((col("value") - col("mu")) / col("sigma")))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("event_type"),
+          Det.r4(col("value")).as("value"), col("z"))
+        .orderBy(col("event_id").asc_nulls_first)
     })
   )
 
@@ -310,6 +354,30 @@ object AnalyticsOps {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
         |  FROM documents)
         |SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM r WHERE rk <= 30
-        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    // dominance definition straight from the skyline literature: no b
+    // that is <= on price, >= on size, and strictly better on one
+    "q_skyline" ->
+      """SELECT p_partkey,
+        |  floor((p_retailprice) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS price,
+        |  p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+    "q_anomaly_zscore" ->
+      s"""WITH stats AS (
+         |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+         |  FROM events GROUP BY event_type),
+         |z AS (
+         |  SELECT event_id, event_type, value,
+         |    ${r4sql("(value - mu) / sigma", "z")}
+         |  FROM events JOIN stats USING (event_type))
+         |SELECT event_id, event_type,
+         |  ${r4sql("value", "value")}, z
+         |FROM z WHERE abs(z) > 3
+         |ORDER BY event_id ASC NULLS FIRST""".stripMargin
   )
 }

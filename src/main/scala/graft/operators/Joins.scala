@@ -161,6 +161,39 @@ object Joins {
         .orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // Bucketed (binned) interval join — the 100 TB form of an UNKEYED
+    // point-in-interval join. The naive plan is a broadcast nested loop
+    // (every point × every interval); instead each interval explodes
+    // into the DAY buckets it covers (7 rows — bounded by span/bucket)
+    // and each point maps to its one bucket, turning the range predicate
+    // into an EQUI-join on the bucket plus a residual range filter.
+    // Work scales as sum-over-buckets(points_b × intervals_b) — the
+    // true overlap density — instead of |points| × |intervals|, and the
+    // shuffle partitions by bucket like any other key. A point's bucket
+    // matches exactly one exploded row per covering interval, so no
+    // pair-dedup is needed. PlanAuditSuite asserts no nested loop
+    // survives in the physical plan.
+    "q_join_range_bucketed" -> ((s, d) => {
+      val windows = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 7 DAYS"))
+        .withColumn("day", explode(sequence(to_date(col("w_start")),
+          date_add(to_date(col("w_start")), 6))))
+      val points = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
+        .withColumn("day", to_date(col("l_shipdate")))
+      points.join(windows, Seq("day"))
+        .filter(col("l_shipdate") >= col("w_start") &&
+          col("l_shipdate") < col("w_end"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("o_orderkey")).as("n_windows"),
+          graft.Det.r4(sum(col("l_extendedprice"))).as("revenue"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    }),
+
     // Bounded cartesian product (reference R15's header × category score
     // matrix shape, tables.py:181-189).
     "q_join_cross" -> ((s, d) => {
@@ -251,6 +284,18 @@ object Joins {
         |SELECT o_orderkey, arg_min(l_linenumber, rankkey) AS near_line,
         |  arg_min(l_shipdate, rankkey) AS near_shipdate
         |FROM j GROUP BY o_orderkey ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // the oracle states the SEMANTICS (plain range join) — the bucketed
+    // plan must reproduce it exactly
+    "q_join_range_bucketed" ->
+      """SELECT o_orderpriority, count(1) AS n_pairs,
+        |  count(DISTINCT o_orderkey) AS n_windows,
+        |  floor((sum(l_extendedprice)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders
+        |  ON o_totalprice > 450000
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation

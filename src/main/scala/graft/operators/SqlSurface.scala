@@ -249,6 +249,62 @@ object SqlSurface {
         .withColumn("top_price", Det.r4(col("top_price")))
     }),
 
+    // Spark 4 SQL pipe syntax (`|>`): the linear FROM -> WHERE ->
+    // AGGREGATE -> ORDER BY dataflow form, parsed by the same Catalyst
+    // front end into the same optimized plan as the classic query —
+    // exercised because a SQL-first user of a 4.x engine will reach for
+    // it. The oracle states the identical classic-SQL semantics.
+    "q_sql_pipe" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        FROM v_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+        |> AGGREGATE
+             floor(sum(l_quantity) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS sum_qty,
+             floor(avg(l_discount) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS avg_disc,
+             count(*) AS n
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // Correlated aggregate subquery (TPC-H Q17 shape): lineitems below
+    // half their part's average quantity. Catalyst DECORRELATES the
+    // per-row subquery into one aggregate-over-lineitem + an equi-join
+    // (RewriteCorrelatedScalarSubquery) — per-row re-execution, the
+    // naive reading, never happens; the plan is two shuffles on
+    // l_partkey. l_quantity is integral, so avg = exact-sum/count is
+    // bit-identical across engines and the `<` boundary cannot flip.
+    "q_correlated_agg" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT p_brand, count(*) AS n_small,
+          floor(sum(l_extendedprice) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue
+        FROM v_lineitem l1 JOIN v_part p ON p.p_partkey = l1.l_partkey
+        WHERE l1.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM v_lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand ASC NULLS FIRST""")
+    }),
+
+    // Null-aware NOT IN: a NULL probe value is neither in nor not-in
+    // the set, so those rows vanish — three-valued logic the rewrite to
+    // a plain anti-join would get WRONG. Customers with negative
+    // balances get a NULL probe and drop out; Spark plans the
+    // null-aware anti-join variant. Subquery-side nulls would empty the
+    // whole result (correctly) — kept non-null here so the query stays
+    // non-degenerate.
+    "q_null_aware_anti" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM v_customer
+        WHERE (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END)
+          NOT IN (SELECT o_custkey FROM v_orders WHERE o_totalprice > 400000)
+        ORDER BY c_custkey ASC NULLS FIRST""")
+    }),
+
     // Date-spine gap fill: generate every day between min and max order
     // date, left-join daily counts, zero-fill gaps. The spine explodes
     // from a 1-row aggregate (bounded by calendar span, not data volume)
@@ -426,6 +482,30 @@ object SqlSurface {
         |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
         |  coalesce(cnt.cnt, 0) AS n_orders
         |FROM spine LEFT JOIN cnt ON spine.day = cnt.day
-        |ORDER BY day ASC NULLS FIRST""".stripMargin
+        |ORDER BY day ASC NULLS FIRST""".stripMargin,
+    // classic-SQL statement of the pipe query's semantics
+    "q_sql_pipe" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor(sum(l_quantity) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS sum_qty,
+        |  floor(avg(l_discount) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_correlated_agg" ->
+      """SELECT p_brand, count(*) AS n_small,
+        |  floor(sum(l_extendedprice) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue
+        |FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey
+        |WHERE l1.l_quantity < (
+        |  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
+    "q_null_aware_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END)
+        |  NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin
   )
 }

@@ -159,4 +159,22 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(scans.length == 1,
       s"profile must not rescan per column, found ${scans.length} scans")
   }
+
+  test("bucketed range join plans an equi-join, never a nested loop") {
+    val q = SparkEntry.queries("q_join_range_bucketed")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the day-bucket join must stay an equi-join:\n$plan")
+    // and it must agree with the naive range-join semantics
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 450000)
+    val naive = li.join(o,
+        li("l_shipdate") >= o("o_orderdate") &&
+        li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 7 DAYS"))
+      .count()
+    val bucketed = q.agg(sum(col("n_pairs"))).head().getLong(0)
+    assert(bucketed == naive, s"bucketed=$bucketed naive=$naive")
+  }
 }

@@ -107,4 +107,65 @@ class RelationalSuite extends AnyFunSuite {
       assert(relErr <= 0.10, s"group $k: approx=${approx(k)} exact=$n relErr=$relErr")
     }
   }
+
+  test("q_agg_hll_sketch estimates match exact distincts within 5%") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q_agg_hll_sketch")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap +
+      ("ALL" -> li.select(countDistinct(col("l_orderkey"))).head().getLong(0))
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val relErr = math.abs(est(k) - n).toDouble / n
+      // lgConfigK=12 -> rsd ~1.6%; 3 sigma acceptance
+      assert(relErr <= 0.05, s"group $k: sketch=${est(k)} exact=$n relErr=$relErr")
+    }
+    // the merged ALL row must come from the union of the group sketches,
+    // i.e. sit near the exact global distinct, not near the group sum
+    val groupSum = exact.removed("ALL").values.sum
+    assert(est("ALL") < groupSum * 0.9,
+      s"ALL=${est("ALL")} should reflect cross-group overlap (sum=$groupSum)")
+  }
+
+  test("q_skyline equals the brute-force dominance frontier") {
+    import org.apache.spark.sql.functions._
+    val pts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val brute = pts.filter { case (_, pa, sa) =>
+      !pts.exists { case (_, pb, sb) =>
+        pb <= pa && sb >= sa && (pb < pa || sb > sa)
+      }
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("q_skyline")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"skyline mismatch: got=$got brute=$brute")
+  }
+
+  test("q_resample_interpolate: complete grid, interior filled, edges null") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_resample_interpolate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val users = out.map(_._1).distinct
+    val hours = out.map(_._2).distinct
+    assert(out.length == users.length * hours.length, "grid must be complete")
+    for (u <- users) {
+      val rows = out.filter(_._1 == u).sortBy(_._2.getTime)
+      val obsIdx = Tables.events(spark, sf).filter(col("user_id") === u)
+        .select(date_trunc("hour", col("ts")).as("h")).distinct()
+        .collect().map(_.getTimestamp(0).getTime)
+      val (lo, hi) = (obsIdx.min, obsIdx.max)
+      rows.foreach { case (_, h, v) =>
+        val t = h.getTime
+        if (t < lo || t > hi)
+          assert(v.isEmpty, s"user $u hour $h outside observations must be null")
+        else
+          assert(v.nonEmpty, s"user $u hour $h between observations must be filled")
+      }
+    }
+  }
 }
