@@ -175,7 +175,7 @@ object Joins {
     // survives in the physical plan.
     "q_join_range_bucketed" -> ((s, d) => {
       val windows = Tables.orders(s, d)
-        .filter(col("o_totalprice") > 450000)
+        .filter(col("o_totalprice") > 490000)
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_orderdate").as("w_start"))
         .withColumn("w_end", col("w_start") + expr("INTERVAL 7 DAYS"))
@@ -291,7 +291,7 @@ object Joins {
         |  count(DISTINCT o_orderkey) AS n_windows,
         |  floor((sum(l_extendedprice)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders
-        |  ON o_totalprice > 450000
+        |  ON o_totalprice > 490000
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate < o_orderdate + INTERVAL 7 DAY
         |GROUP BY o_orderpriority

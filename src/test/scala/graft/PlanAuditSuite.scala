@@ -169,7 +169,7 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"the day-bucket join must stay an equi-join:\n$plan")
     // and it must agree with the naive range-join semantics
     val li = Tables.lineitem(spark, sf)
-    val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 450000)
+    val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 490000)
     val naive = li.join(o,
         li("l_shipdate") >= o("o_orderdate") &&
         li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 7 DAYS"))
