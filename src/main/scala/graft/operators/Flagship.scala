@@ -37,6 +37,40 @@ object Flagship {
         .orderBy(col("n_name").asc_nulls_first)
     }),
 
+    // Q8 shape (national market share): the fraction of one supplier
+    // nation's revenue within a region's purchases of one part type,
+    // per order year — an 8-table star with a conditional-aggregate
+    // ratio on top. Dims (part/supplier/nation x2/region) broadcast;
+    // the lineitem-orders-customer chain shuffles on its keys; the
+    // numerator rides the same aggregate as the denominator via a CASE,
+    // so the whole ratio is ONE pass over the joined fact.
+    "q_market_share" -> ((s, d) => {
+      val part = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+      val supp = Tables.supplier(s, d)
+      val li = Tables.lineitem(s, d)
+      val orders = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(Det.r4(
+          sum(when(col("supp_nation") === "NATION_3", volume).otherwise(0.0)) /
+            sum(volume)).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_year").asc_nulls_first)
+    }),
+
     // Q3 shape (shipping priority): top-10 open orders by revenue for
     // one segment. The limit plans as TakeOrderedAndProject over the
     // aggregated frame.
@@ -73,6 +107,21 @@ object Flagship {
     s"floor(($inner) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS $alias"
 
   val oracle: Map[String, String] = Map(
+    "q_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |  ${r4sql("sum(CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1.0 - l_discount))", "mkt_share")},
+         |  count(1) AS n_items
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+         |GROUP BY year(o_orderdate)
+         |ORDER BY o_year ASC NULLS FIRST""".stripMargin,
     "q_star_join" ->
       s"""SELECT n_name,
          |  ${r4sql("sum(l_extendedprice * (1.0 - l_discount))", "revenue")},

@@ -67,6 +67,65 @@ object ScalePatterns {
     s.createDataFrame(ranked, schema)
   }
 
+  /** Z-value (Morton code) of `dims` numeric columns: each dimension is
+    * min-max scaled to a `bits`-wide integer grid cell and the cell
+    * coordinates' bits are interleaved. Rows close on the z-curve are
+    * close in EVERY dimension, so sorting a table by z before writing
+    * gives parquet row groups tight min/max ranges on ALL the z'd
+    * columns at once — the multi-dimensional data-skipping layout
+    * (single-column sort layouts prune only their own column).
+    *
+    * The interleave is a flat shift/and/or expression tree — fully
+    * whole-stage-codegen, no UDF. `ndims * bits` must fit in a long
+    * (<= 63). The min/max scan is one scalar aggregate broadcast back;
+    * at 100 TB those bounds come from table stats instead (same
+    * expression, constant inputs).
+    */
+  def withZValue(df: DataFrame, dims: Seq[String], bits: Int = 16,
+      zCol: String = "__z"): DataFrame = {
+    require(dims.nonEmpty && dims.size * bits <= 63,
+      s"${dims.size} dims x $bits bits must fit in a long")
+    val cells = lit((1L << bits) - 1)
+    val statAggs = dims.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c")))
+    val stats = df.agg(statAggs.head, statAggs.tail: _*)
+    val scaled = dims.zipWithIndex.map { case (c, i) =>
+      // cell = floor((x - mn) / (mx - mn) * 2^bits), clamped into range;
+      // a degenerate dimension (mn == mx) lands every row in cell 0
+      val span = col(s"__mx_$c") - col(s"__mn_$c")
+      val cell = when(span === 0d, lit(0L)).otherwise(
+        least(cells, floor((col(c).cast("double") - col(s"__mn_$c")) /
+          span * pow(lit(2d), lit(bits))).cast("long")))
+      cell.as(s"__cell_$i")
+    }
+    val interleaved = (0 until bits).flatMap { b =>
+      dims.indices.map { i =>
+        shiftleft(shiftright(col(s"__cell_$i").bitwiseAND(lit(1L << b)), b),
+          b * dims.size + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    df.crossJoin(broadcast(stats))
+      .select(df.columns.map(col) ++ scaled: _*)
+      .withColumn(zCol, interleaved)
+      .drop(dims.indices.map(i => s"__cell_$i"): _*)
+  }
+
+  /** Write `df` z-order-clustered on `dims` into `nFiles` range-sliced,
+    * internally z-sorted parquet files. Every file (= row group at this
+    * size) then carries tight min/max bounds on every dimension, so a
+    * pushed-down predicate on ANY of them skips most row groups at scan
+    * time — vanilla parquet + filter pushdown, no table format needed.
+    */
+  def zorderWrite(df: DataFrame, dims: Seq[String], nFiles: Int,
+      path: String, bits: Int = 16): Unit = {
+    withZValue(df, dims, bits)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Skew-safe equi-join: left rows get a deterministic salt in
     * [0, saltFactor); right rows are replicated once per salt value; the
     * join key becomes (key, salt). Result set is identical to the plain

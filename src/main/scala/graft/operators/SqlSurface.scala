@@ -49,6 +49,30 @@ object SqlSurface {
         .orderBy(col("tile").asc_nulls_first)
     }),
 
+    // The 100 TB bucketing q_window_ntile's scaladoc promises: exact
+    // quartile CUT-POINTS from one scalar aggregate, broadcast back, and
+    // a when-chain assigns buckets map-side — no global sort, no
+    // single-task window, works at any fact size. (Buckets are
+    // value-boundary quartiles: ties land in one bucket, so counts can
+    // differ from ntile's forced-equal split — semantics stated by the
+    // oracle.)
+    "q_range_bucket" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val cuts = c.agg(expr(
+        "percentile(c_acctbal, array(0.25D, 0.5D, 0.75D))").as("q"))
+      c.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("c_acctbal") <= col("q")(0), 1)
+            .when(col("c_acctbal") <= col("q")(1), 2)
+            .when(col("c_acctbal") <= col("q")(2), 3)
+            .otherwise(4))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_cust"),
+          Det.r4(min(col("c_acctbal"))).as("lo"),
+          Det.r4(max(col("c_acctbal"))).as("hi"))
+        .orderBy(col("bucket").asc_nulls_first)
+    }),
+
     // Positional explode (lateral with ordinality): token + 0-based
     // position. Output bounded to doc_id < 50; map-only explode scan.
     "q_posexplode" -> ((s, d) => {
@@ -493,6 +517,22 @@ object SqlSurface {
         |WHERE l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // quantile_cont interpolates a + g*(b-a) exactly like Spark's
+    // percentile; a cut can only equal a data value when g = 0, so the
+    // <= boundaries cannot flip between engines
+    "q_range_bucket" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(c_acctbal, [0.25, 0.5, 0.75]) AS q
+        |  FROM customer)
+        |SELECT CASE WHEN c_acctbal <= q[1] THEN 1
+        |    WHEN c_acctbal <= q[2] THEN 2
+        |    WHEN c_acctbal <= q[3] THEN 3 ELSE 4 END AS bucket,
+        |  count(1) AS n_cust,
+        |  floor((min(c_acctbal)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS lo,
+        |  floor((max(c_acctbal)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS hi
+        |FROM customer CROSS JOIN cuts
+        |GROUP BY 1
+        |ORDER BY bucket ASC NULLS FIRST""".stripMargin,
     "q_correlated_agg" ->
       """SELECT p_brand, count(*) AS n_small,
         |  floor(sum(l_extendedprice) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue

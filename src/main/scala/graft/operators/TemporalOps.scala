@@ -130,7 +130,8 @@ object TemporalOps {
         |  SELECT user_id, ts, event_type FROM marked
         |  WHERE prev IS NULL OR prev <> event_type)
         |SELECT user_id,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY ts ASC) AS version,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC) AS INT)
+        |    AS version,
         |  event_type AS state, ts AS valid_from,
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC) AS valid_to
         |FROM changes

@@ -70,6 +70,30 @@ object Windows {
         .orderBy(col("o_custkey").asc_nulls_first, col("rn").asc_nulls_first)
     }),
 
+    // Running COUNT DISTINCT over a growing frame — not supported as a
+    // native window aggregate (in Spark or any mainstream engine), so
+    // it composes from supported pieces: mark each (user, type)'s FIRST
+    // occurrence with one ranking window, then running-sum the marks
+    // with a second window on the same (user | time) partitioning —
+    // both frames sequential scans within the user shard, never a
+    // per-row distinct recompute (which would be quadratic in frame
+    // length).
+    "q_window_count_distinct" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("user_id") < 5)
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_so_far", sum(col("first_seen")).over(wRun))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("n_types_so_far"))
+        .orderBy(col("user_id").asc_nulls_first,
+          col("event_id").asc_nulls_first)
+    }),
+
     // Global sort + limit: Spark plans TakeOrderedAndProject — a per-
     // partition top-N + driver merge, no full sort at scale.
     "q_sort_limit" -> ((s, d) => {
@@ -102,6 +126,20 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_count_distinct" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts ASC, event_id ASC) = 1 THEN 1 ELSE 0 END AS first_seen,
+        |    ts
+        |  FROM events WHERE user_id < 5)
+        |SELECT user_id, event_id, event_type,
+        |  CAST(sum(first_seen) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_types_so_far
+        |FROM marked
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
     "q_window_rank" ->
       """SELECT c_custkey, c_mktsegment, floor((c_acctbal) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS bal,
         |  CAST(rank() OVER wt AS INT) AS rnk,

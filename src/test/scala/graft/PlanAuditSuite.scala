@@ -160,6 +160,16 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"profile must not rescan per column, found ${scans.length} scans")
   }
 
+  test("market share star broadcasts every dimension") {
+    val q = SparkEntry.queries("q_market_share")(spark, sf)
+    q.collect()
+    val bhj = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 5,
+      s"part/supplier/nation x2/region must broadcast, found ${bhj.size}")
+  }
+
   test("bucketed range join plans an equi-join, never a nested loop") {
     val q = SparkEntry.queries("q_join_range_bucketed")(spark, sf)
     q.collect()

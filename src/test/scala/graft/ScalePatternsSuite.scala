@@ -175,4 +175,41 @@ class ScalePatternsSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(salted.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(salted).count() == 0)
   }
+
+  /** Rows the parquet reader actually surfaced for a box predicate —
+    * after row-group min/max pruning — vs the full table. */
+  private def scanRowsFor(path: String, pred: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val q = spark.read.parquet(path).filter(pred)
+    q.collect()
+    collectWithSubqueries(q.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("z-order layout prunes row groups on BOTH dimensions") {
+    // sf0.01: enough rows that 32 files have meaningful min/max spread
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val total = li.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // z-clustered layout vs a layout with no helpful order
+    ScalePatterns.zorderWrite(li, Seq("l_partkey", "l_suppkey"), 32,
+      dir + "/zorder")
+    li.repartition(32).write.mode("overwrite").parquet(dir + "/random")
+    // slab predicates, each selective in ONE dimension: a single-column
+    // sort could serve one of them; the z-curve must serve both
+    val partSlab = col("l_partkey") <= 100      // ~5% of the key range
+    val suppSlab = col("l_suppkey") <= 5        // ~5% of the key range
+    for (pred <- Seq(partSlab, suppSlab)) {
+      val zRows = scanRowsFor(dir + "/zorder", pred)
+      val rRows = scanRowsFor(dir + "/random", pred)
+      assert(rRows >= (total * 0.95).toLong,
+        s"random layout should read ~everything, read $rRows of $total")
+      assert(zRows <= total / 2,
+        s"z-order should skip most row groups, read $zRows of $total for $pred")
+    }
+    // and the clustered file set is the same data
+    assert(spark.read.parquet(dir + "/zorder").count() == total)
+  }
 }
