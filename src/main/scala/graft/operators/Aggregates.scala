@@ -66,6 +66,28 @@ object Aggregates {
         .orderBy(col("l_returnflag").asc_nulls_first)
     }),
 
+    // Ratio-to-report (percent of total): per-nation revenue share. The
+    // naive form is `sum(x) over ()` — a single-partition window over
+    // every row; this plan computes the grand total from the ALREADY
+    // AGGREGATED per-nation frame (25 rows) and broadcasts it back, so
+    // nothing ever concentrates. Group sums are integral-cent-scale
+    // doubles summed once — the ratio is then a single well-conditioned
+    // division per group.
+    "q_percent_of_total" -> ((s, d) => {
+      val per = Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n_orders"))
+      val total = per.agg(sum(col("rev")).as("tot"))
+      per.crossJoin(broadcast(total))
+        .select(col("c_nationkey"),
+          graft.Det.r4(col("rev")).as("revenue"),
+          col("n_orders"),
+          graft.Det.r4(col("rev") / col("tot")).as("share"))
+        .orderBy(col("c_nationkey").asc_nulls_first)
+    }),
+
     // Apache DataSketches HLL — the re-aggregable distinct sketch: the
     // per-group binary sketches are materialized state that can be
     // persisted, shipped, and merged (hll_union_agg) WITHOUT the raw
@@ -137,6 +159,18 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_percent_of_total" ->
+      """WITH per AS (
+        |  SELECT c_nationkey, sum(o_totalprice) AS rev, count(1) AS n_orders
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_nationkey),
+        |t AS (SELECT sum(rev) AS tot FROM per)
+        |SELECT c_nationkey,
+        |  floor((rev) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue,
+        |  n_orders,
+        |  floor((rev / tot) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS share
+        |FROM per CROSS JOIN t
+        |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin,
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  floor((sum(l_quantity)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS sum_qty,

@@ -186,6 +186,41 @@ object AnalyticsOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // Market-basket co-occurrence: part pairs bought together in one
+    // order, with support and lift. The self-join is KEYED on the order
+    // (pairs explode only within an order's few items — bounded fanout,
+    // never all-parts x all-parts), and the marginals join back by
+    // broadcast. Lift > 1 marks genuinely associated pairs.
+    "q_basket_pairs" -> ((s, d) => {
+      val nOrders = Tables.orders(s, d).count().toDouble
+      // ONE shuffle (by order) builds per-order part sets; pair expansion
+      // and the marginals are then map-side codegen'd explodes over the
+      // materialized sets (a distinct + self-join formulation shuffles
+      // the item table twice more for the same answer)
+      val sets = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .localCheckpoint()
+      val pairs = sets
+        .select(explode(col("ps")).as("p1"), col("ps"))
+        .select(col("p1"), explode(col("ps")).as("p2"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+      val marg = sets.select(explode(col("ps")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("m"))
+      pairs
+        .join(broadcast(marg.select(col("l_partkey").as("p1"), col("m").as("m1"))), Seq("p1"))
+        .join(broadcast(marg.select(col("l_partkey").as("p2"), col("m").as("m2"))), Seq("p2"))
+        .withColumn("lift", Det.r4(
+          col("support") * lit(nOrders) / (col("m1") * col("m2"))))
+        .select(col("p1"), col("p2"), col("support"), col("lift"))
+        .orderBy(col("support").desc, col("p1").asc_nulls_first,
+          col("p2").asc_nulls_first)
+        .limit(100)
+    }),
+
     // Skyline (Pareto frontier): parts not dominated on (min price,
     // max size). The all-pairs NOT EXISTS definition is quadratic; this
     // plan is the scalable two-pass form — (1) per-price max size, a
@@ -355,6 +390,23 @@ object AnalyticsOps {
         |  FROM documents)
         |SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM r WHERE rk <= 30
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(*) AS n_orders FROM orders),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(1) AS support
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(1) >= 2),
+        |marg AS (SELECT l_partkey, count(1) AS m FROM li GROUP BY 1)
+        |SELECT p1, p2, support,
+        |  floor((CAST(support AS DOUBLE) * n_orders / (m1.m * m2.m)) * 10000
+        |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS lift
+        |FROM pairs CROSS JOIN n
+        |JOIN marg m1 ON p1 = m1.l_partkey
+        |JOIN marg m2 ON p2 = m2.l_partkey
+        |ORDER BY support DESC, p1 ASC NULLS FIRST, p2 ASC NULLS FIRST
+        |LIMIT 100""".stripMargin,
     // dominance definition straight from the skyline literature: no b
     // that is <= on price, >= on size, and strictly better on one
     "q_skyline" ->
