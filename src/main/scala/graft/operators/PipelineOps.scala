@@ -368,6 +368,48 @@ object PipelineOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // PageRank (3 fixed power iterations, damping 0.85) over the
+    // part co-purchase graph — the second graph-analytics shape next to
+    // connected components. Each iteration is the canonical
+    // edges-join-ranks shuffle: contributions flow src -> dst through
+    // one equi-join keyed on src and one aggregation keyed on dst, so
+    // an iteration costs exactly two key shuffles of the edge list at
+    // any graph size (the same shape GraphX/Pregel lowers to). The
+    // iteration count is a FIXED unroll so the DuckDB oracle can state
+    // the identical computation as chained CTEs.
+    "q_graph_pagerank" -> ((s, d) => {
+      val sets = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+      val pairs = sets
+        .select(explode(col("ps")).as("p1"), col("ps"))
+        .select(col("p1"), explode(col("ps")).as("p2"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+        .localCheckpoint() // every iteration re-reads the edge list
+      val nodes = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      val n = nodes.count().toDouble
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      var pr = nodes.withColumn("pr", lit(1.0 / n))
+      (0 until 3).foreach { _ =>
+        val contrib = edges
+          .join(pr, col("src") === col("node"))
+          .join(deg, Seq("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("pr") / col("d")).as("s"))
+        pr = nodes.join(contrib, col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+      }
+      pr.select(col("node"), graft.Det.r4(col("pr")).as("pagerank"))
+        .orderBy(col("node").asc_nulls_first)
+    }),
+
     // The production composition: connected components over the
     // MinHash-LSH candidate pairs (each verified >= threshold by exact
     // Jaccard) instead of the quadratic exact pair join. No oracle
@@ -476,6 +518,39 @@ object PipelineOps {
         |  CAST(len(regexp_extract_all(planted, '[A-Za-z0-9.]+@[A-Za-z.]+'))
         |    AS INT) AS n_emails
         |FROM p ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    // the same 3 power iterations, unrolled as chained CTEs
+    "q_graph_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(1) >= 2),
+        |edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
+        |  UNION ALL SELECT p2, p1 FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, count(1) AS d FROM edges GROUP BY src),
+        |pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+        |agg1 AS (SELECT e.dst, sum(p.pr / d.d) AS s FROM edges e
+        |  JOIN pr0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |pr1 AS (SELECT node, 0.15 / n + 0.85 * coalesce(s, 0.0) AS pr
+        |  FROM nodes CROSS JOIN nn LEFT JOIN agg1 ON node = agg1.dst),
+        |agg2 AS (SELECT e.dst, sum(p.pr / d.d) AS s FROM edges e
+        |  JOIN pr1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |pr2 AS (SELECT node, 0.15 / n + 0.85 * coalesce(s, 0.0) AS pr
+        |  FROM nodes CROSS JOIN nn LEFT JOIN agg2 ON node = agg2.dst),
+        |agg3 AS (SELECT e.dst, sum(p.pr / d.d) AS s FROM edges e
+        |  JOIN pr2 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |pr3 AS (SELECT node, 0.15 / n + 0.85 * coalesce(s, 0.0) AS pr
+        |  FROM nodes CROSS JOIN nn LEFT JOIN agg3 ON node = agg3.dst)
+        |SELECT node,
+        |  floor((pr) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+        |    AS pagerank
+        |FROM pr3 ORDER BY node ASC NULLS FIRST""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
