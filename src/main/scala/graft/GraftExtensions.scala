@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => GraftExtensions.SelfSimilarityFold)
     val builder: Seq[Expression] => Expression = { children =>
       require(children.size == 2,
         s"partial_ratio requires exactly 2 arguments, got ${children.size}")
@@ -48,6 +49,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{
+    EqualTo, If, IsNull, Length, Literal, StringTrim}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.catalyst.rules.Rule
+  import org.apache.spark.sql.types.IntegerType
+
+  /** Optimizer rule: fold `partial_ratio(x, x)` — the diagonal of a
+    * fuzzy self-join — into its closed form, replacing the O(|x|²)
+    * sliding-window scan with one trim:
+    *
+    *   null input          -> null  (the expression is null-intolerant)
+    *   whitespace-only x   -> 0     (norm(x) is empty; partialRatio
+    *                                 defines empty -> 0)
+    *   anything else       -> 100   (equal normalized strings score 100)
+    *
+    * Guarded on deterministic children (a rand()-bearing argument is
+    * not "the same x" twice). Exactness is asserted in ExtensionsSuite
+    * against the unfolded expression over the edge cases above.
+    */
+  object SelfSimilarityFold extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformAllExpressions {
+        case graft.functions.PartialRatioExpr(l, r)
+            if l.deterministic && l.semanticEquals(r) =>
+          If(IsNull(l), Literal.create(null, IntegerType),
+            If(EqualTo(Length(StringTrim(l)), Literal(0)),
+              Literal(0), Literal(100)))
+      }
+  }
+
   /** Runtime registration of the full custom-function surface. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("partial_ratio",

@@ -43,6 +43,26 @@ object EmbeddingOps {
         .orderBy(col("vec_id").asc_nulls_first)
     }),
 
+    // Johnson-Lindenstrauss random projection 64 -> 8: a fixed seeded
+    // Rademacher (+-1) matrix, constant-folded into eight fused codegen
+    // dot products per row (vec_dot_fd — no interpreted lambdas, no
+    // per-row matrix object). Map-only at any corpus size; the classic
+    // cheap pre-step before ANN indexing or dedup sketching. The SAME
+    // seeded matrix is interpolated into the DuckDB oracle, so the
+    // projection is hash-checked end to end.
+    "q_embed_project" -> ((s, d) => {
+      import graft.functions.VectorOps.vec_dot_fd
+      val scale = 1.0 / math.sqrt(EmbeddingOps.jlMatrix.length)
+      val comps = EmbeddingOps.jlMatrix.toIndexedSeq.zipWithIndex.map {
+        case (row, i) =>
+          Det.r4(vec_dot_fd(col("embedding"),
+            array(row.map(v => lit(v)).toSeq: _*)) * lit(scale)).as(s"p$i")
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +: comps: _*)
+        .orderBy(col("vec_id").asc_nulls_first)
+    }),
+
     // Per-label centroid: element-wise mean over all vectors of a label.
     // Output is (label, pos, centroid) long form — bounded by
     // |labels| x dim, never by row count.
@@ -56,10 +76,32 @@ object EmbeddingOps {
     })
   )
 
+  /** Fixed seeded Rademacher projection matrix (8 x 64, +-1): the same
+    * literals feed the Spark plan and the DuckDB oracle, so the
+    * projection is fully hash-checked despite being "random".
+    */
+  private[operators] val jlMatrix: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(0x91f7)
+    Array.fill(8, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
   private def r4sql(inner: String, alias: String) =
     s"floor(($inner) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS $alias"
 
+  private val jlOracle: String = {
+    val scale = 1.0 / math.sqrt(jlMatrix.length)
+    val comps = jlMatrix.zipWithIndex.map { case (row, i) =>
+      val arr = row.mkString("[", ", ", "]")
+      r4sql("list_sum(list_transform(list_zip(embedding, " + arr + "), " +
+        s"p -> CAST(p[1] AS DOUBLE) * p[2])) * $scale", s"p$i")
+    }
+    s"""SELECT vec_id,
+       |  ${comps.mkString(",\n  ")}
+       |FROM embeddings ORDER BY vec_id ASC NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_embed_project" -> jlOracle,
     "q_embed_quantize" ->
       s"""SELECT vec_id, label,
          |  ${r4sql("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))", "sq_norm")},

@@ -57,4 +57,40 @@ class ExtensionsSuite extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("SelfSimilarityFold rewrites partial_ratio(x, x) exactly") {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .appName("graft-ext-rule-test")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val df = s2.sql(
+        """SELECT partial_ratio(v, v) AS s
+          |FROM VALUES ('abc def'), ('   '), (CAST(NULL AS STRING)) AS t(v)
+          |ORDER BY v NULLS FIRST""".stripMargin)
+      // the optimized plan must not evaluate the quadratic expression
+      assert(!df.queryExecution.optimizedPlan.toString.contains("partial_ratio"),
+        s"self-match must fold away:\n${df.queryExecution.optimizedPlan}")
+      val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      // null -> null, whitespace-only -> 0, normal -> 100 — exactly the
+      // unfolded expression's semantics (asserted against it below)
+      assert(got.toSeq == Seq(None, Some(0), Some(100)), got.mkString(","))
+      // the sessions WITHOUT the rule agree (same query, unfolded plan)
+      val vcol = org.apache.spark.sql.functions.col("v")
+      val ref = prev.sql(
+        """SELECT v FROM VALUES ('abc def'), ('   '), (CAST(NULL AS STRING)) AS t(v)""")
+        .select(graft.functions.PartialRatioExpr
+          .partial_ratio(vcol, vcol).as("s"))
+        .orderBy(org.apache.spark.sql.functions.col("s").asc_nulls_first)
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      assert(ref.toSeq == Seq(None, Some(0), Some(100)), ref.mkString(","))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
