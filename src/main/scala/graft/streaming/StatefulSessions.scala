@@ -2,7 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Custom-state sessionization via `flatMapGroupsWithState` — the
   * arbitrary-state tier below `session_window` (StreamOps.session): the
@@ -41,23 +43,14 @@ object StatefulSessions {
             val sorted = evs.toSeq.sortBy(_.ts.getTime)
             var cur = state.getOption
             val out = Seq.newBuilder[SessionOut]
+            // merge when the event touches the session's gap envelope
+            // [start - gap, lastTs + gap): min/max extend the bounds so
+            // an out-of-order (late but in-watermark) event never
+            // REWINDS lastTs and splits the session (see mergeEvent)
             sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // merge when the event touches the session's gap
-                // envelope [start - gap, lastTs + gap): min/max extend
-                // the bounds so an out-of-order (late but in-watermark)
-                // event never REWINDS lastTs and splits the session
-                case Some(s) if t < s.lastTs + gapMs && t >= s.start - gapMs =>
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    lastTs = math.max(s.lastTs, t), n = s.n + 1,
-                    total = s.total + e.value))
-                case Some(s) =>
-                  out += SessionOut(userId, new Timestamp(s.start), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
+              cur = Some(mergeEvent(cur, e.ts.getTime, e.value,
+                s => out += SessionOut(userId, new Timestamp(s.start),
+                  s.n, s.total)))
             }
             cur.foreach { s =>
               state.update(s)
@@ -66,5 +59,76 @@ object StatefulSessions {
             out.result().iterator
           }
       }
+  }
+
+  /** The shared merge step: fold one event into the open session (or
+    * close it and open a new one). Both sessionizers call this, so the
+    * fMGWS and transformWithState forms cannot drift apart.
+    */
+  private def mergeEvent(cur: Option[SessionState], t: Long, value: Double,
+      emit: SessionState => Unit): SessionState = cur match {
+    case Some(s) if t < s.lastTs + gapMs && t >= s.start - gapMs =>
+      s.copy(start = math.min(s.start, t), lastTs = math.max(s.lastTs, t),
+        n = s.n + 1, total = s.total + value)
+    case other =>
+      other.foreach(emit)
+      SessionState(t, t, 1, value)
+  }
+
+  /** The same sessionizer on the Spark 4 `transformWithState` API — the
+    * successor to flatMapGroupsWithState: typed composable state
+    * (value/list/map), explicit event-time TIMERS instead of a single
+    * timeout slot, and state-store TTL. Requires the RocksDB state store
+    * provider (a hard transformWithState requirement, not a choice).
+    * Timer discipline: each update deletes the previous gap timer and
+    * registers the new one; the expiry handler re-checks the live state
+    * against the firing timestamp, so a stale timer (from a state the
+    * delete couldn't see, e.g. after a restart) can never close a
+    * session early. Emission semantics match `sessionize` exactly —
+    * StreamingSuite asserts the two outputs are equal.
+    */
+  class SessionProcessor
+      extends StatefulProcessor[Long, SessionEvent, SessionOut] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val out = Seq.newBuilder[SessionOut]
+      var cur = Option(state.get())
+      cur.foreach(s => getHandle.deleteTimer(s.lastTs + gapMs))
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        cur = Some(mergeEvent(cur, e.ts.getTime, e.value,
+          s => out += SessionOut(key, new Timestamp(s.start), s.n, s.total)))
+      }
+      cur.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer(s.lastTs + gapMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val cur = Option(state.get())
+      cur match {
+        case Some(s) if s.lastTs + gapMs <= expiredTimerInfo.getExpiryTimeInMs =>
+          state.clear()
+          Iterator.single(SessionOut(key, new Timestamp(s.start), s.n, s.total))
+        case _ => Iterator.empty // stale timer; the session was extended
+      }
+    }
+  }
+
+  /** `sessionize` on transformWithState (see [[SessionProcessor]]). */
+  def sessionizeTws(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

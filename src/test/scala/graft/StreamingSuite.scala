@@ -177,6 +177,47 @@ class StreamingSuite extends AnyFunSuite {
       s"timed-out second session expected; got $got")
   }
 
+  test("transformWithState sessionizer matches the fMGWS sessionizer") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.SessionEvent
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // transformWithState REQUIRES the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[SessionEvent]
+      val q = StatefulSessions.sessionizeTws(
+          mem.toDS().withWatermark("ts", "1 minute").as[SessionEvent])
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      // the exact event sequence of the fMGWS test
+      mem.addData(SessionEvent(1L, t("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(1L, t("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(1L, t("2024-01-01 10:25:00"), 5.0))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(2L, t("2024-01-01 11:00:00"), 0.5))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(2L, t("2024-01-01 12:00:00"), 0.5))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_out")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSet
+      // identical emissions to the fMGWS sessionizer's assertions
+      assert(got.contains((1L, "2024-01-01 10:00:00.0", 2L, 3.0)),
+        s"closed first session expected; got $got")
+      assert(got.contains((1L, "2024-01-01 10:25:00.0", 1L, 5.0)),
+        s"timer-closed second session expected; got $got")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful sessionizer merges late in-watermark events without splitting") {
     import graft.streaming.StatefulSessions
     import graft.streaming.StatefulSessions.SessionEvent
