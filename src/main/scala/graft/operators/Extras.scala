@@ -92,6 +92,39 @@ object Extras {
         .orderBy(col("n_nationkey").asc_nulls_first)
     }),
 
+    // ORC round trip: the third columnar format next to parquet/CSV —
+    // written, re-read, and aggregated. DuckDB cannot read ORC, so the
+    // oracle states the same aggregate over the ORIGINAL table: a hash
+    // match proves the ORC sink+source is lossless, not just runnable.
+    "q_scan_orc" -> ((s, d) => {
+      val stage = "/tmp/graft_stage/lineitem_orc"
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice"), col("l_quantity"))
+        .write.mode("overwrite").orc(stage)
+      s.read.orc(stage)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(graft.Det.r4(sum(col("l_extendedprice"))).as("revenue"),
+          graft.Det.r4(sum(col("l_quantity"))).as("qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Text-source round trip: one line per document through the text
+    // sink and back (docs are single-line by construction), then a
+    // token top-20. Same lossless-round-trip oracle trick as q_scan_orc.
+    "q_scan_text" -> ((s, d) => {
+      val stage = "/tmp/graft_stage/documents_text"
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(stage)
+      s.read.text(stage)
+        .select(explode(split(col("value"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc_nulls_first)
+        .limit(20)
+    }),
+
     // Spark 4 VARIANT for semi-structured columns: parse once into the
     // binary variant encoding, extract typed fields lazily — the
     // schema-on-read path for ragged JSON at lake scale (no per-query
@@ -190,6 +223,21 @@ object Extras {
          |FROM orders
          |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
          |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // stated over the ORIGINAL lineitem: hash match <=> lossless ORC trip
+    "q_scan_orc" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((sum(l_extendedprice)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue,
+        |  floor((sum(l_quantity)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS qty,
+        |  count(1) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_scan_text" ->
+      """SELECT token, count(1) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
     "q_scan_json" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM read_json('/tmp/graft_stage/nation_json/*.json',

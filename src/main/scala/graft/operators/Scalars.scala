@@ -89,6 +89,42 @@ object Scalars {
         .orderBy(col("event_id").asc_nulls_first)
     }),
 
+    // ANSI-safe arithmetic/casts: Spark 4 runs ANSI mode by default, so
+    // division-by-zero and bad casts THROW unless the try_* family is
+    // used — the error-tolerant path the reference took for free from
+    // dynamic typing (SURVEY §1.2) and a tolerant engine must expose.
+    "q_safe_math" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          // null (not an exception) exactly where l_quantity == 25
+          graft.Det.r4(try_divide(col("l_extendedprice"),
+            col("l_quantity") - lit(25.0))).as("per_excess"),
+          // alphabetic flags never parse: try_cast -> null, no throw
+          col("l_returnflag").cast("string").as("flag"),
+          try_to_number(col("l_returnflag"), lit("999")).isNull.as("flag_nan"))
+        .orderBy(col("l_orderkey").asc_nulls_first,
+          col("l_linenumber").asc_nulls_first)
+    }),
+
+    // MapType surface: per-user event-type counts pivoted into a map
+    // column (map_from_entries over the aggregated pairs), then keyed
+    // lookups. The map is BUILT from an aggregation — bounded by
+    // (user x type), not events — and element_at is a map lookup, not
+    // a join.
+    "q_map_funcs" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).as("n_types"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"))
+        .orderBy(col("user_id").asc_nulls_first)
+    }),
+
     // Lateral tokenization: one document row -> one row per token, then
     // term frequency (reference R19 shape; NS text analysis).
     "q_explode_tokens" -> ((s, d) => {
@@ -146,6 +182,24 @@ object Scalars {
       """SELECT token, count(1) AS tf FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |WHERE token <> ''
-        |GROUP BY token ORDER BY token ASC NULLS FIRST""".stripMargin
+        |GROUP BY token ORDER BY token ASC NULLS FIRST""".stripMargin,
+    "q_safe_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  floor((l_extendedprice / nullif(l_quantity - 25.0, 0)) * 10000
+        |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS per_excess,
+        |  l_returnflag AS flag,
+        |  TRY_CAST(l_returnflag AS DOUBLE) IS NULL AS flag_nan
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""".stripMargin,
+    "q_map_funcs" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(1) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, CAST(count(*) AS INT) AS n_types,
+        |  coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0) AS n_click,
+        |  coalesce(max(CASE WHEN event_type = 'purchase' THEN n END), 0)
+        |    AS n_purchase
+        |FROM c GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin
   )
 }

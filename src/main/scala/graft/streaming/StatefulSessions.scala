@@ -65,8 +65,8 @@ object StatefulSessions {
     * close it and open a new one). Both sessionizers call this, so the
     * fMGWS and transformWithState forms cannot drift apart.
     */
-  private def mergeEvent(cur: Option[SessionState], t: Long, value: Double,
-      emit: SessionState => Unit): SessionState = cur match {
+  private[graft] def mergeEvent(cur: Option[SessionState], t: Long,
+      value: Double, emit: SessionState => Unit): SessionState = cur match {
     case Some(s) if t < s.lastTs + gapMs && t >= s.start - gapMs =>
       s.copy(start = math.min(s.start, t), lastTs = math.max(s.lastTs, t),
         n = s.n + 1, total = s.total + value)

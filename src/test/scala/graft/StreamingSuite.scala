@@ -249,6 +249,37 @@ class StreamingSuite extends AnyFunSuite {
       s"one merged session with extended start expected, got ${got.toSeq}")
   }
 
+  test("mergeEvent conserves events and separates sessions by >= gap (property)") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.{SessionState, SessionOut}
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      // random in-order event times with mixed sub-gap and super-gap steps
+      val n = 1 + rnd.nextInt(40)
+      val times = Iterator.iterate(0L)(t =>
+        t + (if (rnd.nextBoolean()) rnd.nextInt(9 * 60 * 1000).toLong
+             else StatefulSessions.gapMs + rnd.nextInt(60 * 60 * 1000)))
+        .take(n).toSeq
+      val closed = Seq.newBuilder[SessionState]
+      var cur = Option.empty[SessionState]
+      times.foreach { t =>
+        cur = Some(StatefulSessions.mergeEvent(cur, t, 1.0, closed += _))
+      }
+      val all = closed.result() ++ cur
+      // conservation: every event lands in exactly one session
+      assert(all.map(_.n).sum == n)
+      assert(math.abs(all.map(_.total).sum - n.toDouble) < 1e-9)
+      // session bounds are sane and consecutive sessions are >= gap apart
+      all.foreach(s => assert(s.start <= s.lastTs))
+      all.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.start >= a.lastTs + StatefulSessions.gapMs,
+            s"sessions closer than the gap: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
   test("windowed state survives a restart via checkpoint (file sink)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
