@@ -312,6 +312,46 @@ object SqlSurface {
         ORDER BY p_brand ASC NULLS FIRST""")
     }),
 
+    // TPC-H Q18 shape: IN over an aggregated-HAVING subquery. Catalyst
+    // rewrites the IN into a semi-join against the aggregate — the
+    // subquery runs ONCE as a grouped aggregation, never per probe row.
+    "q_having_in" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT c_custkey, c_name, o_orderkey,
+          floor(o_totalprice * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS price
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM v_lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 160)
+        ORDER BY o_orderkey ASC NULLS FIRST""")
+    }),
+
+    // TPC-H Q21 shape: one EXISTS + one NOT EXISTS against the same
+    // fact, both correlated — suppliers whose shipment was strictly the
+    // latest in a multi-supplier order. Catalyst decorrelates the pair
+    // into a semi-join plus an anti-join on l_orderkey; the fact table
+    // is NOT re-scanned per row.
+    "q_multi_exists" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l1.l_suppkey, count(*) AS n_led
+        FROM v_lineitem l1
+        WHERE EXISTS (
+            SELECT 1 FROM v_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM v_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY l1.l_suppkey
+        ORDER BY l1.l_suppkey ASC NULLS FIRST""")
+    }),
+
     // Null-aware NOT IN: a NULL probe value is neither in nor not-in
     // the set, so those rows vanish — three-valued logic the rewrite to
     // a plain anti-join would get WRONG. Customers with negative
@@ -542,6 +582,28 @@ object SqlSurface {
         |  WHERE l2.l_partkey = l1.l_partkey)
         |GROUP BY p_brand
         |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
+    "q_having_in" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  floor(o_totalprice * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 160)
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_multi_exists" ->
+      """SELECT l1.l_suppkey, count(*) AS n_led
+        |FROM lineitem l1
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY l1.l_suppkey
+        |ORDER BY l1.l_suppkey ASC NULLS FIRST""".stripMargin,
     "q_null_aware_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END)

@@ -160,6 +160,16 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"profile must not rescan per column, found ${scans.length} scans")
   }
 
+  test("ratio-to-report and range buckets plan no global window") {
+    for (name <- Seq("q_percent_of_total", "q_range_bucket")) {
+      val q = SparkEntry.queries(name)(spark, sf)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name must use the broadcast-scalar pattern, not a window:\n$plan")
+    }
+  }
+
   test("market share star broadcasts every dimension") {
     val q = SparkEntry.queries("q_market_share")(spark, sf)
     q.collect()
