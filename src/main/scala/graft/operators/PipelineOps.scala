@@ -368,6 +368,30 @@ object PipelineOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // Leakage-safe train/val/test split: the split is hashed from the
+    // near-dup CLUSTER representative, not the document — so a pair of
+    // near-duplicates can never straddle train and test (the classic
+    // eval-contamination channel that a plain per-doc hash split leaves
+    // wide open). Composition: near-dup pairs -> connected components
+    // -> coalesce singletons to themselves -> portable md5 split on the
+    // cluster id. 80/10/10.
+    "q_split_leakage_safe" -> ((s, d) => {
+      val pairs = DedupOps.ngramJaccardPairs(DedupOps.shingleRows(s, d), 0.5)
+        .select(col("d1"), col("d2"))
+      val cc = connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("cluster"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(cc, Seq("doc_id"), "left_outer")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("hv", md5Hash32(col("cluster")))
+        .withColumn("split",
+          when(col("hv") % 100 < 80, "train")
+            .when(col("hv") % 100 < 90, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("cluster"), col("split"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
     // PageRank (3 fixed power iterations, damping 0.85) over the
     // part co-purchase graph — the second graph-analytics shape next to
     // connected components. Each iteration is the canonical
@@ -576,6 +600,44 @@ object PipelineOps {
         |  UNION
         |  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.n)
         |SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_split_leakage_safe" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |  WHERE len(ts) >= 3),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, a.sz AS sz1, b.doc_id AS d2, b.sz AS sz2,
+        |    count(1) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |edges AS (
+        |  SELECT d1, d2 FROM pairs
+        |  WHERE floor((inter / (sz1 + sz2 - inter)) * 10000
+        |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) >= 0.5),
+        |sym AS (SELECT d1 AS a, d2 AS b FROM edges
+        |        UNION SELECT d2, d1 FROM edges),
+        |nodes AS (SELECT DISTINCT a AS n FROM sym),
+        |reach(n, r) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.n),
+        |cc AS (SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n),
+        |labeled AS (
+        |  SELECT d.doc_id, d.lang, coalesce(cc.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+        |hashed AS (
+        |  SELECT doc_id, lang, cluster,
+        |    CAST(('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS hv
+        |  FROM labeled)
+        |SELECT doc_id, lang, cluster,
+        |  CASE WHEN hv % 100 < 80 THEN 'train'
+        |    WHEN hv % 100 < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM hashed
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
   )
 }

@@ -329,4 +329,24 @@ class PipelineOpsSuite extends AnyFunSuite {
     assert(sizes.sum == Tables.customer(spark, sf).count())
     assert(sizes.max - sizes.min <= 1, "ntile balance property")
   }
+
+  test("leakage-safe split never separates near-duplicates") {
+    import graft.operators.DedupOps
+    val split = SparkEntry.queries("q_split_leakage_safe")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(split.size == Tables.documents(spark, sf).count(),
+      "every document must receive a split")
+    assert(split.values.toSet.size >= 2, "the 80/10/10 hash must produce " +
+      s"more than one split at this size, got ${split.values.toSet}")
+    // THE invariant: no near-dup pair straddles splits (the per-doc hash
+    // split this replaces fails this immediately)
+    val pairs = DedupOps.ngramJaccardPairs(DedupOps.shingleRows(spark, sf), 0.5)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dups $a (${split(a)}) and $b (${split(b)}) straddle splits")
+    }
+  }
 }
