@@ -71,6 +71,27 @@ object TemporalOps {
         .orderBy(col("user_id").asc_nulls_first, col("version").asc_nulls_first)
     }),
 
+    // Time-weighted average (TWAP): each observation holds until the
+    // next one, so it contributes value x holding-duration; the final
+    // observation has no duration and drops out. One lead window keyed
+    // on the user shard + one keyed aggregation — the standard form for
+    // irregularly-sampled series where a plain avg() over-weights bursts.
+    "q_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("dur",
+          (unix_micros(lead(col("ts"), 1).over(w)) -
+            unix_micros(col("ts"))).cast("double"))
+        .filter(col("dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(Det.r4(sum(col("value") * col("dur")) / sum(col("dur")))
+            .as("twap"),
+          Det.r4(avg(col("value"))).as("plain_avg"),
+          count(lit(1)).as("n_holds"))
+        .orderBy(col("user_id").asc_nulls_first)
+    }),
+
     // Resample + linear interpolation: per-user hourly averages onto a
     // complete hourly spine; missing interior hours are linearly
     // interpolated between the nearest observed neighbors, edges (before
@@ -136,6 +157,22 @@ object TemporalOps {
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC) AS valid_to
         |FROM changes
         |ORDER BY user_id ASC NULLS FIRST, version ASC NULLS FIRST""".stripMargin,
+    "q_time_weighted_avg" ->
+      """WITH held AS (
+        |  SELECT user_id, value,
+        |    CAST(epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+        |        ORDER BY ts ASC, event_id ASC))
+        |      - epoch_us(ts) AS DOUBLE) AS dur
+        |  FROM events)
+        |SELECT user_id,
+        |  floor((sum(value * dur) / sum(dur)) * 10000
+        |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS twap,
+        |  floor((avg(value)) * 10000
+        |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS plain_avg,
+        |  count(1) AS n_holds
+        |FROM held WHERE dur IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
     "q_resample_interpolate" ->
       """WITH obs AS (
         |  SELECT user_id, date_trunc('hour', ts) AS h,
