@@ -132,6 +132,56 @@ class FunctionsSuite extends AnyFunSuite {
     }
   }
 
+  test("vector expressions match a Scala reference on random inputs, " +
+      "codegen and interpreted") {
+    import SparkFixture.spark
+    import spark.implicits._
+    import graft.functions.VectorOps.{vec_dot, vec_dot_fd, vec_norm}
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(16)(rnd.nextFloat() * 2 - 1),
+      Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.map { case (a, b) => (a, b, b.map(_.toDouble)) }
+      .toDF("a", "b", "bd")
+    // the reference accumulates left-to-right in doubles — exactly the
+    // order the fused codegen loop and the interpreted eval both use
+    def refDot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+    def refNorm(a: Array[Float]): Double =
+      math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    val expected = rows.map { case (a, b) =>
+      (refDot(a, b), refDot(a, b), refNorm(a)) }
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val got = df.select(vec_dot(col("a"), col("b")).as("d"),
+            vec_dot_fd(col("a"), col("bd")).as("dfd"),
+            vec_norm(col("a")).as("n"))
+          .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+        got.zip(expected).foreach { case (g, e) =>
+          assert(g == e, s"codegen=$codegen: $g != $e") // bit-exact, same op order
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("affine_hash is the exact wrapping affine transform of xxhash64") {
+    import SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import graft.functions.AffineHash.affine_hash
+    val (a, b) = (0x9E3779B97F4A7C15L | 1L, 0x2545F4914F6CDD1DL)
+    val df = (1 to 100).map(i => s"shingle_$i").toDF("s")
+      .select(xxhash64(col("s")).as("h"))
+    val got = df.select(col("h"), affine_hash(col("h"), a, b).as("ah"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    got.foreach { case (h, ah) =>
+      assert(ah == a * h + b, s"h=$h") // Long arithmetic wraps identically
+    }
+  }
+
   test("expansion replaces whole-word abbreviations (intended R20)") {
     val pairs = Seq(("tid", "total ionizing dose"))
     assert(AbbrevPairs.expand("the tid threshold", pairs) ==
