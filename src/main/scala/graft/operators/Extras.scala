@@ -92,6 +92,23 @@ object Extras {
         .orderBy(col("n_nationkey").asc_nulls_first)
     }),
 
+    // Spark 4 collations: UTF8_LCASE comparison semantics carried by the
+    // TYPE, so grouping/equality/joins are case-insensitive without
+    // lower() rewrites at every use site. Mixed-case input synthesized
+    // deterministically (every even part uppercased); the counts prove
+    // the collated distinct collapses case variants that the binary
+    // collation keeps apart. The oracle states the same semantics the
+    // portable way (lower()).
+    "q_collation" -> ((s, d) => {
+      val mixed = Tables.part(s, d)
+        .withColumn("mixed", when(col("p_partkey") % 2 === 0,
+          upper(col("p_name"))).otherwise(col("p_name")))
+      mixed.agg(
+        countDistinct(collate(col("mixed"), "UTF8_LCASE")).as("n_ci"),
+        countDistinct(col("mixed")).as("n_cs"),
+        count(lit(1)).as("n_rows"))
+    }),
+
     // ORC round trip: the third columnar format next to parquet/CSV —
     // written, re-read, and aggregated. DuckDB cannot read ORC, so the
     // oracle states the same aggregate over the ORIGINAL table: a hash
@@ -223,6 +240,12 @@ object Extras {
          |FROM orders
          |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
          |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_collation" ->
+      """SELECT count(DISTINCT lower(mixed)) AS n_ci,
+        |  count(DISTINCT mixed) AS n_cs,
+        |  count(1) AS n_rows
+        |FROM (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+        |    ELSE p_name END AS mixed FROM part)""".stripMargin,
     // stated over the ORIGINAL lineitem: hash match <=> lossless ORC trip
     "q_scan_orc" ->
       """SELECT l_returnflag, l_linestatus,
