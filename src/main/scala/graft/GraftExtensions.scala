@@ -50,7 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.expressions.{
-    EqualTo, If, IsNull, Length, Literal, StringTrim}
+    If, IsNull, Literal, RLike}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   import org.apache.spark.sql.catalyst.rules.Rule
   import org.apache.spark.sql.types.IntegerType
@@ -60,13 +60,18 @@ object GraftExtensions {
     * sliding-window scan with one trim:
     *
     *   null input          -> null  (the expression is null-intolerant)
-    *   whitespace-only x   -> 0     (norm(x) is empty; partialRatio
+    *   control/space-only x -> 0    (norm(x) is empty; partialRatio
     *                                 defines empty -> 0)
     *   anything else       -> 100   (equal normalized strings score 100)
     *
-    * Guarded on deterministic children (a rand()-bearing argument is
-    * not "the same x" twice). Exactness is asserted in ExtensionsSuite
-    * against the unfolded expression over the edge cases above.
+    * norm(x) is empty iff Java String.trim empties x, i.e. every char
+    * is <= U+0020 — NOT what Spark's `trim` tests (it strips only
+    * 0x20), and wider than `\s`, so the emptiness test is the explicit
+    * char-class regex with \A..\z anchors ($ would tolerate a trailing
+    * newline). Guarded on deterministic children (a rand()-bearing
+    * argument is not "the same x" twice). Exactness is asserted in
+    * ExtensionsSuite against the unfolded expression, including tab and
+    * control-char inputs.
     */
   object SelfSimilarityFold extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
@@ -74,7 +79,7 @@ object GraftExtensions {
         case graft.functions.PartialRatioExpr(l, r)
             if l.deterministic && l.semanticEquals(r) =>
           If(IsNull(l), Literal.create(null, IntegerType),
-            If(EqualTo(Length(StringTrim(l)), Literal(0)),
+            If(RLike(l, Literal("\\A[\\x00-\\x20]*\\z")),
               Literal(0), Literal(100)))
       }
   }

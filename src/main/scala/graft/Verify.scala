@@ -7,10 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing args: verify only the named queries (local
-    // iteration aid; the driver passes exactly two args -> everything)
+    // iteration aid; the driver passes exactly two args -> everything).
+    // Unknown names fail fast — a typo must not report empty success.
     val selected =
       if (args.length <= 2) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.drop(2).toSet).toMap
+      else {
+        val names = args.drop(2).toSet
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

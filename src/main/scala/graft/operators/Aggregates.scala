@@ -98,9 +98,13 @@ object Aggregates {
     // merge. No oracle (sketch estimates are engine-specific); the
     // estimate-vs-exact error bound is asserted in RelationalSuite.
     "q_agg_hll_sketch" -> ((s, d) => {
+      // materialized: the per-group branch and the union branch are two
+      // consumers, and without this the fact scan + sketch build (the
+      // expensive stage) runs once per branch
       val sk = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"))
+        .localCheckpoint()
       val per = sk.select(col("l_returnflag").as("flag"),
         expr("hll_sketch_estimate(sk)").as("est_orders"))
       val all = sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk))")

@@ -13,6 +13,39 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsOps {
 
+  /** Per-order distinct part sets — ONE shuffle (by order) feeds both
+    * pair expansion and marginals as map-side explodes. Materialized:
+    * every consumer re-reads it. Shared by q_basket_pairs and
+    * q_graph_pagerank so the edge definition cannot drift between them.
+    */
+  private[operators] def orderPartSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .localCheckpoint()
+
+  /** Co-purchase pairs (p1 < p2, support >= minSupport) over the sets. */
+  private[operators] def coPurchasePairs(sets: DataFrame,
+      minSupport: Int): DataFrame =
+    sets
+      .select(explode(col("ps")).as("p1"), col("ps"))
+      .select(col("p1"), explode(col("ps")).as("p2"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+
+  /** The same edge mining as SQL CTEs (li + pairs), shared by both
+    * oracles — interpolate after WITH [RECURSIVE].
+    */
+  private[operators] val coPurchaseCte: String =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(1) AS support
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(1) >= 2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Funnel: per user, first signup -> first purchase strictly after
     // it; conversion flag + hours-to-convert. Two keyed aggregations +
@@ -193,21 +226,12 @@ object AnalyticsOps {
     // broadcast. Lift > 1 marks genuinely associated pairs.
     "q_basket_pairs" -> ((s, d) => {
       val nOrders = Tables.orders(s, d).count().toDouble
-      // ONE shuffle (by order) builds per-order part sets; pair expansion
-      // and the marginals are then map-side codegen'd explodes over the
-      // materialized sets (a distinct + self-join formulation shuffles
-      // the item table twice more for the same answer)
-      val sets = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
-        .localCheckpoint()
-      val pairs = sets
-        .select(explode(col("ps")).as("p1"), col("ps"))
-        .select(col("p1"), explode(col("ps")).as("p2"))
-        .filter(col("p1") < col("p2"))
-        .groupBy(col("p1"), col("p2"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
+      // shared edge mining (see orderPartSets/coPurchasePairs): one
+      // shuffle builds the sets, pairs and marginals are map-side
+      // explodes (a distinct + self-join formulation shuffles the item
+      // table twice more for the same answer)
+      val sets = orderPartSets(s, d)
+      val pairs = coPurchasePairs(sets, minSupport = 2)
       val marg = sets.select(explode(col("ps")).as("l_partkey"))
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("m"))
       pairs
@@ -252,13 +276,17 @@ object AnalyticsOps {
     // + broadcast join back (NOT a window over event_type — five huge
     // window partitions would concentrate all rows on five tasks at
     // corpus scale; the stats frame is 5 rows, the join is map-only).
+    // try_divide: a zero-variance group (sigma = 0) must yield null z
+    // (no anomalies by definition), not an ANSI DIVIDE_BY_ZERO abort —
+    // the oracle states the same with nullif.
     "q_anomaly_zscore" -> ((s, d) => {
       val e = Tables.events(s, d)
       val stats = e.groupBy(col("event_type"))
         .agg(avg(col("value")).as("mu"),
           stddev_samp(col("value")).as("sigma"))
       e.join(broadcast(stats), Seq("event_type"))
-        .withColumn("z", Det.r4((col("value") - col("mu")) / col("sigma")))
+        .withColumn("z",
+          Det.r4(try_divide(col("value") - col("mu"), col("sigma"))))
         .filter(abs(col("z")) > 3)
         .select(col("event_id"), col("event_type"),
           Det.r4(col("value")).as("value"), col("z"))
@@ -391,13 +419,8 @@ object AnalyticsOps {
         |SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM r WHERE rk <= 30
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_basket_pairs" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH $coPurchaseCte,
         |n AS (SELECT count(*) AS n_orders FROM orders),
-        |pairs AS (
-        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(1) AS support
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(1) >= 2),
         |marg AS (SELECT l_partkey, count(1) AS m FROM li GROUP BY 1)
         |SELECT p1, p2, support,
         |  floor((CAST(support AS DOUBLE) * n_orders / (m1.m * m2.m)) * 10000
@@ -425,7 +448,7 @@ object AnalyticsOps {
          |  FROM events GROUP BY event_type),
          |z AS (
          |  SELECT event_id, event_type, value,
-         |    ${r4sql("(value - mu) / sigma", "z")}
+         |    ${r4sql("(value - mu) / nullif(sigma, 0)", "z")}
          |  FROM events JOIN stats USING (event_type))
          |SELECT event_id, event_type,
          |  ${r4sql("value", "value")}, z

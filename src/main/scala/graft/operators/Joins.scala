@@ -164,9 +164,12 @@ object Joins {
     // Bucketed (binned) interval join — the 100 TB form of an UNKEYED
     // point-in-interval join. The naive plan is a broadcast nested loop
     // (every point × every interval); instead each interval explodes
-    // into the DAY buckets it covers (7 rows — bounded by span/bucket)
-    // and each point maps to its one bucket, turning the range predicate
-    // into an EQUI-join on the bucket plus a residual range filter.
+    // into every DAY bucket it can touch — to_date(w_start) through
+    // to_date(w_end): a 7-day half-open window starting mid-day spans 8
+    // calendar days, and the midnight-start case just yields one empty
+    // bucket the residual filter drops. Each point maps to its one
+    // bucket, turning the range predicate into an EQUI-join on the
+    // bucket plus a residual range filter.
     // Work scales as sum-over-buckets(points_b × intervals_b) — the
     // true overlap density — instead of |points| × |intervals|, and the
     // shuffle partitions by bucket like any other key. A point's bucket
@@ -179,14 +182,10 @@ object Joins {
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_orderdate").as("w_start"))
         .withColumn("w_end", col("w_start") + expr("INTERVAL 7 DAYS"))
-        .withColumn("day", explode(sequence(to_date(col("w_start")),
-          date_add(to_date(col("w_start")), 6))))
       val points = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
-        .withColumn("day", to_date(col("l_shipdate")))
-      points.join(windows, Seq("day"))
-        .filter(col("l_shipdate") >= col("w_start") &&
-          col("l_shipdate") < col("w_end"))
+      ScalePatterns.dayBucketedIntervalJoin(points, "l_shipdate",
+          windows, "w_start", "w_end")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("o_orderkey")).as("n_windows"),

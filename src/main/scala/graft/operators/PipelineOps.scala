@@ -402,16 +402,10 @@ object PipelineOps {
     // iteration count is a FIXED unroll so the DuckDB oracle can state
     // the identical computation as chained CTEs.
     "q_graph_pagerank" -> ((s, d) => {
-      val sets = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
-      val pairs = sets
-        .select(explode(col("ps")).as("p1"), col("ps"))
-        .select(col("p1"), explode(col("ps")).as("p2"))
-        .filter(col("p1") < col("p2"))
-        .groupBy(col("p1"), col("p2"))
-        .agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
+      // shared edge mining with q_basket_pairs (AnalyticsOps
+      // orderPartSets/coPurchasePairs): one definition, two consumers
+      val pairs = AnalyticsOps.coPurchasePairs(
+        AnalyticsOps.orderPartSets(s, d), minSupport = 2)
       val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
         .union(pairs.select(col("p2").as("src"), col("p1").as("dst")))
         .localCheckpoint() // every iteration re-reads the edge list
@@ -542,14 +536,10 @@ object PipelineOps {
         |  CAST(len(regexp_extract_all(planted, '[A-Za-z0-9.]+@[A-Za-z.]+'))
         |    AS INT) AS n_emails
         |FROM p ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
-    // the same 3 power iterations, unrolled as chained CTEs
+    // the same 3 power iterations, unrolled as chained CTEs; edge
+    // mining shared with q_basket_pairs (AnalyticsOps.coPurchaseCte)
     "q_graph_pagerank" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (
-        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(1) >= 2),
+      s"""WITH ${AnalyticsOps.coPurchaseCte},
         |edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
         |  UNION ALL SELECT p2, p1 FROM pairs),
         |nodes AS (SELECT DISTINCT src AS node FROM edges),

@@ -67,6 +67,26 @@ object ScalePatterns {
     s.createDataFrame(ranked, schema)
   }
 
+  /** Unkeyed point-in-interval join as a day-bucket EQUI-join (the
+    * 100 TB alternative to a broadcast nested loop): every interval
+    * explodes into each calendar day it can touch — to_date(start)
+    * through to_date(end), which covers the span+1-day case of a
+    * mid-day start — each point maps to its one day, and the residual
+    * range filter restores exact semantics (a midnight-start interval
+    * just carries one empty trailing bucket). A point's day matches at
+    * most one exploded row per interval, so no pair-dedup is needed.
+    * Intervals are [start, end) half-open.
+    */
+  def dayBucketedIntervalJoin(points: DataFrame, pointTs: String,
+      windows: DataFrame, wStart: String, wEnd: String): DataFrame = {
+    val wd = windows.withColumn("__day",
+      explode(sequence(to_date(col(wStart)), to_date(col(wEnd)))))
+    val pd = points.withColumn("__day", to_date(col(pointTs)))
+    pd.join(wd, Seq("__day"))
+      .filter(col(pointTs) >= col(wStart) && col(pointTs) < col(wEnd))
+      .drop("__day")
+  }
+
   /** Z-value (Morton code) of `dims` numeric columns: each dimension is
     * min-max scaled to a `bits`-wide integer grid cell and the cell
     * coordinates' bits are interleaved. Rows close on the z-curve are

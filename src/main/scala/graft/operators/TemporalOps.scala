@@ -148,13 +148,14 @@ object TemporalOps {
         |      ORDER BY ts ASC, event_id ASC) AS prev
         |  FROM events WHERE user_id < 20),
         |changes AS (
-        |  SELECT user_id, ts, event_type FROM marked
+        |  SELECT user_id, event_id, ts, event_type FROM marked
         |  WHERE prev IS NULL OR prev <> event_type)
         |SELECT user_id,
-        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC) AS INT)
-        |    AS version,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS INT) AS version,
         |  event_type AS state, ts AS valid_from,
-        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC) AS valid_to
+        |  lead(ts, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS valid_to
         |FROM changes
         |ORDER BY user_id ASC NULLS FIRST, version ASC NULLS FIRST""".stripMargin,
     "q_time_weighted_avg" ->

@@ -68,26 +68,40 @@ class ExtensionsSuite extends AnyFunSuite {
         .withExtensions(new GraftExtensions)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
-      val df = s2.sql(
-        """SELECT partial_ratio(v, v) AS s
-          |FROM VALUES ('abc def'), ('   '), (CAST(NULL AS STRING)) AS t(v)
-          |ORDER BY v NULLS FIRST""".stripMargin)
+      // edge cases chosen to separate String.trim (all chars <= 0x20)
+      // from Spark's trim (0x20 only) and from \s: tab, control char,
+      // trailing newline
+      val cases = Seq("abc def", "   ", "\t", "", "x\n", null)
+      import s2.implicits._
+      val df = cases.toDF("v")
+        .select(org.apache.spark.sql.functions.col("v"),
+          graft.functions.PartialRatioExpr.partial_ratio(
+            org.apache.spark.sql.functions.col("v"),
+            org.apache.spark.sql.functions.col("v")).as("s"))
       // the optimized plan must not evaluate the quadratic expression
       assert(!df.queryExecution.optimizedPlan.toString.contains("partial_ratio"),
         s"self-match must fold away:\n${df.queryExecution.optimizedPlan}")
-      val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
-      // null -> null, whitespace-only -> 0, normal -> 100 — exactly the
-      // unfolded expression's semantics (asserted against it below)
-      assert(got.toSeq == Seq(None, Some(0), Some(100)), got.mkString(","))
-      // the sessions WITHOUT the rule agree (same query, unfolded plan)
-      val vcol = org.apache.spark.sql.functions.col("v")
-      val ref = prev.sql(
-        """SELECT v FROM VALUES ('abc def'), ('   '), (CAST(NULL AS STRING)) AS t(v)""")
-        .select(graft.functions.PartialRatioExpr
-          .partial_ratio(vcol, vcol).as("s"))
-        .orderBy(org.apache.spark.sql.functions.col("s").asc_nulls_first)
-        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
-      assert(ref.toSeq == Seq(None, Some(0), Some(100)), ref.mkString(","))
+      val got = df.collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      // and it must agree with the UNFOLDED expression (fixture session,
+      // no injected rule) case by case
+      val ref = prev.createDataFrame(prev.sparkContext.parallelize(
+          cases.map(org.apache.spark.sql.Row(_))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.StringType))))
+        .select(org.apache.spark.sql.functions.col("v"),
+          graft.functions.PartialRatioExpr.partial_ratio(
+            org.apache.spark.sql.functions.col("v"),
+            org.apache.spark.sql.functions.col("v")).as("s"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(got == ref, s"fold diverges from the expression: $got vs $ref")
+      assert(got("abc def") == Some(100) && got("\t") == Some(0) &&
+        got("") == Some(0) && got("x\n") == Some(100) &&
+        got(null) == None, got.toString)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

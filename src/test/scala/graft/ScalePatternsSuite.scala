@@ -176,6 +176,25 @@ class ScalePatternsSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("day-bucketed interval join equals the naive range join on " +
+      "MID-DAY intervals (8-calendar-day span)") {
+    // shift both sides off midnight: a 7-day window starting 13:00
+    // spans 8 calendar days, and points at 05:00 land on that 8th day
+    val o = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 13 HOURS")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 7 DAYS"))
+    val p = Tables.lineitem(spark, sf).select(col("l_orderkey"),
+      (col("l_shipdate") + expr("INTERVAL 5 HOURS")).as("pts"))
+    val bucketed = ScalePatterns.dayBucketedIntervalJoin(
+      p, "pts", o, "w_start", "w_end").count()
+    val naive = p.join(o,
+      col("pts") >= col("w_start") && col("pts") < col("w_end")).count()
+    assert(naive > 0, "fixture must produce matches")
+    assert(bucketed == naive, s"bucketed=$bucketed naive=$naive")
+  }
+
   /** Rows the parquet reader actually surfaced for a box predicate —
     * after row-group min/max pruning — vs the full table. */
   private def scanRowsFor(path: String, pred: org.apache.spark.sql.Column): Long = {
