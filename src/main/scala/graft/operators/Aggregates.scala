@@ -88,6 +88,41 @@ object Aggregates {
         .orderBy(col("c_nationkey").asc_nulls_first)
     }),
 
+    // Bitmap-based EXACT distinct — the mergeable alternative to both
+    // count(DISTINCT) (one big shuffle of raw keys) and HLL (approx):
+    // keys fold into fixed-size per-bucket bitmaps map-side, the
+    // shuffle moves bitmaps instead of keys, and bit-counts sum to the
+    // exact answer. Re-aggregable like a sketch (bitmap_or_agg merges
+    // levels) but exact for integer keys — the right tool for
+    // high-cardinality distincts at 100 TB. Oracle: plain
+    // count(DISTINCT) — the hash match proves exactness.
+    "q_agg_bitmap" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .selectExpr("l_returnflag",
+          "bitmap_bucket_number(l_partkey) AS b",
+          "bitmap_bit_position(l_partkey) AS p")
+        .groupBy(col("l_returnflag"), col("b"))
+        .agg(expr("bitmap_count(bitmap_construct_agg(p))").as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("cnt")).as("n_parts"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    }),
+
+    // approx_top_k (frequent-items sketch) over document tokens: the
+    // heavy-hitters primitive for vocabulary/spam monitoring — one
+    // pass, bounded mergeable state, no full token groupBy at read
+    // time. No oracle (tie order and counts are sketch-specific);
+    // RelationalSuite asserts the reported counts against the exact
+    // aggregation.
+    "q_agg_approx_topk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .agg(expr("approx_top_k(token, 10)").as("top"))
+        .select(posexplode(col("top")).as(Seq("rank", "entry")))
+        .select(col("rank"), col("entry.item").as("token"),
+          col("entry.count").as("approx_count"))
+    }),
+
     // Apache DataSketches HLL — the re-aggregable distinct sketch: the
     // per-group binary sketches are materialized state that can be
     // persisted, shipped, and merged (hll_union_agg) WITHOUT the raw
@@ -163,6 +198,12 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // exactness is the claim: the bitmap plan must hash-match the
+    // straightforward distinct
+    "q_agg_bitmap" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "q_percent_of_total" ->
       """WITH per AS (
         |  SELECT c_nationkey, sum(o_totalprice) AS rev, count(1) AS n_orders

@@ -130,6 +130,27 @@ class RelationalSuite extends AnyFunSuite {
       s"ALL=${est("ALL")} should reflect cross-group overlap (sum=$groupSum)")
   }
 
+  test("q_agg_approx_topk reports true heavy hitters with near-exact counts") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_agg_approx_topk")(spark, sf)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got.size == 10)
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reported counts may only overestimate, boundedly (Space-Saving/CMS
+    // style guarantee); and the unambiguous global top-1 must be present
+    got.foreach { case (tok, c) =>
+      val e = exact(tok)
+      assert(c >= e && c <= e + (exact.values.sum * 0.01).toLong,
+        s"token $tok: sketch=$c exact=$e")
+    }
+    val top1 = exact.maxBy(_._2)
+    assert(got.contains(top1._1),
+      s"global top token ${top1._1} (${top1._2}) missing from $got")
+  }
+
   test("q_skyline equals the brute-force dominance frontier") {
     import org.apache.spark.sql.functions._
     val pts = Tables.part(spark, sf)
