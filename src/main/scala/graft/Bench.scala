@@ -42,10 +42,16 @@ object Bench {
     // a failed query is recorded explicitly (name -> error) — never
     // silently benched as ~0 s
     // optional args: bench only the named queries (local iteration aid;
-    // the driver invokes with no args and benches everything)
+    // the driver invokes with no args and benches everything). Unknown
+    // names fail fast — a typo must not print an empty success line.
     val selected =
       if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else {
+        val names = args.toSet
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =

@@ -75,16 +75,27 @@ object ScalePatterns {
     * range filter restores exact semantics (a midnight-start interval
     * just carries one empty trailing bucket). A point's day matches at
     * most one exploded row per interval, so no pair-dedup is needed.
-    * Intervals are [start, end) half-open.
+    * Intervals are [start, end) half-open. Library-API hygiene: the
+    * inputs must not share column names (the join would leave ambiguous
+    * references) and must not already use the internal bucket column —
+    * both rejected eagerly with a clear error instead of a downstream
+    * AnalysisException or silent clobber.
     */
   def dayBucketedIntervalJoin(points: DataFrame, pointTs: String,
       windows: DataFrame, wStart: String, wEnd: String): DataFrame = {
-    val wd = windows.withColumn("__day",
+    val bucket = "__graft_day_bucket"
+    require(!points.columns.contains(bucket) &&
+      !windows.columns.contains(bucket),
+      s"inputs must not carry the internal column $bucket")
+    val shared = points.columns.toSet.intersect(windows.columns.toSet)
+    require(shared.isEmpty,
+      s"points and windows must not share column names: ${shared.mkString(", ")}")
+    val wd = windows.withColumn(bucket,
       explode(sequence(to_date(col(wStart)), to_date(col(wEnd)))))
-    val pd = points.withColumn("__day", to_date(col(pointTs)))
-    pd.join(wd, Seq("__day"))
+    val pd = points.withColumn(bucket, to_date(col(pointTs)))
+    pd.join(wd, Seq(bucket))
       .filter(col(pointTs) >= col(wStart) && col(pointTs) < col(wEnd))
-      .drop("__day")
+      .drop(bucket)
   }
 
   /** Z-value (Morton code) of `dims` numeric columns: each dimension is

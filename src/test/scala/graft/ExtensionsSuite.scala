@@ -72,22 +72,9 @@ class ExtensionsSuite extends AnyFunSuite {
       // from Spark's trim (0x20 only) and from \s: tab, control char,
       // trailing newline
       val cases = Seq("abc def", "   ", "\t", "", "x\n", null)
-      import s2.implicits._
-      val df = cases.toDF("v")
-        .select(org.apache.spark.sql.functions.col("v"),
-          graft.functions.PartialRatioExpr.partial_ratio(
-            org.apache.spark.sql.functions.col("v"),
-            org.apache.spark.sql.functions.col("v")).as("s"))
-      // the optimized plan must not evaluate the quadratic expression
-      assert(!df.queryExecution.optimizedPlan.toString.contains("partial_ratio"),
-        s"self-match must fold away:\n${df.queryExecution.optimizedPlan}")
-      val got = df.collect()
-        .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
-          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
-      // and it must agree with the UNFOLDED expression (fixture session,
-      // no injected rule) case by case
-      val ref = prev.createDataFrame(prev.sparkContext.parallelize(
-          cases.map(org.apache.spark.sql.Row(_))),
+      def scored(sess: SparkSession) = sess.createDataFrame(
+          sess.sparkContext.parallelize(
+            cases.map(org.apache.spark.sql.Row(_))),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("v",
               org.apache.spark.sql.types.StringType))))
@@ -95,9 +82,25 @@ class ExtensionsSuite extends AnyFunSuite {
           graft.functions.PartialRatioExpr.partial_ratio(
             org.apache.spark.sql.functions.col("v"),
             org.apache.spark.sql.functions.col("v")).as("s"))
-        .collect()
+      // the frames MUST be RDD-backed: a LocalRelation projection is
+      // eagerly evaluated by ConvertToLocalRelation BEFORE injected
+      // rules run, which would make this test vacuous
+      val df = scored(s2)
+      // the rule must have FIRED (the fold's regex test is in the plan)
+      // and the quadratic expression must be gone
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("partial_ratio"), s"self-match must fold away:\n$plan")
+      assert(plan.contains("RLIKE"), s"expected the fold's regex test:\n$plan")
+      def toMapOf(rows: Array[org.apache.spark.sql.Row]) = rows
         .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
           (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      val got = toMapOf(df.collect())
+      // the UNFOLDED expression (fixture session, no injected rule; plan
+      // verified to still carry partial_ratio) must agree case by case
+      val refDf = scored(prev)
+      assert(refDf.queryExecution.optimizedPlan.toString
+        .contains("partial_ratio"), "reference side must stay unfolded")
+      val ref = toMapOf(refDf.collect())
       assert(got == ref, s"fold diverges from the expression: $got vs $ref")
       assert(got("abc def") == Some(100) && got("\t") == Some(0) &&
         got("") == Some(0) && got("x\n") == Some(100) &&
