@@ -272,6 +272,24 @@ object AnalyticsOps {
         .orderBy(col("p_partkey").asc_nulls_first)
     }),
 
+    // Robust statistics: per-type median + MAD (median absolute
+    // deviation) — the outlier-resistant counterpart of q_anomaly_zscore
+    // (one planted extreme value shifts mean/stddev arbitrarily but
+    // moves neither median). Two exact-percentile passes with a
+    // broadcast of the 5-row median frame between them.
+    "q_robust_stats" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      e.join(broadcast(med), Seq("event_type"))
+        .withColumn("ad", abs(col("value") - col("med")))
+        .groupBy(col("event_type"))
+        .agg(Det.r4(max(col("med"))).as("median"),
+          Det.r4(expr("percentile(ad, 0.5D)")).as("mad"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
     // Per-type z-score anomalies: group stats via partial-agg'd groupBy
     // + broadcast join back (NOT a window over event_type — five huge
     // window partitions would concentrate all rows on five tasks at
@@ -442,6 +460,19 @@ object AnalyticsOps {
         |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
         |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
         |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+    "q_robust_stats" ->
+      s"""WITH med AS (
+         |  SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM events GROUP BY event_type),
+         |ad AS (
+         |  SELECT e.event_type, med.med, abs(e.value - med.med) AS ad
+         |  FROM events e JOIN med USING (event_type))
+         |SELECT event_type,
+         |  ${r4sql("max(med)", "median")},
+         |  ${r4sql("quantile_cont(ad, 0.5)", "mad")},
+         |  count(1) AS n
+         |FROM ad GROUP BY event_type
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "q_anomaly_zscore" ->
       s"""WITH stats AS (
          |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma

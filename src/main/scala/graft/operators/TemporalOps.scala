@@ -71,6 +71,26 @@ object TemporalOps {
         .orderBy(col("user_id").asc_nulls_first, col("version").asc_nulls_first)
     }),
 
+    // Rolling event-time features: per event, the count/average over
+    // the PRECEDING HOUR of the same user's activity — the online
+    // feature-engineering shape (a fraud/abuse velocity signal). A
+    // RANGE frame over event-time micros, not a ROWS frame: peers at
+    // the same timestamp are all in-frame in every engine, so ties
+    // cannot de-synchronize the two sides. Windowed by user — the
+    // natural shard — never unpartitioned.
+    "q_event_rolling" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          Det.r4(avg(col("value")).over(w)).as("avg_1h"))
+        .orderBy(col("user_id").asc_nulls_first,
+          col("event_id").asc_nulls_first)
+    }),
+
     // Time-weighted average (TWAP): each observation holds until the
     // next one, so it contributes value x holding-duration; the final
     // observation has no duration and drops out. One lead window keyed
@@ -158,6 +178,15 @@ object TemporalOps {
         |    ORDER BY ts ASC, event_id ASC) AS valid_to
         |FROM changes
         |ORDER BY user_id ASC NULLS FIRST, version ASC NULLS FIRST""".stripMargin,
+    "q_event_rolling" ->
+      """SELECT user_id, event_id,
+        |  count(1) OVER w AS n_1h,
+        |  floor((avg(value) OVER w) * 10000
+        |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS avg_1h
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
     "q_time_weighted_avg" ->
       """WITH held AS (
         |  SELECT user_id, value,
