@@ -132,6 +132,35 @@ object QualityOps {
     // number of duplicates dropped. The streaming form
     // (dropDuplicatesWithinWatermark) is exercised in StreamingSuite;
     // this form is its deterministic whole-input answer.
+    // Constraint validation over the warehouse: key uniqueness and
+    // referential integrity as data (check, n_violations) rows, not
+    // schema declarations — what replaces the reference's per-row
+    // EXISTS probes (database.py:43-61) when constraints are audited in
+    // bulk. Uniqueness = one partial-agg'd count vs count(DISTINCT);
+    // every FK orphan check is a single anti-join. All checks union
+    // into one result so the audit is one job.
+    "q_integrity_audit" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val cust = Tables.customer(s, d)
+      def unique(name: String, df: org.apache.spark.sql.DataFrame,
+          key: String) =
+        df.agg((count(lit(1)) - countDistinct(col(key))).as("n_violations"))
+          .select(lit(name).as("check"), col("n_violations"))
+      def orphans(name: String, child: org.apache.spark.sql.DataFrame,
+          fk: String, parent: org.apache.spark.sql.DataFrame, pk: String) =
+        child.join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("check"), col("n_violations"))
+      unique("orders_pk_unique", orders, "o_orderkey")
+        .unionByName(unique("customer_pk_unique", cust, "c_custkey"))
+        .unionByName(orphans("lineitem_orderkey_fk", li, "l_orderkey",
+          orders, "o_orderkey"))
+        .unionByName(orphans("orders_custkey_fk", orders, "o_custkey",
+          cust, "c_custkey"))
+        .orderBy(col("check").asc_nulls_first)
+    }),
+
     "q_stream_dedup" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("user_id"), col("event_type"))
@@ -146,6 +175,21 @@ object QualityOps {
     s"floor(($inner) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS $alias"
 
   val oracle: Map[String, String] = Map(
+    "q_integrity_audit" ->
+      """SELECT 'customer_pk_unique' AS "check",
+        |  count(1) - count(DISTINCT c_custkey) AS n_violations FROM customer
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk',
+        |  (SELECT count(1) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |UNION ALL
+        |SELECT 'orders_custkey_fk',
+        |  (SELECT count(1) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL
+        |SELECT 'orders_pk_unique',
+        |  count(1) - count(DISTINCT o_orderkey) FROM orders
+        |ORDER BY "check" ASC NULLS FIRST""".stripMargin,
     "q_merge_upsert" ->
       s"""WITH t AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
