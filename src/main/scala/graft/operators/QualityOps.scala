@@ -132,6 +132,34 @@ object QualityOps {
     // number of duplicates dropped. The streaming form
     // (dropDuplicatesWithinWatermark) is exercised in StreamingSuite;
     // this form is its deterministic whole-input answer.
+    // Snapshot diff (CDC classification): given two versions of a keyed
+    // table, classify every key as inserted / deleted / updated /
+    // unchanged — the inverse of q_merge_upsert (which APPLIES a delta,
+    // while this COMPUTES one). One full-outer join on the key; the
+    // summary is a 4-row partial-agg'd rollup of it. Synthetic versions
+    // carved deterministically from orders so the oracle states the
+    // identical derivation.
+    "q_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val before = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          graft.Det.r4(col("o_totalprice")).as("v_before"))
+      val after = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("k2"),
+          graft.Det.r4(when(col("o_orderkey") % 3 === 0,
+            col("o_totalprice") * 1.1).otherwise(col("o_totalprice")))
+            .as("v_after"))
+      before.join(after, col("k") === col("k2"), "full_outer")
+        .withColumn("change",
+          when(col("k").isNull, "inserted")
+            .when(col("k2").isNull, "deleted")
+            .when(col("v_before") =!= col("v_after"), "updated")
+            .otherwise("unchanged"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("change").asc_nulls_first)
+    }),
+
     // Constraint validation over the warehouse: key uniqueness and
     // referential integrity as data (check, n_violations) rows, not
     // schema declarations — what replaces the reference's per-row
@@ -175,6 +203,26 @@ object QualityOps {
     s"floor(($inner) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS $alias"
 
   val oracle: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH before_v AS (
+        |  SELECT o_orderkey AS k,
+        |    floor((o_totalprice) * 10000 + CAST(0.5 AS DOUBLE))
+        |      / CAST(10000 AS DOUBLE) AS v_before
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |after_v AS (
+        |  SELECT o_orderkey AS k2,
+        |    floor((CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+        |      ELSE o_totalprice END) * 10000 + CAST(0.5 AS DOUBLE))
+        |      / CAST(10000 AS DOUBLE) AS v_after
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (
+        |  SELECT CASE WHEN k IS NULL THEN 'inserted'
+        |    WHEN k2 IS NULL THEN 'deleted'
+        |    WHEN v_before <> v_after THEN 'updated'
+        |    ELSE 'unchanged' END AS change
+        |  FROM before_v FULL OUTER JOIN after_v ON k = k2)
+        |SELECT change, count(1) AS n FROM d GROUP BY change
+        |ORDER BY change ASC NULLS FIRST""".stripMargin,
     "q_integrity_audit" ->
       """SELECT 'customer_pk_unique' AS "check",
         |  count(1) - count(DISTINCT c_custkey) AS n_violations FROM customer
