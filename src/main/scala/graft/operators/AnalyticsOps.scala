@@ -272,6 +272,51 @@ object AnalyticsOps {
         .orderBy(col("p_partkey").asc_nulls_first)
     }),
 
+    // Winsorization: clip values at the per-group p05/p95 cutpoints —
+    // standard outlier treatment before model features. Cutpoints come
+    // from one exact-percentile aggregate broadcast back (the
+    // q_range_bucket pattern); the clip itself is a map-only
+    // least/greatest, and the output compares raw vs clipped moments.
+    "q_winsorize" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val cuts = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05D)").as("lo"),
+          expr("percentile(value, 0.95D)").as("hi"))
+      e.join(broadcast(cuts), Seq("event_type"))
+        .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+        .groupBy(col("event_type"))
+        .agg(Det.r4(avg(col("value"))).as("mean_raw"),
+          Det.r4(avg(col("w"))).as("mean_winsor"),
+          Det.r4(max(col("lo"))).as("p05"),
+          Det.r4(max(col("hi"))).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    // Two-sample Welch t-statistic between event populations (purchase
+    // vs view values) — the experimentation primitive. Entirely
+    // partial-agg'd moments (count/mean/variance per arm), one tiny
+    // join, closed-form t and degrees of freedom; no per-row state.
+    "q_ab_test" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def arm(t: String, suffix: String) =
+        e.filter(col("event_type") === t)
+          .agg(count(lit(1)).cast("double").as(s"n$suffix"),
+            avg(col("value")).as(s"m$suffix"),
+            var_samp(col("value")).as(s"v$suffix"))
+      val a = arm("purchase", "_a")
+      val b = arm("view", "_b")
+      val se2 = col("v_a") / col("n_a") + col("v_b") / col("n_b")
+      val dfW = (se2 * se2) /
+        ((col("v_a") / col("n_a")) * (col("v_a") / col("n_a")) / (col("n_a") - 1) +
+         (col("v_b") / col("n_b")) * (col("v_b") / col("n_b")) / (col("n_b") - 1))
+      a.crossJoin(b)
+        .select(Det.r4(col("m_a")).as("mean_a"), Det.r4(col("m_b")).as("mean_b"),
+          Det.r4((col("m_a") - col("m_b")) / sqrt(se2)).as("t_stat"),
+          Det.r4(dfW).as("welch_df"),
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
+    }),
+
     // Robust statistics: per-type median + MAD (median absolute
     // deviation) — the outlier-resistant counterpart of q_anomaly_zscore
     // (one planted extreme value shifts mean/stddev arbitrarily but
@@ -460,6 +505,37 @@ object AnalyticsOps {
         |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
         |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
         |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+    "q_winsorize" ->
+      s"""WITH cuts AS (
+         |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+         |    quantile_cont(value, 0.95) AS hi
+         |  FROM events GROUP BY event_type),
+         |w AS (
+         |  SELECT e.event_type, e.value, cuts.lo, cuts.hi,
+         |    least(greatest(e.value, cuts.lo), cuts.hi) AS wv
+         |  FROM events e JOIN cuts USING (event_type))
+         |SELECT event_type,
+         |  ${r4sql("avg(value)", "mean_raw")},
+         |  ${r4sql("avg(wv)", "mean_winsor")},
+         |  ${r4sql("max(lo)", "p05")},
+         |  ${r4sql("max(hi)", "p95")},
+         |  count(1) AS n
+         |FROM w GROUP BY event_type
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "q_ab_test" ->
+      s"""WITH a AS (
+         |  SELECT CAST(count(1) AS DOUBLE) AS n_a, avg(value) AS m_a,
+         |    var_samp(value) AS v_a
+         |  FROM events WHERE event_type = 'purchase'),
+         |b AS (
+         |  SELECT CAST(count(1) AS DOUBLE) AS n_b, avg(value) AS m_b,
+         |    var_samp(value) AS v_b
+         |  FROM events WHERE event_type = 'view')
+         |SELECT ${r4sql("m_a", "mean_a")}, ${r4sql("m_b", "mean_b")},
+         |  ${r4sql("(m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)", "t_stat")},
+         |  ${r4sql("((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)) / ((v_a / n_a) * (v_a / n_a) / (n_a - 1) + (v_b / n_b) * (v_b / n_b) / (n_b - 1))", "welch_df")},
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+         |FROM a CROSS JOIN b""".stripMargin,
     "q_robust_stats" ->
       s"""WITH med AS (
          |  SELECT event_type, quantile_cont(value, 0.5) AS med
