@@ -272,6 +272,27 @@ object AnalyticsOps {
         .orderBy(col("p_partkey").asc_nulls_first)
     }),
 
+    // Growth accounting: per day, active / new / returning users — the
+    // product-analytics daily rollup. "New" is a per-user min-date
+    // aggregation joined back on (user, day); both aggregations are
+    // partial-agg'd and the join is keyed, so nothing concentrates.
+    "q_growth_accounting" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val firstDay = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      days.join(firstDay, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("new_users"))
+        .withColumn("returning", col("active") - col("new_users"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("active"), col("new_users"), col("returning"))
+        .orderBy(col("day").asc_nulls_first)
+    }),
+
     // Winsorization: clip values at the per-group p05/p95 cutpoints —
     // standard outlier treatment before model features. Cutpoints come
     // from one exact-percentile aggregate broadcast back (the
@@ -505,6 +526,18 @@ object AnalyticsOps {
         |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
         |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
         |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+    "q_growth_accounting" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS first_day FROM days GROUP BY 1),
+        |g AS (
+        |  SELECT days.day, count(1) AS active,
+        |    CAST(sum(CASE WHEN days.day = fd.first_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS new_users
+        |  FROM days JOIN fd USING (user_id) GROUP BY days.day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, active, new_users,
+        |  active - new_users AS returning
+        |FROM g ORDER BY day ASC NULLS FIRST""".stripMargin,
     "q_winsorize" ->
       s"""WITH cuts AS (
          |  SELECT event_type, quantile_cont(value, 0.05) AS lo,

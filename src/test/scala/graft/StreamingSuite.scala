@@ -310,6 +310,47 @@ class StreamingSuite extends AnyFunSuite {
       s"state lost across restart: $got")
   }
 
+  test("transformWithState state and timers survive a restart via checkpoint") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.SessionEvent
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+    try {
+      val mem = MemoryStream[SessionEvent]
+      def start() = StatefulSessions.sessionizeTws(
+          mem.toDS().withWatermark("ts", "1 minute").as[SessionEvent])
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      // run 1: open a session (2 events), nothing emitted yet
+      val q1 = start()
+      mem.addData(SessionEvent(1L, t("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(1L, t("2024-01-01 10:05:00"), 2.0))
+      q1.processAllAvailable(); q1.stop()
+      // run 2 (restart): the watermark advance must fire the RESTORED
+      // timer and close the session with the PRE-restart state
+      val q2 = start()
+      mem.addData(SessionEvent(2L, t("2024-01-01 11:00:00"), 0.5))
+      q2.processAllAvailable()
+      mem.addData(SessionEvent(2L, t("2024-01-01 12:00:00"), 0.5))
+      q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(s"$base/out")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(got.contains((1L, "2024-01-01 10:00:00.0", 2L, 3.0)),
+        s"session state/timer lost across restart: $got")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("watermark replay is shard-width invariant (sharded == one shard)") {
     // one giant shard degenerates to the plain global prefix max, so any
     // width must reproduce it exactly — the decomposition is semantics-free
