@@ -52,12 +52,23 @@ object Bench {
         require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
         SparkEntry.queries.view.filterKeys(names).toMap
       }
+    // SPARK_GRAFT_REPS=N (default 1, the driver contract): run each query
+    // N times and report the per-query MIN — single-shot timings at this
+    // scale carry scheduler/JIT noise that masquerades as round-over-
+    // round regressions; min-of-N is the stable comparator.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case t: Throwable => Some(t.toString.take(300)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); () }
+        catch { case t: Throwable => err = Some(t.toString.take(300)) }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        r += 1
+      }
+      (name, best, err)
     }.toSeq
     // millisecond precision keeps the JSON line compact enough for
     // tail-limited log capture to hold the whole line (117 queries at

@@ -58,11 +58,18 @@ object Aggregates {
     // the exact interpolated form (q_agg_percentile) needs the whole
     // group's values.
     "q_agg_approx_percentile" -> ((s, d) => {
+      // One sketch per group, quartiles projected to scalar columns so
+      // downstream harnesses (and the driver's rows-only compare) never
+      // have to sort an array cell.
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"),
             array(lit(0.25), lit(0.5), lit(0.75)), lit(1000))
-          .as("approx_price_quartiles"))
+          .as("qs"))
+        .select(col("l_returnflag"),
+          col("qs").getItem(0).as("q25"),
+          col("qs").getItem(1).as("q50"),
+          col("qs").getItem(2).as("q75"))
         .orderBy(col("l_returnflag").asc_nulls_first)
     }),
 

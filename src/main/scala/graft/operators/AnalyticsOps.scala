@@ -14,15 +14,18 @@ import org.apache.spark.sql.functions._
 object AnalyticsOps {
 
   /** Per-order distinct part sets — ONE shuffle (by order) feeds both
-    * pair expansion and marginals as map-side explodes. Materialized:
-    * every consumer re-reads it. Shared by q_basket_pairs and
+    * pair expansion and marginals as map-side explodes. Persisted LAZILY
+    * (not localCheckpoint: that runs a job at query CONSTRUCTION and its
+    * blocks don't survive executor loss — MEMORY_AND_DISK recomputes
+    * from lineage instead) so every consumer after the first action
+    * reads the cached sets. Shared by q_basket_pairs and
     * q_graph_pagerank so the edge definition cannot drift between them.
     */
   private[operators] def orderPartSets(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Co-purchase pairs (p1 < p2, support >= minSupport) over the sets. */
   private[operators] def coPurchasePairs(sets: DataFrame,
@@ -225,7 +228,10 @@ object AnalyticsOps {
     // never all-parts x all-parts), and the marginals join back by
     // broadcast. Lift > 1 marks genuinely associated pairs.
     "q_basket_pairs" -> ((s, d) => {
-      val nOrders = Tables.orders(s, d).count().toDouble
+      // order count as an in-plan scalar aggregate (1 row, broadcast) —
+      // a driver-side .count() here would run a job during construction
+      val nOrders = Tables.orders(s, d)
+        .agg(count(lit(1)).cast("double").as("n_orders"))
       // shared edge mining (see orderPartSets/coPurchasePairs): one
       // shuffle builds the sets, pairs and marginals are map-side
       // explodes (a distinct + self-join formulation shuffles the item
@@ -237,8 +243,9 @@ object AnalyticsOps {
       pairs
         .join(broadcast(marg.select(col("l_partkey").as("p1"), col("m").as("m1"))), Seq("p1"))
         .join(broadcast(marg.select(col("l_partkey").as("p2"), col("m").as("m2"))), Seq("p2"))
+        .crossJoin(broadcast(nOrders))
         .withColumn("lift", Det.r4(
-          col("support") * lit(nOrders) / (col("m1") * col("m2"))))
+          col("support") * col("n_orders") / (col("m1") * col("m2"))))
         .select(col("p1"), col("p2"), col("support"), col("lift"))
         .orderBy(col("support").desc, col("p1").asc_nulls_first,
           col("p2").asc_nulls_first)

@@ -114,7 +114,10 @@ object Extras {
     // oracle states the same aggregate over the ORIGINAL table: a hash
     // match proves the ORC sink+source is lossless, not just runnable.
     "q_scan_orc" -> ((s, d) => {
-      val stage = "/tmp/graft_stage/lineitem_orc"
+      // per-run stage dir: two concurrent Bench/Verify runs on one host
+      // must not clobber each other's staged files mid-read (q_scan_json
+      // alone keeps a fixed path — its DuckDB oracle reads that path)
+      val stage = s"/tmp/graft_stage_${s.sparkContext.applicationId}/lineitem_orc"
       Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_linestatus"),
           col("l_extendedprice"), col("l_quantity"))
@@ -132,7 +135,7 @@ object Extras {
     // sink and back (docs are single-line by construction), then a
     // token top-20. Same lossless-round-trip oracle trick as q_scan_orc.
     "q_scan_text" -> ((s, d) => {
-      val stage = "/tmp/graft_stage/documents_text"
+      val stage = s"/tmp/graft_stage_${s.sparkContext.applicationId}/documents_text"
       Tables.documents(s, d).select(col("text"))
         .write.mode("overwrite").text(stage)
       s.read.text(stage)

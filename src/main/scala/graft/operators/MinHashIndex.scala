@@ -14,25 +14,53 @@ import org.apache.spark.sql.functions._
   * SINGLE job commit, so a crash can never publish one without the
   * other (the round-5 review found the previous two-directory layout
   * left a bands-without-sets window that silently dropped candidate
-  * verification forever). A probe is one equi-join on the band key —
-  * the batch side shuffles 16 rows per doc, the corpus side is read
-  * with `kind` partition pruning, never recomputed — followed by exact
-  * Jaccard verification of the (few) collisions, so emitted pairs have
-  * precision 1.0 and the corpus text is never re-shingled. Band keys
-  * are deterministic (fixed-seed permutations, `DedupOps.bandRows`),
-  * which is what makes cross-run probing sound.
+  * verification forever).
   *
-  * At 100 TB, write the `kind=b` half BUCKETED by band key
-  * (`ScalePatterns.writeBucketed` shape) so each probe shuffles only the
-  * batch side against the pre-bucketed corpus, and let the candidate
-  * join's runtime bloom filter (plan-asserted in ScalePatternsSuite)
-  * prune the `kind=s` lookup to matched docs.
+  * The table is BUCKETED by `band` (registered as an external bucketed
+  * catalog table over the same path): the probe's candidate join reads
+  * the corpus side pre-hashed into band buckets, so ONLY the incoming
+  * batch shuffles — the standing 100 TB side never moves
+  * (plan-asserted: no Exchange under the corpus side of the band join,
+  * DedupSimilaritySuite). `kind=s` rows carry a per-doc spread value in
+  * `band` purely for bucket balance; probes never read it. Bucket
+  * metadata lives in the session catalog (a persistent metastore in a
+  * real deployment); a session that only sees the files falls back to a
+  * plain parquet read — identical results, one extra shuffle.
+  *
+  * A probe is one equi-join on the band key followed by exact Jaccard
+  * verification of the (few) collisions, so emitted pairs have precision
+  * 1.0 and the corpus text is never re-shingled. Band keys are
+  * deterministic (fixed-seed permutations, `DedupOps.bandRows`), which
+  * is what makes cross-run probing sound.
   *
   * Generalizes the reference's ingest-skip invariant (main.py:90,
   * database.py:19 — "don't re-admit what's already in the DB") from
   * exact file identity to near-duplicate content identity.
   */
 object MinHashIndex {
+
+  /** Band buckets for the catalog layout. Small here; at 100 TB size so
+    * one bucket's band rows fit an executor's shuffle-free merge.
+    */
+  private val nBuckets = 8
+
+  /** Deterministic catalog name for the index at `path` — fit/append/
+    * probe within a session agree on it without threading extra state.
+    */
+  private def tableName(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "graft_mhidx_" +
+      md.digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** The index frame: the bucketed catalog table when this session has
+    * it, else the raw parquet files (correct, just re-shuffles probes).
+    */
+  private def indexFrame(s: SparkSession, path: String): DataFrame = {
+    val tbl = tableName(path)
+    if (s.catalog.tableExists(tbl)) s.table(tbl)
+    else s.read.parquet(path + "/data")
+  }
 
   /** Sketch `shRows` (a `DedupOps.shingleRows` frame) into `path`. */
   def fit(shRows0: DataFrame, path: String): Unit =
@@ -48,7 +76,7 @@ object MinHashIndex {
     * duplicate verification rows re-verify the same pair.
     */
   def indexedIds(s: SparkSession, path: String): DataFrame = {
-    val d = s.read.parquet(path + "/data")
+    val d = indexFrame(s, path)
     d.filter(col("kind") === "b").select(col("doc_id")).distinct()
       .join(d.filter(col("kind") === "s").select(col("doc_id")).distinct(),
         Seq("doc_id"))
@@ -67,11 +95,35 @@ object MinHashIndex {
     val bands = DedupOps.bandRows(shRows).select(
       col("doc_id"), col("band"),
       lit(null).cast("array<string>").as("sh"), lit("b").as("kind"))
+    // `band` on set rows is a spread key (never read) so the band
+    // bucketing distributes the big shingle arrays across bucket files.
     val sets = DedupOps.shingleSets(shRows).select(
-      col("doc_id"), lit(null).cast("string").as("band"),
+      col("doc_id"), concat(lit("s:"), col("doc_id")).as("band"),
       col("sh"), lit("s").as("kind"))
-    bands.unionByName(sets)
-      .write.mode(mode).partitionBy("kind").parquet(path + "/data")
+    val all = bands.unionByName(sets)
+    val spark = all.sparkSession
+    val tbl = tableName(path)
+    val dataPath = new org.apache.hadoop.fs.Path(path + "/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mode == "overwrite") {
+      // External table: DROP leaves files behind and CTAS refuses a
+      // non-empty location — clear both halves of the old index first.
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      if (fs.exists(dataPath)) { fs.delete(dataPath, true); () }
+    }
+    if (mode == "append" && !spark.catalog.tableExists(tbl)) {
+      // Appending to files written by an earlier session: no bucket
+      // metadata here, so stay on the plain layout rather than mislabel
+      // unbucketed files as bucketed.
+      all.write.mode(mode).partitionBy("kind").parquet(path + "/data")
+    } else {
+      all.write.mode(mode)
+        .partitionBy("kind")
+        .bucketBy(nBuckets, "band").sortBy("band")
+        .option("path", path + "/data")
+        .format("parquet")
+        .saveAsTable(tbl)
+    }
   }
 
   /** Probe an incoming batch (as a `shingleRows` frame) against the
@@ -84,7 +136,7 @@ object MinHashIndex {
       threshold: Double): DataFrame = {
     val shRows = shRows0.select(col("doc_id"), col("sz"), col("g"))
       .localCheckpoint()  // band pass + verification sets
-    val idx = s.read.parquet(path + "/data")
+    val idx = indexFrame(s, path)
     val incBands = DedupOps.bandRows(shRows)
       .select(col("band"), col("doc_id").as("d2"))
     val idxBands = idx.filter(col("kind") === "b")

@@ -1,33 +1,212 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
   *
-  * The corpus has no image/audio files, so the payload is the document
-  * text's UTF-8 bytes — the POINT is the Spark-side plumbing: BinaryType
-  * columns, metadata structs, content hashing, byte slicing
-  * ("frame sampling"), and a clearly-marked STUB decode step where a real
-  * pipeline would call an image/audio codec (the codec libraries are not
-  * in this container; see `decodeStub`).
+  * The corpus has no real image/audio files, so the MEDIA is synthesized —
+  * a deterministic PNG per document (size and pixels derived from the
+  * document's id and text bytes). The DECODE is real: `javax.imageio`
+  * parses the PNG container and hands back the raster, so width, height,
+  * channel count, and every pixel value in the results come from an
+  * actual codec, not from arithmetic on the byte length. PNG is lossless,
+  * which lets the suite assert that planted pixels round-trip exactly
+  * (reference analog: R4's binary metadata parsing, tables.py:54).
   *
-  * At 100 TB, payloads stay opaque bytes end-to-end (no row-level codec
-  * in the scan path); metadata extraction is a map-only scan, and
-  * payloads co-partition with their keys for any downstream join.
+  * At 100 TB, payloads stay opaque bytes in the scan path; the codec runs
+  * inside `mapPartitions` (one decoder context per partition, the Scala
+  * analog of a mapInPandas batch UDF), and payloads co-partition with
+  * their keys for any downstream join.
   */
 object MultimodalOps {
 
-  /** STUB decode: a real implementation would decode image bytes and
-    * return (width, height, channels). Here: a deterministic fake derived
-    * from the byte length, keeping the schema and the Spark plumbing
-    * (struct columns over binary payloads) real and testable.
+  /** Deterministic image dimensions for a document: width from the text
+    * length, height from the id — both bounded small so sf0.1 stays cheap.
     */
-  def decodeStub(payload: org.apache.spark.sql.Column) = struct(
-    (octet_length(payload) % 640).cast("int").as("width"),
-    (octet_length(payload) % 480).cast("int").as("height"),
-    lit(3).as("channels"))
+  def dims(docId: Long, nBytes: Int): (Int, Int) =
+    (8 + nBytes % 24, 8 + (docId % 16).toInt)
+
+  /** Planted pixel formula (the "sensor"): deterministic in (x, y) and the
+    * text bytes. The suite recomputes this independently and asserts the
+    * DECODED raster matches — proving the codec path is honest.
+    */
+  def plantedPixel(bytes: Array[Byte], x: Int, y: Int): Int =
+    bytes((x * 31 + y * 17 + x * y) % bytes.length) & 0xff
+
+  /** Encode a deterministic PNG for (docId, textBytes). */
+  def encodePng(docId: Long, textBytes: Array[Byte]): Array[Byte] = {
+    val bytes = if (textBytes.nonEmpty) textBytes else Array[Byte](0)
+    val (w, h) = dims(docId, textBytes.length)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = plantedPixel(bytes, x, y)
+        img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | ((x ^ y) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  // ---- audio modality (same honest-decode pattern, javax.sound) --------
+
+  /** Deterministic audio parameters for a document: tone frequency from
+    * the id, clip length from the text size. 8 kHz mono 16-bit PCM.
+    */
+  def audioParams(docId: Long, nBytes: Int): (Double, Int) =
+    (200.0 + (docId % 200).toDouble, 256 + nBytes % 512)
+
+  val sampleRate = 8000
+
+  /** Planted waveform (StrictMath for cross-JVM bit-exactness): a pure
+    * tone at the doc's frequency. PCM in WAV is lossless, so the suite
+    * asserts the DECODED samples equal this formula exactly.
+    */
+  def plantedSample(freq: Double, i: Int): Short =
+    (30000.0 * StrictMath.sin(2.0 * StrictMath.PI * freq * i / sampleRate)).toShort
+
+  /** Encode a deterministic WAV clip for (docId, textBytes). */
+  def encodeWav(docId: Long, nBytes: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val (freq, n) = audioParams(docId, nBytes)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = plantedSample(freq, i)
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian int16
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Typed records for the batched decode paths. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], meta_lang: String)
+  case class DecodedAudio(doc_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Int, rms: Double, est_freq_hz: Double)
+  case class DecodedImage(doc_id: Long, width: Int, height: Int,
+      channels: Int, n_px: Int, mean_red: Double, head_px_csv: String)
+  case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, feature: Double)
+
+  private def mediaRecords(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        MediaRecord(id, encodePng(id, Option(text).getOrElse("").getBytes("UTF-8")), lang)
+      }
+  }
+
+  /** Real decode via mapPartitions: one ImageIO context per partition,
+    * each payload parsed by the PNG codec; emits the raster's true
+    * dimensions, band count, and pixel-derived features.
+    */
+  def decodeImages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, sfDir).mapPartitions { it =>
+      it.map { rec =>
+        val img = ImageIO.read(new ByteArrayInputStream(rec.payload))
+        val raster = img.getRaster
+        val (w, h, c) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+          y += 1
+        }
+        val head = (0 until math.min(8, w))
+          .map(x => (img.getRGB(x, 0) >> 16) & 0xff).mkString(",")
+        DecodedImage(rec.doc_id, w, h, c, w * h,
+          sum.toDouble / (w * h), head)
+      }
+    }.toDF()
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** Frame sampling over the decoded raster: each 8-row strip of the image
+    * is one "frame", with a mean-luminance feature — the one-to-many
+    * explosion shape of video frame extraction, over a real decode.
+    */
+  def decodeFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, sfDir).mapPartitions { it =>
+      it.flatMap { rec =>
+        val img = ImageIO.read(new ByteArrayInputStream(rec.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val nFrames = (h + 7) / 8
+        (0 until nFrames).iterator.map { f =>
+          val y0 = f * 8
+          val y1 = math.min(y0 + 8, h)
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = 0
+            while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+            y += 1
+          }
+          DecodedFrame(rec.doc_id, f, w, y1 - y0,
+            sum.toDouble / (w * (y1 - y0)) / 255.0)
+        }
+      }
+    }.toDF()
+      .orderBy(col("doc_id").asc_nulls_first, col("frame_idx").asc_nulls_first)
+  }
+
+  /** Real audio decode via mapPartitions: `javax.sound.sampled` parses
+    * the WAV container (format, frame count, PCM frames); RMS level and
+    * a zero-crossing pitch estimate are computed from the decoded
+    * samples — the audio analog of `decodeImages`.
+    */
+  def decodeAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import javax.sound.sampled.AudioSystem
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, nBytes) =>
+          val wav = encodeWav(id, nBytes)
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+          val fmt = ais.getFormat
+          val n = ais.getFrameLength.toInt
+          val pcm = ais.readAllBytes()
+          var sumSq = 0.0
+          var zc = 0
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+            sumSq += s.toDouble * s
+            if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+            prev = s
+            i += 1
+          }
+          val dur = n.toDouble / fmt.getSampleRate
+          DecodedAudio(id, fmt.getSampleRate.toInt, fmt.getChannels, n,
+            math.sqrt(sumSq / n) / 32768.0, zc / 2.0 / dur)
+        }
+      }.toDF()
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary payload + metadata extraction + content hash + byte window
@@ -47,64 +226,22 @@ object MultimodalOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
-    // Decode + "frame sample": stubbed decode struct + strided byte
-    // samples (every 64th byte) as the frame-sampling plumbing. No
-    // oracle: the decode struct is stub semantics by design. The sample
-    // array is emitted CSV-flattened (`frame_csv`) — scalar columns only,
-    // so downstream sort/hash harnesses need no array support.
-    "q_multimodal_decode" -> ((s, d) => {
-      Tables.documents(s, d)
-        .withColumn("payload", encode(col("text"), "utf-8"))
-        .withColumn("decoded", decodeStub(col("payload")))
-        .withColumn("frame_samples", expr(
-          "transform(sequence(1, octet_length(payload), 64), " +
-            "i -> ascii(substr(text, i, 1)))"))
-        .select(col("doc_id"), col("decoded.width"), col("decoded.height"),
-          col("decoded.channels"), size(col("frame_samples")).as("n_frames"),
-          array_join(expr("transform(frame_samples, x -> cast(x as string))"),
-            ",").as("frame_csv"))
-        .orderBy(col("doc_id").asc_nulls_first)
-    }),
+    // Real ImageIO decode of per-document synthetic PNGs: true raster
+    // width/height/band-count + pixel features. No DuckDB oracle (no
+    // codec there); MultimodalSuite pins planted pixels exactly.
+    "q_multimodal_decode" -> ((s, d) => decodeImages(s, d)),
 
-    // Batched (mapPartitions) decode: typed one-to-many frame extraction
-    // with per-partition codec context. Rows-only check (stub decode).
-    "q_multimodal_frames" -> ((s, d) => decodeBatched(s, d))
+    // Frame sampling (one-to-many strip explosion) over the same real
+    // decode. No oracle; frame counts/ids/features pinned in the suite.
+    "q_multimodal_frames" -> ((s, d) => decodeFrames(s, d)),
+
+    // Second modality, same honest-decode pattern: WAV clips parsed by
+    // javax.sound (real container + PCM decode), with level + pitch
+    // features from the decoded samples. No oracle; the suite pins the
+    // planted tone's frequency, the exact PCM round-trip, and format
+    // fields.
+    "q_multimodal_audio" -> ((s, d) => decodeAudio(s, d))
   )
-
-  /** Typed record for the batched decode path. */
-  case class MediaRecord(doc_id: Long, payload: Array[Byte], meta_lang: String)
-  case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int,
-      height: Int, feature: Double)
-
-  /** Batched decode via mapPartitions — the Scala analog of a
-    * mapInPandas batch UDF: payloads stream through a per-partition
-    * iterator (one codec context per partition, not per row), each
-    * emitting zero-or-more frame rows. The codec itself is STUBBED
-    * (deterministic pseudo-decode from the bytes — image/audio libraries
-    * are not in this container); the partitioning, batch shape, typed
-    * schema, and one-to-many row explosion are the real plumbing.
-    */
-  def decodeBatched(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val records = graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
-        col("lang").as("meta_lang"))
-      .as[MediaRecord]
-    records.mapPartitions { it =>
-      // STUB: a real implementation opens one decoder per partition here.
-      it.flatMap { rec =>
-        val nFrames = math.max(1, rec.payload.length / 128)
-        (0 until math.min(nFrames, 4)).iterator.map { f =>
-          val b = rec.payload(math.min(f * 128, rec.payload.length - 1))
-          DecodedFrame(rec.doc_id, f,
-            640 - (rec.payload.length % 640) % 640,
-            480 - (rec.payload.length % 480) % 480,
-            (b & 0xff) / 255.0)
-        }
-      }
-    }.toDF()
-      .orderBy(col("doc_id").asc_nulls_first, col("frame_idx").asc_nulls_first)
-  }
 
   val oracle: Map[String, String] = Map(
     "q_multimodal_meta" ->

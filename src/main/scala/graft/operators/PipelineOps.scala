@@ -171,6 +171,21 @@ object PipelineOps {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
     connectedComponentsWithRounds(pairs, maxIter)._1
 
+  /** THE definition of "near-dup clusters" over the documents table:
+    * exact trigram-Jaccard pairs at 0.5 -> connected components ->
+    * (doc_id, cluster = min doc_id in component). Shared by
+    * `q_dedup_clusters` and `q_split_leakage_safe` (and anything else
+    * that keys decisions on near-dup identity) so the two consumers can
+    * never drift apart — the same sharing discipline as
+    * `AnalyticsOps.orderPartSets`.
+    */
+  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupOps.ngramJaccardPairs(DedupOps.shingleRows(s, d), 0.5)
+      .select(col("d1"), col("d2"))
+    connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("cluster"))
+  }
+
   /** Sequence packing by shard-and-offset — the 100 TB form of the
     * windowed pack in `q_pack_tokens`, producing IDENTICAL bins.
     *
@@ -360,13 +375,8 @@ object PipelineOps {
     // n-gram Jaccard pair graph; cluster id = min doc_id in component.
     // This is the step that turns pairwise dedup output into "keep one
     // per cluster" decisions.
-    "q_dedup_clusters" -> ((s, d) => {
-      val pairs = DedupOps.ngramJaccardPairs(DedupOps.shingleRows(s, d), 0.5)
-        .select(col("d1"), col("d2"))
-      connectedComponents(pairs)
-        .select(col("node").as("doc_id"), col("cluster"))
-        .orderBy(col("doc_id").asc_nulls_first)
-    }),
+    "q_dedup_clusters" -> ((s, d) =>
+      nearDupClusters(s, d).orderBy(col("doc_id").asc_nulls_first)),
 
     // Leakage-safe train/val/test split: the split is hashed from the
     // near-dup CLUSTER representative, not the document — so a pair of
@@ -376,10 +386,7 @@ object PipelineOps {
     // -> coalesce singletons to themselves -> portable md5 split on the
     // cluster id. 80/10/10.
     "q_split_leakage_safe" -> ((s, d) => {
-      val pairs = DedupOps.ngramJaccardPairs(DedupOps.shingleRows(s, d), 0.5)
-        .select(col("d1"), col("d2"))
-      val cc = connectedComponents(pairs)
-        .select(col("node").as("doc_id"), col("cluster"))
+      val cc = nearDupClusters(s, d)
       Tables.documents(s, d).select(col("doc_id"), col("lang"))
         .join(cc, Seq("doc_id"), "left_outer")
         .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))

@@ -117,16 +117,25 @@ object ScalePatterns {
     require(dims.nonEmpty && dims.size * bits <= 63,
       s"${dims.size} dims x $bits bits must fit in a long")
     val cells = lit((1L << bits) - 1)
+    // NaN would poison min/max (NaN sorts greatest) and then make
+    // floor(NaN).cast(long) throw under ANSI — scrub it to NULL for the
+    // stats and pin NaN/NULL rows to the dimension's min (cell 0), a
+    // deterministic placement instead of an arbitrary range partition
+    def clean(c: String) = {
+      val x = col(c).cast("double")
+      when(isnan(x), lit(null)).otherwise(x)
+    }
     val statAggs = dims.flatMap(c =>
-      Seq(min(col(c)).cast("double").as(s"__mn_$c"),
-        max(col(c)).cast("double").as(s"__mx_$c")))
+      Seq(min(clean(c)).as(s"__mn_$c"), max(clean(c)).as(s"__mx_$c")))
     val stats = df.agg(statAggs.head, statAggs.tail: _*)
     val scaled = dims.zipWithIndex.map { case (c, i) =>
       // cell = floor((x - mn) / (mx - mn) * 2^bits), clamped into range;
-      // a degenerate dimension (mn == mx) lands every row in cell 0
+      // a degenerate dimension (mn == mx, or all-null -> null span)
+      // lands every row in cell 0
       val span = col(s"__mx_$c") - col(s"__mn_$c")
-      val cell = when(span === 0d, lit(0L)).otherwise(
-        least(cells, floor((col(c).cast("double") - col(s"__mn_$c")) /
+      val x = coalesce(clean(c), col(s"__mn_$c"))
+      val cell = when(span === 0d || span.isNull, lit(0L)).otherwise(
+        least(cells, floor((x - col(s"__mn_$c")) /
           span * pow(lit(2d), lit(bits))).cast("long")))
       cell.as(s"__cell_$i")
     }

@@ -138,6 +138,55 @@ class DedupSimilaritySuite extends AnyFunSuite {
     } finally { sh.unpersist(); () }
   }
 
+  test("MinHash index probe: bucketed corpus side of the band join has no exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val helper = new AdaptiveSparkPlanHelper {}
+    val sh = operators.DedupOps.shingleRows(spark, sf).cache()
+    // at test scale everything broadcasts; force the shuffled join the
+    // 100 TB probe would plan so the bucketing claim is actually tested
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+    try {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mhb").toString + "/idx"
+      operators.MinHashIndex.fit(sh.filter(col("doc_id") % 5 =!= 0), path)
+      val probed = operators.MinHashIndex.probe(
+        spark, path, sh.filter(col("doc_id") % 5 === 0), 0.5)
+      probed.collect() // finalize AQE so stage boundaries are real
+      val exec = probed.queryExecution.executedPlan
+      // the candidate join is the (only) equi-join keyed on `band`
+      val bandJoins = helper.collectWithSubqueries(exec) {
+        case j: SortMergeJoinExec
+            if j.leftKeys.exists(_.toString.contains("band")) => j: SparkPlan
+        case j: ShuffledHashJoinExec
+            if j.leftKeys.exists(_.toString.contains("band")) => j: SparkPlan
+      }
+      assert(bandJoins.nonEmpty, "expected a shuffled equi-join on band")
+      val sides = bandJoins.head.children.map { side =>
+        (helper.collectWithSubqueries(side) {
+          case s: FileSourceScanExec => s }.nonEmpty,
+         helper.collectWithSubqueries(side) {
+          case e: ShuffleExchangeExec => e }.isEmpty)
+      }
+      // exactly one side reads the index files, and that side (the
+      // standing corpus) must reach the join without an Exchange
+      val corpus = sides.filter(_._1)
+      assert(corpus.nonEmpty, "no file-scan side under the band join")
+      assert(corpus.forall(_._2),
+        "corpus side of the probe join shuffled despite bucketing")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      sh.unpersist(); ()
+    }
+  }
+
   test("exact dedup keeps one representative per (lang, source)") {
     val got = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val keys = Tables.documents(spark, sf)

@@ -189,4 +189,37 @@ class FunctionsSuite extends AnyFunSuite {
     // no partial-word replacement
     assert(AbbrevPairs.expand("tidal wave", pairs) == "tidal wave")
   }
+
+  test("q_fuzzy_header_map golden: the full category -> column mapping") {
+    import SparkFixture.{spark, sf}
+    // Query-level pin (not just FuzzyMatch.mapHeader internals): the
+    // whole alignment — partial_ratio scores, >= 75 gate, per-category
+    // argmax with its deterministic tie-break — against the declared
+    // corpus schemas. "customer key" and "account balance" landing on
+    // weak 75-score matches is FAITHFUL partial_ratio behavior (the
+    // reference inherits the same quirk from fuzzywuzzy, tables.py:199);
+    // "discount"/"quantity"/"tax" at 100 anchor the strong end.
+    val got = SparkEntry.queries("q_fuzzy_header_map")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    val expected = Seq(
+      ("account balance", "documents", "lang", 75),
+      ("customer key", "orders", "o_orderkey", 75),
+      ("discount", "lineitem", "l_discount", 100),
+      ("extended price", "lineitem", "l_extendedprice", 92),
+      ("market segment", "customer", "c_mktsegment", 80),
+      ("nation key", "supplier", "s_nationkey", 89),
+      ("order date", "orders", "o_orderdate", 89),
+      ("order key", "orders", "o_orderkey", 88),
+      ("part key", "part", "p_partkey", 86),
+      ("quantity", "lineitem", "l_quantity", 100),
+      ("retail price", "part", "p_retailprice", 91),
+      ("return flag", "lineitem", "l_returnflag", 90),
+      ("ship date", "lineitem", "l_shipdate", 88),
+      ("tax", "lineitem", "l_tax", 100),
+      ("total price", "orders", "o_totalprice", 90))
+    assert(got == expected,
+      s"mapping drifted: ${got.diff(expected)} vs missing ${expected.diff(got)}")
+  }
 }

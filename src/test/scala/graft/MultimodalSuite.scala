@@ -1,0 +1,128 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MultimodalOps
+
+/** Fixture-pinned assertions for the multimodal tier: the PNG encode is a
+  * deterministic synthetic (no media corpus in the container), but the
+  * decode is the real `javax.imageio` codec — these tests prove it by
+  * round-tripping planted pixels through the container format.
+  */
+class MultimodalSuite extends AnyFunSuite {
+  import SparkFixture._
+
+  test("encodePng -> ImageIO decode round-trips planted dims and pixels exactly") {
+    val text = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val docId = 7L
+    val png = MultimodalOps.encodePng(docId, text)
+    // PNG magic: the payload really is a PNG container, not raw bytes.
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val (w, h) = MultimodalOps.dims(docId, text.length)
+    assert(img.getWidth == w && img.getHeight == h)
+    assert(img.getRaster.getNumBands == 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == MultimodalOps.plantedPixel(text, x, y),
+        s"red channel mismatch at ($x,$y)")
+      assert(((rgb >> 8) & 0xff) == 255 - MultimodalOps.plantedPixel(text, x, y),
+        s"green channel mismatch at ($x,$y)")
+    }
+  }
+
+  test("q_multimodal_decode emits one row per document with codec-true fields") {
+    val docs = Tables.documents(spark, sf)
+    val out = SparkEntry.queries("q_multimodal_decode")(spark, sf).collect()
+    assert(out.length == docs.count())
+    // dims() bounds: width in [8, 31], height in [8, 23]; 3 bands.
+    out.foreach { r =>
+      val (w, h, c) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(w >= 8 && w <= 31, s"width $w out of generator range")
+      assert(h >= 8 && h <= 23, s"height $h out of generator range")
+      assert(c == 3)
+      assert(r.getInt(4) == w * h)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 255.0)
+    }
+    // Pin one document end-to-end against an independent recompute.
+    val first = docs.orderBy(col("doc_id")).select(col("doc_id"), col("text"))
+      .head()
+    val bytes = first.getString(1).getBytes("UTF-8")
+    val (w0, h0) = MultimodalOps.dims(first.getLong(0), bytes.length)
+    val expectedHead = (0 until math.min(8, w0))
+      .map(x => MultimodalOps.plantedPixel(bytes, x, 0)).mkString(",")
+    val got = out.find(_.getLong(0) == first.getLong(0)).get
+    assert(got.getInt(1) == w0 && got.getInt(2) == h0)
+    assert(got.getString(6) == expectedHead,
+      "decoded head pixels differ from the planted formula")
+  }
+
+  test("q_multimodal_frames explodes ceil(height/8) strips per document") {
+    val decoded = SparkEntry.queries("q_multimodal_decode")(spark, sf)
+      .select(col("doc_id"), col("height")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val frames = SparkEntry.queries("q_multimodal_frames")(spark, sf).collect()
+    val perDoc = frames.groupBy(_.getLong(0))
+    assert(perDoc.keySet == decoded.keySet, "frame rows must cover every document")
+    perDoc.foreach { case (id, rows) =>
+      val h = decoded(id)
+      assert(rows.length == (h + 7) / 8, s"doc $id: expected ${(h + 7) / 8} frames")
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (0 until rows.length),
+        s"doc $id: frame_idx not contiguous from 0")
+      // strip heights sum to the image height; features are normalized
+      assert(rows.map(_.getInt(3)).sum == h)
+      rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    }
+  }
+
+  test("encodeWav -> javax.sound decode round-trips the planted tone exactly") {
+    import javax.sound.sampled.AudioSystem
+    val (docId, nBytes) = (13L, 300)
+    val wav = MultimodalOps.encodeWav(docId, nBytes)
+    // RIFF/WAVE magic: a real container, not raw PCM
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val (freq, n) = MultimodalOps.audioParams(docId, nBytes)
+    assert(ais.getFormat.getSampleRate.toInt == MultimodalOps.sampleRate)
+    assert(ais.getFormat.getChannels == 1)
+    assert(ais.getFrameLength.toInt == n)
+    val pcm = ais.readAllBytes()
+    for (i <- 0 until n) {
+      val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
+      assert(s == MultimodalOps.plantedSample(freq, i),
+        s"PCM sample $i differs from the planted waveform")
+    }
+  }
+
+  test("q_multimodal_audio recovers the planted tone per document") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), octet_length(col("text")).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SparkEntry.queries("q_multimodal_audio")(spark, sf).collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (freq, n) = MultimodalOps.audioParams(id, docs(id))
+      assert(r.getInt(1) == MultimodalOps.sampleRate)
+      assert(r.getInt(2) == 1)
+      assert(r.getInt(3) == n, s"doc $id: frame count")
+      // a full-scale sine has RMS ~ 0.915/sqrt(2) ~ 0.647 at 30000/32768
+      assert(math.abs(r.getDouble(4) - 30000.0 / 32768 / math.sqrt(2)) < 0.02,
+        s"doc $id: rms ${r.getDouble(4)}")
+      // zero-crossing pitch estimate: within 3% + edge effects of planted
+      assert(math.abs(r.getDouble(5) - freq) <= 0.03 * freq + 16,
+        s"doc $id: est ${r.getDouble(5)} Hz vs planted $freq Hz")
+    }
+  }
+
+  test("multimodal decode is deterministic across runs") {
+    val a = SparkEntry.queries("q_multimodal_decode")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q_multimodal_decode")(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+}

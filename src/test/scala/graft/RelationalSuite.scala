@@ -80,7 +80,9 @@ class RelationalSuite extends AnyFunSuite {
   test("q_agg_approx_percentile quartiles track the exact tier per group") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("q_agg_approx_percentile")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
     val exact = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
         .as("q"))

@@ -231,4 +231,25 @@ class ScalePatternsSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // and the clustered file set is the same data
     assert(spark.read.parquet(dir + "/zorder").count() == total)
   }
+
+  test("withZValue tolerates NaN and NULL dims (ANSI floor-cast guard)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1.0, 10.0), (2L, Double.NaN, 20.0), (3L, 9.0, 30.0))
+      .toDF("id", "x", "y")
+      .union(Seq((4L, Option.empty[Double], Option(40.0)))
+        .toDF("id", "x", "y"))
+    val z = ScalePatterns.withZValue(df, Seq("x", "y"), bits = 8)
+      .select(col("id"), col("__z")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(z.size == 4, "no row may be dropped or nulled out")
+    // NaN/NULL x pins to the dimension min: same x-cell as id=1, and the
+    // y ordering still separates them on the curve
+    assert(z.values.forall(_ >= 0L))
+    // a fully-null dimension degrades to cell 0 instead of throwing
+    val allNull = Seq((1L, Option.empty[Double], Option(1.0)),
+      (2L, Option.empty[Double], Option(2.0))).toDF("id", "x", "y")
+    assert(ScalePatterns.withZValue(allNull, Seq("x", "y"), bits = 8)
+      .select(col("__z")).collect().forall(!_.isNullAt(0)))
+  }
 }
