@@ -321,6 +321,26 @@ object AnalyticsOps {
         .orderBy(col("event_type").asc_nulls_first)
     }),
 
+    // Key-skew profile: the hottest join keys of the big fact table with
+    // their share of all rows — the diagnostic that decides salting
+    // factors and AQE skew thresholds before a 100 TB join. Partial-agg'd
+    // groupBy collapses to one row per key before any exchange; the
+    // top-10 is a TakeOrdered (never a global sort), and the total is an
+    // in-plan scalar broadcast back. Total (n desc, key asc) order makes
+    // the LIMIT deterministic under count ties.
+    "q_skew_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val total = li.agg(count(lit(1)).cast("double").as("n_total"))
+      li.groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("key").asc_nulls_first)
+        .limit(10)
+        .crossJoin(broadcast(total))
+        .select(col("key"), col("n"),
+          Det.r4(col("n") / col("n_total")).as("share"))
+        .orderBy(col("n").desc, col("key").asc_nulls_first)
+    }),
+
     // Two-sample Welch t-statistic between event populations (purchase
     // vs view values) — the experimentation primitive. Entirely
     // partial-agg'd moments (count/mean/variance per arm), one tiny
@@ -562,6 +582,15 @@ object AnalyticsOps {
          |  count(1) AS n
          |FROM w GROUP BY event_type
          |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "q_skew_profile" ->
+      s"""WITH t AS (
+         |  SELECT l_suppkey AS key, count(1) AS n FROM lineitem GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM lineitem)
+         |SELECT key, n,
+         |  ${r4sql("CAST(n AS DOUBLE) / n_total", "share")}
+         |FROM t CROSS JOIN tot
+         |ORDER BY n DESC, key ASC NULLS FIRST
+         |LIMIT 10""".stripMargin,
     "q_ab_test" ->
       s"""WITH a AS (
          |  SELECT CAST(count(1) AS DOUBLE) AS n_a, avg(value) AS m_a,

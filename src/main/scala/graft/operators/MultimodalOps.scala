@@ -59,6 +59,100 @@ object MultimodalOps {
     out.toByteArray
   }
 
+  // ---- image near-dup tier (perceptual hash over the real decode) ------
+
+  /** Content-keyed 16x16 grayscale thumbnail: char-4-gram counts hashed
+    * into 256 bins, normalized to pixel intensities. Near-duplicate texts
+    * share most 4-grams, so their thumbnails differ in few pixels — the
+    * property the perceptual hash rides. Fixed dims (unlike `encodePng`)
+    * so content similarity, not length, decides pixel layout.
+    */
+  def thumbnailPng(textBytes: Array[Byte]): Array[Byte] = {
+    val hist = new Array[Long](256)
+    var i = 0
+    while (i + 3 < textBytes.length) {
+      var h = 0
+      var j = 0
+      while (j < 4) { h = h * 31 + (textBytes(i + j) & 0xff); j += 1 }
+      hist(h & 255) += 1
+      i += 1
+    }
+    val mx = math.max(1L, hist.max)
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_3BYTE_BGR)
+    var p = 0
+    while (p < 256) {
+      val v = (hist(p) * 255 / mx).toInt
+      img.setRGB(p % 16, p / 16, (v << 16) | (v << 8) | v)
+      p += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** 64-bit average hash (aHash) of a decoded image: area-average down to
+    * 8x8, threshold each cell at the global mean. Bit i set = cell i
+    * brighter than average. Standard perceptual-hash construction.
+    */
+  def aHash(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val cells = new Array[Double](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        cells((y * 8 / h) * 8 + (x * 8 / w)) += (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val mean = cells.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (cells(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  case class DocPHash(doc_id: Long, phash: Long)
+
+  /** Per-doc perceptual hash: thumbnail -> real PNG decode -> aHash. */
+  def docPHashes(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val png = thumbnailPng(Option(text).getOrElse("").getBytes("UTF-8"))
+          DocPHash(id, aHash(ImageIO.read(new ByteArrayInputStream(png))))
+        }
+      }
+  }
+
+  /** Image near-dup pairs by perceptual hash: candidates from an 8x8-bit
+    * chunk pigeonhole equi-join (hamming <= 7 is GUARANTEED to share one
+    * of 8 chunks; random 64-bit hashes collide on a chunk with p ~ 8/256
+    * per pair), verified by exact popcount hamming <= `maxHamming`. The
+    * same shuffle shape as the SimHash text tier (DedupOps) — each doc
+    * moves as 8 (chunk, value) rows, never pixels.
+    */
+  def phashPairs(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashes = docPHashes(spark, sfDir).toDF()
+      .localCheckpoint() // one codec pass feeds both join sides
+    val chunks = hashes.select(col("doc_id"), col("phash"),
+      explode(expr("transform(sequence(0, 7), " +
+        "c -> named_struct('c', c, 'v', shiftright(phash, cast(c * 8 as int)) & 255))")).as("k"))
+      .select(col("doc_id"), col("phash"), col("k.c").as("c"), col("k.v").as("v"))
+    chunks.alias("x").join(chunks.alias("y"), Seq("c", "v"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
+  }
+
   // ---- audio modality (same honest-decode pattern, javax.sound) --------
 
   /** Deterministic audio parameters for a document: tone frequency from
@@ -240,7 +334,13 @@ object MultimodalOps {
     // features from the decoded samples. No oracle; the suite pins the
     // planted tone's frequency, the exact PCM round-trip, and format
     // fields.
-    "q_multimodal_audio" -> ((s, d) => decodeAudio(s, d))
+    "q_multimodal_audio" -> ((s, d) => decodeAudio(s, d)),
+
+    // Image near-dup dedup: perceptual hash (aHash) over the real PNG
+    // decode, chunk-pigeonhole candidates, exact hamming verify. No
+    // oracle (hash-specific); recall vs the exact text near-dup tier is
+    // asserted in MultimodalSuite.
+    "q_dedup_phash" -> ((s, d) => phashPairs(s, d))
   )
 
   val oracle: Map[String, String] = Map(

@@ -106,6 +106,40 @@ object QualityOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // URL-canonicalization dedup (training-corpus provenance dedup):
+    // noisy per-doc URL variants (tracking params, fragments, host case,
+    // www. prefix — deterministic by doc_id) collapse to one canonical
+    // form — strip fragment, strip utm_* params, lowercase scheme+host,
+    // drop www. — then one keeper per canonical URL. Map-only
+    // canonicalization + one partial-agg'd groupBy; the regexes avoid
+    // backreferences (Spark uses $1, DuckDB \1) so the oracle states the
+    // IDENTICAL pipeline.
+    "q_dedup_url" -> ((s, d) => {
+      val page = (col("doc_id") % 50).cast("string")
+      val base = concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("lang"), lit("/"), page,
+        lit("?rev="), ((col("doc_id") % 50) % 7).cast("string"))
+      val v = col("doc_id") % 4
+      val noisy = when(v === 0, concat(base, lit("&utm_source=feed")))
+        .when(v === 1, concat(base, lit("#sec")))
+        .when(v === 2, concat(
+          upper(regexp_extract(base, "^[A-Za-z]+://[^/]+", 0)),
+          regexp_extract(base, "^[A-Za-z]+://[^/]+(.*)$", 1)))
+        .otherwise(regexp_replace(base, "^https://", "https://www."))
+      Tables.documents(s, d)
+        .withColumn("noisy_url", noisy)
+        .withColumn("c1", regexp_replace(col("noisy_url"), "#.*$", ""))
+        .withColumn("c2",
+          regexp_replace(col("c1"), "&utm_[a-z_]*=[^&#]*", ""))
+        .withColumn("canon_url", regexp_replace(
+          concat(lower(regexp_extract(col("c2"), "^[A-Za-z]+://[^/]+", 0)),
+            regexp_extract(col("c2"), "^[A-Za-z]+://[^/]+(.*)$", 1)),
+          "://www\\.", "://"))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("canon_url").asc_nulls_first)
+    }),
+
     // The reference's tolerant measurement parser (R12; '<1', '>50',
     // '50-300', 'HDR~65 LDR~30' as observed in its golden db) under the
     // oracle gate: deterministic measurement strings are synthesized
@@ -317,6 +351,40 @@ object QualityOps {
         |  regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
         |  regexp_extract(url, '\?(.*)$', 1) AS query
         |FROM u ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_dedup_url" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/docs/' || lang || '/' ||
+        |    CAST(doc_id % 50 AS VARCHAR) || '?rev=' ||
+        |    CAST((doc_id % 50) % 7 AS VARCHAR) AS base
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 4 = 0 THEN base || '&utm_source=feed'
+        |      WHEN doc_id % 4 = 1 THEN base || '#sec'
+        |      WHEN doc_id % 4 = 2 THEN
+        |        upper(regexp_extract(base, '^[A-Za-z]+://[^/]+', 0)) ||
+        |        regexp_extract(base, '^[A-Za-z]+://[^/]+(.*)$', 1)
+        |      ELSE regexp_replace(base, '^https://', 'https://www.')
+        |    END AS noisy
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      lower(regexp_extract(
+        |        regexp_replace(regexp_replace(noisy, '#.*$', ''),
+        |          '&utm_[a-z_]*=[^&#]*', ''),
+        |        '^[A-Za-z]+://[^/]+', 0)) ||
+        |      regexp_extract(
+        |        regexp_replace(regexp_replace(noisy, '#.*$', ''),
+        |          '&utm_[a-z_]*=[^&#]*', ''),
+        |        '^[A-Za-z]+://[^/]+(.*)$', 1),
+        |      '://www\.', '://') AS canon_url
+        |  FROM n)
+        |SELECT canon_url, count(1) AS n_docs, min(doc_id) AS keeper
+        |FROM c GROUP BY canon_url
+        |ORDER BY canon_url ASC NULLS FIRST""".stripMargin,
     "q_parse_measurements" ->
       """WITH r AS (
         |  SELECT o_orderkey,

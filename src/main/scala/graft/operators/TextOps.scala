@@ -57,6 +57,33 @@ object TextOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // Gopher-rules composite quality gate (Rae et al. 2021 §A1.1, the
+    // published subset computable on single-line docs): word-count
+    // bounds, mean word length in [3, 10], >= 80% words containing an
+    // alphabetic char, >= 2 stopwords. Per-rule features + the combined
+    // pass verdict, all higher-order expressions on one scan. The gate
+    // compares the ROUNDED features (both engines), so the verdict can
+    // never drift from the emitted feature columns.
+    "q_text_gopher" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_words", size(col("toks")))
+        .withColumn("mean_word_len", graft.Det.r4(
+          expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))") /
+            greatest(col("n_words"), lit(1)).cast("double")))
+        .withColumn("alpha_frac", graft.Det.r4(
+          expr("size(filter(toks, t -> t rlike '[a-zA-Z]'))") /
+            greatest(col("n_words"), lit(1)).cast("double")))
+        .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN $stopList))"))
+        .withColumn("passes",
+          col("n_words").between(50, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("alpha_frac") >= 0.8 && col("n_stop") >= 2)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("alpha_frac"), col("n_stop"), col("passes"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex segmentation
     // (letter runs / digit runs / single non-alphanumerics).
     "q_text_tokens" -> ((s, d) => {
@@ -150,6 +177,29 @@ object TextOps {
          |    least(n_stop / CAST(greatest(n_toks, 1) AS DOUBLE) * 5,
          |      CAST(1.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE),
          |    4) AS quality
+         |FROM f ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_text_gopher" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    floor((list_sum(list_transform(string_split(text, ' '),
+         |        t -> length(t)))
+         |      / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE))
+         |      * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+         |      AS mean_word_len,
+         |    floor((len(list_filter(string_split(text, ' '),
+         |        t -> regexp_matches(t, '[a-zA-Z]')))
+         |      / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE))
+         |      * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+         |      AS alpha_frac,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $stopList))
+         |      AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+         |  alpha_frac, CAST(n_stop AS INT) AS n_stop,
+         |  (n_words BETWEEN 50 AND 100000
+         |   AND mean_word_len BETWEEN 3.0 AND 10.0
+         |   AND alpha_frac >= 0.8 AND n_stop >= 2) AS passes
          |FROM f ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,

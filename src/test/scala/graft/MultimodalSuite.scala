@@ -120,6 +120,21 @@ class MultimodalSuite extends AnyFunSuite {
     }
   }
 
+  test("image perceptual-hash near-dups recall the exact text tier") {
+    val exact = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val got = SparkEntry.queries("q_dedup_phash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"phash recall vs exact tier: $recall over ${exact.size} pairs, " +
+      s"${got.size} emitted")
+    assert(recall >= 0.7, s"recall $recall, emitted ${got.size}")
+    // the emitted set must stay a sketch, not a near-cross-join
+    val n = Tables.documents(spark, sf).count()
+    assert(got.size < n * 5, s"${got.size} pairs for $n docs")
+  }
+
   test("multimodal decode is deterministic across runs") {
     val a = SparkEntry.queries("q_multimodal_decode")(spark, sf).collect().toSeq
     val b = SparkEntry.queries("q_multimodal_decode")(spark, sf).collect().toSeq

@@ -80,6 +80,18 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "order-by-limit must plan as distributed top-k, not a global sort")
   }
 
+  test("skew profile: one-column scan, top-10 as TakeOrdered, total broadcast") {
+    val q = SparkEntry.queries("q_skew_profile")(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan
+    assert(exec.toString.contains("TakeOrderedAndProject"),
+      "hottest-keys cut must be a distributed top-k, not a global sort")
+    val scans = collectWithSubqueries(exec) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(_.requiredSchema.size <= 1),
+      s"skew profile must scan at most the key column, got " +
+        scans.map(_.requiredSchema.catalogString))
+  }
+
   test("merge upsert plans no single-partition window for insert ids") {
     val q = SparkEntry.queries("q_merge_upsert")(spark, sf)
     q.collect()
