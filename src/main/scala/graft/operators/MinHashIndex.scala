@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   * `band` purely for bucket balance; probes never read it. Bucket
   * metadata lives in the session catalog (a persistent metastore in a
   * real deployment); a session that only sees the files falls back to a
-  * plain parquet read — identical results, one extra shuffle.
+  * plain parquet read — identical results, one extra shuffle — and its
+  * appends stay on the plain layout rather than mislabel unbucketed
+  * files as bucketed (fallback path suite-asserted). The index assumes a
+  * single writer: a session holding the catalog entry must not probe
+  * through it after another session's plain-layout append (bucketed
+  * scans key bucket ids off file names).
   *
   * A probe is one equi-join on the band key followed by exact Jaccard
   * verification of the (few) collisions, so emitted pairs have precision

@@ -187,6 +187,40 @@ class DedupSimilaritySuite extends AnyFunSuite {
     }
   }
 
+  test("MinHash index append falls back to the plain layout without catalog metadata") {
+    val sh = operators.DedupOps.shingleRows(spark, sf).cache()
+    try {
+      val shA = sh.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+      val shB = sh.filter(col("doc_id") % 5 === 1)
+      val shInc = sh.filter(col("doc_id") % 5 === 0)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mhf").toString + "/idx"
+      operators.MinHashIndex.fit(shA, path)
+      // simulate a NEW session appending to the same files: this session
+      // forgets the catalog entry, so append must go down the plain-
+      // parquet branch instead of mislabeling unbucketed files
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_mhidx_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      operators.MinHashIndex.append(shB, path)
+      val nA = shA.select("doc_id").distinct().count()
+      val nB = shB.select("doc_id").distinct().count()
+      assert(operators.MinHashIndex.indexedIds(spark, path).count() == nA + nB,
+        "both halves of both publishes must be visible")
+      // probing the mixed-layout index still verifies against BOTH
+      // publishes, matching the exact cross join at >= 80% recall
+      val exact = operators.DedupOps
+        .crossNgramJaccardPairs(sh.filter(col("doc_id") % 5 =!= 0), shInc, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val probed = operators.MinHashIndex.probe(spark, path, shInc, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((probed -- exact).isEmpty,
+        s"probe invented pairs: ${(probed -- exact).take(5)}")
+      assert(exact.isEmpty ||
+        (exact & probed).size.toDouble / exact.size >= 0.8)
+    } finally { sh.unpersist(); () }
+  }
+
   test("exact dedup keeps one representative per (lang, source)") {
     val got = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val keys = Tables.documents(spark, sf)
