@@ -69,6 +69,32 @@ object AnalyticsOps {
         .orderBy(col("user_id").asc_nulls_first)
     }),
 
+    // Three-stage ordered funnel: signup -> first view strictly after it
+    // -> first purchase strictly after THAT (each stage gates on the
+    // previous stage's timestamp, not just the event kinds). Same
+    // keyed-aggregation chain as q_funnel, one more hop; every join is
+    // on user_id, so the three stages co-partition on one key.
+    "q_funnel_stages" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val vu = e.filter(col("event_type") === "view")
+        .join(su, Seq("user_id"))
+        .filter(col("ts") > col("signup_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(vu, Seq("user_id"))
+        .filter(col("ts") > col("view_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      su.join(vu, Seq("user_id"), "left_outer")
+        .join(pu, Seq("user_id"), "left_outer")
+        .select(col("user_id"), col("signup_ts"), col("view_ts"),
+          col("purchase_ts"),
+          (lit(1) + col("view_ts").isNotNull.cast("int") +
+            col("purchase_ts").isNotNull.cast("int")).as("stages"))
+        .orderBy(col("user_id").asc_nulls_first)
+    }),
+
     // Cohort retention: users grouped by first-activity week, counted in
     // each later activity week (offset in whole weeks). Output is
     // |cohorts| x |offsets|.
@@ -423,6 +449,26 @@ object AnalyticsOps {
          |  ${r4sql("(epoch_us(pu.purchase_ts) - epoch_us(su.signup_ts)) / 3600000000.0", "hours_to_convert")}
          |FROM su LEFT JOIN pu ON su.user_id = pu.user_id
          |ORDER BY su.user_id ASC NULLS FIRST""".stripMargin,
+    "q_funnel_stages" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |vu AS (
+        |  SELECT e.user_id, min(e.ts) AS view_ts
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > su.signup_ts
+        |  GROUP BY e.user_id),
+        |pu AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN vu ON e.user_id = vu.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > vu.view_ts
+        |  GROUP BY e.user_id)
+        |SELECT su.user_id, su.signup_ts, vu.view_ts, pu.purchase_ts,
+        |  CAST(1 + (vu.view_ts IS NOT NULL)::INT
+        |    + (pu.purchase_ts IS NOT NULL)::INT AS INT) AS stages
+        |FROM su LEFT JOIN vu ON su.user_id = vu.user_id
+        |LEFT JOIN pu ON su.user_id = pu.user_id
+        |ORDER BY su.user_id ASC NULLS FIRST""".stripMargin,
     "q_cohort_retention" ->
       """WITH f AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
