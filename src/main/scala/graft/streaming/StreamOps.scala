@@ -102,6 +102,48 @@ object StreamOps {
       .orderBy(col("ws").asc_nulls_first)
   }
 
+  /** Batch form of the stream-stream interval join: purchases matched to
+    * the same user's views they follow within one hour, aggregated per
+    * user. The streaming form is [[streamStreamJoin]]; this form states
+    * the identical relational semantics for the DuckDB oracle. One
+    * co-partitioned equi-join on user_id with a range residual — at
+    * scale both sides shuffle once on the key.
+    */
+  def streamJoinBatch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    v.join(p, col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("min_lag_us"))
+      .orderBy(col("user_id").asc_nulls_first)
+  }
+
+  /** Stream-stream inner join with event-time interval bounds: each
+    * side carries a 1-hour watermark and the join condition bounds
+    * purchase_ts to (view_ts, view_ts + 1h], so Spark can size BOTH
+    * state buffers to the watermark horizon and evict matched/expired
+    * rows — the property that makes a stream-stream join runnable
+    * forever at corpus scale (unbounded-state joins are rejected by the
+    * engine). Cross-micro-batch matching is pinned in StreamingSuite.
+    *
+    * `views` needs (user_id, view_ts); `purchases` (p_user, purchase_ts).
+    */
+  def streamStreamJoin(views: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame =
+    views.withWatermark("view_ts", "1 hour")
+      .join(purchases.withWatermark("purchase_ts", "1 hour"),
+        expr("user_id = p_user AND purchase_ts > view_ts AND " +
+          "purchase_ts <= view_ts + INTERVAL 1 HOUR"),
+        joinType)
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"))
+
   /** File-source streaming form: the events table as an unbounded
     * stream (`readStream` + pathGlobFilter) — new files arriving in the
     * directory would flow through the same plan. Same nanos handling as
@@ -181,7 +223,8 @@ object StreamOps {
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (session _),
-    "q_stream_watermark_late" -> ((s, d) => watermarkLate(s, d))
+    "q_stream_watermark_late" -> ((s, d) => watermarkLate(s, d)),
+    "q_stream_join" -> (streamJoinBatch _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -222,6 +265,20 @@ object StreamOps {
         |SELECT date_trunc('hour', ts) AS ws, count(1) AS n
         |FROM arr
         |WHERE wm_base IS NULL OR ts >= wm_base - INTERVAL 10 MINUTE
-        |GROUP BY 1 ORDER BY ws ASC NULLS FIRST""".stripMargin
+        |GROUP BY 1 ORDER BY ws ASC NULLS FIRST""".stripMargin,
+    "q_stream_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS view_ts FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id AS p_user, ts AS purchase_ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT user_id, count(1) AS n_pairs,
+        |  min(epoch_us(purchase_ts) - epoch_us(view_ts)) AS min_lag_us
+        |FROM v JOIN p ON user_id = p_user
+        |  AND purchase_ts > view_ts
+        |  AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+        |GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin
   )
 }

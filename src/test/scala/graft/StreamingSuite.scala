@@ -56,6 +56,86 @@ class StreamingSuite extends AnyFunSuite {
     assert(got == Map("2024-01-01 10:00:00.0" -> 2L, "2024-01-01 11:00:00.0" -> 1L))
   }
 
+  test("stream-stream interval join matches batch and joins across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val joined = graft.streaming.StreamOps.streamStreamJoin(
+      views.toDF().toDF("user_id", "view_ts"),
+      purchases.toDF().toDF("p_user", "purchase_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: views only — nothing can emit yet
+      views.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("ssj_out").count() == 0)
+      // batch 2: purchases — user 1 inside the hour (matches the BUFFERED
+      // view from batch 1), user 2 outside it, user 3 without a view
+      purchases.addData(
+        (1L, t("2024-01-01 10:30:00")),
+        (2L, t("2024-01-01 11:30:00")),
+        (3L, t("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString)).toSet
+      assert(got == Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0")),
+        s"only the in-window cross-batch pair may emit, got $got")
+      // and the streaming result equals the batch join of the same rows
+      val vB = Seq((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:10:00")))
+        .toDF("user_id", "view_ts")
+      val pB = Seq((1L, t("2024-01-01 10:30:00")), (2L, t("2024-01-01 11:30:00")),
+        (3L, t("2024-01-01 10:20:00"))).toDF("p_user", "purchase_ts")
+      val batch = vB.join(pB,
+        expr("user_id = p_user AND purchase_ts > view_ts AND " +
+          "purchase_ts <= view_ts + INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("view_ts"), col("purchase_ts"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString)).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("left-outer stream-stream join emits unmatched rows only after watermark eviction") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val joined = graft.streaming.StreamOps.streamStreamJoin(
+      views.toDF().toDF("user_id", "view_ts"),
+      purchases.toDF().toDF("p_user", "purchase_ts"), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_left_out")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("ssj_left_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          Option(r.getTimestamp(2)).map(_.toString))).toSet
+      // user 1 will match; user 4 never will
+      views.addData((1L, t("2024-01-01 10:00:00")), (4L, t("2024-01-01 10:05:00")))
+      purchases.addData((1L, t("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // no null-extended row yet: user 4's join window is still open, the
+      // engine cannot know a match won't arrive
+      assert(rows().forall(_._3.nonEmpty),
+        s"unmatched view emitted before its window closed: ${rows()}")
+      // advance the watermark past view_ts + 1h (join window end): wm =
+      // max event time - 1h; 14:00 events put it at 13:00
+      views.addData((9L, t("2024-01-01 14:00:00")))
+      purchases.addData((9L, t("2024-01-01 14:00:01")))
+      q.processAllAvailable()
+      // eviction can land one micro-batch later; nudge once more
+      purchases.addData((8L, t("2024-01-01 14:00:02")))
+      q.processAllAvailable()
+      assert(rows().contains((4L, "2024-01-01 10:05:00.0", None)),
+        s"evicted unmatched view must emit null-extended, got ${rows()}")
+      assert(rows().contains((1L, "2024-01-01 10:00:00.0",
+        Some("2024-01-01 10:30:00.0"))))
+    } finally q.stop()
+  }
+
   test("session windows merge within gap and split on >= gap") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
