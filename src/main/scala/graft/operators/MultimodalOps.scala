@@ -148,8 +148,11 @@ object MultimodalOps {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
-      .distinct()
+      // verify BEFORE the pair-dedup shuffle: the hamming gate is
+      // map-side and functional on the pair, so distinct() only ever
+      // sees the surviving near-dups, not every chunk collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
   }
 
