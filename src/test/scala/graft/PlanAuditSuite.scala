@@ -92,6 +92,25 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
         scans.map(_.requiredSchema.catalogString))
   }
 
+  test("url dedup shuffles only for its aggregation and presentation sort") {
+    val q = SparkEntry.queries("q_dedup_url")(spark, sf)
+    q.collect()
+    val shuffles = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 2,
+      s"canonicalization must stay map-side; found ${shuffles.size} exchanges")
+  }
+
+  test("three-stage funnel plans only keyed joins, never a cartesian") {
+    val q = SparkEntry.queries("q_funnel_stages")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"stage gating must ride the user_id equi-joins:\n$plan")
+  }
+
   test("merge upsert plans no single-partition window for insert ids") {
     val q = SparkEntry.queries("q_merge_upsert")(spark, sf)
     q.collect()
