@@ -42,7 +42,7 @@ object IvfAnn {
   /** Argmin cell id: array_min's lexicographic (d, c) order picks
     * (min distance, min cell) — same tie-break as sorting.
     */
-  private def cellCol(centroids: Array[Array[Double]]): Column =
+  private[operators] def cellCol(centroids: Array[Array[Double]]): Column =
     array_min(distStructs(centroids)).getField("c")
 
   /** K-means cell assignment after `iters` Lloyd iterations. Returns

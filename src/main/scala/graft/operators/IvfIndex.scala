@@ -36,6 +36,21 @@ object IvfIndex {
     Handle(cents, path)
   }
 
+  /** Append new vectors WITHOUT re-fitting: each is assigned to its
+    * nearest EXISTING centroid, so prior cell directories stay valid and
+    * the standing vectors are never rewritten — the same
+    * never-recompute-the-corpus discipline as `MinHashIndex.append`.
+    * Probes find appended vectors immediately (query and twin share the
+    * argmin cell under the same fixed model; suite-asserted). Accepting
+    * centroid drift until the next `fit` is the standard IVF
+    * maintenance trade.
+    */
+  def append(h: Handle, e: DataFrame): Unit = {
+    e.withColumn("nrm", vec_norm(col("embedding")))
+      .withColumn("cell", IvfAnn.cellCol(h.centroids))
+      .write.mode("append").partitionBy("cell").parquet(h.path + "/vectors")
+  }
+
   /** Reload a persisted index (centroids only — vectors stay on disk). */
   def load(s: SparkSession, path: String): Handle = {
     val cents = s.read.parquet(path + "/centroids").orderBy(col("cell"))

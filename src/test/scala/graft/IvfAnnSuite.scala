@@ -76,6 +76,33 @@ class IvfAnnSuite extends AnyFunSuite
     }
   }
 
+  test("IvfIndex.append makes new vectors searchable without a re-fit") {
+    import graft.operators.IvfIndex
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfa").toString + "/idx"
+    val e = Tables.embeddings(spark, sf)
+    val standing = e.filter(col("vec_id") % 5 =!= 0)
+    val incoming = e.filter(col("vec_id") % 5 === 0)
+    IvfIndex.fit(standing, k = 16, iters = 2, path)
+    val h = IvfIndex.load(spark, path)
+    IvfIndex.append(h, incoming)
+    // every vector of both publishes is in the inverted file
+    assert(spark.read.parquet(path + "/vectors").count() == e.count())
+    // queries that ARE the appended vectors (fresh qids so the self-
+    // exclusion doesn't hide them) must find their twins at cosine 1.0:
+    // query and twin share the argmin cell under the fixed centroids,
+    // so nProbe=1 already reaches them — appended data is live
+    val probes = incoming.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val top1 = IvfIndex.search(spark, IvfIndex.load(spark, path),
+        probes, nProbe = 1, topK = 1)
+      .collect().map(r => (r.getLong(0) - 1000000L, r.getLong(2), r.getDouble(3)))
+    assert(top1.nonEmpty)
+    top1.foreach { case (orig, nid, cos) =>
+      assert(cos == 1.0, s"twin of $orig not found (top-1 $nid at cos=$cos)")
+    }
+  }
+
   test("q_ivf_index_search emits ranked top-5 rows for the probe set") {
     val got = SparkEntry.queries("q_ivf_index_search")(spark, sf).collect()
     assert(got.nonEmpty)
