@@ -277,6 +277,50 @@ object TrainingOps {
       duplicatedSpanScores(DedupOps.shingleRows(s, d))
         .orderBy(col("doc_id").asc_nulls_first)),
 
+    // Exact duplicated-span REMOVAL (Lee et al. 2022's ExactSubstr at
+    // token granularity): every token covered by a 10-token span that
+    // also appears verbatim in ANOTHER document is cut, and the
+    // survivors are stitched back in order. Where q_dedup_spans only
+    // SCORES overlap, this emits the cleaned text — the op that
+    // actually shrinks the corpus. The span length is the precision
+    // knob (Lee et al. used 50 BPE tokens; 10 words separates verbatim
+    // copying from shared phrasing on this corpus — trigrams would cut
+    // 93% of a template-phrased corpus). Plan shape: positioned span
+    // explode -> cross-doc frequency (partial-agg'd equi-join, the
+    // distributed stand-in for the suffix table) -> covered-position
+    // anti-join -> per-doc ordered stitch. Every join is keyed on span
+    // or (doc, position); nothing is quadratic in documents.
+    "q_dedup_span_removal" -> ((s, d) => {
+      val n = 10
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val pos = toks.select(col("doc_id"), col("ts"),
+          posexplode(col("ts")).as(Seq("p0", "tok")))
+        .withColumn("i", (col("p0") + 1).cast("int"))
+      val grams = pos.filter(col("i") <= size(col("ts")) - (n - 1))
+        .select(col("doc_id"), col("i"),
+          array_join(expr(s"slice(ts, i, $n)"), " ").as("g"))
+      val dup = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("cd"))
+        .filter(col("cd") > 1).select(col("g"))
+      val cov = grams.join(dup, Seq("g"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(i, i + ${n - 1})")).as("pos"))
+        .distinct()
+      val kept = pos.join(cov,
+        pos("doc_id") === cov("doc_id") && pos("i") === cov("pos"), "left_anti")
+      val stitched = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_kept_raw"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(i, tok))), x -> x.tok)"),
+            " ").as("cleaned_raw"))
+      toks.join(stitched, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), size(col("ts")).as("n_toks"),
+          coalesce(col("n_kept_raw"), lit(0)).as("n_kept"),
+          coalesce(col("cleaned_raw"), lit("")).as("cleaned"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
     "q_shuffle_global" -> ((s, d) =>
       globalShuffle(Tables.documents(s, d), "shuf42")
         .orderBy(col("pos").asc_nulls_first)),
@@ -356,6 +400,34 @@ object TrainingOps {
         |    * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS shared_frac
         |FROM ex e JOIN dfc d ON e.g = d.g
         |GROUP BY e.doc_id ORDER BY e.doc_id ASC NULLS FIRST""".stripMargin,
+    "q_dedup_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ts,
+        |    CAST(generate_subscripts(ts, 1) AS INT) AS i,
+        |    unnest(ts) AS tok
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, i, array_to_string(ts[i:i+9], ' ') AS g
+        |  FROM pos WHERE i <= len(ts) - 9),
+        |dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+        |cov AS (
+        |  SELECT DISTINCT grams.doc_id, grams.i + o.d AS pos
+        |  FROM grams JOIN dup USING (g)
+        |  CROSS JOIN UNNEST(range(0, 10)) AS o(d)),
+        |kept AS (
+        |  SELECT p.doc_id, p.i, p.tok
+        |  FROM pos p LEFT JOIN cov
+        |    ON p.doc_id = cov.doc_id AND p.i = cov.pos
+        |  WHERE cov.pos IS NULL)
+        |SELECT t.doc_id, CAST(len(t.ts) AS INT) AS n_toks,
+        |  CAST(count(k.i) AS INT) AS n_kept,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS cleaned
+        |FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |GROUP BY t.doc_id, len(t.ts)
+        |ORDER BY t.doc_id ASC NULLS FIRST""".stripMargin,
     "q_shuffle_global" ->
       """WITH h AS (
         |  SELECT doc_id, lang,

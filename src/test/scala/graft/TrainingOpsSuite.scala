@@ -167,4 +167,37 @@ class TrainingOpsSuite extends AnyFunSuite {
     assert(recall >= 0.5,
       s"within-cluster pass should catch most near-dups, recall=$recall")
   }
+
+  test("span removal keeps an ordered subsequence and only trims copied docs") {
+    val original = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("q_dedup_span_removal")(spark, sf).collect()
+    assert(out.length == original.size)
+    var trimmed = 0
+    out.foreach { r =>
+      val (id, nToks, nKept, cleaned) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+      assert(nKept <= nToks)
+      val origToks = original(id).split(" ", -1)
+      assert(nToks == origToks.length)
+      if (nKept < nToks) trimmed += 1
+      // self-consistency + subsequence: the kept tokens appear in the
+      // original, in order (removal never reorders or invents tokens)
+      val keptToks = if (cleaned.isEmpty) Array.empty[String]
+        else cleaned.split(" ", -1)
+      assert(keptToks.length == nKept, s"doc $id: n_kept vs cleaned drift")
+      var oi = 0
+      keptToks.foreach { t =>
+        while (oi < origToks.length && origToks(oi) != t) oi += 1
+        assert(oi < origToks.length, s"doc $id: '$t' out of order vs original")
+        oi += 1
+      }
+    }
+    // the corpus plants verbatim near-dups: some docs must get trimmed,
+    // and untouched docs must dominate (10-token spans are the precision
+    // knob separating copying from shared phrasing)
+    assert(trimmed > 0, "planted duplicate spans must be removed")
+    assert(trimmed < out.length / 2, s"span removal over-triggers: $trimmed")
+  }
 }
