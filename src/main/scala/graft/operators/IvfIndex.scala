@@ -77,7 +77,9 @@ object IvfIndex {
         expr(s"slice(transform(array_sort(__dists), x -> x.c), 1, $nProbe)"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), explode(col("probe_cells")).as("cell"))
-      .localCheckpoint()  // read twice: the cell-set pass and the join
+      // read twice (the cell-set pass and the join): lazy persist, not
+      // localCheckpoint — recomputable from lineage on executor loss
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.get(0))
     val cands = s.read.parquet(h.path + "/vectors")

@@ -135,6 +135,23 @@ class MultimodalSuite extends AnyFunSuite {
     assert(got.size < n * 5, s"${got.size} pairs for $n docs")
   }
 
+  test("multimodal queries run no Spark job at construction (lazy persist)") {
+    // the round-6 review found an eager localCheckpoint here: it ran the
+    // full codec pass as a job before any action, and its blocks don't
+    // survive executor loss. The shared decode is now a LAZY persist —
+    // constructing the queries must schedule nothing.
+    val group = "graft-construct-probe"
+    spark.sparkContext.setJobGroup(group, "construction must be lazy")
+    try {
+      SparkEntry.queries("q_dedup_phash")(spark, sf)
+      SparkEntry.queries("q_multimodal_decode")(spark, sf)
+      SparkEntry.queries("q_multimodal_frames")(spark, sf)
+    } finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    assert(jobs.isEmpty,
+      s"query construction ran ${jobs.length} Spark job(s) — eager materialization")
+  }
+
   test("multimodal decode is deterministic across runs") {
     val a = SparkEntry.queries("q_multimodal_decode")(spark, sf).collect().toSeq
     val b = SparkEntry.queries("q_multimodal_decode")(spark, sf).collect().toSeq
