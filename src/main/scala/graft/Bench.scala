@@ -55,8 +55,18 @@ object Bench {
     // SPARK_GRAFT_REPS=N (default 1, the driver contract): run each query
     // N times and report the per-query MIN — single-shot timings at this
     // scale carry scheduler/JIT noise that masquerades as round-over-
-    // round regressions; min-of-N is the stable comparator.
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt)
+    // round regressions; min-of-N is the stable comparator. Caveat: the
+    // few queries sharing a session-lifetime lazy persist (orderPartSets,
+    // decodedMedia) time cache-warmed reads from rep 2 on — by design:
+    // the cache IS their production shape, and rep 1 pays the fill.
+    // Parse guarded: a malformed value must fail with the env var named,
+    // not abort the whole bench with a bare NumberFormatException.
+    val reps = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").trim
+      require(scala.util.Try(raw.toInt).isSuccess,
+        s"SPARK_GRAFT_REPS must be an integer, got '$raw'")
+      math.max(1, raw.toInt)
+    }
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var err: Option[String] = None
@@ -81,7 +91,18 @@ object Bench {
       "\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"n_failed":${results.count(_._3.isDefined)},"failures":$fails,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"n_failed":${results.count(_._3.isDefined)},"failures":$fails,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's round artifact keeps only a 2000-char stdout tail,
+    // which truncates a 175-query line mid-stream — persist the full
+    // JSON to a repo file too so per-query numbers survive the round.
+    // Best-effort: an unwritable path must not fail the bench.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable =>
+      System.err.println(s"BENCH JSON WRITE FAILED $outPath: ${t.toString.take(200)}") }
     spark.stop()
   }
 }

@@ -20,6 +20,13 @@ object AnalyticsOps {
     * from lineage instead) so every consumer after the first action
     * reads the cached sets. Shared by q_basket_pairs and
     * q_graph_pagerank so the edge definition cannot drift between them.
+    * The cache is SESSION-LIFETIME by intent: its consumers are
+    * independent driver queries with no shared "after the action" point
+    * to unpersist at, Spark's CacheManager dedupes the repeated persist
+    * to one entry per sfDir, and MEMORY_AND_DISK evicts to disk under
+    * pressure rather than competing destructively with later queries.
+    * (Bench REPS note: reps >= 2 of the two consumers time cache-warmed
+    * reads — documented at the REPS parse in Bench.)
     */
   private[operators] def orderPartSets(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -12,6 +12,31 @@ import org.apache.spark.sql.functions._
   */
 object Extras {
 
+  /** Per-application staging root for the sink round-trip queries
+    * (q_scan_orc / q_scan_text). Registering the app's root for
+    * delete-on-JVM-exit keeps repeated Bench/Verify runs from
+    * accumulating one staged lineitem/documents copy per run in /tmp
+    * (the files must outlive the QUERY — the read side scans them at
+    * action time — so cleanup hangs off JVM shutdown, not the query).
+    */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def stageDir(s: SparkSession, leaf: String): String = {
+    val appId = s.sparkContext.applicationId
+    val root = s"/tmp/graft_stage_$appId"
+    if (cleanupRegistered.add(appId)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(root))
+      }))
+    }
+    s"$root/$leaf"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full outer join with null extension on both sides.
     "q_join_full_outer" -> ((s, d) => {
@@ -114,10 +139,11 @@ object Extras {
     // oracle states the same aggregate over the ORIGINAL table: a hash
     // match proves the ORC sink+source is lossless, not just runnable.
     "q_scan_orc" -> ((s, d) => {
-      // per-run stage dir: two concurrent Bench/Verify runs on one host
-      // must not clobber each other's staged files mid-read (q_scan_json
-      // alone keeps a fixed path — its DuckDB oracle reads that path)
-      val stage = s"/tmp/graft_stage_${s.sparkContext.applicationId}/lineitem_orc"
+      // per-run stage dir (deleted on JVM exit): two concurrent Bench/
+      // Verify runs on one host must not clobber each other's staged
+      // files mid-read (q_scan_json alone keeps a fixed path — its
+      // DuckDB oracle reads that path)
+      val stage = stageDir(s, "lineitem_orc")
       Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_linestatus"),
           col("l_extendedprice"), col("l_quantity"))
@@ -135,7 +161,7 @@ object Extras {
     // sink and back (docs are single-line by construction), then a
     // token top-20. Same lossless-round-trip oracle trick as q_scan_orc.
     "q_scan_text" -> ((s, d) => {
-      val stage = s"/tmp/graft_stage_${s.sparkContext.applicationId}/documents_text"
+      val stage = stageDir(s, "documents_text")
       Tables.documents(s, d).select(col("text"))
         .write.mode("overwrite").text(stage)
       s.read.text(stage)

@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   * real deployment); a session that only sees the files falls back to a
   * plain parquet read — identical results, one extra shuffle — and its
   * appends stay on the plain layout rather than mislabel unbucketed
-  * files as bucketed (fallback path suite-asserted). The index assumes a
-  * single writer: a session holding the catalog entry must not probe
-  * through it after another session's plain-layout append (bucketed
-  * scans key bucket ids off file names).
+  * files as bucketed (fallback path suite-asserted). A `_layout` marker
+  * file records which layout the files are actually in; readers and
+  * appenders prefer it over the session catalog, so a session holding a
+  * stale catalog entry after another session's plain-layout append
+  * detects the demotion at runtime instead of mis-scanning (bucketed
+  * scans key bucket ids off file names). The index still assumes a
+  * single writer AT A TIME for appends.
   *
   * A probe is one equi-join on the band key followed by exact Jaccard
   * verification of the (few) collisions, so emitted pairs have precision
@@ -58,12 +61,47 @@ object MinHashIndex {
       md.digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
   }
 
+  /** On-disk layout marker (`<path>/_layout`, contents `bucketed` or
+    * `plain`): the runtime detector for the mixed-layout hazard. A
+    * session holding the bucketed catalog entry while ANOTHER session
+    * appends plain-layout files would otherwise probe through the
+    * bucketed table over files whose names carry no bucket ids — which
+    * Spark rejects at scan time or mis-plans. Every fit/append rewrites
+    * the marker, and readers prefer it over the catalog.
+    */
+  private def markerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "/_layout")
+
+  private def writeLayout(s: SparkSession, path: String,
+      layout: String): Unit = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(layout.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readLayout(s: SparkSession, path: String): Option[String] = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
   /** The index frame: the bucketed catalog table when this session has
-    * it, else the raw parquet files (correct, just re-shuffles probes).
+    * it AND the layout marker agrees, else the raw parquet files
+    * (correct, just re-shuffles probes). A `plain` marker overrides a
+    * stale catalog entry — another session's plain append demoted the
+    * layout, and the bucketed scan would key bucket ids off file names
+    * that no longer carry them.
     */
   private def indexFrame(s: SparkSession, path: String): DataFrame = {
     val tbl = tableName(path)
-    if (s.catalog.tableExists(tbl)) s.table(tbl)
+    if (readLayout(s, path).contains("plain")) s.read.parquet(path + "/data")
+    else if (s.catalog.tableExists(tbl)) s.table(tbl)
     else s.read.parquet(path + "/data")
   }
 
@@ -116,11 +154,15 @@ object MinHashIndex {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       if (fs.exists(dataPath)) { fs.delete(dataPath, true); () }
     }
-    if (mode == "append" && !spark.catalog.tableExists(tbl)) {
-      // Appending to files written by an earlier session: no bucket
-      // metadata here, so stay on the plain layout rather than mislabel
-      // unbucketed files as bucketed.
+    if (mode == "append" && (!spark.catalog.tableExists(tbl) ||
+        readLayout(spark, path).contains("plain"))) {
+      // Appending to files written by an earlier session (no bucket
+      // metadata), or to an index another session already demoted to
+      // the plain layout (marker says so even though this session still
+      // holds a catalog entry): stay on the plain layout rather than
+      // mislabel unbucketed files as bucketed.
       all.write.mode(mode).partitionBy("kind").parquet(path + "/data")
+      writeLayout(spark, path, "plain")
     } else {
       all.write.mode(mode)
         .partitionBy("kind")
@@ -128,6 +170,7 @@ object MinHashIndex {
         .option("path", path + "/data")
         .format("parquet")
         .saveAsTable(tbl)
+      writeLayout(spark, path, "bucketed")
     }
   }
 

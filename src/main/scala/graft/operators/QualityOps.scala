@@ -113,7 +113,9 @@ object QualityOps {
     // drop www. — then one keeper per canonical URL. Map-only
     // canonicalization + one partial-agg'd groupBy; the regexes avoid
     // backreferences (Spark uses $1, DuckDB \1) so the oracle states the
-    // IDENTICAL pipeline.
+    // IDENTICAL pipeline. Spark's regexp_replace is replace-ALL; the
+    // oracle passes DuckDB's 'g' flag on the utm_* strip so both engines
+    // state the same semantics even with multiple tracking params.
     "q_dedup_url" -> ((s, d) => {
       val page = (col("doc_id") % 50).cast("string")
       val base = concat(lit("https://"), col("source"),
@@ -374,11 +376,11 @@ object QualityOps {
         |    regexp_replace(
         |      lower(regexp_extract(
         |        regexp_replace(regexp_replace(noisy, '#.*$', ''),
-        |          '&utm_[a-z_]*=[^&#]*', ''),
+        |          '&utm_[a-z_]*=[^&#]*', '', 'g'),
         |        '^[A-Za-z]+://[^/]+', 0)) ||
         |      regexp_extract(
         |        regexp_replace(regexp_replace(noisy, '#.*$', ''),
-        |          '&utm_[a-z_]*=[^&#]*', ''),
+        |          '&utm_[a-z_]*=[^&#]*', '', 'g'),
         |        '^[A-Za-z]+://[^/]+(.*)$', 1),
         |      '://www\.', '://') AS canon_url
         |  FROM n)

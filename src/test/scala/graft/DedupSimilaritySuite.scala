@@ -221,6 +221,51 @@ class DedupSimilaritySuite extends AnyFunSuite {
     } finally { sh.unpersist(); () }
   }
 
+  test("layout marker overrides a stale bucketed catalog entry after a plain append") {
+    val sh = operators.DedupOps.shingleRows(spark, sf).cache()
+    try {
+      val shA = sh.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+      val shB = sh.filter(col("doc_id") % 5 === 1)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mhm").toString + "/idx"
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val tbl = "graft_mhidx_" + md.digest(path.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      operators.MinHashIndex.fit(shA, path)
+      assert(spark.catalog.tableExists(tbl), "fit must register the table")
+      // another session (no catalog) appends: plain layout, marker demoted
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      operators.MinHashIndex.append(shB, path)
+      val marker = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path + "/_layout")), "UTF-8").trim
+      assert(marker == "plain", s"plain append must demote the marker ($marker)")
+      // back in the ORIGINAL session, which still holds a bucketed
+      // catalog entry over the now-mixed files: recreate that stale
+      // entry, and verify readers trust the marker, not the catalog —
+      // the bucketed scan would key bucket ids off file names that the
+      // appended files don't carry
+      spark.sql(
+        s"""CREATE TABLE $tbl (doc_id BIGINT, band STRING,
+           |  sh ARRAY<STRING>, kind STRING)
+           |USING PARQUET PARTITIONED BY (kind)
+           |CLUSTERED BY (band) SORTED BY (band) INTO 8 BUCKETS
+           |LOCATION '$path/data'""".stripMargin)
+      try {
+        val nA = shA.select("doc_id").distinct().count()
+        val nB = shB.select("doc_id").distinct().count()
+        assert(operators.MinHashIndex.indexedIds(spark, path).count() == nA + nB,
+          "marker-routed read must see both publishes despite the stale entry")
+        // and a further append from this session must STAY plain — not
+        // mislabel the unbucketed files because it sees a catalog entry
+        operators.MinHashIndex.append(
+          sh.filter(col("doc_id") % 5 === 0), path)
+        val after = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path + "/_layout")), "UTF-8").trim
+        assert(after == "plain", s"append through a stale entry relabeled ($after)")
+      } finally { spark.sql(s"DROP TABLE IF EXISTS $tbl"); () }
+    } finally { sh.unpersist(); () }
+  }
+
   test("exact dedup keeps one representative per (lang, source)") {
     val got = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val keys = Tables.documents(spark, sf)
