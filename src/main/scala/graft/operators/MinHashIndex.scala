@@ -109,6 +109,99 @@ object MinHashIndex {
   def fit(shRows0: DataFrame, path: String): Unit =
     write(shRows0, path, "overwrite")
 
+  // ---- deletion / takedown (tombstones + compaction) -------------------
+  //
+  // The index-maintenance generalization of the reference's R24
+  // delete_entry_from_table (database.py:66-71): opt-outs, post-hoc
+  // contamination discoveries, and erasure requests must be REMOVABLE
+  // from a 100 TB index without rewriting it on every request. delete()
+  // appends doc_ids to a tombstone sidecar (<path>/tombstones) that
+  // probe/indexedIds anti-join (the tombstone side is takedown-sized, so
+  // Spark broadcasts it — the standing corpus side still never
+  // shuffles); compact() later folds the tombstones into one physical
+  // rewrite. Same single-writer contract as append.
+
+  private def tombstonesPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "/tombstones")
+
+  private def compactStagePath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "/data.compact")
+
+  /** Tombstoned doc_ids, or None when nothing was ever deleted (keeps
+    * the no-deletions plans byte-identical to the pre-takedown ones).
+    */
+  private def tombstoneFrame(s: SparkSession, path: String): Option[DataFrame] = {
+    val p = tombstonesPath(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
+  }
+
+  private def minusTombstones(s: SparkSession, path: String,
+      d: DataFrame): DataFrame =
+    tombstoneFrame(s, path).fold(d) { t =>
+      d.join(t.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    }
+
+  /** Remove documents from the index: their sketches stop matching
+    * probes IMMEDIATELY (tombstone anti-join), and the bytes leave disk
+    * at the next [[compact]]. Idempotent — re-deleting appends duplicate
+    * tombstone rows, which the anti-join ignores and compact clears.
+    * Note the [[graft.pipeline.CorpusPipeline]] interplay: a takedown
+    * must also remove the doc from the CORPUS (see
+    * `CorpusPipeline.takedown`) — otherwise reconcile re-sketches it
+    * (harmlessly: the re-appended rows stay tombstone-masked, but they
+    * occupy space until compaction).
+    */
+  def delete(s: SparkSession, path: String, docIds: DataFrame): Unit =
+    docIds.select(col("doc_id")).distinct()
+      .write.mode("append").parquet(tombstonesPath(path).toString)
+
+  /** Fold tombstones into the files: rewrite the index minus deleted
+    * docs, republish on the bucketed layout, clear the tombstones. The
+    * remaining rows are STAGED to a sibling dir first (a durable job
+    * commit, not an in-memory checkpoint), so a crash mid-swap never
+    * loses the index: re-running compact finishes the interrupted swap
+    * from the stage before starting a fresh pass. A doc's band rows
+    * scatter across all 8 band buckets by construction, so — unlike the
+    * cell-partitioned IVF index — there are no prunable partitions here
+    * and compaction is one full rewrite; amortize it over many deletes.
+    */
+  def compact(s: SparkSession, path: String): Unit = {
+    val stage = compactStagePath(path)
+    val fs = stage.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(stage)) publishCompacted(s, path) // finish a torn swap
+    tombstoneFrame(s, path).foreach { t =>
+      val remaining = s.read.parquet(path + "/data")
+        .join(t.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      remaining.write.mode("overwrite").parquet(stage.toString)
+      publishCompacted(s, path)
+    }
+  }
+
+  /** Steps 2..4 of the compaction swap (stage dir must exist): replace
+    * the data table with the staged copy, then clear tombstones + stage.
+    */
+  private def publishCompacted(s: SparkSession, path: String): Unit = {
+    val staged = s.read.parquet(compactStagePath(path).toString)
+      .select(col("doc_id"), col("band"), col("sh"), col("kind"))
+    val tbl = tableName(path)
+    val dataPath = new org.apache.hadoop.fs.Path(path + "/data")
+    val fs = dataPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    if (fs.exists(dataPath)) { fs.delete(dataPath, true); () }
+    staged.write.mode("overwrite")
+      .partitionBy("kind")
+      .bucketBy(nBuckets, "band").sortBy("band")
+      .option("path", path + "/data")
+      .format("parquet")
+      .saveAsTable(tbl)
+    writeLayout(s, path, "bucketed") // compaction restores the fast layout
+    if (fs.exists(tombstonesPath(path))) {
+      fs.delete(tombstonesPath(path), true); ()
+    }
+    fs.delete(compactStagePath(path), true); ()
+  }
+
   /** Distinct doc_ids FULLY present in the index (both halves) — the
     * membership view consistency checks (e.g. CorpusPipeline.reconcile)
     * compare against, kept here so the on-disk layout stays this
@@ -119,7 +212,7 @@ object MinHashIndex {
     * duplicate verification rows re-verify the same pair.
     */
   def indexedIds(s: SparkSession, path: String): DataFrame = {
-    val d = indexFrame(s, path)
+    val d = minusTombstones(s, path, indexFrame(s, path))
     d.filter(col("kind") === "b").select(col("doc_id")).distinct()
       .join(d.filter(col("kind") === "s").select(col("doc_id")).distinct(),
         Seq("doc_id"))
@@ -150,9 +243,17 @@ object MinHashIndex {
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (mode == "overwrite") {
       // External table: DROP leaves files behind and CTAS refuses a
-      // non-empty location — clear both halves of the old index first.
+      // non-empty location — clear both halves of the old index first,
+      // plus any tombstones / half-finished compaction of the PREVIOUS
+      // index generation (a fresh fit resets all deletion state).
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       if (fs.exists(dataPath)) { fs.delete(dataPath, true); () }
+      if (fs.exists(tombstonesPath(path))) {
+        fs.delete(tombstonesPath(path), true); ()
+      }
+      if (fs.exists(compactStagePath(path))) {
+        fs.delete(compactStagePath(path), true); ()
+      }
     }
     if (mode == "append" && (!spark.catalog.tableExists(tbl) ||
         readLayout(spark, path).contains("plain"))) {
@@ -184,7 +285,10 @@ object MinHashIndex {
       threshold: Double): DataFrame = {
     val shRows = shRows0.select(col("doc_id"), col("sz"), col("g"))
       .localCheckpoint()  // band pass + verification sets
-    val idx = indexFrame(s, path)
+    // tombstoned docs stop matching immediately (pre-compaction); the
+    // tombstone side is takedown-sized so the anti-join broadcasts and
+    // the corpus side keeps its shuffle-free bucketed path
+    val idx = minusTombstones(s, path, indexFrame(s, path))
     val incBands = DedupOps.bandRows(shRows)
       .select(col("band"), col("doc_id").as("d2"))
     val idxBands = idx.filter(col("kind") === "b")

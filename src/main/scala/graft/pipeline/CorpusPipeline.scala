@@ -33,20 +33,36 @@ object CorpusPipeline {
   case class Report(input: Long, afterQuality: Long, afterCuration: Long,
       afterExact: Long, afterNearDup: Long, afterQuota: Long, nBins: Long)
 
+  /** Near-dup pair tiers for [[run]]'s `pairSource`: each takes the
+    * exact-deduped, NORMALIZED docs frame (doc_id, text) plus the
+    * caller's threshold and emits verified (d1, d2) pairs; the CC and
+    * keep rule downstream are tier-independent. `exactPairs` is the
+    * oracle tier (right at test scale), `lshPairs` the 100 TB text
+    * sketch tier, `phashPairs` the image/perceptual tier (threshold is
+    * ignored — hamming distance <= 3 is the pairing rule there).
+    */
+  val exactPairs: (DataFrame, Double) => DataFrame =
+    (docs, t) => DedupOps.ngramJaccardPairs(
+      DedupOps.shingleRowsOf(docs.select(col("doc_id"), col("text"))), t, None)
+
+  val lshPairs: (DataFrame, Double) => DataFrame =
+    (docs, t) => DedupOps.minhashLshPairs(
+      DedupOps.shingleRowsOf(docs.select(col("doc_id"), col("text"))), t)
+
+  val phashPairs: (DataFrame, Double) => DataFrame =
+    (docs, _) => graft.operators.MultimodalOps.phashPairsOf(
+      docs.select(col("doc_id"), col("text")))
+
   /** Run the full pipeline; writes the packed corpus partitioned by lang
     * under `outDir` and returns per-stage counts.
     *
-    * `pairSource` selects the near-dup pair tier: the default is the
-    * exact n-gram Jaccard join (right for test scale / the oracle tier);
-    * pass [[DedupOps.minhashLshPairs]] for the 100 TB sketch tier — both
-    * take (shingleFrame, threshold) and emit verified (d1, d2, score)
-    * pairs, and the CC + keep rule downstream are unchanged.
+    * `pairSource` selects the near-dup pair tier — [[exactPairs]] (the
+    * default), [[lshPairs]], or [[phashPairs]].
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       minTokens: Int = 10, jaccardThreshold: Double = 0.5,
       quotaPerLang: Int = 200, binTokens: Int = 2048,
-      pairSource: (DataFrame, Double) => DataFrame =
-        DedupOps.ngramJaccardPairs(_, _, None),
+      pairSource: (DataFrame, Double) => DataFrame = exactPairs,
       benchmark: Option[DataFrame] = None,
       maxRepetition: Option[Double] = None,
       maxXent: Option[Double] = None): Report = {
@@ -85,14 +101,15 @@ object CorpusPipeline {
     val afterExact = exact.count()
 
     // 4. near-dup resolution: pair graph -> connected components -> keep
-    //    each cluster's min doc_id. Shingles are built from the SURVIVING
-    //    NORMALIZED text (stage-1 output) — shingling a fresh table scan
-    //    would score raw whitespace variants differently and miss exactly
-    //    the pairs normalization exists to catch. The pair tier is the
-    //    caller's `pairSource` (exact jaccard by default, MinHash-LSH at
-    //    100 TB) — the CC and the keep rule are unchanged either way.
-    val sh = DedupOps.shingleRowsOf(exact.select(col("doc_id"), col("text")))
-    val pairs = pairSource(sh, jaccardThreshold)
+    //    each cluster's min doc_id. The pair tier receives the SURVIVING
+    //    NORMALIZED docs (stage-1 output) — featurizing a fresh table
+    //    scan would score raw whitespace variants differently and miss
+    //    exactly the pairs normalization exists to catch. The tier is
+    //    the caller's `pairSource` (exact jaccard by default, MinHash-
+    //    LSH or the perceptual-hash image tier at 100 TB) — the CC and
+    //    the keep rule are unchanged either way.
+    val pairs = pairSource(exact.select(col("doc_id"), col("text")),
+        jaccardThreshold)
       .select(col("d1"), col("d2"))
     val clusters = PipelineOps.connectedComponents(pairs)
     val victims = clusters.filter(col("node") =!= col("cluster"))
@@ -412,6 +429,90 @@ object CorpusPipeline {
         }
       }
       .start()
+  }
+
+  /** Erasure / takedown: remove documents from the standing corpus, the
+    * victims sidecar, AND the near-dup index in one maintenance call —
+    * the pipeline-level generalization of the reference's R24 delete
+    * verb (database.py:66-71) for opt-outs, post-hoc contamination
+    * discoveries, and erasure requests. Semantics: after takedown the
+    * content is gone everywhere text lives (corpus + sidecar) and its
+    * sketches stop matching probes immediately (index tombstones, then
+    * a physical compaction) — so a FUTURE batch with the same content
+    * is re-admitted, which is the definition of erasure, not a bug.
+    *
+    * Cluster victims of a removed REPRESENTATIVE erase with it: their
+    * text lives only in the sidecar (purged below), and the index must
+    * never hold sketches whose text is recoverable from nowhere — that
+    * is [[reconcile]]'s invariant, and orphan sketches would also
+    * ghost-reject future submissions of content that no longer exists
+    * anywhere. [[reconcile]] reads the post-takedown state as
+    * consistent (suite-asserted). Returns the number of corpus rows
+    * removed.
+    *
+    * Single writer, like every maintenance verb here: do not run
+    * concurrently with batch admission.
+    */
+  def takedown(spark: SparkSession, corpusDir: String, indexPath: String,
+      docIds: DataFrame, compactIndex: Boolean = true): Long = {
+    // the id lists must be severed from the directories rewritten below
+    // (callers often derive them from the corpus itself — "take down
+    // docs matching X"); they are takedown-sized, so the eager
+    // localCheckpoints are bounded state, not corpus materializations
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
+    val vDir = victimsDir(corpusDir)
+    val vPath = new org.apache.hadoop.fs.Path(vDir)
+    val vExists = vPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(vPath)
+    // the full erasure set: the requested ids plus sidecar victims whose
+    // representative is being removed (see the cluster policy above)
+    val extIds = if (!vExists) ids
+      else ids.union(spark.read.parquet(vDir)
+          .join(ids.select(col("doc_id").as("rep_id")), Seq("rep_id"))
+          .select(col("doc_id")))
+        .distinct().localCheckpoint()
+    // 1. index tombstones FIRST: from here the docs are unmatchable even
+    //    if a crash interrupts the rewrites below; delete is idempotent,
+    //    so a replayed takedown just re-appends ignored tombstones
+    MinHashIndex.delete(spark, indexPath, extIds)
+    // 2. corpus rewrite minus the ids (stage-then-swap, the same
+    //    discipline as reconcile's sidecar GC)
+    val corpus = spark.read.parquet(corpusDir)
+    val nBefore = corpus.count()
+    swapRewrite(spark, corpusDir,
+      corpus.join(ids, Seq("doc_id"), "left_anti"))
+    val removed = nBefore - spark.read.parquet(corpusDir).count()
+    // 3. victims sidecar: purge every erased row — takedown ids that
+    //    live there as victims AND victims of removed representatives
+    //    (both are in extIds by construction)
+    if (vExists) {
+      val victims = spark.read.parquet(vDir)
+      swapRewrite(spark, vDir, victims
+        .join(extIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text"), col("rep_id")))
+    }
+    // 4. fold the tombstones into the index files (prunable work for the
+    //    IVF layout; one amortizable rewrite for the band index)
+    if (compactIndex) MinHashIndex.compact(spark, indexPath)
+    removed
+  }
+
+  /** Stage-then-swap rewrite of a parquet directory: write `keep` to a
+    * sibling .tmp, then delete + rename. The delete/rename instant is
+    * the one non-atomic window; the durable .tmp makes the loss
+    * recoverable by hand, matching reconcile's sidecar GC contract.
+    */
+  private def swapRewrite(spark: SparkSession, dir: String,
+      keep: DataFrame): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    keep.write.mode("overwrite").parquet(dir + ".tmp")
+    if (!fs.delete(dirPath, true))
+      throw new java.io.IOException(s"takedown: delete($dir) failed")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(dir + ".tmp"), dirPath))
+      throw new java.io.IOException(
+        s"takedown: rename($dir.tmp -> $dir) failed — " +
+          "restore the .tmp directory and re-run")
   }
 
   /** Detect and repair the publish windows [[runIncremental]] documents:

@@ -265,7 +265,7 @@ class CorpusPipelineSuite extends AnyFunSuite {
     val outL = Files.createTempDirectory("graft_pipe_l").toString + "/corpus"
     val e = CorpusPipeline.run(spark, sf, outE)
     val l = CorpusPipeline.run(spark, sf, outL,
-      pairSource = operators.DedupOps.minhashLshPairs)
+      pairSource = CorpusPipeline.lshPairs)
     // the pre-near-dup stages are pair-source-independent
     assert(l.afterExact == e.afterExact)
     // LSH candidates are exact-verified: it can only MISS pairs, so it
@@ -278,5 +278,74 @@ class CorpusPipelineSuite extends AnyFunSuite {
     assert(lVictims * 2 >= eVictims,
       s"LSH tier caught $lVictims of $eVictims exact victims")
     assert(spark.read.parquet(outL).count() == l.afterQuota)
+  }
+
+  test("perceptual-hash pair source composes into the pipeline (image tier)") {
+    val out = Files.createTempDirectory("graft_pipe_p").toString + "/corpus"
+    val r = CorpusPipeline.run(spark, sf, out,
+      pairSource = CorpusPipeline.phashPairs)
+    assert(r.afterNearDup < r.afterExact,
+      "the planted near-dups must cost documents through the phash tier")
+    assert(spark.read.parquet(out).count() == r.afterQuota)
+    // row parity on the planted dups: the pipeline's survivors are
+    // exactly the exact-tier survivors minus the victims the SAME pair
+    // definition + CC + min-keep rule computes directly
+    val survivors = spark.read.parquet(out)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val clusters = operators.PipelineOps.connectedComponents(
+        SparkEntry.queries("q_dedup_phash")(spark, sf)
+          .select(col("d1"), col("d2")))
+      .collect().map(rr => rr.getLong(0) -> rr.getLong(1))
+    clusters.foreach { case (node, cluster) =>
+      if (node != cluster && survivors.contains(node))
+        assert(!survivors.contains(cluster),
+          s"phash pair ($node, $cluster) both survived the pipeline")
+    }
+  }
+
+  test("takedown erases docs everywhere and leaves a reconcilable state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_td").toString
+    val (corpus, idx) = (s"$dir/corpus", s"$dir/idx")
+    // the same A~B~C chain as the replay tests so the victims sidecar is
+    // non-empty: B and C are cluster victims of representative A
+    def w(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val s24 = w("s", 24)
+    val a = (w("x", 6) ++ s24).mkString(" ")
+    val b = (s24 ++ w("y", 6)).mkString(" ")
+    val c = (s24.drop(6) ++ w("y", 6) ++ w("z", 6)).mkString(" ")
+    CorpusPipeline.seedCorpus(spark,
+      Seq((100L, "en", w("q", 30).mkString(" ")))
+        .toDF("doc_id", "lang", "text"), corpus, idx)
+    val batch = Seq((1L, "en", a), (2L, "en", b), (3L, "en", c))
+      .toDF("doc_id", "lang", "text")
+    assert(CorpusPipeline.runIncremental(
+      spark, batch, corpus, idx).admitted == 1)
+    assert(spark.read.parquet(s"${corpus}_victims").count() == 2)
+    // take down the representative (doc 1): it leaves the corpus, its
+    // cluster victims' text leaves the sidecar, its sketches leave the
+    // index
+    val removed = CorpusPipeline.takedown(spark, corpus, idx,
+      Seq(1L).toDF("doc_id"))
+    assert(removed == 1)
+    val left = spark.read.parquet(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(left == Set(100L), s"corpus after takedown: $left")
+    assert(spark.read.parquet(s"${corpus}_victims").count() == 0,
+      "victims of a removed representative must be purged")
+    assert(operators.MinHashIndex.indexedIds(spark, idx)
+      .filter(col("doc_id").isin(1L, 2L, 3L)).count() == 0,
+      "no chain member may stay probe-visible")
+    // the erased state is CONSISTENT: reconcile repairs nothing (it must
+    // not resurrect the removed doc's sketches)
+    assert(CorpusPipeline.reconcile(spark, corpus, idx) == 0,
+      "takedown must leave nothing for reconcile to repair")
+    // erasure semantics: the same content in a FUTURE batch is new
+    val again = CorpusPipeline.runIncremental(spark,
+      Seq((11L, "en", a)).toDF("doc_id", "lang", "text"), corpus, idx)
+    assert(again.admitted == 1, "re-submitted content is admissible again")
+    // replayed takedown of an already-gone doc is an idempotent no-op
+    assert(CorpusPipeline.takedown(spark, corpus, idx,
+      Seq(1L).toDF("doc_id")) == 0)
   }
 }

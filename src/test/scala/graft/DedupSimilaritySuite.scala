@@ -221,6 +221,49 @@ class DedupSimilaritySuite extends AnyFunSuite {
     } finally { sh.unpersist(); () }
   }
 
+  test("MinHash index delete + compact: takedown invisible, probe parity preserved") {
+    import spark.implicits._
+    val sh = operators.DedupOps.shingleRows(spark, sf).cache()
+    try {
+      val shEx = sh.filter(col("doc_id") % 5 =!= 0)
+      val shInc = sh.filter(col("doc_id") % 5 === 0)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mhd").toString + "/idx"
+      operators.MinHashIndex.fit(shEx, path)
+      def probePairs() = operators.MinHashIndex.probe(spark, path, shInc, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = probePairs()
+      assert(before.nonEmpty, "planted cross-split near-dup pairs expected")
+      // take down half the indexed docs that currently match something
+      val deleted = before.map(_._1).toSeq.sorted
+        .take(math.max(1, before.size / 2)).toSet
+      operators.MinHashIndex.delete(spark, path,
+        deleted.toSeq.toDF("doc_id"))
+      val after = probePairs()
+      assert(after == before.filterNot(p => deleted.contains(p._1)),
+        "exactly the deleted docs' pairs must vanish, nothing else")
+      assert(operators.MinHashIndex.indexedIds(spark, path)
+        .collect().map(_.getLong(0)).toSet.intersect(deleted).isEmpty,
+        "membership view must exclude tombstoned docs")
+      // replayed delete is an idempotent no-op
+      operators.MinHashIndex.delete(spark, path,
+        deleted.toSeq.toDF("doc_id"))
+      assert(probePairs() == after)
+      // compaction: bytes leave disk, probe parity holds, state cleared
+      operators.MinHashIndex.compact(spark, path)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path + "/tombstones")),
+        "compact must clear the tombstones")
+      assert(probePairs() == after, "compaction must not change results")
+      assert(spark.read.parquet(path + "/data")
+        .filter(col("doc_id").isInCollection(deleted)).count() == 0,
+        "deleted docs' rows must be physically gone")
+      // compacting an already-clean index is a no-op
+      operators.MinHashIndex.compact(spark, path)
+      assert(probePairs() == after)
+    } finally { sh.unpersist(); () }
+  }
+
   test("layout marker overrides a stale bucketed catalog entry after a plain append") {
     val sh = operators.DedupOps.shingleRows(spark, sf).cache()
     try {

@@ -103,6 +103,55 @@ class IvfAnnSuite extends AnyFunSuite
     }
   }
 
+  test("IvfIndex delete + compact: removed vectors never surface, pruned rewrite") {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfd").toString + "/idx"
+    val e = Tables.embeddings(spark, sf)
+    IvfIndex.fit(e, k = 16, iters = 2, path)
+    val h = IvfIndex.load(spark, path)
+    val probes = e.filter(col("vec_id") < 10)
+    def run() = IvfIndex.search(spark, h, probes, nProbe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val before = run()
+    // take down every current top-1 neighbor
+    val deleted = before.filter(_._2 == 1).map(_._3).distinct.toSeq
+    assert(deleted.nonEmpty)
+    IvfIndex.delete(spark, path, deleted.toDF("vec_id"))
+    val after = run()
+    assert(after.nonEmpty)
+    assert(after.map(_._3).toSet.intersect(deleted.toSet).isEmpty,
+      "tombstoned vectors must stop surfacing immediately")
+    // snapshot an UNAFFECTED cell's files: compaction must not touch it
+    val vecDir = new java.io.File(path + "/vectors")
+    val affectedCells = spark.read.parquet(path + "/vectors")
+      .filter(col("vec_id").isInCollection(deleted))
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+    val untouched = vecDir.listFiles()
+      .filter(f => f.getName.startsWith("cell=") &&
+        !affectedCells.contains(f.getName.stripPrefix("cell=").toInt))
+    assert(untouched.nonEmpty, "expected at least one unaffected cell")
+    val snapshot = untouched.map(d =>
+      d.getName -> d.listFiles().map(_.getName).sorted.toSeq).toMap
+    IvfIndex.compact(spark, path)
+    untouched.foreach { d =>
+      assert(d.listFiles().map(_.getName).sorted.toSeq == snapshot(d.getName),
+        s"compaction rewrote unaffected cell ${d.getName}")
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + "/tombstones")))
+    // physical removal + parity: post-compaction search equals the
+    // tombstone-masked search exactly
+    assert(spark.read.parquet(path + "/vectors")
+      .filter(col("vec_id").isInCollection(deleted)).count() == 0,
+      "deleted vectors' rows must be physically gone")
+    assert(run().toSeq == after.toSeq,
+      "compaction must not change search results")
+    // replayed compact is a no-op
+    IvfIndex.compact(spark, path)
+    assert(run().toSeq == after.toSeq)
+  }
+
   test("q_ivf_index_search emits ranked top-5 rows for the probe set") {
     val got = SparkEntry.queries("q_ivf_index_search")(spark, sf).collect()
     assert(got.nonEmpty)
