@@ -121,6 +121,23 @@ object IvfAnn {
       IvfIndex.fit(e, k = 16, iters = 3, path)
       val h = IvfIndex.load(s, path)
       IvfIndex.search(s, h, e.filter(col("vec_id") < 20), nProbe = 2, topK = 5)
+    }),
+
+    // Incremental-index round trip (the ANN analog of
+    // q_dedup_incremental): fit on the standing 80% of the vectors,
+    // append the held-out 20% WITHOUT re-fitting (each lands in its
+    // argmin cell under the fixed centroids, standing files untouched),
+    // reload, and search. No oracle (engine-side k-means); IvfAnnSuite
+    // asserts the appended vectors actually surface as neighbors and
+    // twin-recall at cosine 1.0.
+    "q_ivf_index_append" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val path = s"/tmp/graft_ivf_append_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val e = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      IvfIndex.fit(e.filter(col("vec_id") % 5 =!= 0), k = 16, iters = 2, path)
+      val h = IvfIndex.load(s, path)
+      IvfIndex.append(h, e.filter(col("vec_id") % 5 === 0))
+      IvfIndex.search(s, h, e.filter(col("vec_id") < 20), nProbe = 2, topK = 5)
     }))
 
   val oracle: Map[String, String] = Map.empty // approximate, engine-side k-means

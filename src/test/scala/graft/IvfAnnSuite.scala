@@ -163,4 +163,23 @@ class IvfAnnSuite extends AnyFunSuite
       assert(rs.forall(r => r.getLong(2) != qid), "no self-matches")
     }
   }
+
+  test("q_ivf_index_append surfaces the appended 20% as live neighbors") {
+    val got = SparkEntry.queries("q_ivf_index_append")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length).toSeq,
+        s"ranks must be dense 1..k for qid=$qid")
+      assert(rs.forall(r => r.getLong(2) != qid), "no self-matches")
+    }
+    // appended vectors (vec_id % 5 == 0) must participate in results:
+    // with 20% of the corpus appended, the probe set's neighborhoods
+    // include them unless the append path silently dropped the batch
+    assert(got.exists(_.getLong(2) % 5 == 0),
+      "no appended vector surfaced — the appended batch is not live")
+    // and the run is deterministic (fit overwrite resets the append)
+    val again = SparkEntry.queries("q_ivf_index_append")(spark, sf).collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
 }
