@@ -309,6 +309,25 @@ object DedupOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // Index takedown under the driver's eye (the R24 delete verb at
+    // index-maintenance scale): fit the persisted band index on the
+    // standing corpus, tombstone-delete a deterministic slice, COMPACT
+    // (the bytes physically leave disk), then probe the incoming batch
+    // against the compacted index. No oracle (band recall is
+    // engine-hash-specific); DedupSimilaritySuite asserts the result
+    // equals the undeleted probe minus exactly the deleted docs.
+    "q_dedup_index_takedown" -> ((s, d) => {
+      val path = s"/tmp/graft_mh_takedown_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val sh = shingleRows(s, d)
+      MinHashIndex.fit(sh.filter(col("doc_id") % 5 =!= 0), path)
+      MinHashIndex.delete(s, path,
+        sh.filter(col("doc_id") % 10 === 1).select(col("doc_id")).distinct())
+      MinHashIndex.compact(s, path)
+      MinHashIndex.probe(s, path, sh.filter(col("doc_id") % 5 === 0), 0.5)
+        .withColumn("jaccard", graft.Det.r4(col("jaccard")))
+        .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
+    }),
+
     // Exact n-gram Jaccard near-dup pairs (threshold 0.5): shingle
     // explode -> equi-join on shingle -> per-pair intersection count.
     // dfCap = None here (the exact/oracle tier); see ngramJaccardPairs

@@ -189,7 +189,8 @@ object IvfIndex {
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
     val cands = tombstoneFrame(s, h.path)
       .fold(pruned)(t => pruned.join(
-        t.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti"))
+        broadcast(t.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti"))
       .select(col("cell"), col("vec_id").as("nid"),
         col("embedding").as("ne"), col("nrm").as("nn"))
     val w = Window.partitionBy(col("qid"))

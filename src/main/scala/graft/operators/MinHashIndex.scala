@@ -139,7 +139,12 @@ object MinHashIndex {
   private def minusTombstones(s: SparkSession, path: String,
       d: DataFrame): DataFrame =
     tombstoneFrame(s, path).fold(d) { t =>
-      d.join(t.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      // explicit broadcast: the tombstone list is takedown-sized by
+      // contract, and the hint guarantees the corpus side reaches its
+      // band join shuffle-free regardless of config/AQE estimates
+      // (plan-asserted in DedupSimilaritySuite)
+      d.join(broadcast(t.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
     }
 
   /** Remove documents from the index: their sketches stop matching

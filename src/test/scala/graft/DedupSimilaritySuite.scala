@@ -180,6 +180,50 @@ class DedupSimilaritySuite extends AnyFunSuite {
       assert(corpus.nonEmpty, "no file-scan side under the band join")
       assert(corpus.forall(_._2),
         "corpus side of the probe join shuffled despite bucketing")
+      // tombstones must not cost the corpus side its shuffle-free path:
+      // the mask is an explicitly-BROADCAST anti-join (takedown-sized by
+      // contract), so even with broadcast estimation forced off the
+      // deleted docs are masked map-side and no Exchange appears
+      operators.MinHashIndex.delete(spark, path,
+        sh.filter(col("doc_id") === 1).select("doc_id"))
+      val probedDel = operators.MinHashIndex.probe(
+        spark, path, sh.filter(col("doc_id") % 5 === 0), 0.5)
+      probedDel.collect()
+      val execDel = probedDel.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      val antiJoins = helper.collectWithSubqueries(execDel) {
+        case b: BroadcastHashJoinExec
+            if b.joinType.toString == "LeftAnti" => b
+      }
+      assert(antiJoins.nonEmpty, "tombstone mask must be a broadcast anti-join")
+      val bandJoinsDel = helper.collectWithSubqueries(execDel) {
+        case j: SortMergeJoinExec
+            if j.leftKeys.exists(_.toString.contains("band")) => j: SparkPlan
+        case j: ShuffledHashJoinExec
+            if j.leftKeys.exists(_.toString.contains("band")) => j: SparkPlan
+      }
+      assert(bandJoinsDel.nonEmpty)
+      // scoped to the BAND join's corpus side: the tombstone DISTINCT
+      // legitimately shuffles on the (tiny) broadcast build side, and
+      // pair verification legitimately shuffles candidates downstream —
+      // what must never happen is an Exchange between the corpus /data
+      // scan and the band join on the streamed path
+      val sidesDel = bandJoinsDel.head.children.map { side =>
+        (helper.collectWithSubqueries(side) {
+          case s: FileSourceScanExec
+            if s.metadata.get("Location").exists(_.contains("/data")) => s
+        }.nonEmpty,
+         helper.collectWithSubqueries(side) {
+          case e: ShuffleExchangeExec if helper.collectWithSubqueries(e) {
+            case s: FileSourceScanExec
+              if s.metadata.get("Location").exists(_.contains("/data")) => s
+          }.nonEmpty => e
+        }.isEmpty)
+      }
+      val corpusDel = sidesDel.filter(_._1)
+      assert(corpusDel.nonEmpty, "no file-scan side under the band join")
+      assert(corpusDel.forall(_._2),
+        "tombstone anti-join shuffled the corpus side")
     } finally {
       saved.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
@@ -261,6 +305,27 @@ class DedupSimilaritySuite extends AnyFunSuite {
       // compacting an already-clean index is a no-op
       operators.MinHashIndex.compact(spark, path)
       assert(probePairs() == after)
+    } finally { sh.unpersist(); () }
+  }
+
+  test("q_dedup_index_takedown equals the undeleted probe minus deleted docs") {
+    val got = SparkEntry.queries("q_dedup_index_takedown")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = operators.DedupOps.shingleRows(spark, sf).cache()
+    try {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mhq").toString + "/idx"
+      operators.MinHashIndex.fit(sh.filter(col("doc_id") % 5 =!= 0), path)
+      val full = operators.MinHashIndex
+        .probe(spark, path, sh.filter(col("doc_id") % 5 === 0), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = full.filterNot(_._1 % 10 == 1)
+      assert(got == expected,
+        s"takedown query drifted: extra=${(got -- expected).take(5)} " +
+          s"missing=${(expected -- got).take(5)}")
+      assert(full.exists(_._1 % 10 == 1),
+        "the deleted slice must have matched something pre-delete " +
+          "or the assertion is vacuous")
     } finally { sh.unpersist(); () }
   }
 
