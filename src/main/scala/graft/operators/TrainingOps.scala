@@ -321,6 +321,32 @@ object TrainingOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // Context-window chunking: long documents split into fixed token
+    // windows (chunk=50, stride=40 -> 10-token overlap) with per-chunk
+    // provenance (doc_id, chunk_idx) — the long-doc -> training-context
+    // splitter every context-bounded trainer runs. A doc with n tokens
+    // yields 1 + ceil((n - chunk) / stride) chunks (one when n <=
+    // chunk); the final chunk is short rather than padded. Map-only:
+    // one split + one bounded sequence explode per doc, no shuffle
+    // until the presentation sort — embarrassingly parallel at 100 TB.
+    "q_chunk_documents" -> ((s, d) => {
+      val (chunk, stride) = (50, 40)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .withColumn("n", size(col("ts")))
+        .withColumn("chunk_idx", explode(sequence(lit(0),
+          when(col("n") <= chunk, lit(0)).otherwise(
+            ceil((col("n") - lit(chunk)) / lit(stride.toDouble)))
+            .cast("int"))))
+        .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+          array_join(expr(s"slice(ts, chunk_idx * $stride + 1, $chunk)"),
+            " ").as("chunk_text"),
+          least(lit(chunk), col("n") - col("chunk_idx") * stride)
+            .cast("bigint").as("n_chunk_toks"))
+        .orderBy(col("doc_id").asc_nulls_first,
+          col("chunk_idx").asc_nulls_first)
+    }),
+
     "q_shuffle_global" -> ((s, d) =>
       globalShuffle(Tables.documents(s, d), "shuf42")
         .orderBy(col("pos").asc_nulls_first)),
@@ -428,6 +454,23 @@ object TrainingOps {
         |FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
         |GROUP BY t.doc_id, len(t.ts)
         |ORDER BY t.doc_id ASC NULLS FIRST""".stripMargin,
+    "q_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ts, n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 50 THEN 0
+        |           ELSE CAST(ceil((n - 50) / 40.0) AS BIGINT) END)) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(ts[chunk_idx*40 + 1 : chunk_idx*40 + 50], ' ')
+        |    AS chunk_text,
+        |  least(50, n - chunk_idx*40) AS n_chunk_toks
+        |FROM c
+        |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin,
     "q_shuffle_global" ->
       """WITH h AS (
         |  SELECT doc_id, lang,

@@ -200,4 +200,36 @@ class TrainingOpsSuite extends AnyFunSuite {
     assert(trimmed > 0, "planted duplicate spans must be removed")
     assert(trimmed < out.length / 2, s"span removal over-triggers: $trimmed")
   }
+
+  test("chunking tiles every document: stride-50/40 windows, 10-token overlap") {
+    val (chunk, stride) = (50, 40)
+    val texts = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("q_chunk_documents")(spark, sf).collect()
+    val perDoc = out.groupBy(_.getLong(0))
+    assert(perDoc.keySet == texts.keySet, "every document must be chunked")
+    perDoc.foreach { case (id, rows) =>
+      val toks = texts(id).split(" ", -1)
+      val expectedChunks =
+        if (toks.length <= chunk) 1
+        else 1 + math.ceil((toks.length - chunk).toDouble / stride).toInt
+      assert(rows.length == expectedChunks, s"doc $id: chunk count")
+      rows.sortBy(_.getLong(1)).zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i, s"doc $id: chunk_idx not dense")
+        // independent recompute: chunk i is exactly tokens
+        // [i*stride, i*stride + chunk)
+        val expected = toks.slice(i * stride,
+          math.min(i * stride + chunk, toks.length))
+        assert(r.getString(2) == expected.mkString(" "),
+          s"doc $id chunk $i: text drift")
+        assert(r.getLong(3) == expected.length, s"doc $id chunk $i: n toks")
+      }
+      // coverage: the last chunk reaches the document's end
+      val last = rows.maxBy(_.getLong(1))
+      assert(last.getLong(1) * stride + last.getLong(3) == toks.length,
+        s"doc $id: tail tokens uncovered")
+    }
+  }
 }
