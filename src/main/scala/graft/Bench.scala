@@ -56,9 +56,10 @@ object Bench {
     // N times and report the per-query MIN — single-shot timings at this
     // scale carry scheduler/JIT noise that masquerades as round-over-
     // round regressions; min-of-N is the stable comparator. Caveat: the
-    // few queries sharing a session-lifetime lazy persist (orderPartSets,
-    // decodedMedia) time cache-warmed reads from rep 2 on — by design:
-    // the cache IS their production shape, and rep 1 pays the fill.
+    // queries sharing a session-lifetime lazy persist (orderPartSets,
+    // decodedMedia, the corpus shingleRows) time cache-warmed reads from
+    // rep 2 on — by design: the cache IS their production shape, and
+    // rep 1 pays the fill.
     // Parse guarded: a malformed value must fail with the env var named,
     // not abort the whole bench with a bare NumberFormatException.
     val reps = {

@@ -285,6 +285,27 @@ object AnalyticsOps {
         .limit(100)
     }),
 
+    // Triangle enumeration over the co-purchase graph (the cohesion
+    // counterpart of q_graph_pagerank's centrality): edges are the
+    // support>=2 co-purchase pairs, already oriented p1 < p2, so the
+    // two keyed equi-joins (on the shared middle vertex, then on the
+    // closing edge) emit each triangle exactly once with a < b < c —
+    // never an all-pairs pass. At web scale you'd orient edges by
+    // DEGREE instead of id so hub vertices don't own every wedge;
+    // id-orientation is correct and sufficient at this graph's bounded
+    // fanout, and the wedge join stays keyed either way.
+    "q_graph_triangles" -> ((s, d) => {
+      val edges = coPurchasePairs(orderPartSets(s, d), minSupport = 2)
+        .select(col("p1"), col("p2"))
+      val e12 = edges.select(col("p1").as("a"), col("p2").as("b"))
+      val e23 = edges.select(col("p1").as("b"), col("p2").as("c"))
+      val e13 = edges.select(col("p1").as("a"), col("p2").as("c"))
+      e12.join(e23, Seq("b")).join(e13, Seq("a", "c"))
+        .select(col("a"), col("b"), col("c"))
+        .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first,
+          col("c").asc_nulls_first)
+    }),
+
     // Skyline (Pareto frontier): parts not dominated on (min price,
     // max size). The all-pairs NOT EXISTS definition is quadratic; this
     // plan is the scalable two-pass form — (1) per-price max size, a
@@ -594,6 +615,13 @@ object AnalyticsOps {
         |JOIN marg m2 ON p2 = m2.l_partkey
         |ORDER BY support DESC, p1 ASC NULLS FIRST, p2 ASC NULLS FIRST
         |LIMIT 100""".stripMargin,
+    "q_graph_triangles" ->
+      s"""WITH $coPurchaseCte
+        |SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |FROM pairs e1
+        |JOIN pairs e2 ON e1.p2 = e2.p1
+        |JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+        |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST, c ASC NULLS FIRST""".stripMargin,
     // dominance definition straight from the skyline literature: no b
     // that is <= on price, >= on size, and strictly better on one
     "q_skyline" ->

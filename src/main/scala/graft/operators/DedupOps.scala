@@ -32,8 +32,20 @@ object DedupOps {
     * doc_id (narrow, bounded rows), and is the shape every shingle
     * consumer (jaccard join, MinHash, SimHash) wants anyway.
     */
+  /** The CORPUS-table shingle frame is shared the way
+    * `MultimodalOps.decodedMedia` and `AnalyticsOps.orderPartSets` are:
+    * ~8 independent driver queries (jaccard/minhash/simhash/containment/
+    * incremental/clusters/spans tiers) consume the identical
+    * construction, so it is persisted LAZILY (MEMORY_AND_DISK,
+    * recomputable from lineage) and Spark's CacheManager dedupes the
+    * structurally-equal plans to one session-lifetime entry per sfDir.
+    * Only this fixed per-corpus path caches — `shingleRowsOf` over
+    * arbitrary frames (per-batch pipeline calls) must NOT persist, or a
+    * long streaming run would grow one pinned cache entry per batch.
+    */
   private[graft] def shingleRows(s: SparkSession, d: String): DataFrame =
     shingleRowsOf(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Same construction over any (doc_id, text) frame — callers that have
     * already normalized/filtered their text (e.g. CorpusPipeline) must

@@ -111,6 +111,15 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"stage gating must ride the user_id equi-joins:\n$plan")
   }
 
+  test("triangle enumeration rides keyed wedge joins, never a cartesian") {
+    val q = SparkEntry.queries("q_graph_triangles")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge + closure must be equi-joins on (b) and (a, c):\n$plan")
+  }
+
   test("merge upsert plans no single-partition window for insert ids") {
     val q = SparkEntry.queries("q_merge_upsert")(spark, sf)
     q.collect()
