@@ -70,6 +70,29 @@ object BinaryIngest {
       val seen = m.filter(col("file_name") < "2010")
       skipIngested(m, seen)
         .orderBy(col("file_name").asc_nulls_first)
+    }),
+
+    // R4's PDF-INTERNAL half: each document's own Info dictionary
+    // (/Title, /ModDate) parsed from the raw bytes by PdfMeta — a real
+    // container walk (trailer /Info ref -> classic object or
+    // Inflater-decompressed /ObjStm), not filename heuristics. Runs
+    // inside mapPartitions over the binaryFile source: whole files stay
+    // task-local, only the two extracted strings move. No oracle
+    // (DuckDB has no PDF codec); PdfMetaSuite pins planted synthetic
+    // PDFs exactly (both layouts) plus known reference-corpus values
+    // derived with an independent parser.
+    "q_pdf_meta" -> ((s, _) => {
+      import s.implicits._
+      scan(s, defaultDocsDir)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+          col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (name, bytes) =>
+          val (t, md) = PdfMeta.titleModDate(bytes)
+          (name, t.orNull, md.orNull)
+        })
+        .toDF("file_name", "title", "mod_date")
+        .orderBy(col("file_name").asc_nulls_first)
     })
   )
 

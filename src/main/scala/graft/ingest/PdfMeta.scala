@@ -1,0 +1,133 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_16BE}
+
+/** PDF document-information metadata (Title / ModDate) from raw bytes —
+  * the PDF-internal half of R4 (tables.py:67-76 opens each file; the
+  * reference reads file-level metadata only, but a real intake wants the
+  * document's own Info dictionary). No PDF library exists in the
+  * container, so this is an honest minimal parser of the container
+  * format itself (ISO 32000): follow the trailer's `/Info N 0 R`
+  * reference to object N, reading it either as a classic uncompressed
+  * body object or out of a Flate-compressed object stream (`/ObjStm`,
+  * §7.5.7) via the JDK Inflater — both layouts occur in the reference's
+  * own corpus. Strings decode per §7.9.2: literal `(...)` with
+  * `\( \) \\` escapes or hex `<...>`, UTF-16BE when BOM-prefixed, else
+  * PDFDocEncoding (mapped here as Latin-1).
+  *
+  * Everything is bytes-local to one file, so the Spark side runs it
+  * inside `mapPartitions` over the `binaryFile` source: whole files are
+  * task-local, only the extracted fields ever move.
+  */
+object PdfMeta {
+
+  /** The bytes as a 1:1 char-per-byte string, so java.util.regex can
+    * address binary offsets without corrupting non-ASCII bytes.
+    */
+  private def latin1(data: Array[Byte]): String = new String(data, ISO_8859_1)
+
+  /** Inflate a raw Flate stream; None on corrupt/truncated input. */
+  private def inflate(data: Array[Byte], from: Int, until: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data, from, until - from)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && !inf.finished()) return None // stuck (needs dict)
+      }
+      if (out.size() == 0) None else Some(out.toByteArray)
+    } catch { case _: Exception => None }
+    finally inf.end()
+  }
+
+  private val infoRef = """/Info\s+(\d+)\s+\d+\s+R""".r
+  private val objStart = """(\d+)\s+0\s+obj\b""".r
+
+  /** The /Info dictionary's bytes (as a latin1 string), or None. The
+    * LAST `/Info` reference wins — incremental updates append, and the
+    * newest trailer is the live one.
+    */
+  private[ingest] def infoDict(data: Array[Byte]): Option[String] = {
+    val s = latin1(data)
+    val refs = infoRef.findAllMatchIn(s).map(_.group(1).toInt).toSeq
+    refs.lastOption.flatMap { n =>
+      rawObject(s, n).orElse(objStreamObject(data, s, n))
+    }
+  }
+
+  /** Classic layout: `N 0 obj ... endobj` in the raw bytes. */
+  private def rawObject(s: String, n: Int): Option[String] =
+    ("""(?s)(?:^|[^0-9])""" + n + """\s+0\s+obj\b(.*?)endobj""").r
+      .findFirstMatchIn(s).map(_.group(1))
+
+  /** Cross-reference-stream layout: object N lives inside a compressed
+    * `/ObjStm`. Each stream's header (before `/First`) is pairs of
+    * (object number, offset into the decompressed body).
+    */
+  private def objStreamObject(data: Array[Byte], s: String, n: Int): Option[String] = {
+    val first = """/First\s+(\d+)""".r
+    objStart.findAllMatchIn(s).flatMap { m =>
+      val st = s.indexOf("stream", m.end)
+      if (st < 0) Iterator.empty
+      else {
+        val dict = s.substring(m.end, st)
+        if (!dict.contains("/ObjStm")) Iterator.empty
+        else first.findFirstMatchIn(dict).iterator.flatMap { fm =>
+          var s0 = st + "stream".length
+          if (s0 + 1 < s.length && s.charAt(s0) == '\r' && s.charAt(s0 + 1) == '\n') s0 += 2
+          else if (s0 < s.length && s.charAt(s0) == '\n') s0 += 1
+          val se = s.indexOf("endstream", s0)
+          if (se < 0) Iterator.empty
+          else inflate(data, s0, se).iterator.flatMap { blob =>
+            val firstOff = fm.group(1).toInt
+            val body = latin1(blob)
+            val hdr = body.take(firstOff).trim.split("""\s+""").filter(_.nonEmpty)
+            val pairs = hdr.grouped(2).collect {
+              case Array(num, off) if num.forall(_.isDigit) && off.forall(_.isDigit) =>
+                (num.toInt, off.toInt)
+            }.toArray
+            pairs.indices.find(i => pairs(i)._1 == n).map { i =>
+              val from = firstOff + pairs(i)._2
+              val until =
+                if (i + 1 < pairs.length) firstOff + pairs(i + 1)._2 else body.length
+              body.substring(from, math.min(until, body.length))
+            }.iterator
+          }
+        }
+      }
+    }.nextOption()
+  }
+
+  /** A named string field of a dictionary: literal or hex form. */
+  private[ingest] def field(dict: String, name: String): Option[String] = {
+    val lit = ("""/""" + name + """\s*\(((?:\\.|[^\\)])*)\)""").r
+    val hex = ("""/""" + name + """\s*<([0-9A-Fa-f\s]+)>""").r
+    lit.findFirstMatchIn(dict).map { m =>
+      decode(m.group(1).replaceAll("""\\([()\\])""", "$1"))
+    }.orElse(hex.findFirstMatchIn(dict).map { m =>
+      decode(latin1(m.group(1).replaceAll("""\s""", "")
+        .grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray))
+    })
+  }
+
+  /** BOM-aware string decode: UTF-16BE behind FE FF, else Latin-1. */
+  private def decode(s: String): String = {
+    val b = s.getBytes(ISO_8859_1)
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      new String(b, 2, b.length - 2, UTF_16BE)
+    else s
+  }
+
+  /** (title, mod_date) of a PDF's Info dictionary; Nones when the file
+    * has no Info dict or the dict lacks the field (both occur in the
+    * reference corpus).
+    */
+  def titleModDate(data: Array[Byte]): (Option[String], Option[String]) =
+    infoDict(data) match {
+      case None    => (None, None)
+      case Some(d) => (field(d, "Title"), field(d, "ModDate"))
+    }
+}
