@@ -308,6 +308,50 @@ class DedupSimilaritySuite extends AnyFunSuite {
     } finally { sh.unpersist(); () }
   }
 
+  test("MinHash compact recovers a swap torn between stage and publish") {
+    import spark.implicits._
+    val sh = operators.DedupOps.shingleRows(spark, sf).cache()
+    try {
+      val shEx = sh.filter(col("doc_id") % 5 =!= 0)
+      val shInc = sh.filter(col("doc_id") % 5 === 0)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mhc").toString + "/idx"
+      operators.MinHashIndex.fit(shEx, path)
+      def probePairs() = operators.MinHashIndex.probe(spark, path, shInc, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = probePairs()
+      val deleted = before.map(_._1).toSeq.sorted.take(2).toSet
+      operators.MinHashIndex.delete(spark, path, deleted.toSeq.toDF("doc_id"))
+      val expected = probePairs()
+      // simulate the crash window: the staged survivors are durable, but
+      // the process died after dropping the table + data dir and before
+      // republishing — the exact state compact's scaladoc promises to
+      // repair from the stage
+      spark.read.parquet(path + "/data")
+        .join(deleted.toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(path + "/data.compact")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val tbl = "graft_mhidx_" + md.digest(path.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val dataDir = new java.io.File(path + "/data")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dataDir)
+      assert(!dataDir.exists, "crash state: data dir gone, stage durable")
+      // recovery: compact first finishes the torn swap, then the fresh
+      // pass sees no remaining tombstoned rows and clears state
+      operators.MinHashIndex.compact(spark, path)
+      assert(probePairs() == expected,
+        "recovered index must equal the tombstone-masked results")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path + "/data.compact")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path + "/tombstones")))
+    } finally { sh.unpersist(); () }
+  }
+
   test("q_dedup_index_takedown equals the undeleted probe minus deleted docs") {
     val got = SparkEntry.queries("q_dedup_index_takedown")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

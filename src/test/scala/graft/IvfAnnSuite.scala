@@ -152,6 +152,62 @@ class IvfAnnSuite extends AnyFunSuite
     assert(run().toSeq == after.toSeq)
   }
 
+  test("IvfIndex compact recovers a swap torn after the cell-dir deletes") {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfc").toString + "/idx"
+    val e = Tables.embeddings(spark, sf)
+    IvfIndex.fit(e, k = 16, iters = 2, path)
+    val h = IvfIndex.load(spark, path)
+    val probes = e.filter(col("vec_id") < 10)
+    def run() = IvfIndex.search(spark, h, probes, nProbe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val deleted = run().filter(_._2 == 1).map(_._3).distinct
+    IvfIndex.delete(spark, path, deleted.toDF("vec_id"))
+    val expected = run()
+    // build the torn state by hand, mirroring compact's stage format:
+    // surviving rows of the affected cells staged + the _affected_cells
+    // sidecar written, the cell dirs deleted — then the process dies
+    // before the append-back
+    val vectors = spark.read.parquet(path + "/vectors")
+    val affected = vectors.filter(col("vec_id").isInCollection(deleted))
+      .select(col("cell")).distinct().collect().map(_.getInt(0))
+    vectors.filter(col("cell").isInCollection(affected.toIndexedSeq))
+      .join(deleted.toDF("vec_id"), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(path + "/vectors.compact/rows")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path + "/vectors.compact/_affected_cells"),
+      affected.mkString("\n").getBytes("UTF-8"))
+    affected.foreach { c =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path + s"/vectors/cell=$c"))
+    }
+    // recovery: compact finishes the torn swap from the durable stage
+    IvfIndex.compact(spark, path)
+    assert(run() == expected,
+      "recovered index must equal the tombstone-masked results")
+    assert(spark.read.parquet(path + "/vectors")
+      .filter(col("vec_id").isInCollection(deleted)).count() == 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + "/vectors.compact")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + "/tombstones")))
+    // an INCOMPLETE stage (no _affected_cells sidecar — crash mid-stage)
+    // is discarded, not trusted: the pass re-runs from tombstones
+    IvfIndex.delete(spark, path,
+      spark.read.parquet(path + "/vectors").limit(1).select(col("vec_id")))
+    new java.io.File(path + "/vectors.compact").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path + "/vectors.compact/garbage"),
+      "not a stage".getBytes("UTF-8"))
+    IvfIndex.compact(spark, path)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + "/tombstones")),
+      "fresh pass must still fold the tombstones after discarding the stage")
+  }
+
   test("q_ivf_index_search emits ranked top-5 rows for the probe set") {
     val got = SparkEntry.queries("q_ivf_index_search")(spark, sf).collect()
     assert(got.nonEmpty)
