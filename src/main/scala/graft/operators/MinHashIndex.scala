@@ -174,7 +174,17 @@ object MinHashIndex {
   def compact(s: SparkSession, path: String): Unit = {
     val stage = compactStagePath(path)
     val fs = stage.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(stage)) publishCompacted(s, path) // finish a torn swap
+    if (fs.exists(stage)) {
+      // finish a torn swap — but ONLY from a COMPLETE stage (job-commit
+      // _SUCCESS marker). A crash mid-stage-write leaves partial files;
+      // trusting them would publish a partial index and silently lose
+      // the rest. An incomplete stage is discarded: the data dir is
+      // still intact in that crash window, and the tombstones still
+      // present drive a fresh pass below.
+      if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")))
+        publishCompacted(s, path)
+      else { fs.delete(stage, true); () }
+    }
     tombstoneFrame(s, path).foreach { t =>
       val remaining = s.read.parquet(path + "/data")
         .join(t.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")

@@ -163,15 +163,18 @@ object MultimodalOps {
   /** Image near-dup pairs over any (doc_id, text) frame — the
     * CorpusPipeline tier entry (the pipeline hashes its own surviving
     * docs, not the corpus table). Same candidate/verify plan as
-    * [[phashPairs]]; the hash frame is lazily persisted because the
-    * chunk self-join reads it on both sides.
+    * [[phashPairs]]. Deliberately NOT persisted: per-run pipeline
+    * frames would pin one cache entry per invocation for the session's
+    * lifetime (the hazard documented at `DedupOps.shingleRows`).
+    * Callers hand in an already-materialized frame (CorpusPipeline's
+    * exact-dedup stage is checkpointed), so the self-join's second read
+    * re-runs only the cheap map-side thumbnail hash.
     */
   def phashPairsOf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val hashes = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(phashFn).toDF("doc_id", "phash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     phashPairsOver(hashes, maxHamming)
   }
 

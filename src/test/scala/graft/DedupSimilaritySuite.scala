@@ -349,6 +349,24 @@ class DedupSimilaritySuite extends AnyFunSuite {
         java.nio.file.Paths.get(path + "/data.compact")))
       assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path + "/tombstones")))
+      // an INCOMPLETE stage (crash mid-stage-write: no _SUCCESS marker)
+      // must be DISCARDED, never published — trusting partial files
+      // would silently lose the rest of the index. The data dir is
+      // intact in that window, so the fresh pass still folds the
+      // tombstones.
+      val del2 = expected.map(_._1).toSeq.sorted.take(1)
+      operators.MinHashIndex.delete(spark, path, del2.toDF("doc_id"))
+      val expected2 = probePairs()
+      val stageDir = new java.io.File(path + "/data.compact")
+      stageDir.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path + "/data.compact/part-garbage.parquet"),
+        "not parquet".getBytes("UTF-8"))
+      operators.MinHashIndex.compact(spark, path)
+      assert(probePairs() == expected2,
+        "partial stage must be discarded and the pass re-run")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path + "/tombstones")))
     } finally { sh.unpersist(); () }
   }
 
