@@ -111,6 +111,16 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"stage gating must ride the user_id equi-joins:\n$plan")
   }
 
+  test("document chunking is map-only up to the presentation sort") {
+    val q = SparkEntry.queries("q_chunk_documents")(spark, sf)
+    q.collect()
+    val shuffles = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e.outputPartitioning
+    }
+    assert(shuffles.forall(_.isInstanceOf[RangePartitioning]),
+      s"chunk explosion must stay map-side; found hash shuffles: $shuffles")
+  }
+
   test("triangle enumeration rides keyed wedge joins, never a cartesian") {
     val q = SparkEntry.queries("q_graph_triangles")(spark, sf)
     q.collect()
