@@ -258,6 +258,30 @@ object TrainingOps {
           lit(binTokens)).cast("bigint").as("bin"))
   }
 
+  /** Fixed token windows over (doc_id, text): a doc with n tokens
+    * yields 1 + ceil((n - chunk) / stride) chunks (one when n <= chunk,
+    * so no document disappears); the final chunk is short rather than
+    * padded, and consecutive chunks overlap by chunk - stride tokens.
+    * Map-only: one split + one bounded sequence explode per doc, no
+    * shuffle — embarrassingly parallel at 100 TB.
+    */
+  def chunkDocs(docs: DataFrame, chunk: Int, stride: Int): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        when(col("n") <= chunk, lit(0)).otherwise(
+          ceil((col("n") - lit(chunk)) / lit(stride.toDouble)))
+          .cast("int"))))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        array_join(expr(s"slice(ts, chunk_idx * $stride + 1, $chunk)"),
+          " ").as("chunk_text"),
+        least(lit(chunk), col("n") - col("chunk_idx") * stride)
+          .cast("bigint").as("n_chunk_toks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: eval set = doc_id % 23 == 0, 5-grams.
     "q_decontaminate" -> ((s, d) => {
@@ -324,28 +348,11 @@ object TrainingOps {
     // Context-window chunking: long documents split into fixed token
     // windows (chunk=50, stride=40 -> 10-token overlap) with per-chunk
     // provenance (doc_id, chunk_idx) — the long-doc -> training-context
-    // splitter every context-bounded trainer runs. A doc with n tokens
-    // yields 1 + ceil((n - chunk) / stride) chunks (one when n <=
-    // chunk); the final chunk is short rather than padded. Map-only:
-    // one split + one bounded sequence explode per doc, no shuffle
-    // until the presentation sort — embarrassingly parallel at 100 TB.
-    "q_chunk_documents" -> ((s, d) => {
-      val (chunk, stride) = (50, 40)
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .withColumn("n", size(col("ts")))
-        .withColumn("chunk_idx", explode(sequence(lit(0),
-          when(col("n") <= chunk, lit(0)).otherwise(
-            ceil((col("n") - lit(chunk)) / lit(stride.toDouble)))
-            .cast("int"))))
-        .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
-          array_join(expr(s"slice(ts, chunk_idx * $stride + 1, $chunk)"),
-            " ").as("chunk_text"),
-          least(lit(chunk), col("n") - col("chunk_idx") * stride)
-            .cast("bigint").as("n_chunk_toks"))
+    // splitter every context-bounded trainer runs. See [[chunkDocs]].
+    "q_chunk_documents" -> ((s, d) =>
+      chunkDocs(Tables.documents(s, d), chunk = 50, stride = 40)
         .orderBy(col("doc_id").asc_nulls_first,
-          col("chunk_idx").asc_nulls_first)
-    }),
+          col("chunk_idx").asc_nulls_first)),
 
     "q_shuffle_global" -> ((s, d) =>
       globalShuffle(Tables.documents(s, d), "shuf42")

@@ -232,4 +232,27 @@ class TrainingOpsSuite extends AnyFunSuite {
         s"doc $id: tail tokens uncovered")
     }
   }
+
+  test("chunking boundary lengths: n at and around chunk/stride multiples") {
+    import spark.implicits._
+    // the corpus may not contain exact-boundary lengths, so plant them:
+    // 49/50 -> one chunk; 51 -> two (second is the 11-token tail that
+    // still overlaps the first by 10); 90 -> two exact windows; 91 ->
+    // three (the 11-token tail)
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+    val docs = Seq(doc(1, 49), doc(2, 50), doc(3, 51), doc(4, 90),
+      doc(5, 91), doc(6, 1)).toDF("doc_id", "text")
+    val out = graft.operators.TrainingOps.chunkDocs(docs, 50, 40)
+      .collect().groupBy(_.getLong(0))
+    val expected = Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3, 6L -> 1)
+    expected.foreach { case (id, k) =>
+      assert(out(id).length == k, s"doc $id: ${out(id).length} chunks, want $k")
+    }
+    // the 51-token doc's tail: tokens 41..51, 11 tokens, overlap 10
+    val tail51 = out(3L).find(_.getLong(1) == 1L).get
+    assert(tail51.getLong(3) == 11)
+    assert(tail51.getString(2) == (41 to 51).map(i => s"t$i").mkString(" "))
+    // a 90-token doc tiles exactly: 1..50 and 41..90
+    assert(out(4L).map(_.getLong(3)).sorted.toSeq == Seq(50L, 50L))
+  }
 }
