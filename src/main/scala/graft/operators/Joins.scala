@@ -193,6 +193,29 @@ object Joins {
         .orderBy(col("o_orderpriority").asc_nulls_first)
     }),
 
+    // Explicit skew-salted join (ScalePatterns.saltedJoin) on the
+    // profiled hot key — l_suppkey, the subject of q_skew_profile: each
+    // fact row gets a deterministic salt in [0,8) and the supplier side
+    // is replicated 8×, so one pathological supplier's volume spreads
+    // over 8 reducers instead of melting one. The MERGE hint keeps the
+    // join a shuffle (at test scale the 8× dim would broadcast and mask
+    // the salting); PlanAuditSuite asserts the SMJ keys on (key, salt).
+    // The oracle states plain-join semantics — salting must be invisible
+    // in the result.
+    "q_join_skew_salted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        .hint("MERGE")
+      ScalePatterns.saltedJoin(li, sup, "l_suppkey", saltFactor = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue"))
+        .orderBy(col("s_nationkey").asc_nulls_first)
+    }),
+
     // Bounded cartesian product (reference R15's header × category score
     // matrix shape, tables.py:181-189).
     "q_join_cross" -> ((s, d) => {
@@ -295,6 +318,12 @@ object Joins {
         |  AND l_shipdate < o_orderdate + INTERVAL 7 DAY
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // plain-join semantics: the salt must be invisible in the result
+    "q_join_skew_salted" ->
+      """SELECT s_nationkey, count(1) AS n,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin,
     "q_join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation

@@ -74,6 +74,15 @@ object RelationalCore {
         .orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // Footer-stats aggregate: COUNT/MIN/MAX answered from parquet
+    // row-group metadata via v2 aggregate pushdown — no row data read
+    // (PushedAggregation plan-asserted in ScalePatternsSuite; the
+    // v2-source confs are scoped inside footerAgg so the rest of the
+    // session keeps its v1 plans).
+    "q_scan_agg_pushdown" -> ((s, d) =>
+      ScalePatterns.footerAgg(s, s"$d/lineitem.parquet",
+        Seq("l_orderkey", "l_quantity"))),
+
     // Canonical-schema projection + string normalization (reference
     // R16/R18: map_row tables.py:216-242; whitespace collapse
     // tables.py:178/230, database.py:28).
@@ -116,6 +125,11 @@ object RelationalCore {
         |   + CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END
         |   + CASE WHEN nullif(o_orderstatus,'O') IS NULL THEN 0 ELSE 1 END) / CAST(4.0 AS DOUBLE) >= 0.5
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_scan_agg_pushdown" ->
+      """SELECT count(1) AS n_rows,
+        |  min(l_orderkey) AS min_l_orderkey, max(l_orderkey) AS max_l_orderkey,
+        |  min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity
+        |FROM lineitem""".stripMargin,
     "q_project_rename" ->
       """SELECT doc_id AS id,
         |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS body,

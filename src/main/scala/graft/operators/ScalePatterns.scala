@@ -181,4 +181,53 @@ object ScalePatterns {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Filterless, ungrouped COUNT/MIN/MAX over a parquet table, built so
+    * Spark's v2 aggregate pushdown can answer it from row-group footer
+    * statistics alone — `PushedAggregation: [COUNT(*), MIN(..), ..]` in
+    * the scan, one footer read per file instead of a full-table scan. At
+    * 100 TB this is the difference between a directory-listing-sized
+    * metadata job and reading every row. Pushdown holds only for min/max
+    * on boolean/integral/float/double/date columns (Spark's
+    * AggregatePushDownUtils); strings/timestamps would silently fall back
+    * to a real scan, so callers pick footer-typed columns.
+    *
+    * Caller must have the v2 parquet source active
+    * (`spark.sql.sources.useV1SourceList` without "parquet") and
+    * `spark.sql.parquet.aggregatePushdown=true`; use [[footerAgg]] for
+    * the conf-scoped form.
+    */
+  def footerAggFrame(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Conf-scoped wrapper around [[footerAggFrame]]: flips the session to
+    * the v2 parquet source with aggregate pushdown, materializes the one
+    * result row (a bounded scalar collect — the pushed plan must execute
+    * while the confs hold, Spark plans v2 scans at action time), restores
+    * the confs, and returns the row as a local relation so nothing
+    * downstream depends on the scoped settings.
+    */
+  def footerAgg(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.conf
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val pushKey = "spark.sql.parquet.aggregatePushdown"
+    val prevV1 = conf.get(v1Key)
+    val prevPush = conf.get(pushKey)
+    conf.set(v1Key, prevV1.split(",").map(_.trim)
+      .filter(s => s.nonEmpty && s != "parquet").mkString(","))
+    conf.set(pushKey, "true")
+    try {
+      val df = footerAggFrame(spark, path, cols)
+      spark.createDataFrame(df.collect().toIndexedSeq.asJava, df.schema)
+    } finally {
+      conf.set(v1Key, prevV1)
+      conf.set(pushKey, prevPush)
+    }
+  }
 }

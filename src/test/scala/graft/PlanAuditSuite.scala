@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePart
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan audits for the scale claims the scaladocs make: what is
@@ -31,6 +31,19 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
     assert(shuffles.forall(_.isInstanceOf[RangePartitioning]),
       s"sampling itself must be map-only; found hash shuffles: $shuffles")
+  }
+
+  test("skew-salted join merges on (key, salt) with no broadcast masking") {
+    val q = SparkEntry.queries("q_join_skew_salted")(spark, sf)
+    q.collect()
+    val exec = q.queryExecution.executedPlan
+    val smj = collectWithSubqueries(exec) { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected a sort-merge join, got:\n$exec")
+    assert(smj.head.leftKeys.exists(_.toString.contains("__salt")),
+      s"join keys must include the salt, got: ${smj.head.leftKeys}")
+    val bhj = collectWithSubqueries(exec) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.isEmpty,
+      "a broadcast would mask the salting the query exists to demonstrate")
   }
 
   test("date spine joins its aggregated counts by broadcast") {

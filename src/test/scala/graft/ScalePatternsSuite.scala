@@ -164,6 +164,36 @@ class ScalePatternsSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("footer aggregate pushes COUNT/MIN/MAX into the parquet scan " +
+      "and matches the row-scanned result") {
+    val path = s"$sf/lineitem.parquet"
+    val cols = Seq("l_orderkey", "l_quantity")
+    // the scoped wrapper must answer from footer stats...
+    val pushed = ScalePatterns.footerAgg(spark, path, cols).collect()(0)
+    // ...and equal the ordinary v1 row-scan aggregate
+    val scanned = ScalePatterns.footerAggFrame(spark, path, cols).collect()(0)
+    assert(pushed == scanned, s"pushed=$pushed scanned=$scanned")
+    // plan proof: under the v2 confs the scan carries PushedAggregation
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val pushKey = "spark.sql.parquet.aggregatePushdown"
+    val (prevV1, prevPush) = (spark.conf.get(v1Key), spark.conf.get(pushKey))
+    spark.conf.set(v1Key, prevV1.split(",").map(_.trim)
+      .filter(s => s.nonEmpty && s != "parquet").mkString(","))
+    spark.conf.set(pushKey, "true")
+    try {
+      val df = ScalePatterns.footerAggFrame(spark, path, cols)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"expected footer-stats pushdown in the scan, got:\n$plan")
+      assert(plan.contains("MIN(l_orderkey)") && plan.contains("MAX(l_quantity)"),
+        s"expected MIN/MAX in PushedAggregation, got:\n$plan")
+    } finally {
+      spark.conf.set(v1Key, prevV1)
+      spark.conf.set(pushKey, prevPush)
+    }
+  }
+
   test("salted join returns exactly the plain join result") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
