@@ -155,6 +155,32 @@ object Aggregates {
       per.unionByName(all).orderBy(col("flag").asc_nulls_first)
     }),
 
+    // Count-min frequency sketch (built-in count_min_sketch aggregate,
+    // Cormode-Muthukrishnan 2005): like the HLL row, the sketch is
+    // mergeable partial state — bounded memory (d x w counters)
+    // regardless of token cardinality, map-side partials merged by
+    // elementwise add. Probing deserializes the ONE result row's sketch
+    // against a fixed token set (a 6-row broadcast cross join; the udf
+    // runs 6 times, never per-document). No oracle (byte layout and
+    // estimates are engine constants); est >= exact and
+    // est <= exact + eps*N at 99% confidence asserted in RelationalSuite.
+    "q_agg_countmin" -> ((s, d) => {
+      import s.implicits._
+      val sk = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("sk"))
+      val est = udf((bytes: Array[Byte], t: String) =>
+        org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .estimateCount(t))
+      Seq("scan", "column", "window", "join", "sort", "nosuchtoken")
+        .toDF("token")
+        .crossJoin(broadcast(sk))
+        .select(col("token"), est(col("sk"), col("token")).as("est_count"))
+        .orderBy(col("token").asc_nulls_first)
+    }),
+
     // Argmax via max_by (reference R15/R26: per-category argmax over the
     // header-score matrix, tables.py:190-202). Prices tie across parts, so
     // the ordering key is a fixed-width (price, name) string — totally

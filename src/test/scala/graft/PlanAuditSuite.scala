@@ -260,4 +260,57 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val bucketed = q.agg(sum(col("n_pairs"))).head().getLong(0)
     assert(bucketed == naive, s"bucketed=$bucketed naive=$naive")
   }
+
+  test("ANALYZE + CBO reorders the join tree around the selective dimension") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // Catalog tables + column stats are what unlock cost-based join
+    // reordering: the syntactic order joins the two big tables first;
+    // with exact rowCounts and ndv/selectivity estimates the optimizer
+    // must instead start from customer x (nation WHERE name='FRANCE').
+    Tables.orders(spark, sf).write.mode("overwrite").saveAsTable("graft_cbo_orders")
+    Tables.customer(spark, sf).write.mode("overwrite").saveAsTable("graft_cbo_customer")
+    Tables.nation(spark, sf).write.mode("overwrite").saveAsTable("graft_cbo_nation")
+    val q =
+      """SELECT count(*) AS n
+        |FROM graft_cbo_orders o
+        |JOIN graft_cbo_customer c ON o.o_custkey = c.c_custkey
+        |JOIN graft_cbo_nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE n.n_name = 'FRANCE'""".stripMargin
+    def innermostJoinTables(plan: LogicalPlan): Set[String] = {
+      val joins = plan.collect { case j: LJoin => j }
+      joins.filter(_.children.forall(
+          _.collect { case j: LJoin => j }.isEmpty))
+        .flatMap(_.collectLeaves().collect {
+          case l: LogicalRelation => l.catalogTable.map(_.identifier.table)
+        }.flatten).toSet
+    }
+    try {
+      Seq("orders", "customer", "nation").foreach(t => spark.sql(
+        s"ANALYZE TABLE graft_cbo_$t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      val heuristic = innermostJoinTables(
+        spark.sql(q).queryExecution.optimizedPlan)
+      assert(heuristic == Set("graft_cbo_orders", "graft_cbo_customer"),
+        s"without CBO the syntactic order should hold, got $heuristic")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val cbo = spark.sql(q)
+      val reordered = innermostJoinTables(cbo.queryExecution.optimizedPlan)
+      assert(reordered == Set("graft_cbo_customer", "graft_cbo_nation"),
+        s"CBO should join the selective dim first, got $reordered")
+      // and reordering never changes the answer
+      val expected = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(spark, sf).filter(col("n_name") === "FRANCE"),
+          col("c_nationkey") === col("n_nationkey"))
+        .count()
+      assert(cbo.head().getLong(0) == expected)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      Seq("orders", "customer", "nation").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cbo_$t"))
+    }
+  }
 }

@@ -132,6 +132,26 @@ class RelationalSuite extends AnyFunSuite {
       s"ALL=${est("ALL")} should reflect cross-group overlap (sum=$groupSum)")
   }
 
+  test("q_agg_countmin estimates honor the count-min error bound") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q_agg_countmin")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tokens = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val n = tokens.count()
+    val exact = tokens.groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (t, e) =>
+      val truth = exact.getOrElse(t, 0L)
+      // CMS never under-counts; over-count <= eps*N at 99% confidence
+      assert(e >= truth, s"$t: est=$e < exact=$truth")
+      assert(e <= truth + (0.001 * n).ceil.toLong,
+        s"$t: est=$e exceeds exact=$truth + eps*N")
+    }
+    assert(est("nosuchtoken") <= (0.001 * n).ceil.toLong)
+  }
+
   test("q_agg_approx_topk reports true heavy hitters with near-exact counts") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("q_agg_approx_topk")(spark, sf)
