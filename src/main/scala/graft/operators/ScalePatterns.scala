@@ -146,7 +146,7 @@ object ScalePatterns {
       }
     }.reduce(_.bitwiseOR(_))
     df.crossJoin(broadcast(stats))
-      .select(df.columns.map(col) ++ scaled: _*)
+      .select(df.columns.toIndexedSeq.map(col) ++ scaled: _*)
       .withColumn(zCol, interleaved)
       .drop(dims.indices.map(i => s"__cell_$i"): _*)
   }

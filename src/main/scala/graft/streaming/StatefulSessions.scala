@@ -115,7 +115,7 @@ object StatefulSessions {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
       val cur = Option(state.get())
       cur match {
-        case Some(s) if s.lastTs + gapMs <= expiredTimerInfo.getExpiryTimeInMs =>
+        case Some(s) if s.lastTs + gapMs <= expiredTimerInfo.getExpiryTimeInMs() =>
           state.clear()
           Iterator.single(SessionOut(key, new Timestamp(s.start), s.n, s.total))
         case _ => Iterator.empty // stale timer; the session was extended
