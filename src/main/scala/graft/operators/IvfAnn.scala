@@ -138,6 +138,25 @@ object IvfAnn {
       val h = IvfIndex.load(s, path)
       IvfIndex.append(h, e.filter(col("vec_id") % 5 === 0))
       IvfIndex.search(s, h, e.filter(col("vec_id") < 20), nProbe = 2, topK = 5)
+    }),
+
+    // Vector-takedown round trip (the ANN analog of
+    // q_dedup_index_takedown; the index-maintenance face of reference
+    // R24, database.py:66-71): fit, tombstone-delete every 7th vector,
+    // compact — only the affected cell partitions are rewritten and the
+    // bytes leave disk — then reload and search. No oracle (engine-side
+    // k-means); IvfAnnSuite asserts deleted ids never surface here and
+    // tombstone/compaction parity + crash recovery at the library level.
+    "q_ivf_index_takedown" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val path = s"/tmp/graft_ivf_takedown_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val e = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      IvfIndex.fit(e, k = 16, iters = 2, path)
+      IvfIndex.delete(s, path,
+        e.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+      IvfIndex.compact(s, path)
+      val h = IvfIndex.load(s, path)
+      IvfIndex.search(s, h, e.filter(col("vec_id") < 20), nProbe = 2, topK = 5)
     }))
 
   val oracle: Map[String, String] = Map.empty // approximate, engine-side k-means

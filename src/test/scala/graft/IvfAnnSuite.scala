@@ -238,4 +238,16 @@ class IvfAnnSuite extends AnyFunSuite
     assert(got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
       again.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
   }
+
+  test("q_ivf_index_takedown never surfaces a deleted vector") {
+    val got = SparkEntry.queries("q_ivf_index_takedown")(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getLong(2) % 7 != 0),
+      "a tombstoned+compacted vector surfaced in search results")
+    got.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length).toSeq,
+        s"ranks must be dense 1..k for qid=$qid")
+      assert(rs.forall(_.getLong(2) != qid), "no self-matches")
+    }
+  }
 }
