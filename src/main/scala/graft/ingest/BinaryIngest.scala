@@ -81,6 +81,19 @@ object BinaryIngest {
     // (DuckDB has no PDF codec); PdfMetaSuite pins planted synthetic
     // PDFs exactly (both layouts) plus known reference-corpus values
     // derived with an independent parser.
+    // R5's lattice half from the vector source (no renderer in this
+    // container; see PdfLattice): ruled tables of every corpus PDF as a
+    // (file, page, table, row, col, cell) frame. No oracle (DuckDB has
+    // no PDF codec); PdfLatticeSuite pins a planted ruled table exactly
+    // plus independently-verified reference-corpus cells.
+    "q_pdf_tables" -> ((s, _) => {
+      import org.apache.spark.sql.functions.col
+      PdfLattice.cells(s, defaultDocsDir)
+        .orderBy(col("file_name").asc_nulls_first, col("page").asc_nulls_first,
+          col("table_idx").asc_nulls_first, col("row_idx").asc_nulls_first,
+          col("col_idx").asc_nulls_first)
+    }),
+
     "q_pdf_meta" -> ((s, _) => {
       import s.implicits._
       scan(s, defaultDocsDir)

@@ -24,10 +24,10 @@ object PdfMeta {
   /** The bytes as a 1:1 char-per-byte string, so java.util.regex can
     * address binary offsets without corrupting non-ASCII bytes.
     */
-  private def latin1(data: Array[Byte]): String = new String(data, ISO_8859_1)
+  private[ingest] def latin1(data: Array[Byte]): String = new String(data, ISO_8859_1)
 
   /** Inflate a raw Flate stream; None on corrupt/truncated input. */
-  private def inflate(data: Array[Byte], from: Int, until: Int): Option[Array[Byte]] = {
+  private[ingest] def inflate(data: Array[Byte], from: Int, until: Int): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(data, from, until - from)
@@ -59,7 +59,7 @@ object PdfMeta {
   }
 
   /** Classic layout: `N 0 obj ... endobj` in the raw bytes. */
-  private def rawObject(s: String, n: Int): Option[String] =
+  private[ingest] def rawObject(s: String, n: Int): Option[String] =
     ("""(?s)(?:^|[^0-9])""" + n + """\s+0\s+obj\b(.*?)endobj""").r
       .findFirstMatchIn(s).map(_.group(1))
 
@@ -67,7 +67,7 @@ object PdfMeta {
     * `/ObjStm`. Each stream's header (before `/First`) is pairs of
     * (object number, offset into the decompressed body).
     */
-  private def objStreamObject(data: Array[Byte], s: String, n: Int): Option[String] = {
+  private[ingest] def objStreamObject(data: Array[Byte], s: String, n: Int): Option[String] = {
     val first = """/First\s+(\d+)""".r
     objStart.findAllMatchIn(s).flatMap { m =>
       val st = s.indexOf("stream", m.end)
