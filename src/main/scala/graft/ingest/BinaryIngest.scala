@@ -94,6 +94,19 @@ object BinaryIngest {
           col("col_idx").asc_nulls_first)
     }),
 
+    // The reference's ENTIRE ingest dataflow (main.py:83-108) over the
+    // real corpus: R4 title gate -> R5 cells -> R6 title join -> R7
+    // density -> R8 continuation -> R12 type -> R15 header map -> R17
+    // validity -> R16 projection -> R21 row dedup = rad_table, the
+    // reference's primary artifact, produced from the same input bytes.
+    // No oracle (the input is PDF bytes); PdfIngestSuite pins real part
+    // rows and the per-stage semantics.
+    "q_rad_ingest" -> ((s, _) => {
+      import org.apache.spark.sql.functions.col
+      PdfIngest.radTable(s, defaultDocsDir)
+        .orderBy(PdfIngest.radColumns.map(col(_).asc_nulls_first): _*)
+    }),
+
     "q_pdf_meta" -> ((s, _) => {
       import s.implicits._
       scan(s, defaultDocsDir)

@@ -1,0 +1,226 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.FuzzyMatch
+
+/** The reference's WHOLE ingest dataflow (main.py:83-108) over the real
+  * PDF corpus, end to end: R4 title gate -> R5 lattice cells
+  * (PdfLattice) -> R6 nearest-above title join -> R7 density gate ->
+  * R8 continuation union -> R12 type classification -> R15 fuzzy
+  * header map -> R17 row-validity -> R16 row projection -> R21 row
+  * dedup. The output is the reference's primary artifact — `rad_table`
+  * rows with real part numbers — produced by this engine from the same
+  * input bytes.
+  *
+  * Everything up to the final frame is per-file local and runs inside
+  * `mapPartitions` over the `binaryFile` source: a corpus of PDFs
+  * parallelizes one task per file with no shuffle before the row-dedup
+  * (the reference walks the same stages single-threaded with one
+  * subprocess call per page). The per-stage semantics cite the exact
+  * reference lines; deliberate variances are the ones PdfLattice
+  * documents (no renderer) plus reading-order text lines standing in
+  * for pdfminer's layout analysis.
+  */
+object PdfIngest {
+
+  /** The reference's header-mapping categories (tables.py:172) — NOT
+    * the full R25 DDL column list; `map_header` scores only these ten.
+    */
+  val headerCategories: Seq[String] = Seq(
+    "part number", "manufacturer", "device function", "technology",
+    "results", "spec", "dose rate", "proton energy", "degradation level",
+    "proton fluence")
+
+  /** Output schema: mapped categories (snake_case, tables.py:199) plus
+    * provenance (tables.py:237-240).
+    */
+  val radColumns: Seq[String] =
+    headerCategories.map(_.replace(' ', '_')) ++
+      Seq("source_paper", "source_paper_filename")
+
+  // -------------------------------------------------------- title join
+
+  /** A reading-order text LINE: fragments grouped by baseline (the
+    * stand-in for pdfminer's LTTextLineHorizontal objects that
+    * `get_closest_text` iterates).
+    */
+  private[ingest] final case class Line(xMin: Double, xMax: Double,
+      y: Double, text: String)
+
+  private[ingest] def textLines(texts: Seq[PdfLattice.TextFrag]): Seq[Line] = {
+    PdfLattice.lineGroups(texts.filter(_.text.trim.nonEmpty))
+      .map { frags =>
+        Line(frags.map(_.xMin).min, frags.map(_.xMax).max,
+          frags.map(_.y).sum / frags.length,
+          PdfLattice.joinFrags(frags))
+      }
+      .filter(_.text.nonEmpty)
+      .sortBy(l => (-l.y, l.xMin))
+  }
+
+  /** R6, exactly tables.py:28-49: walk lines in order keeping the
+    * closest line (euclidean, text bottom-mid to table top-mid) under a
+    * shrinking threshold that starts at 100, candidates capped at 50
+    * chars; once a "table"-containing title is held, the NEXT closer
+    * candidate is appended and the walk stops (the two-line-title
+    * merge); no "table" substring anywhere -> "" (titleless).
+    */
+  private[ingest] def closestTitle(table: PdfLattice.Table,
+      lines: Seq[Line]): String = {
+    val tableMid = ((table.xMin + table.xMax) / 2.0, table.yMax)
+    var minDistance = 100.0
+    var bestGuess = ""
+    var tableFlag = false
+    val it = lines.iterator
+    while (it.hasNext) {
+      val l = it.next()
+      val d = math.sqrt(
+        math.pow((l.xMin + l.xMax) / 2.0 - tableMid._1, 2) +
+          math.pow(l.y - tableMid._2, 2))
+      if (d < minDistance && l.text.length < 50) {
+        if (tableFlag) return bestGuess + " " + l.text
+        bestGuess = l.text
+        if (bestGuess.toLowerCase.contains("table")) tableFlag = true
+        minDistance = d
+      }
+    }
+    if (tableFlag) bestGuess else ""
+  }
+
+  // ------------------------------------------- assembly + classification
+
+  final case class RawTable(title: String, cells: Vector[Vector[String]])
+
+  private def rowDensity(row: Vector[String]): Double =
+    if (row.isEmpty) 0.0
+    else row.count(c => c != null && c.nonEmpty).toDouble / row.length
+
+  /** R7 (tables.py:244-249): mean row density over EVERY row, header
+    * included.
+    */
+  private[ingest] def tableDensity(cells: Vector[Vector[String]]): Double =
+    if (cells.isEmpty) 0.0 else cells.map(rowDensity).sum / cells.length
+
+  /** get_all_tables (tables.py:78-97): per page in order, title-join
+    * each detected table, keep density > 0.25, and fold a titleless
+    * table into its predecessor minus the repeated header row (R8).
+    */
+  private[ingest] def assembleTables(data: Array[Byte]): Seq[RawTable] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[RawTable]
+    PdfLattice.pages(data).foreach { pe =>
+      val lines = textLines(pe.texts)
+      pe.tables.foreach { t =>
+        val title = closestTitle(t, lines)
+        if (tableDensity(t.cells) > 0.25) {
+          if (title.isEmpty && acc.nonEmpty) {
+            val prev = acc.last
+            acc(acc.length - 1) =
+              prev.copy(cells = prev.cells ++ t.cells.drop(1))
+          } else if (title.nonEmpty) acc += RawTable(title, t.cells)
+          // titleless with nothing before it: dropped (the reference
+          // would throw on tables_arr[-1]; the guard is the variance)
+        }
+      }
+    }
+    acc.toSeq
+  }
+
+  private def wordIn(s: String, w: String): Boolean =
+    java.util.regex.Pattern.compile("\\b" + w + "\\b",
+      java.util.regex.Pattern.CASE_INSENSITIVE).matcher(s).find()
+
+  /** R12 find_table_type (tables.py:145-153). */
+  private[ingest] def tableType(title: String): Option[String] =
+    if (wordIn(title, "principal") || wordIn(title, "investigator"))
+      Some("principal_investigator")
+    else if (wordIn(title, "acronym") || wordIn(title, "abbreviations"))
+      Some("abbreviation")
+    else if (Seq("tid", "see", "dd", "ddd", "seu", "let", "ongoing",
+        "dose", "result").exists(wordIn(title, _)))
+      Some("rad")
+    else None
+
+  // --------------------------------------------------- header + row map
+
+  /** R15 map_header for rad tables (tables.py:167-203): score each
+    * header cell (stripped, newline-flattened, lowered) against each
+    * category with partial_ratio ('deg level' aliases degradation
+    * level), per-category argmax over header cells, mapped only at
+    * score >= 75. First maximal index wins ties, like the reference's
+    * strict `>` scan.
+    */
+  private[ingest] def mapHeader(header: Vector[String]): Map[String, Int] = {
+    val cleaned = header.map(h =>
+      Option(h).getOrElse("").trim.replace("\n", "").toLowerCase)
+    headerCategories.flatMap { cat =>
+      val targets =
+        if (cat == "degradation level") Seq(cat, "deg level") else Seq(cat)
+      var best = 0; var bestIdx = -1
+      cleaned.zipWithIndex.foreach { case (h, i) =>
+        val s = targets.map(t => FuzzyMatch.partialRatio(t, h)).max
+        if (s > best) { best = s; bestIdx = i }
+      }
+      if (best >= 75) Some(cat -> bestIdx) else None
+    }.toMap
+  }
+
+  /** R17+R16 (tables.py:218-263): a data row maps category -> cell for
+    * every mapped category; it is valid when its non-empty mapped
+    * values cover >= half of ALL ten categories (the reference divides
+    * by `len(self.mapped_header)`, which always holds every category).
+    */
+  private[ingest] def mapRow(row: Vector[String],
+      mapping: Map[String, Int]): Option[Map[String, String]] = {
+    val vals = mapping.flatMap { case (cat, idx) =>
+      if (idx >= 0 && idx < row.length)
+        Some(cat -> Option(row(idx)).getOrElse("").replace("\n", " "))
+      else None
+    }
+    val density = vals.values.count(_.nonEmpty).toDouble /
+      headerCategories.length
+    if (density < 0.5) None else Some(vals)
+  }
+
+  /** All rad_table rows of one file (main.py:94-104): R4's title gate
+    * (no Info /Title -> the whole file is skipped, tables.py:83-84),
+    * then assembly, rad-type gate, header map, and per-row validity.
+    * Row order inside a file follows table order then row order.
+    */
+  def radRowsOf(fileName: String, data: Array[Byte]): Seq[Seq[String]] =
+    PdfMeta.titleModDate(data)._1 match {
+      case None => Seq.empty
+      case Some(paper) =>
+        assembleTables(data)
+          .filter(t => tableType(t.title).contains("rad"))
+          .flatMap { t =>
+            val mapping = mapHeader(t.cells.head)
+            if (mapping.isEmpty) Seq.empty
+            else t.cells.drop(1).flatMap(mapRow(_, mapping)).map { vals =>
+              headerCategories.map(c => vals.getOrElse(c, null)) ++
+                Seq(paper, fileName)
+            }
+          }
+    }
+
+  /** The assembled rad_table over a docs directory: one task per file,
+    * then R21's per-row exists-dedup as ONE dropDuplicates instead of
+    * the reference's per-row SELECT round trip (database.py:19-32).
+    */
+  def radTable(s: SparkSession, docsDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    import s.implicits._
+    BinaryIngest.scan(s, docsDir)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (name, bytes) =>
+        radRowsOf(name, bytes).map {
+          case Seq(pn, mfr, df, tech, res, spec, dr, pe, dl, pf, sp, spf) =>
+            (pn, mfr, df, tech, res, spec, dr, pe, dl, pf, sp, spf)
+        }
+      })
+      .toDF(radColumns: _*)
+      .dropDuplicates()
+  }
+}

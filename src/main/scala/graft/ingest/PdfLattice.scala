@@ -161,7 +161,19 @@ object PdfLattice {
   }
   private val Id = Mat(1, 0, 0, 1, 0, 0)
 
-  final case class TextFrag(x: Double, y: Double, text: String)
+  /** A positioned show-text run: start point plus an ESTIMATED advance
+    * endpoint (0.5 em per char at the effective size, along the text
+    * matrix's x axis — so rotated text spans vertically until page
+    * normalization). No font metrics exist without the font files, but
+    * the estimate only drives the space-vs-juxtapose decision when
+    * fragments join into lines, where sub-point errors are harmless
+    * against multi-point column gaps.
+    */
+  final case class TextFrag(x: Double, y: Double, xEnd: Double,
+      yEnd: Double, text: String) {
+    def xMin: Double = math.min(x, xEnd)
+    def xMax: Double = math.max(x, xEnd)
+  }
   /** Painted axis-aligned box in device space (lines have ~0 extent on
     * one axis).
     */
@@ -182,7 +194,7 @@ object PdfLattice {
     val boxes = new ArrayBuffer[Box]
     var ctm = Id
     val ctmStack = new ArrayBuffer[Mat]
-    var tm = Id; var tlm = Id; var tl = 0.0
+    var tm = Id; var tlm = Id; var tl = 0.0; var fs = 1.0
     val operands = new ArrayBuffer[Tok]
     val pathRects = new ArrayBuffer[(Double, Double, Double, Double)]
     val pathLines = new ArrayBuffer[((Double, Double), (Double, Double))]
@@ -197,11 +209,24 @@ object PdfLattice {
       case TStr(b) => printable(b, keepAll = true)
       case THex(b) => printable(b, keepAll = false)
     }
-    def paint(): Unit = {
+    // A thin painted rect is a rule either way. A LARGE rect depends on
+    // the paint op: stroked -> its four borders are drawn lines (table
+    // outer frames); fill-only -> background SHADING, whose edges are
+    // not rules (header-band shading otherwise splits header cells into
+    // phantom rows that a morphological line detector never sees).
+    def paint(stroked: Boolean): Unit = {
+      val thin = 2.0
       pathRects.foreach { case (x, y, w, h) =>
         val (x1, y1) = ctm(x, y); val (x2, y2) = ctm(x + w, y + h)
-        boxes += Box(math.min(x1, x2), math.min(y1, y2),
-          math.abs(x2 - x1), math.abs(y2 - y1))
+        val (bx, by) = (math.min(x1, x2), math.min(y1, y2))
+        val (bw, bh) = (math.abs(x2 - x1), math.abs(y2 - y1))
+        if (bw <= thin || bh <= thin) boxes += Box(bx, by, bw, bh)
+        else if (stroked) {
+          boxes += Box(bx, by, bw, 0)
+          boxes += Box(bx, by + bh, bw, 0)
+          boxes += Box(bx, by, 0, bh)
+          boxes += Box(bx + bw, by, 0, bh)
+        }
       }
       pathLines.foreach { case (a, b) =>
         val (x1, y1) = ctm(a._1, a._2); val (x2, y2) = ctm(b._1, b._2)
@@ -215,8 +240,10 @@ object PdfLattice {
     }
     def newline(): Unit = { tlm = Mat(1, 0, 0, 1, 0, -tl) * tlm; tm = tlm }
     def emit(s: String): Unit = if (s.nonEmpty) {
-      val (x, y) = (tm * ctm)(0, 0)
-      texts += TextFrag(x, y, s)
+      val m = tm * ctm
+      val (x, y) = m(0, 0)
+      val (xe, ye) = m(s.length * 0.5 * fs, 0)
+      texts += TextFrag(x, y, xe, ye, s)
     }
 
     lex(content).foreach {
@@ -239,11 +266,13 @@ object PdfLattice {
           case "h" => if (cur != null && pathStart != null) {
             pathLines += ((cur, pathStart)); cur = pathStart
           }
-          case "S" | "s" | "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" => paint()
+          case "S" | "s" | "B" | "B*" | "b" | "b*" => paint(stroked = true)
+          case "f" | "F" | "f*" => paint(stroked = false)
           case "n" => clearPath()
           case "W" | "W*" => () // clipping: path persists until the paint op
           case "BT" => tm = Id; tlm = Id
           case "ET" => ()
+          case "Tf" => nums(1).foreach(v => fs = v(0))
           case "TL" => nums(1).foreach(v => tl = v(0))
           case "Tm" => nums(6).foreach { v =>
             tm = Mat(v(0), v(1), v(2), v(3), v(4), v(5)); tlm = tm
@@ -259,10 +288,17 @@ object PdfLattice {
           case "'" => newline(); lastString.foreach(emit)
           case "\"" => newline(); lastString.foreach(emit)
           case "TJ" =>
+            // numeric elements are kerning adjustments in thousandths
+            // of an em; a large negative one IS the word gap in files
+            // that space words by displacement instead of space glyphs
+            // (the pdftotext/pdfminer heuristic, threshold ~-180)
             val sb = new StringBuilder
             operands.foreach {
               case TStr(b) => sb ++= printable(b, keepAll = true)
               case THex(b) => sb ++= printable(b, keepAll = false)
+              case TNum(v) =>
+                if (v < -180 && sb.nonEmpty && !sb.last.isWhitespace)
+                  sb += ' '
               case _ => ()
             }
             emit(sb.toString)
@@ -276,11 +312,53 @@ object PdfLattice {
 
   // ------------------------------------------------------- grid detection
 
-  /** (rowCells ordered top-first; each row left-to-right). */
-  final case class Table(top: Double, cells: Vector[Vector[String]])
+  /** One detected grid: device-space bbox (PDF y grows upward, so yMax
+    * is the TOP) + cells ordered top-first, each row left-to-right.
+    */
+  final case class Table(xMin: Double, yMin: Double, xMax: Double,
+      yMax: Double, cells: Vector[Vector[String]]) {
+    def top: Double = yMax
+  }
+
+  /** One page's interpreted content: positioned text + detected grids. */
+  final case class PageExtract(page: Int, texts: Seq[TextFrag],
+      tables: Seq[Table])
 
   private val Tol = 2.0
+  private val SegJoinGap = 6.0 // collinear rule pieces bridge gaps this wide
   private val MaxRules = 5000 // union-find is O(rules^2); vector pages are O(100)
+
+  /** Group fragments into baselines: sorted by descending y, fragments
+    * within the tolerance of the previous one share a line.
+    */
+  private[ingest] def lineGroups(frags: Seq[TextFrag]): Seq[Seq[TextFrag]] = {
+    val sorted = frags.sortBy(-_.y)
+    val out = new ArrayBuffer[ArrayBuffer[TextFrag]]
+    sorted.foreach { f =>
+      if (out.nonEmpty && math.abs(out.last.last.y - f.y) <= Tol) out.last += f
+      else out += ArrayBuffer(f)
+    }
+    out.map(_.toSeq).toSeq
+  }
+
+  /** Join one baseline's fragments left-to-right: juxtapose when the
+    * next run starts inside the previous run's estimated advance (small
+    * -caps render "T","ABLE" as two runs with a sub-point gap), insert
+    * a space across real gaps (columns and word breaks sit points
+    * apart) — the stand-in for glyph-level layout analysis.
+    */
+  private[ingest] def joinFrags(frags: Seq[TextFrag]): String = {
+    val sorted = frags.sortBy(_.xMin)
+    val sb = new StringBuilder
+    var prevEnd = Double.NegativeInfinity
+    sorted.foreach { f =>
+      if (sb.nonEmpty && f.xMin - prevEnd > 2.5 && !sb.last.isWhitespace)
+        sb += ' '
+      sb ++= f.text
+      prevEnd = math.max(prevEnd, f.xMax)
+    }
+    sb.toString.replaceAll("\\s+", " ").trim
+  }
 
   /** Camelot-lattice grid detection over painted boxes + positioned text:
     * thin boxes are rules, intersecting rules union into grid components,
@@ -291,12 +369,9 @@ object PdfLattice {
     val hs = new ArrayBuffer[(Double, Double, Double)]
     val vs = new ArrayBuffer[(Double, Double, Double)]
     boxes.foreach { b =>
+      // stroked frames arrive pre-split into four thin borders (paint)
       if (b.h <= Tol && b.w > 4) hs += ((b.x, b.x + b.w, b.y + b.h / 2))
       else if (b.w <= Tol && b.h > 4) vs += ((b.y, b.y + b.h, b.x + b.w / 2))
-      else if (b.w > 4 && b.h > 4) { // painted frame: borders are rules
-        hs += ((b.x, b.x + b.w, b.y)); hs += ((b.x, b.x + b.w, b.y + b.h))
-        vs += ((b.y, b.y + b.h, b.x)); vs += ((b.y, b.y + b.h, b.x + b.w))
-      }
     }
     if (hs.length + vs.length > MaxRules) return Seq.empty
     // lines(i): (isH, lo, hi, pos)
@@ -314,9 +389,12 @@ object PdfLattice {
     for (i <- lines.indices; j <- (i + 1) until lines.length) {
       val li = lines(i); val lj = lines(j)
       if (li._1 == lj._1) {
-        // parallel: same offset and overlapping extent -> one rule
+        // collinear segments: same offset, extents within a small join
+        // gap -> one rule (rules arrive as dashed/segmented pieces; a
+        // morphological detector closes these gaps too)
         if (math.abs(li._4 - lj._4) <= Tol &&
-          !(li._3 < lj._2 - Tol || lj._3 < li._2 - Tol)) union(i, j)
+          !(li._3 < lj._2 - SegJoinGap || lj._3 < li._2 - SegJoinGap))
+          union(i, j)
       } else {
         val h = if (li._1) li else lj
         val v = if (li._1) lj else li
@@ -335,18 +413,22 @@ object PdfLattice {
           .empty[(Int, Int), ArrayBuffer[TextFrag]]
         texts.foreach { t =>
           if (t.text.trim.nonEmpty) {
-            val ci = bucket(xs, t.x); val ri = bucket(ys, t.y)
+            // assign by estimated CENTER: a run that starts a hair left
+            // of a rule (small-caps splits) still belongs to the cell
+            // holding most of it
+            val ci = bucket(xs, (t.xMin + t.xMax) / 2)
+            val ri = bucket(ys, t.y)
             if (ci >= 0 && ri >= 0)
               grid.getOrElseUpdate((ri, ci), new ArrayBuffer) += t
           }
         }
         if (grid.isEmpty) None
-        else Some(Table(ys.last,
+        else Some(Table(xs.head, ys.head, xs.last, ys.last,
           // pdf y grows upward: top row of the table is the LAST y band
           (nRows - 1 to 0 by -1).map { r =>
             (0 until nCols).map { c =>
-              grid.get((r, c)).fold("") {
-                _.sortBy(t => (-t.y, t.x)).map(_.text.trim)
+              grid.get((r, c)).fold("") { frags =>
+                lineGroups(frags.toSeq).map(joinFrags)
                   .mkString(" ").trim
               }
             }.toVector
@@ -461,22 +543,84 @@ object PdfLattice {
 
   // ------------------------------------------------------------ public API
 
-  /** All ruled tables of one PDF:
-    * (page 1-based, tableIdx top-first, cells top-first rows).
-    * Per-file and total-failure safe: a malformed page or file yields no
-    * tables, never an exception (the scan must survive a corrupt input).
+  private val RotateRe = """/Rotate\s+(\d+)""".r
+  private val MediaBoxRe =
+    """/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)""".r
+
+  /** Undo a page's `/Rotate` so extraction always sees upright reading
+    * coordinates: a landscape table on a /Rotate 90 portrait page is
+    * drawn with vertical baselines in content space — after this
+    * transform, its rules are axis-aligned and its text reads
+    * left-to-right again. (`(x, y) -> (y, W - x)` maps the content
+    * space onto the clockwise-displayed sheet; 180/270 analogous.)
     */
-  def tablesOf(data: Array[Byte]): Seq[(Int, Int, Vector[Vector[String]])] =
+  private def normalizePage(pd: String, texts: Seq[TextFrag],
+      boxes: Seq[Box]): (Seq[TextFrag], Seq[Box]) = {
+    val declared = RotateRe.findFirstMatchIn(pd)
+      .map(_.group(1).toInt % 360).getOrElse(0)
+    // Some files draw a landscape table with rotated text matrices on a
+    // page whose /Rotate is 0 (the sheet is meant to be turned by the
+    // reader). Detect it from the text itself: when most runs advance
+    // vertically, normalize as if the page carried the matching Rotate.
+    val rot =
+      if (declared != 0) declared
+      else {
+        val dirs = texts.filter(t => t.text.trim.nonEmpty)
+        val vertical = dirs.count(t =>
+          math.abs(t.yEnd - t.y) > math.abs(t.xEnd - t.x))
+        if (dirs.length >= 10 && vertical * 10 > dirs.length * 6) {
+          val up = dirs.count(t => t.yEnd > t.y)
+          if (up * 2 >= vertical) 90 else 270
+        } else 0
+      }
+    if (rot == 0) (texts, boxes)
+    else {
+      val (w, h) = MediaBoxRe.findFirstMatchIn(pd)
+        .map(m => (m.group(3).toDouble - m.group(1).toDouble,
+          m.group(4).toDouble - m.group(2).toDouble))
+        .getOrElse((612.0, 792.0))
+      def pt(x: Double, y: Double): (Double, Double) = rot match {
+        case 90 => (y, w - x)
+        case 180 => (w - x, h - y)
+        case 270 => (h - y, x)
+        case _ => (x, y)
+      }
+      val ts = texts.map { t =>
+        val (x0, y0) = pt(t.x, t.y); val (x1, y1) = pt(t.xEnd, t.yEnd)
+        TextFrag(x0, y0, x1, y1, t.text)
+      }
+      val bs = boxes.map { b =>
+        val (x0, y0) = pt(b.x, b.y); val (x1, y1) = pt(b.x + b.w, b.y + b.h)
+        Box(math.min(x0, x1), math.min(y0, y1),
+          math.abs(x1 - x0), math.abs(y1 - y0))
+      }
+      (ts, bs)
+    }
+  }
+
+  /** Full per-page extraction (text fragments + detected tables) in
+    * document order. Per-page and total-failure safe: a malformed page
+    * or file yields nothing, never an exception (the scan must survive
+    * a corrupt input).
+    */
+  def pages(data: Array[Byte]): Seq[PageExtract] =
     Try {
-      pageDicts(data).zipWithIndex.flatMap { case (pd, pi) =>
+      pageDicts(data).zipWithIndex.map { case (pd, pi) =>
         Try {
-          val (texts, boxes) = interpret(pageContent(data, pd))
-          detectTables(texts, boxes).zipWithIndex.map { case (t, ti) =>
-            (pi + 1, ti, t.cells)
-          }
-        }.getOrElse(Seq.empty)
+          val (rawTexts, rawBoxes) = interpret(pageContent(data, pd))
+          val (texts, boxes) = normalizePage(pd, rawTexts, rawBoxes)
+          PageExtract(pi + 1, texts, detectTables(texts, boxes))
+        }.getOrElse(PageExtract(pi + 1, Seq.empty, Seq.empty))
       }
     }.getOrElse(Seq.empty)
+
+  /** All ruled tables of one PDF:
+    * (page 1-based, tableIdx top-first, cells top-first rows).
+    */
+  def tablesOf(data: Array[Byte]): Seq[(Int, Int, Vector[Vector[String]])] =
+    pages(data).flatMap(p => p.tables.zipWithIndex.map { case (t, ti) =>
+      (p.page, ti, t.cells)
+    })
 
   /** The cell frame over a docs directory:
     * (file_name, page, table_idx, row_idx, col_idx, cell). Whole files

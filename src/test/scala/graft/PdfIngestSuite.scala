@@ -1,0 +1,123 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Per-stage and end-to-end pins for the real-corpus ingest dataflow
+  * (PdfIngest): the reference's main.py:83-108 pipeline re-created over
+  * the same input bytes, checked stage by stage on synthetic fixtures
+  * and end to end on the actual compendium PDFs.
+  */
+class PdfIngestSuite extends AnyFunSuite {
+
+  private def frag(x: Double, y: Double, w: Double, t: String) =
+    PdfLattice.TextFrag(x, y, x + w, y, t)
+
+  test("textLines groups baselines and joins runs gap-aware") {
+    val lines = PdfIngest.textLines(Seq(
+      frag(10, 700, 5, "T"), frag(15.5, 700, 30, "ABLE IV"),
+      frag(80, 700.8, 40, "RESULTS"), // same baseline within tolerance
+      frag(10, 650, 30, "second line")))
+    assert(lines.map(_.text) == Seq("TABLE IV RESULTS", "second line"))
+    assert(lines.head.y > lines(1).y)
+  }
+
+  test("closestTitle follows the reference walk: shrinking threshold, " +
+      "50-char cap, two-line merge, titleless without 'table'") {
+    val table = PdfLattice.Table(100, 400, 300, 500, Vector(Vector("x")))
+    def line(y: Double, t: String) = PdfIngest.Line(150, 250, y, t)
+    // no 'table' substring anywhere -> ""
+    assert(PdfIngest.closestTitle(table, Seq(line(520, "just a caption")))
+      == "")
+    // plain table title, no merge
+    assert(PdfIngest.closestTitle(table,
+      Seq(line(560, "far away"), line(520, "Table IV results")))
+      == "Table IV results")
+    // two-line merge: a CLOSER candidate after the flagged title appends
+    assert(PdfIngest.closestTitle(table,
+      Seq(line(530, "Table IV"), line(510, "summary of results")))
+      == "Table IV summary of results")
+    // candidates past the 50-char cap never win
+    assert(PdfIngest.closestTitle(table,
+      Seq(line(510, "x" * 60), line(530, "Table IV"))) == "Table IV")
+  }
+
+  test("tableType mirrors find_table_type word-boundary rules") {
+    assert(PdfIngest.tableType("TABLE II LIST OF PRINCIPAL INVESTIGATORS")
+      .contains("principal_investigator"))
+    assert(PdfIngest.tableType("TABLE III ABBREVIATIONS AND CONVENTIONS")
+      .contains("abbreviation"))
+    assert(PdfIngest.tableType("TABLE IV SUMMARY OF TID AND DD TEST RESULTS")
+      .contains("rad"))
+    assert(PdfIngest.tableType("TABLE V ONGOING LOW DOSE RATE TESTS :")
+      .contains("rad"))
+    // 'INVESTIGATORS' does not word-match 'investigator' but 'PRINCIPAL'
+    // matches; a title with neither stays untyped and is dropped
+    assert(PdfIngest.tableType("TABLE I PROTON TEST FACILITIES").isEmpty)
+  }
+
+  test("mapHeader maps the real 2018 header at >= 75 partial_ratio") {
+    val m = PdfIngest.mapHeader(Vector("Part Number", "Manufacturer",
+      "LDC", "Device Function", "Technology", "PI", "Sample Size",
+      "Results", "App. Spec (Y/N)", "Dose rate (mrad(Si)/s)",
+      "Degradation Level (krad(Si))"))
+    assert(m("part number") == 0)
+    assert(m("manufacturer") == 1)
+    assert(m("device function") == 3)
+    assert(m("technology") == 4)
+    assert(m("results") == 7)
+    assert(m("dose rate") == 9)
+    assert(m("degradation level") == 10)
+  }
+
+  test("mapRow enforces the reference validity rule (mapped density >= " +
+      "half of ALL categories)") {
+    val mapping = Map("part number" -> 0, "manufacturer" -> 1,
+      "results" -> 2, "dose rate" -> 3, "degradation level" -> 4)
+    // 5 of 10 categories mapped and non-empty -> valid
+    assert(PdfIngest.mapRow(Vector("2N2222", "Fairchild", "ok", "10", ">30"),
+      mapping).isDefined)
+    // same mapping, mostly empty cells -> invalid
+    assert(PdfIngest.mapRow(Vector("2N2222", "", "", "", ""),
+      mapping).isEmpty)
+  }
+
+  test("radRowsOf: the real 2018 compendium yields its TID/DD part rows") {
+    val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      BinaryIngest.defaultDocsDir, "2018-nasa-compendium.pdf"))
+    val rows = PdfIngest.radRowsOf("2018-nasa-compendium.pdf", data)
+    assert(rows.nonEmpty)
+    val byPart = rows.map(r => r.head -> r).toMap
+    // independently verified against the printed table: AD620SQ/883B,
+    // Analog Devices, Bipolar op-amp, App.Spec Y
+    val ad620 = byPart("AD620SQ/883B")
+    assert(ad620(1) == "Analog Devices")
+    assert(ad620(3) == "Bipolar")
+    assert(ad620.last == "2018-nasa-compendium.pdf")
+    assert(ad620(10).startsWith("NASA Goddard"), "provenance = Info /Title")
+  }
+
+  test("R4 gate: a PDF without an Info /Title contributes no rows " +
+      "(tables.py:83-84)") {
+    val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      BinaryIngest.defaultDocsDir, "2019-nasa-compendium.pdf"))
+    assert(PdfMeta.titleModDate(data)._1.isEmpty, "fixture: 2019 has no /Title")
+    assert(PdfIngest.radRowsOf("2019-nasa-compendium.pdf", data).isEmpty)
+  }
+
+  test("q_rad_ingest assembles the corpus-wide rad_table") {
+    val q = graft.SparkEntry.queries("q_rad_ingest")(
+      SparkFixture.spark, SparkFixture.sf)
+    val rows = q.collect()
+    assert(rows.length >= 350, s"expected the full corpus, got ${rows.length}")
+    val files = rows.map(_.getString(11)).distinct.sorted
+    assert(files.length >= 8, s"files contributing: ${files.toSeq}")
+    assert(!files.contains("2019-nasa-compendium.pdf"), "R4 gate")
+    // a known row end-to-end through Spark
+    assert(rows.exists(r => r.getString(0) == "OP200" &&
+      r.getString(1) == "Analog Devices"))
+    // R21: no duplicate rows survive
+    assert(rows.map(_.toString).distinct.length == rows.length)
+  }
+}

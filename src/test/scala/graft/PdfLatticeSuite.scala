@@ -102,12 +102,12 @@ class PdfLatticeSuite extends AnyFunSuite {
       Vector("DC", "Dakai Chen"),
       Vector("RG", "Robert Gigliuto"),
       Vector("RL", "Raymond Ladbury"),
-      Vector("JML", "Jean - Marie Lauenstein"),
+      Vector("JML", "Jean-Marie Lauenstein"),
       Vector("DV", "Daniel Violette")))
     // the R5 payload: the TID results table headers + a real part row
     val p4t0 = tables.find(t => t._1 == 4 && t._2 == 0).get._3
     assert(p4t0.head.take(5) == Vector("Part Number", "Manufacturer",
-      "ID; REAG LDC", "Device Function", "Technology"))
+      "REAG ID; LDC", "Device Function", "Technology"))
     assert(p4t0(1).take(4) == Vector("2N6351", "Microsemi", "0714",
       "Transistor"))
   }
