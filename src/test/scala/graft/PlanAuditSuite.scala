@@ -33,6 +33,25 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"sampling itself must be map-only; found hash shuffles: $shuffles")
   }
 
+  test("PDF extraction is file-local: one mapPartitions pass, shuffles " +
+      "only for presentation sort / dedup") {
+    for (name <- Seq("q_pdf_tables", "q_rad_ingest")) {
+      val q = SparkEntry.queries(name)(spark, sf)
+      q.collect()
+      val shuffles = collectWithSubqueries(q.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e.outputPartitioning
+      }
+      // the parse itself must not shuffle raw bytes: only the final
+      // range sort (and, for rad, the dedup hash) may exchange —
+      // and those move extracted cells, never file contents
+      assert(shuffles.size <= 2, s"$name: unexpected shuffles $shuffles")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("content#") ||
+        !shuffles.exists(_.toString.contains("content")),
+        s"$name must never shuffle file bytes:\n$plan")
+    }
+  }
+
   test("skew-salted join merges on (key, salt) with no broadcast masking") {
     val q = SparkEntry.queries("q_join_skew_salted")(spark, sf)
     q.collect()
