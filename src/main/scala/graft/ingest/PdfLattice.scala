@@ -179,6 +179,16 @@ object PdfLattice {
     */
   final case class Box(x: Double, y: Double, w: Double, h: Double)
 
+  /** Advance estimate in text-space ems, by glyph class (no font
+    * metrics exist without the embedded font programs): narrow strokes
+    * ~0.35 em, caps/digits ~0.66 em, everything else ~0.5 em.
+    */
+  private def estWidth(s: String): Double = s.foldLeft(0.0) { (acc, c) =>
+    acc + (if ("ilIjt.,:;'()[]|!f ".indexOf(c) >= 0) 0.35
+    else if (c.isUpper || c.isDigit) 0.66
+    else 0.5)
+  }
+
   private def printable(bytes: Array[Byte], keepAll: Boolean): String = {
     val sb = new StringBuilder(bytes.length)
     bytes.foreach { b =>
@@ -242,7 +252,7 @@ object PdfLattice {
     def emit(s: String): Unit = if (s.nonEmpty) {
       val m = tm * ctm
       val (x, y) = m(0, 0)
-      val (xe, ye) = m(s.length * 0.5 * fs, 0)
+      val (xe, ye) = m(estWidth(s) * fs, 0)
       texts += TextFrag(x, y, xe, ye, s)
     }
 
@@ -598,6 +608,27 @@ object PdfLattice {
     }
   }
 
+  /** Coalesce same-baseline runs that touch (gap under ~a point) into
+    * one fragment: a small-caps word renders its capital as a separate
+    * larger-font run whose lone center can drift across a rule — glued
+    * to its tail it lands in the right cell, and line joining stops
+    * inventing a space inside the word.
+    */
+  private def coalesceFrags(texts: Seq[TextFrag]): Seq[TextFrag] =
+    lineGroups(texts).flatMap { line =>
+      val sorted = line.sortBy(_.xMin)
+      val out = new ArrayBuffer[TextFrag]
+      sorted.foreach { f =>
+        if (out.nonEmpty && f.xMin - out.last.xMax < 1.5 &&
+          f.xMin >= out.last.xMin) {
+          val p = out.last
+          out(out.length - 1) = TextFrag(p.x, p.y,
+            math.max(p.xMax, f.xMax), p.yEnd, p.text + f.text)
+        } else out += f
+      }
+      out
+    }
+
   /** Full per-page extraction (text fragments + detected tables) in
     * document order. Per-page and total-failure safe: a malformed page
     * or file yields nothing, never an exception (the scan must survive
@@ -608,7 +639,8 @@ object PdfLattice {
       pageDicts(data).zipWithIndex.map { case (pd, pi) =>
         Try {
           val (rawTexts, rawBoxes) = interpret(pageContent(data, pd))
-          val (texts, boxes) = normalizePage(pd, rawTexts, rawBoxes)
+          val (normTexts, boxes) = normalizePage(pd, rawTexts, rawBoxes)
+          val texts = coalesceFrags(normTexts)
           PageExtract(pi + 1, texts, detectTables(texts, boxes))
         }.getOrElse(PageExtract(pi + 1, Seq.empty, Seq.empty))
       }
