@@ -101,6 +101,21 @@ object BinaryIngest {
     // reference's primary artifact, produced from the same input bytes.
     // No oracle (the input is PDF bytes); PdfIngestSuite pins real part
     // rows and the per-stage semantics.
+    // R19/R20 on the REAL corpus: the abbreviation/conventions tables
+    // extracted by R5 feed the native abbrev_pairs Generator — the
+    // reference's glossary mined from its own PDFs. rows-only;
+    // PdfIngestSuite pins known pairs (tid -> total ionizing dose).
+    "q_abbrev_ingest" -> ((s, _) => {
+      import graft.functions.AbbrevPairsGen.abbrev_pairs_gen
+      import org.apache.spark.sql.functions.col
+      PdfIngest.abbrevCells(s, defaultDocsDir)
+        .select(col("file_name"),
+          abbrev_pairs_gen(col("cell")).as(Seq("abbrev", "expansion")))
+        .distinct()
+        .orderBy(col("file_name").asc_nulls_first,
+          col("abbrev").asc_nulls_first, col("expansion").asc_nulls_first)
+    }),
+
     "q_rad_ingest" -> ((s, _) => {
       import org.apache.spark.sql.functions.col
       PdfIngest.radTable(s, defaultDocsDir)

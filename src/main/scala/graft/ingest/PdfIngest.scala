@@ -203,6 +203,29 @@ object PdfIngest {
           }
     }
 
+  /** R19's input surface on real data: every cell of every
+    * abbreviation-typed table (R12), one row per (file, cell). The
+    * cells keep their wrapped-line newlines, which is exactly what the
+    * native `abbrev_pairs` Generator splits on (paren-aware, so a
+    * definition wrapped inside parentheses stays one entry).
+    */
+  def abbrevCells(s: SparkSession, docsDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    import s.implicits._
+    BinaryIngest.scan(s, docsDir)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (name, bytes) =>
+        assembleTables(bytes).iterator
+          .filter(t => tableType(t.title).contains("abbreviation"))
+          .flatMap(_.cells.iterator.flatten)
+          .filter(_.nonEmpty)
+          .map((name, _))
+      })
+      .toDF("file_name", "cell")
+  }
+
   /** The assembled rad_table over a docs directory: one task per file,
     * then R21's per-row exists-dedup as ONE dropDuplicates instead of
     * the reference's per-row SELECT round trip (database.py:19-32).

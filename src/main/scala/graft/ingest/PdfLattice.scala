@@ -437,9 +437,12 @@ object PdfLattice {
           // pdf y grows upward: top row of the table is the LAST y band
           (nRows - 1 to 0 by -1).map { r =>
             (0 until nCols).map { c =>
+              // wrapped lines keep their newline, like a rendered cell:
+              // downstream header mapping strips it (tables.py:178) and
+              // the R19 abbreviation parser SPLITS on it
               grid.get((r, c)).fold("") { frags =>
                 lineGroups(frags.toSeq).map(joinFrags)
-                  .mkString(" ").trim
+                  .mkString("\n").trim
               }
             }.toVector
           }.toVector))

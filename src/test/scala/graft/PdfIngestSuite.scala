@@ -106,6 +106,19 @@ class PdfIngestSuite extends AnyFunSuite {
     assert(PdfIngest.radRowsOf("2019-nasa-compendium.pdf", data).isEmpty)
   }
 
+  test("q_abbrev_ingest mines the real glossaries through the Generator") {
+    val rows = graft.SparkEntry.queries("q_abbrev_ingest")(
+      SparkFixture.spark, SparkFixture.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.length >= 300, s"expected corpus-wide pairs, got ${rows.length}")
+    // the canonical radiation glossary entries, defined independently in
+    // SEVERAL files' abbreviation tables
+    assert(rows.count(t => t._2 == "tid" && t._3 == "total ionizing dose") >= 5)
+    assert(rows.count(t => t._2 == "dd" && t._3 == "displacement damage") >= 5)
+    assert(rows.exists(t => t._2 == "cmos" &&
+      t._3 == "complementary metal oxide semiconductor"))
+  }
+
   test("q_rad_ingest assembles the corpus-wide rad_table") {
     val q = graft.SparkEntry.queries("q_rad_ingest")(
       SparkFixture.spark, SparkFixture.sf)

@@ -68,15 +68,17 @@ class PdfLatticeSuite extends AnyFunSuite {
     val content =
       "100 599.5 200 1 re f\n100 549.5 200 1 re f\n100 499.5 200 1 re f\n" +
         "99.5 499.5 1 101 re f\n199.5 499.5 1 101 re f\n299.5 499.5 1 101 re f\n" +
-        // TJ with kerning numbers; two fragments in one cell (joined in
-        // -y then x order); B2 left EMPTY
+        // TJ with kerning numbers; two fragments in one cell — a
+        // WRAPPED cell keeps its newline, like a rendered cell (the
+        // header mapper strips it, the abbreviation parser splits on
+        // it); B2 left EMPTY
         "BT /F1 10 Tf 110 580 Td [(Pa)-12.2(rt)] TJ ET\n" +
         "BT /F1 10 Tf 110 565 Td (Number) Tj ET\n" +
         "BT /F1 10 Tf 210 575 Td (Mfr) Tj ET\n" +
         "BT /F1 10 Tf 110 525 Td (2N2222) Tj ET"
     val tables = PdfLattice.tablesOf(onePagePdf(content))
     assert(tables.head._3 ==
-      Vector(Vector("Part Number", "Mfr"), Vector("2N2222", "")))
+      Vector(Vector("Part\nNumber", "Mfr"), Vector("2N2222", "")))
   }
 
   test("no rules -> no tables; malformed bytes -> no tables, no throw") {
@@ -95,7 +97,7 @@ class PdfLatticeSuite extends AnyFunSuite {
     // 1825, PREPENDED by an incremental update — a byte-order object
     // scan would misnumber every page, which is why the tree walk wins)
     val p1t0 = tables.find(t => t._1 == 1 && t._2 == 0).get._3
-    assert(p1t0.head == Vector("Facility", "Incident Proton Energy, (MeV)"))
+    assert(p1t0.head == Vector("Facility", "Incident\nProton Energy, (MeV)"))
     val p2t0 = tables.find(t => t._1 == 2 && t._2 == 0).get._3
     assert(p2t0 == Vector(
       Vector("Abbreviation", "Principal Investigator (PI)"),
@@ -107,7 +109,7 @@ class PdfLatticeSuite extends AnyFunSuite {
     // the R5 payload: the TID results table headers + a real part row
     val p4t0 = tables.find(t => t._1 == 4 && t._2 == 0).get._3
     assert(p4t0.head.take(5) == Vector("Part Number", "Manufacturer",
-      "REAG ID; LDC", "Device Function", "Technology"))
+      "REAG ID;\nLDC", "Device\nFunction", "Technology"))
     assert(p4t0(1).take(4) == Vector("2N6351", "Microsemi", "0714",
       "Transistor"))
   }
