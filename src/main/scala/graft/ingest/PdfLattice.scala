@@ -632,22 +632,41 @@ object PdfLattice {
       out
     }
 
+  // Executor-local parse cache: several queries (cells, rad ingest,
+  // abbreviation mining) walk the same corpus in one session, and the
+  // extraction is a pure function of the bytes. Keyed by content hash,
+  // bounded (cleared wholesale at the cap) — at cluster scale this is a
+  // per-executor working set, not a corpus mirror.
+  private val parseCache =
+    scala.collection.concurrent.TrieMap.empty[(Long, Int), Seq[PageExtract]]
+  private val ParseCacheCap = 256
+
   /** Full per-page extraction (text fragments + detected tables) in
     * document order. Per-page and total-failure safe: a malformed page
     * or file yields nothing, never an exception (the scan must survive
     * a corrupt input).
     */
-  def pages(data: Array[Byte]): Seq[PageExtract] =
-    Try {
-      pageDicts(data).zipWithIndex.map { case (pd, pi) =>
-        Try {
-          val (rawTexts, rawBoxes) = interpret(pageContent(data, pd))
-          val (normTexts, boxes) = normalizePage(pd, rawTexts, rawBoxes)
-          val texts = coalesceFrags(normTexts)
-          PageExtract(pi + 1, texts, detectTables(texts, boxes))
-        }.getOrElse(PageExtract(pi + 1, Seq.empty, Seq.empty))
-      }
-    }.getOrElse(Seq.empty)
+  def pages(data: Array[Byte]): Seq[PageExtract] = {
+    val key = (scala.util.hashing.MurmurHash3.bytesHash(data).toLong,
+      data.length)
+    parseCache.get(key) match {
+      case Some(hit) => hit
+      case None =>
+        val out = Try {
+          pageDicts(data).zipWithIndex.map { case (pd, pi) =>
+            Try {
+              val (rawTexts, rawBoxes) = interpret(pageContent(data, pd))
+              val (normTexts, boxes) = normalizePage(pd, rawTexts, rawBoxes)
+              val texts = coalesceFrags(normTexts)
+              PageExtract(pi + 1, texts, detectTables(texts, boxes))
+            }.getOrElse(PageExtract(pi + 1, Seq.empty, Seq.empty))
+          }
+        }.getOrElse(Seq.empty)
+        if (parseCache.size >= ParseCacheCap) parseCache.clear()
+        parseCache.putIfAbsent(key, out)
+        out
+    }
+  }
 
   /** All ruled tables of one PDF:
     * (page 1-based, tableIdx top-first, cells top-first rows).
