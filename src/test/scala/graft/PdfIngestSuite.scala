@@ -106,6 +106,29 @@ class PdfIngestSuite extends AnyFunSuite {
     assert(PdfIngest.radRowsOf("2019-nasa-compendium.pdf", data).isEmpty)
   }
 
+  test("the declarative TitleJoin agrees with the reference walk on " +
+      "real extracted geometry") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      BinaryIngest.defaultDocsDir, "2018-nasa-compendium.pdf"))
+    val pe = PdfLattice.pages(data)(2) // page 3: the TID results table
+    val texts = PdfIngest.textLines(pe.texts).zipWithIndex
+      .map { case (l, i) =>
+        (i.toLong, l.text, (l.xMin + l.xMax) / 2.0, l.y)
+      }.toDF("obj_id", "text", "x_mid", "y_bottom")
+    val tables = pe.tables.zipWithIndex.map { case (t, i) =>
+      (i.toLong, (t.xMin + t.xMax) / 2.0, t.yMax)
+    }.toDF("table_id", "x_mid", "y_top")
+    val joined = TitleJoin.nearestAbove(texts, tables)
+      .orderBy(col("table_id")).collect()
+    // the DataFrame operator (min_by over a range join) and the local
+    // sequential walk both land on the TID summary title
+    assert(joined.head.getString(1).toLowerCase.replace(" ", "")
+      .contains("tidtestresults"), s"got: ${joined.head.getString(1)}")
+  }
+
   test("q_abbrev_ingest mines the real glossaries through the Generator") {
     val rows = graft.SparkEntry.queries("q_abbrev_ingest")(
       SparkFixture.spark, SparkFixture.sf).collect()
