@@ -107,6 +107,25 @@ object IngestDemo {
       .toDF("table_id", "x_mid", "y_top")
     println("== titleJoin ==")
     TitleJoin.nearestAbove(texts, anchors).orderBy("table_id").show(false)
+
+    // 7. the same dataflow over the REAL corpus (R5 lattice extraction
+    // -> the whole reference pipeline): rad_table rows and the mined
+    // abbreviation glossary from the actual compendium PDFs
+    val docs = graft.ingest.BinaryIngest.defaultDocsDir
+    if (new java.io.File(docs).isDirectory) {
+      val rad = graft.ingest.PdfIngest.radTable(spark, docs)
+      println(s"== REAL corpus rad_table == ${rad.count()} rows")
+      rad.select("part_number", "manufacturer", "technology",
+          "source_paper_filename")
+        .filter(col("part_number").isNotNull && col("part_number") =!= "")
+        .orderBy("part_number").show(8, truncate = 24)
+      import graft.functions.AbbrevPairsGen.abbrev_pairs_gen
+      val glossaryReal = graft.ingest.PdfIngest.abbrevCells(spark, docs)
+        .select(abbrev_pairs_gen(col("cell")).as(Seq("abbrev", "expansion")))
+        .distinct()
+      println(s"== REAL corpus glossary == ${glossaryReal.count()} pairs")
+      glossaryReal.orderBy("abbrev").show(8, truncate = 40)
+    }
     spark.stop()
   }
 }
