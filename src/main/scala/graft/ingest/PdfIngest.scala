@@ -166,9 +166,12 @@ object PdfIngest {
   }
 
   /** R17+R16 (tables.py:218-263): a data row maps category -> cell for
-    * every mapped category; it is valid when its non-empty mapped
-    * values cover >= half of ALL ten categories (the reference divides
-    * by `len(self.mapped_header)`, which always holds every category).
+    * every mapped category; the reference appends source_paper and
+    * source_paper_filename to mp_values BEFORE computing density over
+    * `len(self.mapped_header)` = 10 (tables.py:237-257) — both
+    * provenance values are always non-empty, so the `+ 2` below makes
+    * the gate accept rows with >= 3 non-empty mapped categories, like
+    * the reference, not >= 5.
     */
   private[ingest] def mapRow(row: Vector[String],
       mapping: Map[String, Int]): Option[Map[String, String]] = {
@@ -177,18 +180,28 @@ object PdfIngest {
         Some(cat -> Option(row(idx)).getOrElse("").replace("\n", " "))
       else None
     }
-    val density = vals.values.count(_.nonEmpty).toDouble /
+    val density = (vals.values.count(_.nonEmpty) + 2).toDouble /
       headerCategories.length
     if (density < 0.5) None else Some(vals)
   }
 
-  /** All rad_table rows of one file (main.py:94-104): R4's title gate
-    * (no Info /Title -> the whole file is skipped, tables.py:83-84),
+  /** All rad_table rows of one file (main.py:94-104): R4's title gate,
     * then assembly, rad-type gate, header map, and per-row validity.
     * Row order inside a file follows table order then row order.
+    *
+    * source_paper re-creates get_pdf_title (tables.py:67-76) exactly:
+    * Title and ModDate CONCATENATED with every single/double quote
+    * stripped (the reference renders the bytes objects through an
+    * f-string then deletes `b'`, `'` and `"`), and the whole file is
+    * skipped when EITHER key is missing — the except path returns None
+    * and get_all_tables (tables.py:83-84) bails on None.
     */
   def radRowsOf(fileName: String, data: Array[Byte]): Seq[Seq[String]] =
-    PdfMeta.titleModDate(data)._1 match {
+    (PdfMeta.titleModDate(data) match {
+      case (Some(t), Some(md)) =>
+        Some((t + md).replace("'", "").replace("\"", ""))
+      case _ => None
+    }) match {
       case None => Seq.empty
       case Some(paper) =>
         assembleTables(data)

@@ -528,7 +528,11 @@ object PdfLattice {
       .flatMap(m => Ref.findAllMatchIn(m.group(1)).map(_.group(1).toInt))
     val out = new java.io.ByteArrayOutputStream()
     refs.foreach { n =>
-      ("""(?:^|[^0-9])""" + n + """\s+0\s+obj\b""").r.findFirstMatchIn(s)
+      // last match wins: incremental updates append replacement
+      // objects, and the newest generation is the live one (the same
+      // last-trailer-wins policy as PdfMeta.rawObject)
+      ("""(?:^|[^0-9])""" + n + """\s+0\s+obj\b""").r
+        .findAllMatchIn(s).toSeq.lastOption
         .foreach { m =>
           val st = s.indexOf("stream", m.end)
           val end = s.indexOf("endobj", m.end)

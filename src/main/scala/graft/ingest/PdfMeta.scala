@@ -58,10 +58,15 @@ object PdfMeta {
     }
   }
 
-  /** Classic layout: `N 0 obj ... endobj` in the raw bytes. */
+  /** Classic layout: `N 0 obj ... endobj` in the raw bytes. The LAST
+    * match wins: an incrementally-updated PDF appends replacement
+    * objects, and taking the first would resurrect the oldest
+    * generation while [[infoDict]] deliberately follows the NEWEST
+    * trailer's /Info ref (last-trailer-wins must be consistent).
+    */
   private[ingest] def rawObject(s: String, n: Int): Option[String] =
     ("""(?s)(?:^|[^0-9])""" + n + """\s+0\s+obj\b(.*?)endobj""").r
-      .findFirstMatchIn(s).map(_.group(1))
+      .findAllMatchIn(s).toSeq.lastOption.map(_.group(1))
 
   /** Cross-reference-stream layout: object N lives inside a compressed
     * `/ObjStm`. Each stream's header (before `/First`) is pairs of

@@ -183,6 +183,12 @@ object IvfIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.get(0))
+    // the collect above materialized the blocks; release the
+    // CacheManager entry NOW (non-blocking) so a long-lived session
+    // issuing many searches doesn't accumulate one pinned entry per
+    // call — the join below reuses whatever blocks remain or
+    // recomputes the query-sized frame from lineage
+    probes.unpersist(blocking = false)
     // tombstoned vectors stop surfacing immediately (pre-compaction);
     // absent tombstones leave the plan untouched
     val pruned = s.read.parquet(h.path + "/vectors")

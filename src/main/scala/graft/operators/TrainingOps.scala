@@ -123,8 +123,16 @@ object TrainingOps {
       threshold: Double): DataFrame = {
     val e = e0.withColumn("nrm", vec_norm(col("embedding")))
     val (assigned, _) = IvfAnn.assign(e, k, iters)
+    // both self-join sides read this frame — persisted LAZILY
+    // (MEMORY_AND_DISK, recomputable from lineage) per the
+    // MultimodalOps.decodedMedia idiom: a localCheckpoint here would
+    // materialize a corpus-sized frame in non-fault-tolerant
+    // executor-local blocks as a job AT QUERY CONSTRUCTION. The
+    // CacheManager dedupes by logical plan, so repeated calls on the
+    // same input share one entry.
     val cells = assigned.select(col("cell"), col("vec_id"),
-      col("embedding"), col("nrm")).localCheckpoint()
+      col("embedding"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cells.select(col("cell"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val b = cells.select(col("cell"), col("vec_id").as("v2"),
@@ -148,12 +156,15 @@ object TrainingOps {
     * when V fits, else it shuffles on term like the TF-IDF tier.
     */
   def perplexityScores(docs: DataFrame): DataFrame = {
-    // materialized once: the LM aggregate, the (N, V) totals and the
-    // scoring join each read the token frame — without the checkpoint
-    // one action would tokenize the corpus three times
+    // the LM aggregate, the (N, V) totals and the scoring join each
+    // read the token frame — persisted LAZILY (MEMORY_AND_DISK,
+    // lineage-recomputable) so it tokenizes once but schedules NO job
+    // at query construction; the replaced localCheckpoint ran the full
+    // corpus explosion eagerly into non-fault-tolerant executor-local
+    // blocks (one lost executor at 100 TB fails the query)
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val tot = toks.agg(count(lit(1)).as("n"),
       count_distinct(col("term")).as("v"))
@@ -177,7 +188,7 @@ object TrainingOps {
     */
   def perplexityScoresAgainst(docs: DataFrame, refDocs: DataFrame): DataFrame = {
     val refToks = refDocs.select(explode(split(col("text"), " ")).as("term"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lm = refToks.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val tot = refToks.agg(count(lit(1)).as("n"),
       count_distinct(col("term")).as("v"))

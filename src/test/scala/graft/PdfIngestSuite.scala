@@ -71,14 +71,21 @@ class PdfIngestSuite extends AnyFunSuite {
     assert(m("degradation level") == 10)
   }
 
-  test("mapRow enforces the reference validity rule (mapped density >= " +
-      "half of ALL categories)") {
+  test("mapRow enforces the reference validity rule (provenance counts: " +
+      "3 non-empty mapped categories suffice)") {
     val mapping = Map("part number" -> 0, "manufacturer" -> 1,
       "results" -> 2, "dose rate" -> 3, "degradation level" -> 4)
     // 5 of 10 categories mapped and non-empty -> valid
     assert(PdfIngest.mapRow(Vector("2N2222", "Fairchild", "ok", "10", ">30"),
       mapping).isDefined)
-    // same mapping, mostly empty cells -> invalid
+    // the reference appends the two always-non-empty provenance values
+    // before dividing by 10 (tables.py:237-257): 3 non-empty mapped
+    // categories -> (3+2)/10 = 0.5 -> valid ...
+    assert(PdfIngest.mapRow(Vector("2N2222", "Fairchild", "ok", "", ""),
+      mapping).isDefined)
+    // ... but 2 -> 0.4 -> invalid
+    assert(PdfIngest.mapRow(Vector("2N2222", "Fairchild", "", "", ""),
+      mapping).isEmpty)
     assert(PdfIngest.mapRow(Vector("2N2222", "", "", "", ""),
       mapping).isEmpty)
   }
@@ -95,7 +102,11 @@ class PdfIngestSuite extends AnyFunSuite {
     assert(ad620(1) == "Analog Devices")
     assert(ad620(3) == "Bipolar")
     assert(ad620.last == "2018-nasa-compendium.pdf")
-    assert(ad620(10).startsWith("NASA Goddard"), "provenance = Info /Title")
+    // provenance = Title + ModDate concatenated, quotes stripped
+    // (get_pdf_title, tables.py:67-76)
+    assert(ad620(10).startsWith("NASA Goddard"))
+    assert(ad620(10).endsWith("00"), "ModDate tail, quotes stripped")
+    assert(!ad620(10).contains("'") && !ad620(10).contains("\""))
   }
 
   test("R4 gate: a PDF without an Info /Title contributes no rows " +

@@ -168,6 +168,43 @@ class TrainingOpsSuite extends AnyFunSuite {
       s"within-cluster pass should catch most near-dups, recall=$recall")
   }
 
+  test("perplexity/semantic-dedup construction schedules no corpus job") {
+    // the round-7 review found eager localCheckpoints here: each ran a
+    // corpus-sized job at query construction into non-fault-tolerant
+    // executor-local blocks. Both are now LAZY persists (the
+    // MultimodalOps.decodedMedia idiom) — constructing the perplexity
+    // queries must schedule nothing, and semantic dedup only the
+    // K-bounded k-means fit collects (1 seed + iters Lloyd steps).
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val g1 = "graft-ppl-construct-probe"
+    spark.sparkContext.setJobGroup(g1, "construction must be lazy")
+    try {
+      TrainingOps.perplexityScores(docs)
+      TrainingOps.perplexityScoresAgainst(docs, docs)
+      SparkEntry.queries("q_text_perplexity")(spark, sf)
+    } finally spark.sparkContext.clearJobGroup()
+    val j1 = spark.sparkContext.statusTracker.getJobIdsForGroup(g1)
+    assert(j1.isEmpty,
+      s"perplexity construction ran ${j1.length} Spark job(s) — eager")
+    // baseline: the K-bounded k-means fit alone (its collects fan out
+    // into several AQE jobs — count them, don't guess)
+    val gFit = "graft-semdedup-fit-baseline"
+    spark.sparkContext.setJobGroup(gFit, "the fit's own job count")
+    try graft.operators.IvfAnn.assign(
+      Tables.embeddings(spark, sf), k = 4, iters = 2)
+    finally spark.sparkContext.clearJobGroup()
+    val jFit = spark.sparkContext.statusTracker.getJobIdsForGroup(gFit)
+    val g2 = "graft-semdedup-construct-probe"
+    spark.sparkContext.setJobGroup(g2, "only the k-means fit may run")
+    try SparkEntry.queries("q_dedup_semantic")(spark, sf)
+    finally spark.sparkContext.clearJobGroup()
+    val j2 = spark.sparkContext.statusTracker.getJobIdsForGroup(g2)
+    assert(j2.length <= jFit.length,
+      s"semanticDedup construction ran ${j2.length} jobs vs ${jFit.length} " +
+        "for the fit alone — a corpus-sized materialization crept back in")
+  }
+
   test("span removal keeps an ordered subsequence and only trims copied docs") {
     val original = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
