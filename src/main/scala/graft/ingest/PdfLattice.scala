@@ -27,10 +27,11 @@ import scala.util.Try
   *      fragments land in their enclosing cell, concatenated in reading
   *      order (top-to-bottom, left-to-right).
   *
-  * Variances from camelot, all conservative: `copy_text=['v']` (merged
-  * -cell value smoothing) is not re-created — a vertically merged cell
-  * surfaces as one filled cell plus empties, which the R7 density gate
-  * already tolerates; character codes outside printable Latin-1
+  * camelot's `copy_text=['v']` (merged-cell value smoothing — the
+  * reference always passes it, tables.py:54) IS re-created: an empty
+  * cell with left/right rules but no top rule inherits the value
+  * above it ([[CopyTextV]]). Variances from camelot, all conservative:
+  * character codes outside printable Latin-1
   * (CID-font artifacts — bullets, NBSPs) are dropped rather than
   * guessed; and SCANNED pages (a full-page image + invisible-OCR text
   * layer, e.g. the 2005-b/2007 compendiums) yield nothing, because
@@ -183,11 +184,13 @@ object PdfLattice {
     * metrics exist without the embedded font programs): narrow strokes
     * ~0.35 em, caps/digits ~0.66 em, everything else ~0.5 em.
     */
-  private def estWidth(s: String): Double = s.foldLeft(0.0) { (acc, c) =>
-    acc + (if ("ilIjt.,:;'()[]|!f ".indexOf(c) >= 0) 0.35
+  private def estCharWidth(c: Char): Double =
+    if ("ilIjt.,:;'()[]|!f ".indexOf(c) >= 0) 0.35
     else if (c.isUpper || c.isDigit) 0.66
-    else 0.5)
-  }
+    else 0.5
+
+  private def estWidth(s: String): Double =
+    s.foldLeft(0.0)((acc, c) => acc + estCharWidth(c))
 
   private def printable(bytes: Array[Byte], keepAll: Boolean): String = {
     val sb = new StringBuilder(bytes.length)
@@ -205,6 +208,7 @@ object PdfLattice {
     var ctm = Id
     val ctmStack = new ArrayBuffer[Mat]
     var tm = Id; var tlm = Id; var tl = 0.0; var fs = 1.0
+    var tc = 0.0; var tw = 0.0 // Tc char / Tw word spacing (text state)
     val operands = new ArrayBuffer[Tok]
     val pathRects = new ArrayBuffer[(Double, Double, Double, Double)]
     val pathLines = new ArrayBuffer[((Double, Double), (Double, Double))]
@@ -249,12 +253,35 @@ object PdfLattice {
       pathRects.clear(); pathLines.clear(); cur = null; pathStart = null
     }
     def newline(): Unit = { tlm = Mat(1, 0, 0, 1, 0, -tl) * tlm; tm = tlm }
-    def emit(s: String): Unit = if (s.nonEmpty) {
-      val m = tm * ctm
-      val (x, y) = m(0, 0)
-      val (xe, ye) = m(estWidth(s) * fs, 0)
-      texts += TextFrag(x, y, xe, ye, s)
+    // ---- show-text run assembly. A single show op can paint text that
+    // spans several table cells (space glyphs stretched by Tw, or TJ
+    // kern jumps) — pdfminer lays glyphs at their true advances and its
+    // line grouping splits at the gaps, so camelot sees one textline
+    // per cell. We re-create that: walk glyphs tracking the offset in
+    // unscaled text space (estimated widths + Tc/Tw), and FLUSH the run
+    // whenever a space or kern advances more than one em — that gap is
+    // a tabulation into another column, not a word break.
+    val rsb = new StringBuilder
+    var rOff = 0.0; var rOff0 = 0.0; var rEnd = 0.0
+    def flushRun(): Unit = {
+      if (rsb.nonEmpty) {
+        val m = tm * ctm
+        val (x, y) = m(rOff0, 0)
+        val (xe, ye) = m(rEnd, 0)
+        texts += TextFrag(x, y, xe, ye, rsb.toString)
+        rsb.clear()
+      }
     }
+    def beginShow(): Unit = { rsb.clear(); rOff = 0.0; rOff0 = 0.0; rEnd = 0.0 }
+    def runString(s: String): Unit = s.foreach { c =>
+      val adv = estCharWidth(c) * fs + tc + (if (c == ' ') tw else 0.0)
+      if (c == ' ' && adv > fs) { flushRun(); rOff += adv }
+      else {
+        if (rsb.isEmpty) rOff0 = rOff
+        rsb += c; rOff += adv; rEnd = rOff
+      }
+    }
+    def emit(s: String): Unit = { beginShow(); runString(s); flushRun() }
 
     lex(content).foreach {
       case TOp(op) =>
@@ -284,6 +311,8 @@ object PdfLattice {
           case "ET" => ()
           case "Tf" => nums(1).foreach(v => fs = v(0))
           case "TL" => nums(1).foreach(v => tl = v(0))
+          case "Tc" => nums(1).foreach(v => tc = v(0))
+          case "Tw" => nums(1).foreach(v => tw = v(0))
           case "Tm" => nums(6).foreach { v =>
             tm = Mat(v(0), v(1), v(2), v(3), v(4), v(5)); tlm = tm
           }
@@ -296,22 +325,32 @@ object PdfLattice {
           case "T*" => newline()
           case "Tj" => lastString.foreach(emit)
           case "'" => newline(); lastString.foreach(emit)
-          case "\"" => newline(); lastString.foreach(emit)
+          case "\"" =>
+            // aw ac string ": set word + char spacing, newline, show
+            nums(2).foreach { v => tw = v(0); tc = v(1) }
+            newline(); lastString.foreach(emit)
           case "TJ" =>
             // numeric elements are kerning adjustments in thousandths
             // of an em; a large negative one IS the word gap in files
             // that space words by displacement instead of space glyphs
-            // (the pdftotext/pdfminer heuristic, threshold ~-180)
-            val sb = new StringBuilder
+            // (the pdftotext/pdfminer heuristic, threshold ~-180). A
+            // VERY large one (> 1 em) is a tabulation jump into the
+            // next table column — pdfminer's layout splits the line at
+            // the gap, and so must we: the runs become separate
+            // fragments at their true x positions, otherwise a row
+            // painted as one kerned TJ melts its cells together.
+            beginShow()
             operands.foreach {
-              case TStr(b) => sb ++= printable(b, keepAll = true)
-              case THex(b) => sb ++= printable(b, keepAll = false)
+              case TStr(b) => runString(printable(b, keepAll = true))
+              case THex(b) => runString(printable(b, keepAll = false))
               case TNum(v) =>
-                if (v < -180 && sb.nonEmpty && !sb.last.isWhitespace)
-                  sb += ' '
+                if (v < -1000) flushRun()
+                else if (v < -180 && rsb.nonEmpty && !rsb.last.isWhitespace)
+                  rsb += ' '
+                rOff -= v / 1000.0 * fs
               case _ => ()
             }
-            emit(sb.toString)
+            flushRun()
           case _ => () // Tc/Tw/Tz/Ts/Tf/Tr, color, XObjects, marked content
         }
         operands.clear()
@@ -333,6 +372,11 @@ object PdfLattice {
   /** One page's interpreted content: positioned text + detected grids. */
   final case class PageExtract(page: Int, texts: Seq[TextFrag],
       tables: Seq[Table])
+
+  /** camelot `copy_text=['v']` smoothing on/off — on, because the
+    * reference passes it on every read_pdf call (tables.py:54).
+    */
+  private[ingest] val CopyTextV = true
 
   private val Tol = 2.0
   private val SegJoinGap = 6.0 // collinear rule pieces bridge gaps this wide
@@ -419,6 +463,34 @@ object PdfLattice {
       if (ys.length < 2 || xs.length < 2) None
       else {
         val nRows = ys.length - 1; val nCols = xs.length - 1
+        // per-edge rule presence, from this component's own segments:
+        // hEdge(k)(c) = a rule runs along y band boundary ys(k) over
+        // column band c; vEdge(j)(r) likewise for x boundary xs(j)
+        val hSegs = comp.filter(lines(_)._1).map(lines(_))
+        val vSegs = comp.filterNot(lines(_)._1).map(lines(_))
+        val hEdge = Array.tabulate(ys.length, nCols)((k, c) =>
+          edgeCovered(hSegs, ys(k), xs(c), xs(c + 1)))
+        val vEdge = Array.tabulate(xs.length, nRows)((j, r) =>
+          edgeCovered(vSegs, xs(j), ys(r), ys(r + 1)))
+        // camelot's per-cell border flags in OUTPUT coordinates (row i
+        // top-first, col c): band r = nRows - 1 - i
+        def top(i: Int, c: Int) = hEdge(nRows - i)(c)
+        def bottom(i: Int, c: Int) = hEdge(nRows - 1 - i)(c)
+        def left(i: Int, c: Int) = vEdge(c)(nRows - 1 - i)
+        def right(i: Int, c: Int) = vEdge(c + 1)(nRows - 1 - i)
+        // camelot cell.set_span: a 3-bounded cell missing one h edge
+        // spans horizontally, missing one v edge spans vertically; a
+        // 2-bounded cell spans along its bounded axis
+        def hspan(i: Int, c: Int): Boolean = {
+          val (t, b, l, r) = (top(i, c), bottom(i, c), left(i, c), right(i, c))
+          val bound = Seq(t, b, l, r).count(identity)
+          (bound == 3 && t && b && (!l || !r)) || (bound == 2 && t && b)
+        }
+        def vspan(i: Int, c: Int): Boolean = {
+          val (t, b, l, r) = (top(i, c), bottom(i, c), left(i, c), right(i, c))
+          val bound = Seq(t, b, l, r).count(identity)
+          (bound == 3 && l && r && (!t || !b)) || (bound == 2 && l && r)
+        }
         val grid = scala.collection.mutable.Map
           .empty[(Int, Int), ArrayBuffer[TextFrag]]
         texts.foreach { t =>
@@ -428,24 +500,54 @@ object PdfLattice {
             // holding most of it
             val ci = bucket(xs, (t.xMin + t.xMax) / 2)
             val ri = bucket(ys, t.y)
-            if (ci >= 0 && ri >= 0)
-              grid.getOrElseUpdate((ri, ci), new ArrayBuffer) += t
+            if (ci >= 0 && ri >= 0) {
+              // camelot shift_text=['l','t'] (lattice.py _reduce_index,
+              // the defaults the reference inherits): text landing in a
+              // spanning cell is credited to the span ROOT — walk left
+              // to a left-bounded cell, then up to a top-bounded one.
+              // This is what turns a wrapped line inside a vertically
+              // merged cell into ONE joined cell value instead of a
+              // stray fragment in the continuation band below.
+              var i = nRows - 1 - ri; var c = ci
+              if (hspan(i, c)) while (c > 0 && !left(i, c)) c -= 1
+              if (vspan(i, c)) while (i > 0 && !top(i, c)) i -= 1
+              grid.getOrElseUpdate((nRows - 1 - i, c), new ArrayBuffer) += t
+            }
           }
         }
         if (grid.isEmpty) None
-        else Some(Table(xs.head, ys.head, xs.last, ys.last,
+        else {
           // pdf y grows upward: top row of the table is the LAST y band
-          (nRows - 1 to 0 by -1).map { r =>
-            (0 until nCols).map { c =>
-              // wrapped lines keep their newline, like a rendered cell:
-              // downstream header mapping strips it (tables.py:178) and
-              // the R19 abbreviation parser SPLITS on it
-              grid.get((r, c)).fold("") { frags =>
-                lineGroups(frags.toSeq).map(joinFrags)
-                  .mkString("\n").trim
+          val txt = Array.tabulate(nRows, nCols) { (i, c) =>
+            // wrapped lines keep their newline, like a rendered cell:
+            // downstream header mapping strips it (tables.py:178) and
+            // the R19 abbreviation parser SPLITS on it
+            grid.get((nRows - 1 - i, c)).fold("") { frags =>
+              lineGroups(frags.toSeq).map(joinFrags)
+                .mkString("\n").trim
+            }
+          }
+          if (CopyTextV) {
+            // camelot's copy_text=['v'] (the reference always passes it,
+            // tables.py:54; lattice.py _copy_spanning_text): an EMPTY
+            // vertically-spanning cell with no top rule inherits the
+            // text of the cell above; top-first iteration cascades the
+            // value down multi-row merges exactly like camelot's
+            // ascending-row walk.
+            var i = 1
+            while (i < nRows) {
+              var c = 0
+              while (c < nCols) {
+                if (txt(i)(c).isEmpty && vspan(i, c) && !top(i, c))
+                  txt(i)(c) = txt(i - 1)(c)
+                c += 1
               }
-            }.toVector
-          }.toVector))
+              i += 1
+            }
+          }
+          Some(Table(xs.head, ys.head, xs.last, ys.last,
+            txt.map(_.toVector).toVector))
+        }
       }
     }.toSeq
     tables.sortBy(-_.top)
@@ -458,6 +560,24 @@ object PdfLattice {
       else groups += ArrayBuffer(v)
     }
     groups.map(g => g.sum / g.length).toIndexedSeq
+  }
+
+  /** True when rule segments at `pos` (within 2·Tol — segment positions
+    * may sit up to Tol either side of the clustered boundary) cover at
+    * least half of [lo, hi]. Interval-union sweep, so an edge assembled
+    * from several dashed pieces counts once.
+    */
+  private def edgeCovered(segs: Seq[(Boolean, Double, Double, Double)],
+      pos: Double, lo: Double, hi: Double): Boolean = {
+    val iv = segs.iterator
+      .filter(s => math.abs(s._4 - pos) <= Tol * 2)
+      .map(s => (math.max(s._2, lo), math.min(s._3, hi)))
+      .filter(p => p._2 > p._1).toArray.sortBy(_._1)
+    var tot = 0.0; var cur = lo
+    iv.foreach { case (a, b) =>
+      if (b > cur) { tot += b - math.max(a, cur); cur = b }
+    }
+    tot >= (hi - lo) * 0.5
   }
 
   private def bucket(bounds: IndexedSeq[Double], v: Double): Int = {

@@ -81,6 +81,36 @@ class PdfLatticeSuite extends AnyFunSuite {
       Vector(Vector("Part\nNumber", "Mfr"), Vector("2N2222", "")))
   }
 
+  test("copy_text=['v']: a vertically merged cell fills down, exactly " +
+      "like camelot's spanning-text smoothing") {
+    // 2-col x 4-row grid; the LEFT column's three data cells are merged
+    // (the horizontal rules at y=600 and y=550 exist only over the
+    // right column), text only in the first merged band — camelot with
+    // copy_text=['v'] (which the reference always passes, tables.py:54)
+    // cascades 'SPAN' into both continuation cells
+    val content =
+      "100 699.5 200 1 re f\n" + // y=700, full width
+        "100 649.5 200 1 re f\n" + // y=650, full width
+        "200 599.5 100 1 re f\n" + // y=600, RIGHT column only
+        "200 549.5 100 1 re f\n" + // y=550, RIGHT column only
+        "100 499.5 200 1 re f\n" + // y=500, full width
+        "99.5 499.5 1 201 re f\n" + // x=100
+        "199.5 499.5 1 201 re f\n" + // x=200
+        "299.5 499.5 1 201 re f\n" + // x=300
+        "BT /F1 10 Tf 110 675 Td (Hdr) Tj ET\n" +
+        "BT /F1 10 Tf 210 675 Td (Val) Tj ET\n" +
+        "BT /F1 10 Tf 110 625 Td (SPAN) Tj ET\n" +
+        "BT /F1 10 Tf 210 625 Td (r1) Tj ET\n" +
+        "BT /F1 10 Tf 210 575 Td (r2) Tj ET\n" +
+        "BT /F1 10 Tf 210 525 Td (r3) Tj ET"
+    val tables = PdfLattice.tablesOf(onePagePdf(content))
+    assert(tables.head._3 == Vector(
+      Vector("Hdr", "Val"),
+      Vector("SPAN", "r1"),
+      Vector("SPAN", "r2"),
+      Vector("SPAN", "r3")))
+  }
+
   test("no rules -> no tables; malformed bytes -> no tables, no throw") {
     val textOnly = "BT /F1 10 Tf 110 575 Td (just text) Tj ET"
     assert(PdfLattice.tablesOf(onePagePdf(textOnly)).isEmpty)
