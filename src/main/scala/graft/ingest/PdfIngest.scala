@@ -197,11 +197,7 @@ object PdfIngest {
     * and get_all_tables (tables.py:83-84) bails on None.
     */
   def radRowsOf(fileName: String, data: Array[Byte]): Seq[Seq[String]] =
-    (PdfMeta.titleModDate(data) match {
-      case (Some(t), Some(md)) =>
-        Some((t + md).replace("'", "").replace("\"", ""))
-      case _ => None
-    }) match {
+    sourcePaperOf(data) match {
       case None => Seq.empty
       case Some(paper) =>
         assembleTables(data)
@@ -238,6 +234,62 @@ object PdfIngest {
       })
       .toDF("file_name", "cell")
   }
+
+  /** R4-gated source_paper exactly as get_pdf_title builds it
+    * (tables.py:67-76): Title and ModDate concatenated, quotes
+    * stripped; None when either key is missing (the whole file skips).
+    */
+  private[ingest] def sourcePaperOf(data: Array[Byte]): Option[String] =
+    PdfMeta.titleModDate(data) match {
+      case (Some(t), Some(md)) =>
+        Some((t + md).replace("'", "").replace("\"", ""))
+      case _ => None
+    }
+
+  /** Staging rows for the ORACLE-CHECKABLE relational tail
+    * (q_rad_relational): everything a SQL engine cannot do (PDF codec,
+    * R5 lattice extraction, R6 title walk, R15 fuzzy header scoring)
+    * is computed here per file and dumped as plain relational data;
+    * the R7 -> R8 -> R12 -> R17 -> R16 -> R21 tail is then derived
+    * from these frames twice — by Spark and by DuckDB — and compared.
+    *
+    * Returns (cellRows, headerMapRows):
+    *   - (file_name, table_uid, title, source_paper, row_idx, col_idx,
+    *     cell) — EVERY cell of every detected table in document order,
+    *     ungated (the density gate is part of the tail under test);
+    *   - (file_name, root_uid, category, col_idx) — the R15 mapping of
+    *     each density-gated TITLED table's own header row (the fold
+    *     only appends data rows, so an assembled table's header is its
+    *     root's row 0). Derived here because partial_ratio is not
+    *     SQL-expressible; its scoring is golden-tested separately.
+    */
+  private[ingest] def stageRowsOf(fileName: String, data: Array[Byte])
+      : (Seq[(String, Int, String, String, Int, Int, String)],
+         Seq[(String, Int, String, Int)]) =
+    sourcePaperOf(data) match {
+      case None => (Seq.empty, Seq.empty)
+      case Some(paper) =>
+        val tables = PdfLattice.pages(data).flatMap { pe =>
+          val lines = textLines(pe.texts)
+          pe.tables.map(t => (closestTitle(t, lines), t.cells))
+        }.zipWithIndex
+        val cellRows = tables.flatMap { case ((title, cells), uid) =>
+          cells.iterator.zipWithIndex.flatMap { case (row, ri) =>
+            row.iterator.zipWithIndex.map { case (cell, ci) =>
+              (fileName, uid, title, paper, ri, ci, cell)
+            }
+          }
+        }
+        val mapRows = tables
+          .filter { case ((title, cells), _) =>
+            title.nonEmpty && tableDensity(cells) > 0.25 }
+          .flatMap { case ((_, cells), uid) =>
+            mapHeader(cells.head).toSeq.map { case (cat, ci) =>
+              (fileName, uid, cat, ci)
+            }
+          }
+        (cellRows, mapRows)
+    }
 
   /** The assembled rad_table over a docs directory: one task per file,
     * then R21's per-row exists-dedup as ONE dropDuplicates instead of

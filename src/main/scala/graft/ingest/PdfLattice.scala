@@ -759,11 +759,30 @@ object PdfLattice {
   // Executor-local parse cache: several queries (cells, rad ingest,
   // abbreviation mining) walk the same corpus in one session, and the
   // extraction is a pure function of the bytes. Keyed by content hash,
-  // bounded (cleared wholesale at the cap) — at cluster scale this is a
-  // per-executor working set, not a corpus mirror.
-  private val parseCache =
-    scala.collection.concurrent.TrieMap.empty[(Long, Int), Seq[PageExtract]]
-  private val ParseCacheCap = 256
+  // bounded with access-stamped eviction: at the cap the LEAST
+  // recently used half is dropped, so a working set one entry over the
+  // cap keeps its hot entries (a wholesale clear would recompute
+  // everything behind it at a million-PDF corpus). At cluster scale
+  // this is a per-executor working set, not a corpus mirror.
+  private val parseCache = scala.collection.concurrent.TrieMap
+    .empty[(Long, Int), (Seq[PageExtract], java.util.concurrent.atomic.AtomicLong)]
+  private[graft] val ParseCacheCap = 256
+  private val parseTick = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def evictColdHalf(): Unit = {
+    val entries = parseCache.toArray
+    if (entries.length >= ParseCacheCap) {
+      entries.sortBy(_._2._2.get()).take(entries.length / 2)
+        .foreach(e => parseCache.remove(e._1))
+    }
+  }
+
+  private def cacheKey(data: Array[Byte]): (Long, Int) =
+    (scala.util.hashing.MurmurHash3.bytesHash(data).toLong, data.length)
+
+  /** Test hook: is this document's extraction currently cached? */
+  private[graft] def parseCacheHas(data: Array[Byte]): Boolean =
+    parseCache.contains(cacheKey(data))
 
   /** Full per-page extraction (text fragments + detected tables) in
     * document order. Per-page and total-failure safe: a malformed page
@@ -771,10 +790,10 @@ object PdfLattice {
     * a corrupt input).
     */
   def pages(data: Array[Byte]): Seq[PageExtract] = {
-    val key = (scala.util.hashing.MurmurHash3.bytesHash(data).toLong,
-      data.length)
+    val key = cacheKey(data)
     parseCache.get(key) match {
-      case Some(hit) => hit
+      case Some((hit, stamp)) =>
+        stamp.set(parseTick.incrementAndGet()); hit
       case None =>
         val out = Try {
           pageDicts(data).zipWithIndex.map { case (pd, pi) =>
@@ -786,8 +805,10 @@ object PdfLattice {
             }.getOrElse(PageExtract(pi + 1, Seq.empty, Seq.empty))
           }
         }.getOrElse(Seq.empty)
-        if (parseCache.size >= ParseCacheCap) parseCache.clear()
-        parseCache.putIfAbsent(key, out)
+        if (parseCache.size >= ParseCacheCap) evictColdHalf()
+        parseCache.putIfAbsent(key,
+          (out, new java.util.concurrent.atomic.AtomicLong(
+            parseTick.incrementAndGet())))
         out
     }
   }

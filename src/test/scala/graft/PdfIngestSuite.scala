@@ -214,6 +214,42 @@ class PdfIngestSuite extends AnyFunSuite {
     }
   }
 
+  test("q_rad_relational (staged SQL tail) agrees with q_rad_ingest " +
+      "(imperative walk) row for row") {
+    // two independent derivations of the same artifact: radRowsOf walks
+    // tables per file imperatively; q_rad_relational re-derives the
+    // R7->R8->R12->R17->R16->R21 tail in DataFrame algebra over staged
+    // frames (and DuckDB hash-checks that algebra). They must agree.
+    val a = graft.SparkEntry.queries("q_rad_ingest")(
+      SparkFixture.spark, SparkFixture.sf)
+      .collect().map(_.toSeq.map(v => Option(v).fold("")(_.toString)))
+    val b = graft.SparkEntry.queries("q_rad_relational")(
+      SparkFixture.spark, SparkFixture.sf)
+      .collect().map(_.toSeq.map(v => Option(v).fold("")(_.toString)))
+    assert(a.length == b.length, s"${a.length} vs ${b.length} rows")
+    assert(a.map(_.mkString("\u0001")).toSet ==
+      b.map(_.mkString("\u0001")).toSet)
+  }
+
+  test("q_abbrev_expand applies the mined glossary in context (R19->R20, " +
+      "the composition main.py:45-50 intends)") {
+    val rows = graft.SparkEntry.queries("q_abbrev_expand")(
+      SparkFixture.spark, SparkFixture.sf).collect()
+    assert(rows.length >= 500, s"full corpus expected, got ${rows.length}")
+    val results = rows.map(r => Option(r.getString(4)).getOrElse(""))
+    // the canonical glossary entry (mined from >= 5 files by
+    // q_abbrev_ingest) applied to real result prose: 2011's "Vth
+    // degrades with TID" carries the expansion
+    assert(results.exists(_.toLowerCase.contains(
+      "degrades with total ionizing dose")),
+      "known 2011 row must carry the expansion in context")
+    // whole-word replacement is exhaustive: no standalone TID token
+    // survives anywhere the glossary applies
+    val tid = "(?i)\\btid\\b".r
+    assert(!results.exists(s => tid.findFirstIn(s).isDefined),
+      "a standalone TID token survived expansion")
+  }
+
   test("q_rad_ingest assembles the corpus-wide rad_table") {
     val q = graft.SparkEntry.queries("q_rad_ingest")(
       SparkFixture.spark, SparkFixture.sf)

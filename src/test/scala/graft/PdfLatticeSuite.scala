@@ -144,6 +144,21 @@ class PdfLatticeSuite extends AnyFunSuite {
       "Transistor"))
   }
 
+  test("parse cache evicts cold entries at the cap, never the hot one") {
+    // distinct tiny "documents" (content varies the hash; extraction of
+    // garbage is the cached empty result — cheap by design)
+    def doc(i: Int): Array[Byte] = b(s"%PDF-1.4 cache-fixture $i")
+    val hot = doc(-1)
+    PdfLattice.pages(hot)
+    (0 until PdfLattice.ParseCacheCap).foreach(i => PdfLattice.pages(doc(i)))
+    // touch the hot entry AFTER the fillers, then push past the cap:
+    // eviction must drop cold fillers, not the just-reused entry
+    PdfLattice.pages(hot)
+    PdfLattice.pages(doc(PdfLattice.ParseCacheCap + 1))
+    assert(PdfLattice.parseCacheHas(hot),
+      "LRU eviction dropped the most recently used entry")
+  }
+
   test("q_pdf_tables emits a deterministic non-trivial cell frame") {
     val q = SparkEntry.queries("q_pdf_tables")(spark, sf)
     val rows = q.collect()
