@@ -468,29 +468,40 @@ object PdfLattice {
         // column band c; vEdge(j)(r) likewise for x boundary xs(j)
         val hSegs = comp.filter(lines(_)._1).map(lines(_))
         val vSegs = comp.filterNot(lines(_)._1).map(lines(_))
+        // bucket segments per boundary once, then test coverage per
+        // band — O(B·S + B·C·s̄) instead of O(B·C·S)
+        val hAt = Array.tabulate(ys.length)(k =>
+          hSegs.filter(s => math.abs(s._4 - ys(k)) <= Tol * 2))
+        val vAt = Array.tabulate(xs.length)(j =>
+          vSegs.filter(s => math.abs(s._4 - xs(j)) <= Tol * 2))
         val hEdge = Array.tabulate(ys.length, nCols)((k, c) =>
-          edgeCovered(hSegs, ys(k), xs(c), xs(c + 1)))
+          edgeCovered(hAt(k), xs(c), xs(c + 1)))
         val vEdge = Array.tabulate(xs.length, nRows)((j, r) =>
-          edgeCovered(vSegs, xs(j), ys(r), ys(r + 1)))
+          edgeCovered(vAt(j), ys(r), ys(r + 1)))
         // camelot's per-cell border flags in OUTPUT coordinates (row i
-        // top-first, col c): band r = nRows - 1 - i
+        // top-first, col c): band r = nRows - 1 - i. Precomputed as
+        // matrices — the shift walk below runs per text fragment.
         def top(i: Int, c: Int) = hEdge(nRows - i)(c)
-        def bottom(i: Int, c: Int) = hEdge(nRows - 1 - i)(c)
         def left(i: Int, c: Int) = vEdge(c)(nRows - 1 - i)
-        def right(i: Int, c: Int) = vEdge(c + 1)(nRows - 1 - i)
         // camelot cell.set_span: a 3-bounded cell missing one h edge
         // spans horizontally, missing one v edge spans vertically; a
         // 2-bounded cell spans along its bounded axis
-        def hspan(i: Int, c: Int): Boolean = {
-          val (t, b, l, r) = (top(i, c), bottom(i, c), left(i, c), right(i, c))
-          val bound = Seq(t, b, l, r).count(identity)
+        val hspanM = Array.tabulate(nRows, nCols) { (i, c) =>
+          val t = top(i, c); val b = hEdge(nRows - 1 - i)(c)
+          val l = left(i, c); val r = vEdge(c + 1)(nRows - 1 - i)
+          val bound = (if (t) 1 else 0) + (if (b) 1 else 0) +
+            (if (l) 1 else 0) + (if (r) 1 else 0)
           (bound == 3 && t && b && (!l || !r)) || (bound == 2 && t && b)
         }
-        def vspan(i: Int, c: Int): Boolean = {
-          val (t, b, l, r) = (top(i, c), bottom(i, c), left(i, c), right(i, c))
-          val bound = Seq(t, b, l, r).count(identity)
+        val vspanM = Array.tabulate(nRows, nCols) { (i, c) =>
+          val t = top(i, c); val b = hEdge(nRows - 1 - i)(c)
+          val l = left(i, c); val r = vEdge(c + 1)(nRows - 1 - i)
+          val bound = (if (t) 1 else 0) + (if (b) 1 else 0) +
+            (if (l) 1 else 0) + (if (r) 1 else 0)
           (bound == 3 && l && r && (!t || !b)) || (bound == 2 && l && r)
         }
+        def hspan(i: Int, c: Int): Boolean = hspanM(i)(c)
+        def vspan(i: Int, c: Int): Boolean = vspanM(i)(c)
         val grid = scala.collection.mutable.Map
           .empty[(Int, Int), ArrayBuffer[TextFrag]]
         texts.foreach { t =>
@@ -562,15 +573,15 @@ object PdfLattice {
     groups.map(g => g.sum / g.length).toIndexedSeq
   }
 
-  /** True when rule segments at `pos` (within 2·Tol — segment positions
-    * may sit up to Tol either side of the clustered boundary) cover at
-    * least half of [lo, hi]. Interval-union sweep, so an edge assembled
-    * from several dashed pieces counts once.
+  /** True when the given boundary's rule segments (pre-filtered to the
+    * boundary position within 2·Tol — segment positions may sit up to
+    * Tol either side of the clustered centroid) cover at least half of
+    * [lo, hi]. Interval-union sweep, so an edge assembled from several
+    * dashed pieces counts once.
     */
   private def edgeCovered(segs: Seq[(Boolean, Double, Double, Double)],
-      pos: Double, lo: Double, hi: Double): Boolean = {
+      lo: Double, hi: Double): Boolean = {
     val iv = segs.iterator
-      .filter(s => math.abs(s._4 - pos) <= Tol * 2)
       .map(s => (math.max(s._2, lo), math.min(s._3, hi)))
       .filter(p => p._2 > p._1).toArray.sortBy(_._1)
     var tot = 0.0; var cur = lo

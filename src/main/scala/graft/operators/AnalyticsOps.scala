@@ -63,7 +63,14 @@ object AnalyticsOps {
     * scale where vertices outgrow a broadcast, the same joins shuffle
     * on their keys.
     */
-  private[graft] def degreeOrientedTriangles(edges: DataFrame): DataFrame = {
+  private[graft] def degreeOrientedTriangles(edges0: DataFrame): DataFrame = {
+    // the mined edge set feeds FIVE scans (two for degrees, the two
+    // wedge legs and the closing join) — persisted LAZILY so the
+    // upstream mining runs once per action instead of per scan
+    // (recomputable from lineage; the CacheManager dedupes repeated
+    // calls on the same input by plan equality)
+    val edges = edges0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.select(col("p1").as("v"))
       .unionAll(edges.select(col("p2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
