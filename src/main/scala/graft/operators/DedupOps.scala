@@ -128,12 +128,16 @@ object DedupOps {
 
   def ngramJaccardPairs(ex0: DataFrame, threshold: Double,
       dfCap: Option[Int] = None): DataFrame = {
-    // materialize the shingle rows once: both sides of the self-join (and
-    // the optional df-cap branch) read them, and Spark has no automatic
-    // common-subplan reuse above the exchange — without this the whole
-    // shingle-construction pipeline runs once per branch
+    // the shingle rows feed both sides of the self-join (and the
+    // optional df-cap branch), and Spark has no automatic common-
+    // subplan reuse above the exchange — persisted LAZILY so they
+    // compute once per action but schedule NO job at query
+    // construction and recompute from lineage on executor loss (the
+    // replaced localCheckpoint parked a corpus-sized explosion in
+    // non-fault-tolerant executor-local blocks; same conversion as
+    // TrainingOps.perplexityScores)
     val exAll = ex0.select(col("doc_id"), col("sz"), col("g"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = applyDfCap(exAll, dfCap)
     val a = ex.select(col("doc_id").as("d1"), col("sz").as("sz1"), col("g"))
     val b = ex.select(col("doc_id").as("d2"), col("sz").as("sz2"), col("g"))
@@ -194,7 +198,9 @@ object DedupOps {
     */
   def containmentPairs(ex0: DataFrame, threshold: Double,
       dfCap: Option[Int] = None): DataFrame = {
-    val exAll = ex0.select(col("doc_id"), col("sz"), col("g")).localCheckpoint()
+    // lazy persist, not localCheckpoint — see ngramJaccardPairs
+    val exAll = ex0.select(col("doc_id"), col("sz"), col("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = applyDfCap(exAll, dfCap)
     val a = ex.select(col("doc_id").as("d_small"), col("sz").as("sz_s"), col("g"))
     val b = ex.select(col("doc_id").as("d_big"), col("sz").as("sz_b"), col("g"))
@@ -257,11 +263,12 @@ object DedupOps {
     shRows.groupBy(col("doc_id")).agg(collect_list(col("g")).as("sh"))
 
   def minhashLshPairs(shRows0: DataFrame, threshold: Double): DataFrame = {
-    // one materialized shingle frame feeds BOTH the signature pass and
-    // the exact-verification sets — the construction pipeline is the
-    // expensive stage and Spark has no common-subplan reuse
+    // one shingle frame feeds BOTH the signature pass and the
+    // exact-verification sets — the construction pipeline is the
+    // expensive stage and Spark has no common-subplan reuse. Lazy
+    // persist, not localCheckpoint — see ngramJaccardPairs.
     val shRows = shRows0.select(col("doc_id"), col("sz"), col("g"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandRows(shRows)
     val cand = bands.alias("x").join(bands.alias("y"), Seq("band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -311,7 +318,9 @@ object DedupOps {
       val exactSafe = incoming.join(
         existing.select(md5(col("text")).as("__h")).distinct(),
         md5(incoming("text")) === col("__h"), "left_anti")
-      val sh = shingleRows(s, d).localCheckpoint()
+      // lazy persist, not localCheckpoint — see ngramJaccardPairs
+      val sh = shingleRows(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val victims = crossNgramJaccardPairs(
           sh.filter(col("doc_id") % 5 =!= 0),
           sh.filter(col("doc_id") % 5 === 0), 0.5)

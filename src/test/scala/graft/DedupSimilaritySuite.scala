@@ -462,4 +462,23 @@ class DedupSimilaritySuite extends AnyFunSuite {
     val got = SparkEntry.queries("q_dedup_embedding")(spark, sf)
     assert(got.filter(col("cos") < 0.35).count() == 0)
   }
+
+  test("similarity-tier construction schedules no corpus job (lazy persist)") {
+    // the shingle-explosion frames inside ngramJaccard / containment /
+    // minhash / incremental were eager localCheckpoints (a corpus-sized
+    // job at query construction, blocks lost with their executor) —
+    // now lazy persists: constructing these queries must schedule
+    // nothing.
+    val group = "graft-dedup-construct-probe"
+    spark.sparkContext.setJobGroup(group, "construction must be lazy")
+    try {
+      SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      SparkEntry.queries("q_dedup_containment")(spark, sf)
+      SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    } finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    assert(jobs.isEmpty,
+      s"query construction ran ${jobs.length} Spark job(s) - eager materialization")
+  }
 }
