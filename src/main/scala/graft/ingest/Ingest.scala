@@ -145,12 +145,21 @@ object Ingest {
       pairs: DataFrame, abbrevCol: String = "abbrev",
       expansionCol: String = "expansion"): DataFrame = {
     val spark = df.sparkSession
-    val table: Seq[(String, String)] = pairs
+    // glossary-sized collect: K-bounded model state, like a k-means
+    // seed — never corpus data. Patterns compile ONCE here and ship
+    // broadcast (java.util.regex.Pattern is Serializable); compiling
+    // per cell would dominate the UDF at corpus scale.
+    val compiled: Seq[(java.util.regex.Pattern, String)] = pairs
       .select(col(abbrevCol), col(expansionCol))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val bc = spark.sparkContext.broadcast(table)
+      .collect().map { r =>
+        (java.util.regex.Pattern.compile(
+          "(?i)\\b" + java.util.regex.Pattern.quote(r.getString(0)) + "\\b"),
+          java.util.regex.Matcher.quoteReplacement(r.getString(1)))
+      }.toSeq
+    val bc = spark.sparkContext.broadcast(compiled)
     val expandUdf = udf((s: String) =>
-      graft.functions.AbbrevPairs.expand(s, bc.value))
+      if (s == null) null
+      else bc.value.foldLeft(s)((acc, pe) => pe._1.matcher(acc).replaceAll(pe._2)))
     cols.foldLeft(df)((d, c) => d.withColumn(c, expandUdf(col(c))))
   }
 
