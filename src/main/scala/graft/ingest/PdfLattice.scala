@@ -176,9 +176,15 @@ object PdfLattice {
     def xMax: Double = math.max(x, xEnd)
   }
   /** Painted axis-aligned box in device space (lines have ~0 extent on
-    * one axis).
+    * one axis). `shade = true` marks the border of a LARGE fill-only
+    * rect (background shading): not a rule — it never participates in
+    * grid detection — but its edges CONFIRM cell-boundary presence for
+    * the span/shift/fill machinery (a raster line detector sees them,
+    * and camelot's cells gain their top borders from exactly these
+    * header-band edges).
     */
-  final case class Box(x: Double, y: Double, w: Double, h: Double)
+  final case class Box(x: Double, y: Double, w: Double, h: Double,
+      shade: Boolean = false)
 
   /** Advance estimate in text-space ems, by glyph class (no font
     * metrics exist without the embedded font programs): narrow strokes
@@ -240,6 +246,15 @@ object PdfLattice {
           boxes += Box(bx, by + bh, bw, 0)
           boxes += Box(bx, by, 0, bh)
           boxes += Box(bx + bw, by, 0, bh)
+        } else {
+          // fill-only large rect: SHADING. Its edges are not rules
+          // (they would split shaded bands into phantom rows), but
+          // where they coincide with boundaries the real rules already
+          // establish, they carry edge presence — emit them marked.
+          boxes += Box(bx, by, bw, 0, shade = true)
+          boxes += Box(bx, by + bh, bw, 0, shade = true)
+          boxes += Box(bx, by, 0, bh, shade = true)
+          boxes += Box(bx + bw, by, 0, bh, shade = true)
         }
       }
       pathLines.foreach { case (a, b) =>
@@ -422,9 +437,17 @@ object PdfLattice {
     // (lo, hi, pos): lo..hi along the rule, pos on the perpendicular axis
     val hs = new ArrayBuffer[(Double, Double, Double)]
     val vs = new ArrayBuffer[(Double, Double, Double)]
+    // shading-band borders: excluded from grid geometry, consulted
+    // only when computing per-cell edge presence below
+    val shadeH = new ArrayBuffer[(Boolean, Double, Double, Double)]
+    val shadeV = new ArrayBuffer[(Boolean, Double, Double, Double)]
     boxes.foreach { b =>
+      if (b.shade) {
+        if (b.h <= Tol && b.w > 4) shadeH += ((true, b.x, b.x + b.w, b.y + b.h / 2))
+        else if (b.w <= Tol && b.h > 4) shadeV += ((false, b.y, b.y + b.h, b.x + b.w / 2))
+      }
       // stroked frames arrive pre-split into four thin borders (paint)
-      if (b.h <= Tol && b.w > 4) hs += ((b.x, b.x + b.w, b.y + b.h / 2))
+      else if (b.h <= Tol && b.w > 4) hs += ((b.x, b.x + b.w, b.y + b.h / 2))
       else if (b.w <= Tol && b.h > 4) vs += ((b.y, b.y + b.h, b.x + b.w / 2))
     }
     if (hs.length + vs.length > MaxRules) return Seq.empty
@@ -458,16 +481,44 @@ object PdfLattice {
     }
     val comps = lines.indices.groupBy(find)
     val tables = comps.values.flatMap { comp =>
-      val ys = cluster(comp.filter(lines(_)._1).map(lines(_)._4).sorted)
+      val ys0 = cluster(comp.filter(lines(_)._1).map(lines(_)._4).sorted)
       val xs = cluster(comp.filterNot(lines(_)._1).map(lines(_)._4).sorted)
+      // a shading-band border spanning the FULL table width is a row
+      // boundary a raster line detector (camelot's) sees even though no
+      // rule was stroked there — typically the header band's bottom
+      // edge. Admit those positions as boundaries AFTER clustering:
+      // full-width edges cannot create phantom column splits, and the
+      // span-shift + copy_text machinery reassembles any cell a band
+      // legitimately crosses. Partial-width shading stays edge-flag
+      // evidence only.
+      val ys =
+        if (ys0.length < 2 || xs.length < 2) ys0
+        else {
+          val fullWidth = shadeH.filter { s =>
+            s._4 > ys0.head + Tol && s._4 < ys0.last - Tol &&
+              s._2 <= xs.head + Tol && s._3 >= xs.last - Tol &&
+              ys0.forall(y => math.abs(y - s._4) > Tol)
+          }.map(_._4)
+          if (fullWidth.isEmpty) ys0
+          else cluster((ys0 ++ fullWidth).sorted)
+        }
       if (ys.length < 2 || xs.length < 2) None
       else {
         val nRows = ys.length - 1; val nCols = xs.length - 1
         // per-edge rule presence, from this component's own segments:
         // hEdge(k)(c) = a rule runs along y band boundary ys(k) over
         // column band c; vEdge(j)(r) likewise for x boundary xs(j)
-        val hSegs = comp.filter(lines(_)._1).map(lines(_))
-        val vSegs = comp.filterNot(lines(_)._1).map(lines(_))
+        // edge presence consults the component's own rules PLUS any
+        // shading-band borders inside this table's bbox: shading can
+        // only CONFIRM a boundary the real rules already clustered
+        // (hAt/vAt bucket by |pos − boundary| ≤ 2·Tol), never create
+        // one — grid geometry above never saw the shading
+        val hSegs = comp.filter(lines(_)._1).map(lines(_)) ++
+          shadeH.filter(s => s._4 >= ys.head - Tol && s._4 <= ys.last + Tol &&
+            s._2 <= xs.last + Tol && s._3 >= xs.head - Tol)
+        val vSegs = comp.filterNot(lines(_)._1).map(lines(_)) ++
+          shadeV.filter(s => s._4 >= xs.head - Tol && s._4 <= xs.last + Tol &&
+            s._2 <= ys.last + Tol && s._3 >= ys.head - Tol)
         // bucket segments per boundary once, then test coverage per
         // band — O(B·S + B·C·s̄) instead of O(B·C·S)
         val hAt = Array.tabulate(ys.length)(k =>
@@ -740,7 +791,7 @@ object PdfLattice {
       val bs = boxes.map { b =>
         val (x0, y0) = pt(b.x, b.y); val (x1, y1) = pt(b.x + b.w, b.y + b.h)
         Box(math.min(x0, x1), math.min(y0, y1),
-          math.abs(x1 - x0), math.abs(y1 - y0))
+          math.abs(x1 - x0), math.abs(y1 - y0), b.shade)
       }
       (ts, bs)
     }
