@@ -42,16 +42,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for. Read nanos as long and convert to a micros timestamp —
-    * lossless here (every value is a whole microsecond), and it matches
-    * what DuckDB reports for the same file (TIMESTAMP, micros).
+  /** `events.ts` arrives in whichever physical type the data generator
+    * used: TIMESTAMP(NANOS) (no native Spark type — read nanos as long
+    * and convert, lossless since every value is a whole microsecond),
+    * native micros TIMESTAMP_NTZ (cast to session-TZ timestamp; the
+    * session is pinned UTC so the wall-clock values are unchanged), or
+    * already TimestampType. All three surface as the same micros
+    * TimestampType DuckDB reports for the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

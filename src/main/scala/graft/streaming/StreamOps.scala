@@ -151,12 +151,21 @@ object StreamOps {
     */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING," +
-        " value DOUBLE, props STRING")
+    // readStream needs a declared schema; probe the file's physical ts
+    // type from the batch footer (cheap, metadata-only) so the stream
+    // matches whichever encoding the generator used — see Tables.events.
+    val physical = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream
+      .schema(physical)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    physical("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream
+    }
   }
 
   /** Streaming tumbling aggregation over the file source — identical

@@ -111,6 +111,47 @@ class PdfLatticeSuite extends AnyFunSuite {
       Vector("SPAN", "r3")))
   }
 
+  test("header-band shading: a full-width shaded band's edge is a row " +
+      "boundary; partial-width shading never splits anything") {
+    // Grid stroked only at the outer frame (y=500/700, x=100/200/300);
+    // the header/data boundary at y=650 exists ONLY as the bottom edge
+    // of a filled header-band rect — the way spreadsheet exporters
+    // shade header rows. A raster line detector (camelot's) sees that
+    // edge; the vector machine must admit it as a boundary without
+    // letting the band's side edges create phantom columns.
+    val shaded =
+      "100 699.5 200 1 re f\n" + // top rule y=700
+        "100 499.5 200 1 re f\n" + // bottom rule y=500
+        "99.5 499.5 1 201 re f\n" + // x=100
+        "199.5 499.5 1 201 re f\n" + // x=200
+        "299.5 499.5 1 201 re f\n" + // x=300
+        "100 650 200 50 re f\n" + // header-band SHADING, y 650..700
+        "BT /F1 10 Tf 110 675 Td (Hdr) Tj ET\n" +
+        "BT /F1 10 Tf 210 675 Td (Val) Tj ET\n" +
+        "BT /F1 10 Tf 110 575 Td (a) Tj ET\n" +
+        "BT /F1 10 Tf 210 575 Td (b) Tj ET"
+    val tables = PdfLattice.tablesOf(onePagePdf(shaded))
+    assert(tables.head._3 == Vector(
+      Vector("Hdr", "Val"),
+      Vector("a", "b")))
+
+    // partial-width shading (left column only): its edges are
+    // edge-presence evidence at most, never a new boundary — the
+    // table stays one row, cells keep their wrapped text
+    val partial =
+      "100 699.5 200 1 re f\n" +
+        "100 499.5 200 1 re f\n" +
+        "99.5 499.5 1 201 re f\n" +
+        "199.5 499.5 1 201 re f\n" +
+        "299.5 499.5 1 201 re f\n" +
+        "100 650 100 50 re f\n" + // LEFT column band only
+        "BT /F1 10 Tf 110 675 Td (Hdr) Tj ET\n" +
+        "BT /F1 10 Tf 110 575 Td (a) Tj ET"
+    val pTables = PdfLattice.tablesOf(onePagePdf(partial))
+    assert(pTables.head._3.length == 1,
+      s"partial shading must not split rows: ${pTables.head._3}")
+  }
+
   test("no rules -> no tables; malformed bytes -> no tables, no throw") {
     val textOnly = "BT /F1 10 Tf 110 575 Td (just text) Tj ET"
     assert(PdfLattice.tablesOf(onePagePdf(textOnly)).isEmpty)
