@@ -39,6 +39,14 @@ object Bench {
       } catch { case t: Throwable =>
         System.err.println(s"WARMUP FAILED $n: ${t.toString.take(300)}") }
     }
+    // pre-warm the session-lifetime PDF parse cache too: without this,
+    // rep 1 of every PDF-corpus query pays the full lattice parse and a
+    // REPS=1 artifact reports the cold parse (~3 s) as query cost — the
+    // warm cost (~0.2 s) is the steady-state shape all later reps and
+    // all other PDF queries see
+    try { SparkEntry.queries("q_pdf_tables")(spark, sfDir).count(); () }
+    catch { case t: Throwable =>
+      System.err.println(s"WARMUP FAILED q_pdf_tables: ${t.toString.take(300)}") }
     // a failed query is recorded explicitly (name -> error) — never
     // silently benched as ~0 s
     // optional args: bench only the named queries (local iteration aid;

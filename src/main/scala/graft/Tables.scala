@@ -52,6 +52,10 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ branch below casts through the session TZ; pin it here so
+    // the cast is wall-clock-preserving for every caller (bench/demo
+    // sessions don't all set it), not just Verify and the test suites.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = load(s, d, "events")
     import org.apache.spark.sql.functions.{col, expr}
     df.schema("ts").dataType match {
@@ -59,7 +63,10 @@ object Tables {
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other; expected " +
+          "TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

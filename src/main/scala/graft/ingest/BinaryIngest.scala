@@ -25,6 +25,17 @@ object BinaryIngest {
   def defaultDocsDir: String =
     sys.env.getOrElse("GRAFT_DOCS_DIR", "/root/reference/docs")
 
+  /** Process-scoped staging root for the oracle-checkable relational
+    * queries: the Spark side writes parquet here and the DuckDB oracle
+    * (whose SQL interpolates the same value, dumped from the same JVM
+    * by Verify) reads it back. The per-process UUID means two
+    * concurrent driver/bench/verify processes can never interleave a
+    * mode("overwrite") write with the other's oracle read on a shared
+    * fixed path.
+    */
+  private[ingest] lazy val stageRoot: String =
+    s"/tmp/graft_stage_${java.util.UUID.randomUUID().toString.take(8)}"
+
   /** R1+R2: distributed directory scan with an extension glob
     * (main.py:88-92's `os.listdir` + `.endswith(".pdf")`).
     */
@@ -161,8 +172,8 @@ object BinaryIngest {
     // boundary can diverge between engines.
     "q_rad_relational" -> ((s, _) => {
       import s.implicits._
-      val cellsPath = "/tmp/graft_stage/rad_cells"
-      val mapPath = "/tmp/graft_stage/rad_hmap"
+      val cellsPath = s"$stageRoot/rad_cells"
+      val mapPath = s"$stageRoot/rad_hmap"
       val staged = scan(s, defaultDocsDir)
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
           col("content"))
@@ -233,6 +244,144 @@ object BinaryIngest {
         .orderBy(PdfIngest.radColumns.map(col(_).asc_nulls_first): _*)
     }),
 
+    // q_rad_relational with the oracle boundary pushed TWO STAGES
+    // deeper: R6's nearest-above title walk and R15's argmax-≥75
+    // header map are no longer staged as pre-joined inputs — only raw
+    // per-page line/table GEOMETRY and the raw partial_ratio SCORE
+    // MATRIX are staged, and the walk (strict running-minima of
+    // squared distance + the two-line-title merge) and the argmax are
+    // derived in DataFrame algebra here AND independently in DuckDB
+    // SQL, hash-compared. See PdfIngest.stageGeomOf for why the
+    // sequential walk is exactly a running-minima scan.
+    "q_rad_relational_full" -> ((s, _) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val linesPath = s"$stageRoot/rad_lines"
+      val tgeoPath = s"$stageRoot/rad_tgeo"
+      val cellsPath = s"$stageRoot/rad_cells_raw"
+      val scoresPath = s"$stageRoot/rad_scores"
+      val staged = scan(s, defaultDocsDir)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+          col("content"))
+        .as[(String, Array[Byte])]
+      staged.mapPartitions(_.flatMap { case (n, b) =>
+          PdfIngest.stageGeomOf(n, b)._1 })
+        .toDF("file_name", "page", "line_idx", "lx", "ly", "text", "text_len")
+        .write.mode("overwrite").parquet(linesPath)
+      staged.mapPartitions(_.flatMap { case (n, b) =>
+          PdfIngest.stageGeomOf(n, b)._2 })
+        .toDF("file_name", "page", "table_uid", "tx", "ty")
+        .write.mode("overwrite").parquet(tgeoPath)
+      staged.mapPartitions(_.flatMap { case (n, b) =>
+          PdfIngest.stageGeomOf(n, b)._3 })
+        .toDF("file_name", "table_uid", "source_paper", "row_idx",
+          "col_idx", "cell")
+        .write.mode("overwrite").parquet(cellsPath)
+      staged.mapPartitions(_.flatMap { case (n, b) =>
+          PdfIngest.stageGeomOf(n, b)._4 })
+        .toDF("file_name", "table_uid", "col_idx", "category", "score")
+        .write.mode("overwrite").parquet(scoresPath)
+      val l = s.read.parquet(linesPath)
+      val tg = s.read.parquet(tgeoPath)
+      val c = s.read.parquet(cellsPath)
+      val sc = s.read.parquet(scoresPath)
+      // R6: candidates are same-page lines under 50 chars; accepted =
+      // strict running minima of d² (< 100²); first "table"-flagged
+      // pick takes the NEXT pick as its second title line
+      val byTable = Window.partitionBy(col("file_name"), col("table_uid"))
+      val cand = tg.join(l, Seq("file_name", "page"))
+        .filter(col("text_len") < 50)
+        .withColumn("d2",
+          (col("lx") - col("tx")) * (col("lx") - col("tx")) +
+          (col("ly") - col("ty")) * (col("ly") - col("ty")))
+      val picks = cand
+        .withColumn("prev_min", min(col("d2")).over(
+          byTable.orderBy(col("line_idx").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("d2") < lit(10000.0) &&
+          (col("prev_min").isNull || col("d2") < col("prev_min")))
+        .withColumn("pick_seq",
+          row_number().over(byTable.orderBy(col("line_idx").asc)))
+        .select(col("file_name"), col("table_uid"), col("pick_seq"),
+          col("text"))
+      val flagged = picks
+        .filter(lower(col("text")).contains("table"))
+        .groupBy(col("file_name"), col("table_uid"))
+        .agg(min(col("pick_seq")).as("flag_seq"))
+      val flagTxt = picks.join(flagged, Seq("file_name", "table_uid"))
+        .filter(col("pick_seq") === col("flag_seq"))
+        .select(col("file_name"), col("table_uid"), col("text").as("t1"))
+      val nextTxt = picks.join(flagged, Seq("file_name", "table_uid"))
+        .filter(col("pick_seq") === col("flag_seq") + 1)
+        .select(col("file_name"), col("table_uid"), col("text").as("t2"))
+      val titles = tg.select(col("file_name"), col("table_uid"))
+        .join(flagTxt, Seq("file_name", "table_uid"), "left")
+        .join(nextTxt, Seq("file_name", "table_uid"), "left")
+        .withColumn("title", when(col("t1").isNull, lit(""))
+          .otherwise(when(col("t2").isNull, col("t1"))
+            .otherwise(concat(col("t1"), lit(" "), col("t2")))))
+        .select(col("file_name"), col("table_uid"), col("title"))
+      // R15: per-category argmax over header cells, first maximal index
+      // wins (strict > scan), mapped only at score >= 75
+      val hmap = sc
+        .withColumn("best", max(col("score")).over(
+          Window.partitionBy(col("file_name"), col("table_uid"),
+            col("category"))))
+        .filter(col("score") === col("best") && col("best") >= 75)
+        .groupBy(col("file_name"), col("table_uid"), col("category"))
+        .agg(min(col("col_idx")).as("col_idx"))
+        .withColumnRenamed("table_uid", "root_uid")
+      // R7 density gate (integer-exact), on cells + derived titles
+      val tab = c.join(titles, Seq("file_name", "table_uid"))
+        .groupBy(col("file_name"), col("table_uid"), col("title"),
+          col("source_paper"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum((col("cell") =!= "").cast("long")).as("n_filled"))
+      val gated = tab.filter(col("n_filled") * 4 > col("n_cells"))
+      // R8 rooting
+      val w = Window.partitionBy(col("file_name"))
+        .orderBy(col("table_uid").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val rooted = gated.withColumn("root_uid",
+          max(when(col("title") =!= "", col("table_uid"))).over(w))
+        .filter(col("root_uid").isNotNull)
+      // R12 typing on the root title
+      val radRoots = rooted.filter(col("table_uid") === col("root_uid"))
+        .filter(!col("title").rlike("(?i)\\b(principal|investigator)\\b") &&
+          !col("title").rlike("(?i)\\b(acronym|abbreviations)\\b") &&
+          col("title").rlike(
+            "(?i)\\b(tid|see|dd|ddd|seu|let|ongoing|dose|result)\\b"))
+        .select(col("file_name"), col("root_uid"), col("source_paper"))
+      val members = rooted
+        .select(col("file_name"), col("table_uid"), col("root_uid"))
+        .join(radRoots.select(col("file_name"), col("root_uid")),
+          Seq("file_name", "root_uid"))
+      val mapped = c
+        .select(col("file_name"), col("table_uid"), col("row_idx"),
+          col("col_idx"), col("cell"))
+        .filter(col("row_idx") > 0)
+        .join(members, Seq("file_name", "table_uid"))
+        .join(hmap, Seq("file_name", "root_uid", "col_idx"))
+      // R16 projection + R17 validity
+      val cats = PdfIngest.headerCategories
+      val aggs = sum((col("cell") =!= "").cast("long")).as("nv") +:
+        cats.map(cat => max(when(col("category") === cat,
+          regexp_replace(col("cell"), "\n", " ")))
+          .as(cat.replace(' ', '_')))
+      val pivoted = mapped
+        .groupBy(col("file_name"), col("root_uid"), col("table_uid"),
+          col("row_idx"))
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(col("nv") >= 3)
+      pivoted
+        .join(radRoots, Seq("file_name", "root_uid"))
+        .select(cats.map(cat => col(cat.replace(' ', '_'))) ++
+          Seq(col("source_paper"),
+            col("file_name").as("source_paper_filename")): _*)
+        .distinct()
+        .orderBy(PdfIngest.radColumns.map(col(_).asc_nulls_first): _*)
+    }),
+
     "q_pdf_meta" -> ((s, _) => {
       import s.implicits._
       scan(s, defaultDocsDir)
@@ -270,9 +419,9 @@ object BinaryIngest {
       val orderCols = PdfIngest.radColumns
         .map(c => s"$c ASC NULLS FIRST").mkString(", ")
       s"""WITH c AS (
-         |  SELECT * FROM read_parquet('/tmp/graft_stage/rad_cells/*.parquet')),
+         |  SELECT * FROM read_parquet('$stageRoot/rad_cells/*.parquet')),
          |m AS (
-         |  SELECT * FROM read_parquet('/tmp/graft_stage/rad_hmap/*.parquet')),
+         |  SELECT * FROM read_parquet('$stageRoot/rad_hmap/*.parquet')),
          |tab AS (
          |  SELECT file_name, table_uid, title, source_paper,
          |    count(1) AS n_cells,
@@ -304,6 +453,112 @@ object BinaryIngest {
          |    ON c.file_name = mem.file_name AND c.table_uid = mem.table_uid
          |  JOIN m ON m.file_name = c.file_name AND m.root_uid = mem.root_uid
          |    AND m.col_idx = c.col_idx
+         |  WHERE c.row_idx > 0
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT DISTINCT $outCols,
+         |  rr.source_paper, p.file_name AS source_paper_filename
+         |FROM pivoted p
+         |JOIN rad_roots rr
+         |  ON p.file_name = rr.file_name AND p.root_uid = rr.root_uid
+         |WHERE p.nv >= 3
+         |ORDER BY $orderCols""".stripMargin
+    },
+    // independent DuckDB derivation of q_rad_relational_full: the R6
+    // walk (running-minima scan over staged geometry) and R15 argmax
+    // (over the staged score matrix) PLUS the whole relational tail,
+    // from raw staged frames — nothing pre-joined
+    "q_rad_relational_full" -> {
+      val pivotCols = PdfIngest.headerCategories.map { cat =>
+        s"""    max(CASE WHEN category = '$cat'
+           |      THEN replace(cell, chr(10), ' ') END) AS ${cat.replace(' ', '_')}"""
+          .stripMargin
+      }.mkString(",\n")
+      val outCols = PdfIngest.headerCategories
+        .map(_.replace(' ', '_')).mkString(", ")
+      val orderCols = PdfIngest.radColumns
+        .map(c => s"$c ASC NULLS FIRST").mkString(", ")
+      s"""WITH l AS (
+         |  SELECT * FROM read_parquet('$stageRoot/rad_lines/*.parquet')),
+         |tg AS (
+         |  SELECT * FROM read_parquet('$stageRoot/rad_tgeo/*.parquet')),
+         |c AS (
+         |  SELECT * FROM read_parquet('$stageRoot/rad_cells_raw/*.parquet')),
+         |sc AS (
+         |  SELECT * FROM read_parquet('$stageRoot/rad_scores/*.parquet')),
+         |cand AS (
+         |  SELECT tg.file_name, tg.table_uid, l.line_idx, l.text,
+         |    (l.lx - tg.tx)*(l.lx - tg.tx) + (l.ly - tg.ty)*(l.ly - tg.ty) AS d2
+         |  FROM tg JOIN l ON tg.file_name = l.file_name AND tg.page = l.page
+         |  WHERE l.text_len < 50),
+         |mins AS (
+         |  SELECT *, min(d2) OVER (PARTITION BY file_name, table_uid
+         |    ORDER BY line_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+         |  FROM cand),
+         |picks AS (
+         |  SELECT file_name, table_uid, text, row_number() OVER (
+         |      PARTITION BY file_name, table_uid ORDER BY line_idx) AS pick_seq
+         |  FROM mins
+         |  WHERE d2 < 10000 AND (prev_min IS NULL OR d2 < prev_min)),
+         |flagged AS (
+         |  SELECT file_name, table_uid, min(pick_seq) AS flag_seq
+         |  FROM picks WHERE contains(lower(text), 'table') GROUP BY 1, 2),
+         |titles AS (
+         |  SELECT tg.file_name, tg.table_uid,
+         |    CASE WHEN fp.text IS NULL THEN ''
+         |         WHEN np.text IS NULL THEN fp.text
+         |         ELSE fp.text || ' ' || np.text END AS title
+         |  FROM tg
+         |  LEFT JOIN flagged f
+         |    ON f.file_name = tg.file_name AND f.table_uid = tg.table_uid
+         |  LEFT JOIN picks fp
+         |    ON fp.file_name = tg.file_name AND fp.table_uid = tg.table_uid
+         |    AND fp.pick_seq = f.flag_seq
+         |  LEFT JOIN picks np
+         |    ON np.file_name = tg.file_name AND np.table_uid = tg.table_uid
+         |    AND np.pick_seq = f.flag_seq + 1),
+         |scored AS (
+         |  SELECT *, max(score) OVER (
+         |      PARTITION BY file_name, table_uid, category) AS best
+         |  FROM sc),
+         |hm AS (
+         |  SELECT file_name, table_uid AS root_uid, category,
+         |    min(col_idx) AS col_idx
+         |  FROM scored WHERE score = best AND best >= 75
+         |  GROUP BY 1, 2, 3),
+         |tab AS (
+         |  SELECT c.file_name, c.table_uid, t.title, c.source_paper,
+         |    count(1) AS n_cells,
+         |    sum(CASE WHEN cell <> '' THEN 1 ELSE 0 END) AS n_filled
+         |  FROM c JOIN titles t
+         |    ON t.file_name = c.file_name AND t.table_uid = c.table_uid
+         |  GROUP BY 1, 2, 3, 4),
+         |gated AS (SELECT * FROM tab WHERE n_filled * 4 > n_cells),
+         |rooted AS (
+         |  SELECT *, max(CASE WHEN title <> '' THEN table_uid END)
+         |    OVER (PARTITION BY file_name ORDER BY table_uid
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS root_uid
+         |  FROM gated),
+         |rad_roots AS (
+         |  SELECT file_name, root_uid, source_paper FROM rooted
+         |  WHERE table_uid = root_uid
+         |    AND NOT regexp_matches(title, '(?i)\\b(principal|investigator)\\b')
+         |    AND NOT regexp_matches(title, '(?i)\\b(acronym|abbreviations)\\b')
+         |    AND regexp_matches(title,
+         |      '(?i)\\b(tid|see|dd|ddd|seu|let|ongoing|dose|result)\\b')),
+         |members AS (
+         |  SELECT r.file_name, r.table_uid, r.root_uid FROM rooted r
+         |  JOIN rad_roots rr
+         |    ON r.file_name = rr.file_name AND r.root_uid = rr.root_uid),
+         |pivoted AS (
+         |  SELECT c.file_name, mem.root_uid, c.table_uid, c.row_idx,
+         |    sum(CASE WHEN c.cell <> '' THEN 1 ELSE 0 END) AS nv,
+         |$pivotCols
+         |  FROM c
+         |  JOIN members mem
+         |    ON c.file_name = mem.file_name AND c.table_uid = mem.table_uid
+         |  JOIN hm ON hm.file_name = c.file_name AND hm.root_uid = mem.root_uid
+         |    AND hm.col_idx = c.col_idx
          |  WHERE c.row_idx > 0
          |  GROUP BY 1, 2, 3, 4)
          |SELECT DISTINCT $outCols,

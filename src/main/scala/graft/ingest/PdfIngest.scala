@@ -291,6 +291,81 @@ object PdfIngest {
         (cellRows, mapRows)
     }
 
+  /** Geometry + score staging for q_rad_relational_full: pushes the
+    * oracle boundary two stages deeper than stageRowsOf — R6's title
+    * walk and R15's argmax both become DERIVED relational algebra
+    * (Spark and DuckDB independently) instead of pre-joined inputs.
+    * Only the PDF codec itself (R5 lattice + text extraction) and the
+    * scalar partial_ratio kernel stay Scala-side.
+    *
+    * The R6 walk (tables.py:28-49) is relationally expressible because
+    * its accepted candidates are exactly the STRICT RUNNING MINIMA of
+    * the eligible sequence: minDistance only updates on accepted lines,
+    * an accepted line is one closer than every previously accepted one,
+    * and a rejected line is never closer than the accepted minimum —
+    * so "d < minDistance" ⟺ "d² < min(previous eligible d²) and
+    * d² < 100²". Squared distance is used on both engines (products
+    * and sums are IEEE-exact and deterministic; sqrt is not needed for
+    * ordering).
+    *
+    * Returns (lineRows, tableGeoRows, cellRows, scoreRows):
+    *   - (file_name, page, line_idx, lx, ly, text, text_len) —
+    *     reading-order text lines; line_idx freezes the order the walk
+    *     consumes (so neither engine re-sorts floats), lx is the line's
+    *     mid-x, text_len the JVM String length (UTF-16 units — staged
+    *     so DuckDB's codepoint length() can't diverge);
+    *   - (file_name, page, table_uid, tx, ty) — per detected table the
+    *     top-mid point the walk measures to;
+    *   - (file_name, table_uid, source_paper, row_idx, col_idx, cell) —
+    *     every cell, ungated, titleless (title is now derived);
+    *   - (file_name, table_uid, col_idx, category, score) — R15's
+    *     partial_ratio matrix over every table's header row BEFORE the
+    *     argmax (max over the 'deg level' alias, tables.py:178).
+    */
+  private[ingest] def stageGeomOf(fileName: String, data: Array[Byte])
+      : (Seq[(String, Int, Int, Double, Double, String, Int)],
+         Seq[(String, Int, Int, Double, Double)],
+         Seq[(String, Int, String, Int, Int, String)],
+         Seq[(String, Int, Int, String, Int)]) =
+    sourcePaperOf(data) match {
+      case None => (Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+      case Some(paper) =>
+        val pgs = PdfLattice.pages(data)
+        val lineRows = pgs.flatMap { pe =>
+          textLines(pe.texts).zipWithIndex.map { case (l, i) =>
+            (fileName, pe.page, i, (l.xMin + l.xMax) / 2.0, l.y, l.text,
+              l.text.length)
+          }
+        }
+        val tables = pgs.flatMap(pe => pe.tables.map((pe.page, _))).zipWithIndex
+        val tgeoRows = tables.map { case ((pg, t), uid) =>
+          (fileName, pg, uid, (t.xMin + t.xMax) / 2.0, t.yMax)
+        }
+        val cellRows = tables.flatMap { case ((_, t), uid) =>
+          t.cells.iterator.zipWithIndex.flatMap { case (row, ri) =>
+            row.iterator.zipWithIndex.map { case (cell, ci) =>
+              (fileName, uid, paper, ri, ci, cell)
+            }
+          }
+        }
+        val scoreRows = tables.flatMap { case ((_, t), uid) =>
+          t.cells.headOption.toSeq.flatMap { header =>
+            val cleaned = header.map(h =>
+              Option(h).getOrElse("").trim.replace("\n", "").toLowerCase)
+            cleaned.zipWithIndex.flatMap { case (h, ci) =>
+              headerCategories.map { cat =>
+                val targets =
+                  if (cat == "degradation level") Seq(cat, "deg level")
+                  else Seq(cat)
+                (fileName, uid, ci, cat,
+                  targets.map(FuzzyMatch.partialRatio(_, h)).max)
+              }
+            }
+          }
+        }
+        (lineRows, tgeoRows, cellRows, scoreRows)
+    }
+
   /** The assembled rad_table over a docs directory: one task per file,
     * then R21's per-row exists-dedup as ONE dropDuplicates instead of
     * the reference's per-row SELECT round trip (database.py:19-32).

@@ -151,6 +151,9 @@ object StreamOps {
     */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Pin the session TZ so the NTZ cast below is wall-clock-preserving
+    // regardless of host default — see Tables.events.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     // readStream needs a declared schema; probe the file's physical ts
     // type from the batch footer (cheap, metadata-only) so the stream
     // matches whichever encoding the generator used — see Tables.events.
@@ -164,7 +167,10 @@ object StreamOps {
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         stream.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => stream
+      case org.apache.spark.sql.types.TimestampType => stream
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other; expected " +
+          "TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
 

@@ -182,7 +182,7 @@ class PdfIngestSuite extends AnyFunSuite {
       }.toVector
   }
 
-  test("golden parity: q_rad_ingest recovers >= 90% of the reference's " +
+  test("golden parity: q_rad_ingest recovers >= 95% of the reference's " +
       "eligible main.db rows") {
     // eligibility: drop 2007 (scanned pages — its rules exist only as
     // raster pixels; extracting them needs the renderer camelot shells
@@ -201,16 +201,25 @@ class PdfIngestSuite extends AnyFunSuite {
     val hit = gPairs.count(ourPairs.contains)
     val recall = hit.toDouble / gPairs.size
     info(f"golden-pair recall: $hit/${gPairs.size} = $recall%.3f")
-    assert(recall >= 0.9, s"recall $recall under the 0.9 floor")
+    assert(recall >= 0.95, s"recall $recall under the 0.95 floor")
     // per-file volume pins vs BASELINE.md's per-file counts: every
-    // eligible file lands within a band of its golden row count
+    // eligible file lands within ±25% of its golden row count.
+    // Exception, verified by hand: 2006 extracts 51 rows vs golden 28 —
+    // the 23 extras are GENUINE device rows (54ACTQ04/14, LM111/117/119,
+    // HCPL-520K/553K/655K/6731, MAX6021, STAR1000, ADV202, ...) whose
+    // tables the reference's camelot run under-detected; discarding them
+    // to fit a ±25% band would be deliberate data loss. 2006 is pinned
+    // both ways instead: at least full golden volume, at most today's
+    // verified-genuine 51.
     val oursByFile = ours.groupBy(_.getString(11)).view.mapValues(_.length)
     golden.groupBy(_.last).foreach { case (f, g) =>
       val n = oursByFile.getOrElse(f, 0)
-      assert(n >= (g.size * 0.8).toInt,
-        s"$f: $n rows vs golden ${g.size}")
-      assert(n <= g.size * 2,
-        s"$f: $n rows vs golden ${g.size} — runaway over-extraction")
+      val (lo, hi) =
+        if (f == "2006-nasa-compendium.pdf") (g.size, 51)
+        else ((g.size * 0.75).toInt, (g.size * 1.25).ceil.toInt)
+      assert(n >= lo, s"$f: $n rows vs golden ${g.size} (floor $lo)")
+      assert(n <= hi,
+        s"$f: $n rows vs golden ${g.size} — over-extraction past $hi")
     }
   }
 
@@ -224,6 +233,24 @@ class PdfIngestSuite extends AnyFunSuite {
       SparkFixture.spark, SparkFixture.sf)
       .collect().map(_.toSeq.map(v => Option(v).fold("")(_.toString)))
     val b = graft.SparkEntry.queries("q_rad_relational")(
+      SparkFixture.spark, SparkFixture.sf)
+      .collect().map(_.toSeq.map(v => Option(v).fold("")(_.toString)))
+    assert(a.length == b.length, s"${a.length} vs ${b.length} rows")
+    assert(a.map(_.mkString("\u0001")).toSet ==
+      b.map(_.mkString("\u0001")).toSet)
+  }
+
+  test("q_rad_relational_full (titles + header map DERIVED from staged " +
+      "geometry/scores) agrees with q_rad_ingest row for row") {
+    // the deepest oracle boundary: R6's walk is re-derived as a
+    // running-minima scan over raw line/table geometry and R15's argmax
+    // over the raw score matrix — if either relational re-formulation
+    // diverged from the imperative walk by even one title, rows here
+    // would differ
+    val a = graft.SparkEntry.queries("q_rad_ingest")(
+      SparkFixture.spark, SparkFixture.sf)
+      .collect().map(_.toSeq.map(v => Option(v).fold("")(_.toString)))
+    val b = graft.SparkEntry.queries("q_rad_relational_full")(
       SparkFixture.spark, SparkFixture.sf)
       .collect().map(_.toSeq.map(v => Option(v).fold("")(_.toString)))
     assert(a.length == b.length, s"${a.length} vs ${b.length} rows")
