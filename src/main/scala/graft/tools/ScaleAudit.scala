@@ -1,0 +1,192 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-proof of the most expensive plans: replicate the
+  * sf0.1 corpus `copies`× into a synthetic ~sf1 corpus with RE-SALTED
+  * keys (so join/group cardinalities scale honestly rather than
+  * collapsing onto 10 clones of every key), run the audit queries at
+  * both scales, and assert wall-time stays within 1.5× of linear.
+  *
+  * Honest-scaling rules, per table:
+  *   - region/nation stay fixed (dimension tables don't scale on a real
+  *     cluster either; they are the broadcast sides).
+  *   - fact keys shift by copy·(max+1): every copy joins to its own
+  *     copy of the referenced rows, so join fanout and group counts
+  *     scale ×copies while per-key group SIZE stays constant.
+  *   - documents.text goes through a per-copy letter bijection (a
+  *     rotated-alphabet `translate`): a bijection preserves every
+  *     intra-copy similarity EXACTLY (duplicate docs stay duplicates,
+  *     shingle/minhash/simhash structure is isomorphic) while
+  *     cross-copy shingle sets share nothing — without this, every doc
+  *     would acquire 9 near-identical clones and LSH candidate pairs
+  *     would grow quadratically in copies, a workload artifact the
+  *     engine would be falsely blamed for.
+  *   - embeddings get a per-copy nudge on dimension 0 — cells and
+  *     neighbor structure scale linearly instead of stacking 10
+  *     coincident points on every vector.
+  *
+  * For a query linear in rows with fixed overhead a (t = a + b·n),
+  * t_big/t_small = (a + c·b)/(a + b) ≤ c for any a ≥ 0 — so the
+  * assertion ratio ≤ 1.5·c catches genuinely super-linear behavior
+  * (an in-bucket quadratic blowup, a collapsed-partition shuffle, a
+  * driver-side accumulation) with headroom for noise, never a merely
+  * constant-heavy query. Shuffle partitions scale with the data
+  * (32 → 64) like they would on a real cluster.
+  *
+  * Emits SCALE_AUDIT.json (committed; ScaleAuditSuite regression-locks
+  * it) and exits nonzero on any violation.
+  */
+object ScaleAudit {
+
+  val Copies = 10
+  val MaxLinearHeadroom = 1.5
+
+  /** The top-cost plans from the round-8 bench tail — index lifecycles,
+    * graph, clustering, LSH, manifest, recursion, self-join.
+    */
+  val auditQueries: Seq[String] = Seq(
+    "q_dedup_index_takedown", "q_ivf_index_search", "q_ivf_index_append",
+    "q_ivf_index_takedown", "q_graph_triangles", "q_dedup_clusters",
+    "q_dedup_minhash", "q_training_manifest", "q_sql_recursive",
+    "q_basket_pairs")
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = lower.toUpperCase
+
+  private def keyOffset(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).head.getLong(0) + 1L
+
+  /** One copy of a table with its fact keys shifted into the copy's own
+    * key space.
+    */
+  private def shiftKeys(df: DataFrame, copy: Int,
+      offsets: Map[String, Long]): DataFrame =
+    offsets.foldLeft(df) { case (d, (k, o)) =>
+      d.withColumn(k, col(k) + lit(copy * o))
+    }
+
+  def buildScaled(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+    def write(t: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    Seq("region", "nation").foreach(t => write(t, src(t)))
+
+    val kc = keyOffset(src("customer"), "c_custkey")
+    val ks = keyOffset(src("supplier"), "s_suppkey")
+    val kp = keyOffset(src("part"), "p_partkey")
+    val ko = keyOffset(src("orders"), "o_orderkey")
+    val ke = keyOffset(src("events"), "event_id")
+    val ku = keyOffset(src("events"), "user_id")
+    val kd = keyOffset(src("documents"), "doc_id")
+    val kv = keyOffset(src("embeddings"), "vec_id")
+
+    def replicate(t: String, perCopy: (DataFrame, Int) => DataFrame): Unit =
+      write(t, (0 until Copies).map(i => perCopy(src(t), i))
+        .reduce(_.union(_)))
+
+    replicate("customer", (d, i) => shiftKeys(d, i, Map("c_custkey" -> kc)))
+    replicate("supplier", (d, i) => shiftKeys(d, i, Map("s_suppkey" -> ks)))
+    replicate("part", (d, i) => shiftKeys(d, i, Map("p_partkey" -> kp)))
+    replicate("orders", (d, i) =>
+      shiftKeys(d, i, Map("o_orderkey" -> ko, "o_custkey" -> kc)))
+    replicate("lineitem", (d, i) =>
+      shiftKeys(d, i, Map("l_orderkey" -> ko, "l_partkey" -> kp,
+        "l_suppkey" -> ks)))
+    replicate("events", (d, i) =>
+      shiftKeys(d, i, Map("event_id" -> ke, "user_id" -> ku)))
+    replicate("documents", (d, i) => {
+      val rot = lower.drop(i) + lower.take(i)
+      shiftKeys(d, i, Map("doc_id" -> kd))
+        .withColumn("text",
+          translate(col("text"), lower + upper, rot + rot.toUpperCase))
+    })
+    replicate("embeddings", (d, i) =>
+      shiftKeys(d, i, Map("vec_id" -> kv))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (v, ix) -> CASE WHEN ix = 0 " +
+            s"THEN CAST(v + ${i * 0.013} AS FLOAT) ELSE v END)")))
+  }
+
+  private def timeQuery(spark: SparkSession, dir: String, name: String,
+      reps: Int): Double = {
+    var best = Double.MaxValue
+    var r = 0
+    while (r < reps) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      r += 1
+    }
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    println(s"[scale-audit] building ${Copies}x corpus at $bigDir ...")
+    val tb0 = System.nanoTime()
+    buildScaled(spark, srcDir, bigDir)
+    println(f"[scale-audit] built in ${(System.nanoTime() - tb0) / 1e9}%.1f s")
+    val nSmall = spark.read.parquet(s"$srcDir/lineitem.parquet").count()
+    val nBig = spark.read.parquet(s"$bigDir/lineitem.parquet").count()
+    require(nBig == Copies * nSmall, s"replication broken: $nBig vs $nSmall")
+
+    // small scale first at the standard 32 shuffle partitions
+    val small = auditQueries.map { q =>
+      val t = timeQuery(spark, srcDir, q, reps)
+      println(f"[scale-audit] small $q: $t%.2f s")
+      q -> t
+    }.toMap
+    // big scale: partitions scaled with the data, caches dropped so the
+    // big runs can't ride small-scale persisted frames
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    val big = auditQueries.map { q =>
+      val t = timeQuery(spark, bigDir, q, reps)
+      println(f"[scale-audit] big   $q: $t%.2f s")
+      q -> t
+    }.toMap
+
+    val maxRatio = MaxLinearHeadroom * Copies
+    val rows = auditQueries.map { q =>
+      val r = big(q) / small(q)
+      (q, small(q), big(q), r)
+    }
+    def sec(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qjson = rows.map { case (q, ts, tb, r) =>
+      s""""$q":{"t_small":${sec(ts)},"t_big":${sec(tb)},"ratio":${sec(r)}}"""
+    }.mkString("{", ",", "}")
+    val pass = rows.forall(_._4 <= maxRatio)
+    val line =
+      s"""{"copies":$Copies,"small_dir":"$srcDir","big_dir":"$bigDir",""" +
+      s""""lineitem_rows_small":$nSmall,"lineitem_rows_big":$nBig,""" +
+      s""""shuffle_partitions":{"small":32,"big":64},"reps":$reps,""" +
+      s""""max_linear_ratio":${sec(maxRatio)},"queries":$qjson,"pass":$pass}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "/root/repo/SCALE_AUDIT.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+    rows.filter(_._4 > maxRatio).foreach { case (q, ts, tb, r) =>
+      System.err.println(
+        f"[scale-audit] SUPER-LINEAR $q: $ts%.2f s -> $tb%.2f s " +
+          f"(ratio $r%.1f > $maxRatio%.1f)")
+    }
+    spark.stop()
+    if (!pass) sys.exit(1)
+  }
+}
