@@ -236,13 +236,41 @@ object PdfIngest {
   }
 
   /** R4-gated source_paper exactly as get_pdf_title builds it
-    * (tables.py:67-76): Title and ModDate concatenated, quotes
-    * stripped; None when either key is missing (the whole file skips).
+    * (tables.py:67-76): the reference renders the two BYTES values
+    * through an f-string — "b'Title'b'ModDate'" — then deletes the
+    * first "b'" and every remaining quote, leaving Title + 'b' +
+    * ModDate (every committed main.db source_paper reads "...TitlebD:
+    * 20xx..."). None when either key is missing (the whole file skips).
     */
+  /** Python bytes-repr rendering of one decoded string: printable
+    * ASCII verbatim, backslash doubled, \t \n \r named, other Latin-1
+    * bytes as \xNN (the committed main.db carries a literal "\x90"
+    * where the 2020 title holds a 0x90 byte). Characters beyond
+    * Latin-1 (BOM'd UTF-16 titles) pass through — the repr path only
+    * ever saw raw bytes.
+    */
+  private def pyByteRepr(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach { ch =>
+      val v = ch.toInt
+      ch match {
+        case '\\' => sb ++= "\\\\"
+        case '\t' => sb ++= "\\t"
+        case '\n' => sb ++= "\\n"
+        case '\r' => sb ++= "\\r"
+        case _ if v >= 32 && v < 127 => sb += ch
+        case _ if v < 256 => sb ++= f"\\x$v%02x"
+        case _ => sb += ch
+      }
+    }
+    sb.toString
+  }
+
   private[ingest] def sourcePaperOf(data: Array[Byte]): Option[String] =
     PdfMeta.titleModDate(data) match {
       case (Some(t), Some(md)) =>
-        Some((t + md).replace("'", "").replace("\"", ""))
+        Some((pyByteRepr(t) + "b" + pyByteRepr(md))
+          .replace("'", "").replace("\"", ""))
       case _ => None
     }
 

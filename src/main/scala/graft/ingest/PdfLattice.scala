@@ -151,7 +151,7 @@ object PdfLattice {
   // ---------------------------------------------------- content interpreter
 
   /** Row-major affine text matrix (a b c d e f). */
-  private final case class Mat(a: Double, b: Double, c: Double,
+  private[ingest] final case class Mat(a: Double, b: Double, c: Double,
       d: Double, e: Double, f: Double) {
     def *(o: Mat): Mat = Mat(
       a * o.a + b * o.c, a * o.b + b * o.d,
@@ -207,10 +207,16 @@ object PdfLattice {
     sb.toString
   }
 
-  /** Run the text + path machines over one page's content. */
-  private[ingest] def interpret(content: Array[Byte]): (Seq[TextFrag], Seq[Box]) = {
+  /** Run the text + path machines over one page's content. Also records
+    * every XObject invocation with the CTM active at its `Do` — the
+    * placement a raster-rule extractor (Jbig2) needs to map image-pixel
+    * geometry into device space.
+    */
+  private[ingest] def interpret(content: Array[Byte])
+      : (Seq[TextFrag], Seq[Box], Seq[(String, Mat)]) = {
     val texts = new ArrayBuffer[TextFrag]
     val boxes = new ArrayBuffer[Box]
+    val places = new ArrayBuffer[(String, Mat)]
     var ctm = Id
     val ctmStack = new ArrayBuffer[Mat]
     var tm = Id; var tlm = Id; var tl = 0.0; var fs = 1.0
@@ -366,12 +372,15 @@ object PdfLattice {
               case _ => ()
             }
             flushRun()
-          case _ => () // Tc/Tw/Tz/Ts/Tf/Tr, color, XObjects, marked content
+          case "Do" => operands.reverseIterator.collectFirst {
+            case TName(nm) => nm
+          }.foreach(nm => places += ((nm, ctm)))
+          case _ => () // Tc/Tw/Tz/Ts/Tf/Tr, color, marked content
         }
         operands.clear()
       case t => operands += t
     }
-    (texts.toSeq, boxes.toSeq)
+    (texts.toSeq, boxes.toSeq, places.toSeq)
   }
 
   // ------------------------------------------------------- grid detection
@@ -740,6 +749,115 @@ object PdfLattice {
     out.toByteArray
   }
 
+  // ----------------------------------------------- raster (JBIG2) rules
+
+  private val ResourcesRefRe = """/Resources\s+(\d+)\s+0\s+R""".r
+  private val XObjPairRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+0\s+R""".r
+
+  /** The /XObject name -> object-number map of a page: inline
+    * /Resources<</XObject<<...>>>> or an indirect /Resources object.
+    */
+  private def xobjectRefs(data: Array[Byte], s: String,
+      pageDict: String): Map[String, Int] = {
+    val res =
+      if (pageDict.contains("/XObject")) Some(pageDict)
+      else ResourcesRefRe.findFirstMatchIn(pageDict)
+        .flatMap(m => fetchObj(data, s, m.group(1).toInt))
+    res.flatMap { r =>
+      val i = r.indexOf("/XObject")
+      if (i < 0) None
+      else {
+        val open = r.indexOf("<<", i)
+        if (open < 0) None
+        else {
+          // bracket-match the XObject dict (values are plain refs)
+          var depth = 0; var j = open; var end = -1
+          while (j < r.length - 1 && end < 0) {
+            if (r.charAt(j) == '<' && r.charAt(j + 1) == '<') {
+              depth += 1; j += 2
+            } else if (r.charAt(j) == '>' && r.charAt(j + 1) == '>') {
+              depth -= 1; j += 2; if (depth == 0) end = j
+            } else j += 1
+          }
+          if (end < 0) None else Some(r.substring(open, end))
+        }
+      }
+    }.map { body =>
+      XObjPairRe.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toInt).toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Raw (undecoded) stream bytes + /Width /Height of a JBIG2-filtered
+    * image XObject; None for any other object.
+    */
+  private def jbig2Stream(data: Array[Byte], s: String,
+      n: Int): Option[(Int, Int, Array[Byte])] =
+    ("""(?:^|[^0-9])""" + n + """\s+0\s+obj\b""").r
+      .findAllMatchIn(s).toSeq.lastOption.flatMap { m =>
+        val st = s.indexOf("stream", m.end)
+        val end = s.indexOf("endobj", m.end)
+        if (st < 0 || (end >= 0 && st > end)) None
+        else {
+          val dict = s.substring(m.end, st)
+          if (!dict.contains("/JBIG2Decode")) None
+          else for {
+            w <- """/Width\s+(\d+)""".r.findFirstMatchIn(dict)
+              .map(_.group(1).toInt)
+            h <- """/Height\s+(\d+)""".r.findFirstMatchIn(dict)
+              .map(_.group(1).toInt)
+            bytes <- {
+              var s0 = st + "stream".length
+              if (s0 + 1 < s.length && s.charAt(s0) == '\r' &&
+                s.charAt(s0 + 1) == '\n') s0 += 2
+              else if (s0 < s.length && s.charAt(s0) == '\n') s0 += 1
+              val se = s.indexOf("endstream", s0)
+              if (se < 0) None
+              else Some(java.util.Arrays.copyOfRange(data, s0, se))
+            }
+          } yield (w, h, bytes)
+        }
+      }
+
+  /** Rules mined from a page's JBIG2 raster images (scanned pages draw
+    * their table grid as pixels, not vector strokes): decode each
+    * placed JBIG2 XObject, extract long horizontal/vertical runs, and
+    * map them through the CTM active at the image's `Do` into the same
+    * device space the vector rules live in. The unit image square maps
+    * pixel (px, py) to ((px+.5)/w, 1-(py+.5)/h) — image row 0 is the
+    * TOP, device y grows UP. Fail-closed per image: an undecodable or
+    * out-of-profile stream contributes nothing.
+    */
+  private def jbig2Boxes(data: Array[Byte], pageDict: String,
+      places: Seq[(String, Mat)]): Seq[Box] = {
+    if (places.isEmpty) return Seq.empty
+    val s = PdfMeta.latin1(data)
+    val xobjs = xobjectRefs(data, s, pageDict)
+    if (xobjs.isEmpty) return Seq.empty
+    places.flatMap { case (nm, m) =>
+      (for {
+        n <- xobjs.get(nm)
+        (w, h, bytes) <- jbig2Stream(data, s, n)
+        bm <- Jbig2.decodePage(bytes, w, h)
+      } yield {
+        val (hs, vs) = Jbig2.rules(bm)
+        def dev(px: Double, py: Double): (Double, Double) =
+          m((px + 0.5) / w, 1.0 - (py + 0.5) / h)
+        val hb = hs.map { case (x0, x1, y) =>
+          val (dx0, dy0) = dev(x0, y); val (dx1, dy1) = dev(x1, y)
+          Box(math.min(dx0, dx1), math.min(dy0, dy1),
+            math.abs(dx1 - dx0), math.abs(dy1 - dy0))
+        }
+        val vb = vs.map { case (y0, y1, x) =>
+          val (dx0, dy0) = dev(x, y0); val (dx1, dy1) = dev(x, y1)
+          Box(math.min(dx0, dx1), math.min(dy0, dy1),
+            math.abs(dx1 - dx0), math.abs(dy1 - dy0))
+        }
+        hb ++ vb
+      }).getOrElse(Seq.empty)
+    }
+  }
+
   // ------------------------------------------------------------ public API
 
   private val RotateRe = """/Rotate\s+(\d+)""".r
@@ -860,8 +978,11 @@ object PdfLattice {
         val out = Try {
           pageDicts(data).zipWithIndex.map { case (pd, pi) =>
             Try {
-              val (rawTexts, rawBoxes) = interpret(pageContent(data, pd))
-              val (normTexts, boxes) = normalizePage(pd, rawTexts, rawBoxes)
+              val (rawTexts, rawBoxes, places) =
+                interpret(pageContent(data, pd))
+              val rasterBoxes = jbig2Boxes(data, pd, places)
+              val (normTexts, boxes) =
+                normalizePage(pd, rawTexts, rawBoxes ++ rasterBoxes)
               val texts = coalesceFrags(normTexts)
               PageExtract(pi + 1, texts, detectTables(texts, boxes))
             }.getOrElse(PageExtract(pi + 1, Seq.empty, Seq.empty))

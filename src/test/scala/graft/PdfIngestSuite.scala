@@ -183,15 +183,19 @@ class PdfIngestSuite extends AnyFunSuite {
   }
 
   test("golden parity: q_rad_ingest recovers >= 95% of the reference's " +
-      "eligible main.db rows") {
-    // eligibility: drop 2007 (scanned pages — its rules exist only as
-    // raster pixels; extracting them needs the renderer camelot shells
-    // out to, which this container lacks). 2005-b (also scanned) and
-    // 2019 (no Info /Title, R4-skipped) contribute zero golden rows.
+      "FULL main.db (2007's JBIG2-scanned pages included)") {
+    // NO exclusions since round 9: 2007's raster table grid is decoded
+    // from its JBIG2 streams (Jbig2.scala) and its cells read from the
+    // invisible-OCR text layer — 19/23 of its golden pairs recover
+    // (the 4 misses are OCR-placement artifacts: a stray "(" glyph
+    // ordered differently than pdfminer's metrics place it, and two
+    // rows whose wrapped results text melts across the estimated cell
+    // boundary). 2005-b (scanned, CCITT G4) and 2019 (no Info /Title,
+    // R4-skipped) contribute zero golden rows, faithfully.
     def norm(s: String) =
       Option(s).getOrElse("").toUpperCase.replaceAll("\\s+", " ").trim
-    val golden = goldenRows.filter(_.last != "2007-nasa-compendium.pdf")
-    assert(golden.size == 509, s"eligible golden rows: ${golden.size}")
+    val golden = goldenRows
+    assert(golden.size == 532, s"golden rows: ${golden.size}")
     val ours = graft.SparkEntry.queries("q_rad_ingest")(
       SparkFixture.spark, SparkFixture.sf).collect()
     val ourPairs = ours.map(r => (r.getString(11), norm(r.getString(0)))).toSet
@@ -204,23 +208,44 @@ class PdfIngestSuite extends AnyFunSuite {
     assert(recall >= 0.95, s"recall $recall under the 0.95 floor")
     // per-file volume pins vs BASELINE.md's per-file counts: every
     // eligible file lands within ±25% of its golden row count.
-    // Exception, verified by hand: 2006 extracts 51 rows vs golden 28 —
-    // the 23 extras are GENUINE device rows (54ACTQ04/14, LM111/117/119,
-    // HCPL-520K/553K/655K/6731, MAX6021, STAR1000, ADV202, ...) whose
-    // tables the reference's camelot run under-detected; discarding them
-    // to fit a ±25% band would be deliberate data loss. 2006 is pinned
-    // both ways instead: at least full golden volume, at most today's
-    // verified-genuine 51.
+    // Exceptions, verified by hand, pinned both ways (at least full
+    // golden volume, at most today's verified count):
+    //  - 2006: 51 vs golden 28 — the 23 extras are GENUINE device rows
+    //    (54ACTQ04/14, LM111/117/119, HCPL-520K/553K/655K/6731,
+    //    MAX6021, STAR1000, ADV202, ...) whose tables the reference's
+    //    camelot run under-detected; discarding them to fit a ±25%
+    //    band would be deliberate data loss.
+    //  - 2007: 27 vs golden 23 — the extras are melted/partial
+    //    variants of rows whose single-fragment OCR lines cross the
+    //    estimated cell boundaries.
     val oursByFile = ours.groupBy(_.getString(11)).view.mapValues(_.length)
     golden.groupBy(_.last).foreach { case (f, g) =>
       val n = oursByFile.getOrElse(f, 0)
       val (lo, hi) =
         if (f == "2006-nasa-compendium.pdf") (g.size, 51)
+        else if (f == "2007-nasa-compendium.pdf") (g.size, 27)
         else ((g.size * 0.75).toInt, (g.size * 1.25).ceil.toInt)
       assert(n >= lo, s"$f: $n rows vs golden ${g.size} (floor $lo)")
       assert(n <= hi,
         s"$f: $n rows vs golden ${g.size} — over-extraction past $hi")
     }
+  }
+
+  test("2007 (JBIG2 raster): known part rows extract end-to-end") {
+    // the raster grid decoded from the symbol/text JBIG2 streams + the
+    // invisible-OCR text layer produce the reference's own 2007 rows:
+    // pin two well-formed ones (golden main.db lines)
+    val rows = graft.SparkEntry.queries("q_rad_ingest")(
+      SparkFixture.spark, SparkFixture.sf).collect()
+      .filter(_.getString(11) == "2007-nasa-compendium.pdf")
+    assert(rows.length >= 23, s"2007 rows: ${rows.length}")
+    val parts = rows.map(r => Option(r.getString(0)).getOrElse("").trim).toSet
+    Seq("LT1037", "AD584", "JANS2N2222", "UC1708", "K9F4G08UOA",
+      "TC58FVM7B2ATG-65").foreach { p =>
+      assert(parts.contains(p), s"missing 2007 part $p")
+    }
+    val lt = rows.find(r => Option(r.getString(0)).exists(_.trim == "LT1037")).get
+    assert(lt.getString(1).contains("Linear Tech"))
   }
 
   test("q_rad_relational (staged SQL tail) agrees with q_rad_ingest " +
