@@ -410,35 +410,51 @@ private[ingest] object Jbig2 {
     * (horizontal, vertical) segments in PIXEL coordinates:
     * (x0, x1, y) and (y0, y1, x).
     *
-    * Why dim/20 and not camelot's line_scale=15 default: vector rules
-    * arrive as continuous painted segments, but a scanned grid's
-    * verticals are CUT at every crossing band in the raster — the 2007
-    * header band's verticals measure 295 px against a dim/15 gate of
-    * 340, so the genuine printed rules of the header row would vanish
-    * and the row would melt into one spanning cell (and R15 would then
-    * map every category onto column 0). 255 px ≈ 31 pt is still an
-    * order of magnitude above glyph strokes, and isolated long
-    * underlines die in grid detection (a >= 2x2 intersecting component
-    * is required).
+    * The dim/40 length gate is the reference's own: tables.py:54 calls
+    * camelot with line_scale=40 (kernel = dim // line_scale), NOT the
+    * library default 15. The distinction matters on scans — a grid's
+    * verticals are CUT at every crossing band in the raster (the 2007
+    * header band's verticals measure 295 px; a dim/15 gate of 340
+    * would melt the header into one spanning cell and R15 would map
+    * every category onto column 0). Isolated long underlines die in
+    * grid detection anyway (a >= 2x2 intersecting component is
+    * required).
     */
   private[ingest] def rules(bm: Bitmap)
       : (Seq[(Int, Int, Int)], Seq[(Int, Int, Int)]) = {
-    val minH = math.max(bm.w / 20, 8)
-    val minV = math.max(bm.h / 20, 8)
+    val minH = math.max(bm.w / 40, 8)
+    val minV = math.max(bm.h / 40, 8)
 
-    // collect runs >= min along the major axis, one list per minor line
+    // collect runs >= min along the major axis, one list per minor
+    // line, bridging gaps <= BridgeGap px: a 600 dpi scan pockmarks
+    // its rules with 1-10 px holes that would split one printed line
+    // into sub-threshold pieces (a row-height vertical is ~160 px —
+    // unreachable through any sane length gate once split), while
+    // genuine structure gaps (band crossings) measure 100+ px and
+    // stay unbridged
+    val BridgeGap = 12
     def runsOf(major: Int, minor: Int, min: Int,
         get: (Int, Int) => Int): Array[List[(Int, Int)]] = {
       val out = Array.fill(minor)(List.empty[(Int, Int)])
       var mi = 0
       while (mi < minor) {
         var x = 0
-        while (x < major) {
-          if (get(x, mi) != 0) {
-            val x0 = x
-            while (x < major && get(x, mi) != 0) x += 1
-            if (x - x0 >= min) out(mi) = (x0, x - 1) :: out(mi)
-          } else x += 1
+        var open = -1 // start of the current bridged run
+        var last = -1 // last black pixel seen
+        while (x <= major) {
+          val black = x < major && get(x, mi) != 0
+          if (black) {
+            if (open < 0) open = x
+            else if (x - last > BridgeGap + 1) {
+              if (last - open + 1 >= min) out(mi) = (open, last) :: out(mi)
+              open = x
+            }
+            last = x
+          } else if (open >= 0 && (x - last > BridgeGap || x == major)) {
+            if (last - open + 1 >= min) out(mi) = (open, last) :: out(mi)
+            open = -1
+          }
+          x += 1
         }
         out(mi) = out(mi).reverse
         mi += 1

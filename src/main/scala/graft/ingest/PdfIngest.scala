@@ -242,15 +242,17 @@ object PdfIngest {
     * ModDate (every committed main.db source_paper reads "...TitlebD:
     * 20xx..."). None when either key is missing (the whole file skips).
     */
-  /** Python bytes-repr rendering of one decoded string: printable
-    * ASCII verbatim, backslash doubled, \t \n \r named, other Latin-1
-    * bytes as \xNN (the committed main.db carries a literal "\x90"
-    * where the 2020 title holds a 0x90 byte). Characters beyond
-    * Latin-1 (BOM'd UTF-16 titles) pass through — the repr path only
-    * ever saw raw bytes.
+  /** Python bytes-repr of one decoded string, quoting rule included:
+    * repr picks double quotes when the bytes contain a single quote
+    * (and no double quote), else single quotes with \' escaping;
+    * printable ASCII verbatim, backslash doubled, \t \n \r named,
+    * other Latin-1 bytes as \xNN (the committed main.db carries a
+    * literal "\x90" where the 2020 title holds a 0x90 byte).
     */
-  private def pyByteRepr(s: String): String = {
-    val sb = new StringBuilder(s.length)
+  private def pyBytesRepr(s: String): String = {
+    val q = if (s.contains('\'') && !s.contains('"')) '"' else '\''
+    val sb = new StringBuilder(s.length + 3)
+    sb += 'b'; sb += q
     s.foreach { ch =>
       val v = ch.toInt
       ch match {
@@ -258,19 +260,28 @@ object PdfIngest {
         case '\t' => sb ++= "\\t"
         case '\n' => sb ++= "\\n"
         case '\r' => sb ++= "\\r"
+        case c if c == q => sb += '\\'; sb += c
         case _ if v >= 32 && v < 127 => sb += ch
         case _ if v < 256 => sb ++= f"\\x$v%02x"
         case _ => sb += ch
       }
     }
+    sb += q
     sb.toString
   }
 
+  /** tables.py:73 verbatim: re.sub(r"b'", '', f"{title}{moddate}")
+    * .replace("'", "").replace('"', '') over the two BYTES values. The
+    * subtlety every committed main.db row exhibits: PDF ModDate values
+    * carry apostrophes (D:...-04'00'), so THEIR repr is double-quoted
+    * — its 'b' prefix survives re.sub(r"b'") and the final value reads
+    * Title + 'b' + ModDate ("...TitlebD:20...").
+    */
   private[ingest] def sourcePaperOf(data: Array[Byte]): Option[String] =
     PdfMeta.titleModDate(data) match {
       case (Some(t), Some(md)) =>
-        Some((pyByteRepr(t) + "b" + pyByteRepr(md))
-          .replace("'", "").replace("\"", ""))
+        Some((pyBytesRepr(t) + pyBytesRepr(md))
+          .replaceAll("b'", "").replace("'", "").replace("\"", ""))
       case _ => None
     }
 

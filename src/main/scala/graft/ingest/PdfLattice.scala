@@ -562,6 +562,17 @@ object PdfLattice {
         }
         def hspan(i: Int, c: Int): Boolean = hspanM(i)(c)
         def vspan(i: Int, c: Int): Boolean = vspanM(i)(c)
+        // a row with NO interior vertical edge at all is not a merged
+        // cell — it is an unbordered row (scans drop the dividers of a
+        // lone data row between two band rows; band headers legitimately
+        // span). Shifting such a row left would melt every cell into
+        // column 0 and destroy the row; the reference's committed
+        // artifact keeps these rows split by the table's column grid
+        // (main.db's 2007 AT22V10/HCPL rows), so text assignment stays
+        // geometric and only PARTIALLY bordered rows shift.
+        val unborderedRow = Array.tabulate(nRows) { i =>
+          (1 until nCols).forall(j => !vEdge(j)(nRows - 1 - i))
+        }
         val grid = scala.collection.mutable.Map
           .empty[(Int, Int), ArrayBuffer[TextFrag]]
         texts.foreach { t =>
@@ -580,7 +591,8 @@ object PdfLattice {
               // merged cell into ONE joined cell value instead of a
               // stray fragment in the continuation band below.
               var i = nRows - 1 - ri; var c = ci
-              if (hspan(i, c)) while (c > 0 && !left(i, c)) c -= 1
+              if (hspan(i, c) && !unborderedRow(i))
+                while (c > 0 && !left(i, c)) c -= 1
               if (vspan(i, c)) while (i > 0 && !top(i, c)) i -= 1
               grid.getOrElseUpdate((nRows - 1 - i, c), new ArrayBuffer) += t
             }

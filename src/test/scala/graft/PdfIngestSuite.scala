@@ -215,15 +215,15 @@ class PdfIngestSuite extends AnyFunSuite {
     //    MAX6021, STAR1000, ADV202, ...) whose tables the reference's
     //    camelot run under-detected; discarding them to fit a ±25%
     //    band would be deliberate data loss.
-    //  - 2007: 27 vs golden 23 — the extras are melted/partial
-    //    variants of rows whose single-fragment OCR lines cross the
-    //    estimated cell boundaries.
+    //  - 2007: 32 vs golden 23 — the extras are partial variants of
+    //    rows whose single-fragment OCR lines cross the estimated cell
+    //    boundaries, plus two surviving mid-body header echoes.
     val oursByFile = ours.groupBy(_.getString(11)).view.mapValues(_.length)
     golden.groupBy(_.last).foreach { case (f, g) =>
       val n = oursByFile.getOrElse(f, 0)
       val (lo, hi) =
         if (f == "2006-nasa-compendium.pdf") (g.size, 51)
-        else if (f == "2007-nasa-compendium.pdf") (g.size, 27)
+        else if (f == "2007-nasa-compendium.pdf") (g.size, 32)
         else ((g.size * 0.75).toInt, (g.size * 1.25).ceil.toInt)
       assert(n >= lo, s"$f: $n rows vs golden ${g.size} (floor $lo)")
       assert(n <= hi,
@@ -241,11 +241,19 @@ class PdfIngestSuite extends AnyFunSuite {
     assert(rows.length >= 23, s"2007 rows: ${rows.length}")
     val parts = rows.map(r => Option(r.getString(0)).getOrElse("").trim).toSet
     Seq("LT1037", "AD584", "JANS2N2222", "UC1708", "K9F4G08UOA",
-      "TC58FVM7B2ATG-65").foreach { p =>
+      "TC58FVM7B2ATG-65", "AT22V10", "HCPL-675 1").foreach { p =>
       assert(parts.contains(p), s"missing 2007 part $p")
     }
     val lt = rows.find(r => Option(r.getString(0)).exists(_.trim == "LT1037")).get
     assert(lt.getString(1).contains("Linear Tech"))
+    // the unbordered-row rule (scans drop a lone data row's dividers):
+    // AT22V10's row keeps its geometric columns instead of melting left
+    val at = rows.find(r =>
+      Option(r.getString(0)).exists(_.trim == "AT22V10")).get
+    assert(at.getString(1).trim == "Atmel")
+    // source_paper is reference-byte-exact (Title + 'b' + ModDate via
+    // the bytes-repr quoting path, apostrophes stripped)
+    assert(at.getString(10) == "untitledbD:20081031132548-0400")
   }
 
   test("q_rad_relational (staged SQL tail) agrees with q_rad_ingest " +
