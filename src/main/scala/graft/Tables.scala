@@ -55,6 +55,10 @@ object Tables {
     // The NTZ branch below casts through the session TZ; pin it here so
     // the cast is wall-clock-preserving for every caller (bench/demo
     // sessions don't all set it), not just Verify and the test suites.
+    // Deliberately session-global rather than a scoped conversion: the
+    // whole verified surface assumes UTC session semantics (every
+    // oracle compares against DuckDB in UTC), so a caller-set non-UTC
+    // TZ would diverge far beyond this one cast.
     s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = load(s, d, "events")
     import org.apache.spark.sql.functions.{col, expr}

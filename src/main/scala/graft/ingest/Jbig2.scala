@@ -239,10 +239,19 @@ private[ingest] object Jbig2 {
     require((fl & 1) == 0, "SDHUFF unsupported")
     require(((fl >> 1) & 1) == 0, "REFAGG unsupported")
     require(((fl >> 10) & 3) == 0, "SDTEMPLATE != 0 unsupported")
+    require(((fl >> 12) & 1) == 0, "SDRTEMPLATE unsupported")
+    require((fl & 0x0300) == 0, "bitmap coding context retain/used unsupported")
     val at = new Array[(Int, Int)](4)
     var p = 2
     var k = 0
     while (k < 4) { at(k) = (pl(p).toInt, pl(p + 1).toInt); p += 2; k += 1 }
+    // The raster-order context layout below (decodeGenericT0) IS the
+    // spec's bit assignment only when the adaptive pixels sit at their
+    // nominal slots; a moved AT keeps its BIT position but changes its
+    // read location, which raster-sorting would scramble — so anything
+    // non-nominal fails closed instead of decoding silent garbage.
+    require(at.sameElements(Array((3, -1), (-3, -1), (2, -2), (-2, -2))),
+      s"non-nominal AT pixels unsupported: ${at.mkString(",")}")
     val numex = u32(p); val numnew = u32(p + 4); p += 8
     require(numnew >= 0 && numnew < (1 << 20), s"implausible SDNUMNEWSYMS $numnew")
     val mq = new MQ(pl.drop(p))
@@ -252,7 +261,14 @@ private[ingest] object Jbig2 {
     val iaex = new Array[Byte](512)
     val syms = ArrayBuffer.empty[Bitmap]
     var hc = 0
+    // progress guard: a corrupt stream can feed dh=0 + immediate OOB
+    // width (an empty height class) forever off the MQ decoder's
+    // deterministic past-end tail — Try/None cannot catch
+    // non-termination, so bound the class count explicitly
+    var classes = 0
     while (syms.length < numnew) {
+      classes += 1
+      require(classes <= numnew + 8, "no-progress symbol height classes")
       val dh = decodeInt(mq, iadh)
       require(dh != OOB, "OOB height delta")
       hc += dh
@@ -271,10 +287,15 @@ private[ingest] object Jbig2 {
       }
     }
     // export flags: alternating run lengths over (input ++ new) symbols
+    // (run = 0 is legal — e.g. leading exported run — but bounded runs
+    // of zeroes must not spin forever)
     val exflags = new Array[Boolean](numnew)
     var idx = 0
     var cur = false
+    var exRuns = 0
     while (idx < numnew) {
+      exRuns += 1
+      require(exRuns <= 2 * numnew + 8, "no-progress export runs")
       val run = decodeInt(mq, iaex)
       require(run != OOB && run >= 0 && idx + run <= numnew, "bad export run")
       if (cur) java.util.Arrays.fill(exflags, idx, idx + run, true)
@@ -306,6 +327,9 @@ private[ingest] object Jbig2 {
     require(((fl >> 2) & 3) == 0, "multi-row strips unsupported")
     require(((fl >> 4) & 3) == 1, "REFCORNER != TOPLEFT unsupported")
     require(((fl >> 6) & 1) == 0, "TRANSPOSED unsupported")
+    require(((fl >> 7) & 3) == 0, "SBCOMBOP != OR unsupported")
+    require(((fl >> 9) & 1) == 0, "SBDEFPIXEL != 0 unsupported")
+    require(((fl >> 15) & 1) == 0, "SBRTEMPLATE unsupported")
     var dsoffset = (fl >> 10) & 0x1f
     if (dsoffset > 15) dsoffset -= 32
     val numinst = u32(19)

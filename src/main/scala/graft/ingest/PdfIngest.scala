@@ -278,7 +278,10 @@ object PdfIngest {
     * Title + 'b' + ModDate ("...TitlebD:20...").
     */
   private[ingest] def sourcePaperOf(data: Array[Byte]): Option[String] =
-    PdfMeta.titleModDate(data) match {
+    // RAW field bytes (BOM and NULs included), because the reference
+    // reprs the bytes its parser returned, not a decoded string — a
+    // UTF-16 title must render as b'\xfe\xff\x00T...' like Python would
+    PdfMeta.titleModDateRaw(data) match {
       case (Some(t), Some(md)) =>
         Some((pyBytesRepr(t) + pyBytesRepr(md))
           .replaceAll("b'", "").replace("'", "").replace("\"", ""))
@@ -361,11 +364,40 @@ object PdfIngest {
     *     partial_ratio matrix over every table's header row BEFORE the
     *     argmax (max over the 'deg level' alias, tables.py:178).
     */
-  private[ingest] def stageGeomOf(fileName: String, data: Array[Byte])
-      : (Seq[(String, Int, Int, Double, Double, String, Int)],
-         Seq[(String, Int, Int, Double, Double)],
-         Seq[(String, Int, String, Int, Int, String)],
-         Seq[(String, Int, Int, String, Int)]) =
+  private type StagedGeom =
+    (Seq[(String, Int, Int, Double, Double, String, Int)],
+     Seq[(String, Int, Int, Double, Double)],
+     Seq[(String, Int, String, Int, Int, String)],
+     Seq[(String, Int, Int, String, Int)])
+
+  // q_rad_relational_full stages four frames with four passes over the
+  // binaryFile source (one Spark job per frame); only the page parse is
+  // memoized in PdfLattice, so without this cache each pass would redo
+  // the line grouping, cell flattening, and the full partial_ratio
+  // score matrix per file — 4x the staging CPU for three discarded
+  // outputs. Executor-local, content-addressed, small (the staging
+  // working set is one corpus); cleared wholesale at the cap.
+  private val stageGeomCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), StagedGeom]
+
+  private[ingest] def stageGeomOf(fileName: String,
+      data: Array[Byte]): StagedGeom = {
+    // fileName is part of the key — the rows embed it, so identical
+    // bytes under two names must not share an entry
+    val key = (fileName,
+      scala.util.hashing.MurmurHash3.bytesHash(data), data.length)
+    stageGeomCache.get(key) match {
+      case Some(hit) => hit
+      case None =>
+        val out = stageGeomCompute(fileName, data)
+        if (stageGeomCache.size >= 32) stageGeomCache.clear()
+        stageGeomCache.putIfAbsent(key, out)
+        out
+    }
+  }
+
+  private def stageGeomCompute(fileName: String,
+      data: Array[Byte]): StagedGeom =
     sourcePaperOf(data) match {
       case None => (Seq.empty, Seq.empty, Seq.empty, Seq.empty)
       case Some(paper) =>

@@ -840,10 +840,9 @@ object PdfLattice {
     * TOP, device y grows UP. Fail-closed per image: an undecodable or
     * out-of-profile stream contributes nothing.
     */
-  private def jbig2Boxes(data: Array[Byte], pageDict: String,
+  private def jbig2Boxes(data: Array[Byte], s: String, pageDict: String,
       places: Seq[(String, Mat)]): Seq[Box] = {
     if (places.isEmpty) return Seq.empty
-    val s = PdfMeta.latin1(data)
     val xobjs = xobjectRefs(data, s, pageDict)
     if (xobjs.isEmpty) return Seq.empty
     places.flatMap { case (nm, m) =>
@@ -988,11 +987,15 @@ object PdfLattice {
         stamp.set(parseTick.incrementAndGet()); hit
       case None =>
         val out = Try {
+          // one latin1 materialization per DOCUMENT (2 bytes/char of
+          // the whole file) — not per page; every page below regex-
+          // scans this same string
+          lazy val latin1Str = PdfMeta.latin1(data)
           pageDicts(data).zipWithIndex.map { case (pd, pi) =>
             Try {
               val (rawTexts, rawBoxes, places) =
                 interpret(pageContent(data, pd))
-              val rasterBoxes = jbig2Boxes(data, pd, places)
+              val rasterBoxes = jbig2Boxes(data, latin1Str, pd, places)
               val (normTexts, boxes) =
                 normalizePage(pd, rawTexts, rawBoxes ++ rasterBoxes)
               val texts = coalesceFrags(normTexts)

@@ -107,14 +107,22 @@ object PdfMeta {
   }
 
   /** A named string field of a dictionary: literal or hex form. */
-  private[ingest] def field(dict: String, name: String): Option[String] = {
+  private[ingest] def field(dict: String, name: String): Option[String] =
+    fieldRaw(dict, name).map(decode)
+
+  /** Same, but the string's RAW bytes 1:1 as Latin-1 chars — no BOM
+    * stripping, no UTF-16 decode. The consumer that must re-create a
+    * Python bytes-repr of the value (PdfIngest.sourcePaperOf) needs
+    * the bytes the reference's parser saw, BOM and NULs included.
+    */
+  private[ingest] def fieldRaw(dict: String, name: String): Option[String] = {
     val lit = ("""/""" + name + """\s*\(((?:\\.|[^\\)])*)\)""").r
     val hex = ("""/""" + name + """\s*<([0-9A-Fa-f\s]+)>""").r
     lit.findFirstMatchIn(dict).map { m =>
-      decode(m.group(1).replaceAll("""\\([()\\])""", "$1"))
+      m.group(1).replaceAll("""\\([()\\])""", "$1")
     }.orElse(hex.findFirstMatchIn(dict).map { m =>
-      decode(latin1(m.group(1).replaceAll("""\s""", "")
-        .grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray))
+      latin1(m.group(1).replaceAll("""\s""", "")
+        .grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
     })
   }
 
@@ -134,5 +142,15 @@ object PdfMeta {
     infoDict(data) match {
       case None    => (None, None)
       case Some(d) => (field(d, "Title"), field(d, "ModDate"))
+    }
+
+  /** Raw-bytes variant (Latin-1 1:1 chars, BOM kept): what a bytes-level
+    * reader hands to a Python repr — see fieldRaw.
+    */
+  private[ingest] def titleModDateRaw(
+      data: Array[Byte]): (Option[String], Option[String]) =
+    infoDict(data) match {
+      case None    => (None, None)
+      case Some(d) => (fieldRaw(d, "Title"), fieldRaw(d, "ModDate"))
     }
 }

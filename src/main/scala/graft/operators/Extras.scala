@@ -108,7 +108,7 @@ object Extras {
     // JSON source round-trip (complements the CSV source): stage a
     // bounded dim to JSON-lines, read back with an explicit schema.
     "q_scan_json" -> ((s, d) => {
-      val stage = "/tmp/graft_stage/nation_json"
+      val stage = s"${graft.StagePaths.root}/nation_json"
       Tables.nation(s, d).orderBy("n_nationkey").coalesce(1)
         .write.mode("overwrite").json(stage)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -291,8 +291,8 @@ object Extras {
         |ORDER BY n DESC, token ASC NULLS FIRST
         |LIMIT 20""".stripMargin,
     "q_scan_json" ->
-      """SELECT n_nationkey, n_name, n_regionkey
-        |FROM read_json('/tmp/graft_stage/nation_json/*.json',
+      s"""SELECT n_nationkey, n_name, n_regionkey
+        |FROM read_json('${graft.StagePaths.root}/nation_json/*.json',
         |  columns={'n_nationkey':'INT','n_name':'VARCHAR','n_regionkey':'INT'},
         |  format='newline_delimited')
         |ORDER BY n_nationkey ASC NULLS FIRST""".stripMargin,

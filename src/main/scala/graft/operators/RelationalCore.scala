@@ -35,7 +35,7 @@ object RelationalCore {
     // schema. The staging dir doubles as the two-phase-write analog of the
     // reference's human-review checkpoint.
     "q_scan_csv" -> ((s, d) => {
-      val stage = "/tmp/graft_stage/region_csv"
+      val stage = s"${graft.StagePaths.root}/region_csv"
       Tables.region(s, d).orderBy("r_regionkey").coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(stage)
       s.read.option("header", "true")
@@ -104,8 +104,8 @@ object RelationalCore {
         |FROM lineitem WHERE l_quantity > 30
         |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""".stripMargin,
     "q_scan_csv" ->
-      """SELECT r_regionkey, r_name
-        |FROM read_csv('/tmp/graft_stage/region_csv/*.csv', header=true,
+      s"""SELECT r_regionkey, r_name
+        |FROM read_csv('${graft.StagePaths.root}/region_csv/*.csv', header=true,
         |  columns={'r_regionkey':'INT','r_name':'VARCHAR'})
         |ORDER BY r_regionkey ASC NULLS FIRST""".stripMargin,
     "q_filter_predicate" ->
