@@ -26,15 +26,9 @@ object BinaryIngest {
     sys.env.getOrElse("GRAFT_DOCS_DIR", "/root/reference/docs")
 
   /** Process-scoped staging root for the oracle-checkable relational
-    * queries: the Spark side writes parquet here and the DuckDB oracle
-    * (whose SQL interpolates the same value, dumped from the same JVM
-    * by Verify) reads it back. The per-process UUID means two
-    * concurrent driver/bench/verify processes can never interleave a
-    * mode("overwrite") write with the other's oracle read on a shared
-    * fixed path.
+    * queries — see graft.StagePaths for the race/lifetime contract.
     */
-  private[ingest] lazy val stageRoot: String =
-    s"/tmp/graft_stage_${java.util.UUID.randomUUID().toString.take(8)}"
+  private[ingest] def stageRoot: String = graft.StagePaths.root
 
   /** R1+R2: distributed directory scan with an extension glob
     * (main.py:88-92's `os.listdir` + `.endswith(".pdf")`).
