@@ -429,7 +429,7 @@ private[ingest] object Jbig2 {
     }.toOption
 
   /** Ruled-line extraction from a decoded raster: maximal horizontal /
-    * vertical black runs at least dim/20 long, with consecutive
+    * vertical black runs at least dim/40 long, with consecutive
     * same-span rows/cols merged into one physical rule. Returns
     * (horizontal, vertical) segments in PIXEL coordinates:
     * (x0, x1, y) and (y0, y1, x).

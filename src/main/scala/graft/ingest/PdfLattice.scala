@@ -171,7 +171,8 @@ object PdfLattice {
     * against multi-point column gaps.
     */
   final case class TextFrag(x: Double, y: Double, xEnd: Double,
-      yEnd: Double, text: String) {
+      yEnd: Double, text: String, ord: Int = 0, size: Double = 0.0,
+      est: Boolean = true) {
     def xMin: Double = math.min(x, xEnd)
     def xMax: Double = math.max(x, xEnd)
   }
@@ -186,17 +187,171 @@ object PdfLattice {
   final case class Box(x: Double, y: Double, w: Double, h: Double,
       shade: Boolean = false)
 
-  /** Advance estimate in text-space ems, by glyph class (no font
-    * metrics exist without the embedded font programs): narrow strokes
-    * ~0.35 em, caps/digits ~0.66 em, everything else ~0.5 em.
+  /** Advance estimate in text-space ems, by glyph class — the FALLBACK
+    * when a font's /Widths cannot be resolved: narrow strokes ~0.35 em,
+    * caps/digits ~0.66 em, everything else ~0.5 em.
     */
   private def estCharWidth(c: Char): Double =
     if ("ilIjt.,:;'()[]|!f ".indexOf(c) >= 0) 0.35
     else if (c.isUpper || c.isDigit) 0.66
     else 0.5
 
-  private def estWidth(s: String): Double =
-    s.foldLeft(0.0)((acc, c) => acc + estCharWidth(c))
+  // -------------------------------------------------------- font metrics
+
+  /** Resolved advance widths of one simple font (glyph-space units,
+    * 1000/em). `width(code)` < 0 means unknown — caller estimates.
+    */
+  private[graft] final case class PdfFont(first: Int,
+      widths: Array[Double], missing: Double) {
+    def width(code: Int): Double = {
+      val i = code - first
+      if (i >= 0 && i < widths.length && widths(i) > 0) widths(i)
+      else if (missing > 0) missing
+      else -1.0
+    }
+  }
+
+  /** AFM advance widths of the standard-14 Type1 fonts (codes 32-126,
+    * StandardEncoding = ASCII in this range) — public Adobe core-font
+    * metrics, required because a PDF may reference these fonts with no
+    * /Widths array at all (ISO 32000 §9.6.2.2); the 2007 scan's OCR
+    * layer does exactly that.
+    */
+  private val StdWidths: Map[String, Array[Double]] = {
+    def w(s: String) = s.trim.split("\\s+").map(_.toDouble)
+    val helv = w("""278 278 355 556 556 889 667 191 333 333 389 584 278
+      333 278 278 556 556 556 556 556 556 556 556 556 556 278 278 584
+      584 584 556 1015 667 667 722 722 667 611 778 722 278 500 667 556
+      833 722 778 667 778 722 667 611 722 667 944 667 667 611 278 278
+      278 469 556 333 556 556 500 556 556 278 556 556 222 222 500 222
+      833 556 556 556 556 333 500 278 556 500 722 500 500 500 334 260
+      334 584""")
+    val helvB = w("""278 333 474 556 556 889 722 238 333 333 389 584 278
+      333 278 278 556 556 556 556 556 556 556 556 556 556 333 333 584
+      584 584 611 975 722 722 722 722 667 611 778 722 278 556 722 611
+      833 722 778 667 778 722 667 611 722 667 944 667 667 611 333 278
+      333 584 556 333 556 611 556 611 556 333 611 611 278 278 556 278
+      889 611 611 611 611 389 556 333 611 556 778 556 556 500 389 280
+      389 584""")
+    val times = w("""250 333 408 500 500 833 778 180 333 333 500 564 250
+      333 250 278 500 500 500 500 500 500 500 500 500 500 278 278 564
+      564 564 444 921 722 667 667 722 611 556 722 722 333 389 722 611
+      889 722 722 556 722 667 556 611 722 722 944 722 722 611 333 278
+      333 469 500 333 444 500 444 500 444 333 500 500 278 278 500 278
+      778 500 500 500 500 333 389 278 500 500 722 500 500 444 480 200
+      480 541""")
+    val timesB = w("""250 333 555 500 500 1000 833 278 333 333 500 570
+      250 333 250 278 500 500 500 500 500 500 500 500 500 500 333 333
+      570 570 570 500 930 722 667 722 722 667 611 778 778 389 500 778
+      667 944 722 778 611 778 722 556 667 722 722 1000 722 722 667 333
+      278 333 581 500 333 500 556 444 556 444 333 500 556 278 333 556
+      278 833 556 500 556 556 444 389 333 556 500 722 500 500 444 394
+      220 394 520""")
+    val timesI = w("""250 333 420 500 500 833 778 214 333 333 500 675
+      250 333 250 278 500 500 500 500 500 500 500 500 500 500 333 333
+      675 675 675 500 920 611 611 667 722 611 611 722 722 333 444 667
+      556 833 667 722 611 722 611 500 556 722 611 833 611 556 556 389
+      278 389 422 500 333 500 500 444 500 444 278 500 500 278 278 444
+      278 722 500 500 500 500 389 389 278 500 444 667 444 444 389 400
+      275 400 541""")
+    val timesBI = w("""250 389 555 500 500 833 778 278 333 333 500 570
+      250 333 250 278 500 500 500 500 500 500 500 500 500 500 333 333
+      570 570 570 500 832 667 667 667 722 667 667 722 778 389 500 667
+      611 889 722 722 611 722 667 556 611 722 667 889 667 611 611 333
+      278 333 570 500 333 500 500 444 500 444 333 500 556 278 278 500
+      278 778 556 500 500 500 389 389 278 556 444 667 500 444 389 348
+      220 348 570""")
+    val courier = Array.fill(95)(600.0)
+    Map(
+      "Helvetica" -> helv, "Helvetica-Oblique" -> helv, "Arial" -> helv,
+      "ArialMT" -> helv,
+      "Helvetica-Bold" -> helvB, "Helvetica-BoldOblique" -> helvB,
+      "Arial-Bold" -> helvB, "Arial-BoldMT" -> helvB,
+      "Times-Roman" -> times, "TimesNewRoman" -> times,
+      "TimesNewRomanPSMT" -> times,
+      "Times-Bold" -> timesB, "TimesNewRomanPS-BoldMT" -> timesB,
+      "Times-Italic" -> timesI, "TimesNewRomanPS-ItalicMT" -> timesI,
+      "Times-BoldItalic" -> timesBI,
+      "TimesNewRomanPS-BoldItalicMT" -> timesBI,
+      "Courier" -> courier, "Courier-Bold" -> courier,
+      "Courier-Oblique" -> courier, "Courier-BoldOblique" -> courier)
+  }
+
+  private val FontDictRefRe = """/Font\s+(\d+)\s+0\s+R""".r
+  private val FirstCharRe = """/FirstChar\s+(\d+)""".r
+  private val WidthsArrRe = """(?s)/Widths\s*\[(.*?)\]""".r
+  private val WidthsRefRe = """/Widths\s+(\d+)\s+0\s+R""".r
+  private val DescRefRe = """/FontDescriptor\s+(\d+)\s+0\s+R""".r
+  private val MissingWRe = """/MissingWidth\s+([\d.]+)""".r
+  private val BaseFontRe = """/BaseFont\s*/([^\s/<>\[\]()]+)""".r
+  private val NumRe = """-?[\d.]+""".r
+
+  /** Bracket-match the `<<...>>` that starts at or after `from`. */
+  private def dictAt(r: String, from: Int): Option[String] = {
+    val open = r.indexOf("<<", from)
+    if (open < 0) None
+    else {
+      var depth = 0; var j = open; var end = -1
+      while (j < r.length - 1 && end < 0) {
+        if (r.charAt(j) == '<' && r.charAt(j + 1) == '<') { depth += 1; j += 2 }
+        else if (r.charAt(j) == '>' && r.charAt(j + 1) == '>') {
+          depth -= 1; j += 2; if (depth == 0) end = j
+        } else j += 1
+      }
+      if (end < 0) None else Some(r.substring(open, end))
+    }
+  }
+
+  /** The /Font name -> metrics map of one page. Best-effort: a font
+    * that cannot be resolved (Type0/CID, broken refs) is simply absent
+    * and its runs fall back to estimated advances.
+    */
+  private[graft] def pageFonts(data: Array[Byte], s: String,
+      pageDict: String): Map[String, PdfFont] = {
+    val res =
+      if (pageDict.contains("/Font")) Some(pageDict)
+      else ResourcesRefRe.findFirstMatchIn(pageDict)
+        .flatMap(m => fetchObj(data, s, m.group(1).toInt))
+    res.toSeq.flatMap { r =>
+      // inline /Font<<...>> — or an indirect /Font N 0 R dictionary
+      val inlineAt = """/Font\s*<<""".r.findFirstMatchIn(r)
+      val body = inlineAt.flatMap(m => dictAt(r, m.start))
+        .orElse(FontDictRefRe.findFirstMatchIn(r)
+          .flatMap(m => fetchObj(data, s, m.group(1).toInt)))
+      body.toSeq.flatMap { fd =>
+        XObjPairRe.findAllMatchIn(fd).flatMap { m =>
+          val name = m.group(1)
+          fetchObj(data, s, m.group(2).toInt).flatMap { obj =>
+            if (obj.contains("/Type0")) None
+            else {
+              val widths = WidthsArrRe.findFirstMatchIn(obj)
+                .map(_.group(1))
+                .orElse(WidthsRefRe.findFirstMatchIn(obj).flatMap(w =>
+                  fetchObj(data, s, w.group(1).toInt)))
+                .map(a => NumRe.findAllIn(a).map(_.toDouble).toArray)
+                .filter(_.nonEmpty)
+              val first = FirstCharRe.findFirstMatchIn(obj)
+                .map(_.group(1).toInt)
+              val missing = DescRefRe.findFirstMatchIn(obj)
+                .flatMap(d => fetchObj(data, s, d.group(1).toInt))
+                .flatMap(d => MissingWRe.findFirstMatchIn(d))
+                .map(_.group(1).toDouble).getOrElse(0.0)
+              widths.map(w =>
+                name -> PdfFont(first.getOrElse(0), w, missing))
+                .orElse {
+                  // no /Widths: a standard-14 font carries its public
+                  // AFM metrics implicitly
+                  BaseFontRe.findFirstMatchIn(obj)
+                    .map(_.group(1).replaceFirst("^[A-Z]{6}\\+", ""))
+                    .flatMap(StdWidths.get)
+                    .map(w => name -> PdfFont(32, w, missing))
+                }
+            }
+          }
+        }
+      }
+    }.toMap
+  }
 
   private def printable(bytes: Array[Byte], keepAll: Boolean): String = {
     val sb = new StringBuilder(bytes.length)
@@ -212,15 +367,23 @@ object PdfLattice {
     * placement a raster-rule extractor (Jbig2) needs to map image-pixel
     * geometry into device space.
     */
-  private[ingest] def interpret(content: Array[Byte])
+  private[ingest] def interpret(content: Array[Byte],
+      fonts: Map[String, PdfFont] = Map.empty)
       : (Seq[TextFrag], Seq[Box], Seq[(String, Mat)]) = {
     val texts = new ArrayBuffer[TextFrag]
     val boxes = new ArrayBuffer[Box]
     val places = new ArrayBuffer[(String, Mat)]
     var ctm = Id
     val ctmStack = new ArrayBuffer[Mat]
+    // non-stroking fill luminance (0 = black, the PDF initial color):
+    // distinguishes a dark separator BAR (a rule to a raster line
+    // detector) from light background shading. Part of graphics state,
+    // so saved/restored with q/Q alongside the CTM.
+    var fillLum = 0.0
+    val lumStack = new ArrayBuffer[Double]
     var tm = Id; var tlm = Id; var tl = 0.0; var fs = 1.0
     var tc = 0.0; var tw = 0.0 // Tc char / Tw word spacing (text state)
+    var curFont: PdfFont = null // resolved metrics of the Tf-selected font
     val operands = new ArrayBuffer[Tok]
     val pathRects = new ArrayBuffer[(Double, Double, Double, Double)]
     val pathLines = new ArrayBuffer[((Double, Double), (Double, Double))]
@@ -240,13 +403,24 @@ object PdfLattice {
     // outer frames); fill-only -> background SHADING, whose edges are
     // not rules (header-band shading otherwise splits header cells into
     // phantom rows that a morphological line detector never sees).
+    // EXCEPT a DARK fill-only bar a few points thick: rendered it is a
+    // thick dark line, and camelot's morphology reduces any such
+    // contour to its centerline (image_processing find_lines) — header
+    // separator bars are drawn this way (per-column filled rects
+    // ~2-3 pt tall). Emit the centerline as a rule.
     def paint(stroked: Boolean): Unit = {
       val thin = 2.0
+      val bar = 4.0
+      val dark = fillLum < 0.5
       pathRects.foreach { case (x, y, w, h) =>
         val (x1, y1) = ctm(x, y); val (x2, y2) = ctm(x + w, y + h)
         val (bx, by) = (math.min(x1, x2), math.min(y1, y2))
         val (bw, bh) = (math.abs(x2 - x1), math.abs(y2 - y1))
         if (bw <= thin || bh <= thin) boxes += Box(bx, by, bw, bh)
+        else if (!stroked && dark && math.min(bw, bh) <= bar) {
+          if (bh <= bw) boxes += Box(bx, by + bh / 2, bw, 0)
+          else boxes += Box(bx + bw / 2, by, 0, bh)
+        }
         else if (stroked) {
           boxes += Box(bx, by, bw, 0)
           boxes += Box(bx, by + bh, bw, 0)
@@ -284,32 +458,57 @@ object PdfLattice {
     // a tabulation into another column, not a word break.
     val rsb = new StringBuilder
     var rOff = 0.0; var rOff0 = 0.0; var rEnd = 0.0
+    // a single unresolved glyph width poisons every later offset in the
+    // same show op (no absolute repositioning until the next Tm/Td) —
+    // track estimation per SHOW, not per run
+    var showEst = false
     def flushRun(): Unit = {
       if (rsb.nonEmpty) {
         val m = tm * ctm
         val (x, y) = m(rOff0, 0)
         val (xe, ye) = m(rEnd, 0)
-        texts += TextFrag(x, y, xe, ye, rsb.toString)
+        // device-space em size: fs scaled by the advance axis of the
+        // effective matrix — drives word-margin and line-overlap
+        // decisions downstream (pdfminer derives the same from glyph
+        // bboxes)
+        val devSize = fs * math.hypot(m.a, m.b)
+        texts += TextFrag(x, y, xe, ye, rsb.toString, texts.length,
+          devSize, showEst)
         rsb.clear()
       }
     }
-    def beginShow(): Unit = { rsb.clear(); rOff = 0.0; rOff0 = 0.0; rEnd = 0.0 }
+    def beginShow(): Unit = {
+      rsb.clear(); rOff = 0.0; rOff0 = 0.0; rEnd = 0.0
+      showEst = curFont == null
+    }
     def runString(s: String): Unit = s.foreach { c =>
-      val adv = estCharWidth(c) * fs + tc + (if (c == ' ') tw else 0.0)
+      val w = if (curFont != null) curFont.width(c) else -1.0
+      if (w < 0) showEst = true
+      val cw = if (w >= 0) w / 1000.0 else estCharWidth(c)
+      val adv = cw * fs + tc + (if (c == ' ') tw else 0.0)
       if (c == ' ' && adv > fs) { flushRun(); rOff += adv }
       else {
         if (rsb.isEmpty) rOff0 = rOff
         rsb += c; rOff += adv; rEnd = rOff
       }
     }
-    def emit(s: String): Unit = { beginShow(); runString(s); flushRun() }
+    // after a show op the pen has ADVANCED: tm moves by the total
+    // accumulated displacement (glyph advances + kerns), so a following
+    // show op without repositioning paints where this one ended
+    // (ISO 32000 §9.4.4) — files draw e.g. "LTC6268" TJ then "(-)Tj"
+    // relying on exactly that
+    def advancePen(): Unit = tm = Mat(1, 0, 0, 1, rOff, 0) * tm
+    def emit(s: String): Unit = {
+      beginShow(); runString(s); flushRun(); advancePen()
+    }
 
     lex(content).foreach {
       case TOp(op) =>
         op match {
-          case "q" => ctmStack += ctm
+          case "q" => ctmStack += ctm; lumStack += fillLum
           case "Q" => if (ctmStack.nonEmpty) {
             ctm = ctmStack.last; ctmStack.dropRightInPlace(1)
+            fillLum = lumStack.last; lumStack.dropRightInPlace(1)
           }
           case "cm" => nums(6).foreach(v =>
             ctm = Mat(v(0), v(1), v(2), v(3), v(4), v(5)) * ctm)
@@ -330,7 +529,10 @@ object PdfLattice {
           case "W" | "W*" => () // clipping: path persists until the paint op
           case "BT" => tm = Id; tlm = Id
           case "ET" => ()
-          case "Tf" => nums(1).foreach(v => fs = v(0))
+          case "Tf" =>
+            nums(1).foreach(v => fs = v(0))
+            operands.reverseIterator.collectFirst { case TName(nm) => nm }
+              .foreach(nm => curFont = fonts.getOrElse(nm, null))
           case "TL" => nums(1).foreach(v => tl = v(0))
           case "Tc" => nums(1).foreach(v => tc = v(0))
           case "Tw" => nums(1).foreach(v => tw = v(0))
@@ -372,10 +574,29 @@ object PdfLattice {
               case _ => ()
             }
             flushRun()
+            advancePen()
           case "Do" => operands.reverseIterator.collectFirst {
             case TName(nm) => nm
           }.foreach(nm => places += ((nm, ctm)))
-          case _ => () // Tc/Tw/Tz/Ts/Tf/Tr, color, marked content
+          // ---- non-stroking color (ISO 32000 §8.6.8): luminance only
+          case "g" => nums(1).foreach(v => fillLum = v(0))
+          case "rg" => nums(3).foreach(v =>
+            fillLum = 0.3 * v(0) + 0.59 * v(1) + 0.11 * v(2))
+          case "k" => nums(4).foreach(v => fillLum = math.max(0.0,
+            1.0 - math.min(1.0, 0.3 * v(0) + 0.59 * v(1) + 0.11 * v(2) + v(3))))
+          case "sc" | "scn" =>
+            // generic set-color: interpret by operand count (gray/RGB/
+            // CMYK); pattern or ICC names leave the estimate unchanged
+            val ds = operands.collect { case TNum(x) => x }
+            ds.length match {
+              case 1 => fillLum = ds(0)
+              case 3 => fillLum = 0.3 * ds(0) + 0.59 * ds(1) + 0.11 * ds(2)
+              case 4 => fillLum = math.max(0.0, 1.0 -
+                math.min(1.0, 0.3 * ds(0) + 0.59 * ds(1) + 0.11 * ds(2) + ds(3)))
+              case _ => ()
+            }
+          case "cs" => fillLum = 0.0 // new colorspace resets to initial (black)
+          case _ => () // Tc/Tw/Tz/Ts/Tf/Tr, stroke color, marked content
         }
         operands.clear()
       case t => operands += t
@@ -406,34 +627,62 @@ object PdfLattice {
   private val SegJoinGap = 6.0 // collinear rule pieces bridge gaps this wide
   private val MaxRules = 5000 // union-find is O(rules^2); vector pages are O(100)
 
-  /** Group fragments into baselines: sorted by descending y, fragments
-    * within the tolerance of the previous one share a line.
+  /** Group fragments into lines: sorted by descending y, a fragment
+    * joins the previous one's line when their baselines sit within the
+    * tolerance OR their glyph extents overlap by more than half the
+    * smaller height (pdfminer's line_overlap rule — a raised
+    * superscript shares its body line even though its baseline is
+    * points above).
     */
   private[ingest] def lineGroups(frags: Seq[TextFrag]): Seq[Seq[TextFrag]] = {
     val sorted = frags.sortBy(-_.y)
     val out = new ArrayBuffer[ArrayBuffer[TextFrag]]
+    def overlaps(a: TextFrag, b: TextFrag): Boolean = {
+      val asc = 0.72 // ascender height as a fraction of the em size
+      val (aTop, bTop) = (a.y + asc * a.size, b.y + asc * b.size)
+      val ov = math.min(aTop, bTop) - math.max(a.y, b.y)
+      val minH = asc * math.min(a.size, b.size)
+      minH > 0 && ov > 0.5 * minH
+    }
     sorted.foreach { f =>
-      if (out.nonEmpty && math.abs(out.last.last.y - f.y) <= Tol) out.last += f
+      if (out.nonEmpty && (math.abs(out.last.last.y - f.y) <= Tol ||
+        overlaps(out.last.last, f))) out.last += f
       else out += ArrayBuffer(f)
     }
     out.map(_.toSeq).toSeq
   }
 
-  /** Join one baseline's fragments left-to-right: juxtapose when the
-    * next run starts inside the previous run's estimated advance (small
-    * -caps render "T","ABLE" as two runs with a sub-point gap), insert
-    * a space across real gaps (columns and word breaks sit points
-    * apart) — the stand-in for glyph-level layout analysis.
+  /** Join one baseline's fragments in STREAM order — pdfminer's
+    * LTTextLine.add walks chars as the content stream painted them and
+    * never re-sorts, so a stray OCR glyph drawn after a word but
+    * positioned left of it lands at the END of the line's text (the
+    * reference's main.db keeps exactly that order). A space is inserted
+    * across forward gaps: the word-margin fraction of the em size for
+    * width-resolved runs (pdfminer's word_margin semantics), a coarse
+    * absolute threshold when the run's advance was estimated (sub-point
+    * estimate errors must not fabricate spaces).
     */
-  private[ingest] def joinFrags(frags: Seq[TextFrag]): String = {
-    val sorted = frags.sortBy(_.xMin)
+  private[ingest] def joinFrags(frags: Seq[TextFrag],
+      boundaries: Seq[Double] = Nil): String = {
+    // Border-artifact glyphs: a scanned table's rules OCR into stray
+    // 1-2 char runs sitting exactly on a grid boundary. pdfminer's
+    // layout analysis exiles them into their own textboxes, which trail
+    // the main flow when camelot concatenates a cell's textlines — the
+    // reference artifact has them LAST in every observable instance
+    // ("OP200  (", "Analog Devices  I"). Defer them to the line's end.
+    val ordSorted = frags.sortBy(_.ord)
+    val (main, stray) =
+      if (boundaries.isEmpty) (ordSorted, Seq.empty[TextFrag])
+      else ordSorted.partition(f => !(f.text.trim.length <= 2 &&
+        boundaries.exists(b => math.abs(f.xMin - b) < 4.0)))
     val sb = new StringBuilder
-    var prevEnd = Double.NegativeInfinity
-    sorted.foreach { f =>
-      if (sb.nonEmpty && f.xMin - prevEnd > 2.5 && !sb.last.isWhitespace)
+    var prevEnd = Double.NaN
+    (main ++ stray).foreach { f =>
+      val margin = if (f.est) 2.5 else math.max(0.5, 0.1 * f.size)
+      if (sb.nonEmpty && f.xMin - prevEnd > margin && !sb.last.isWhitespace)
         sb += ' '
       sb ++= f.text
-      prevEnd = math.max(prevEnd, f.xMax)
+      prevEnd = f.xMax
     }
     sb.toString.replaceAll("\\s+", " ").trim
   }
@@ -606,7 +855,7 @@ object PdfLattice {
             // downstream header mapping strips it (tables.py:178) and
             // the R19 abbreviation parser SPLITS on it
             grid.get((nRows - 1 - i, c)).fold("") { frags =>
-              lineGroups(frags.toSeq).map(joinFrags)
+              lineGroups(frags.toSeq).map(joinFrags(_, xs))
                 .mkString("\n").trim
             }
           }
@@ -687,7 +936,7 @@ object PdfLattice {
     * falling back to byte-order /Type /Page scan when the tree is
     * unresolvable.
     */
-  private[ingest] def pageDicts(data: Array[Byte]): Seq[String] = {
+  private[graft] def pageDicts(data: Array[Byte]): Seq[String] = {
     val s = PdfMeta.latin1(data)
     val viaTree = for {
       rootN <- RootRef.findAllMatchIn(s).map(_.group(1).toInt).toSeq.lastOption
@@ -725,6 +974,10 @@ object PdfLattice {
   }
 
   /** Concatenated, decoded content bytes of one page. */
+  /** Dev-tool alias for [[pageContent]] (graft.tools.ParityDiag). */
+  private[graft] def pageContentDebug(data: Array[Byte],
+      pageDict: String): Array[Byte] = pageContent(data, pageDict)
+
   private[ingest] def pageContent(data: Array[Byte], pageDict: String): Array[Byte] = {
     val s = PdfMeta.latin1(data)
     val refs = ContentsRefs.findFirstMatchIn(pageDict).toSeq
@@ -915,7 +1168,7 @@ object PdfLattice {
       }
       val ts = texts.map { t =>
         val (x0, y0) = pt(t.x, t.y); val (x1, y1) = pt(t.xEnd, t.yEnd)
-        TextFrag(x0, y0, x1, y1, t.text)
+        TextFrag(x0, y0, x1, y1, t.text, t.ord, t.size, t.est)
       }
       val bs = boxes.map { b =>
         val (x0, y0) = pt(b.x, b.y); val (x1, y1) = pt(b.x + b.w, b.y + b.h)
@@ -934,14 +1187,19 @@ object PdfLattice {
     */
   private def coalesceFrags(texts: Seq[TextFrag]): Seq[TextFrag] =
     lineGroups(texts).flatMap { line =>
-      val sorted = line.sortBy(_.xMin)
+      // stream order, like pdfminer's char walk: glue a run onto its
+      // stream-predecessor only when it also CONTINUES it in x — a
+      // later run that jumps backwards (stray OCR glyph) stays its own
+      // fragment so cell assignment still sees its true position
+      val sorted = line.sortBy(_.ord)
       val out = new ArrayBuffer[TextFrag]
       sorted.foreach { f =>
         if (out.nonEmpty && f.xMin - out.last.xMax < 1.5 &&
           f.xMin >= out.last.xMin) {
           val p = out.last
           out(out.length - 1) = TextFrag(p.x, p.y,
-            math.max(p.xMax, f.xMax), p.yEnd, p.text + f.text)
+            math.max(p.xMax, f.xMax), p.yEnd, p.text + f.text, p.ord,
+            math.max(p.size, f.size), p.est || f.est)
         } else out += f
       }
       out
@@ -994,7 +1252,8 @@ object PdfLattice {
           pageDicts(data).zipWithIndex.map { case (pd, pi) =>
             Try {
               val (rawTexts, rawBoxes, places) =
-                interpret(pageContent(data, pd))
+                interpret(pageContent(data, pd),
+                  Try(pageFonts(data, latin1Str, pd)).getOrElse(Map.empty))
               val rasterBoxes = jbig2Boxes(data, latin1Str, pd, places)
               val (normTexts, boxes) =
                 normalizePage(pd, rawTexts, rawBoxes ++ rasterBoxes)
@@ -1009,6 +1268,23 @@ object PdfLattice {
             parseTick.incrementAndGet())))
         out
     }
+  }
+
+  /** Debug hook (dev tools only): one page's normalized fragments and
+    * boxes, as `detectTables` sees them. Bypasses the parse cache.
+    */
+  private[graft] def debugPage(data: Array[Byte], page: Int)
+      : (Seq[TextFrag], Seq[Box]) = {
+    lazy val latin1Str = PdfMeta.latin1(data)
+    pageDicts(data).zipWithIndex.collectFirst {
+      case (pd, pi) if pi + 1 == page =>
+        val (rawTexts, rawBoxes, places) = interpret(pageContent(data, pd),
+          Try(pageFonts(data, latin1Str, pd)).getOrElse(Map.empty))
+        val rasterBoxes = jbig2Boxes(data, latin1Str, pd, places)
+        val (normTexts, boxes) = normalizePage(pd, rawTexts,
+          rawBoxes ++ rasterBoxes)
+        (coalesceFrags(normTexts), boxes)
+    }.getOrElse((Seq.empty, Seq.empty))
   }
 
   /** All ruled tables of one PDF:
