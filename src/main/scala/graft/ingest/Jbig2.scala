@@ -321,6 +321,11 @@ private[ingest] object Jbig2 {
         ((pl(i + 2) & 0xff) << 8) | (pl(i + 3) & 0xff)
     val w = u32(0); val h = u32(4)
     require(w > 0 && h > 0 && w.toLong * h < (1L << 28), s"implausible region ${w}x$h")
+    // region placement (7.4.1 bytes 8-15): rule coordinates below are
+    // emitted unshifted, so a region not anchored at the page origin
+    // would silently mis-map — fail closed instead
+    require(u32(8) == 0 && u32(12) == 0,
+      s"nonzero region offset ${u32(8)},${u32(12)} unsupported")
     val fl = u16(17)
     require((fl & 1) == 0, "SBHUFF unsupported")
     require(((fl >> 1) & 1) == 0, "REFINE unsupported")
@@ -413,7 +418,13 @@ private[ingest] object Jbig2 {
       var page: Bitmap = null
       segments(stream).foreach { seg =>
         seg.stype match {
-          case 0 => syms = decodeSymbolDict(seg.payload)
+          case 0 =>
+            // a second dictionary would silently replace the first: a
+            // region importing from both would then decode against the
+            // wrong symbol list/codelen yet can pass the structural
+            // checks — fail closed
+            require(syms == null, "multiple symbol dictionaries unsupported")
+            syms = decodeSymbolDict(seg.payload)
           case 4 | 6 | 7 =>
             require(syms != null, "text region before symbol dict")
             require(page == null, "multiple regions unsupported")

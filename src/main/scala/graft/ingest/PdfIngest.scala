@@ -376,9 +376,12 @@ object PdfIngest {
   // the line grouping, cell flattening, and the full partial_ratio
   // score matrix per file — 4x the staging CPU for three discarded
   // outputs. Executor-local, content-addressed, small (the staging
-  // working set is one corpus); cleared wholesale at the cap.
-  private val stageGeomCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), StagedGeom]
+  // working set is one corpus); LRU-bounded at the cap.
+  private val stageGeomCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int),
+      (StagedGeom, java.util.concurrent.atomic.AtomicLong)]
+  private[graft] val StageGeomCacheCap = 64
+  private val stageGeomTick = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[ingest] def stageGeomOf(fileName: String,
       data: Array[Byte]): StagedGeom = {
@@ -387,11 +390,22 @@ object PdfIngest {
     val key = (fileName,
       scala.util.hashing.MurmurHash3.bytesHash(data), data.length)
     stageGeomCache.get(key) match {
-      case Some(hit) => hit
+      case Some((hit, stamp)) =>
+        stamp.set(stageGeomTick.incrementAndGet()); hit
       case None =>
         val out = stageGeomCompute(fileName, data)
-        if (stageGeomCache.size >= 32) stageGeomCache.clear()
-        stageGeomCache.putIfAbsent(key, out)
+        // LRU bound like PdfLattice.parseCache: at the cap the least
+        // recently used HALF goes, so a corpus one entry over the cap
+        // keeps its hot set instead of recomputing all staging 4x per
+        // q_rad_relational_full pass (the wholesale clear() did that)
+        if (stageGeomCache.size >= StageGeomCacheCap) {
+          val entries = stageGeomCache.toArray
+          entries.sortBy(_._2._2.get()).take(entries.length / 2)
+            .foreach(e => stageGeomCache.remove(e._1))
+        }
+        stageGeomCache.putIfAbsent(key,
+          (out, new java.util.concurrent.atomic.AtomicLong(
+            stageGeomTick.incrementAndGet())))
         out
     }
   }

@@ -116,14 +116,53 @@ object PdfMeta {
     * the bytes the reference's parser saw, BOM and NULs included.
     */
   private[ingest] def fieldRaw(dict: String, name: String): Option[String] = {
-    val lit = ("""/""" + name + """\s*\(((?:\\.|[^\\)])*)\)""").r
+    // (?s): an escaped REAL newline (backslash-EOL continuation) must
+    // stay inside the match — `.` has to cross line ends
+    val lit = ("""(?s)/""" + name + """\s*\(((?:\\.|[^\\)])*)\)""").r
     val hex = ("""/""" + name + """\s*<([0-9A-Fa-f\s]+)>""").r
-    lit.findFirstMatchIn(dict).map { m =>
-      m.group(1).replaceAll("""\\([()\\])""", "$1")
-    }.orElse(hex.findFirstMatchIn(dict).map { m =>
-      latin1(m.group(1).replaceAll("""\s""", "")
-        .grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
-    })
+    lit.findFirstMatchIn(dict).map(m => unescapeLiteral(m.group(1)))
+      .orElse(hex.findFirstMatchIn(dict).map { m =>
+        latin1(m.group(1).replaceAll("""\s""", "")
+          .grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+      })
+  }
+
+  /** The FULL literal-string escape set of ISO 32000 §7.3.4.2 — \n \r
+    * \t \b \f, \( \) \\, octal \d{1,3}, and backslash-EOL line
+    * continuations; an unknown escape's character stands for itself.
+    * The reference's Python parser unescapes all of these before its
+    * bytes-repr, so source_paper fidelity needs the same set.
+    */
+  private def unescapeLiteral(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'b' => sb += '\b'; i += 2
+          case 'f' => sb += '\f'; i += 2
+          case '(' => sb += '('; i += 2
+          case ')' => sb += ')'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case '\r' =>
+            i += 2; if (i < s.length && s.charAt(i) == '\n') i += 1
+          case '\n' => i += 2
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = i + 1
+            while (k < s.length && k < i + 4 &&
+              s.charAt(k) >= '0' && s.charAt(k) <= '7') {
+              v = v * 8 + (s.charAt(k) - '0'); k += 1
+            }
+            sb += (v & 0xff).toChar; i = k
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   /** BOM-aware string decode: UTF-16BE behind FE FF, else Latin-1. */

@@ -402,26 +402,92 @@ object DedupOps {
 
     // Embedding-cosine near-dup pairs over `embeddings` (threshold on the
     // rounded score keeps the boundary identical across engines).
-    "q_dedup_embedding" -> ((s, d) => {
-      import graft.functions.VectorOps.{vec_dot, vec_norm}
-      val e = Tables.embeddings(s, d)
-        .withColumn("nrm", vec_norm(col("embedding")))
-      // repartition the probe side: a broadcast nested-loop over a
-      // 1-2-partition parquet scan would serialize the quadratic work on
-      // one core; spreading the stream side uses the whole executor pool
-      val a = e.repartition(col("vec_id"))
-        .select(col("vec_id").as("v1"), col("embedding").as("e1"),
-          col("nrm").as("n1"))
-      val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
-        col("nrm").as("n2"))
-      a.crossJoin(broadcast(b)).filter(col("v1") < col("v2"))
-        .withColumn("cos", graft.Det.r4(
-          vec_dot(col("e1"), col("e2")) / (col("n1") * col("n2"))))
-        .filter(col("cos") >= 0.35)
-        .select(col("v1"), col("v2"), col("cos"))
-        .orderBy(col("v1").asc_nulls_first, col("v2").asc_nulls_first)
-    })
+    "q_dedup_embedding" -> ((s, d) =>
+      embeddingPairsExact(Tables.embeddings(s, d), k = 8, iters = 2,
+        threshold = 0.35)
+        .orderBy(col("v1").asc_nulls_first, col("v2").asc_nulls_first))
   )
+
+  /** EXACT all-pairs cosine >= threshold — provably the same pair set
+    * as a naive cross join, but cell-bucketed so the quadratic only
+    * materializes where the geometry cannot rule it out:
+    *
+    *   1. spherical view: k-means cells (IvfAnn.assign) + per-cell max
+    *      ANGLE from member to centroid (alpha_i), a k-row aggregate;
+    *   2. the angular triangle inequality gives, for any u in cell i and
+    *      v in cell j, theta(u,v) >= theta(c_i,c_j) - alpha_i - alpha_j
+    *      — when that lower bound exceeds acos(threshold), NO pair
+    *      across (i,j) can reach the threshold and the whole block is
+    *      skipped exactly (Elkan-style pruning, driver-side over k^2
+    *      cell pairs);
+    *   3. surviving cell pairs become a tiny broadcast tile table; the
+    *      vector sides shuffle by cell id into per-tile equi-joins and
+    *      every candidate is verified by exact cosine.
+    *
+    * No broadcast of the corpus, no driver-side data, no all-pairs
+    * plan: worst case (one smeared cluster) degrades to evenly-tiled
+    * quadratic work across the cluster; clustered data prunes most
+    * tiles. k scales with corpus size (tiles ~ k^2, tile width ~ n/k).
+    */
+  def embeddingPairsExact(e0: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorOps.{vec_dot, vec_dot_fd, vec_norm}
+    // zero-norm vectors cannot score (null cosine) — the cross join
+    // dropped them through the filter; drop them before bucketing
+    val e = e0.withColumn("nrm", vec_norm(col("embedding")))
+      .filter(col("nrm") > 0)
+    val (assigned0, centroids) = IvfAnn.assign(e, k, iters)
+    val assigned = assigned0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    // per-row angle to the OWN cell's centroid, then per-cell max —
+    // a k-row collect (bounded like the IVF centroid update)
+    val cosToCell = array(centroids.toIndexedSeq.zipWithIndex.map {
+      case (c, i) =>
+        vec_dot_fd(col("embedding"), array(c.toIndexedSeq.map(lit): _*)) /
+          (col("nrm") * lit(cNorms(i)))
+    }: _*)
+    val alphas = {
+      val rows = assigned
+        .withColumn("__ang", acos(greatest(lit(-1.0),
+          least(lit(1.0), element_at(cosToCell, col("cell") + 1)))))
+        .groupBy(col("cell")).agg(max(col("__ang")).as("alpha"))
+        .collect()
+      val m = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      Array.tabulate(centroids.length)(m.getOrElse(_, 0.0))
+    }
+    // driver-side tile pruning over k^2 cell pairs. thetaT carries the
+    // r4-rounding slack (raw cos 0.34995 rounds INTO the threshold) and
+    // a float-arithmetic epsilon, so the bound can only over-admit.
+    val thetaT = math.acos(math.max(-1.0,
+      math.min(1.0, threshold - 1e-4))) + 1e-6
+    def cAngle(i: Int, j: Int): Double = {
+      val dot = centroids(i).zip(centroids(j)).map(p => p._1 * p._2).sum
+      math.acos(math.max(-1.0,
+        math.min(1.0, dot / (cNorms(i) * cNorms(j)))))
+    }
+    val live = centroids.indices.filter(i => cNorms(i) > 0)
+    val tiles = for {
+      i <- live; j <- live
+      if i == j || cAngle(i, j) - alphas(i) - alphas(j) <= thetaT
+    } yield (i, j)
+    val s = e0.sparkSession
+    import s.implicits._
+    // ordered tiles (both directions for i != j): with v1 < v2 below,
+    // every unordered vector pair survives in exactly one orientation
+    val tileDf = tiles.toDF("ca", "cb")
+    val a = assigned.select(col("cell").as("ca"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell").as("cb"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(broadcast(tileDf), Seq("ca"))
+      .join(b, Seq("cb"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos", graft.Det.r4(
+        vec_dot(col("e1"), col("e2")) / (col("n1") * col("n2"))))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), col("cos"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_dedup_containment" ->

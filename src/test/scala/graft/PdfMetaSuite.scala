@@ -71,6 +71,17 @@ class PdfMetaSuite extends AnyFunSuite {
     assert(md.contains("D:20250101000000Z"))
   }
 
+  test("literal strings unescape the FULL 7.3.4.2 set (octal, control, " +
+      "line continuation)") {
+    val pdf = classicPdf(
+      "/Title (Tab\\tNew\\nOct\\101\\102 Cont\\\ninued \\q) " +
+        "/ModDate (D:20260101000000Z)")
+    val (t, _) = PdfMeta.titleModDate(pdf)
+    // \t -> TAB, \n -> LF, \101\102 -> AB, backslash-EOL swallowed,
+    // unknown escape \q -> the char itself
+    assert(t.contains("Tab\tNew\nOctAB Continued q"), s"got: $t")
+  }
+
   test("UTF-16BE hex strings and missing fields decode per the spec") {
     val hexTitle = "FEFF" +
       "Café Título".map(c => f"${c.toInt}%04X").mkString
