@@ -146,11 +146,12 @@ object CcittG4 {
   }
 
   /** Decode a K<0 (pure T.6) stream into a bitmap with 1 = BLACK ink.
-    * `blackIs1` is the /DecodeParms flag; `invert` additionally flips
-    * the final polarity (a /Decode [1 0] image). None on any error.
+    * Sample-value conventions (/BlackIs1, /Decode) are irrelevant: the
+    * run-length structure itself says which runs are ink. None on any
+    * error.
     */
-  def decode(data: Array[Byte], cols: Int, rows: Int,
-      blackIs1: Boolean = false): Option[Jbig2.Bitmap] = Try {
+  def decode(data: Array[Byte], cols: Int,
+      rows: Int): Option[Jbig2.Bitmap] = Try {
     require(cols > 0 && rows > 0 && cols.toLong * rows < (1L << 28),
       s"implausible ${cols}x$rows")
     val r = new BitReader(data)
@@ -176,7 +177,6 @@ object CcittG4 {
         // mode code
         if (r.peek(1) == 1) { // V0
           r.skip(1)
-          if (b1 < cols || white != true || b1 != a0) () // no-op guard
           cur += b1
           a0 = b1
           white = !white
@@ -195,7 +195,6 @@ object CcittG4 {
           a0 = b2
         } else if (r.peek(3) == 2) { // 010 VL1
           r.skip(3); val a1 = b1 - 1
-          require(a1 >= (if (a0 < 0) 0 else a0) - 0 || true, "")
           require(a1 >= 0 && a1 <= cols, s"VL1 out of range row $y")
           cur += a1; a0 = a1; white = !white
         } else if (r.peek(3) == 3) { // 011 VR1

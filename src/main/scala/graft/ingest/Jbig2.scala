@@ -29,7 +29,7 @@ import scala.util.Try
   * lattice text machine already reads — decoding the raster closes the
   * last 23 golden rows (reference main.db, 2007 file).
   */
-private[ingest] object Jbig2 {
+private[graft] object Jbig2 {
 
   // ------------------------------------------------------------ MQ coder
   // T.88 Table E.1: (Qe, NMPS, NLPS, SWITCH)
@@ -154,7 +154,7 @@ private[ingest] object Jbig2 {
     prev - (1 << codelen)
   }
 
-  private[ingest] final class Bitmap(val w: Int, val h: Int) {
+  private[graft] final class Bitmap(val w: Int, val h: Int) {
     val bits = new Array[Byte](w * h)
     def get(x: Int, y: Int): Int =
       if (x < 0 || x >= w || y < 0 || y >= h) 0 else bits(y * w + x)
@@ -455,7 +455,7 @@ private[ingest] object Jbig2 {
     * grid detection anyway (a >= 2x2 intersecting component is
     * required).
     */
-  private[ingest] def rules(bm: Bitmap)
+  private[graft] def rules(bm: Bitmap)
       : (Seq[(Int, Int, Int)], Seq[(Int, Int, Int)]) = {
     val minH = math.max(bm.w / 40, 8)
     val minV = math.max(bm.h / 40, 8)

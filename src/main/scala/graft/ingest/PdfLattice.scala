@@ -33,10 +33,11 @@ import scala.util.Try
   * above it ([[CopyTextV]]). Variances from camelot, all conservative:
   * character codes outside printable Latin-1
   * (CID-font artifacts — bullets, NBSPs) are dropped rather than
-  * guessed; and SCANNED pages (a full-page image + invisible-OCR text
-  * layer, e.g. the 2005-b/2007 compendiums) yield nothing, because
-  * their rules exist only as raster pixels — that corner genuinely
-  * needs the renderer. 11 of the 13 reference PDFs extract.
+  * guessed. SCANNED pages (a full-page image + invisible-OCR text
+  * layer) are covered by embedded raster decoders: JBIG2 (ITU-T T.88,
+  * the 2007 compendium — [[Jbig2]]) and CCITT G4 (ITU-T T.6, the
+  * 2005-b compendium — [[CcittG4]]); their pixel grids feed the same
+  * rule miner, so ALL 13 reference PDFs parse.
   * PdfLatticeSuite pins a planted ruled table exactly AND real cells of
   * the reference corpus (part numbers, PI names) against values
   * verified with an independent parser.
@@ -1053,6 +1054,66 @@ object PdfLattice {
     }.getOrElse(Map.empty)
   }
 
+  /** Raw (undecoded) stream bytes + decoded page bitmap of a
+    * CCITTFaxDecode (K < 0, pure G4) image XObject; None for any other
+    * object or an out-of-profile stream.
+    */
+  /** Dev-tool alias (graft.tools.ParityDiag). */
+  private[graft] def ccittBitmapDebug(data: Array[Byte], s: String,
+      n: Int): Option[Jbig2.Bitmap] = ccittBitmap(data, s, n)
+
+  private def ccittBitmap(data: Array[Byte], s: String,
+      n: Int): Option[Jbig2.Bitmap] =
+    ("""(?:^|[^0-9])""" + n + """\s+0\s+obj\b""").r
+      .findAllMatchIn(s).toSeq.lastOption.flatMap { m =>
+        val st = s.indexOf("stream", m.end)
+        val end = s.indexOf("endobj", m.end)
+        if (st < 0 || (end >= 0 && st > end)) None
+        else {
+          val dict = s.substring(m.end, st)
+          if (!dict.contains("/CCITTFaxDecode")) None
+          else for {
+            k <- """/K\s+(-?\d+)""".r.findFirstMatchIn(dict)
+              .map(_.group(1).toInt)
+            if k < 0 // pure T.6; K>=0 (G3) does not occur in the corpus
+            cols <- """/Columns\s+(\d+)""".r.findFirstMatchIn(dict)
+              .map(_.group(1).toInt)
+            rows <- """/Rows\s+(\d+)""".r.findFirstMatchIn(dict)
+              .map(_.group(1).toInt)
+              .orElse("""/Height\s+(\d+)""".r.findFirstMatchIn(dict)
+                .map(_.group(1).toInt))
+            bytes <- {
+              var s0 = st + "stream".length
+              if (s0 + 1 < s.length && s.charAt(s0) == '\r' &&
+                s.charAt(s0 + 1) == '\n') s0 += 2
+              else if (s0 < s.length && s.charAt(s0) == '\r') s0 += 1
+              else if (s0 < s.length && s.charAt(s0) == '\n') s0 += 1
+              val se = s.indexOf("endstream", s0)
+              if (se < 0) None
+              else Some(java.util.Arrays.copyOfRange(data, s0, se))
+            }
+            bm <- CcittG4.decode(bytes, cols, rows)
+          } yield {
+            // polarity: the structural runs say which pixels the CODER
+            // called black, but /BlackIs1 (sample mapping) and /Decode
+            // [1 0] (component inversion) can each flip what RENDERS as
+            // ink — 2005-b stacks both, rendering structural white as
+            // ink. A scanned text page is always mostly background, so
+            // resolve the convention stack empirically: majority color
+            // is paper.
+            var ink = 0L
+            bm.bits.foreach(v => if (v != 0) ink += 1)
+            if (ink * 2 > bm.bits.length.toLong) {
+              var i = 0
+              while (i < bm.bits.length) {
+                bm.bits(i) = (1 - bm.bits(i)).toByte; i += 1
+              }
+            }
+            bm
+          }
+        }
+      }
+
   /** Raw (undecoded) stream bytes + /Width /Height of a JBIG2-filtered
     * image XObject; None for any other object.
     */
@@ -1101,9 +1162,11 @@ object PdfLattice {
     places.flatMap { case (nm, m) =>
       (for {
         n <- xobjs.get(nm)
-        (w, h, bytes) <- jbig2Stream(data, s, n)
-        bm <- Jbig2.decodePage(bytes, w, h)
+        bm <- jbig2Stream(data, s, n)
+          .flatMap { case (w, h, bytes) => Jbig2.decodePage(bytes, w, h) }
+          .orElse(ccittBitmap(data, s, n))
       } yield {
+        val (w, h) = (bm.w, bm.h)
         val (hs, vs) = Jbig2.rules(bm)
         def dev(px: Double, py: Double): (Double, Double) =
           m((px + 0.5) / w, 1.0 - (py + 0.5) / h)

@@ -88,6 +88,43 @@ object ParityDiag {
             f"est=${t.est} '${t.text}'"))
       }
     }
+    val gp = args.indexOf("--g4probe")
+    if (gp >= 0) {
+      val f = args(gp + 1)
+      val data = Files.readAllBytes(Paths.get(BinaryIngest.defaultDocsDir, f))
+      val s = new String(data, "ISO-8859-1")
+      val re = """(\d+)\s+0\s+obj\b""".r
+      re.findAllMatchIn(s).foreach { m =>
+        val st = s.indexOf("stream", m.end)
+        val end = s.indexOf("endobj", m.end)
+        if (st >= 0 && (end < 0 || st < end) &&
+          s.substring(m.end, st).contains("/CCITTFaxDecode")) {
+          val n = m.group(1).toInt
+          val bm = PdfLattice.ccittBitmapDebug(data, s, n)
+          bm match {
+            case Some(b) =>
+              var black = 0L
+              b.bits.foreach(v => if (v != 0) black += 1)
+              val (hs, vs) = graft.ingest.Jbig2.rules(b)
+              println(f"obj $n: ${b.w}x${b.h} black=$black " +
+                f"(${black * 100.0 / (b.w.toLong * b.h)}%.1f%%) " +
+                s"hRules=${hs.length} vRules=${vs.length}")
+            case None => println(s"obj $n: DECODE FAILED")
+          }
+        }
+      }
+    }
+    val ra = args.indexOf("--raster")
+    if (ra >= 0) {
+      val f = args(ra + 1)
+      val data = Files.readAllBytes(Paths.get(BinaryIngest.defaultDocsDir, f))
+      PdfLattice.pages(data).foreach { pe =>
+        println(s"page ${pe.page}: ${pe.texts.length} frags, " +
+          s"${pe.tables.length} tables " +
+          pe.tables.map(t => s"${t.cells.length}x${t.cells.headOption
+            .fold(0)(_.length)}").mkString(" "))
+      }
+    }
     val co = args.indexOf("--content")
     if (co >= 0) {
       val f = args(co + 1)

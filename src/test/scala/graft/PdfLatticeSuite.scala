@@ -185,6 +185,47 @@ class PdfLatticeSuite extends AnyFunSuite {
       "Transistor"))
   }
 
+  test("2005-b (CCITT G4): every fax image decodes; pages parse; zero " +
+      "rad rows, faithfully") {
+    // the last scanned corpus file: pure T.6 (K=-1) images. The ITU-T
+    // T.6/T.4 decoder must decode EVERY page image at full size — the
+    // ink census of the first image is pinned (a single wrong MH code
+    // or 2-D mode would cascade into a structurally failed or wildly
+    // different decode). The reference's camelot run extracted zero
+    // usable rows from this file (main.db has none), and the noisy
+    // skewed scan grid must keep failing the density/title/type gates
+    // here too — parity, not capability, is the contract.
+    val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.ingest.BinaryIngest.defaultDocsDir, "2005-nasa-compendium-b.pdf"))
+    val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val objs = """(\d+)\s+0\s+obj\b""".r.findAllMatchIn(s).flatMap { m =>
+      val st = s.indexOf("stream", m.end)
+      val end = s.indexOf("endobj", m.end)
+      if (st >= 0 && (end < 0 || st < end) &&
+        s.substring(m.end, st).contains("/CCITTFaxDecode"))
+        Some(m.group(1).toInt)
+      else None
+    }.toSeq
+    assert(objs.size >= 7, s"expected the scanned page images, got $objs")
+    val first = PdfLattice.ccittBitmapDebug(data, s, objs.head)
+    assert(first.isDefined, "first G4 image failed to decode")
+    val bm = first.get
+    assert((bm.w, bm.h) == (2568, 3289))
+    assert(bm.bits.count(_ != 0) == 597358, "ink census drifted")
+    objs.tail.foreach { n =>
+      assert(PdfLattice.ccittBitmapDebug(data, s, n).isDefined,
+        s"G4 image obj $n failed to decode")
+    }
+    // pages carry the OCR text layer and the raster grids parse
+    val pages = PdfLattice.pages(data)
+    assert(pages.length >= 7)
+    assert(pages.map(_.texts.length).sum > 500, "OCR text layer missing")
+    assert(pages.map(_.tables.length).sum >= 5, "raster grids missing")
+    // ...but none of it becomes rad_table rows (reference parity)
+    assert(graft.ingest.PdfIngest.radRowsOf(
+      "2005-nasa-compendium-b.pdf", data).isEmpty)
+  }
+
   test("parse cache evicts cold entries at the cap, never the hot one") {
     // distinct tiny "documents" (content varies the hash; extraction of
     // garbage is the cached empty result — cheap by design)
