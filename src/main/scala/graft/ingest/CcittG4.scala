@@ -139,8 +139,8 @@ object CcittG4 {
         run = table.getOrElse((len << 16) | bits, -1)
       }
       total += run
-      if (run < 64 || run % 64 != 0) terminated = true
-      else terminated = run < 64
+      // terminating codes are 0-63; make-ups (all >= 64) keep the run open
+      terminated = run < 64
     }
     total
   }
@@ -177,6 +177,7 @@ object CcittG4 {
         // mode code
         if (r.peek(1) == 1) { // V0
           r.skip(1)
+          require(b1 > a0, s"V0 not advancing at row $y")
           cur += b1
           a0 = b1
           white = !white
@@ -185,37 +186,38 @@ object CcittG4 {
           val s = math.max(a0, 0)
           val r1 = readRun(r, white)
           val r2 = readRun(r, !white)
-          require(s + r1 + r2 <= cols, s"H overrun at row $y")
+          require(s + r1 + r2 <= cols && r1 + r2 > 0,
+            s"H overrun/stall at row $y")
           cur += s + r1
           cur += s + r1 + r2
           a0 = s + r1 + r2
         } else if (r.peek(4) == 1) { // 0001 pass
           r.skip(4)
-          require(b2 <= cols, s"pass overrun at row $y")
+          require(b2 <= cols && b2 > a0, s"pass not advancing at row $y")
           a0 = b2
         } else if (r.peek(3) == 2) { // 010 VL1
           r.skip(3); val a1 = b1 - 1
-          require(a1 >= 0 && a1 <= cols, s"VL1 out of range row $y")
+          require(a1 > a0 && a1 >= 0 && a1 <= cols, s"VL1 out of range row $y")
           cur += a1; a0 = a1; white = !white
         } else if (r.peek(3) == 3) { // 011 VR1
           r.skip(3); val a1 = b1 + 1
-          require(a1 <= cols, s"VR1 out of range row $y")
+          require(a1 > a0 && a1 <= cols, s"VR1 out of range row $y")
           cur += a1; a0 = a1; white = !white
         } else if (r.peek(6) == 2) { // 000010 VL2
           r.skip(6); val a1 = b1 - 2
-          require(a1 >= 0 && a1 <= cols, s"VL2 out of range row $y")
+          require(a1 > a0 && a1 >= 0 && a1 <= cols, s"VL2 out of range row $y")
           cur += a1; a0 = a1; white = !white
         } else if (r.peek(6) == 3) { // 000011 VR2
           r.skip(6); val a1 = b1 + 2
-          require(a1 <= cols, s"VR2 out of range row $y")
+          require(a1 > a0 && a1 <= cols, s"VR2 out of range row $y")
           cur += a1; a0 = a1; white = !white
         } else if (r.peek(7) == 2) { // 0000010 VL3
           r.skip(7); val a1 = b1 - 3
-          require(a1 >= 0 && a1 <= cols, s"VL3 out of range row $y")
+          require(a1 > a0 && a1 >= 0 && a1 <= cols, s"VL3 out of range row $y")
           cur += a1; a0 = a1; white = !white
         } else if (r.peek(7) == 3) { // 0000011 VR3
           r.skip(7); val a1 = b1 + 3
-          require(a1 <= cols, s"VR3 out of range row $y")
+          require(a1 > a0 && a1 <= cols, s"VR3 out of range row $y")
           cur += a1; a0 = a1; white = !white
         } else if (r.peek(24) == 0x001001) { // EOFB
           require(false, s"EOFB inside image at row $y")

@@ -337,8 +337,11 @@ object PdfLattice {
                 .flatMap(d => fetchObj(data, s, d.group(1).toInt))
                 .flatMap(d => MissingWRe.findFirstMatchIn(d))
                 .map(_.group(1).toDouble).getOrElse(0.0)
-              widths.map(w =>
-                name -> PdfFont(first.getOrElse(0), w, missing))
+              // /FirstChar is REQUIRED with /Widths (§9.6.2): guessing
+              // 0 would misindex every glyph while claiming resolved
+              // metrics — treat such a font as unresolved instead
+              widths.flatMap(w => first.map(f =>
+                name -> PdfFont(f, w, missing)))
                 .orElse {
                   // no /Widths: a standard-14 font carries its public
                   // AFM metrics implicitly
@@ -375,16 +378,20 @@ object PdfLattice {
     val boxes = new ArrayBuffer[Box]
     val places = new ArrayBuffer[(String, Mat)]
     var ctm = Id
-    val ctmStack = new ArrayBuffer[Mat]
     // non-stroking fill luminance (0 = black, the PDF initial color):
     // distinguishes a dark separator BAR (a rule to a raster line
     // detector) from light background shading. Part of graphics state,
     // so saved/restored with q/Q alongside the CTM.
     var fillLum = 0.0
-    val lumStack = new ArrayBuffer[Double]
     var tm = Id; var tlm = Id; var tl = 0.0; var fs = 1.0
     var tc = 0.0; var tw = 0.0 // Tc char / Tw word spacing (text state)
     var curFont: PdfFont = null // resolved metrics of the Tf-selected font
+    // ISO 32000 Table 52: the graphics state q/Q saves includes the
+    // TEXT state (font, size, spacings) — a header drawn inside q..Q
+    // with its own Tf must not leak its font into the following cells
+    final case class GState(ctm: Mat, lum: Double, fs: Double,
+        tc: Double, tw: Double, tl: Double, font: PdfFont)
+    val gsStack = new ArrayBuffer[GState]
     val operands = new ArrayBuffer[Tok]
     val pathRects = new ArrayBuffer[(Double, Double, Double, Double)]
     val pathLines = new ArrayBuffer[((Double, Double), (Double, Double))]
@@ -506,10 +513,11 @@ object PdfLattice {
     lex(content).foreach {
       case TOp(op) =>
         op match {
-          case "q" => ctmStack += ctm; lumStack += fillLum
-          case "Q" => if (ctmStack.nonEmpty) {
-            ctm = ctmStack.last; ctmStack.dropRightInPlace(1)
-            fillLum = lumStack.last; lumStack.dropRightInPlace(1)
+          case "q" => gsStack += GState(ctm, fillLum, fs, tc, tw, tl, curFont)
+          case "Q" => if (gsStack.nonEmpty) {
+            val g = gsStack.last; gsStack.dropRightInPlace(1)
+            ctm = g.ctm; fillLum = g.lum; fs = g.fs
+            tc = g.tc; tw = g.tw; tl = g.tl; curFont = g.font
           }
           case "cm" => nums(6).foreach(v =>
             ctm = Mat(v(0), v(1), v(2), v(3), v(4), v(5)) * ctm)

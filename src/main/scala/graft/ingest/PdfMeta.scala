@@ -116,15 +116,30 @@ object PdfMeta {
     * the bytes the reference's parser saw, BOM and NULs included.
     */
   private[ingest] def fieldRaw(dict: String, name: String): Option[String] = {
-    // (?s): an escaped REAL newline (backslash-EOL continuation) must
-    // stay inside the match — `.` has to cross line ends
-    val lit = ("""(?s)/""" + name + """\s*\(((?:\\.|[^\\)])*)\)""").r
     val hex = ("""/""" + name + """\s*<([0-9A-Fa-f\s]+)>""").r
-    lit.findFirstMatchIn(dict).map(m => unescapeLiteral(m.group(1)))
-      .orElse(hex.findFirstMatchIn(dict).map { m =>
-        latin1(m.group(1).replaceAll("""\s""", "")
-          .grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
-      })
+    // literal strings allow BALANCED unescaped parens (§7.3.4.2:
+    // "Radiation (TID) Compendium" is ONE string) — a regex stopping at
+    // the first ')' would truncate them, so scan with a depth counter;
+    // escapes (incl. backslash-EOL continuations) pass through to
+    // unescapeLiteral
+    val keyRe = ("""/""" + name + """\s*\(""").r
+    keyRe.findFirstMatchIn(dict).map { m =>
+      val sb = new StringBuilder
+      var depth = 1
+      var i = m.end
+      while (depth > 0 && i < dict.length) {
+        val c = dict.charAt(i)
+        if (c == '\\' && i + 1 < dict.length) {
+          sb += c; sb += dict.charAt(i + 1); i += 2
+        } else if (c == '(') { depth += 1; sb += c; i += 1 }
+        else if (c == ')') { depth -= 1; if (depth > 0) sb += c; i += 1 }
+        else { sb += c; i += 1 }
+      }
+      unescapeLiteral(sb.toString)
+    }.orElse(hex.findFirstMatchIn(dict).map { m =>
+      latin1(m.group(1).replaceAll("""\s""", "")
+        .grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+    })
   }
 
   /** The FULL literal-string escape set of ISO 32000 §7.3.4.2 — \n \r

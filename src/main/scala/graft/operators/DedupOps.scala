@@ -436,40 +436,52 @@ object DedupOps {
     // dropped them through the filter; drop them before bucketing
     val e = e0.withColumn("nrm", vec_norm(col("embedding")))
       .filter(col("nrm") > 0)
-    val (assigned0, centroids) = IvfAnn.assign(e, k, iters)
-    val assigned = assigned0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (assigned, centroids) = IvfAnn.assign(e, k, iters)
     val cNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
-    // per-row angle to the OWN cell's centroid, then per-cell max —
-    // a k-row collect (bounded like the IVF centroid update)
-    val cosToCell = array(centroids.toIndexedSeq.zipWithIndex.map {
-      case (c, i) =>
-        vec_dot_fd(col("embedding"), array(c.toIndexedSeq.map(lit): _*)) /
-          (col("nrm") * lit(cNorms(i)))
-    }: _*)
+    // per-row angle to the OWN cell's centroid, then per-cell max — a
+    // k-row collect (bounded like the IVF centroid update). A CASE
+    // chain keyed on `cell` computes only the one matching dot product
+    // per row (O(n·d)), not all k of them.
+    val ownCos = centroids.toIndexedSeq.zipWithIndex
+      .filter { case (_, i) => cNorms(i) > 0 }
+      .foldLeft(lit(Double.NaN)) { case (acc, (c, i)) =>
+        when(col("cell") === i,
+          vec_dot_fd(col("embedding"), array(c.toIndexedSeq.map(lit): _*)) /
+            (col("nrm") * lit(cNorms(i)))).otherwise(acc)
+      }
     val alphas = {
       val rows = assigned
-        .withColumn("__ang", acos(greatest(lit(-1.0),
-          least(lit(1.0), element_at(cosToCell, col("cell") + 1)))))
+        .withColumn("__ang",
+          acos(greatest(lit(-1.0), least(lit(1.0), ownCos))))
         .groupBy(col("cell")).agg(max(col("__ang")).as("alpha"))
         .collect()
-      val m = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      Array.tabulate(centroids.length)(m.getOrElse(_, 0.0))
+      val m = rows.collect {
+        case r if !r.isNullAt(1) && !r.getDouble(1).isNaN =>
+          r.getInt(0) -> r.getDouble(1)
+      }.toMap
+      Array.tabulate(centroids.length)(m.getOrElse(_, Double.NaN))
     }
     // driver-side tile pruning over k^2 cell pairs. thetaT carries the
     // r4-rounding slack (raw cos 0.34995 rounds INTO the threshold) and
-    // a float-arithmetic epsilon, so the bound can only over-admit.
+    // a float-arithmetic epsilon, so the bound can only over-admit. A
+    // cell whose centroid degenerated to zero norm (or whose alpha is
+    // unknown) has NO valid bound — it stays unprunable against every
+    // other cell, preserving the exactness contract.
     val thetaT = math.acos(math.max(-1.0,
       math.min(1.0, threshold - 1e-4))) + 1e-6
-    def cAngle(i: Int, j: Int): Double = {
-      val dot = centroids(i).zip(centroids(j)).map(p => p._1 * p._2).sum
-      math.acos(math.max(-1.0,
-        math.min(1.0, dot / (cNorms(i) * cNorms(j)))))
+    def prunable(i: Int, j: Int): Boolean = {
+      if (cNorms(i) <= 0 || cNorms(j) <= 0 ||
+        alphas(i).isNaN || alphas(j).isNaN) false
+      else {
+        val dot = centroids(i).zip(centroids(j)).map(p => p._1 * p._2).sum
+        val ang = math.acos(math.max(-1.0,
+          math.min(1.0, dot / (cNorms(i) * cNorms(j)))))
+        ang - alphas(i) - alphas(j) > thetaT
+      }
     }
-    val live = centroids.indices.filter(i => cNorms(i) > 0)
     val tiles = for {
-      i <- live; j <- live
-      if i == j || cAngle(i, j) - alphas(i) - alphas(j) <= thetaT
+      i <- centroids.indices; j <- centroids.indices
+      if i == j || !prunable(i, j)
     } yield (i, j)
     val s = e0.sparkSession
     import s.implicits._

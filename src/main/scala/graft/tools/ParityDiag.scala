@@ -53,8 +53,8 @@ object ParityDiag {
       println(s"MISS  $f :: '$part'")
       // nearest extracted parts in the same file (by common prefix)
       val cands = ours.filter(_._1 == f).map(t => norm(t._2.head))
-        .filter(p => p.take(4) == part.take(4) ||
-          part.take(4) == p.take(4))
+        .filter(p => p.startsWith(part.take(4)) ||
+          part.startsWith(p.take(4)))
       println(s"      near: ${cands.mkString(" | ")}")
     }
     println()
