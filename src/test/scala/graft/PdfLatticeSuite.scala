@@ -152,6 +152,56 @@ class PdfLatticeSuite extends AnyFunSuite {
       s"partial shading must not split rows: ${pTables.head._3}")
   }
 
+  test("a DARK filled separator bar is a centerline rule; the same bar " +
+      "painted light is shading, not a rule") {
+    // 2-row frame whose middle boundary is a 3pt-tall PARTIAL-width
+    // (half-table) filled bar, the per-column header-separator idiom:
+    // dark -> camelot's raster morphology reduces the bar to its
+    // centerline, a real rule, so a row boundary appears; the same bar
+    // painted light gray is partial shading — edge evidence only, no
+    // boundary. (FULL-width light bands DO make a boundary — the
+    // header-band rule pinned in the shading test above.)
+    def frame(setColor: String) =
+      "100 599.5 200 1 re f\n" +
+        "100 499.5 200 1 re f\n" +
+        "99.5 499.5 1 101 re f\n" +
+        "299.5 499.5 1 101 re f\n" +
+        s"$setColor 100 550 100 3 re f\n" + // half-width 3pt filled bar
+        "0 g\n" +
+        "BT /F1 10 Tf 110 575 Td (TOP) Tj ET\n" +
+        "BT /F1 10 Tf 110 520 Td (BOT) Tj ET"
+    val dark = PdfLattice.tablesOf(onePagePdf(frame("0 g")))
+    assert(dark.nonEmpty)
+    assert(dark.head._3 == Vector(Vector("TOP"), Vector("BOT")),
+      s"dark bar must split rows: ${dark.head._3}")
+    val light = PdfLattice.tablesOf(onePagePdf(frame("0.85 g")))
+    assert(light.nonEmpty)
+    assert(light.head._3 == Vector(Vector("TOP\nBOT")),
+      s"partial light band must NOT split rows: ${light.head._3}")
+  }
+
+  test("q/Q restores the TEXT state (font size drives advance estimates)") {
+    // inside q..Q a huge Tf is selected; after Q the outer 10pt state
+    // must be back — otherwise the 100pt estimated advances push the
+    // second cell's text ord-join and cell-center assignment off
+    val content =
+      "100 599.5 200 1 re f\n" +
+        "100 549.5 200 1 re f\n" +
+        "99.5 549.5 1 51 re f\n" +
+        "199.5 549.5 1 51 re f\n" +
+        "299.5 549.5 1 51 re f\n" +
+        "q BT /F1 100 Tf 400 700 Td (HUGE) Tj ET Q\n" +
+        "BT /F1 10 Tf 110 575 Td (AB) Tj (CD) Tj ET\n" +
+        "BT /F1 10 Tf 210 575 Td (X1) Tj ET"
+    val tables = PdfLattice.tablesOf(onePagePdf(content))
+    assert(tables.nonEmpty)
+    // with the leak, (CD) lands ~70pt right of (AB) (100pt-sized
+    // estimates) and falls into the SECOND cell; restored, the two runs
+    // abut inside cell one
+    assert(tables.head._3 == Vector(Vector("ABCD", "X1")),
+      s"got ${tables.head._3}")
+  }
+
   test("no rules -> no tables; malformed bytes -> no tables, no throw") {
     val textOnly = "BT /F1 10 Tf 110 575 Td (just text) Tj ET"
     assert(PdfLattice.tablesOf(onePagePdf(textOnly)).isEmpty)
