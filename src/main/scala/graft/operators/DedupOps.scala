@@ -401,11 +401,16 @@ object DedupOps {
     }),
 
     // Embedding-cosine near-dup pairs over `embeddings` (threshold on the
-    // rounded score keeps the boundary identical across engines).
-    "q_dedup_embedding" -> ((s, d) =>
-      embeddingPairsExact(Tables.embeddings(s, d), k = 8, iters = 2,
-        threshold = 0.35)
-        .orderBy(col("v1").asc_nulls_first, col("v2").asc_nulls_first))
+    // rounded score keeps the boundary identical across engines). The
+    // cell count scales with the corpus (the OUTPUT is k-invariant — the
+    // tile bound is exact — so adaptivity is free): constant tile width
+    // keeps per-task memory flat as the corpus grows.
+    "q_dedup_embedding" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val k = math.max(8L, math.min(4096L, e.count() / 1024L)).toInt
+      embeddingPairsExact(e, k = k, iters = 2, threshold = 0.35)
+        .orderBy(col("v1").asc_nulls_first, col("v2").asc_nulls_first)
+    })
   )
 
   /** EXACT all-pairs cosine >= threshold — provably the same pair set

@@ -39,6 +39,17 @@ class CcittG4Suite extends AnyFunSuite {
       Seq(0, 0, 0, 1, 1, 1, 0, 0))
   }
 
+  test("pass mode skips a reference color pair without painting") {
+    // 8x2: row 1 = ..XXXX.. (H + V0 as above); row 2 all white: PASS
+    // (0001) jumps a0 past the reference's black run to b2=6 leaving
+    // white, then V0 on the sentinel ends the row
+    val stream = bits("001 0111 011 1" + "0001 1")
+    val bm = CcittG4.decode(stream, 8, 2)
+    assert(bm.isDefined, "pass-mode stream must decode")
+    assert((0 until 8).map(x => bm.get.get(x, 1)).forall(_ == 0),
+      "row 2 must stay all white")
+  }
+
   test("make-up + terminating white run crosses 64 columns") {
     // 96x1, ..all white except last 8: white run 88 = 64 (11011) +
     // 24 (0101000), black run 8 (000101) -> a0=96, row/image done
