@@ -26,6 +26,7 @@ object SparkEntry {
     (MultimodalOps.queries, MultimodalOps.oracle),
     (Extras.queries, Extras.oracle),
     (IvfAnn.queries, IvfAnn.oracle),
+    (PqIndex.queries, PqIndex.oracle),
     (TypedApi.queries, TypedApi.oracle),
     (graft.ingest.BinaryIngest.queries, graft.ingest.BinaryIngest.oracle),
     (SqlSurface.queries, SqlSurface.oracle),

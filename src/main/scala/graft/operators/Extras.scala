@@ -220,6 +220,30 @@ object Extras {
       val (before, after) = graft.ingest.Ingest.compact(s, path, targetMB = 1024)
       val n = s.read.parquet(path).count()
       Seq((before, after, n)).toDF("files_before", "files_after", "n_rows")
+    }),
+
+    // Z-order (Morton) layout audit: interleave l_partkey × l_suppkey
+    // into a z-value (ScalePatterns.withZValue — a flat shift/and/or
+    // expression tree, fully codegen) and report per-z-bucket row counts
+    // and min/max bounds of BOTH dimensions. Sorting a 100 TB table by
+    // this key before writing gives every file tight min/max ranges on
+    // all z'd columns at once — multi-dimensional data skipping from
+    // vanilla parquet zone maps (single-column sorts prune only their
+    // own column; ScalePatternsSuite measures the actual per-file span
+    // shrink on a zorderWrite). The oracle re-states the identical
+    // scale-floor-interleave arithmetic in SQL — deterministic IEEE
+    // double ops and integer bit ops, so it hash-matches exactly.
+    "q_layout_zorder" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+      ScalePatterns.withZValue(li, Seq("l_partkey", "l_suppkey"), bits = 16)
+        .withColumn("z_bucket", shiftright(col("__z"), 22))
+        .groupBy(col("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+          min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+        .orderBy(col("z_bucket").asc_nulls_first)
     })
   )
 
@@ -318,6 +342,29 @@ object Extras {
     "q_compact_files" ->
       """SELECT CAST(16 AS BIGINT) AS files_before,
         |  CAST(1 AS BIGINT) AS files_after,
-        |  (SELECT count(1) FROM documents) AS n_rows""".stripMargin
+        |  (SELECT count(1) FROM documents) AS n_rows""".stripMargin,
+    // identical scale-floor-interleave arithmetic as withZValue(bits=16):
+    // cell = least(65535, floor((x - mn) / span * 65536.0)), then bit b
+    // of cell_i lands at z-bit b*2+i; bucket = top 10 of the 32 z bits
+    "q_layout_zorder" -> {
+      val inter = (0 until 16).flatMap(b => Seq(0, 1).map(i =>
+        s"(((c$i & ${1L << b}) >> $b) << ${b * 2 + i})")).mkString(" | ")
+      s"""WITH st AS (
+         |  SELECT min(CAST(l_partkey AS DOUBLE)) AS mn0,
+         |         max(CAST(l_partkey AS DOUBLE)) AS mx0,
+         |         min(CAST(l_suppkey AS DOUBLE)) AS mn1,
+         |         max(CAST(l_suppkey AS DOUBLE)) AS mx1
+         |  FROM lineitem),
+         |c AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    least(65535, CAST(floor((CAST(l_partkey AS DOUBLE) - mn0) / (mx0 - mn0) * 65536.0) AS BIGINT)) AS c0,
+         |    least(65535, CAST(floor((CAST(l_suppkey AS DOUBLE) - mn1) / (mx1 - mn1) * 65536.0) AS BIGINT)) AS c1
+         |  FROM lineitem CROSS JOIN st),
+         |z AS (SELECT l_partkey, l_suppkey, ($inter) AS zv FROM c)
+         |SELECT zv >> 22 AS z_bucket, count(1) AS n,
+         |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+         |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+         |FROM z GROUP BY z_bucket ORDER BY z_bucket ASC NULLS FIRST""".stripMargin
+    }
   )
 }

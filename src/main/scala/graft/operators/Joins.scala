@@ -216,6 +216,33 @@ object Joins {
         .orderBy(col("s_nationkey").asc_nulls_first)
     }),
 
+    // Bloom-pre-filtered shuffle join (runtime-filter pattern): the
+    // selective dim (high-value orders) becomes a bloom filter probed by
+    // a codegen'd `bloom_might_contain` on the fact side BEFORE the
+    // shuffle — the exchanged lineitem volume drops to selectivity+fpp.
+    // The MERGE hint keeps the join a shuffle (at test scale the dim
+    // would broadcast and mask the pattern); the join restores exact
+    // semantics, so the oracle states the plain join. expectedItems
+    // stands in for the table-stats cardinality a 100 TB deployment
+    // would use; ScalePatternsSuite asserts the pre-filter actually
+    // drops the non-matching volume and that results equal the plain
+    // join.
+    "q_join_bloom" -> ((s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .hint("MERGE")
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      ScalePatterns.bloomPrefilterJoin(fact, "l_orderkey", dim, "o_orderkey",
+          expectedItems = 1L << 16, fpp = 0.01)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    }),
+
     // Bounded cartesian product (reference R15's header × category score
     // matrix shape, tables.py:181-189).
     "q_join_cross" -> ((s, d) => {
@@ -324,6 +351,13 @@ object Joins {
         |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin,
+    // plain-join semantics: the bloom pre-filter must be invisible
+    "q_join_bloom" ->
+      """SELECT o_orderpriority, count(1) AS n,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation

@@ -166,6 +166,29 @@ object ScalePatterns {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Bloom-pre-filtered shuffle equi-join (runtime-filter pattern): the
+    * dim keys compress into a bloom filter (MBs where the dim itself is
+    * GBs — too big to broadcast as rows, cheap to ship as bits); the
+    * fact side is filtered by `might_contain` BEFORE its shuffle, so the
+    * exchanged fact volume drops to (join selectivity + fpp) of the
+    * input. The equi-join that follows restores exact semantics — bloom
+    * false positives simply find no partner — so results are identical
+    * to the plain join. `expectedItems` sizes the filter and comes from
+    * table stats at scale (an overestimate just widens the filter); fpp
+    * is the shuffled-false-positive budget.
+    *
+    * Keys are probed as longs (`putLong`/`mightContainLong` — the same
+    * encoding `DataFrameStatFunctions.bloomFilter` uses for integral
+    * columns), so both keys must be integral.
+    */
+  def bloomPrefilterJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, math.max(expectedItems, 1L), fpp)
+    val pre = fact.filter(
+      graft.functions.BloomMightContainExpr.might_contain(col(factKey), bf))
+    pre.join(dim, pre(factKey) === dim(dimKey))
+  }
+
   /** Skew-safe equi-join: left rows get a deterministic salt in
     * [0, saltFactor); right rows are replicated once per salt value; the
     * join key becomes (key, salt). Result set is identical to the plain

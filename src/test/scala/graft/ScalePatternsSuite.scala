@@ -262,6 +262,51 @@ class ScalePatternsSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(spark.read.parquet(dir + "/zorder").count() == total)
   }
 
+  test("bloom-pre-filtered join equals the plain join and drops the " +
+      "non-matching fact volume before the shuffle") {
+    import graft.functions.BloomMightContainExpr
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val fact = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val got = ScalePatterns.bloomPrefilterJoin(fact, "l_orderkey",
+      dim, "o_orderkey", expectedItems = 1L << 16, fpp = 0.01)
+    val plain = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+    // bloom false positives must be invisible: identical multiset out
+    val proj = Seq("l_orderkey", "l_extendedprice", "o_orderpriority")
+    val gotRows = got.select(proj.map(col): _*).collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val plainRows = plain.select(proj.map(col): _*).collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(gotRows == plainRows)
+    // the pre-filter keeps every true match and at most fpp-ish extra
+    val bf = dim.stat.bloomFilter("o_orderkey", 1L << 16, 0.01)
+    val factN = fact.count()
+    val trueN = fact.join(dim.select(col("o_orderkey")),
+      fact("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val keptN = fact.filter(
+      BloomMightContainExpr.might_contain(col("l_orderkey"), bf)).count()
+    assert(keptN >= trueN, "a bloom filter can never false-negative")
+    assert(keptN <= trueN + (factN * 0.05).toLong + 8,
+      s"pre-filter kept $keptN of $factN; true matches $trueN — " +
+        "the shuffled volume should collapse to selectivity + fpp")
+    assert(trueN < factN / 2,
+      "test setup: the dim must actually be selective on the fact")
+    // the probe is a codegen'd catalyst expression, not a UDF
+    val plan = fact.filter(
+        BloomMightContainExpr.might_contain(col("l_orderkey"), bf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+    // null keys are dropped by the pre-filter, matching inner-join nulls
+    import spark.implicits._
+    val nullKeyed = Seq(Option(1L), Option.empty[Long])
+      .toDF("l_orderkey")
+    assert(nullKeyed.filter(
+      BloomMightContainExpr.might_contain(col("l_orderkey"), bf))
+      .count() <= 1)
+  }
+
   test("withZValue tolerates NaN and NULL dims (ANSI floor-cast guard)") {
     import spark.implicits._
     val df = Seq(
