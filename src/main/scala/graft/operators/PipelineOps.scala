@@ -242,6 +242,35 @@ object PipelineOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // Deterministic WEIGHTED sampling without replacement — priority
+    // sampling (Duffield/Lund/Thorup, JACM'07): each doc draws
+    // u = (md5hash+1)/2^32 in (0,1] and gets priority w/u (weight =
+    // token count — longer docs proportionally likelier); the k
+    // largest priorities per language stratum are the sample. Chosen
+    // over Efraimidis-Spirakis u^(1/w) because every operation here
+    // (+, /, floor) is IEEE-exact and therefore bit-identical across
+    // engines — pow/ln are not, and a last-ulp difference at a rank
+    // boundary would break cross-engine reproducibility, which is the
+    // point of hash-derived sampling. Like q_sample_hash: no RNG
+    // state, membership is a pure function of the key, so re-runs and
+    // incremental arrivals agree. Per-stratum top-k plans as a
+    // WindowGroupLimit (map-side rank pruning), no global sort.
+    "q_sample_weighted" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("prio").desc_nulls_last, col("doc_id").asc_nulls_first)
+      Tables.documents(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("bigint"))
+        .withColumn("prio",
+          col("n_toks").cast("double") /
+            ((md5Hash32(col("doc_id")).cast("double") + lit(1.0)) /
+              lit(4294967296.0)))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_toks"),
+          Det.r4(col("prio")).as("priority"))
+        .orderBy(col("lang").asc_nulls_first, col("rk").asc_nulls_first)
+    }),
+
     // Sequence packing: assign docs to fixed-capacity training bins
     // (2048 tokens) per language, in doc_id order — bin = the running
     // token count before this doc, div capacity. Window partitioned by
@@ -471,6 +500,30 @@ object PipelineOps {
         |  FROM documents)
         |SELECT doc_id, lang, hv % 10 AS bucket FROM h
         |WHERE hv % 100 < 25 ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    // same exact-portable arithmetic: u from the md5 prefix, one IEEE
+    // division for the priority, rank ties broken by doc_id
+    "q_sample_weighted" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS hv
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, n_toks,
+        |    CAST(n_toks AS DOUBLE) /
+        |      ((CAST(hv AS DOUBLE) + 1.0) / 4294967296.0) AS prio
+        |  FROM h),
+        |r AS (
+        |  SELECT lang, doc_id, n_toks, prio,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY prio DESC NULLS LAST, doc_id ASC NULLS FIRST) AS rk
+        |  FROM p)
+        |SELECT lang, rk, doc_id, n_toks,
+        |  floor((prio) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+        |    AS priority
+        |FROM r WHERE rk <= 50
+        |ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
     "q_pack_tokens" -> packTokensOracle,
     // the sharded pack must reproduce the sequential definition exactly
     "q_pack_tokens_sharded" -> packTokensOracle,

@@ -120,6 +120,37 @@ class PipelineOpsSuite extends AnyFunSuite {
     assert(frac > 0.15 && frac < 0.35, s"sample fraction $frac")
   }
 
+  test("weighted (priority) sampling: deterministic, stratified at 50, " +
+      "and biased toward heavy docs; top-k plans map-side") {
+    import org.apache.spark.sql.functions.{avg, col, size, split}
+    val a = SparkEntry.queries("q_sample_weighted")(spark, sf).collect()
+    val b = SparkEntry.queries("q_sample_weighted")(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "same sample on every run — no RNG state")
+    // exactly min(50, stratum size) per language, ranks 1..k
+    val docs = Tables.documents(spark, sf)
+    val strata = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = a.groupBy(_.getString(0))
+    assert(byLang.keySet == strata.keySet)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(50L, strata(lang)).toInt)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    // weight = token count: the sampled mean must sit ABOVE the corpus
+    // mean (priority w/u makes heavy docs proportionally likelier)
+    val corpusMean = docs
+      .select(avg(size(split(col("text"), " ")).cast("double")))
+      .head().getDouble(0)
+    val sampleMean = a.map(_.getLong(3).toDouble).sum / a.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus $corpusMean")
+    // per-stratum top-k prunes map-side, no global sort of the corpus
+    val plan = SparkEntry.queries("q_sample_weighted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("token packing: bins are per-lang contiguous and capacity-derived") {
     val rows = SparkEntry.queries("q_pack_tokens")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
