@@ -44,13 +44,15 @@ object ScaleAudit {
   val MaxLinearHeadroom = 1.5
 
   /** The top-cost plans from the round-8 bench tail — index lifecycles,
-    * graph, clustering, LSH, manifest, recursion, self-join.
+    * graph, clustering, LSH, manifest, recursion, self-join — plus the
+    * round-10 PQ-ADC search (code scan + per-query top-k + broadcast
+    * re-rank fetch: must stay linear in the corpus).
     */
   val auditQueries: Seq[String] = Seq(
     "q_dedup_index_takedown", "q_ivf_index_search", "q_ivf_index_append",
     "q_ivf_index_takedown", "q_graph_triangles", "q_dedup_clusters",
     "q_dedup_minhash", "q_training_manifest", "q_sql_recursive",
-    "q_basket_pairs", "q_dedup_embedding")
+    "q_basket_pairs", "q_dedup_embedding", "q_pq_search")
 
   /** Queries whose OUTPUT is inherently super-linear in the corpus
     * (all-pairs similarity at a low threshold emits ~p·n² pairs for a
