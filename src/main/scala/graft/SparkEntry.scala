@@ -27,6 +27,7 @@ object SparkEntry {
     (Extras.queries, Extras.oracle),
     (IvfAnn.queries, IvfAnn.oracle),
     (PqIndex.queries, PqIndex.oracle),
+    (BpeOps.queries, BpeOps.oracle),
     (TypedApi.queries, TypedApi.oracle),
     (graft.ingest.BinaryIngest.queries, graft.ingest.BinaryIngest.oracle),
     (SqlSurface.queries, SqlSurface.oracle),

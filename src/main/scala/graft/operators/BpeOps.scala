@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) tokenizer TRAINING — the
+  * canonical "tokenizer built from the whole corpus" workload of an LLM
+  * data pipeline (Sennrich et al., ACL'16).
+  *
+  * The scalable formulation: merges never cross word boundaries, so
+  * training runs over the WORD-FREQUENCY DICTIONARY, not the corpus —
+  * one corpus pass builds (word, freq), and every merge round after
+  * that touches only the distinct-word table (vocabulary-sized, orders
+  * of magnitude smaller than the corpus; at 100 TB the dict is the
+  * classic heavy-hitters table). Each round is:
+  *
+  *   1. explode each word's adjacent symbol pairs, weighted by word
+  *      freq -> groupBy(pair).sum(freq)  (one small shuffle)
+  *   2. argmax pair with a deterministic tie-break (freq desc, then
+  *      lexicographic) — a 1-row collect
+  *   3. rewrite every word's symbol array with the merged pair via a
+  *      left-to-right non-overlapping fold (`aggregate` HOF — runs on
+  *      the vocabulary table only, where interpreted HOF cost is
+  *      irrelevant; the corpus is never re-touched)
+  *
+  * Rounds are fixed (default 16) with an early stop once the best pair
+  * drops below freq 2 — merging hapax pairs memorizes the corpus.
+  * Everything is deterministic: no RNG, stable tie-breaks, and the
+  * per-round `localCheckpoint` only truncates lineage.
+  *
+  * Application (`tokenize`) is a broadcast dictionary join: corpus
+  * words -> trained symbol arrays — again one corpus pass, map-only.
+  *
+  * Reference analog: none (the reference has no tokenizer); extends
+  * SURVEY.md §2.3's training-pipeline inventory.
+  */
+object BpeOps {
+
+  /** (merge_idx, left, right, pair freq) plus the trained dictionary
+    * (word, freq, syms).
+    */
+  case class Trained(merges: Seq[(Int, String, String, Long)],
+      dict: DataFrame)
+
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+
+  /** word -> initial symbols: its characters plus the `</w>` end-of-word
+    * marker (merges can learn word-final units but never cross words).
+    */
+  private val initSyms: Column = concat(
+    expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+    array(lit("</w>")))
+
+  /** One merge applied to a symbol array: left-to-right, non-overlapping
+    * (so 'aaa' under (a,a) becomes [aa, a], exactly like the published
+    * algorithm). A fold with one-symbol lookbehind: the merged symbol
+    * becomes the new pending element, so it can seed LATER merges but
+    * never re-pairs with the element it just consumed.
+    */
+  private def mergeOnce(a: String, b: String): Column = {
+    val qa = sqlQuote(a); val qb = sqlQuote(b); val qab = sqlQuote(a + b)
+    expr(
+      s"""aggregate(syms,
+         |  named_struct('res', cast(array() as array<string>),
+         |               'prev', cast(null as string)),
+         |  (acc, x) -> case
+         |    when acc.prev is null then named_struct('res', acc.res, 'prev', x)
+         |    when acc.prev = '$qa' and x = '$qb'
+         |      then named_struct('res', acc.res, 'prev', '$qab')
+         |    else named_struct('res', concat(acc.res, array(acc.prev)),
+         |                      'prev', x) end,
+         |  acc -> concat(acc.res, array(acc.prev)))""".stripMargin)
+  }
+
+  /** The corpus word-frequency dictionary (lowercased, whitespace
+    * tokenized — matching the engine's other text ops).
+    */
+  def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Training entry. The corpus -> (word, freq) pass is always
+    * distributed (that is the data-sized job); the merge LOOP then runs
+    * in one of two equivalent places, like the connected-components
+    * endgame (PipelineOps.connectedComponentsWithRounds):
+    *
+    *   - dictionary within `localDictLimit`: collect it and loop on the
+    *     driver — the published algorithm verbatim, no per-round job
+    *     scheduling (16 rounds of cluster jobs over a 3k-word table is
+    *     pure overhead).
+    *   - larger: the distributed rounds ([[trainDistributed]]) — pair
+    *     count shuffle + 1-row argmax collect + HOF rewrite per round.
+    *
+    * Both paths are deterministic and BpeSuite asserts they produce
+    * IDENTICAL merge lists.
+    */
+  def train(docs: DataFrame, nMerges: Int = 16, minFreq: Long = 2,
+      localDictLimit: Long = 200000): Trained = {
+    val wf = wordFreq(docs)
+    if (wf.count() <= localDictLimit) {
+      val s = docs.sparkSession
+      import s.implicits._
+      val freqs = wf.collect().map(r => r.getString(0) -> r.getLong(1))
+      val (merges, dict) = localTrain(freqs, nMerges, minFreq)
+      Trained(merges,
+        dict.toSeq.toDF("word", "freq", "syms"))
+    } else trainDistributed(wf, nMerges, minFreq)
+  }
+
+  /** The merge loop as driver code — exactly the published algorithm;
+    * bounded by the collected dictionary size.
+    */
+  private def localTrain(freqs: Array[(String, Long)], nMerges: Int,
+      minFreq: Long): (Seq[(Int, String, String, Long)],
+      Array[(String, Long, Seq[String])]) = {
+    var dict: Array[(String, Long, Vector[String])] = freqs.map {
+      case (w, f) => (w, f, w.map(_.toString).toVector :+ "</w>")
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (_, f, syms) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        if (n < minFreq) done = true
+        else {
+          out += ((i, a, b, n))
+          dict = dict.map { case (w, f, syms) =>
+            val res = scala.collection.mutable.ArrayBuffer.empty[String]
+            var prev: String = null
+            syms.foreach { x =>
+              if (prev == null) prev = x
+              else if (prev == a && x == b) prev = a + b
+              else { res += prev; prev = x }
+            }
+            if (prev != null) res += prev
+            (w, f, res.toVector)
+          }
+          i += 1
+        }
+      }
+    }
+    (out.toSeq, dict.map { case (w, f, s) => (w, f, s: Seq[String]) })
+  }
+
+  /** The distributed merge rounds — the 100 TB path for dictionaries too
+    * large to collect (each round's shuffle is dictionary-sized, never
+    * corpus-sized).
+    */
+  private[operators] def trainDistributed(wf: DataFrame, nMerges: Int,
+      minFreq: Long): Trained = {
+    var dict = wf.withColumn("syms", initSyms).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val top = dict
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "named_struct('a', element_at(syms, i), " +
+            "'b', element_at(syms, i + 1)))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minFreq) done = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((i, a, b, n))
+        dict = dict.withColumn("syms", mergeOnce(a, b)).localCheckpoint()
+        i += 1
+      }
+    }
+    Trained(merges.toSeq, dict)
+  }
+
+  /** Session-lifetime memo: training is deterministic per corpus dir, so
+    * q_bpe_train and q_bpe_tokenize share one trained model per sf.
+    */
+  private val trainedCache =
+    scala.collection.concurrent.TrieMap.empty[String, Trained]
+
+  private def trainedFor(s: SparkSession, d: String): Trained =
+    // keyed by app too: a cached dict DataFrame is tied to its session
+    trainedCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
+      train(Tables.documents(s, d)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The learned merge table — the tokenizer artifact itself. No SQL
+    // oracle (iterative argmax is not expressible as one query);
+    // BpeSuite replays the published algorithm over the collected
+    // word-freq dict on the driver and asserts the merge lists are
+    // IDENTICAL, plus determinism across runs.
+    "q_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      trainedFor(s, d).merges
+        .toDF("merge_idx", "left_sym", "right_sym", "pair_freq")
+        .orderBy(col("merge_idx").asc_nulls_first)
+    }),
+
+    // Tokenization = broadcast dict join, one map-only corpus pass:
+    // per-doc whitespace word count vs trained BPE token count (the
+    // number every token-budget sampler downstream actually needs).
+    "q_bpe_tokenize" -> ((s, d) => {
+      val dict = trainedFor(s, d).dict
+        .select(col("word"), size(col("syms")).as("n_sym"))
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      words.join(broadcast(dict), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    })
+  )
+
+  val oracle: Map[String, String] = Map.empty // iterative argmax; suite-pinned
+}
