@@ -28,6 +28,7 @@ object SparkEntry {
     (IvfAnn.queries, IvfAnn.oracle),
     (PqIndex.queries, PqIndex.oracle),
     (BpeOps.queries, BpeOps.oracle),
+    (IvfPq.queries, IvfPq.oracle),
     (TypedApi.queries, TypedApi.oracle),
     (graft.ingest.BinaryIngest.queries, graft.ingest.BinaryIngest.oracle),
     (SqlSurface.queries, SqlSurface.oracle),

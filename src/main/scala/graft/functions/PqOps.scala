@@ -118,6 +118,14 @@ object Pq {
     new GenericArrayData(out)
   }
 
+  /** Flat codebook back to the nested [m][k][sub] shape (for handing a
+    * LOADED codebook to the Column entry points, which serialize it).
+    */
+  def toNested(cb: Codebook): Array[Array[Array[Double]]] =
+    Array.tabulate(cb.m, cb.k, cb.sub) { (mi, ki, j) =>
+      cb.flat((mi * cb.k + ki) * cb.sub + j)
+    }
+
   /** codes + lut -> approximate squared L2 distance (sum of m lookups).
     * k is recovered from the shapes so the expression carries no extra
     * state.
