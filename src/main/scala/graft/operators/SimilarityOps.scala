@@ -65,6 +65,42 @@ object SimilarityOps {
         .orderBy(col("qid").asc_nulls_first, col("rnk").asc_nulls_first)
     }),
 
+    // Matryoshka retrieval (Kusupati et al., NeurIPS'22 MRL): rank
+    // candidates on the first 16 of 64 dimensions (4x less arithmetic
+    // and memory bandwidth — the coarse tier a truncation-trained
+    // embedding buys you), keep the top 20, then re-rank those with the
+    // full-dimension cosine to the final top 5. Both tiers are exact
+    // deterministic algebra, so the WHOLE two-tier pipeline hash-matches
+    // the DuckDB oracle — unlike PQ/LSH/IVF, approximation here costs
+    // candidate RECALL only, nothing in the emitted arithmetic.
+    "q_sim_matryoshka" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("head", slice(col("embedding"), 1, 16))
+        .withColumn("hn", vec_norm(col("head")))
+        .withColumn("fn", vec_norm(col("embedding")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("head").as("qh"),
+          col("hn").as("qhn"), col("embedding").as("qe"), col("fn").as("qfn"))
+      val n = e.select(col("vec_id").as("nid"), col("head").as("nh"),
+        col("hn").as("nhn"), col("embedding").as("ne"), col("fn").as("nfn"))
+      val w1 = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_head").desc_nulls_last, col("nid").asc_nulls_first)
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc_nulls_last, col("nid").asc_nulls_first)
+      q.join(broadcast(n), col("qid") =!= col("nid"))
+        .withColumn("cos_head",
+          graft.Det.r4(dot("qh", "nh") / (col("qhn") * col("nhn"))))
+        .withColumn("rnk0", row_number().over(w1))
+        .filter(col("rnk0") <= 20)
+        .withColumn("cos",
+          graft.Det.r4(dot("qe", "ne") / (col("qfn") * col("nfn"))))
+        .withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("nid"), col("cos"),
+          col("cos_head"))
+        .orderBy(col("qid").asc_nulls_first, col("rnk").asc_nulls_first)
+    }),
+
     // LSH-bucketed approximate neighbors: 6 sign-bit planes -> 64
     // buckets; top-3 per query within its bucket. No oracle (bucket
     // assignment depends on engine-side constants); recall vs brute
@@ -115,6 +151,37 @@ object SimilarityOps {
         |      ORDER BY cos DESC NULLS LAST, nid ASC NULLS FIRST) AS INT) AS rnk
         |  FROM scored)
         |SELECT qid, rnk, nid, cos FROM ranked WHERE rnk <= 5
+        |ORDER BY qid ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin,
+    // identical two-tier algebra: truncated-dim rank -> top 20 -> full
+    // re-rank -> top 5; embedding[1:16] is DuckDB's inclusive list slice
+    "q_sim_matryoshka" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding, embedding[1:16] AS head,
+        |    sqrt(list_sum(list_transform(embedding[1:16],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS hn,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS fn
+        |  FROM embeddings),
+        |coarse AS (
+        |  SELECT q.vec_id AS qid, t.vec_id AS nid,
+        |    floor((list_sum(list_transform(list_zip(q.head, t.head),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (q.hn * t.hn)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS cos_head,
+        |    floor((list_sum(list_transform(list_zip(q.embedding, t.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (q.fn * t.fn)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS cos
+        |  FROM n q JOIN n t ON q.vec_id < 10 AND q.vec_id <> t.vec_id),
+        |tier1 AS (
+        |  SELECT qid, nid, cos_head, cos,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos_head DESC NULLS LAST, nid ASC NULLS FIRST) AS rnk0
+        |  FROM coarse),
+        |tier2 AS (
+        |  SELECT qid, nid, cos, cos_head,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC NULLS LAST, nid ASC NULLS FIRST) AS INT) AS rnk
+        |  FROM tier1 WHERE rnk0 <= 20)
+        |SELECT qid, rnk, nid, cos, cos_head FROM tier2 WHERE rnk <= 5
         |ORDER BY qid ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
   )
 }
