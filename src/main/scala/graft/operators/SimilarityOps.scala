@@ -101,6 +101,47 @@ object SimilarityOps {
         .orderBy(col("qid").asc_nulls_first, col("rnk").asc_nulls_first)
     }),
 
+    // Binary (sign-bit) quantization ANN: 64 floats -> 64 bits packed
+    // into two BIGINT halves (32 bits each keeps the arithmetic inside
+    // non-negative longs on BOTH engines — DuckDB errors on BIGINT
+    // overflow where Spark wraps), Hamming distance via xor+bit_count as
+    // the coarse tier (top 20), exact cosine re-rank to top 5. The third
+    // memory tier next to PQ (8 bytes/vector here too, but zero
+    // codebooks — the quantizer is data-independent, so signatures never
+    // retrain) and, like Matryoshka, every emitted number is exact
+    // deterministic algebra: the whole pipeline hash-matches the oracle.
+    // The signature fold runs once per ROW (not per pair); the per-pair
+    // work is two xor+bit_count ops on longs — all codegen builtins.
+    "q_sim_hamming" -> ((s, d) => {
+      def sig(half: Int): org.apache.spark.sql.Column = expr(
+        s"aggregate(transform(sequence(1, 32), i -> " +
+          s"IF(element_at(embedding, CAST(${half * 32} + i AS INT)) >= 0F, " +
+          s"shiftleft(1L, 32 - i), 0L)), 0L, (a, x) -> a + x)")
+      val e = Tables.embeddings(s, d)
+        .withColumn("s0", sig(0)).withColumn("s1", sig(1))
+        .withColumn("fn", vec_norm(col("embedding")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("s0").as("q0"),
+          col("s1").as("q1"), col("embedding").as("qe"), col("fn").as("qfn"))
+      val n = e.select(col("vec_id").as("nid"), col("s0").as("n0"),
+        col("s1").as("n1"), col("embedding").as("ne"), col("fn").as("nfn"))
+      val w1 = Window.partitionBy(col("qid"))
+        .orderBy(col("ham").asc_nulls_last, col("nid").asc_nulls_first)
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc_nulls_last, col("nid").asc_nulls_first)
+      q.join(broadcast(n), col("qid") =!= col("nid"))
+        .withColumn("ham",
+          expr("bit_count(q0 ^ n0) + bit_count(q1 ^ n1)").cast("int"))
+        .withColumn("rnk0", row_number().over(w1))
+        .filter(col("rnk0") <= 20)
+        .withColumn("cos",
+          graft.Det.r4(dot("qe", "ne") / (col("qfn") * col("nfn"))))
+        .withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("nid"), col("cos"), col("ham"))
+        .orderBy(col("qid").asc_nulls_first, col("rnk").asc_nulls_first)
+    }),
+
     // LSH-bucketed approximate neighbors: 6 sign-bit planes -> 64
     // buckets; top-3 per query within its bucket. No oracle (bucket
     // assignment depends on engine-side constants); recall vs brute
@@ -182,6 +223,37 @@ object SimilarityOps {
         |      ORDER BY cos DESC NULLS LAST, nid ASC NULLS FIRST) AS INT) AS rnk
         |  FROM tier1 WHERE rnk0 <= 20)
         |SELECT qid, rnk, nid, cos, cos_head FROM tier2 WHERE rnk <= 5
+        |ORDER BY qid ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin,
+    // identical bit-packing (two non-negative 32-bit halves), Hamming
+    // coarse tier, exact cosine re-rank
+    "q_sim_hamming" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(generate_series(1, 32), i ->
+        |      CASE WHEN embedding[CAST(i AS INT)] >= 0 THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE CAST(0 AS BIGINT) END)) AS s0,
+        |    list_sum(list_transform(generate_series(1, 32), i ->
+        |      CASE WHEN embedding[CAST(32 + i AS INT)] >= 0 THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE CAST(0 AS BIGINT) END)) AS s1,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS fn
+        |  FROM embeddings),
+        |coarse AS (
+        |  SELECT q.vec_id AS qid, t.vec_id AS nid,
+        |    CAST(bit_count(xor(q.s0, t.s0)) + bit_count(xor(q.s1, t.s1)) AS INT) AS ham,
+        |    floor((list_sum(list_transform(list_zip(q.embedding, t.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (q.fn * t.fn)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS cos
+        |  FROM n q JOIN n t ON q.vec_id < 10 AND q.vec_id <> t.vec_id),
+        |tier1 AS (
+        |  SELECT qid, nid, ham, cos,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY ham ASC NULLS LAST, nid ASC NULLS FIRST) AS rnk0
+        |  FROM coarse),
+        |tier2 AS (
+        |  SELECT qid, nid, cos, ham,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC NULLS LAST, nid ASC NULLS FIRST) AS INT) AS rnk
+        |  FROM tier1 WHERE rnk0 <= 20)
+        |SELECT qid, rnk, nid, cos, ham FROM tier2 WHERE rnk <= 5
         |ORDER BY qid ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
   )
 }

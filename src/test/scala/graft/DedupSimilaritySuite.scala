@@ -479,6 +479,25 @@ class DedupSimilaritySuite extends AnyFunSuite {
     assert(recall >= 0.15, s"matryoshka recall@5 = $recall")
   }
 
+  test("hamming coarse tier beats chance and its re-rank emits true " +
+      "full-dim cosines") {
+    val brute = SparkEntry.queries("q_sim_topk_cosine")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val bruteSet = brute.map(_._1).toSet
+    val bruteCos = brute.toMap
+    val ham = SparkEntry.queries("q_sim_hamming")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(ham.length == 50)
+    ham.foreach { case (qid, nid, cos, h) =>
+      bruteCos.get((qid, nid)).foreach(b => assert(cos == b))
+      assert(h >= 0 && h <= 64)
+    }
+    // sign bits track cosine on centered data: must beat the ~4% chance
+    // of a random 20-candidate coarse tier by a wide margin
+    val recall = ham.count(m => bruteSet((m._1, m._2))).toDouble / ham.length
+    assert(recall >= 0.15, s"hamming recall@5 = $recall")
+  }
+
   test("embedding near-dup pairs agree with the declared threshold") {
     val got = SparkEntry.queries("q_dedup_embedding")(spark, sf)
     assert(got.filter(col("cos") < 0.35).count() == 0)
