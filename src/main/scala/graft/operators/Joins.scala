@@ -243,6 +243,64 @@ object Joins {
         .orderBy(col("o_orderpriority").asc_nulls_first)
     }),
 
+    // Edit-distance similarity self-join WITHOUT the cross product —
+    // the PassJoin/Ed-Join pigeonhole (Li et al., ICDE'11; Xiao et al.):
+    // if ed(a,b) <= 2, then splitting a into 3 contiguous segments, at
+    // least one segment occurs EXACTLY in b at a position shifted by at
+    // most 2 (2 edits cannot touch all 3 segments). Candidates are an
+    // EQUI-join on (segment index, indexed length, segment text) between
+    // a's 3 segments and b's ~75 exploded substrings (5 candidate
+    // lengths x 3 segments x <=5 shifts), then the codegen'd
+    // `levenshtein` verifies exactly — work scales with true near-pair
+    // density, never |names|². The generalization of reference R15's
+    // fuzzy matching from scoring to JOINING (tables.py:167-203).
+    // The oracle states the naive quadratic semantics over the DISTINCT
+    // name vocabulary; DedupSimilaritySuite asserts the candidate plan
+    // has no cartesian/nested-loop and equals the naive pair set.
+    "q_join_edit_distance" -> ((s, d) => {
+      val tau = 2
+      val names = Tables.part(s, d).select(col("p_name").as("a")).distinct()
+      val idx = names
+        .select(col("a"), explode(expr(
+          """transform(sequence(0, 2), i -> named_struct(
+            |'i', cast(i as int),
+            |'seg', substring(a, cast(floor(i * length(a) / 3) as int) + 1,
+            |  cast(floor((i + 1) * length(a) / 3)
+            |    - floor(i * length(a) / 3) as int)),
+            |'la', length(a)))""".stripMargin)).as("k"))
+        .select(col("a"), col("k.i").as("i"), col("k.seg").as("seg"),
+          col("k.la").as("la"))
+        .filter(length(col("seg")) > 0)
+      val probe = names.select(col("a").as("b"))
+        .select(col("b"), explode(expr(
+          s"""flatten(flatten(
+             |transform(sequence(length(b) - $tau, length(b) + $tau), L ->
+             |  transform(sequence(0, 2), i ->
+             |    filter(transform(
+             |      sequence(cast(floor(i * L / 3) as int) - $tau,
+             |               cast(floor(i * L / 3) as int) + $tau), p ->
+             |      named_struct(
+             |        'i', cast(i as int),
+             |        'la', cast(L as int),
+             |        'seg', IF(p >= 0 AND
+             |          p + cast(floor((i + 1) * L / 3)
+             |            - floor(i * L / 3) as int) <= length(b),
+             |          substring(b, p + 1,
+             |            cast(floor((i + 1) * L / 3)
+             |              - floor(i * L / 3) as int)),
+             |          cast(null as string)))),
+             |      x -> x.seg IS NOT NULL AND length(x.seg) > 0)))))
+             |""".stripMargin)).as("k"))
+        .select(col("b"), col("k.i").as("i"), col("k.seg").as("seg"),
+          col("k.la").as("la"))
+      idx.join(probe, Seq("i", "seg", "la"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+        .withColumn("dist", levenshtein(col("a"), col("b")))
+        .filter(col("dist") <= tau)
+        .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
+    }),
+
     // Bounded cartesian product (reference R15's header × category score
     // matrix shape, tables.py:181-189).
     "q_join_cross" -> ((s, d) => {
@@ -351,6 +409,15 @@ object Joins {
         |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin,
+    // naive quadratic semantics over the distinct vocabulary — the
+    // pigeonhole candidate generation must be invisible in the result
+    "q_join_edit_distance" ->
+      """WITH names AS (SELECT DISTINCT p_name AS a FROM part)
+        |SELECT x.a AS a, y.a AS b,
+        |  CAST(levenshtein(x.a, y.a) AS INT) AS dist
+        |FROM names x JOIN names y
+        |  ON x.a < y.a AND levenshtein(x.a, y.a) <= 2
+        |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""".stripMargin,
     // plain-join semantics: the bloom pre-filter must be invisible
     "q_join_bloom" ->
       """SELECT o_orderpriority, count(1) AS n,

@@ -498,6 +498,45 @@ class DedupSimilaritySuite extends AnyFunSuite {
     assert(recall >= 0.15, s"hamming recall@5 = $recall")
   }
 
+  test("edit-distance join: pigeonhole candidates equal the naive " +
+      "quadratic pair set with no cartesian in the plan") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val q = SparkEntry.queries("q_join_edit_distance")(spark, sf)
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // naive reference on the collected vocabulary (bounded: 64 names)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sf).select(col("p_name"))
+      .distinct().collect().map(_.getString(0))
+    val naive = (for {
+      a <- names; b <- names
+      if a < b
+      dist = lev(a, b)
+      if dist <= 2
+    } yield (a, b, dist)).toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+    assert(got.nonEmpty)
+    // the scalable path must not degenerate into an all-pairs plan
+    q.collect()
+    val exec = q.queryExecution.executedPlan
+    val bad = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+      def find(p: org.apache.spark.sql.execution.SparkPlan) =
+        collectWithSubqueries(p) {
+          case c: CartesianProductExec => c
+          case b: BroadcastNestedLoopJoinExec => b
+        }
+    }.find(exec)
+    assert(bad.isEmpty, s"cartesian/nested-loop in plan: $bad")
+  }
+
   test("embedding near-dup pairs agree with the declared threshold") {
     val got = SparkEntry.queries("q_dedup_embedding")(spark, sf)
     assert(got.filter(col("cos") < 0.35).count() == 0)
