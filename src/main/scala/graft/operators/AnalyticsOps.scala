@@ -354,6 +354,39 @@ object AnalyticsOps {
         coPurchasePairs(orderPartSets(s, d), minSupport = 2)
           .select(col("p1"), col("p2")))),
 
+    // Single-source BFS over the co-purchase graph (the traversal
+    // complement of CC/pagerank/triangles): min-hop distance from the
+    // lowest-id vertex, levels capped at 10 so the engine and the
+    // recursive-CTE oracle share a finite frontier. Each level is ONE
+    // keyed equi-join of the current frontier with the (bidirected)
+    // edge list plus an anti-join against the visited set — the frontier
+    // shuffles on the vertex key, never the whole graph; localCheckpoint
+    // truncates the per-level lineage like the CC loop. Deterministic:
+    // min-hop is order-free.
+    "q_graph_bfs" -> ((s, d) => {
+      import s.implicits._
+      val edges = coPurchasePairs(orderPartSets(s, d), minSupport = 2)
+        .select(col("p1"), col("p2")).localCheckpoint()
+      val bidir = edges.select(col("p1").as("u"), col("p2").as("v"))
+        .union(edges.select(col("p2").as("u"), col("p1").as("v")))
+      val src = edges.agg(min(col("p1"))).head().getLong(0)
+      var visited = Seq((src, 0)).toDF("node", "hop").localCheckpoint()
+      var frontier = visited
+      var level = 0
+      while (level < 10 && !frontier.isEmpty) {
+        val next = frontier.join(bidir, col("node") === col("u"))
+          .select(col("v").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("hop", lit(level + 1))
+          .localCheckpoint()
+        visited = visited.union(next).localCheckpoint()
+        frontier = next
+        level += 1
+      }
+      visited.select(col("node"), col("hop").cast("int").as("hop"))
+        .orderBy(col("node").asc_nulls_first)
+    }),
+
     // Skyline (Pareto frontier): parts not dominated on (min price,
     // max size). The all-pairs NOT EXISTS definition is quadratic; this
     // plan is the scalable two-pass form — (1) per-price max size, a
@@ -670,6 +703,21 @@ object AnalyticsOps {
         |JOIN pairs e2 ON e1.p2 = e2.p1
         |JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
         |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST, c ASC NULLS FIRST""".stripMargin,
+    // min-hop BFS as a level-bounded recursive CTE: UNION dedups exact
+    // (node, hop) repeats, the hop < 10 guard bounds cyclic walks, and
+    // min(hop) collapses every reach to the first one — the same
+    // frontier semantics as the engine's iterative join loop
+    "q_graph_bfs" ->
+      s"""WITH RECURSIVE $coPurchaseCte,
+        |bidir AS (SELECT p1 AS u, p2 AS v FROM pairs
+        |          UNION ALL SELECT p2, p1 FROM pairs),
+        |walk(node, hop) AS (
+        |  SELECT (SELECT min(p1) FROM pairs), 0
+        |  UNION
+        |  SELECT v, hop + 1 FROM walk JOIN bidir ON node = u
+        |  WHERE hop < 10)
+        |SELECT node, CAST(min(hop) AS INT) AS hop FROM walk
+        |GROUP BY node ORDER BY node ASC NULLS FIRST""".stripMargin,
     // dominance definition straight from the skyline literature: no b
     // that is <= on price, >= on size, and strictly better on one
     "q_skyline" ->

@@ -26,6 +26,41 @@ class AnalyticsOpsSuite extends AnyFunSuite {
       s"expected the 29 hub triangles in (a,b,c) id order, got ${got.length}")
   }
 
+  test("BFS min-hops equal a driver-side reference BFS on the same graph") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q_graph_bfs")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // reference BFS on the collected co-purchase edges (tiny at
+    // sf0.001), restated from the same definition the queries share
+    import org.apache.spark.sql.functions.{count, lit}
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("p1"), col("p2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val src = edges.map(_._1).min
+    var dist = Map(src -> 0)
+    var frontier = Set(src)
+    var level = 0
+    while (level < 10 && frontier.nonEmpty) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .diff(dist.keySet)
+      dist ++= next.map(_ -> (level + 1))
+      frontier = next
+      level += 1
+    }
+    assert(got == dist,
+      s"missing=${dist.keySet -- got.keySet} extra=${got.keySet -- dist.keySet}")
+  }
+
   test("degree orientation bounds per-key wedge fanout where id " +
       "orientation concentrates the hub") {
     // the orientation rule, recomputed independently of the operator
