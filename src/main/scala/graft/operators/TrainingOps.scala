@@ -374,6 +374,26 @@ object TrainingOps {
         .orderBy(col("doc_id").asc_nulls_first,
           col("epoch").asc_nulls_first)),
 
+    // Temperature-based mixture weights (the multilingual-LLM data-mix
+    // standard): per-language sampling weight n^tau / sum(n^tau) with
+    // tau = 0.7 — temperature < 1 up-weights low-resource languages
+    // relative to proportional sampling. One tiny grouped aggregate +
+    // a scalar-broadcast normalization; quota = floor(weight * budget).
+    // pow/r4 rounding is the same IEEE arithmetic both engines run
+    // (same class as the log in q_text_entropy, hash-match-verified).
+    "q_mix_temperature" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("w_raw", pow(col("n").cast("double"), lit(0.7)))
+      val total = counts.agg(sum(col("w_raw")).as("w_sum"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("weight", graft.Det.r4(col("w_raw") / col("w_sum")))
+        .withColumn("quota",
+          floor(col("w_raw") / col("w_sum") * lit(1000.0)).cast("bigint"))
+        .select(col("lang"), col("n"), col("weight"), col("quota"))
+        .orderBy(col("lang").asc_nulls_first)
+    }),
+
     // shardWidth 500 exercises multi-shard stitching at test scale
     "q_training_manifest" -> ((s, d) =>
       trainingManifest(Tables.documents(s, d), binTokens = 2048,
@@ -550,6 +570,18 @@ object TrainingOps {
         |SELECT doc_id, lang, n_toks, cum_before FROM c
         |WHERE cum_before < 2000
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    // identical n^0.7 normalization; floor quota over a 1000-doc budget
+    "q_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, count(1) AS n,
+        |    pow(CAST(count(1) AS DOUBLE), 0.7) AS w_raw
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT sum(w_raw) AS w_sum FROM c)
+        |SELECT lang, n,
+        |  floor((w_raw / w_sum) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS weight,
+        |  CAST(floor(w_raw / w_sum * 1000.0) AS BIGINT) AS quota
+        |FROM c CROSS JOIN t
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "q_mix_epochs" ->
       """WITH r AS (
         |  SELECT doc_id, source,
