@@ -52,12 +52,13 @@ object Bench {
     // vs ~0.1 s warm in driver REPS=1 artifacts) and the corpus shingle
     // frame. One explicit keyed shuffle also initializes the shuffle
     // machinery so no timed query pays first-shuffle setup.
-    // q_rad_relational fills the session-lifetime stage-geometry cache
-    // (PdfIngest.stageGeomCache) that q_rad_relational_full and every
-    // later rad query reads — measured ~5 s cold vs ~1.4 s warm, the
-    // same cache-fill class as the q_pdf_tables warmup above
+    // q_rad_relational_full fills the session-lifetime stage-geometry
+    // cache (PdfIngest.stageGeomCache — only the _full staging path
+    // computes it; q_rad_relational's stageRowsOf bypasses it) and
+    // exercises the whole rad dataflow, so every later rad query times
+    // warm — the same cache-fill class as the q_pdf_tables warmup above
     Seq("q_multimodal_frames", "q_multimodal_audio", "q_dedup_minhash",
-        "q_rad_relational")
+        "q_rad_relational_full")
       .foreach { q =>
         try { SparkEntry.queries(q)(spark, sfDir).count(); () }
         catch { case t: Throwable =>

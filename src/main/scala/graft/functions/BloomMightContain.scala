@@ -29,13 +29,16 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomFilters {
 
-  /** bytes -> decoded filter, memoized by array identity (the same
-    * expression instance, and every codegen reference to it, holds the
-    * same array object).
+  /** bytes -> decoded filter, memoized per array instance with WEAK
+    * keys: each Spark task deserializes its own byte[] from the task
+    * binary, so a strong identity map would retain one decoded filter
+    * per task forever on a long-lived executor. Weak keys let entries
+    * die with their task binary; byte[] equality is identity, so
+    * WeakHashMap hashes exactly like the IdentityHashMap did.
     */
   private val cache =
     java.util.Collections.synchronizedMap(
-      new java.util.IdentityHashMap[Array[Byte], BloomFilter]())
+      new java.util.WeakHashMap[Array[Byte], BloomFilter]())
 
   def fromBytes(bytes: Array[Byte]): BloomFilter = {
     val hit = cache.get(bytes)

@@ -42,9 +42,12 @@ object Pq {
   final class Codebook(val m: Int, val k: Int, val sub: Int,
       val flat: Array[Double])
 
+  // weak keys: each task deserializes its own byte[] from the task
+  // binary; a strong identity map would retain one decoded codebook per
+  // task forever (see BloomFilters.cache)
   private val cache =
     java.util.Collections.synchronizedMap(
-      new java.util.IdentityHashMap[Array[Byte], Codebook]())
+      new java.util.WeakHashMap[Array[Byte], Codebook]())
 
   def fromBytes(bytes: Array[Byte]): Codebook = {
     val hit = cache.get(bytes)

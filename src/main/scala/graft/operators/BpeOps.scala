@@ -43,7 +43,20 @@ object BpeOps {
   case class Trained(merges: Seq[(Int, String, String, Long)],
       dict: DataFrame)
 
-  private def sqlQuote(s: String): String = s.replace("'", "''")
+  // backslashes must double too: Spark's default parser treats \ in a
+  // string literal as an escape, so a symbol like "\t" interpolated raw
+  // would parse as TAB and the rewrite would silently miss (or a
+  // trailing \ would swallow the closing quote)
+  private def sqlQuote(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
+
+  /** Code-point split (NOT char split): `substring` in the distributed
+    * path counts code points, so the local path must too or an
+    * astral-plane character would diverge between the two.
+    */
+  private[operators] def codePointSyms(w: String): Vector[String] =
+    w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector
 
   /** word -> initial symbols: its characters plus the `</w>` end-of-word
     * marker (merges can learn word-final units but never cross words).
@@ -98,15 +111,21 @@ object BpeOps {
     */
   def train(docs: DataFrame, nMerges: Int = 16, minFreq: Long = 2,
       localDictLimit: Long = 200000): Trained = {
+    // the count() probe and the path that follows (collect OR the first
+    // distributed round) both read the dict — persist so the corpus
+    // aggregation runs ONCE, released as soon as the path has its copy
     val wf = wordFreq(docs)
-    if (wf.count() <= localDictLimit) {
-      val s = docs.sparkSession
-      import s.implicits._
-      val freqs = wf.collect().map(r => r.getString(0) -> r.getLong(1))
-      val (merges, dict) = localTrain(freqs, nMerges, minFreq)
-      Trained(merges,
-        dict.toSeq.toDF("word", "freq", "syms"))
-    } else trainDistributed(wf, nMerges, minFreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (wf.count() <= localDictLimit) {
+        val s = docs.sparkSession
+        import s.implicits._
+        val freqs = wf.collect().map(r => r.getString(0) -> r.getLong(1))
+        val (merges, dict) = localTrain(freqs, nMerges, minFreq)
+        Trained(merges,
+          dict.toSeq.toDF("word", "freq", "syms"))
+      } else trainDistributed(wf, nMerges, minFreq)
+    } finally { wf.unpersist(blocking = false); () }
   }
 
   /** The merge loop as driver code — exactly the published algorithm;
@@ -116,7 +135,7 @@ object BpeOps {
       minFreq: Long): (Seq[(Int, String, String, Long)],
       Array[(String, Long, Seq[String])]) = {
     var dict: Array[(String, Long, Vector[String])] = freqs.map {
-      case (w, f) => (w, f, w.map(_.toString).toVector :+ "</w>")
+      case (w, f) => (w, f, codePointSyms(w) :+ "</w>")
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var i = 0

@@ -357,8 +357,10 @@ object Extras {
          |  FROM lineitem),
          |c AS (
          |  SELECT l_partkey, l_suppkey,
-         |    least(65535, CAST(floor((CAST(l_partkey AS DOUBLE) - mn0) / (mx0 - mn0) * 65536.0) AS BIGINT)) AS c0,
-         |    least(65535, CAST(floor((CAST(l_suppkey AS DOUBLE) - mn1) / (mx1 - mn1) * 65536.0) AS BIGINT)) AS c1
+         |    CASE WHEN mx0 - mn0 = 0 OR mx0 - mn0 IS NULL THEN CAST(0 AS BIGINT)
+         |      ELSE least(65535, CAST(floor((CAST(l_partkey AS DOUBLE) - mn0) / (mx0 - mn0) * 65536.0) AS BIGINT)) END AS c0,
+         |    CASE WHEN mx1 - mn1 = 0 OR mx1 - mn1 IS NULL THEN CAST(0 AS BIGINT)
+         |      ELSE least(65535, CAST(floor((CAST(l_suppkey AS DOUBLE) - mn1) / (mx1 - mn1) * 65536.0) AS BIGINT)) END AS c1
          |  FROM lineitem CROSS JOIN st),
          |z AS (SELECT l_partkey, l_suppkey, ($inter) AS zv FROM c)
          |SELECT zv >> 22 AS z_bucket, count(1) AS n,

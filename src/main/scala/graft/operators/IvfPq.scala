@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.PqOps.{pq_adc, pq_encode, pq_lut}
-import graft.functions.VectorOps.{vec_dot, vec_norm}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -100,6 +99,12 @@ object IvfPq {
       .join(broadcast(centFrame(s, h.centroids)), Seq("cell"))
       .withColumn("lut", pq_lut(residualCol("qe"), h.codebooks))
       .select(col("cell"), col("qid"), col("qe"), col("lut"))
+      // read twice (the cell-set pass and the join). Same discipline as
+      // IvfIndex.search: the collect materializes the blocks; release
+      // the CacheManager entry NOW (non-blocking) so repeated searches
+      // don't pin one entry each — the join reuses surviving blocks or
+      // recomputes this QUERY-BOUNDED frame (nQueries x nProbe rows)
+      // from lineage
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.get(0))
@@ -117,19 +122,7 @@ object IvfPq {
       .withColumn("rnk0", row_number().over(wAdc))
       .filter(col("rnk0") <= rerank)
       .select(col("qid"), col("qe"), col("nid"), col("ad"))
-    val fetched = e.select(col("vec_id").as("nid"), col("embedding"))
-      .join(broadcast(top), Seq("nid"))
-    val wExact = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc_nulls_last, col("nid").asc_nulls_first)
-    fetched
-      .withColumn("dist", graft.Det.r4(sqrt(greatest(lit(0.0),
-        pow(vec_norm(col("embedding")), 2) + pow(vec_norm(col("qe")), 2)
-          - lit(2.0) * vec_dot(col("embedding"), col("qe"))))))
-      .withColumn("rnk", row_number().over(wExact))
-      .filter(col("rnk") <= topK)
-      .select(col("qid"), col("rnk"), col("nid"), col("dist"),
-        graft.Det.r4(col("ad")).as("adist"))
-      .orderBy(col("qid").asc_nulls_first, col("rnk").asc_nulls_first)
+    PqIndex.exactRerank(e, top, topK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -17,6 +17,61 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+
+  /** PassJoin (tau = 2) edit-distance self-join over a one-column
+    * ("a") distinct-name frame — the candidate machinery behind
+    * q_join_edit_distance, exposed so suites can drive it with crafted
+    * vocabularies (short strings included).
+    */
+  private[graft] def editDistanceSelfJoin(names: DataFrame): DataFrame = {
+    val tau = 2
+    val idx = names
+      .select(col("a"), explode(expr(
+        """transform(sequence(0, 2), i -> named_struct(
+          |'i', cast(i as int),
+          |'seg', substring(a, cast(floor(i * length(a) / 3) as int) + 1,
+          |  cast(floor((i + 1) * length(a) / 3)
+          |    - floor(i * length(a) / 3) as int)),
+          |'la', length(a)))""".stripMargin)).as("k"))
+      .select(col("a"), col("k.i").as("i"), col("k.seg").as("seg"),
+        col("k.la").as("la"))
+    // EMPTY segments are kept deliberately: a string shorter than
+    // tau+1=3 cannot fill 3 non-empty segments, and dropping its empty
+    // ones would break the pigeonhole (2 edits CAN touch both remaining
+    // segments -> true short-short pairs silently lost). An empty
+    // segment occurs trivially in any probe, so it acts as the
+    // degenerate candidate key — only strings shorter than 3 carry one,
+    // so the key stays bounded by the short sub-vocabulary.
+    val probe = names.select(col("a").as("b"))
+      .select(col("b"), explode(expr(
+        s"""flatten(flatten(
+           |transform(sequence(length(b) - $tau, length(b) + $tau), L ->
+           |  transform(sequence(0, 2), i ->
+           |    filter(transform(
+           |      sequence(cast(floor(i * L / 3) as int) - $tau,
+           |               cast(floor(i * L / 3) as int) + $tau), p ->
+           |      named_struct(
+           |        'i', cast(i as int),
+           |        'la', cast(L as int),
+           |        'seg', IF(p >= 0 AND
+           |          p + cast(floor((i + 1) * L / 3)
+           |            - floor(i * L / 3) as int) <= length(b),
+           |          substring(b, p + 1,
+           |            cast(floor((i + 1) * L / 3)
+           |              - floor(i * L / 3) as int)),
+           |          cast(null as string)))),
+           |      x -> x.seg IS NOT NULL)))))
+           |""".stripMargin)).as("k"))
+      .select(col("b"), col("k.i").as("i"), col("k.seg").as("seg"),
+        col("k.la").as("la"))
+    idx.join(probe, Seq("i", "seg", "la"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= tau)
+      .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Broadcast hash equi-join: fact × small dim, zero fact shuffle.
     "q_join_broadcast" -> ((s, d) => {
@@ -257,49 +312,9 @@ object Joins {
     // The oracle states the naive quadratic semantics over the DISTINCT
     // name vocabulary; DedupSimilaritySuite asserts the candidate plan
     // has no cartesian/nested-loop and equals the naive pair set.
-    "q_join_edit_distance" -> ((s, d) => {
-      val tau = 2
-      val names = Tables.part(s, d).select(col("p_name").as("a")).distinct()
-      val idx = names
-        .select(col("a"), explode(expr(
-          """transform(sequence(0, 2), i -> named_struct(
-            |'i', cast(i as int),
-            |'seg', substring(a, cast(floor(i * length(a) / 3) as int) + 1,
-            |  cast(floor((i + 1) * length(a) / 3)
-            |    - floor(i * length(a) / 3) as int)),
-            |'la', length(a)))""".stripMargin)).as("k"))
-        .select(col("a"), col("k.i").as("i"), col("k.seg").as("seg"),
-          col("k.la").as("la"))
-        .filter(length(col("seg")) > 0)
-      val probe = names.select(col("a").as("b"))
-        .select(col("b"), explode(expr(
-          s"""flatten(flatten(
-             |transform(sequence(length(b) - $tau, length(b) + $tau), L ->
-             |  transform(sequence(0, 2), i ->
-             |    filter(transform(
-             |      sequence(cast(floor(i * L / 3) as int) - $tau,
-             |               cast(floor(i * L / 3) as int) + $tau), p ->
-             |      named_struct(
-             |        'i', cast(i as int),
-             |        'la', cast(L as int),
-             |        'seg', IF(p >= 0 AND
-             |          p + cast(floor((i + 1) * L / 3)
-             |            - floor(i * L / 3) as int) <= length(b),
-             |          substring(b, p + 1,
-             |            cast(floor((i + 1) * L / 3)
-             |              - floor(i * L / 3) as int)),
-             |          cast(null as string)))),
-             |      x -> x.seg IS NOT NULL AND length(x.seg) > 0)))))
-             |""".stripMargin)).as("k"))
-        .select(col("b"), col("k.i").as("i"), col("k.seg").as("seg"),
-          col("k.la").as("la"))
-      idx.join(probe, Seq("i", "seg", "la"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-        .withColumn("dist", levenshtein(col("a"), col("b")))
-        .filter(col("dist") <= tau)
-        .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
-    }),
+    "q_join_edit_distance" -> ((s, d) =>
+      editDistanceSelfJoin(
+        Tables.part(s, d).select(col("p_name").as("a")).distinct())),
 
     // Bounded cartesian product (reference R15's header × category score
     // matrix shape, tables.py:181-189).

@@ -93,11 +93,33 @@ object PqIndex {
   def encode(e: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame =
     e.select(col("vec_id"), pq_encode(col("embedding"), cb).as("codes"))
 
+  /** Shared exact tier for the ADC searchers (flat PQ and IVFPQ): fetch
+    * each candidate's true vector by id (broadcast — the candidate set
+    * is queries x rerank, driver-bounded), score the EXACT L2 via
+    * ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b (fp-cancellation tail
+    * clamped at 0 before sqrt), keep the top `topK` per query.
+    * `cand` must carry (qid, qe, nid, ad).
+    */
+  private[operators] def exactRerank(e: DataFrame, cand: DataFrame,
+      topK: Int): DataFrame = {
+    val fetched = e.select(col("vec_id").as("nid"), col("embedding"))
+      .join(broadcast(cand), Seq("nid"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc_nulls_last, col("nid").asc_nulls_first)
+    fetched
+      .withColumn("dist", graft.Det.r4(sqrt(greatest(lit(0.0),
+        pow(vec_norm(col("embedding")), 2) + pow(vec_norm(col("qe")), 2)
+          - lit(2.0) * vec_dot(col("embedding"), col("qe"))))))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("nid"), col("dist"),
+        graft.Det.r4(col("ad")).as("adist"))
+      .orderBy(col("qid").asc_nulls_first, col("rnk").asc_nulls_first)
+  }
+
   /** ADC search + exact re-rank. `queries` must carry (vec_id,
     * embedding); candidates ranked by approximate squared L2 over the
-    * code scan, the top `rerank` per query fetched by id (broadcast —
-    * the candidate set is queries x rerank, driver-bounded) and
-    * re-scored with the exact distance.
+    * code scan, the top `rerank` per query re-scored exactly.
     */
   def search(e: DataFrame, enc: DataFrame, cb: Array[Array[Array[Double]]],
       queries: DataFrame, rerank: Int, topK: Int): DataFrame = {
@@ -112,21 +134,7 @@ object PqIndex {
       .withColumn("rnk0", row_number().over(wAdc))
       .filter(col("rnk0") <= rerank)
       .select(col("qid"), col("qe"), col("vec_id").as("nid"), col("ad"))
-    // exact tier: ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b on the fetched
-    // true vectors; clamp the fp-cancellation tail at 0 before sqrt
-    val fetched = e.select(col("vec_id").as("nid"), col("embedding"))
-      .join(broadcast(cand), Seq("nid"))
-    val wExact = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc_nulls_last, col("nid").asc_nulls_first)
-    fetched
-      .withColumn("dist", graft.Det.r4(sqrt(greatest(lit(0.0),
-        pow(vec_norm(col("embedding")), 2) + pow(vec_norm(col("qe")), 2)
-          - lit(2.0) * vec_dot(col("embedding"), col("qe"))))))
-      .withColumn("rnk", row_number().over(wExact))
-      .filter(col("rnk") <= topK)
-      .select(col("qid"), col("rnk"), col("nid"), col("dist"),
-        graft.Det.r4(col("ad")).as("adist"))
-      .orderBy(col("qid").asc_nulls_first, col("rnk").asc_nulls_first)
+    exactRerank(e, cand, topK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -537,6 +537,36 @@ class DedupSimilaritySuite extends AnyFunSuite {
     assert(bad.isEmpty, s"cartesian/nested-loop in plan: $bad")
   }
 
+  test("edit-distance join: short strings (< tau+1 chars) keep the " +
+      "pigeonhole complete via empty-segment keys") {
+    import spark.implicits._
+    // every short-short pair is within ed 2 by construction; the crafted
+    // vocabulary mixes 1-, 2- and longer strings
+    val vocab = Seq("a", "b", "ab", "cd", "abc", "abd", "xyzw")
+    val got = graft.operators.Joins.editDistanceSelfJoin(
+        vocab.toDF("a"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = (for {
+      a <- vocab; b <- vocab
+      if a < b
+      dist = lev(a, b)
+      if dist <= 2
+    } yield (a, b, dist)).toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+    // the class the filter used to lose: both-short pairs
+    assert(got.contains(("a", "b", 1)) && got.contains(("ab", "cd", 2)))
+  }
+
   test("embedding near-dup pairs agree with the declared threshold") {
     val got = SparkEntry.queries("q_dedup_embedding")(spark, sf)
     assert(got.filter(col("cos") < 0.35).count() == 0)
