@@ -242,6 +242,37 @@ object PipelineOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // Entity resolution over a messy name vocabulary — the composition
+    // showpiece of two scale paths: PassJoin edit-distance pairs
+    // (Joins.editDistanceSelfJoin — equi-join candidates, no cross
+    // product) feed large-star/small-star connected components, and
+    // every name maps to its cluster's lexicographically-least member
+    // as the canonical form (reference analog: the R15/R19 fuzzy
+    // header/abbreviation machinery, generalized to resolving the
+    // entities themselves). Names get dense ids via the parallel
+    // global-rank pattern (no single-task window); rank order preserves
+    // lexicographic order, so component-min id = component-min name.
+    "q_entity_resolution" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name").as("a")).distinct()
+      val ranked = ScalePatterns.withGlobalRank(names, "id", col("a").asc)
+      val pairs = Joins.editDistanceSelfJoin(names)
+      val withIds = pairs
+        .join(ranked.select(col("a"), col("id").as("d1")), Seq("a"))
+        .join(ranked.select(col("a").as("b"), col("id").as("d2")), Seq("b"))
+        .select(col("d1"), col("d2"))
+      val labels = connectedComponents(withIds)
+      val canon = labels
+        .join(ranked.select(col("id").as("cluster"),
+          col("a").as("canonical")), Seq("cluster"))
+        .join(ranked.select(col("id").as("node"), col("a").as("name")),
+          Seq("node"))
+        .select(col("name"), col("canonical"))
+      val singles = names
+        .join(canon.select(col("name").as("a")), Seq("a"), "left_anti")
+        .select(col("a").as("name"), col("a").as("canonical"))
+      canon.union(singles).orderBy(col("name").asc_nulls_first)
+    }),
+
     // Deterministic WEIGHTED sampling without replacement — priority
     // sampling (Duffield/Lund/Thorup, JACM'07): each doc draws
     // u = (md5hash+1)/2^32 in (0,1] and gets priority w/u (weight =
@@ -500,6 +531,20 @@ object PipelineOps {
         |  FROM documents)
         |SELECT doc_id, lang, hv % 10 AS bucket FROM h
         |WHERE hv % 100 < 25 ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    // the engine's star-contraction CC restated as a transitive-closure
+    // recursive CTE (vocabulary-bounded: |names|^2 reach rows at most)
+    "q_entity_resolution" ->
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS a FROM part),
+        |pairs AS (
+        |  SELECT x.a AS u, y.a AS v FROM names x JOIN names y
+        |  ON x.a < y.a AND levenshtein(x.a, y.a) <= 2),
+        |bidir AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT a, a FROM names
+        |  UNION
+        |  SELECT r.s, b.v FROM reach r JOIN bidir b ON r.t = b.u)
+        |SELECT s AS name, min(t) AS canonical FROM reach
+        |GROUP BY s ORDER BY name ASC NULLS FIRST""".stripMargin,
     // same exact-portable arithmetic: u from the md5 prefix, one IEEE
     // division for the priority, rank ties broken by doc_id
     "q_sample_weighted" ->
