@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines over `documents`: language
@@ -109,6 +110,39 @@ object TextOps {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    // MOSS document-fingerprint selection): every 5-char k-gram gets the
+    // same portable polynomial hash as q_text_fingerprint; each window
+    // of 4 consecutive k-grams selects its RIGHTMOST minimal hash. The
+    // guarantee: any shared substring of length >= 8 yields at least one
+    // shared selected fingerprint, with a bounded fingerprint density —
+    // the standard local dedup/plagiarism index primitive. The rightmost
+    // tie-break rides inside exact integer arithmetic (key = h*2^20 +
+    // (2^20-1-pos); min key = min hash, max pos), so the whole pipeline
+    // is oracle-exact. The per-gram hash is a fused codegen expression
+    // (Kgram5HashExpr — the HOF formulation ran interpreted per
+    // position, ~10 s at sf0.1). Per-doc windows partition by doc_id.
+    "q_text_winnowing" -> ((s, d) => {
+      import graft.functions.Kgram5HashExpr.winnow_kgram5
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("pos").asc).rowsBetween(-3, 0)
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= 5)
+        .select(col("doc_id"),
+          posexplode(winnow_kgram5(col("text"))).as(Seq("pos0", "h")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+          (col("h") * lit(1048576L) + (lit(1048575L) - (col("pos0") + 1)))
+            .as("key"))
+        .withColumn("mk", min(col("key")).over(w))
+        .filter(col("pos") >= 4)
+        .select(col("doc_id"),
+          (lit(1048575L) - pmod(col("mk"), lit(1048576L))).cast("int")
+            .as("fp_pos"),
+          shiftright(col("mk"), 20).as("fp_hash"))
+        .distinct()
+        .orderBy(col("doc_id").asc_nulls_first, col("fp_pos").asc_nulls_first)
+    }),
+
     // Character-entropy quality signal (gibberish / mojibake detection):
     // Shannon entropy of the per-document character distribution, plus
     // alphabet size. Low entropy = repetitive filler, abnormally high =
@@ -208,6 +242,32 @@ object TextOps {
         |    AS INT) AS bpe_tokens,
         |  CAST(length(text) AS INT) AS n_chars_measured
         |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    // identical k-gram polynomial hash, window min with the rightmost
+    // tie-break encoded in the same integer key
+    "q_text_winnowing" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+        |    p -> {'pos': p,
+        |          'h': list_reduce(
+        |            list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(range(0, 5),
+        |                j -> CAST(ascii(substr(text, CAST(p + j AS INT), 1)) AS BIGINT))),
+        |            (acc, x) -> (acc * 31 + x) % 1000000007)})) AS u
+        |  FROM documents WHERE length(text) >= 5),
+        |k AS (
+        |  SELECT doc_id, u.pos AS pos,
+        |    u.h * 1048576 + (1048575 - u.pos) AS key
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos ASC
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        |  FROM k)
+        |SELECT DISTINCT doc_id,
+        |  CAST(1048575 - (mk % 1048576) AS INT) AS fp_pos,
+        |  mk // 1048576 AS fp_hash
+        |FROM m WHERE pos >= 4
+        |ORDER BY doc_id ASC NULLS FIRST, fp_pos ASC NULLS FIRST""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

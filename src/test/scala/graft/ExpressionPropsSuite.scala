@@ -87,6 +87,49 @@ class ExpressionPropsSuite extends AnyFunSuite {
     }
   }
 
+  // --- winnowing ----------------------------------------------------------
+
+  /** Reference winnow: 5-gram polynomial hashes, windows of 4, rightmost
+    * minimal per window, distinct — straight from the SIGMOD'03 paper.
+    */
+  private def refWinnow(text: String): Set[(Int, Long)] = {
+    val cps = text.codePoints().toArray
+    val hs = (0 to cps.length - 5).map { p =>
+      (0 until 5).foldLeft(0L)((h, j) => (h * 31 + cps(p + j)) % 1000000007L)
+    }
+    (3 until hs.length).flatMap { e =>
+      val win = (e - 3) to e
+      val m = win.map(hs).min
+      val sel = win.filter(q => hs(q) == m).max
+      Some((sel + 1, hs(sel))) // 1-based position like the query
+    }.toSet
+  }
+
+  test("winnowing: query output equals the reference algorithm per doc, " +
+      "and docs sharing an 8-char substring share a fingerprint") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("q_text_winnowing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    val expected = docs.collect {
+      case (id, t) if t.length >= 8 && refWinnow(t).nonEmpty =>
+        id -> refWinnow(t)
+    }
+    assert(got == expected,
+      s"per-doc fingerprint sets diverge for ${
+        (got.keySet ++ expected.keySet).filter(k =>
+          got.get(k) != expected.get(k)).take(3)}")
+    // the winnowing guarantee on a crafted pair
+    val shared = "qzjvxkwpm" // 9 chars -> >= 1 shared fingerprint
+    val fpA = refWinnow("aaaa" + shared + "bbbb").map(_._2)
+    val fpB = refWinnow("cccc" + shared + "dddd").map(_._2)
+    assert(fpA.intersect(fpB).nonEmpty)
+  }
+
   // --- z-order interleave -------------------------------------------------
 
   private def refMorton(x: Long, y: Long, bits: Int): Long =
