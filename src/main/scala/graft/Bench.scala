@@ -129,12 +129,17 @@ object Bench {
     // which truncates a 175-query line mid-stream — persist the full
     // JSON to a repo file too so per-query numbers survive the round.
     // Best-effort: an unwritable path must not fail the bench.
+    // a FILTERED run (local iteration aid) must not clobber the tracked
+    // full-bench artifact with a subset masquerading as the whole bench;
+    // only argless (driver-shaped) runs persist it
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_last.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case t: Throwable =>
-      System.err.println(s"BENCH JSON WRITE FAILED $outPath: ${t.toString.take(200)}") }
+    if (args.isEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case t: Throwable =>
+        System.err.println(s"BENCH JSON WRITE FAILED $outPath: ${t.toString.take(200)}") }
+    }
     spark.stop()
   }
 }

@@ -117,13 +117,17 @@ object TextOps {
     // guarantee: any shared substring of length >= 8 yields at least one
     // shared selected fingerprint, with a bounded fingerprint density —
     // the standard local dedup/plagiarism index primitive. The rightmost
-    // tie-break rides inside exact integer arithmetic (key = h*2^20 +
-    // (2^20-1-pos); min key = min hash, max pos), so the whole pipeline
-    // is oracle-exact. The per-gram hash is a fused codegen expression
-    // (Kgram5HashExpr — the HOF formulation ran interpreted per
-    // position, ~10 s at sf0.1). Per-doc windows partition by doc_id.
+    // tie-break rides inside exact integer arithmetic (key = h*2^33 +
+    // (2^33-1-pos); min key = min hash, max pos — h < 2^30 so the key
+    // stays inside a positive long, and the 33-bit position field
+    // covers any document an executor could hold), so the whole
+    // pipeline is oracle-exact. The per-gram hash is a fused codegen
+    // expression (Kgram5HashExpr — the HOF formulation ran interpreted
+    // per position, ~10 s at sf0.1). Per-doc windows partition by
+    // doc_id.
     "q_text_winnowing" -> ((s, d) => {
       import graft.functions.Kgram5HashExpr.winnow_kgram5
+      val P = 8589934592L // 2^33
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("pos").asc).rowsBetween(-3, 0)
       Tables.documents(s, d)
@@ -131,14 +135,14 @@ object TextOps {
         .select(col("doc_id"),
           posexplode(winnow_kgram5(col("text"))).as(Seq("pos0", "h")))
         .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-          (col("h") * lit(1048576L) + (lit(1048575L) - (col("pos0") + 1)))
+          (col("h") * lit(P) + (lit(P - 1) - (col("pos0") + 1)))
             .as("key"))
         .withColumn("mk", min(col("key")).over(w))
         .filter(col("pos") >= 4)
         .select(col("doc_id"),
-          (lit(1048575L) - pmod(col("mk"), lit(1048576L))).cast("int")
+          (lit(P - 1) - pmod(col("mk"), lit(P))).cast("int")
             .as("fp_pos"),
-          shiftright(col("mk"), 20).as("fp_hash"))
+          shiftright(col("mk"), 33).as("fp_hash"))
         .distinct()
         .orderBy(col("doc_id").asc_nulls_first, col("fp_pos").asc_nulls_first)
     }),
@@ -256,7 +260,7 @@ object TextOps {
         |  FROM documents WHERE length(text) >= 5),
         |k AS (
         |  SELECT doc_id, u.pos AS pos,
-        |    u.h * 1048576 + (1048575 - u.pos) AS key
+        |    u.h * 8589934592 + (8589934591 - u.pos) AS key
         |  FROM g),
         |m AS (
         |  SELECT doc_id, pos,
@@ -264,8 +268,8 @@ object TextOps {
         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
         |  FROM k)
         |SELECT DISTINCT doc_id,
-        |  CAST(1048575 - (mk % 1048576) AS INT) AS fp_pos,
-        |  mk // 1048576 AS fp_hash
+        |  CAST(8589934591 - (mk % 8589934592) AS INT) AS fp_pos,
+        |  mk // 8589934592 AS fp_hash
         |FROM m WHERE pos >= 4
         |ORDER BY doc_id ASC NULLS FIRST, fp_pos ASC NULLS FIRST""".stripMargin,
     "q_text_fingerprint" ->
