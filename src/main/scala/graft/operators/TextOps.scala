@@ -16,6 +16,59 @@ object TextOps {
   private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
   private val stopList = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** The winnowing fingerprint frame (doc_id, fp_pos, fp_hash) shared by
+    * q_text_winnowing and q_dedup_winnow — one definition so the
+    * fingerprint index and the similarity join can never drift apart.
+    */
+  private def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Kgram5HashExpr.winnow_kgram5
+    val P = 8589934592L // 2^33
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos").asc).rowsBetween(-3, 0)
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        posexplode(winnow_kgram5(col("text"))).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        (col("h") * lit(P) + (lit(P - 1) - (col("pos0") + 1)))
+          .as("key"))
+      .withColumn("mk", min(col("key")).over(w))
+      .filter(col("pos") >= 4)
+      .select(col("doc_id"),
+        (lit(P - 1) - pmod(col("mk"), lit(P))).cast("int")
+          .as("fp_pos"),
+        shiftright(col("mk"), 33).as("fp_hash"))
+      .distinct()
+  }
+
+  /** The fingerprint pipeline as a DuckDB CTE chain ending in
+    * `fp(doc_id, fp_pos, fp_hash)` — shared by the two winnow oracles.
+    */
+  private val winnowCte: String =
+    """g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+      |    p -> {'pos': p,
+      |          'h': list_reduce(
+      |            list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(range(0, 5),
+      |                j -> CAST(ascii(substr(text, CAST(p + j AS INT), 1)) AS BIGINT))),
+      |            (acc, x) -> (acc * 31 + x) % 1000000007)})) AS u
+      |  FROM documents WHERE length(text) >= 5),
+      |k AS (
+      |  SELECT doc_id, u.pos AS pos,
+      |    u.h * 8589934592 + (8589934591 - u.pos) AS key
+      |  FROM g),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    min(key) OVER (PARTITION BY doc_id ORDER BY pos ASC
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+      |  FROM k),
+      |fp AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(8589934591 - (mk % 8589934592) AS INT) AS fp_pos,
+      |    mk // 8589934592 AS fp_hash
+      |  FROM m WHERE pos >= 4)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language ID (n-gram/stopword heuristic): score text against an
     // English stopword profile; emit the ratio and the call. (The corpus
@@ -125,26 +178,40 @@ object TextOps {
     // expression (Kgram5HashExpr — the HOF formulation ran interpreted
     // per position, ~10 s at sf0.1). Per-doc windows partition by
     // doc_id.
-    "q_text_winnowing" -> ((s, d) => {
-      import graft.functions.Kgram5HashExpr.winnow_kgram5
-      val P = 8589934592L // 2^33
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("pos").asc).rowsBetween(-3, 0)
-      Tables.documents(s, d)
-        .filter(length(col("text")) >= 5)
-        .select(col("doc_id"),
-          posexplode(winnow_kgram5(col("text"))).as(Seq("pos0", "h")))
-        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-          (col("h") * lit(P) + (lit(P - 1) - (col("pos0") + 1)))
-            .as("key"))
-        .withColumn("mk", min(col("key")).over(w))
-        .filter(col("pos") >= 4)
-        .select(col("doc_id"),
-          (lit(P - 1) - pmod(col("mk"), lit(P))).cast("int")
-            .as("fp_pos"),
-          shiftright(col("mk"), 33).as("fp_hash"))
-        .distinct()
-        .orderBy(col("doc_id").asc_nulls_first, col("fp_pos").asc_nulls_first)
+    "q_text_winnowing" -> ((s, d) =>
+      winnowFingerprints(s, d)
+        .orderBy(col("doc_id").asc_nulls_first,
+          col("fp_pos").asc_nulls_first)),
+
+    // Winnow-fingerprint near-dup candidates (the MOSS similarity join
+    // over q_text_winnowing's output): docs sharing >= 2 RARE selected
+    // fingerprints. The document-frequency cap (df <= 10) is both the
+    // published practice (stop-fingerprints carry no signal) and the
+    // scale guard — it bounds every join bucket, so candidate pairs
+    // grow with true overlap, never quadratically in a hot n-gram's
+    // popularity. Equi-join on the fingerprint hash, group by pair.
+    "q_dedup_winnow" -> ((s, d) => {
+      // the fingerprint frame feeds the df-cap aggregation AND both
+      // sides of the pair join — lazy persist so the winnow pipeline
+      // runs once per session instead of once per consumer
+      // (CacheManager dedupes repeated persists of the same plan; the
+      // same session-lifetime discipline as AnalyticsOps.orderPartSets)
+      val fps = winnowFingerprints(s, d)
+        .select(col("doc_id"), col("fp_hash")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rare = fps.groupBy(col("fp_hash"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 10)
+        .select(col("fp_hash"))
+      val kept = fps.join(rare, Seq("fp_hash"))
+      kept.select(col("fp_hash"), col("doc_id").as("d1"))
+        .join(kept.select(col("fp_hash"), col("doc_id").as("d2")),
+          Seq("fp_hash"))
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
     }),
 
     // Character-entropy quality signal (gibberish / mojibake detection):
@@ -249,29 +316,22 @@ object TextOps {
     // identical k-gram polynomial hash, window min with the rightmost
     // tie-break encoded in the same integer key
     "q_text_winnowing" ->
-      """WITH g AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
-        |    p -> {'pos': p,
-        |          'h': list_reduce(
-        |            list_prepend(CAST(0 AS BIGINT),
-        |              list_transform(range(0, 5),
-        |                j -> CAST(ascii(substr(text, CAST(p + j AS INT), 1)) AS BIGINT))),
-        |            (acc, x) -> (acc * 31 + x) % 1000000007)})) AS u
-        |  FROM documents WHERE length(text) >= 5),
-        |k AS (
-        |  SELECT doc_id, u.pos AS pos,
-        |    u.h * 8589934592 + (8589934591 - u.pos) AS key
-        |  FROM g),
-        |m AS (
-        |  SELECT doc_id, pos,
-        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos ASC
-        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
-        |  FROM k)
-        |SELECT DISTINCT doc_id,
-        |  CAST(8589934591 - (mk % 8589934592) AS INT) AS fp_pos,
-        |  mk // 8589934592 AS fp_hash
-        |FROM m WHERE pos >= 4
+      s"""WITH $winnowCte
+        |SELECT doc_id, fp_pos, fp_hash FROM fp
         |ORDER BY doc_id ASC NULLS FIRST, fp_pos ASC NULLS FIRST""".stripMargin,
+    // the MOSS similarity join over the same fingerprint CTE
+    "q_dedup_winnow" ->
+      s"""WITH $winnowCte,
+        |fph AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+        |rare AS (SELECT fp_hash FROM fph
+        |         GROUP BY fp_hash HAVING count(1) <= 10),
+        |kept AS (SELECT f.doc_id, f.fp_hash
+        |         FROM fph f JOIN rare USING (fp_hash))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS n_shared
+        |FROM kept a JOIN kept b
+        |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(1) >= 2
+        |ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(
