@@ -52,7 +52,8 @@ object ScaleAudit {
     "q_dedup_index_takedown", "q_ivf_index_search", "q_ivf_index_append",
     "q_ivf_index_takedown", "q_graph_triangles", "q_dedup_clusters",
     "q_dedup_minhash", "q_training_manifest", "q_sql_recursive",
-    "q_basket_pairs", "q_dedup_embedding", "q_pq_search", "q_ivfpq_search")
+    "q_basket_pairs", "q_dedup_embedding", "q_pq_search", "q_ivfpq_search",
+    "q_dedup_winnow")
 
   /** Queries whose OUTPUT is inherently super-linear in the corpus
     * (all-pairs similarity at a low threshold emits ~p·n² pairs for a
