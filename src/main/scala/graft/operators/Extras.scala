@@ -92,6 +92,63 @@ object Extras {
         .orderBy(col("o_orderstatus").asc_nulls_first)
     }),
 
+    // Closed-form OLS regression per group from raw power sums — NOT the
+    // built-in regr_* aggregates, whose sample-vs-population corrections
+    // differ between engines; the explicit formula (slope = (nΣxy −
+    // ΣxΣy)/(nΣx² − (Σx)²)) is exact-ops-only and therefore
+    // hash-portable. One partial-aggregated groupBy: the five sums are
+    // the mergeable state, the derivation is post-agg arithmetic —
+    // the textbook "regression at scale is just sufficient statistics"
+    // shape.
+    "q_agg_regression" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast("double")).as("sx"),
+          sum(col("l_extendedprice")).as("sy"),
+          sum(col("l_quantity").cast("double") * col("l_quantity")).as("sxx"),
+          sum(col("l_quantity").cast("double") * col("l_extendedprice"))
+            .as("sxy"))
+        .withColumn("slope", r4((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))))
+        .withColumn("intercept", r4((col("sy")
+          - ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+          / col("n")))
+        .select(col("l_returnflag"), col("n").cast("bigint").as("n_rows"),
+          col("slope"), col("intercept"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    }),
+
+    // Higher central moments (skewness/kurtosis) from raw power sums —
+    // again NOT the built-ins (Spark and DuckDB disagree on bias
+    // corrections): m_k derived from Σx..Σx⁴, skew = m3/(m2·√m2) (sqrt
+    // is IEEE-exact, no pow), kurtosis excess = m4/m2² − 3. Mergeable
+    // power sums -> post-agg arithmetic, same scale shape as above.
+    "q_agg_moments" -> ((s, d) => {
+      val x = col("o_totalprice")
+      val agged = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("double").as("n"), sum(x).as("s1"),
+          sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+          sum(x * x * x * x).as("s4"))
+        .withColumn("mean", col("s1") / col("n"))
+      val m2 = col("s2") / col("n") - col("mean") * col("mean")
+      val m3 = (col("s3") / col("n")
+        - lit(3.0) * col("mean") * (col("s2") / col("n"))
+        + lit(2.0) * col("mean") * col("mean") * col("mean"))
+      val m4 = (col("s4") / col("n")
+        - lit(4.0) * col("mean") * (col("s3") / col("n"))
+        + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n"))
+        - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      agged
+        .withColumn("skew", r4(m3 / (m2 * sqrt(m2))))
+        .withColumn("kurt_excess", r4(m4 / (m2 * m2) - lit(3.0)))
+        .select(col("o_orderstatus"), col("n").cast("bigint").as("n_rows"),
+          r4(col("mean")).as("mean"), col("skew"), col("kurt_excess"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    }),
+
     // Scalar subquery: compare each row against a whole-table aggregate.
     "q_scalar_subquery" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("graft_orders_ssq")
@@ -280,6 +337,41 @@ object Extras {
          |  ORDER BY o_totalprice ASC NULLS FIRST
          |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
          |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+    // same explicit power-sum formulas; CAST orders match the engine's
+    "q_agg_regression" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag,
+         |    CAST(count(1) AS DOUBLE) AS n,
+         |    sum(CAST(l_quantity AS DOUBLE)) AS sx,
+         |    sum(l_extendedprice) AS sy,
+         |    sum(CAST(l_quantity AS DOUBLE) * l_quantity) AS sxx,
+         |    sum(CAST(l_quantity AS DOUBLE) * l_extendedprice) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+         |  ${R("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
+         |  ${R("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")} AS intercept
+         |FROM a ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "q_agg_moments" ->
+      s"""WITH a AS (
+         |  SELECT o_orderstatus, CAST(count(1) AS DOUBLE) AS n,
+         |    sum(o_totalprice) AS s1,
+         |    sum(o_totalprice * o_totalprice) AS s2,
+         |    sum(o_totalprice * o_totalprice * o_totalprice) AS s3,
+         |    sum(o_totalprice * o_totalprice * o_totalprice * o_totalprice) AS s4
+         |  FROM orders GROUP BY o_orderstatus),
+         |b AS (SELECT *, s1 / n AS mean FROM a),
+         |c AS (SELECT *,
+         |    s2 / n - mean * mean AS m2,
+         |    s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean AS m3,
+         |    s4 / n - 4.0 * mean * (s3 / n)
+         |      + 6.0 * mean * mean * (s2 / n)
+         |      - 3.0 * mean * mean * mean * mean AS m4
+         |  FROM b)
+         |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows,
+         |  ${R("mean")} AS mean,
+         |  ${R("m3 / (m2 * sqrt(m2))")} AS skew,
+         |  ${R("m4 / (m2 * m2) - 3.0")} AS kurt_excess
+         |FROM c ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
     "q_agg_stats" ->
       s"""SELECT o_orderstatus,
          |  ${R("stddev_samp(o_totalprice)")} AS sd,
