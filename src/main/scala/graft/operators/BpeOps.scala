@@ -185,11 +185,16 @@ object BpeOps {
     var i = 0
     var done = false
     while (i < nMerges && !done) {
+      // guard the fully-merged word: sequence(1, 0) DESCENDS in Spark,
+      // so a 1-symbol array would evaluate element_at(syms, 2) and throw
+      // under ANSI — emit no pairs instead
       val top = dict
         .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> " +
+          "CASE WHEN size(syms) >= 2 THEN " +
+            "transform(sequence(1, size(syms) - 1), i -> " +
             "named_struct('a', element_at(syms, i), " +
-            "'b', element_at(syms, i + 1)))")).as("p"))
+            "'b', element_at(syms, i + 1))) " +
+            "ELSE array() END")).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("a").asc, col("b").asc)

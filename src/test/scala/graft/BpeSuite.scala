@@ -82,6 +82,25 @@ class BpeSuite extends AnyFunSuite {
     assert(local.size == 6)
   }
 
+  test("distributed path survives SQL-special symbols (backslash, quote) " +
+      "in winning merge pairs") {
+    import spark.implicits._
+    // backslash-heavy corpus: the top pair is ('\', '\'); a raw
+    // interpolation would let Spark's parser eat the escapes and the
+    // rewrite would silently miss (or throw) — path parity proves the
+    // quoting holds
+    val docs = Seq((1L, "\\\\ab \\\\ab \\\\ab 'q' 'q'"))
+      .toDF("doc_id", "text")
+    val local = BpeOps.train(docs, nMerges = 7, minFreq = 2).merges
+    val dist = BpeOps.train(docs, nMerges = 7, minFreq = 2,
+      localDictLimit = 0).merges
+    assert(dist == local)
+    assert(local.exists { case (_, a, b, _) => (a + b).contains("\\\\") },
+      s"a backslash pair must actually win a merge here, got $local")
+    assert(local.exists { case (_, a, b, _) =>
+      (a + b).contains("'") }, s"and a quote pair too, got $local")
+  }
+
   test("non-overlapping left-to-right merge: 'aaa' under (a,a) -> [aa, a]") {
     import spark.implicits._
     val t = BpeOps.train(Seq((1L, "aaa aaa")).toDF("doc_id", "text"),

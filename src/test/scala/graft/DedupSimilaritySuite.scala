@@ -567,6 +567,37 @@ class DedupSimilaritySuite extends AnyFunSuite {
     assert(got.contains(("a", "b", 1)) && got.contains(("ab", "cd", 2)))
   }
 
+  test("edit-distance join: seeded random vocabularies match the naive " +
+      "pair set (lengths 1..7, repeated trials)") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(99)
+    (1 to 3).foreach { _ =>
+      val vocab = (1 to 40).map(_ =>
+        (1 to (1 + rnd.nextInt(7))).map(_ =>
+          ('a' + rnd.nextInt(4)).toChar).mkString).distinct
+      val got = graft.operators.Joins.editDistanceSelfJoin(vocab.toDF("a"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .toSet
+      val naive = (for {
+        a <- vocab; b <- vocab
+        if a < b
+        dist = lev(a, b)
+        if dist <= 2
+      } yield (a, b, dist)).toSet
+      assert(got == naive,
+        s"missing=${naive -- got} extra=${got -- naive} vocab=$vocab")
+    }
+  }
+
   test("embedding near-dup pairs agree with the declared threshold") {
     val got = SparkEntry.queries("q_dedup_embedding")(spark, sf)
     assert(got.filter(col("cos") < 0.35).count() == 0)
