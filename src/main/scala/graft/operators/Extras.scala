@@ -149,6 +149,25 @@ object Extras {
         .orderBy(col("o_orderstatus").asc_nulls_first)
     }),
 
+    // Frequency-weighted mean/variance per group (the "avg price
+    // weighted by quantity" family): wmean = Σwx/Σw, wvar = Σwx²/Σw −
+    // wmean² — exact-ops sufficient statistics, one partial-agg groupBy
+    // like the regression/moments queries above.
+    "q_agg_weighted_stats" -> ((s, d) => {
+      val w = col("l_quantity").cast("double")
+      val x = col("l_extendedprice")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(w).as("sw"), sum(w * x).as("swx"),
+          sum(w * x * x).as("swxx"), count(lit(1)).as("n_rows"))
+        .withColumn("wmean", r4(col("swx") / col("sw")))
+        .withColumn("wvar", r4(col("swxx") / col("sw")
+          - (col("swx") / col("sw")) * (col("swx") / col("sw"))))
+        .select(col("l_returnflag"), col("n_rows"),
+          r4(col("sw")).as("total_weight"), col("wmean"), col("wvar"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    }),
+
     // Scalar subquery: compare each row against a whole-table aggregate.
     "q_scalar_subquery" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("graft_orders_ssq")
@@ -372,6 +391,19 @@ object Extras {
          |  ${R("m3 / (m2 * sqrt(m2))")} AS skew,
          |  ${R("m4 / (m2 * m2) - 3.0")} AS kurt_excess
          |FROM c ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q_agg_weighted_stats" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag,
+         |    sum(CAST(l_quantity AS DOUBLE)) AS sw,
+         |    sum(CAST(l_quantity AS DOUBLE) * l_extendedprice) AS swx,
+         |    sum(CAST(l_quantity AS DOUBLE) * l_extendedprice * l_extendedprice) AS swxx,
+         |    count(1) AS n_rows
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n_rows,
+         |  ${R("sw")} AS total_weight,
+         |  ${R("swx / sw")} AS wmean,
+         |  ${R("swxx / sw - (swx / sw) * (swx / sw)")} AS wvar
+         |FROM a ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "q_agg_stats" ->
       s"""SELECT o_orderstatus,
          |  ${R("stddev_samp(o_totalprice)")} AS sd,
