@@ -99,31 +99,46 @@ object Bench {
         s"SPARK_GRAFT_REPS must be an integer, got '$raw'")
       math.max(1, raw.toInt)
     }
+    // process CPU time alongside wall time: on a contended host wall
+    // inflates but cpu doesn't, so wall/cpu ≫ the parallelism in use
+    // flags a contended artifact (the r10 driver bench read 308 s on
+    // code that runs 143 s — indistinguishable without this signal)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
+      var bestCpu = 0.0
       var err: Option[String] = None
       var r = 0
       while (r < reps && err.isEmpty) {
         val t0 = System.nanoTime()
+        val c0 = osBean.getProcessCpuTime
         try { fn(spark, sfDir).count(); () }
         catch { case t: Throwable => err = Some(t.toString.take(300)) }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (wall < best) {
+          best = wall
+          bestCpu = (osBean.getProcessCpuTime - c0) / 1e9
+        }
         r += 1
       }
-      (name, best, err)
+      (name, best, err, bestCpu)
     }.toSeq
     // millisecond precision keeps the JSON line compact enough for
     // tail-limited log capture to hold the whole line (117 queries at
     // full double repr overflow a ~4 KB tail and parse as nothing)
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
-    val fails = results.collect { case (k, _, Some(e)) =>
+    val cpuQs = results.map { case (k, _, _, c) => s"\"" + k + "\":" + sec(c) }
+      .mkString("{", ",", "}")
+    val fails = results.collect { case (k, _, Some(e), _) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"n_failed":${results.count(_._3.isDefined)},"failures":$fails,"sf":"$sfDir"}"""
+    val cpuTotal = results.map(_._4).sum
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu_sec":${sec(cpuTotal)},"queries":$qs,"cpu":$cpuQs,"n_failed":${results.count(_._3.isDefined)},"failures":$fails,"sf":"$sfDir"}"""
     println(line)
     // the driver's round artifact keeps only a 2000-char stdout tail,
     // which truncates a 175-query line mid-stream — persist the full

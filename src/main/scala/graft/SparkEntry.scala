@@ -31,6 +31,7 @@ object SparkEntry {
     (IvfPq.queries, IvfPq.oracle),
     (TypedApi.queries, TypedApi.oracle),
     (graft.ingest.BinaryIngest.queries, graft.ingest.BinaryIngest.oracle),
+    (graft.sources.SnapshotTable.queries, graft.sources.SnapshotTable.oracle),
     (SqlSurface.queries, SqlSurface.oracle),
     (PipelineOps.queries, PipelineOps.oracle),
     (EmbeddingOps.queries, EmbeddingOps.oracle),

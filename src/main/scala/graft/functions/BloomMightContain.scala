@@ -62,18 +62,21 @@ object BloomFilters {
 
 /** `might_contain(keyCol)` over a pre-built filter; LongType child.
   * Participates in whole-stage codegen (direct static call, no UDF
-  * serialization per batch, no fallback row materialization).
+  * serialization per batch, no fallback row materialization). The filter
+  * rides as a [[Blob]] (content-based equality) so two expressions built
+  * from the same serialized filter canonicalize equal — keeping
+  * subexpression elimination and plan caching effective.
   */
-case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
+case class BloomMightContainExpr(child: Expression, bloom: Blob)
     extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullSafeEval(v: Any): Any =
-    BloomFilters.mightContainLong(bloomBytes, v.asInstanceOf[Long])
+    BloomFilters.mightContainLong(bloom.bytes, v.asInstanceOf[Long])
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val ref = ctx.addReferenceObj("graftBloomBytes", bloomBytes, "byte[]")
+    val ref = ctx.addReferenceObj("graftBloomBytes", bloom.bytes, "byte[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.BloomFilters.mightContainLong($ref, $v);")
   }
@@ -88,5 +91,6 @@ object BloomMightContainExpr {
   /** Column entry point: true iff `key` (cast to long) may be in `bf`. */
   def might_contain(key: Column, bf: BloomFilter): Column =
     GraftShim.column(BloomMightContainExpr(
-      GraftShim.expression(key.cast("long")), BloomFilters.serialize(bf)))
+      GraftShim.expression(key.cast("long")),
+      Blob(BloomFilters.serialize(bf))))
 }

@@ -32,6 +32,10 @@ object Pq {
     val m = cb.length
     val k = cb(0).length
     val sub = cb(0)(0).length
+    // codes are one BYTE per subspace (encode stores the argmin index
+    // via toByte): a codebook with k > 256 would silently wrap indices
+    // into wrong-center ADC distances — fail at fit time instead
+    require(k <= 256, s"PQ codebook k=$k exceeds the byte code range (256)")
     val buf = java.nio.ByteBuffer.allocate(12 + 8 * m * k * sub)
     buf.putInt(m).putInt(k).putInt(sub)
     cb.foreach(_.foreach(_.foreach(buf.putDouble)))
@@ -146,14 +150,17 @@ object Pq {
   }
 }
 
-/** `pq_encode(vec)` -> m-byte code under a fixed codebook. */
-case class PqEncodeExpr(child: Expression, cbBytes: Array[Byte])
+/** `pq_encode(vec)` -> m-byte code under a fixed codebook. The codebook
+  * rides as a [[Blob]] so logically identical expressions canonicalize
+  * equal (see BloomMightContainExpr).
+  */
+case class PqEncodeExpr(child: Expression, cb: Blob)
     extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any =
-    Pq.encode(cbBytes, v.asInstanceOf[ArrayData])
+    Pq.encode(cb.bytes, v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftPqCb", cbBytes, "byte[]")
+    val ref = ctx.addReferenceObj("graftPqCb", cb.bytes, "byte[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.Pq.encode($ref, $v);")
   }
@@ -163,13 +170,13 @@ case class PqEncodeExpr(child: Expression, cbBytes: Array[Byte])
 }
 
 /** `pq_lut(queryVec)` -> m*k ADC table under a fixed codebook. */
-case class PqLutExpr(child: Expression, cbBytes: Array[Byte])
+case class PqLutExpr(child: Expression, cb: Blob)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    Pq.lut(cbBytes, v.asInstanceOf[ArrayData])
+    Pq.lut(cb.bytes, v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftPqCb", cbBytes, "byte[]")
+    val ref = ctx.addReferenceObj("graftPqCb", cb.bytes, "byte[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.Pq.lut($ref, $v);")
   }
@@ -195,9 +202,11 @@ case class PqAdcExpr(left: Expression, right: Expression)
 
 object PqOps {
   def pq_encode(vec: Column, cb: Array[Array[Array[Double]]]): Column =
-    GraftShim.column(PqEncodeExpr(GraftShim.expression(vec), Pq.serialize(cb)))
+    GraftShim.column(
+      PqEncodeExpr(GraftShim.expression(vec), Blob(Pq.serialize(cb))))
   def pq_lut(vec: Column, cb: Array[Array[Array[Double]]]): Column =
-    GraftShim.column(PqLutExpr(GraftShim.expression(vec), Pq.serialize(cb)))
+    GraftShim.column(
+      PqLutExpr(GraftShim.expression(vec), Blob(Pq.serialize(cb))))
   def pq_adc(codes: Column, lut: Column): Column =
     GraftShim.column(PqAdcExpr(
       GraftShim.expression(codes), GraftShim.expression(lut)))

@@ -213,6 +213,13 @@ object BpeOps {
 
   /** Session-lifetime memo: training is deterministic per corpus dir, so
     * q_bpe_train and q_bpe_tokenize share one trained model per sf.
+    *
+    * ASSUMES the corpus under a dir is immutable for the session (the
+    * testdata contract — the driver never rewrites an sf dir mid-run);
+    * a corpus mutated in place under the same dir would serve a stale
+    * model until the session ends. Size is bounded by the number of
+    * distinct dataset dirs touched in one session (driver runs touch
+    * ≤ 3 sf dirs), each entry dictionary-sized — never corpus-sized.
     */
   private val trainedCache =
     scala.collection.concurrent.TrieMap.empty[String, Trained]

@@ -1,0 +1,177 @@
+package graft
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The snapshot-manifest commit contract: file-granular mutation (only
+  * affected files rewritten), atomic manifest-swap commits (a crash
+  * before the rename leaves the old snapshot current and readable),
+  * reader pinning / time travel, optimistic conflict detection, and
+  * snapshot expiry GC.
+  */
+class SnapshotSuite extends AnyFunSuite {
+  import SparkFixture._
+
+  private def freshTable(tag: String): String = {
+    val t = s"/tmp/graft_snapsuite_${tag}_${System.nanoTime()}"
+    t
+  }
+
+  private def orders: DataFrame =
+    Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.orderBy(col("o_orderkey")).collect().map(_.toString).toSeq
+
+  test("create + read round trip equals the source") {
+    val t = freshTable("roundtrip")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    assert(SnapshotTable.currentVersion(spark, t) === 1L)
+    assert(sortedRows(SnapshotTable.read(spark, t)) === sortedRows(orders))
+  }
+
+  test("update rewrites ONLY the files containing matching rows") {
+    val t = freshTable("granular")
+    SnapshotTable.create(spark, t, orders, numFiles = 8)
+    val before = SnapshotTable.readManifest(spark, t, 1L)
+    assert(before.files.size === 8)
+    // one key lives in exactly one hash-partitioned file
+    val key = orders.select(min(col("o_orderkey"))).head().getLong(0)
+    val (v, matched, rewritten) = SnapshotTable.updateWhere(spark, t,
+      col("o_orderkey") === key, Map("o_orderstatus" -> lit("Z")))
+    assert(v === 2L)
+    assert(matched === 1L)
+    assert(rewritten === 1, "a 1-key update must rewrite exactly 1 file")
+    val after = SnapshotTable.readManifest(spark, t, 2L)
+    val shared = before.files.toSet.intersect(after.files.toSet)
+    assert(shared.size === 7,
+      "the 7 unaffected files must carry over to the new manifest verbatim")
+    val row = SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") === key).head()
+    assert(row.getAs[String]("o_orderstatus") === "Z")
+    // untouched rows unchanged
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_orderstatus") === "Z").count() === 1L)
+  }
+
+  test("crash before the commit rename leaves the old snapshot current") {
+    val t = freshTable("crash")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    val pre = sortedRows(SnapshotTable.read(spark, t))
+    // a writer that staged data files and died before commit:
+    SnapshotTable.stageBatch(orders.limit(5), t)
+    // ...and one that died mid-manifest-write (temp file, never renamed):
+    val fsP = new org.apache.hadoop.fs.Path(t, "_manifests/.tmp-dead")
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(fsP, false)
+    out.write("garbage, not a committed manifest".getBytes("UTF-8"))
+    out.close()
+    assert(SnapshotTable.currentVersion(spark, t) === 1L,
+      "orphans must not advance the version")
+    assert(sortedRows(SnapshotTable.read(spark, t)) === pre,
+      "the pre-crash snapshot must read back exactly")
+  }
+
+  test("time travel: every previous version stays readable after commits") {
+    val t = freshTable("travel")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    val v1Rows = sortedRows(SnapshotTable.read(spark, t))
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 10 === 0,
+      Map("o_orderstatus" -> lit("X")))
+    SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 7 === 1)
+    assert(SnapshotTable.currentVersion(spark, t) === 3L)
+    assert(sortedRows(SnapshotTable.read(spark, t, Some(1L))) === v1Rows,
+      "version 1 must be byte-identical after two later commits")
+    val v2 = SnapshotTable.read(spark, t, Some(2L))
+    assert(v2.filter(col("o_orderkey") % 10 === 0)
+      .filter(col("o_orderstatus") =!= "X").count() === 0L)
+    assert(v2.count() === orders.count(), "v2 predates the delete")
+  }
+
+  test("optimistic concurrency: a stale commit is rejected, data intact") {
+    val t = freshTable("conflict")
+    SnapshotTable.create(spark, t, orders, numFiles = 2)
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 2 === 0,
+      Map("o_orderstatus" -> lit("Y")))
+    val snap1 = SnapshotTable.readManifest(spark, t, 1L)
+    // a writer that read v1 and tries to commit over the v2 that landed
+    val ex = intercept[IllegalStateException] {
+      SnapshotTable.commitManifest(spark, t, snap1.schema, snap1.files, 1L)
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    assert(SnapshotTable.currentVersion(spark, t) === 2L)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_orderstatus") === "Y").count() > 0L)
+  }
+
+  test("delete that empties a batch drops its file without a replacement") {
+    val t = freshTable("emptied")
+    SnapshotTable.create(spark, t, orders.filter(col("o_orderkey") % 2 === 0),
+      numFiles = 1)
+    SnapshotTable.append(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 1).repartition(1))
+    assert(SnapshotTable.readManifest(spark, t, 2L).files.size === 2)
+    val (v, deleted, rewritten) =
+      SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 2 === 1)
+    assert(v === 3L)
+    assert(deleted === orders.filter(col("o_orderkey") % 2 === 1).count())
+    assert(rewritten === 1)
+    assert(SnapshotTable.readManifest(spark, t, 3L).files.size === 1,
+      "the fully-deleted batch must leave the manifest with no new file")
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") % 2 === 1).count() === 0L)
+  }
+
+  test("compact shrinks the file list; the old snapshot still reads") {
+    val t = freshTable("compact")
+    SnapshotTable.create(spark, t, orders, numFiles = 8)
+    val pre = sortedRows(SnapshotTable.read(spark, t))
+    val (v, before, after) = SnapshotTable.compact(spark, t, targetMB = 512)
+    assert(v === 2L && before === 8 && after === 1)
+    assert(sortedRows(SnapshotTable.read(spark, t)) === pre)
+    assert(sortedRows(SnapshotTable.read(spark, t, Some(1L))) === pre,
+      "pre-compaction snapshot readable until expired")
+  }
+
+  test("expireSnapshots GCs old manifests and unreferenced data files") {
+    val t = freshTable("expire")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 5 === 0,
+      Map("o_orderstatus" -> lit("E")))
+    SnapshotTable.compact(spark, t, targetMB = 512)
+    val cur = sortedRows(SnapshotTable.read(spark, t))
+    val (manifests, files) = SnapshotTable.expireSnapshots(spark, t, 1)
+    assert(manifests === 2)
+    assert(files > 0, "the superseded small files must physically leave")
+    assert(sortedRows(SnapshotTable.read(spark, t)) === cur)
+    intercept[Exception] {
+      SnapshotTable.read(spark, t, Some(1L)).count()
+    }
+  }
+
+  test("q_table_snapshot equals the logical update+delete on orders") {
+    val got = SnapshotTable.queries("q_table_snapshot")(spark, sf)
+    val expect = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 100 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 100 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .filter(!(col("o_orderkey") % 17 === 3))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+    assert(got.collect().map(_.toString).toSeq ===
+      expect.collect().map(_.toString).toSeq)
+  }
+
+  test("q_table_timetravel equals the pristine orders scan") {
+    val got = SnapshotTable.queries("q_table_timetravel")(spark, sf)
+    val expect = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+    assert(got.collect().map(_.toString).toSeq ===
+      expect.collect().map(_.toString).toSeq)
+  }
+}
