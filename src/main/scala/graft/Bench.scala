@@ -86,7 +86,16 @@ object Bench {
     // SPARK_GRAFT_REPS=N (default 1, the driver contract): run each query
     // N times and report the per-query MIN — single-shot timings at this
     // scale carry scheduler/JIT noise that masquerades as round-over-
-    // round regressions; min-of-N is the stable comparator. Caveat: the
+    // round regressions; min-of-N is the stable comparator.
+    // Protocol note: a per-query number from a FULL-inventory run also
+    // carries shared-frame cache-fill attribution (whichever query in
+    // the map order first touches a session-lifetime lazy persist pays
+    // its fill) — before treating a round-over-round per-query delta on
+    // untouched code as a regression, re-measure it ISOLATED
+    // (`runMain graft.Bench <q>...` at REPS>=3); measured r10→r11:
+    // two full-bench "regressions" reproduced their old numbers exactly
+    // when isolated. The cpu map below catches the other confounder
+    // (host contention: wall balloons, cpu doesn't). Caveat: the
     // queries sharing a session-lifetime lazy persist (orderPartSets,
     // decodedMedia, the corpus shingleRows) time cache-warmed reads from
     // rep 2 on — by design: the cache IS their production shape, and
@@ -125,8 +134,8 @@ object Bench {
       (name, best, err, bestCpu)
     }.toSeq
     // millisecond precision keeps the JSON line compact enough for
-    // tail-limited log capture to hold the whole line (117 queries at
-    // full double repr overflow a ~4 KB tail and parse as nothing)
+    // tail-limited log capture to hold as much as possible (full double
+    // repr at ~100+ queries overflows a ~4 KB tail and parses as nothing)
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + sec(v) }
@@ -141,7 +150,7 @@ object Bench {
     val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu_sec":${sec(cpuTotal)},"queries":$qs,"cpu":$cpuQs,"n_failed":${results.count(_._3.isDefined)},"failures":$fails,"sf":"$sfDir"}"""
     println(line)
     // the driver's round artifact keeps only a 2000-char stdout tail,
-    // which truncates a 175-query line mid-stream — persist the full
+    // which truncates a full-inventory line mid-stream — persist the full
     // JSON to a repo file too so per-query numbers survive the round.
     // Best-effort: an unwritable path must not fail the bench.
     // a FILTERED run (local iteration aid) must not clobber the tracked

@@ -72,8 +72,12 @@ object CustomOps {
     // End-to-end fuzzy schema alignment (reference R15 + R26): align
     // canonical category terms to the corpus's physical column names —
     // header cells x categories score matrix, per-category argmax, keep
-    // score >= 75 (the reference's threshold, tables.py:199). No oracle
-    // (partial_ratio semantics).
+    // score >= 75 (the reference's threshold, tables.py:199). HARD
+    // ORACLE since round 11, with the same boundary as
+    // q_rad_relational_full: the raw partial_ratio score MATRIX is
+    // staged to parquet, and the argmax-≥75 derivation (composite-key
+    // tie-break included) runs independently in DataFrame algebra here
+    // and in DuckDB SQL over the staged matrix, hash-compared.
     "q_fuzzy_header_map" -> ((s, d) => {
       import s.implicits._
       // column names come from the declared corpus schemas — no parquet
@@ -86,6 +90,8 @@ object CustomOps {
         .withColumn("score",
           partial_ratio(regexp_replace(col("column_name"), "^[a-z]+_", ""),
             col("category")))
+        .write.mode("overwrite").parquet(headerScoresPath)
+      s.read.parquet(headerScoresPath)
         .groupBy(col("category"))
         .agg(
           max_by(struct(col("table_name"), col("column_name")),
@@ -99,7 +105,29 @@ object CustomOps {
     })
   )
 
+  /** Staged score-matrix path for q_fuzzy_header_map — process-scoped
+    * like every other oracle-read staging (see graft.StagePaths).
+    */
+  private def headerScoresPath: String =
+    s"${graft.StagePaths.root}/header_scores"
+
   val oracle: Map[String, String] = Map(
+    // argmax-≥75 over the staged score matrix, with the identical
+    // fixed-width composite tie-break key (score is ≤ 100, lpad 3) —
+    // the DuckDB arg_max-can't-order-by-struct workaround
+    "q_fuzzy_header_map" ->
+      s"""WITH sc AS (
+         |  SELECT * FROM read_parquet('$headerScoresPath/*.parquet')),
+         |k AS (
+         |  SELECT category, table_name, column_name, score,
+         |    lpad(CAST(score AS VARCHAR), 3, '0') || '|' || table_name
+         |      || '|' || column_name AS ck
+         |  FROM sc),
+         |m AS (SELECT category, max(ck) AS mk FROM k GROUP BY category)
+         |SELECT k.category AS category, k.table_name, k.column_name, k.score
+         |FROM k JOIN m ON k.category = m.category AND k.ck = m.mk
+         |WHERE k.score >= 75
+         |ORDER BY k.category ASC NULLS FIRST""".stripMargin,
     "q_udaf_density" ->
       """SELECT o_orderstatus,
         |  floor((avg((CASE WHEN nullif(o_orderstatus,'F') IS NULL THEN 0 ELSE 1 END

@@ -225,28 +225,50 @@ object DedupOps {
     * (connected components) and the corpus pipeline can compose over it
     * interchangeably with the exact tier.
     *
-    * 32 minhashes (one xxhash64 per shingle + 32 codegen'd affine
-    * permutations `a_i*h + b_i`, a_i odd — see AffineHashExpr; 32x less
-    * hashing than independent string hashes), 16 bands x 2 rows; band
+    * 32 minhashes (ONE portable md5-derived hash per shingle + 32
+    * codegen'd affine permutations `a_i*h + b_i`, a_i odd — see
+    * AffineHashExpr and [[portableHash64]]; 32x less hashing than
+    * independent string hashes), 16 bands x 2 rows; band
     * collisions become candidate pairs via an equi-join on the band key
     * (each doc shuffles a constant 16 rows — never all-pairs), then exact
     * Jaccard verifies >= threshold, so every EMITTED pair is a true
     * near-dup pair: precision 1.0, recall asserted >= 80% vs the exact
     * tier in DedupSimilaritySuite.
     */
+  /** The fixed-seed affine permutations shared by the band computation
+    * AND the DuckDB oracle builder (the oracle interpolates the same
+    * constants, so both engines derive identical band keys).
+    */
+  private[operators] val minhashPerms: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5eed)          // fixed seed: deterministic perms
+    IndexedSeq.fill(32)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** PORTABLE 64-bit shingle hash: the two md5-prefix 32-bit halves
+    * packed into one signed long — exactly computable in DuckDB (hex
+    * parse + HUGEINT packing), unlike xxhash64, which is what puts the
+    * whole MinHash/SimHash band derivation under the hard oracle. conv's
+    * 8-hex-digit output is ≤ 2^32−1 so the long cast never overflows;
+    * shiftleft wraps into the sign bit by definition (no ANSI overflow).
+    */
+  private[operators] def portableHash64(g: Column): Column = {
+    val m = md5(g)
+    shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
+
   /** LSH band keys for a `shingleRows` frame: (doc_id, band), 16 bands
     * of 2 minhash rows each, band key = index:sig:sig. Deterministic
-    * (fixed-seed affine permutations over one xxhash64 per shingle), so
-    * bands computed in DIFFERENT runs — or persisted by MinHashIndex and
-    * probed later — collide identically. Each doc emits exactly 16 rows.
+    * (fixed-seed affine permutations over one portable md5-derived hash
+    * per shingle), so bands computed in DIFFERENT runs — or persisted by
+    * MinHashIndex and probed later — collide identically, and the DuckDB
+    * oracle reproduces them bit-exactly. Each doc emits exactly 16 rows.
     */
   private[operators] def bandRows(shRows: DataFrame): DataFrame = {
     import graft.functions.AffineHash.affine_hash
     val nHashes = 32
-    val rnd = new scala.util.Random(0x5eed)          // fixed seed: deterministic perms
-    val perms = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
-    val ex = shRows.select(col("doc_id"), xxhash64(col("g")).as("h"))
-    val minhashes = perms.toIndexedSeq.zipWithIndex.map { case ((a, b), i) =>
+    val ex = shRows.select(col("doc_id"), portableHash64(col("g")).as("h"))
+    val minhashes = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       min(affine_hash(col("h"), a, b)).as(s"h$i")
     }
     ex.groupBy(col("doc_id"))
@@ -334,8 +356,10 @@ object DedupOps {
     // index-maintenance scale): fit the persisted band index on the
     // standing corpus, tombstone-delete a deterministic slice, COMPACT
     // (the bytes physically leave disk), then probe the incoming batch
-    // against the compacted index. No oracle (band recall is
-    // engine-hash-specific); DedupSimilaritySuite asserts the result
+    // against the compacted index. No oracle (the result depends on the
+    // persisted index's delete/compact lifecycle state, not a pure
+    // query over the corpus — the band keys themselves became
+    // md5-portable in r11); DedupSimilaritySuite asserts the result
     // equals the undeleted probe minus exactly the deleted docs.
     "q_dedup_index_takedown" -> ((s, d) => {
       val path = s"/tmp/graft_mh_takedown_${d.replaceAll("[^A-Za-z0-9]", "_")}"
@@ -358,9 +382,11 @@ object DedupOps {
         .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
     }),
 
-    // MinHash + LSH banding: see minhashLshPairs. No oracle: the
-    // candidate set is engine-hash-specific (xxhash64); recall vs the
-    // exact operator is asserted in DedupSimilaritySuite.
+    // MinHash + LSH banding: see minhashLshPairs. HARD ORACLE since
+    // round 11: the portable md5-derived base hash + HUGEINT affine
+    // arithmetic in SQL reproduce the exact band keys, so DuckDB derives
+    // the identical candidate set and verified pairs (recall vs the
+    // exact operator additionally asserted in DedupSimilaritySuite).
     "q_dedup_minhash" -> ((s, d) => {
       minhashLshPairs(shingleRows(s, d), 0.5)
         .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
@@ -369,17 +395,23 @@ object DedupOps {
     // SimHash (64-bit over shingle hashes) + 4x16-bit chunk pigeonhole:
     // any pair within hamming distance 3 shares at least one chunk.
     // Candidates equi-join on (chunk index, chunk value); verified by
-    // bit_count(xor) <= 3. No oracle (hash-specific); DedupSuite asserts
-    // the highest-similarity planted pair is caught.
+    // bit_count(xor) <= 3. HARD ORACLE since round 11: the bit source is
+    // the portable md5-derived halves (h1 = hex[1..8], h2 = hex[9..16]),
+    // so DuckDB reproduces signatures, chunks and pairs bit-exactly.
     "q_dedup_simhash" -> ((s, d) => {
-      // One xxhash64 per shingle, then 64 codegen'd conditional sums with
+      // One md5 per shingle, then 64 codegen'd conditional sums with
       // map-side partial aggregation — each doc shuffles as 64 longs.
       // (A nested HOF formulation recomputed the hash per bit and ran
       // interpreted: ~70x slower at sf0.1.)
       val ex = shingleRows(s, d)
-        .select(col("doc_id"), xxhash64(col("g")).as("h"))
-      val bitSums = (0 until 64).map(k =>
-        sum(when(expr(s"(h >> $k) & 1") === 1, 1).otherwise(-1)).as(s"b$k"))
+        .select(col("doc_id"), md5(col("g")).as("m"))
+        .select(col("doc_id"),
+          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+      val bitSums = (0 until 64).map { k =>
+        val src = if (k < 32) s"(h1 >> $k)" else s"(h2 >> ${k - 32})"
+        sum(when(expr(s"$src & 1") === 1, 1).otherwise(-1)).as(s"b$k")
+      }
       val sigExpr = (0 until 64)
         .map(k => s"IF(b$k > 0, shiftleft(CAST(1 AS BIGINT), $k), CAST(0 AS BIGINT))")
         .mkString(" + ")
@@ -506,7 +538,136 @@ object DedupOps {
       .select(col("v1"), col("v2"), col("cos"))
   }
 
+  /** The shared DuckDB shingle CTE (identical to the handwritten ones
+    * in the jaccard/containment oracles).
+    */
+  private[operators] val shingleCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |  WHERE len(ts) >= 3)""".stripMargin
+
+  private val U64 = "18446744073709551616::HUGEINT"
+  private val S63 = "9223372036854775808::HUGEINT"
+
+  /** DuckDB derivation of the EXACT q_dedup_minhash pair set: the
+    * portable base hash (md5 halves packed via HUGEINT — DuckDB's `<<`
+    * errors on sign-bit shifts, so the pack is arithmetic), the 32
+    * affine permutations in wrapping 2^64 arithmetic (HUGEINT multiply,
+    * mod, signed remap — bit-identical to the engine's Java wrapping
+    * multiply since hu ≥ 0 and the constants are interpolated from the
+    * SAME fixed-seed [[minhashPerms]]), the 16 band keys, the band
+    * equi-join candidates, and the exact-jaccard verification. Shared
+    * by the q_dedup_minhash oracle and the q_dedup_clusters_lsh
+    * transitive-closure oracle.
+    */
+  private[operators] def minhashPairCtes: String = {
+    val mask32 = (BigInt(1) << 32) - 1
+    // wrapping a·h+b mod 2^64 in 32-bit limbs (INT128 cannot hold the
+    // full u64×u64 product): with h = h1·2^32 + h2 and a = a1·2^32 + a2,
+    //   a·h ≡ a2·h2 + ((a2·h1 + a1·h2) mod 2^32)·2^32   (mod 2^64)
+    // — every partial product stays under 2^64, well inside HUGEINT
+    val affines = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      val au = BigInt(a) & ((BigInt(1) << 64) - 1)
+      val bu = BigInt(b) & ((BigInt(1) << 64) - 1)
+      val a1 = au >> 32
+      val a2 = au & mask32
+      s"    (($a2::HUGEINT * h2 + (($a2::HUGEINT * h1 + $a1::HUGEINT * h2)" +
+        s" % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
+        s" + $bu::HUGEINT) % $U64) AS m$i"
+    }.mkString(",\n")
+    val mins = (0 until 32).map(i =>
+      s"    min(CAST(CASE WHEN m$i >= $S63 THEN m$i - $U64 " +
+        s"ELSE m$i END AS BIGINT)) AS mh$i").mkString(",\n")
+    val bands = (0 until 16).map(b =>
+      s"  SELECT doc_id, '$b:' || CAST(mh${2 * b} AS VARCHAR) || ':' || " +
+        s"CAST(mh${2 * b + 1} AS VARCHAR) AS band FROM mh")
+      .mkString("\nUNION ALL\n")
+    s"""$shingleCte,
+       |hu AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)::HUGEINT AS h1,
+       |    CAST(('0x' || substring(md5(g), 9, 8)) AS BIGINT)::HUGEINT AS h2
+       |  FROM (SELECT doc_id, unnest(shs) AS g FROM sh)),
+       |aff AS (
+       |  SELECT doc_id,
+       |$affines
+       |  FROM hu),
+       |mh AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM aff GROUP BY doc_id),
+       |bands AS (
+       |$bands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.doc_id < y.doc_id),
+       |ver AS (
+       |  SELECT c.d1, c.d2, len(list_intersect(a.shs, b.shs)) AS inter,
+       |    len(a.shs) AS sz1, len(b.shs) AS sz2
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.d1
+       |  JOIN sh b ON b.doc_id = c.d2),
+       |lsh_pairs AS (
+       |  SELECT d1, d2,
+       |    floor((inter / (sz1 + sz2 - inter)) * 10000
+       |      + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS jaccard
+       |  FROM ver
+       |  WHERE floor((inter / (sz1 + sz2 - inter)) * 10000
+       |      + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) >= 0.5)""".stripMargin
+  }
+
+  /** DuckDB derivation of the EXACT q_dedup_simhash pair set: per-bit
+    * ±1 sums over the md5-half bits, HUGEINT signature assembly (bit 63
+    * lands in the sign — DuckDB's `<<` would error, the additive form
+    * wraps exactly like the engine's shiftleft sum), 4×16-bit chunk
+    * pigeonhole, hamming ≤ 3 verify.
+    */
+  private def simhashOracle: String = {
+    val bitSums = (0 until 64).map { k =>
+      val src = if (k < 32) s"(h1 >> $k)" else s"(h2 >> ${k - 32})"
+      s"    sum(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS b$k"
+    }.mkString(",\n")
+    val terms = (0 until 64).map(k =>
+      s"(CASE WHEN b$k > 0 THEN ${BigInt(1) << k}::HUGEINT " +
+        s"ELSE 0::HUGEINT END)").mkString(" + ")
+    s"""WITH $shingleCte,
+       |hh AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(m, 1, 8)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substring(m, 9, 8)) AS BIGINT) AS h2
+       |  FROM (SELECT doc_id, md5(g) AS m
+       |        FROM (SELECT doc_id, unnest(shs) AS g FROM sh))),
+       |bits AS (
+       |  SELECT doc_id,
+       |$bitSums
+       |  FROM hh GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id, CAST(CASE WHEN su >= $S63 THEN su - $U64
+       |    ELSE su END AS BIGINT) AS simhash
+       |  FROM (SELECT doc_id, ($terms) AS su FROM bits)),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c, ((simhash >> (c * 16)) & 65535) AS cv
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) t),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, x.simhash AS s1,
+       |    y.doc_id AS d2, y.simhash AS s2
+       |  FROM chunks x JOIN chunks y
+       |    ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id)
+       |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+       |ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      s"""WITH $minhashPairCtes
+         |SELECT d1, d2, jaccard FROM lsh_pairs
+         |ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""".stripMargin,
+    "q_dedup_simhash" -> simhashOracle,
     "q_dedup_containment" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -497,9 +497,11 @@ object PipelineOps {
 
     // The production composition: connected components over the
     // MinHash-LSH candidate pairs (each verified >= threshold by exact
-    // Jaccard) instead of the quadratic exact pair join. No oracle
-    // (candidates are engine-hash-specific); DedupSimilaritySuite asserts
-    // LSH-sourced clusters are a subset of the exact clusters with >= 80%
+    // Jaccard) instead of the quadratic exact pair join. HARD ORACLE
+    // since round 11: the band derivation is md5-portable
+    // (DedupOps.minhashPairCtes), so DuckDB rebuilds the identical pair
+    // set and closes it transitively; DedupSimilaritySuite additionally
+    // asserts LSH-sourced clusters refine the exact clusters with >= 80%
     // doc coverage.
     "q_dedup_clusters_lsh" -> ((s, d) => {
       val pairs = DedupOps.minhashLshPairs(DedupOps.shingleRows(s, d), 0.5)
@@ -670,6 +672,20 @@ object PipelineOps {
         |  floor((pr) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE)
         |    AS pagerank
         |FROM pr3 ORDER BY node ASC NULLS FIRST""".stripMargin,
+    // the engine's star-contraction CC over the md5-portable LSH pair
+    // derivation (DedupOps.minhashPairCtes), restated as a transitive
+    // closure — same tail as the q_dedup_clusters oracle below
+    "q_dedup_clusters_lsh" ->
+      s"""WITH RECURSIVE ${DedupOps.minhashPairCtes},
+         |sym AS (SELECT d1 AS a, d2 AS b FROM lsh_pairs
+         |        UNION SELECT d2, d1 FROM lsh_pairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM sym),
+         |reach(n, r) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.n)
+         |SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,

@@ -246,6 +246,66 @@ object SnapshotTable {
     (v, deleted, hit.size)
   }
 
+  /** File-granular MERGE (upsert): rows of `source` whose `key` exists
+    * in the table update their row in place (source columns win); new
+    * keys append as a fresh batch. Only files CONTAINING matched keys
+    * are rewritten — unmatched files carry over verbatim, and the
+    * matched-key probe is an equi-join on the key column only (column
+    * pruning reaches the scan). One commit publishes both halves
+    * atomically. Update semantics are column-wise source-wins with NULL
+    * falling back to the target value (the foreachBatch upsert sink's
+    * semantics — with a NULL-free source this is row replacement).
+    * Duplicate source keys collapse to one arbitrary row
+    * (dropDuplicates); pass a pre-deduped source for determinism.
+    * Returns (new version, rows updated, rows inserted, files
+    * rewritten).
+    */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      key: String): (Long, Long, Long, Int) = {
+    val snap = loadCurrent(spark, table)
+    val cols = snap.schema.fieldNames
+    val src = source.select(cols.map(col).toIndexedSeq: _*)
+      .dropDuplicates(key)
+    val cur = spark.read.schema(snap.schema)
+      .parquet(snap.files.map(f => s"$table/$f"): _*)
+    val srcKeys = src.select(col(key))
+    // files holding at least one matched key (pruned scan: key + file).
+    // input_file_name is captured BEFORE the join — after it, the plan
+    // has two sources and the expression is rejected as ambiguous.
+    val hitAbs = cur
+      .select(col(key), input_file_name().as("__f"))
+      .join(srcKeys, Seq(key), "left_semi")
+      .select(col("__f")).distinct()
+      .collect().map(_.getString(0))
+    val hit = snap.files.filter(rel => hitAbs.exists(a =>
+      a.endsWith("/" + rel) || a.endsWith(rel)))
+    val (rewrittenFiles, updated) = if (hit.isEmpty) (Nil, 0L) else {
+      val touched = spark.read.schema(snap.schema)
+        .parquet(hit.map(f => s"$table/$f"): _*)
+      val nUpd = touched.join(srcKeys, Seq(key), "left_semi").count()
+      val s2 = src.select(
+        col(key).as("__k") +: cols.filterNot(_ == key)
+          .map(c => col(c).as(s"__s_$c")).toIndexedSeq: _*)
+      val merged = touched
+        .join(s2, touched(key) === col("__k"), "left_outer")
+        .select(cols.map(c =>
+          if (c == key) col(key)
+          else coalesce(when(col("__k").isNotNull, col(s"__s_$c")),
+            col(c)).as(c)).toIndexedSeq: _*)
+      (stageBatch(merged, table), nUpd)
+    }
+    val inserts = src.join(
+      cur.select(col(key)).distinct(), Seq(key), "left_anti")
+    val nIns = inserts.count()
+    val insertFiles =
+      if (nIns == 0) Nil else stageBatch(inserts, table)
+    if (updated == 0 && nIns == 0) return (snap.version, 0L, 0L, 0)
+    val keep = snap.files.filterNot(hit.contains)
+    val v = commitManifest(spark, table, snap.schema,
+      keep ++ rewrittenFiles ++ insertFiles, snap.version)
+    (v, updated, nIns, hit.size)
+  }
+
   /** Small-file compaction as a snapshot commit: rewrite the whole file
     * list into ~`targetMB` files; the PREVIOUS snapshot (and its small
     * files) stays readable until expired. Returns (new version, files
@@ -337,6 +397,30 @@ object SnapshotTable {
         .orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // File-granular MERGE: updates land only in the files holding their
+    // keys, inserts append as one fresh batch, one atomic commit. The
+    // oracle replays the upsert as LEFT JOIN + anti-join UNION. The
+    // source carries no NULLs, so column-wise coalesce == row replace.
+    "q_table_merge" -> ((s, d) => {
+      val t = scratch(s, d, "mg")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      create(s, t, orders, numFiles = 8)
+      val src = orders.filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("M").as("o_orderstatus"),
+          (col("o_totalprice") + 100000).as("o_totalprice"))
+        .union(orders.filter(col("o_orderkey") % 1000 === 7)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            col("o_custkey"), lit("N").as("o_orderstatus"),
+            col("o_totalprice")))
+      mergeInto(s, t, src, "o_orderkey")
+      read(s, t)
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
     // Time travel: after the same update+delete commits, version 1 must
     // still read as the ORIGINAL table — the oracle is a plain scan of
     // orders, so a hash match proves the old snapshot is untouched by
@@ -369,6 +453,29 @@ object SnapshotTable {
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_table_timetravel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // o_totalprice + 100000 is one IEEE double addition — deterministic
+    // and identical across engines
+    "q_table_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+        |    o_totalprice + 100000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 50 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 7)
+        |SELECT b.o_orderkey,
+        |  coalesce(s.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(s.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |  coalesce(s.o_totalprice, b.o_totalprice) AS o_totalprice
+        |FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
+        |FROM src s LEFT JOIN base b ON b.o_orderkey = s.o_orderkey
+        |WHERE b.o_orderkey IS NULL
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
   )
 }

@@ -174,15 +174,25 @@ object StreamOps {
     }
   }
 
-  /** Streaming tumbling aggregation over the file source — identical
-    * expressions to the batch `tumbling`, exercised end-to-end in
-    * StreamingSuite with an AvailableNow trigger.
+  /** The source-agnostic streaming tumbling aggregation — the query is
+    * written ONCE against the [[EventSource]] seam; which unbounded
+    * source feeds it (file-tail, in-memory, rate generator, a future
+    * Kafka case) is the caller's constructor choice. StreamingSuite runs
+    * this identical function over all three in-container sources.
     */
-  def tumblingStream(s: SparkSession, d: String): DataFrame =
-    eventsStream(s, d)
+  def tumblingOf(src: EventSource, s: SparkSession): DataFrame =
+    src.load(s)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
+
+  /** Streaming tumbling aggregation over the file source — identical
+    * expressions to the batch `tumbling`, exercised end-to-end in
+    * StreamingSuite with an AvailableNow trigger. Defined through the
+    * [[EventSource]] seam (the file path is just one implementation).
+    */
+  def tumblingStream(s: SparkSession, d: String): DataFrame =
+    tumblingOf(EventSource.FileTail(d), s)
 
   /** Streaming MERGE sink: every micro-batch upserts into a parquet
     * table keyed by `key` (batch rows win column-wise) via foreachBatch —

@@ -152,6 +152,55 @@ class SnapshotSuite extends AnyFunSuite {
     }
   }
 
+  test("mergeInto: updates rewrite only matched files, inserts append, " +
+      "one commit") {
+    val t = freshTable("merge")
+    SnapshotTable.create(spark, t, orders, numFiles = 8)
+    val before = SnapshotTable.readManifest(spark, t, 1L)
+    // one existing key updated + two new keys inserted
+    val key = orders.select(min(col("o_orderkey"))).head().getLong(0)
+    val src = spark.createDataFrame(Seq(
+      (key, 1L, "U", 1.0), (9900001L, 2L, "I", 2.0), (9900002L, 3L, "I", 3.0)))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val (v, updated, inserted, rewritten) =
+      SnapshotTable.mergeInto(spark, t, src, "o_orderkey")
+    assert(v === 2L && updated === 1L && inserted === 2L)
+    assert(rewritten === 1, "a 1-key update must rewrite exactly 1 file")
+    val after = SnapshotTable.readManifest(spark, t, 2L)
+    assert(before.files.toSet.intersect(after.files.toSet).size === 7,
+      "unmatched files must carry over verbatim")
+    val cur = SnapshotTable.read(spark, t)
+    assert(cur.count() === orders.count() + 2)
+    assert(cur.filter(col("o_orderkey") === key).head()
+      .getAs[String]("o_orderstatus") === "U")
+    assert(cur.filter(col("o_orderstatus") === "I").count() === 2L)
+    // idempotence of the no-op merge: same source again changes nothing
+    // beyond a version bump with the same logical rows
+    val rows1 = sortedRows(cur)
+    SnapshotTable.mergeInto(spark, t, src, "o_orderkey")
+    assert(sortedRows(SnapshotTable.read(spark, t)) === rows1)
+  }
+
+  test("q_table_merge equals the logical upsert on orders") {
+    val got = SnapshotTable.queries("q_table_merge")(spark, sf)
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val upd = o.filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("M").as("o_orderstatus"),
+        (col("o_totalprice") + 100000).as("o_totalprice"))
+    val ins = o.filter(col("o_orderkey") % 1000 === 7)
+      .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
+    val expect = o.join(upd.select(col("o_orderkey")), Seq("o_orderkey"),
+        "left_anti")
+      .union(upd).union(ins)
+      .orderBy(col("o_orderkey").asc_nulls_first)
+    assert(got.collect().map(_.toString).toSeq ===
+      expect.collect().map(_.toString).toSeq)
+  }
+
   test("q_table_snapshot equals the logical update+delete on orders") {
     val got = SnapshotTable.queries("q_table_snapshot")(spark, sf)
     val expect = Tables.orders(spark, sf)

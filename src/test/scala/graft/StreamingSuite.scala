@@ -470,6 +470,72 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("one query, three sources: EventSource seam swaps file/memory/rate " +
+      "feeds without touching the query") {
+    import graft.streaming.{EventSource, StreamOps}
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    // source 1: in-memory feed through the seam — exact expected windows
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(t("2024-01-01 10:05:00"), 1, "a", 1.0),
+      Ev(t("2024-01-01 10:55:00"), 1, "a", 2.0),
+      Ev(t("2024-01-01 11:05:00"), 2, "b", 3.0))
+    val q1 = StreamOps.tumblingOf(EventSource.Frame(mem.toDF()), spark)
+      .writeStream.format("memory").queryName("seam_mem")
+      .outputMode("complete").start()
+    q1.processAllAvailable(); q1.stop()
+    val gotMem = spark.table("seam_mem").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(gotMem == Map(
+      ("2024-01-01 10:00:00.0", "a") -> 2L,
+      ("2024-01-01 11:00:00.0", "b") -> 1L))
+
+    // source 2: the file tail — SAME function, source constructor
+    // swapped; must equal the DuckDB-oracled batch aggregation
+    val q2 = StreamOps.tumblingOf(EventSource.FileTail(sf), spark)
+      .writeStream.format("memory").queryName("seam_file")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val gotFile = spark.table("seam_file").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = StreamOps.tumbling(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(gotFile == batch, s"file-tail ${gotFile.size} vs batch ${batch.size}")
+
+    // source 3: the wall-clock rate generator — rows keep arriving, so
+    // stop after >= 1 and reconstruct EVERY expected window from the
+    // total row count alone (events are a pure function of the counter)
+    val q3 = StreamOps.tumblingOf(EventSource.Rate(rowsPerSecond = 200),
+        spark)
+      .writeStream.format("memory").queryName("seam_rate")
+      .outputMode("complete").start()
+    val deadline = System.currentTimeMillis() + 60000
+    var n = 0L
+    while (n == 0 && System.currentTimeMillis() < deadline) {
+      q3.processAllAvailable()
+      n = spark.table("seam_rate").count()
+      if (n == 0) Thread.sleep(200)
+    }
+    q3.stop() // freeze the last committed epoch before reading
+    val gotRate = spark.table("seam_rate").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2))
+      .toMap
+    val total = gotRate.values.sum
+    assert(total >= 1, "rate source produced no rows within 60s")
+    // value v -> ts = v minutes from epoch, type = view iff v even
+    val expected = (0L until total).groupBy(v =>
+        ((v / 60) * 3600000L, if (v % 2 == 0) "view" else "purchase"))
+      .view.mapValues(_.size.toLong).toMap
+    assert(gotRate == expected,
+      s"rate-derived windows diverge: got ${gotRate.size} keys")
+  }
+
   test("watermark drops events older than watermark across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
