@@ -76,9 +76,16 @@ object SnapshotTable {
       }.foldLeft(0L)(math.max)
   }
 
-  /** One committed snapshot: schema + table-relative data file paths. */
+  /** One committed snapshot: schema, table-relative data file paths,
+    * per-file partition labels (for manifest-level pruning; empty for
+    * unpartitioned tables), and small key=value metadata (e.g. the
+    * streaming sink's last committed batch id — committed ATOMICALLY
+    * with the file list by the same manifest rename, which is what
+    * makes idempotent exactly-once replay possible).
+    */
   final case class Snapshot(version: Long, schema: StructType,
-      files: Seq[String])
+      files: Seq[String], meta: Map[String, String] = Map.empty,
+      partitionOf: Map[String, String] = Map.empty)
 
   def readManifest(spark: SparkSession, table: String,
       version: Long): Snapshot = {
@@ -91,7 +98,19 @@ object SnapshotTable {
       s"$p is not a $Marker manifest")
     val schema = DataType.fromJson(lines(1).stripPrefix("schema:"))
       .asInstanceOf[StructType]
-    Snapshot(version, schema, lines.drop(2).filter(_.nonEmpty))
+    val body = lines.drop(2).filter(_.nonEmpty)
+    val (metaLines, fileLines) = body.partition(_.startsWith("meta:"))
+    val meta = metaLines.map(_.stripPrefix("meta:")).map { kv =>
+      val i = kv.indexOf('=')
+      kv.take(i) -> kv.drop(i + 1)
+    }.toMap
+    // a file line is `path` or `path<TAB>partitionValue`
+    val parsed = fileLines.map { l =>
+      val i = l.indexOf('\t')
+      if (i < 0) (l, None) else (l.take(i), Some(l.drop(i + 1)))
+    }
+    Snapshot(version, schema, parsed.map(_._1), meta,
+      parsed.collect { case (f, Some(v)) => f -> v }.toMap)
   }
 
   private def loadCurrent(spark: SparkSession, table: String): Snapshot = {
@@ -133,21 +152,75 @@ object SnapshotTable {
       .map(n => s"data/$batch/$n").toVector.sorted
   }
 
+  /** Hive-style partitioned batch staging: a duplicated string column
+    * drives partitionBy (the data keeps the original column), and the
+    * partition value of every file is parsed back from its directory
+    * name. Returns (table-relative path, partition value) pairs. Null
+    * partition values carry Hive's default-partition token. Repartition
+    * by the column => one file per partition value per batch.
+    */
+  private[graft] def stagePartitionedBatch(df: DataFrame, table: String,
+      pcol: String): Seq[(String, String)] = {
+    val batch = "b-" + java.util.UUID.randomUUID().toString
+    val dir = s"$table/data/$batch"
+    df.withColumn("__part", col(pcol).cast("string"))
+      .repartition(col("__part"))
+      .write.mode("error").partitionBy("__part").parquet(dir)
+    val f = fs(df.sparkSession, table)
+    f.listStatus(new Path(dir)).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("__part="))
+      .toIndexedSeq.flatMap { pd =>
+        val v = java.net.URLDecoder.decode(
+          pd.getPath.getName.stripPrefix("__part="), "UTF-8")
+        f.listStatus(pd.getPath).iterator
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+          .map(n => (s"data/$batch/${pd.getPath.getName}/$n", v))
+          .toVector
+      }.sortBy(_._1)
+  }
+
+  /** Stage `df` respecting the table's declared partitioning (the
+    * `partitionCol` meta key): a partitioned table keeps EVERY new
+    * batch partition-labeled — mutations never degrade manifest
+    * pruning; unpartitioned tables use plain staging.
+    */
+  private def stageFor(snap: Snapshot, df: DataFrame,
+      table: String): (Seq[String], Map[String, String]) =
+    snap.meta.get("partitionCol") match {
+      case Some(pc) =>
+        val staged = stagePartitionedBatch(df, table, pc)
+        (staged.map(_._1), staged.toMap)
+      case None => (stageBatch(df, table), Map.empty)
+    }
+
   /** The commit point: publish `files` as version `expected + 1`. Fails
     * (leaving staged files orphaned, all snapshots intact) if another
     * writer committed first — optimistic concurrency on the manifest
     * rename.
     */
   private[graft] def commitManifest(spark: SparkSession, table: String,
-      schema: StructType, files: Seq[String], expected: Long): Long = {
+      schema: StructType, files: Seq[String], expected: Long,
+      meta: Map[String, String] = Map.empty,
+      partitionOf: Map[String, String] = Map.empty): Long = {
+    require(meta.forall { case (k, v) =>
+      !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r') },
+      "manifest meta keys/values must be line-safe and '='-free keys")
+    require(partitionOf.values.forall(v =>
+      !v.exists(c => c == '\n' || c == '\r' || c == '\t')),
+      "partition values must be line- and tab-safe")
     val next = expected + 1
     val f = fs(spark, table)
     f.mkdirs(manifestDir(table))
     val tmp = new Path(manifestDir(table),
       s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
+    val fileLines = files.map(p =>
+      partitionOf.get(p).fold(p)(v => s"$p\t$v"))
     try out.write(
-      (Seq(Marker, "schema:" + schema.json) ++ files).mkString("\n")
+      (Seq(Marker, "schema:" + schema.json) ++
+        meta.toSeq.sortBy(_._1).map { case (k, v) => s"meta:$k=$v" } ++
+        fileLines).mkString("\n")
         .getBytes("UTF-8"))
     finally out.close()
     val target = manifestPath(table, next)
@@ -173,14 +246,51 @@ object SnapshotTable {
     commitManifest(spark, table, df.schema, files, 0L)
   }
 
+  /** Create a PARTITIONED table: files are laid out and
+    * manifest-labeled by `pcol`'s string value, enabling [[readWhere]]'s
+    * manifest-level pruning — scan planning touches no data file of an
+    * excluded partition (the Iceberg metadata-pruning shape). The
+    * partition column stays a normal data column too, so every existing
+    * reader/mutator works unchanged.
+    */
+  def createPartitioned(spark: SparkSession, table: String, df: DataFrame,
+      pcol: String): Long = {
+    require(currentVersion(spark, table) == 0,
+      s"$table already has committed snapshots")
+    val staged = stagePartitionedBatch(df, table, pcol)
+    commitManifest(spark, table, df.schema, staged.map(_._1), 0L,
+      Map("partitionCol" -> pcol), staged.toMap)
+  }
+
+  /** Read only the partitions in `values`: the file list is pruned on
+    * manifest metadata ALONE — no data-file footer of an excluded
+    * partition is ever opened (suite-asserted via inputFiles).
+    */
+  def readWhere(spark: SparkSession, table: String, values: Set[String],
+      version: Option[Long] = None): DataFrame = {
+    val snap = version match {
+      case Some(v) => readManifest(spark, table, v)
+      case None => loadCurrent(spark, table)
+    }
+    require(snap.meta.contains("partitionCol"),
+      s"$table is not partitioned - use read + a filter")
+    val files = snap.files.filter(f =>
+      snap.partitionOf.get(f).exists(values))
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else spark.read.schema(snap.schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+  }
+
   /** Append `df` as new files — no existing file is touched, the
     * manifest grows by the new batch (the R22 verb, snapshot-committed).
     */
   def append(spark: SparkSession, table: String, df: DataFrame): Long = {
     val snap = loadCurrent(spark, table)
-    val files = stageBatch(df, table)
+    val (files, labels) = stageFor(snap, df, table)
     commitManifest(spark, table, snap.schema, snap.files ++ files,
-      snap.version)
+      snap.version, snap.meta, snap.partitionOf ++ labels)
   }
 
   /** Table-relative paths of the files that contain rows matching
@@ -216,10 +326,10 @@ object SnapshotTable {
     val rewritten = assignments.foldLeft(touched) { case (d, (c, v)) =>
       d.withColumn(c, when(predicate, v).otherwise(col(c)))
     }.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
-    val fresh = stageBatch(rewritten, table)
+    val (fresh, labels) = stageFor(snap, rewritten, table)
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema, keep ++ fresh,
-      snap.version)
+      snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels)
     (v, matched, hit.size)
   }
 
@@ -238,11 +348,12 @@ object SnapshotTable {
       .parquet(hit.map(f => s"$table/$f"): _*)
     val deleted = touched.filter(matches).count()
     val survivors = touched.filter(!matches)
-    val fresh =
-      if (survivors.isEmpty) Nil else stageBatch(survivors, table)
+    val (fresh, labels) =
+      if (survivors.isEmpty) (Nil, Map.empty[String, String])
+      else stageFor(snap, survivors, table)
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema, keep ++ fresh,
-      snap.version)
+      snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels)
     (v, deleted, hit.size)
   }
 
@@ -279,7 +390,9 @@ object SnapshotTable {
       .collect().map(_.getString(0))
     val hit = snap.files.filter(rel => hitAbs.exists(a =>
       a.endsWith("/" + rel) || a.endsWith(rel)))
-    val (rewrittenFiles, updated) = if (hit.isEmpty) (Nil, 0L) else {
+    val (rewrittenFiles, updated) = if (hit.isEmpty)
+      ((Nil: Seq[String], Map.empty[String, String]), 0L)
+    else {
       val touched = spark.read.schema(snap.schema)
         .parquet(hit.map(f => s"$table/$f"): _*)
       val nUpd = touched.join(srcKeys, Seq(key), "left_semi").count()
@@ -292,17 +405,19 @@ object SnapshotTable {
           if (c == key) col(key)
           else coalesce(when(col("__k").isNotNull, col(s"__s_$c")),
             col(c)).as(c)).toIndexedSeq: _*)
-      (stageBatch(merged, table), nUpd)
+      (stageFor(snap, merged, table), nUpd)
     }
     val inserts = src.join(
       cur.select(col(key)).distinct(), Seq(key), "left_anti")
     val nIns = inserts.count()
-    val insertFiles =
-      if (nIns == 0) Nil else stageBatch(inserts, table)
+    val (insertFiles, insertLabels) =
+      if (nIns == 0) (Nil, Map.empty[String, String])
+      else stageFor(snap, inserts, table)
     if (updated == 0 && nIns == 0) return (snap.version, 0L, 0L, 0)
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema,
-      keep ++ rewrittenFiles ++ insertFiles, snap.version)
+      keep ++ rewrittenFiles._1 ++ insertFiles, snap.version, snap.meta,
+      (snap.partitionOf -- hit) ++ rewrittenFiles._2 ++ insertLabels)
     (v, updated, nIns, hit.size)
   }
 
@@ -321,12 +436,62 @@ object SnapshotTable {
     val nOut = math.max(1L,
       (bytes + targetMB.toLong * 1024 * 1024 - 1) /
         (targetMB.toLong * 1024 * 1024)).toInt
-    val df = spark.read.schema(snap.schema)
-      .parquet(snap.files.map(r => s"$table/$r"): _*).repartition(nOut)
-    val fresh = stageBatch(df, table)
-    val v = commitManifest(spark, table, snap.schema, fresh, snap.version)
+    val df0 = spark.read.schema(snap.schema)
+      .parquet(snap.files.map(r => s"$table/$r"): _*)
+    // partitioned tables compact per partition (stageFor re-labels);
+    // unpartitioned ones into ~targetMB files
+    val (fresh, labels) = snap.meta.get("partitionCol") match {
+      case Some(_) => stageFor(snap, df0, table)
+      case None => (stageBatch(df0.repartition(nOut), table),
+        Map.empty[String, String])
+    }
+    val v = commitManifest(spark, table, snap.schema, fresh,
+      snap.version, snap.meta, labels)
     (v, snap.files.size, fresh.size)
   }
+
+  /** Commit one streaming micro-batch as an append, IDEMPOTENTLY: the
+    * batch id is recorded in the manifest metadata by the SAME atomic
+    * rename that publishes the data files, so a replayed batch (after a
+    * sink crash between data write and checkpoint advance — the classic
+    * at-least-once window) is detected and skipped instead of
+    * double-appending. This is the exactly-once streaming-sink recipe
+    * every transactional table format uses (Delta's txn action); the
+    * plain foreachBatch parquet sink (StreamOps.upsertSink) cannot
+    * express it because nothing ties "data visible" to "batch id
+    * recorded". Returns true if the batch committed, false if it was a
+    * replay of an already-committed id.
+    */
+  def commitStreamBatch(spark: SparkSession, table: String,
+      batch: DataFrame, batchId: Long,
+      queryKey: String = "stream"): Boolean = {
+    val snap = loadCurrent(spark, table)
+    val metaKey = s"lastBatchId.$queryKey"
+    if (snap.meta.get(metaKey).exists(_.toLong >= batchId)) false
+    else {
+      val (files, labels) = stageFor(snap,
+        batch.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*), table)
+      commitManifest(spark, table, snap.schema, snap.files ++ files,
+        snap.version, snap.meta + (metaKey -> batchId.toString),
+        snap.partitionOf ++ labels)
+      true
+    }
+  }
+
+  /** The streaming append sink on the snapshot layer: exactly-once via
+    * [[commitStreamBatch]]'s batch-id-in-manifest protocol. The table
+    * must already exist (create it from an empty or seed frame).
+    */
+  def appendSink(stream: DataFrame, table: String, checkpointDir: String,
+      queryKey: String = "stream")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitStreamBatch(batch.sparkSession, table, batch, id, queryKey)
+        ()
+      }
+      .start()
 
   /** Garbage collection: drop all manifests except the newest
     * `keepLast`, then delete every data file no surviving manifest

@@ -201,6 +201,102 @@ class SnapshotSuite extends AnyFunSuite {
       expect.collect().map(_.toString).toSeq)
   }
 
+  test("partitioned table: readWhere prunes on manifest metadata alone") {
+    val t = freshTable("part")
+    SnapshotTable.createPartitioned(spark, t, orders, "o_orderstatus")
+    val snap = SnapshotTable.readManifest(spark, t, 1L)
+    assert(snap.partitionOf.size === snap.files.size,
+      "every file of a partitioned table must carry its label")
+    val statuses = orders.select(col("o_orderstatus")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(snap.partitionOf.values.toSet === statuses)
+    val pruned = SnapshotTable.readWhere(spark, t, Set("F"))
+    val fFiles = snap.files.filter(f => snap.partitionOf(f) == "F")
+    assert(pruned.inputFiles.length === fFiles.size,
+      "excluded partitions' files must not even reach the scan")
+    assert(pruned.count() ===
+      orders.filter(col("o_orderstatus") === "F").count())
+    assert(pruned.filter(col("o_orderstatus") =!= "F").count() === 0L)
+    // full read still equals the source
+    assert(SnapshotTable.read(spark, t).count() === orders.count())
+  }
+
+  test("partitioned mutations keep labels; partition-column updates " +
+      "migrate rows between partitions") {
+    val t = freshTable("partmut")
+    SnapshotTable.createPartitioned(spark, t, orders, "o_orderstatus")
+    val migrating = orders.filter(col("o_orderstatus") === "F")
+      .select(min(col("o_orderkey"))).head().getLong(0)
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") === migrating,
+      Map("o_orderstatus" -> lit("X")))
+    SnapshotTable.append(spark, t,
+      orders.limit(0)) // no-op append keeps labels too
+    val snap = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap.partitionOf.size === snap.files.size,
+      "mutations must not shed partition labels")
+    val moved = SnapshotTable.readWhere(spark, t, Set("X"))
+    assert(moved.count() === 1L)
+    assert(moved.head().getAs[Long]("o_orderkey") === migrating)
+    assert(SnapshotTable.readWhere(spark, t, Set("F"))
+      .filter(col("o_orderkey") === migrating).count() === 0L,
+      "the migrated row must leave its old partition")
+  }
+
+  test("streaming batch commits are exactly-once: replays skip, meta " +
+      "survives interleaved mutations") {
+    val t = freshTable("stream")
+    SnapshotTable.create(spark, t,
+      orders.filter(col("o_orderkey") < 100), numFiles = 1)
+    val base = SnapshotTable.read(spark, t).count()
+    val b0 = orders.filter(col("o_orderkey") >= 100 &&
+      col("o_orderkey") < 200)
+    val n0 = b0.count()
+    assert(SnapshotTable.commitStreamBatch(spark, t, b0, 0L))
+    assert(SnapshotTable.read(spark, t).count() === base + n0)
+    // the at-least-once replay window: same batch id arrives again
+    assert(!SnapshotTable.commitStreamBatch(spark, t, b0, 0L),
+      "a replayed batch id must be skipped")
+    assert(SnapshotTable.read(spark, t).count() === base + n0,
+      "replay must not double-append")
+    // a non-streaming commit in between must PRESERVE the batch-id meta
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") === 1,
+      Map("o_orderstatus" -> lit("S")))
+    assert(!SnapshotTable.commitStreamBatch(spark, t, b0, 0L),
+      "batch-id meta must survive an interleaved update commit")
+    // the next batch commits normally
+    val b1 = orders.filter(col("o_orderkey") >= 200 &&
+      col("o_orderkey") < 300)
+    assert(SnapshotTable.commitStreamBatch(spark, t, b1, 1L))
+    assert(SnapshotTable.read(spark, t).count() === base + n0 + b1.count())
+  }
+
+  test("appendSink streams micro-batches into the snapshot table " +
+      "end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val t = freshTable("sink")
+    val seed = orders.filter(col("o_orderkey") < 50)
+    SnapshotTable.create(spark, t, seed, numFiles = 1)
+    val mem = MemoryStream[(Long, String, Double)]
+    val ckpt = s"$t-ckpt"
+    val q = SnapshotTable.appendSink(
+      mem.toDF().toDF("o_orderkey", "o_orderstatus", "o_totalprice"),
+      t, ckpt)
+    try {
+      mem.addData((900001L, "A", 1.0), (900002L, "B", 2.0))
+      q.processAllAvailable()
+      mem.addData((900003L, "C", 3.0))
+      q.processAllAvailable()
+      val cur = SnapshotTable.read(spark, t)
+      assert(cur.count() === seed.count() + 3)
+      assert(cur.filter(col("o_orderkey") >= 900000L).count() === 3L)
+      // two batches committed = two version bumps past create
+      assert(SnapshotTable.currentVersion(spark, t) === 3L)
+    } finally { q.stop() }
+  }
+
   test("q_table_snapshot equals the logical update+delete on orders") {
     val got = SnapshotTable.queries("q_table_snapshot")(spark, sf)
     val expect = Tables.orders(spark, sf)
