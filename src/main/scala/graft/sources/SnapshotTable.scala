@@ -85,7 +85,8 @@ object SnapshotTable {
     */
   final case class Snapshot(version: Long, schema: StructType,
       files: Seq[String], meta: Map[String, String] = Map.empty,
-      partitionOf: Map[String, String] = Map.empty)
+      partitionOf: Map[String, String] = Map.empty,
+      statsOf: Map[String, Map[String, (String, String)]] = Map.empty)
 
   def readManifest(spark: SparkSession, table: String,
       version: Long): Snapshot = {
@@ -104,13 +105,29 @@ object SnapshotTable {
       val i = kv.indexOf('=')
       kv.take(i) -> kv.drop(i + 1)
     }.toMap
-    // a file line is `path` or `path<TAB>partitionValue`
+    // a file line is `path` plus optional TAB-separated tagged fields:
+    // `p=<partitionValue>` and `s=<col>|<min>|<max>[;...]` (URL-encoded
+    // components)
+    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
     val parsed = fileLines.map { l =>
-      val i = l.indexOf('\t')
-      if (i < 0) (l, None) else (l.take(i), Some(l.drop(i + 1)))
+      val fields = l.split('\t')
+      val path = fields.head
+      var part: Option[String] = None
+      var stats = Map.empty[String, (String, String)]
+      fields.tail.foreach {
+        case f if f.startsWith("p=") => part = Some(f.stripPrefix("p="))
+        case f if f.startsWith("s=") =>
+          stats = f.stripPrefix("s=").split(';').iterator.map { e =>
+            val Array(c, mn, mx) = e.split('|').map(dec)
+            c -> ((mn, mx))
+          }.toMap
+        case _ => ()
+      }
+      (path, part, stats)
     }
     Snapshot(version, schema, parsed.map(_._1), meta,
-      parsed.collect { case (f, Some(v)) => f -> v }.toMap)
+      parsed.collect { case (f, Some(v), _) => f -> v }.toMap,
+      parsed.collect { case (f, _, st) if st.nonEmpty => f -> st }.toMap)
   }
 
   private def loadCurrent(spark: SparkSession, table: String): Snapshot = {
@@ -180,19 +197,58 @@ object SnapshotTable {
       }.sortBy(_._1)
   }
 
-  /** Stage `df` respecting the table's declared partitioning (the
-    * `partitionCol` meta key): a partitioned table keeps EVERY new
-    * batch partition-labeled — mutations never degrade manifest
-    * pruning; unpartitioned tables use plain staging.
+  /** Per-file min/max of `statsCols` over a FRESHLY STAGED batch: one
+    * codegen pass over the new files only (never the table), values
+    * rendered as strings (numeric columns re-compare as decimals at
+    * prune time). A file whose column is all-NULL omits that column —
+    * it stays unprunable on it, preserving exactness.
     */
-  private def stageFor(snap: Snapshot, df: DataFrame,
-      table: String): (Seq[String], Map[String, String]) =
-    snap.meta.get("partitionCol") match {
+  private def computeStats(spark: SparkSession, table: String,
+      files: Seq[String], statsCols: Seq[String], schema: StructType)
+      : Map[String, Map[String, (String, String)]] = {
+    if (files.isEmpty || statsCols.isEmpty) return Map.empty
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val rows = spark.read.schema(schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.flatMap { r =>
+      val abs = r.getString(0)
+      files.find(f => abs.endsWith("/" + f) || abs.endsWith(f)).map { rel =>
+        rel -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val mn = r.getString(1 + 2 * i)
+          val mx = r.getString(2 + 2 * i)
+          if (mn == null || mx == null) None else Some(c -> ((mn, mx)))
+        }.toMap
+      }
+    }.toMap
+  }
+
+  private def declaredStatsCols(snap: Snapshot): Seq[String] =
+    snap.meta.get("statsCols").toSeq
+      .flatMap(_.split(',').toSeq).filter(_.nonEmpty)
+
+  /** Stage `df` respecting the table's declared layout metadata: a
+    * partitioned table keeps EVERY new batch partition-labeled, and a
+    * stats-tracking table re-computes per-file min/max for its declared
+    * columns — mutations never degrade manifest pruning.
+    */
+  private def stageFor(snap: Snapshot, df: DataFrame, table: String)
+      : (Seq[String], Map[String, String],
+         Map[String, Map[String, (String, String)]]) = {
+    val (files, labels) = snap.meta.get("partitionCol") match {
       case Some(pc) =>
         val staged = stagePartitionedBatch(df, table, pc)
         (staged.map(_._1), staged.toMap)
-      case None => (stageBatch(df, table), Map.empty)
+      case None => (stageBatch(df, table), Map.empty[String, String])
     }
+    val stats = computeStats(df.sparkSession, table, files,
+      declaredStatsCols(snap), snap.schema)
+    (files, labels, stats)
+  }
 
   /** The commit point: publish `files` as version `expected + 1`. Fails
     * (leaving staged files orphaned, all snapshots intact) if another
@@ -202,7 +258,9 @@ object SnapshotTable {
   private[graft] def commitManifest(spark: SparkSession, table: String,
       schema: StructType, files: Seq[String], expected: Long,
       meta: Map[String, String] = Map.empty,
-      partitionOf: Map[String, String] = Map.empty): Long = {
+      partitionOf: Map[String, String] = Map.empty,
+      statsOf: Map[String, Map[String, (String, String)]] = Map.empty)
+      : Long = {
     require(meta.forall { case (k, v) =>
       !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r') },
       "manifest meta keys/values must be line-safe and '='-free keys")
@@ -215,8 +273,15 @@ object SnapshotTable {
     val tmp = new Path(manifestDir(table),
       s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    val fileLines = files.map(p =>
-      partitionOf.get(p).fold(p)(v => s"$p\t$v"))
+    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    val fileLines = files.map { p =>
+      val partField = partitionOf.get(p).map(v => s"p=$v")
+      val statField = statsOf.get(p).filter(_.nonEmpty).map(st =>
+        "s=" + st.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s"${enc(c)}|${enc(mn)}|${enc(mx)}"
+        }.mkString(";"))
+      (p +: (partField.toSeq ++ statField.toSeq)).mkString("\t")
+    }
     try out.write(
       (Seq(Marker, "schema:" + schema.json) ++
         meta.toSeq.sortBy(_._1).map { case (k, v) => s"meta:$k=$v" } ++
@@ -283,14 +348,70 @@ object SnapshotTable {
       .parquet(files.map(f => s"$table/$f"): _*)
   }
 
+  /** Create a CLUSTERED table: rows are range-partitioned and sorted on
+    * `clusterCol` so each file covers a tight, near-disjoint value
+    * range, and per-file min/max for `statsCols` (default: the cluster
+    * column) are recorded in the manifest — the data-skipping layout
+    * (Iceberg/Delta OPTIMIZE ZORDER's one-dimension case; compose with
+    * ScalePatterns.withZValue for a multi-column z-order cluster key).
+    */
+  def createClustered(spark: SparkSession, table: String, df: DataFrame,
+      clusterCol: String, numFiles: Int = 8,
+      statsCols: Seq[String] = Nil): Long = {
+    require(currentVersion(spark, table) == 0,
+      s"$table already has committed snapshots")
+    val sc = if (statsCols.isEmpty) Seq(clusterCol) else statsCols
+    val arranged = df
+      .repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+    val files = stageBatch(arranged, table)
+    val stats = computeStats(spark, table, files, sc, df.schema)
+    commitManifest(spark, table, df.schema, files, 0L,
+      Map("statsCols" -> sc.mkString(",")), Map.empty, stats)
+  }
+
+  /** Read only the files whose recorded [min,max] for `column` can
+    * intersect [lo, hi] — FILE SKIPPING on manifest stats alone, no
+    * excluded file's footer is opened (suite-asserted via inputFiles).
+    * Files without stats for the column are kept (unprunable — a
+    * safety property, never a correctness one: callers still apply
+    * their row-level filter; skipping only shrinks the scan). Numeric
+    * columns compare as decimals, everything else as strings (exact
+    * for fixed-width renderings like ISO timestamps).
+    */
+  def readWhereRange(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    val snap = version match {
+      case Some(v) => readManifest(spark, table, v)
+      case None => loadCurrent(spark, table)
+    }
+    val numeric = snap.schema(column).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def le(x: String, y: String) =
+      if (numeric) BigDecimal(x) <= BigDecimal(y) else x <= y
+    val (loS, hiS) = (lo.toString, hi.toString)
+    val files = snap.files.filter { f =>
+      snap.statsOf.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => le(loS, mx) && le(mn, hiS)
+        case None => true // no stats recorded: cannot skip safely
+      }
+    }
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else spark.read.schema(snap.schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+  }
+
   /** Append `df` as new files — no existing file is touched, the
     * manifest grows by the new batch (the R22 verb, snapshot-committed).
     */
   def append(spark: SparkSession, table: String, df: DataFrame): Long = {
     val snap = loadCurrent(spark, table)
-    val (files, labels) = stageFor(snap, df, table)
+    val (files, labels, stats) = stageFor(snap, df, table)
     commitManifest(spark, table, snap.schema, snap.files ++ files,
-      snap.version, snap.meta, snap.partitionOf ++ labels)
+      snap.version, snap.meta, snap.partitionOf ++ labels,
+      snap.statsOf ++ stats)
   }
 
   /** Table-relative paths of the files that contain rows matching
@@ -326,10 +447,11 @@ object SnapshotTable {
     val rewritten = assignments.foldLeft(touched) { case (d, (c, v)) =>
       d.withColumn(c, when(predicate, v).otherwise(col(c)))
     }.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
-    val (fresh, labels) = stageFor(snap, rewritten, table)
+    val (fresh, labels, stats) = stageFor(snap, rewritten, table)
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema, keep ++ fresh,
-      snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels)
+      snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels,
+      (snap.statsOf -- hit) ++ stats)
     (v, matched, hit.size)
   }
 
@@ -348,12 +470,15 @@ object SnapshotTable {
       .parquet(hit.map(f => s"$table/$f"): _*)
     val deleted = touched.filter(matches).count()
     val survivors = touched.filter(!matches)
-    val (fresh, labels) =
-      if (survivors.isEmpty) (Nil, Map.empty[String, String])
+    val (fresh, labels, stats) =
+      if (survivors.isEmpty)
+        (Nil, Map.empty[String, String],
+          Map.empty[String, Map[String, (String, String)]])
       else stageFor(snap, survivors, table)
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema, keep ++ fresh,
-      snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels)
+      snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels,
+      (snap.statsOf -- hit) ++ stats)
     (v, deleted, hit.size)
   }
 
@@ -391,7 +516,8 @@ object SnapshotTable {
     val hit = snap.files.filter(rel => hitAbs.exists(a =>
       a.endsWith("/" + rel) || a.endsWith(rel)))
     val (rewrittenFiles, updated) = if (hit.isEmpty)
-      ((Nil: Seq[String], Map.empty[String, String]), 0L)
+      ((Nil: Seq[String], Map.empty[String, String],
+        Map.empty[String, Map[String, (String, String)]]), 0L)
     else {
       val touched = spark.read.schema(snap.schema)
         .parquet(hit.map(f => s"$table/$f"): _*)
@@ -410,14 +536,17 @@ object SnapshotTable {
     val inserts = src.join(
       cur.select(col(key)).distinct(), Seq(key), "left_anti")
     val nIns = inserts.count()
-    val (insertFiles, insertLabels) =
-      if (nIns == 0) (Nil, Map.empty[String, String])
+    val (insertFiles, insertLabels, insertStats) =
+      if (nIns == 0)
+        (Nil, Map.empty[String, String],
+          Map.empty[String, Map[String, (String, String)]])
       else stageFor(snap, inserts, table)
     if (updated == 0 && nIns == 0) return (snap.version, 0L, 0L, 0)
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema,
       keep ++ rewrittenFiles._1 ++ insertFiles, snap.version, snap.meta,
-      (snap.partitionOf -- hit) ++ rewrittenFiles._2 ++ insertLabels)
+      (snap.partitionOf -- hit) ++ rewrittenFiles._2 ++ insertLabels,
+      (snap.statsOf -- hit) ++ rewrittenFiles._3 ++ insertStats)
     (v, updated, nIns, hit.size)
   }
 
@@ -440,13 +569,16 @@ object SnapshotTable {
       .parquet(snap.files.map(r => s"$table/$r"): _*)
     // partitioned tables compact per partition (stageFor re-labels);
     // unpartitioned ones into ~targetMB files
-    val (fresh, labels) = snap.meta.get("partitionCol") match {
+    val (fresh, labels, stats) = snap.meta.get("partitionCol") match {
       case Some(_) => stageFor(snap, df0, table)
-      case None => (stageBatch(df0.repartition(nOut), table),
-        Map.empty[String, String])
+      case None =>
+        val files = stageBatch(df0.repartition(nOut), table)
+        (files, Map.empty[String, String],
+          computeStats(spark, table, files, declaredStatsCols(snap),
+            snap.schema))
     }
     val v = commitManifest(spark, table, snap.schema, fresh,
-      snap.version, snap.meta, labels)
+      snap.version, snap.meta, labels, stats)
     (v, snap.files.size, fresh.size)
   }
 
@@ -469,11 +601,11 @@ object SnapshotTable {
     val metaKey = s"lastBatchId.$queryKey"
     if (snap.meta.get(metaKey).exists(_.toLong >= batchId)) false
     else {
-      val (files, labels) = stageFor(snap,
+      val (files, labels, stats) = stageFor(snap,
         batch.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*), table)
       commitManifest(spark, table, snap.schema, snap.files ++ files,
         snap.version, snap.meta + (metaKey -> batchId.toString),
-        snap.partitionOf ++ labels)
+        snap.partitionOf ++ labels, snap.statsOf ++ stats)
       true
     }
   }
@@ -586,6 +718,22 @@ object SnapshotTable {
         .orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // Data skipping: a clustered table answers a narrow key-range query
+    // opening only the files whose manifest [min,max] intersects it
+    // (SnapshotSuite asserts the inputFiles count); the residual
+    // row-level filter keeps exactness, so the oracle is a plain
+    // BETWEEN scan.
+    "q_table_skipping" -> ((s, d) => {
+      val t = scratch(s, d, "sk")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      createClustered(s, t, orders, "o_orderkey", numFiles = 8)
+      readWhereRange(s, t, "o_orderkey", 1000, 2000)
+        .filter(col("o_orderkey").between(1000, 2000))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
     // Time travel: after the same update+delete commits, version 1 must
     // still read as the ORIGINAL table — the oracle is a plain scan of
     // orders, so a hash match proves the old snapshot is untouched by
@@ -618,6 +766,10 @@ object SnapshotTable {
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_table_timetravel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_table_skipping" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 2000
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     // o_totalprice + 100000 is one IEEE double addition — deterministic
     // and identical across engines

@@ -243,6 +243,45 @@ class SnapshotSuite extends AnyFunSuite {
       "the migrated row must leave its old partition")
   }
 
+  test("clustered table: readWhereRange skips files on manifest stats; " +
+      "mutations re-compute stats") {
+    val t = freshTable("skip")
+    SnapshotTable.createClustered(spark, t, orders, "o_orderkey",
+      numFiles = 8)
+    val snap = SnapshotTable.readManifest(spark, t, 1L)
+    assert(snap.files.size === 8)
+    assert(snap.statsOf.size === 8,
+      "every clustered file must carry o_orderkey stats")
+    // range clustering => near-disjoint files; a narrow range must open
+    // only the straddling file(s), not all 8
+    val lo = 1000L; val hi = 2000L
+    val pruned = SnapshotTable.readWhereRange(spark, t, "o_orderkey", lo, hi)
+    // sf0.001 keys span ~6k over 8 range files => a 1k range straddles
+    // up to 3 of them; the property under test is that the REST skip
+    assert(pruned.inputFiles.length <= 3,
+      s"narrow range opened ${pruned.inputFiles.length} of 8 files")
+    val got = pruned.filter(col("o_orderkey").between(lo, hi))
+      .orderBy(col("o_orderkey")).collect().map(_.toString).toSeq
+    val expect = orders.filter(col("o_orderkey").between(lo, hi))
+      .orderBy(col("o_orderkey")).collect().map(_.toString).toSeq
+    assert(got === expect)
+    // skipping never loses rows for ANY range (exactness property)
+    val all = SnapshotTable.readWhereRange(spark, t, "o_orderkey",
+      Long.MinValue, Long.MaxValue)
+    assert(all.count() === orders.count())
+    // a mutation re-computes stats for its staged files
+    SnapshotTable.updateWhere(spark, t,
+      col("o_orderkey").between(lo, hi),
+      Map("o_orderstatus" -> lit("K")))
+    val snap2 = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap2.statsOf.size === snap2.files.size,
+      "rewritten files must carry fresh stats")
+    val pruned2 = SnapshotTable.readWhereRange(spark, t, "o_orderkey", lo, hi)
+    assert(pruned2.filter(col("o_orderstatus") === "K").count() ===
+      expect.size.toLong)
+  }
+
   test("streaming batch commits are exactly-once: replays skip, meta " +
       "survives interleaved mutations") {
     val t = freshTable("stream")
