@@ -403,6 +403,57 @@ object SnapshotTable {
       .parquet(files.map(f => s"$table/$f"): _*)
   }
 
+  /** ADDITIVE schema evolution without rewriting a byte: commit a
+    * manifest whose schema appends `newFields`; every existing file
+    * reads the new columns as NULL (parquet by-name resolution), later
+    * writes carry them. Drops/renames are deliberately not offered —
+    * they need a rewrite (or Iceberg-style field ids) to be safe.
+    */
+  def addColumns(spark: SparkSession, table: String,
+      newFields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    val snap = loadCurrent(spark, table)
+    require(newFields.forall(f => !snap.schema.fieldNames.contains(f.name)),
+      "added columns must not collide with existing ones")
+    require(newFields.forall(_.nullable),
+      "added columns must be nullable (existing files have no values)")
+    commitManifest(spark, table,
+      StructType(snap.schema.fields ++ newFields), snap.files,
+      snap.version, snap.meta, snap.partitionOf, snap.statsOf)
+  }
+
+  /** Remove staged-but-never-committed batch dirs older than `graceMs`
+    * — crash debris from writers that died before their commit rename
+    * (whose files NO manifest of any version references). The grace
+    * period protects a live writer between staging and committing; run
+    * under the same no-concurrent-writer discipline as
+    * [[expireSnapshots]]. Returns batch dirs removed.
+    */
+  def vacuumOrphans(spark: SparkSession, table: String,
+      graceMs: Long = 3600000L): Int = {
+    val f = fs(spark, table)
+    val mDir = manifestDir(table)
+    if (!f.exists(mDir)) return 0
+    val versions = f.listStatus(mDir).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong
+      }.toVector
+    val referenced = versions
+      .flatMap(v => readManifest(spark, table, v).files)
+      .map(_.split('/')(1)).toSet // batch dir component of data/<b>/<f>
+    val dataDir = new Path(table, "data")
+    if (!f.exists(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
+    var removed = 0
+    f.listStatus(dataDir).filter(_.isDirectory).foreach { b =>
+      if (!referenced.contains(b.getPath.getName) &&
+          b.getModificationTime < cutoff) {
+        f.delete(b.getPath, true)
+        removed += 1
+      }
+    }
+    removed
+  }
+
   /** Append `df` as new files — no existing file is touched, the
     * manifest grows by the new batch (the R22 verb, snapshot-committed).
     */

@@ -282,6 +282,84 @@ class SnapshotSuite extends AnyFunSuite {
       expect.size.toLong)
   }
 
+  test("additive schema evolution: old files read NULL, no byte rewritten") {
+    val t = freshTable("evolve")
+    SnapshotTable.create(spark, t, orders, numFiles = 2)
+    val before = SnapshotTable.readManifest(spark, t, 1L)
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val v = SnapshotTable.addColumns(spark, t,
+      Seq(StructField("quality_tag", StringType, nullable = true)))
+    assert(v === 2L)
+    val after = SnapshotTable.readManifest(spark, t, 2L)
+    assert(after.files === before.files, "evolution must rewrite nothing")
+    val cur = SnapshotTable.read(spark, t)
+    assert(cur.schema.fieldNames.contains("quality_tag"))
+    assert(cur.filter(col("quality_tag").isNotNull).count() === 0L)
+    // later writes carry the new column; old rows stay NULL
+    SnapshotTable.append(spark, t,
+      spark.createDataFrame(Seq((9990001L, "Z", 1.0, "hq")))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "quality_tag"))
+    val cur2 = SnapshotTable.read(spark, t)
+    assert(cur2.filter(col("quality_tag") === "hq").count() === 1L)
+    // collision and non-nullable additions are rejected
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addColumns(spark, t,
+        Seq(StructField("o_orderkey", StringType, nullable = true)))
+    }
+    ()
+  }
+
+  test("vacuumOrphans removes only aged, unreferenced crash debris") {
+    val t = freshTable("vacuum")
+    SnapshotTable.create(spark, t, orders, numFiles = 2)
+    val pre = sortedRows(SnapshotTable.read(spark, t))
+    // a crashed writer's staged batch, aged past the grace period
+    val orphan = SnapshotTable.stageBatch(orders.limit(3), t)
+    val orphanDir = new org.apache.hadoop.fs.Path(
+      t, orphan.head.split('/').take(2).mkString("/"))
+    val fs = orphanDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+    fs.setTimes(orphanDir, old, old)
+    // a FRESH staged batch (a live writer mid-commit) must survive
+    val live = SnapshotTable.stageBatch(orders.limit(3), t)
+    val removed = SnapshotTable.vacuumOrphans(spark, t)
+    assert(removed === 1, "exactly the aged orphan goes")
+    assert(!fs.exists(orphanDir))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      t, live.head.split('/').take(2).mkString("/"))),
+      "in-grace staged batches must survive")
+    assert(sortedRows(SnapshotTable.read(spark, t)) === pre,
+      "committed data untouched")
+  }
+
+  test("z-order clustering composes with stats: range queries on EITHER " +
+      "dimension skip files") {
+    val t = freshTable("zorder")
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val z = graft.operators.ScalePatterns.withZValue(
+      li, Seq("l_partkey", "l_suppkey"), bits = 10, zCol = "zv")
+    val t0 = SnapshotTable.createClustered(spark, t, z, "zv",
+      numFiles = 16, statsCols = Seq("l_partkey", "l_suppkey"))
+    assert(t0 === 1L)
+    val snap = SnapshotTable.readManifest(spark, t, 1L)
+    assert(snap.statsOf.size === snap.files.size)
+    val maxPk = li.agg(max(col("l_partkey"))).head().getLong(0)
+    val maxSk = li.agg(max(col("l_suppkey"))).head().getLong(0)
+    // a narrow slice on EACH dimension must skip a real fraction of the
+    // 16 z-clustered files — the property plain 1-D sorting can't give
+    Seq(("l_partkey", maxPk), ("l_suppkey", maxSk)).foreach {
+      case (dim, mx) =>
+        val lo = 0L; val hi = mx / 8
+        val pruned = SnapshotTable.readWhereRange(spark, t, dim, lo, hi)
+        assert(pruned.inputFiles.length < snap.files.size,
+          s"$dim slice opened every file — z-stats not pruning")
+        val got = pruned.filter(col(dim).between(lo, hi)).count()
+        val expect = li.filter(col(dim).between(lo, hi)).count()
+        assert(got === expect, s"$dim skipping lost rows")
+    }
+  }
+
   test("streaming batch commits are exactly-once: replays skip, meta " +
       "survives interleaved mutations") {
     val t = freshTable("stream")
