@@ -168,8 +168,11 @@ object Ingest {
     * read -> conditional rewrite -> two-phase copy through a staging
     * path (stage fully written before the target is overwritten; NOT
     * atomic — a crash between the two writes leaves the stage copy as
-    * the recovery source; transactional tables are a format concern,
-    * e.g. Iceberg/Delta, outside vanilla parquet).
+    * the recovery source). This is the SIMPLE tier for plain-parquet
+    * tables a caller doesn't control the layout of; the production
+    * 100 TB tier is [[graft.sources.SnapshotTable.updateWhere]] —
+    * atomic manifest commits, only affected files rewritten, time
+    * travel (and the same verb family: delete/merge/compact/append).
     * Returns the number of rows that matched the predicate.
     */
   def updateWhere(spark: SparkSession, tablePath: String,

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{NumericType, StructType}
+
+/** Catalyst-integrated snapshot scan: a custom [[FileIndex]] whose
+  * `listFiles` prunes the snapshot's file list with the MANIFEST's
+  * partition labels and column stats when Catalyst pushes data filters
+  * down — so `SnapshotTable.scan(spark, t).filter($"k" === 42)` (or the
+  * same predicate through `spark.sql` on a registered view) opens only
+  * the files that can contain matches, with NO explicit
+  * readWhere/readWhereRange call. This is the Delta/Iceberg
+  * `TahoeFileIndex` integration shape: scan planning runs on metadata,
+  * the parquet reader then applies its own row-group pruning inside the
+  * surviving files, and the row-level filter keeps exactness.
+  *
+  * Pruning is CONSERVATIVE: only predicate shapes the translator
+  * understands can exclude a file (equality/range/IN on a column with
+  * recorded stats or the partition label, composed with AND/OR);
+  * everything else keeps the file. Exclusion is therefore always
+  * sound — an excluded file provably contains no matching row.
+  */
+class SnapshotFileIndex(spark: SparkSession, table: String,
+    snap: SnapshotTable.Snapshot) extends FileIndex {
+
+  private val statuses: Seq[(String, FileStatus)] = {
+    val p = new Path(table)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snap.files.map(rel => rel -> f.getFileStatus(new Path(table, rel)))
+  }
+
+  /** Test hook: how many files the last `listFiles` call planned. */
+  @volatile var lastPlannedFiles: Int = -1
+
+  override def rootPaths: Seq[Path] = Seq(new Path(table))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def inputFiles: Array[String] =
+    statuses.map(_._2.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = statuses.filter { case (rel, _) =>
+      dataFilters.forall(e => mayMatch(rel, e))
+    }
+    lastPlannedFiles = kept.size
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+  }
+
+  private val pcol = snap.meta.get("partitionCol")
+
+  /** Can `file` possibly hold a row satisfying `e`? (false only on a
+    * provable exclusion.)
+    */
+  private def mayMatch(file: String, e: Expression): Boolean = e match {
+    case And(l, r) => mayMatch(file, l) && mayMatch(file, r)
+    case Or(l, r) => mayMatch(file, l) || mayMatch(file, r)
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      boundsAdmit(file, a.name, l, lo = true, hi = true)
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      boundsAdmit(file, a.name, l, lo = true, hi = true)
+    case GreaterThan(a: AttributeReference, l: Literal) =>
+      boundsAdmit(file, a.name, l, lo = true, hi = false)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      boundsAdmit(file, a.name, l, lo = true, hi = false)
+    case LessThan(a: AttributeReference, l: Literal) =>
+      boundsAdmit(file, a.name, l, lo = false, hi = true)
+    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+      boundsAdmit(file, a.name, l, lo = false, hi = true)
+    case GreaterThan(l: Literal, a: AttributeReference) =>
+      boundsAdmit(file, a.name, l, lo = false, hi = true)
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+      boundsAdmit(file, a.name, l, lo = false, hi = true)
+    case LessThan(l: Literal, a: AttributeReference) =>
+      boundsAdmit(file, a.name, l, lo = true, hi = false)
+    case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+      boundsAdmit(file, a.name, l, lo = true, hi = false)
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => boundsAdmit(file, a.name,
+        v.asInstanceOf[Literal], lo = true, hi = true))
+    case _: IsNotNull => true // no null counts in the manifest
+    case _ => true
+  }
+
+  /** `lo`: the predicate needs rows with value ≥ literal to exist, so
+    * the file admits it iff literal ≤ max; `hi`: needs value ≤ literal,
+    * so literal ≥ min must hold. EqualTo checks both sides.
+    */
+  private def boundsAdmit(file: String, column: String, l: Literal,
+      lo: Boolean, hi: Boolean): Boolean = {
+    val v = render(l)
+    if (v == null) return true
+    // exact partition label beats range stats for the partition column
+    if (pcol.contains(column)) {
+      snap.partitionOf.get(file) match {
+        case Some(label) if lo && hi => return label == v
+        case _ => ()
+      }
+    }
+    snap.statsOf.get(file).flatMap(_.get(column)) match {
+      case Some((mn, mx)) =>
+        val numeric = snap.schema.fieldNames.contains(column) &&
+          snap.schema(column).dataType.isInstanceOf[NumericType]
+        // unparseable numeric repr -> no exclusion (soundness first);
+        // string compare is java-lexicographic, matching the ASCII
+        // renderings `computeStats` records
+        def le(x: String, y: String): Boolean =
+          if (numeric)
+            try BigDecimal(x) <= BigDecimal(y)
+            catch { case _: NumberFormatException => true }
+          else x <= y
+        (!hi || le(mn, v)) && (!lo || le(v, mx))
+      case None => true
+    }
+  }
+
+  private def render(l: Literal): String = l.value match {
+    case null => null
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case other => other.toString
+  }
+}
+
+object SnapshotScan {
+
+  /** The Catalyst-planned snapshot read: filters on this frame (or on a
+    * view registered from it) prune files through the manifest
+    * automatically. Pins the CURRENT snapshot at call time, like
+    * [[SnapshotTable.read]].
+    */
+  def scan(spark: SparkSession, table: String,
+      version: Option[Long] = None): (DataFrame, SnapshotFileIndex) = {
+    val snap = version match {
+      case Some(v) => SnapshotTable.readManifest(spark, table, v)
+      case None => SnapshotTable.readManifest(spark, table,
+        SnapshotTable.currentVersion(spark, table))
+    }
+    val index = new SnapshotFileIndex(spark, table, snap)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = snap.schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    (GraftShim.ofRows(spark, LogicalRelation(relation, isStreaming = false)),
+      index)
+  }
+}

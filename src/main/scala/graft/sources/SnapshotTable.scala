@@ -785,6 +785,22 @@ object SnapshotTable {
         .orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // The Catalyst-integrated scan (SnapshotScan/SnapshotFileIndex): a
+    // PLAIN .filter() on the scan frame — no readWhereRange call —
+    // plans a pruned file set because Catalyst pushes the predicate
+    // into the manifest-backed FileIndex (SnapshotSuite asserts the
+    // planned file count). Oracle: the same BETWEEN scan.
+    "q_table_scan_pushdown" -> ((s, d) => {
+      val t = scratch(s, d, "sp")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      createClustered(s, t, orders, "o_orderkey", numFiles = 8)
+      SnapshotScan.scan(s, t)._1
+        .filter(col("o_orderkey").between(100, 1300))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
     // Time travel: after the same update+delete commits, version 1 must
     // still read as the ORIGINAL table — the oracle is a plain scan of
     // orders, so a hash match proves the old snapshot is untouched by
@@ -821,6 +837,10 @@ object SnapshotTable {
     "q_table_skipping" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2000
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_table_scan_pushdown" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey BETWEEN 100 AND 1300
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     // o_totalprice + 100000 is one IEEE double addition — deterministic
     // and identical across engines

@@ -282,6 +282,25 @@ class SnapshotSuite extends AnyFunSuite {
       expect.size.toLong)
   }
 
+  test("affected-file detection plan: the predicate reaches the parquet " +
+      "scan as a pushed filter with key-only ReadSchema") {
+    val t = freshTable("plan")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    val snap = SnapshotTable.readManifest(spark, t, 1L)
+    // the same frame updateWhere/deleteWhere build to find affected
+    // files: predicate + file provenance only
+    val probe = spark.read.schema(snap.schema)
+      .parquet(snap.files.map(f => s"$t/$f"): _*)
+      .filter(col("o_orderkey") === 42L)
+      .select(input_file_name().as("__f")).distinct()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), " +
+        "EqualTo(o_orderkey,42)]"),
+      s"predicate must push into the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint>"),
+      "only the predicate column may be read for file detection")
+  }
+
   test("additive schema evolution: old files read NULL, no byte rewritten") {
     val t = freshTable("evolve")
     SnapshotTable.create(spark, t, orders, numFiles = 2)
@@ -358,6 +377,41 @@ class SnapshotSuite extends AnyFunSuite {
         val expect = li.filter(col(dim).between(lo, hi)).count()
         assert(got === expect, s"$dim skipping lost rows")
     }
+  }
+
+  test("SnapshotScan: Catalyst pushes filters into the manifest index — " +
+      "plain .filter() skips files with no explicit readWhereRange") {
+    import graft.sources.SnapshotScan
+    val t = freshTable("scan")
+    SnapshotTable.createClustered(spark, t, orders, "o_orderkey",
+      numFiles = 8)
+    val nAll = orders.count()
+
+    // range predicate through the ordinary DataFrame API
+    val (df, idx) = SnapshotScan.scan(spark, t)
+    val narrow = df.filter(col("o_orderkey").between(1000L, 2000L))
+    val gotN = narrow.count()
+    assert(idx.lastPlannedFiles >= 1 && idx.lastPlannedFiles <= 3,
+      s"Catalyst-planned file count ${idx.lastPlannedFiles} of 8")
+    assert(gotN === orders.filter(col("o_orderkey").between(1000L, 2000L))
+      .count())
+
+    // the same predicate through spark.sql on a registered view
+    df.createOrReplaceTempView("snap_scan_view")
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM snap_scan_view WHERE o_orderkey = 1000")
+      .head().getLong(0)
+    assert(idx.lastPlannedFiles === 1,
+      "an equality predicate via SQL must plan exactly 1 file")
+    assert(viaSql ===
+      orders.filter(col("o_orderkey") === 1000L).count())
+
+    // unprunable predicate shapes stay sound: full scan, full result
+    assert(df.filter(length(col("o_orderstatus")) >= 0).count() === nAll)
+    assert(idx.lastPlannedFiles === 8)
+
+    // aggregation with no filter reads everything
+    assert(df.count() === nAll)
   }
 
   test("streaming batch commits are exactly-once: replays skip, meta " +
