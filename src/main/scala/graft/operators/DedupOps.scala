@@ -356,11 +356,14 @@ object DedupOps {
     // index-maintenance scale): fit the persisted band index on the
     // standing corpus, tombstone-delete a deterministic slice, COMPACT
     // (the bytes physically leave disk), then probe the incoming batch
-    // against the compacted index. No oracle (the result depends on the
-    // persisted index's delete/compact lifecycle state, not a pure
-    // query over the corpus — the band keys themselves became
-    // md5-portable in r11); DedupSimilaritySuite asserts the result
-    // equals the undeleted probe minus exactly the deleted docs.
+    // against the compacted index. HARD ORACLE since round 11: the
+    // bands are md5-portable, and a correct fit/delete/compact/probe
+    // lifecycle must leave the index SEMANTICALLY equal to "bands of
+    // (standing minus deleted)" — so DuckDB derives the expected result
+    // from the corpus alone, and any lifecycle bug (tombstone leak,
+    // compaction loss, stale band) breaks the hash match.
+    // DedupSimilaritySuite additionally asserts the result equals the
+    // undeleted probe minus exactly the deleted docs.
     "q_dedup_index_takedown" -> ((s, d) => {
       val path = s"/tmp/graft_mh_takedown_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       val sh = shingleRows(s, d)
@@ -563,7 +566,10 @@ object DedupOps {
     * by the q_dedup_minhash oracle and the q_dedup_clusters_lsh
     * transitive-closure oracle.
     */
-  private[operators] def minhashPairCtes: String = {
+  /** The band-derivation prefix (shingles -> portable hash -> affine
+    * minhashes -> 16 band keys) shared by every LSH oracle tail.
+    */
+  private[operators] def minhashBandCtes: String = {
     val mask32 = (BigInt(1) << 32) - 1
     // wrapping a·h+b mod 2^64 in 32-bit limbs (INT128 cannot hold the
     // full u64×u64 product): with h = h1·2^32 + h2 and a = a1·2^32 + a2,
@@ -600,7 +606,11 @@ object DedupOps {
        |$mins
        |  FROM aff GROUP BY doc_id),
        |bands AS (
-       |$bands),
+       |$bands)""".stripMargin
+  }
+
+  private[operators] def minhashPairCtes: String =
+    s"""$minhashBandCtes,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |  FROM bands x JOIN bands y
@@ -617,8 +627,8 @@ object DedupOps {
        |      + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS jaccard
        |  FROM ver
        |  WHERE floor((inter / (sz1 + sz2 - inter)) * 10000
-       |      + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) >= 0.5)""".stripMargin
-  }
+       |      + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) >= 0.5)"""
+      .stripMargin
 
   /** DuckDB derivation of the EXACT q_dedup_simhash pair set: per-bit
     * ±1 sums over the md5-half bits, HUGEINT signature assembly (bit 63
@@ -663,6 +673,29 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // the index lifecycle restated as a pure corpus query: d1 ranges
+    // over the standing corpus minus the tombstoned slice, d2 over the
+    // incoming batch; band-collision candidates, exact-jaccard verify
+    "q_dedup_index_takedown" ->
+      s"""WITH $minhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y ON x.band = y.band
+         |  WHERE x.doc_id % 5 <> 0 AND NOT (x.doc_id % 10 = 1)
+         |    AND y.doc_id % 5 = 0 AND x.doc_id <> y.doc_id),
+         |ver AS (
+         |  SELECT c.d1, c.d2, len(list_intersect(a.shs, b.shs)) AS inter,
+         |    len(a.shs) AS sz1, len(b.shs) AS sz2
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1
+         |  JOIN sh b ON b.doc_id = c.d2)
+         |SELECT d1, d2,
+         |  floor((inter / (sz1 + sz2 - inter)) * 10000
+         |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS jaccard
+         |FROM ver
+         |WHERE floor((inter / (sz1 + sz2 - inter)) * 10000
+         |    + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) >= 0.5
+         |ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $minhashPairCtes
          |SELECT d1, d2, jaccard FROM lsh_pairs

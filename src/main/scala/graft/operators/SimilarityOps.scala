@@ -143,9 +143,12 @@ object SimilarityOps {
     }),
 
     // LSH-bucketed approximate neighbors: 6 sign-bit planes -> 64
-    // buckets; top-3 per query within its bucket. No oracle (bucket
-    // assignment depends on engine-side constants); recall vs brute
-    // force asserted in SimilaritySuite.
+    // buckets; top-3 per query within its bucket. HARD ORACLE since
+    // round 11: the plane constants are interpolated into the SQL and
+    // the bucket dot is an explicit left-associated multiply-add chain
+    // — the identical IEEE operation sequence as the engine's fold, so
+    // the sign (and hence every bucket) matches bit-exactly. Recall vs
+    // brute force additionally asserted in SimilaritySuite.
     "q_sim_ann_lsh" -> ((s, d) => {
       val planes = hyperplanes(6, 64)
       val planesCol = array(planes.toIndexedSeq.map(p =>
@@ -173,7 +176,44 @@ object SimilarityOps {
     })
   )
 
+  /** DuckDB derivation of the exact q_sim_ann_lsh result — see the
+    * query comment. Bucket bit p weights 2^(5-p) (the engine's
+    * acc*2+bit fold); the cosine tail reuses the proven list_sum form.
+    */
+  private def lshOracle: String = {
+    val planes = hyperplanes(6, 64)
+    val dots = planes.map { p =>
+      p.zipWithIndex.map { case (c, i) =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * ($c)"
+      }.mkString(" + ")
+    }
+    val bucket = dots.zipWithIndex.map { case (d, pi) =>
+      s"(CASE WHEN ($d) >= 0 THEN ${1 << (5 - pi)} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |    ($bucket) AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid, q.bucket AS bucket,
+       |    floor((list_sum(list_transform(list_zip(q.embedding, n.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      / (q.nrm * n.nrm)) * 10000 + CAST(0.5 AS DOUBLE))
+       |      / CAST(10000 AS DOUBLE) AS cos
+       |  FROM e q JOIN e n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, bucket, cos, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos DESC NULLS LAST,
+       |      nid ASC NULLS FIRST) AS rnk
+       |  FROM scored)
+       |SELECT qid, rnk, nid, cos, bucket FROM ranked WHERE rnk <= 3
+       |ORDER BY qid ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_sim_ann_lsh" -> lshOracle,
     "q_sim_topk_cosine" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
