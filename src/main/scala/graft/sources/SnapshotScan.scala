@@ -31,7 +31,16 @@ class SnapshotFileIndex(spark: SparkSession, table: String,
   private val statuses: Seq[(String, FileStatus)] = {
     val p = new Path(table)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    snap.files.map(rel => rel -> f.getFileStatus(new Path(table, rel)))
+    // one listStatus per batch DIR, not one getFileStatus per file: at
+    // production file counts the per-file RPC is the metadata
+    // bottleneck (a manifest of 800k files = 800k round trips vs one
+    // per batch); the dir listing also matches object-store batching
+    val byDir = snap.files.groupBy(r => r.split('/').dropRight(1).mkString("/"))
+    val listed: Map[String, FileStatus] = byDir.keys.flatMap { dir =>
+      f.listStatus(new Path(table, dir)).iterator.filter(_.isFile)
+        .map(st => s"$dir/${st.getPath.getName}" -> st)
+    }.toMap
+    snap.files.map(rel => rel -> listed(rel))
   }
 
   /** Test hook: how many files the last `listFiles` call planned. */

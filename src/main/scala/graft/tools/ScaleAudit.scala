@@ -55,9 +55,12 @@ object ScaleAudit {
     "q_basket_pairs", "q_dedup_embedding", "q_pq_search", "q_ivfpq_search",
     "q_dedup_winnow",
     // round 11: the PassJoin tier (candidate growth is data-dependent —
-    // measured here, not argued) and the forced-distributed BPE trainer
+    // measured here, not argued), the forced-distributed BPE trainer,
+    // and the snapshot-table mutation lifecycle (create + file-granular
+    // update + delete + read — dominated by the create write, so the
+    // bound proves the metadata layer adds no super-linear cost)
     "q_join_edit_distance", "q_entity_resolution",
-    "q_bpe_train_distributed")
+    "q_bpe_train_distributed", "q_table_snapshot")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0
