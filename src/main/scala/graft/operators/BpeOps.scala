@@ -230,11 +230,11 @@ object BpeOps {
       train(Tables.documents(s, d)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // The learned merge table — the tokenizer artifact itself. No SQL
-    // oracle (iterative argmax is not expressible as one query);
-    // BpeSuite replays the published algorithm over the collected
-    // word-freq dict on the driver and asserts the merge lists are
-    // IDENTICAL, plus determinism across runs.
+    // The learned merge table — the tokenizer artifact itself. Oracle:
+    // the 16 merge rounds UNROLLED into one DuckDB query (see
+    // [[trainRoundsSql]]); BpeSuite additionally replays the published
+    // algorithm over the collected word-freq dict on the driver and
+    // asserts the merge lists are IDENTICAL, plus determinism.
     "q_bpe_train" -> ((s, d) => {
       import s.implicits._
       trainedFor(s, d).merges
@@ -259,5 +259,99 @@ object BpeOps {
     })
   )
 
-  val oracle: Map[String, String] = Map.empty // iterative argmax; suite-pinned
+  /** DuckDB replay of BPE training: the fixed 16 merge rounds UNROLLED
+    * into one chained-CTE query, so the "iterative argmax" objection to
+    * an oracle dissolves — the round count is a compile-time constant,
+    * and each round is pure SQL:
+    *
+    *   - pair counts: explode adjacent symbol pairs weighted by word freq
+    *   - argmax: ORDER BY n DESC, a, b LIMIT 1 (the engine's exact
+    *     tie-break; corpus words are ASCII so DuckDB's byte collation
+    *     and the JVM's UTF-16 compare agree)
+    *   - non-overlapping left-to-right merge: DuckDB 1.0's list_reduce
+    *     cannot thread a list accumulator, but greedy non-overlap is
+    *     expressible POSITIONALLY — a run of consecutive matched pair
+    *     starts only occurs when left==right, and greedy merging takes
+    *     exactly the odd-ranked starts of each run (run-parity via
+    *     window functions), consuming the following symbol.
+    *
+    * Early stop (minFreq 2) needs no control flow: once the best pair
+    * drops below 2 the round's merge gate (mm.n >= 2) makes every later
+    * round an identity rewrite of an unchanged dictionary, so the same
+    * sub-2 argmax recurs and the final WHERE n >= 2 drops them all —
+    * exactly the rounds the engine never ran.
+    *
+    * Every CTE is MATERIALIZED: rounds reference their predecessor
+    * twice (pair counts + positions), so DuckDB's default inline-and-
+    * copy planning would duplicate the whole prefix 2^16 times.
+    */
+  private def trainRoundsSql(nMerges: Int): String = {
+    val rounds = (0 until nMerges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      j -> {'a': syms[j], 'b': syms[j+1]})) AS pr
+         |    FROM r$k) GROUP BY pr.a, pr.b),
+         |m$k AS MATERIALIZED (SELECT a, b, n FROM p$k ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         |mm$k AS MATERIALIZED (SELECT coalesce(max(a), '') AS a, coalesce(max(b), '') AS b,
+         |  CAST(coalesce(max(n), 0) AS BIGINT) AS n FROM m$k),
+         |pos$k AS MATERIALIZED (
+         |  SELECT word, freq, unnest(syms) AS s,
+         |         unnest(range(1, len(syms) + 1)) AS i
+         |  FROM r$k),
+         |fl$k AS MATERIALIZED (
+         |  SELECT word, freq, s, i, mm$k.a AS ma, mm$k.b AS mb,
+         |    (mm$k.n >= 2 AND s = mm$k.a AND
+         |     lead(s) OVER (PARTITION BY word ORDER BY i) = mm$k.b) AS matched
+         |  FROM pos$k CROSS JOIN mm$k),
+         |rs$k AS MATERIALIZED (
+         |  SELECT *, sum(CASE WHEN matched THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY word ORDER BY i
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM fl$k),
+         |rk$k AS MATERIALIZED (
+         |  SELECT *, CASE WHEN matched THEN row_number()
+         |      OVER (PARTITION BY word, grp, matched ORDER BY i) ELSE 0 END AS rn
+         |  FROM rs$k),
+         |tk$k AS MATERIALIZED (
+         |  SELECT *, (matched AND rn % 2 = 1) AS tk,
+         |    lag(matched AND rn % 2 = 1, 1, false)
+         |      OVER (PARTITION BY word ORDER BY i) AS consumed
+         |  FROM rk$k),
+         |r${k + 1} AS MATERIALIZED (
+         |  SELECT word, freq, list(o ORDER BY i) FILTER (o IS NOT NULL) AS syms
+         |  FROM (SELECT word, freq, i,
+         |    CASE WHEN tk THEN ma || mb WHEN consumed THEN NULL ELSE s END AS o
+         |    FROM tk$k)
+         |  GROUP BY word, freq)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+       |    FROM documents) WHERE length(word) > 0 GROUP BY word),
+       |r0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    list_append(list_transform(range(1, length(word) + 1),
+       |      i -> substring(word, i, 1)), '</w>') AS syms
+       |  FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  private val defaultMerges = 16
+
+  val oracle: Map[String, String] = Map(
+    "q_bpe_train" -> (trainRoundsSql(defaultMerges) + "\n" +
+      (0 until defaultMerges).map { k =>
+        s"""  SELECT CAST($k AS INT) AS merge_idx, a AS left_sym, b AS right_sym, n AS pair_freq FROM mm$k WHERE n >= 2"""
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)") +
+      " ORDER BY merge_idx ASC NULLS FIRST"),
+    "q_bpe_tokenize" -> (trainRoundsSql(defaultMerges) +
+      s""",
+         |dict AS MATERIALIZED (SELECT word, len(syms) AS n_sym FROM r$defaultMerges),
+         |w AS MATERIALIZED (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+         |      FROM documents)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id, word FROM w WHERE length(word) > 0) x
+         |JOIN dict USING (word)
+         |GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 }

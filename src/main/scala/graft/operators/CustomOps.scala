@@ -137,6 +137,28 @@ object CustomOps {
         |    * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS density,
         |  count(1) AS n
         |FROM orders GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+    // The generator's parse restated for this query's constructed cell:
+    // paren-depth-aware line split keeps the "(brand\ncode)" newline
+    // INSIDE the br line (a naive newline split would emit a bogus
+    // "code)" fragment and lose the parenthetical), first-'=' split,
+    // then norm = lowercase + collapse-whitespace + trim on both sides.
+    // A parser that mishandled the protected newline hash-mismatches.
+    "q_udtf_abbrev_pairs" ->
+      """WITH cells AS (
+        |  SELECT p_partkey, p_type, p_brand, CAST(p_size AS VARCHAR) AS sz
+        |  FROM part)
+        |SELECT p_partkey, abbrev, expansion FROM (
+        |  SELECT p_partkey, 'pt' AS abbrev,
+        |    trim(regexp_replace(lower(p_type), '\s+', ' ', 'g')) AS expansion
+        |  FROM cells
+        |  UNION ALL
+        |  SELECT p_partkey, 'br',
+        |    trim(regexp_replace(lower(p_brand || ' (brand
+        |code)'), '\s+', ' ', 'g'))
+        |  FROM cells
+        |  UNION ALL
+        |  SELECT p_partkey, 'sz', sz FROM cells)
+        |ORDER BY p_partkey ASC NULLS FIRST, abbrev ASC NULLS FIRST""".stripMargin
   )
 }
