@@ -89,8 +89,11 @@ object SnapshotTable {
       statsOf: Map[String, Map[String, (String, String)]] = Map.empty)
 
   def readManifest(spark: SparkSession, table: String,
-      version: Long): Snapshot = {
-    val p = manifestPath(table, version)
+      version: Long): Snapshot =
+    readManifestAt(spark, table, manifestPath(table, version), version)
+
+  private def readManifestAt(spark: SparkSession, table: String,
+      p: Path, version: Long): Snapshot = {
     val in = fs(spark, table).open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
@@ -250,6 +253,24 @@ object SnapshotTable {
     (files, labels, stats)
   }
 
+  private def renderManifest(schema: StructType, files: Seq[String],
+      meta: Map[String, String],
+      partitionOf: Map[String, String],
+      statsOf: Map[String, Map[String, (String, String)]]): Array[Byte] = {
+    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    val fileLines = files.map { p =>
+      val partField = partitionOf.get(p).map(v => s"p=$v")
+      val statField = statsOf.get(p).filter(_.nonEmpty).map(st =>
+        "s=" + st.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s"${enc(c)}|${enc(mn)}|${enc(mx)}"
+        }.mkString(";"))
+      (p +: (partField.toSeq ++ statField.toSeq)).mkString("\t")
+    }
+    (Seq(Marker, "schema:" + schema.json) ++
+      meta.toSeq.sortBy(_._1).map { case (k, v) => s"meta:$k=$v" } ++
+      fileLines).mkString("\n").getBytes("UTF-8")
+  }
+
   /** The commit point: publish `files` as version `expected + 1`. Fails
     * (leaving staged files orphaned, all snapshots intact) if another
     * writer committed first — optimistic concurrency on the manifest
@@ -273,20 +294,7 @@ object SnapshotTable {
     val tmp = new Path(manifestDir(table),
       s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
-    val fileLines = files.map { p =>
-      val partField = partitionOf.get(p).map(v => s"p=$v")
-      val statField = statsOf.get(p).filter(_.nonEmpty).map(st =>
-        "s=" + st.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-          s"${enc(c)}|${enc(mn)}|${enc(mx)}"
-        }.mkString(";"))
-      (p +: (partField.toSeq ++ statField.toSeq)).mkString("\t")
-    }
-    try out.write(
-      (Seq(Marker, "schema:" + schema.json) ++
-        meta.toSeq.sortBy(_._1).map { case (k, v) => s"meta:$k=$v" } ++
-        fileLines).mkString("\n")
-        .getBytes("UTF-8"))
+    try out.write(renderManifest(schema, files, meta, partitionOf, statsOf))
     finally out.close()
     val target = manifestPath(table, next)
     // exists+rename, not atomic CAS — the documented filesystem-catalog
@@ -437,8 +445,14 @@ object SnapshotTable {
       .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toLong
       }.toVector
-    val referenced = versions
-      .flatMap(v => readManifest(spark, table, v).files)
+    // unpublished WAP candidates reference their staged batches — they
+    // are pending commits under audit, not crash debris
+    val stagedRefs = f.listStatus(mDir).iterator.map(_.getPath)
+      .filter(p => p.getName.startsWith("staged-") &&
+        p.getName.endsWith(".manifest"))
+      .flatMap(p => readManifestAt(spark, table, p, -1L).files).toVector
+    val referenced = (versions
+      .flatMap(v => readManifest(spark, table, v).files) ++ stagedRefs)
       .map(_.split('/')(1)).toSet // batch dir component of data/<b>/<f>
     val dataDir = new Path(table, "data")
     if (!f.exists(dataDir)) return 0
@@ -694,7 +708,15 @@ object SnapshotTable {
         n.stripPrefix("v").stripSuffix(".manifest").toLong
       }.toVector.sorted
     val (expire, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
-    val live = keep.flatMap(v => readManifest(spark, table, v).files).toSet
+    // staged WAP candidates keep their files live until published or
+    // abandoned — expiry must not pull data out from under an audit
+    val stagedLive = f.listStatus(dir).iterator.map(_.getPath)
+      .filter(p => p.getName.startsWith("staged-") &&
+        p.getName.endsWith(".manifest"))
+      .flatMap(p => readManifestAt(spark, table, p, -1L).files).toVector
+    val live =
+      (keep.flatMap(v => readManifest(spark, table, v).files) ++
+        stagedLive).toSet
     expire.foreach(v => f.delete(manifestPath(table, v), false))
     val dataDir = new Path(table, "data")
     var removed = 0
@@ -714,6 +736,161 @@ object SnapshotTable {
       }
     }
     (expire.size, removed)
+  }
+
+  /** Change data feed between two committed versions, derived from the
+    * MANIFEST DIFF alone: data files are immutable, so files listed by
+    * both versions cannot contribute changes and only the files added
+    * or removed between the two manifests are read — change detection
+    * costs IO proportional to the churn, never to the table (at 100 TB
+    * a one-file update feeds a two-file diff, not a table scan).
+    *
+    * Mutations rewrite whole files, so the raw file diff over-reports
+    * rows merely carried through a rewrite; the feed nets them out with
+    * multiset difference, leaving exactly the logical changes:
+    *
+    *   inserts = rows(to-only files) EXCEPT ALL rows(from-only files)
+    *   deletes = rows(from-only files) EXCEPT ALL rows(to-only files)
+    *
+    * An UPDATE therefore surfaces as its pre-image `delete` plus
+    * post-image `insert` row pair — the convention CDC consumers expect
+    * from a table without a change-tracking column. Files added and
+    * removed BETWEEN the endpoints (transient churn) appear in neither
+    * manifest's diff, so the feed is automatically endpoint-to-endpoint
+    * net, like Delta's CDF between versions. Additive schema evolution
+    * between the versions is handled by reading each side with its own
+    * manifest schema and aligning by name (columns added since
+    * `fromVersion` read as NULL on the old side).
+    *
+    * Output: the `toVersion` schema plus a `change_type` column
+    * ('insert' | 'delete').
+    */
+  def changesBetween(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
+    val from = readManifest(spark, table, fromVersion)
+    val to = readManifest(spark, table, toVersion)
+    val fromSet = from.files.toSet
+    val toSet = to.files.toSet
+    val removed = from.files.filterNot(toSet)
+    val added = to.files.filterNot(fromSet)
+    def readFiles(schema: StructType, files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+    val outCols = to.schema.fieldNames
+    val oldHas = from.schema.fieldNames.toSet
+    val oldRows = readFiles(from.schema, removed).select(outCols.map(c =>
+      if (oldHas(c)) col(c)
+      else lit(null).cast(to.schema(c).dataType).as(c)).toIndexedSeq: _*)
+    val newRows = readFiles(to.schema, added)
+      .select(outCols.map(col).toIndexedSeq: _*)
+    newRows.exceptAll(oldRows).withColumn("change_type", lit("insert"))
+      .unionAll(
+        oldRows.exceptAll(newRows).withColumn("change_type", lit("delete")))
+  }
+
+  /** Roll the table back to `version` as a NEW commit, never by erasing
+    * history: the restore manifest re-lists the old snapshot's files
+    * verbatim, so the commit is METADATA-ONLY — zero data files are
+    * read, copied, or rewritten regardless of table size, and the
+    * rolled-back snapshots stay readable for forensics until expired.
+    * Fails fast if any restored file was already garbage-collected by
+    * [[expireSnapshots]]. Stream high-water marks (`lastBatchId.*`) are
+    * kept from the CURRENT snapshot, not the restored one — rolling
+    * data back must not re-open the exactly-once window and let an old
+    * micro-batch double-commit. Returns the new version.
+    */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val cur = loadCurrent(spark, table)
+    val old = readManifest(spark, table, version)
+    val f = fs(spark, table)
+    old.files.foreach(r => require(f.exists(new Path(table, r)),
+      s"cannot restore v$version: data file $r was expired"))
+    val streamMarks = cur.meta.filter(_._1.startsWith("lastBatchId."))
+    commitManifest(spark, table, old.schema, old.files, cur.version,
+      old.meta ++ streamMarks + ("restoredFrom" -> version.toString),
+      old.partitionOf, old.statsOf)
+  }
+
+  private def stagedManifestPath(table: String, token: String) =
+    new Path(manifestDir(table), s"staged-$token.manifest")
+
+  /** WRITE-AUDIT-PUBLISH, step 1 (write): stage `df` as a CANDIDATE
+    * append — data files written, candidate manifest written to
+    * `_manifests/staged-<token>.manifest` — but INVISIBLE to every
+    * reader: version resolution only considers `v<N>.manifest`, so the
+    * table serves the old snapshot until (and unless) the candidate is
+    * published. This is the audit-before-live pattern every production
+    * ingestion pipeline needs (Iceberg's WAP / Nessie branches): the
+    * quality gate reads the EXACT bytes that would go live, not a copy.
+    * The candidate records its base version and re-validates it at
+    * publish time. Returns the audit token.
+    */
+  def stageAppend(spark: SparkSession, table: String,
+      df: DataFrame): String = {
+    val snap = loadCurrent(spark, table)
+    val (files, labels, stats) = stageFor(snap, df, table)
+    val token = java.util.UUID.randomUUID().toString
+    val f = fs(spark, table)
+    val p = stagedManifestPath(table, token)
+    val out = f.create(p, false)
+    try out.write(renderManifest(snap.schema, snap.files ++ files,
+      snap.meta + ("wapBase" -> snap.version.toString),
+      snap.partitionOf ++ labels, snap.statsOf ++ stats))
+    finally out.close()
+    token
+  }
+
+  /** WAP step 2 (audit): the candidate snapshot as a DataFrame — the
+    * exact file set that would go live, base rows included.
+    */
+  def readStaged(spark: SparkSession, table: String,
+      token: String): DataFrame = {
+    val snap = readManifestAt(spark, table,
+      stagedManifestPath(table, token), -1L)
+    if (snap.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else spark.read.schema(snap.schema)
+      .parquet(snap.files.map(f => s"$table/$f"): _*)
+  }
+
+  /** WAP step 3 (publish): promote the audited candidate to the next
+    * version. METADATA-ONLY — the data files were written at stage time
+    * and the audit read exactly them, so publishing moves no bytes; it
+    * re-renders the manifest without the WAP marker and commits through
+    * the same optimistic rename as every other commit. Fails if any
+    * commit landed after the candidate's base version (the candidate
+    * would silently drop that commit's changes — rebase by re-staging).
+    */
+  def publishStaged(spark: SparkSession, table: String,
+      token: String): Long = {
+    val p = stagedManifestPath(table, token)
+    val snap = readManifestAt(spark, table, p, -1L)
+    val base = snap.meta.getOrElse("wapBase",
+      throw new IllegalStateException(s"$p carries no wapBase")).toLong
+    val cur = currentVersion(spark, table)
+    if (cur != base)
+      throw new IllegalStateException(
+        s"publish conflict at $table: candidate staged on v$base but " +
+          s"current is v$cur; re-stage on the new base")
+    val v = commitManifest(spark, table, snap.schema, snap.files, base,
+      snap.meta - "wapBase", snap.partitionOf, snap.statsOf)
+    fs(spark, table).delete(p, false)
+    v
+  }
+
+  /** Abandon an unpublished candidate: drop its manifest (the audit
+    * verdict was no). Its data files become ordinary crash debris for
+    * [[vacuumOrphans]] — nothing was ever visible, nothing to undo.
+    */
+  def abandonStaged(spark: SparkSession, table: String,
+      token: String): Unit = {
+    fs(spark, table).delete(stagedManifestPath(table, token), false)
+    ()
   }
 
   /** Session-scoped scratch root (keyed by applicationId like
@@ -801,6 +978,112 @@ object SnapshotTable {
         .orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // Change data feed across the update+delete commits (v1 -> v3):
+    // reads ONLY the manifest-diff files, nets rewrite carry-through
+    // with EXCEPT ALL, emits pre/post images. The oracle derives the
+    // same logical diff from first principles: final-state EXCEPT ALL
+    // original = inserts, original EXCEPT ALL final-state = deletes —
+    // a hash match proves the file-diff feed equals the logical diff.
+    "q_table_changes" -> ((s, d) => {
+      val t = scratch(s, d, "cd")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      create(s, t, orders, numFiles = 8)
+      updateWhere(s, t, col("o_orderkey") % 100 === 0,
+        Map("o_orderstatus" -> lit("X"),
+          "o_totalprice" -> col("o_totalprice") * 2))
+      deleteWhere(s, t, col("o_orderkey") % 17 === 3)
+      changesBetween(s, t, 1L, 3L)
+        .orderBy(col("change_type").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first)
+    }),
+
+    // WRITE-AUDIT-PUBLISH: a good candidate batch is staged, audited on
+    // the EXACT bytes that would go live, and published (metadata-only
+    // promote); a bad batch (NULL statuses) is staged, fails the same
+    // audit, and is abandoned — never visible to any reader. The final
+    // read must equal base + good batch only, which is what the oracle
+    // replays.
+    "q_table_wap" -> ((s, d) => {
+      val t = scratch(s, d, "wp")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      create(s, t, orders, numFiles = 4)
+      def audited(batch: DataFrame): Unit = {
+        val tok = stageAppend(s, t, batch)
+        if (readStaged(s, t, tok)
+            .filter(col("o_orderstatus").isNull).count() == 0)
+          publishStaged(s, t, tok)
+        else abandonStaged(s, t, tok)
+        ()
+      }
+      audited(orders.filter(col("o_orderkey") % 40 === 0)
+        .select((col("o_orderkey") + 20000000).as("o_orderkey"),
+          lit("W").as("o_orderstatus"), col("o_totalprice")))
+      audited(orders.filter(col("o_orderkey") % 55 === 0)
+        .select((col("o_orderkey") + 30000000).as("o_orderkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          col("o_totalprice")))
+      read(s, t).orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
+    // Incremental materialized-view maintenance over the change feed:
+    // the v1 aggregate is refreshed to v3 by applying ONLY the netted
+    // delta (insert rows +1, delete rows -1 — classic signed-delta
+    // maintenance), so the refresh reads churn, never the table. The
+    // measures are counts and sums of INTEGRAL quantities (exact in
+    // doubles), so the incremental result is bit-identical to a full
+    // recompute — which is exactly what the oracle computes from the
+    // source table, making the hash match the maintenance proof.
+    "q_table_incremental_agg" -> ((s, d) => {
+      val t = scratch(s, d, "iv")
+      fs(s, t).delete(new Path(t), true)
+      val items = graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+      create(s, t, items, numFiles = 8)
+      val view1 = read(s, t, version = Some(1L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      updateWhere(s, t, col("l_orderkey") % 100 === 0,
+        Map("l_quantity" -> (col("l_quantity") + 5)))
+      deleteWhere(s, t, col("l_orderkey") % 17 === 3)
+      val delta = changesBetween(s, t, 1L, 3L)
+        .withColumn("w",
+          when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("w")).as("dn"),
+          sum(col("w") * col("l_quantity")).as("dqty"))
+      view1.join(delta, Seq("l_returnflag"), "full_outer")
+        .select(col("l_returnflag"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("qty"), lit(0d)) + coalesce(col("dqty"), lit(0d)))
+            .as("qty"))
+        .filter(col("n") > 0)
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    }),
+
+    // Rollback: restore(v1) after the same two mutations is a
+    // metadata-only commit (SnapshotSuite asserts the restored manifest
+    // lists v1's files verbatim — no data rewrite); reading the current
+    // snapshot must hash-match the ORIGINAL table.
+    "q_table_restore" -> ((s, d) => {
+      val t = scratch(s, d, "rs")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      create(s, t, orders, numFiles = 8)
+      updateWhere(s, t, col("o_orderkey") % 100 === 0,
+        Map("o_orderstatus" -> lit("X")))
+      deleteWhere(s, t, col("o_orderkey") % 17 === 3)
+      restore(s, t, 1L)
+      read(s, t)
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
     // Time travel: after the same update+delete commits, version 1 must
     // still read as the ORIGINAL table — the oracle is a plain scan of
     // orders, so a hash match proves the old snapshot is untouched by
@@ -834,6 +1117,46 @@ object SnapshotTable {
     "q_table_timetravel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // the logical diff from first principles; *2 is exponent-only IEEE
+    "q_table_changes" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 17 = 3)),
+        |base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders)
+        |SELECT *, 'insert' AS change_type FROM
+        |  (SELECT * FROM fin EXCEPT ALL SELECT * FROM base)
+        |UNION ALL
+        |SELECT *, 'delete' AS change_type FROM
+        |  (SELECT * FROM base EXCEPT ALL SELECT * FROM fin)
+        |ORDER BY change_type ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_table_restore" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // base + the batch that passed its audit; the abandoned batch must
+    // leave no trace
+    "q_table_wap" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, 'W', o_totalprice FROM orders
+        |WHERE o_orderkey % 40 = 0
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // the FULL recompute — hash-equal to the engine's delta-maintained
+    // view because every measure is integral (exact in doubles)
+    "q_table_incremental_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  sum(CASE WHEN l_orderkey % 100 = 0 THEN l_quantity + 5
+        |    ELSE l_quantity END) AS qty
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 17 = 3)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "q_table_skipping" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2000

@@ -490,4 +490,172 @@ class SnapshotSuite extends AnyFunSuite {
     assert(got.collect().map(_.toString).toSeq ===
       expect.collect().map(_.toString).toSeq)
   }
+
+  test("changesBetween reads only manifest-diff files and nets rewrite " +
+      "carry-through to the exact logical change set") {
+    val t = freshTable("cdf")
+    SnapshotTable.create(spark, t, orders, numFiles = 8)
+    val key = orders.select(min(col("o_orderkey"))).head().getLong(0)
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") === key,
+      Map("o_orderstatus" -> lit("Z")))
+    val m1 = SnapshotTable.readManifest(spark, t, 1L)
+    val m2 = SnapshotTable.readManifest(spark, t, 2L)
+    val churn = (m1.files.toSet -- m2.files) ++ (m2.files.toSet -- m1.files)
+    val changes = SnapshotTable.changesBetween(spark, t, 1L, 2L)
+    // IO bound: the feed's scan plans only the diff files (1 removed +
+    // its rewrite output), never the 7 untouched ones
+    val planned = changes.inputFiles.toSet
+    assert(planned.nonEmpty &&
+      planned.forall(abs => churn.exists(rel => abs.endsWith(rel))),
+      s"feed must read only the ${churn.size} diff files, planned $planned")
+    // netting: the rewritten file carried ~1/8 of the table, but only
+    // the single updated row may surface — as its delete+insert pair
+    val rows = changes.collect()
+    assert(rows.length === 2, s"expected one pre/post pair, got ${rows.toSeq}")
+    val byType = rows.groupBy(_.getAs[String]("change_type"))
+    assert(byType("delete").head.getAs[Long]("o_orderkey") === key)
+    assert(byType("insert").head.getAs[Long]("o_orderkey") === key)
+    assert(byType("delete").head.getAs[String]("o_orderstatus") !== "Z")
+    assert(byType("insert").head.getAs[String]("o_orderstatus") === "Z")
+    // a no-op span is empty
+    assert(SnapshotTable.changesBetween(spark, t, 2L, 2L).count() === 0L)
+  }
+
+  test("changesBetween spans additive schema evolution: old side reads " +
+      "the new column as NULL") {
+    val t = freshTable("cdfevo")
+    SnapshotTable.create(spark, t, orders, numFiles = 2)
+    SnapshotTable.addColumns(spark, t, Seq(
+      org.apache.spark.sql.types.StructField("o_note",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val key = orders.select(max(col("o_orderkey"))).head().getLong(0)
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") === key,
+      Map("o_note" -> lit("edited")))
+    val changes = SnapshotTable.changesBetween(spark, t, 1L, 3L).collect()
+    assert(changes.length === 2)
+    val del = changes.find(_.getAs[String]("change_type") == "delete").get
+    val ins = changes.find(_.getAs[String]("change_type") == "insert").get
+    assert(del.getAs[String]("o_note") === null,
+      "pre-evolution row must read the added column as NULL")
+    assert(ins.getAs[String]("o_note") === "edited")
+  }
+
+  test("restore is a metadata-only commit: v1's files verbatim, content " +
+      "restored, history intact, stream marks kept") {
+    val t = freshTable("restore")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    val v1Rows = sortedRows(SnapshotTable.read(spark, t))
+    // a streaming commit raises the exactly-once high-water mark
+    SnapshotTable.commitStreamBatch(spark, t, orders.limit(3), 7L, "q")
+    SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 3 === 0)
+    val v = SnapshotTable.restore(spark, t, 1L)
+    assert(v === 4L)
+    val m1 = SnapshotTable.readManifest(spark, t, 1L)
+    val m4 = SnapshotTable.readManifest(spark, t, 4L)
+    assert(m4.files === m1.files,
+      "restore must re-list v1's files verbatim — no data rewrite")
+    assert(m4.meta.get("restoredFrom") === Some("1"))
+    assert(m4.meta.get("lastBatchId.q") === Some("7"),
+      "restore must not roll back the exactly-once stream mark")
+    assert(sortedRows(SnapshotTable.read(spark, t)) === v1Rows)
+    // the rolled-back snapshots remain readable for forensics
+    assert(SnapshotTable.read(spark, t, Some(3L)).count() < v1Rows.size)
+    // a replay of the committed batch id must STILL be rejected
+    assert(!SnapshotTable.commitStreamBatch(spark, t, orders.limit(3), 7L, "q"))
+  }
+
+  test("q_table_incremental_agg: delta-maintained view is bit-identical " +
+      "to the full recompute") {
+    val got = SnapshotTable.queries("q_table_incremental_agg")(spark, sf)
+      .collect()
+    val recompute = Tables.lineitem(spark, sf)
+      .filter(!(col("l_orderkey") % 17 === 3))
+      .select(col("l_returnflag"),
+        when(col("l_orderkey") % 100 === 0, col("l_quantity") + 5)
+          .otherwise(col("l_quantity")).as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+      .collect()
+    assert(got.map(_.toString).toSeq === recompute.map(_.toString).toSeq)
+  }
+
+  test("WAP: staged candidate is invisible until published, publish is " +
+      "a metadata-only promote, abandon leaves no trace") {
+    val t = freshTable("wap")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    val baseRows = sortedRows(SnapshotTable.read(spark, t))
+    val batch = orders.limit(10)
+      .select((col("o_orderkey") + 5000000).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val tok = SnapshotTable.stageAppend(spark, t, batch)
+    // invisible: no version advanced, readers see the base snapshot
+    assert(SnapshotTable.currentVersion(spark, t) === 1L)
+    assert(sortedRows(SnapshotTable.read(spark, t)) === baseRows)
+    // the audit reads the exact candidate byte-set: base + batch
+    assert(SnapshotTable.readStaged(spark, t, tok).count() ===
+      baseRows.size + 10L)
+    // vacuum with zero grace must NOT collect the candidate's batch
+    assert(SnapshotTable.vacuumOrphans(spark, t, graceMs = 0L) === 0)
+    // publish: version advances, no new data files were staged by the
+    // promote itself (manifest lists base files + the already-staged
+    // batch files verbatim)
+    val fsT = new org.apache.hadoop.fs.Path(t, "data")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirsBefore = fsT.listStatus(
+      new org.apache.hadoop.fs.Path(t, "data")).count(_.isDirectory)
+    val v = SnapshotTable.publishStaged(spark, t, tok)
+    assert(v === 2L)
+    val batchDirsAfter = fsT.listStatus(
+      new org.apache.hadoop.fs.Path(t, "data")).count(_.isDirectory)
+    assert(batchDirsAfter === batchDirsBefore,
+      "publish must move metadata only — no new data batch")
+    assert(SnapshotTable.read(spark, t).count() === baseRows.size + 10L)
+    // abandon: a second candidate vanishes without a version
+    val tok2 = SnapshotTable.stageAppend(spark, t, batch
+      .select((col("o_orderkey") + 1000000).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice")))
+    SnapshotTable.abandonStaged(spark, t, tok2)
+    assert(SnapshotTable.currentVersion(spark, t) === 2L)
+    // and its data is now ordinary crash debris for the vacuum
+    assert(SnapshotTable.vacuumOrphans(spark, t, graceMs = 0L) === 1)
+    assert(SnapshotTable.read(spark, t).count() === baseRows.size + 10L)
+  }
+
+  test("WAP: publish fails if a commit landed after the candidate's base") {
+    val t = freshTable("wapconflict")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    val tok = SnapshotTable.stageAppend(spark, t, orders.limit(5)
+      .select((col("o_orderkey") + 7000000).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice")))
+    // an independent writer commits first
+    SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 5 === 0)
+    val afterConflict = sortedRows(SnapshotTable.read(spark, t))
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.publishStaged(spark, t, tok)
+    }
+    assert(e.getMessage.contains("re-stage"))
+    assert(SnapshotTable.currentVersion(spark, t) === 2L)
+    assert(sortedRows(SnapshotTable.read(spark, t)) === afterConflict,
+      "a refused publish must not disturb the committed table")
+  }
+
+  test("q_table_changes equals the first-principles logical diff") {
+    val got = SnapshotTable.queries("q_table_changes")(spark, sf).collect()
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val fin = o.select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 100 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 100 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .filter(!(col("o_orderkey") % 17 === 3))
+    val expect = fin.exceptAll(o).withColumn("change_type", lit("insert"))
+      .unionAll(o.exceptAll(fin).withColumn("change_type", lit("delete")))
+      .orderBy(col("change_type").asc_nulls_first,
+        col("o_orderkey").asc_nulls_first)
+    assert(got.map(_.toString).toSeq ===
+      expect.collect().map(_.toString).toSeq)
+  }
 }
