@@ -234,10 +234,144 @@ object SnapshotTable {
     snap.meta.get("statsCols").toSeq
       .flatMap(_.split(',').toSeq).filter(_.nonEmpty)
 
+  private def declaredBloomCols(snap: Snapshot): Seq[String] =
+    snap.meta.get("bloomCols").toSeq
+      .flatMap(_.split(',').toSeq).filter(_.nonEmpty)
+
+  private def bloomSidecarPath(table: String, batch: String,
+      col: String): Path =
+    new Path(s"$table/data/$batch",
+      "bloom-" + java.net.URLEncoder.encode(col, "UTF-8") + ".idx")
+
+  private val BloomMarker = "graft-bloom-1"
+
+  /** Per-file bloom sidecars for a FRESHLY STAGED batch: one
+    * aggregation pass over the new files (grouped by provenance, custom
+    * mergeable bloom aggregate — never a job per file), one small
+    * sidecar text file per (batch, column) next to the data. Sidecars
+    * are immutable like the data files they index: carried-over files
+    * keep their original batch's sidecar, so mutations never degrade
+    * index coverage, and batch-dir GC removes index and data together.
+    */
+  private def writeBloomSidecars(spark: SparkSession, table: String,
+      files: Seq[String], bloomCols: Seq[String], schema: StructType,
+      fpp: Double = 0.01): Unit = {
+    if (files.isEmpty || bloomCols.isEmpty) return
+    import spark.implicits._
+    val batches = files.map(_.split('/')(1)).distinct
+    val rowsPerFile = math.max(1024L,
+      spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+        .count() / files.size)
+    val agg = new graft.functions.BloomLongAgg(rowsPerFile * 2, fpp)
+    bloomCols.foreach { c =>
+      require(schema(c).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"bloom index requires a BIGINT column, got ${schema(c).dataType} for $c")
+      val perFile = spark.read.schema(schema)
+        .parquet(files.map(f => s"$table/$f"): _*)
+        .select(input_file_name().as("__f"), col(c).as("__v"))
+        .filter(col("__v").isNotNull)
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg.toColumn.name("bloom"))
+        .collect()
+      val byBatch = perFile.flatMap { case (abs, bytes) =>
+        files.find(f => abs.endsWith("/" + f) || abs.endsWith(f))
+          .map(rel => (rel.split('/')(1), rel, bytes))
+      }.groupBy(_._1)
+      batches.foreach { b =>
+        val entries = byBatch.getOrElse(b, Array.empty)
+        val body = (BloomMarker +: entries.sortBy(_._2).map { case (_, rel, bytes) =>
+          rel + "\t" + java.util.Base64.getEncoder.encodeToString(bytes)
+        }.toSeq).mkString("\n")
+        val out = fs(spark, table).create(bloomSidecarPath(table, b, c), true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+      }
+    }
+  }
+
+  /** Load the bloom for each of `files` on `column`, reading each
+    * distinct batch's sidecar ONCE (metadata-tier IO: one small file per
+    * batch). Files without an entry map to None — they stay unprunable,
+    * preserving exactness.
+    */
+  private def loadBlooms(spark: SparkSession, table: String,
+      files: Seq[String], column: String)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val f = fs(spark, table)
+    files.map(_.split('/')(1)).distinct.flatMap { b =>
+      val p = bloomSidecarPath(table, b, column)
+      if (!f.exists(p)) Nil
+      else {
+        val in = f.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        if (!lines.headOption.contains(BloomMarker)) Nil
+        else lines.drop(1).filter(_.nonEmpty).map { l =>
+          val Array(rel, b64) = l.split('\t')
+          rel -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(b64)))
+        }
+      }
+    }.toMap
+  }
+
+  /** Create a table with per-file BLOOM SIDECAR indexes on `bloomCols`
+    * (BIGINT columns): point lookups on those columns skip files
+    * WITHOUT any clustering requirement — a specific key lives in ~1 of
+    * N hash-distributed files, and the bloom proves absence for the
+    * rest (min/max stats are useless there: every file spans the whole
+    * key range). The sidecars live beside their batch's data files, so
+    * the manifest stays file-list-sized; every mutation re-indexes its
+    * staged batch ([[stageFor]]), so coverage never degrades.
+    */
+  def createBloomIndexed(spark: SparkSession, table: String, df: DataFrame,
+      bloomCols: Seq[String], numFiles: Int = 8): Long = {
+    require(currentVersion(spark, table) == 0,
+      s"$table already has committed snapshots")
+    val files = stageBatch(df.repartition(numFiles), table)
+    writeBloomSidecars(spark, table, files, bloomCols, df.schema)
+    commitManifest(spark, table, df.schema, files, 0L,
+      Map("bloomCols" -> bloomCols.mkString(",")))
+  }
+
+  /** Point-lookup read on a bloom-indexed column: prune every file
+    * whose bloom rejects ALL probe values (no false negatives — a
+    * skipped file provably holds none of them), then apply the exact
+    * residual filter to the survivors. False positives only widen the
+    * scan, never the result.
+    */
+  def readWherePoint(spark: SparkSession, table: String, column: String,
+      values: Set[Long], version: Option[Long] = None): DataFrame = {
+    val snap = version match {
+      case Some(v) => readManifest(spark, table, v)
+      case None => loadCurrent(spark, table)
+    }
+    val blooms = loadBlooms(spark, table, snap.files, column)
+    val kept = snap.files.filter { rel =>
+      blooms.get(rel) match {
+        case Some(bf) => values.exists(bf.mightContainLong)
+        case None => true
+      }
+    }
+    val frame =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      else spark.read.schema(snap.schema)
+        .parquet(kept.map(f => s"$table/$f"): _*)
+    frame.filter(col(column).isin(values.toSeq: _*))
+  }
+
   /** Stage `df` respecting the table's declared layout metadata: a
-    * partitioned table keeps EVERY new batch partition-labeled, and a
+    * partitioned table keeps EVERY new batch partition-labeled, a
     * stats-tracking table re-computes per-file min/max for its declared
-    * columns — mutations never degrade manifest pruning.
+    * columns, and a bloom-indexed table writes fresh sidecars for the
+    * staged batch — mutations never degrade manifest pruning or the
+    * point-lookup index.
     */
   private def stageFor(snap: Snapshot, df: DataFrame, table: String)
       : (Seq[String], Map[String, String],
@@ -250,6 +384,8 @@ object SnapshotTable {
     }
     val stats = computeStats(df.sparkSession, table, files,
       declaredStatsCols(snap), snap.schema)
+    writeBloomSidecars(df.sparkSession, table, files,
+      declaredBloomCols(snap), snap.schema)
     (files, labels, stats)
   }
 
@@ -1000,6 +1136,25 @@ object SnapshotTable {
           col("o_orderkey").asc_nulls_first)
     }),
 
+    // Bloom point-lookup skipping: the table is NOT clustered on the
+    // key (round-robin files — min/max stats span the whole range in
+    // every file and prune nothing), yet a point lookup opens ~1 file
+    // because each file's bloom sidecar proves absence for the rest.
+    // The probe-key list is collected first (a model-bounded handful of
+    // values — blooms probe values, not predicates); the oracle replays
+    // the same modulus selection as a plain filter.
+    "q_table_bloom_skip" -> ((s, d) => {
+      val t = scratch(s, d, "bl")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      createBloomIndexed(s, t, orders, Seq("o_orderkey"), numFiles = 8)
+      val keys = orders.filter(col("o_orderkey") % 7777 === 0)
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+      readWherePoint(s, t, "o_orderkey", keys)
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
     // WRITE-AUDIT-PUBLISH: a good candidate batch is staged, audited on
     // the EXACT bytes that would go live, and published (metadata-only
     // promote); a bad batch (NULL statuses) is staged, fails the same
@@ -1138,6 +1293,12 @@ object SnapshotTable {
         |ORDER BY change_type ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_table_restore" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // the same point set as a plain filter — bloom skipping must never
+    // change results, only the files opened
+    "q_table_bloom_skip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 7777 = 0
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     // base + the batch that passed its audit; the abandoned batch must
     // leave no trace

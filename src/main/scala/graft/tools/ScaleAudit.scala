@@ -60,7 +60,13 @@ object ScaleAudit {
     // update + delete + read — dominated by the create write, so the
     // bound proves the metadata layer adds no super-linear cost)
     "q_join_edit_distance", "q_entity_resolution",
-    "q_bpe_train_distributed", "q_table_snapshot")
+    "q_bpe_train_distributed", "q_table_snapshot",
+    // round 11b: the change-data-feed lifecycle (create + update +
+    // delete + manifest-diff changes read) — locks the "IO proportional
+    // to churn" claim under measurement; churn here scales linearly
+    // with the table (modulus predicates), so the bound is the
+    // standard linear one
+    "q_table_changes")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0

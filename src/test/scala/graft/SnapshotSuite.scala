@@ -622,6 +622,48 @@ class SnapshotSuite extends AnyFunSuite {
     assert(SnapshotTable.read(spark, t).count() === baseRows.size + 10L)
   }
 
+  test("bloom sidecar index: point lookup opens ~1 of 8 unclustered " +
+      "files, mutations keep coverage, results never change") {
+    val t = freshTable("bloom")
+    SnapshotTable.createBloomIndexed(spark, t, orders,
+      Seq("o_orderkey"), numFiles = 8)
+    val key = orders.select(min(col("o_orderkey"))).head().getLong(0)
+    val probe = SnapshotTable.readWherePoint(spark, t, "o_orderkey", Set(key))
+    // unclustered: every file spans the key range, min/max would prune
+    // nothing — the bloom must cut 8 files to the 1 holding the key
+    // (plus at most a rare false positive)
+    assert(probe.inputFiles.length <= 2,
+      s"bloom should skip most files, opened ${probe.inputFiles.length}")
+    assert(probe.count() === 1L)
+    assert(probe.head().getAs[Long]("o_orderkey") === key)
+    // a mutation stages a new batch; its sidecar must be written too
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") === key,
+      Map("o_orderstatus" -> lit("B")))
+    val probe2 = SnapshotTable.readWherePoint(spark, t, "o_orderkey", Set(key))
+    assert(probe2.inputFiles.length <= 2,
+      "post-mutation probe must still skip on the fresh batch's sidecar")
+    assert(probe2.head().getAs[String]("o_orderstatus") === "B")
+    // absent key: every bloom rejects, zero files opened, empty result
+    val absent = SnapshotTable.readWherePoint(spark, t, "o_orderkey",
+      Set(-12345L))
+    assert(absent.count() === 0L)
+    // multi-value probe equals the plain filter (exactness)
+    val keys = orders.filter(col("o_orderkey") % 1111 === 0)
+      .collect().map(_.getLong(0)).toSet
+    if (keys.nonEmpty) {
+      val got = SnapshotTable
+        .readWherePoint(spark, t, "o_orderkey", keys)
+        .orderBy(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+      assert(got === keys.toSeq.sorted)
+    }
+    // a table WITHOUT the index answers the same probe unpruned
+    val t2 = freshTable("nobloom")
+    SnapshotTable.create(spark, t2, orders, numFiles = 4)
+    val plain = SnapshotTable.readWherePoint(spark, t2, "o_orderkey", Set(key))
+    assert(plain.inputFiles.length === 4, "no sidecar => no pruning")
+    assert(plain.count() === 1L)
+  }
+
   test("WAP: publish fails if a commit landed after the candidate's base") {
     val t = freshTable("wapconflict")
     SnapshotTable.create(spark, t, orders, numFiles = 4)
