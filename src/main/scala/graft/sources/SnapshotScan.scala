@@ -154,6 +154,12 @@ object SnapshotScan {
       case None => SnapshotTable.readManifest(spark, table,
         SnapshotTable.currentVersion(spark, table))
     }
+    // fail honestly rather than resurrect vector-deleted rows: the raw
+    // FileIndex relation has no seam for the DV anti join — compact()
+    // purges the vectors, after which the Catalyst scan is exact again
+    require(snap.deleteFiles.isEmpty,
+      s"$table v${snap.version} carries deletion vectors; read it via " +
+        "SnapshotTable.read (DV-applying) or compact() to purge them")
     val index = new SnapshotFileIndex(spark, table, snap)
     val relation = HadoopFsRelation(
       location = index,

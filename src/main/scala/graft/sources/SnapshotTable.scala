@@ -86,7 +86,8 @@ object SnapshotTable {
   final case class Snapshot(version: Long, schema: StructType,
       files: Seq[String], meta: Map[String, String] = Map.empty,
       partitionOf: Map[String, String] = Map.empty,
-      statsOf: Map[String, Map[String, (String, String)]] = Map.empty)
+      statsOf: Map[String, Map[String, (String, String)]] = Map.empty,
+      deleteFiles: Seq[String] = Nil)
 
   def readManifest(spark: SparkSession, table: String,
       version: Long): Snapshot =
@@ -103,7 +104,8 @@ object SnapshotTable {
     val schema = DataType.fromJson(lines(1).stripPrefix("schema:"))
       .asInstanceOf[StructType]
     val body = lines.drop(2).filter(_.nonEmpty)
-    val (metaLines, fileLines) = body.partition(_.startsWith("meta:"))
+    val (metaLines, rest) = body.partition(_.startsWith("meta:"))
+    val (dvLines, fileLines) = rest.partition(_.startsWith("dv:"))
     val meta = metaLines.map(_.stripPrefix("meta:")).map { kv =>
       val i = kv.indexOf('=')
       kv.take(i) -> kv.drop(i + 1)
@@ -130,7 +132,8 @@ object SnapshotTable {
     }
     Snapshot(version, schema, parsed.map(_._1), meta,
       parsed.collect { case (f, Some(v), _) => f -> v }.toMap,
-      parsed.collect { case (f, _, st) if st.nonEmpty => f -> st }.toMap)
+      parsed.collect { case (f, _, st) if st.nonEmpty => f -> st }.toMap,
+      dvLines.map(_.stripPrefix("dv:")))
   }
 
   private def loadCurrent(spark: SparkSession, table: String): Snapshot = {
@@ -139,9 +142,9 @@ object SnapshotTable {
     readManifest(spark, table, v)
   }
 
-  /** Pin `version` (or the current snapshot) and return its DataFrame.
-    * The file list is resolved HERE — commits that land afterwards do
-    * not change what this frame reads.
+  /** Pin `version` (or the current snapshot) and return its DataFrame,
+    * deletion vectors applied. The file list is resolved HERE — commits
+    * that land afterwards do not change what this frame reads.
     */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
@@ -149,12 +152,94 @@ object SnapshotTable {
       case Some(v) => readManifest(spark, table, v)
       case None => loadCurrent(spark, table)
     }
-    if (snap.files.isEmpty)
-      spark.createDataFrame(
+    readFilesDv(spark, table, snap, snap.files)
+  }
+
+  /** The location-independent identity of a data file: its
+    * `data/<batch>/...` suffix — exactly the manifest's relative path
+    * (partitioned files carry their `__part=` subdir too), extractable
+    * from `_metadata.file_path` wherever the table lives. Deletion
+    * vectors key on it (plus row position), so a moved table keeps its
+    * deletes. Anchored on the batch-dir prefix (`b-`/`dv-` + uuid), so
+    * partition subdirectories don't truncate the key.
+    */
+  private def fileKeyOf(absCol: Column): Column =
+    regexp_extract(absCol, "data/(?:b|dv)-[^/]+/.*$", 0)
+
+  /** Read `files` under snapshot `snap` with its DELETION VECTORS
+    * applied: rows whose (file key, row position) appear in a delete
+    * file are anti-joined away. The anti join's build side is
+    * delete-sized (broadcast-able in the common case; AQE picks the
+    * strategy), and a DV-free snapshot reads with zero overhead —
+    * the plain scan, no provenance columns, full codegen.
+    */
+  private def readFilesDv(spark: SparkSession, table: String,
+      snap: Snapshot, files: Seq[String]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else
+    if (snap.deleteFiles.isEmpty)
       spark.read.schema(snap.schema)
-        .parquet(snap.files.map(f => s"$table/$f"): _*)
+        .parquet(files.map(f => s"$table/$f"): _*)
+    else
+      readFilesDvProv(spark, table, snap, files)
+        .drop("__fk", "__rp")
+  }
+
+  /** As [[readFilesDv]] but KEEPING the provenance columns `__fk`
+    * (file key) and `__rp` (row position) — the coordinates a new
+    * deletion vector records.
+    */
+  private def readFilesDvProv(spark: SparkSession, table: String,
+      snap: Snapshot, files: Seq[String]): DataFrame = {
+    val base = spark.read.schema(snap.schema)
+      .parquet(files.map(f => s"$table/$f"): _*)
+      .withColumn("__fk", fileKeyOf(expr("_metadata.file_path")))
+      .withColumn("__rp", expr("_metadata.row_index"))
+    if (snap.deleteFiles.isEmpty) base
+    else {
+      val dv = spark.read
+        .parquet(snap.deleteFiles.map(d => s"$table/$d"): _*)
+        .select(col("file_key").as("__dk"), col("pos").as("__dp"))
+      base.join(dv,
+        base("__fk") === col("__dk") && base("__rp") === col("__dp"),
+        "left_anti")
+    }
+  }
+
+  /** Row-level DELETE as a DELETION VECTOR commit (the Delta DV /
+    * Iceberg position-delete shape): instead of rewriting every file
+    * that contains a matching row, write only the matched rows'
+    * (file key, row position) pairs as a small delete file and commit a
+    * manifest that references it — the data files are untouched, so a
+    * needle-in-a-haystack delete costs IO proportional to the MATCHES,
+    * not to the files they live in. Readers anti-join the vectors at
+    * scan time; [[compact]] purges them (materializes the deletes and
+    * clears the vector list). Matching runs on the LIVE view, so
+    * re-deleting already-deleted rows is a no-op. Returns (new version,
+    * rows deleted).
+    */
+  def deleteWhereVector(spark: SparkSession, table: String,
+      predicate: Column): (Long, Long) = {
+    val snap = loadCurrent(spark, table)
+    val matches = coalesce(predicate, lit(false))
+    val hits = readFilesDvProv(spark, table, snap, snap.files)
+      .filter(matches)
+      .select(col("__fk").as("file_key"), col("__rp").as("pos"))
+    val batch = "dv-" + java.util.UUID.randomUUID().toString
+    val dir = s"$table/data/$batch"
+    hits.write.mode("error").parquet(dir)
+    val f = fs(spark, table)
+    val dvFiles = f.listStatus(new Path(dir)).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .map(n => s"data/$batch/$n").toVector.sorted
+    val n = spark.read.parquet(dir).count()
+    if (n == 0) { f.delete(new Path(dir), true); return (snap.version, 0L) }
+    val v = commitManifest(spark, table, snap.schema, snap.files,
+      snap.version, snap.meta, snap.partitionOf, snap.statsOf,
+      snap.deleteFiles ++ dvFiles)
+    (v, n)
   }
 
   /** Write `df` as a fresh immutable file batch under `data/b-<uuid>/`;
@@ -357,13 +442,8 @@ object SnapshotTable {
         case None => true
       }
     }
-    val frame =
-      if (kept.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-      else spark.read.schema(snap.schema)
-        .parquet(kept.map(f => s"$table/$f"): _*)
-    frame.filter(col(column).isin(values.toSeq: _*))
+    readFilesDv(spark, table, snap, kept)
+      .filter(col(column).isin(values.toSeq: _*))
   }
 
   /** Stage `df` respecting the table's declared layout metadata: a
@@ -392,7 +472,8 @@ object SnapshotTable {
   private def renderManifest(schema: StructType, files: Seq[String],
       meta: Map[String, String],
       partitionOf: Map[String, String],
-      statsOf: Map[String, Map[String, (String, String)]]): Array[Byte] = {
+      statsOf: Map[String, Map[String, (String, String)]],
+      deleteFiles: Seq[String] = Nil): Array[Byte] = {
     def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
     val fileLines = files.map { p =>
       val partField = partitionOf.get(p).map(v => s"p=$v")
@@ -404,6 +485,7 @@ object SnapshotTable {
     }
     (Seq(Marker, "schema:" + schema.json) ++
       meta.toSeq.sortBy(_._1).map { case (k, v) => s"meta:$k=$v" } ++
+      deleteFiles.map(d => s"dv:$d") ++
       fileLines).mkString("\n").getBytes("UTF-8")
   }
 
@@ -416,7 +498,8 @@ object SnapshotTable {
       schema: StructType, files: Seq[String], expected: Long,
       meta: Map[String, String] = Map.empty,
       partitionOf: Map[String, String] = Map.empty,
-      statsOf: Map[String, Map[String, (String, String)]] = Map.empty)
+      statsOf: Map[String, Map[String, (String, String)]] = Map.empty,
+      deleteFiles: Seq[String] = Nil)
       : Long = {
     require(meta.forall { case (k, v) =>
       !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r') },
@@ -430,7 +513,8 @@ object SnapshotTable {
     val tmp = new Path(manifestDir(table),
       s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(renderManifest(schema, files, meta, partitionOf, statsOf))
+    try out.write(renderManifest(schema, files, meta, partitionOf, statsOf,
+      deleteFiles))
     finally out.close()
     val target = manifestPath(table, next)
     // exists+rename, not atomic CAS — the documented filesystem-catalog
@@ -485,11 +569,7 @@ object SnapshotTable {
       s"$table is not partitioned - use read + a filter")
     val files = snap.files.filter(f =>
       snap.partitionOf.get(f).exists(values))
-    if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else spark.read.schema(snap.schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
+    readFilesDv(spark, table, snap, files)
   }
 
   /** Create a CLUSTERED table: rows are range-partitioned and sorted on
@@ -540,11 +620,7 @@ object SnapshotTable {
         case None => true // no stats recorded: cannot skip safely
       }
     }
-    if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else spark.read.schema(snap.schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
+    readFilesDv(spark, table, snap, files)
   }
 
   /** ADDITIVE schema evolution without rewriting a byte: commit a
@@ -562,7 +638,8 @@ object SnapshotTable {
       "added columns must be nullable (existing files have no values)")
     commitManifest(spark, table,
       StructType(snap.schema.fields ++ newFields), snap.files,
-      snap.version, snap.meta, snap.partitionOf, snap.statsOf)
+      snap.version, snap.meta, snap.partitionOf, snap.statsOf,
+      snap.deleteFiles)
   }
 
   /** Remove staged-but-never-committed batch dirs older than `graceMs`
@@ -586,9 +663,15 @@ object SnapshotTable {
     val stagedRefs = f.listStatus(mDir).iterator.map(_.getPath)
       .filter(p => p.getName.startsWith("staged-") &&
         p.getName.endsWith(".manifest"))
-      .flatMap(p => readManifestAt(spark, table, p, -1L).files).toVector
+      .flatMap { p =>
+        val m = readManifestAt(spark, table, p, -1L)
+        m.files ++ m.deleteFiles
+      }.toVector
     val referenced = (versions
-      .flatMap(v => readManifest(spark, table, v).files) ++ stagedRefs)
+      .flatMap { v =>
+        val m = readManifest(spark, table, v)
+        m.files ++ m.deleteFiles
+      } ++ stagedRefs)
       .map(_.split('/')(1)).toSet // batch dir component of data/<b>/<f>
     val dataDir = new Path(table, "data")
     if (!f.exists(dataDir)) return 0
@@ -612,7 +695,7 @@ object SnapshotTable {
     val (files, labels, stats) = stageFor(snap, df, table)
     commitManifest(spark, table, snap.schema, snap.files ++ files,
       snap.version, snap.meta, snap.partitionOf ++ labels,
-      snap.statsOf ++ stats)
+      snap.statsOf ++ stats, snap.deleteFiles)
   }
 
   /** Table-relative paths of the files that contain rows matching
@@ -622,15 +705,15 @@ object SnapshotTable {
   private def affectedFiles(spark: SparkSession, table: String,
       snap: Snapshot, predicate: Column): Seq[String] = {
     if (snap.files.isEmpty) return Nil
-    val abs = spark.read.schema(snap.schema)
-      .parquet(snap.files.map(f => s"$table/$f"): _*)
+    // DV-applied provenance scan: a file whose only matching rows are
+    // already vector-deleted is NOT affected (rewriting it would be
+    // wasted IO, though never wrong)
+    val keys = readFilesDvProv(spark, table, snap, snap.files)
       .filter(predicate)
-      .select(input_file_name().as("__f")).distinct()
-      .collect().map(_.getString(0))
-    // input_file_name is a URI; match manifest entries by relative-path
-    // suffix (batch uuid + part name make every entry suffix-unique)
-    snap.files.filter(rel => abs.exists(a =>
-      a.endsWith("/" + rel) || a.endsWith(rel)))
+      .select(col("__fk")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // __fk IS the manifest's relative path (data/<batch>/<name>)
+    snap.files.filter(keys)
   }
 
   /** File-granular R23: rewrite ONLY the files containing matching rows,
@@ -642,8 +725,10 @@ object SnapshotTable {
     val snap = loadCurrent(spark, table)
     val hit = affectedFiles(spark, table, snap, predicate)
     if (hit.isEmpty) return (snap.version, 0L, 0)
-    val touched = spark.read.schema(snap.schema)
-      .parquet(hit.map(f => s"$table/$f"): _*)
+    // DV-applied: a rewrite materializes the touched files' deletion
+    // vectors (their dead rows must not resurrect); stale DV entries
+    // pointing at the replaced files match nothing afterwards
+    val touched = readFilesDv(spark, table, snap, hit)
     val matched = touched.filter(predicate).count()
     val rewritten = assignments.foldLeft(touched) { case (d, (c, v)) =>
       d.withColumn(c, when(predicate, v).otherwise(col(c)))
@@ -652,7 +737,7 @@ object SnapshotTable {
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema, keep ++ fresh,
       snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels,
-      (snap.statsOf -- hit) ++ stats)
+      (snap.statsOf -- hit) ++ stats, snap.deleteFiles)
     (v, matched, hit.size)
   }
 
@@ -667,8 +752,7 @@ object SnapshotTable {
     val matches = coalesce(predicate, lit(false))
     val hit = affectedFiles(spark, table, snap, matches)
     if (hit.isEmpty) return (snap.version, 0L, 0)
-    val touched = spark.read.schema(snap.schema)
-      .parquet(hit.map(f => s"$table/$f"): _*)
+    val touched = readFilesDv(spark, table, snap, hit)
     val deleted = touched.filter(matches).count()
     val survivors = touched.filter(!matches)
     val (fresh, labels, stats) =
@@ -679,7 +763,7 @@ object SnapshotTable {
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema, keep ++ fresh,
       snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels,
-      (snap.statsOf -- hit) ++ stats)
+      (snap.statsOf -- hit) ++ stats, snap.deleteFiles)
     (v, deleted, hit.size)
   }
 
@@ -703,25 +787,23 @@ object SnapshotTable {
     val cols = snap.schema.fieldNames
     val src = source.select(cols.map(col).toIndexedSeq: _*)
       .dropDuplicates(key)
-    val cur = spark.read.schema(snap.schema)
-      .parquet(snap.files.map(f => s"$table/$f"): _*)
+    val cur = readFilesDv(spark, table, snap, snap.files)
     val srcKeys = src.select(col(key))
-    // files holding at least one matched key (pruned scan: key + file).
-    // input_file_name is captured BEFORE the join — after it, the plan
-    // has two sources and the expression is rejected as ambiguous.
-    val hitAbs = cur
-      .select(col(key), input_file_name().as("__f"))
+    // files holding at least one matched LIVE key (pruned scan: key +
+    // provenance). The file key is captured by the provenance read
+    // BEFORE the semi join — after it, the plan has two sources and a
+    // bare input_file_name would be rejected as ambiguous.
+    val hitKeys = readFilesDvProv(spark, table, snap, snap.files)
+      .select(col(key), col("__fk"))
       .join(srcKeys, Seq(key), "left_semi")
-      .select(col("__f")).distinct()
-      .collect().map(_.getString(0))
-    val hit = snap.files.filter(rel => hitAbs.exists(a =>
-      a.endsWith("/" + rel) || a.endsWith(rel)))
+      .select(col("__fk")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val hit = snap.files.filter(hitKeys)
     val (rewrittenFiles, updated) = if (hit.isEmpty)
       ((Nil: Seq[String], Map.empty[String, String],
         Map.empty[String, Map[String, (String, String)]]), 0L)
     else {
-      val touched = spark.read.schema(snap.schema)
-        .parquet(hit.map(f => s"$table/$f"): _*)
+      val touched = readFilesDv(spark, table, snap, hit)
       val nUpd = touched.join(srcKeys, Seq(key), "left_semi").count()
       val s2 = src.select(
         col(key).as("__k") +: cols.filterNot(_ == key)
@@ -747,7 +829,8 @@ object SnapshotTable {
     val v = commitManifest(spark, table, snap.schema,
       keep ++ rewrittenFiles._1 ++ insertFiles, snap.version, snap.meta,
       (snap.partitionOf -- hit) ++ rewrittenFiles._2 ++ insertLabels,
-      (snap.statsOf -- hit) ++ rewrittenFiles._3 ++ insertStats)
+      (snap.statsOf -- hit) ++ rewrittenFiles._3 ++ insertStats,
+      snap.deleteFiles)
     (v, updated, nIns, hit.size)
   }
 
@@ -766,8 +849,10 @@ object SnapshotTable {
     val nOut = math.max(1L,
       (bytes + targetMB.toLong * 1024 * 1024 - 1) /
         (targetMB.toLong * 1024 * 1024)).toInt
-    val df0 = spark.read.schema(snap.schema)
-      .parquet(snap.files.map(r => s"$table/$r"): _*)
+    // DV-applied: compaction MATERIALIZES the deletion vectors (dead
+    // rows drop out of the rewrite) and the new manifest clears the
+    // vector list — compact doubles as the DV purge
+    val df0 = readFilesDv(spark, table, snap, snap.files)
     // partitioned tables compact per partition (stageFor re-labels);
     // unpartitioned ones into ~targetMB files
     val (fresh, labels, stats) = snap.meta.get("partitionCol") match {
@@ -806,7 +891,8 @@ object SnapshotTable {
         batch.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*), table)
       commitManifest(spark, table, snap.schema, snap.files ++ files,
         snap.version, snap.meta + (metaKey -> batchId.toString),
-        snap.partitionOf ++ labels, snap.statsOf ++ stats)
+        snap.partitionOf ++ labels, snap.statsOf ++ stats,
+        snap.deleteFiles)
       true
     }
   }
@@ -849,10 +935,15 @@ object SnapshotTable {
     val stagedLive = f.listStatus(dir).iterator.map(_.getPath)
       .filter(p => p.getName.startsWith("staged-") &&
         p.getName.endsWith(".manifest"))
-      .flatMap(p => readManifestAt(spark, table, p, -1L).files).toVector
+      .flatMap { p =>
+        val m = readManifestAt(spark, table, p, -1L)
+        m.files ++ m.deleteFiles
+      }.toVector
     val live =
-      (keep.flatMap(v => readManifest(spark, table, v).files) ++
-        stagedLive).toSet
+      (keep.flatMap { v =>
+        val m = readManifest(spark, table, v)
+        m.files ++ m.deleteFiles
+      } ++ stagedLive).toSet
     expire.foreach(v => f.delete(manifestPath(table, v), false))
     val dataDir = new Path(table, "data")
     var removed = 0
@@ -911,17 +1002,31 @@ object SnapshotTable {
     val toSet = to.files.toSet
     val removed = from.files.filterNot(toSet)
     val added = to.files.filterNot(fromSet)
-    def readFiles(schema: StructType, files: Seq[String]): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+    // a DELETION VECTOR added (or dropped, via restore) between the
+    // endpoints changes rows of files present in BOTH manifests without
+    // touching the file diff — those files join the diff set, read
+    // under each side's own DV state, and their unchanged rows cancel
+    // in the EXCEPT ALL like any rewrite carry-through. The probe reads
+    // only the CHANGED delete files (churn-sized metadata IO).
+    val dvChangedFiles =
+      ((to.deleteFiles.toSet -- from.deleteFiles) ++
+        (from.deleteFiles.toSet -- to.deleteFiles)).toSeq.sorted
+    val dvTargets: Seq[String] =
+      if (dvChangedFiles.isEmpty) Nil
+      else {
+        val keys = spark.read
+          .parquet(dvChangedFiles.map(d => s"$table/$d"): _*)
+          .select(col("file_key")).distinct()
+          .collect().map(_.getString(0)).toSet
+        from.files.filter(f => toSet(f) && keys(f))
+      }
     val outCols = to.schema.fieldNames
     val oldHas = from.schema.fieldNames.toSet
-    val oldRows = readFiles(from.schema, removed).select(outCols.map(c =>
-      if (oldHas(c)) col(c)
-      else lit(null).cast(to.schema(c).dataType).as(c)).toIndexedSeq: _*)
-    val newRows = readFiles(to.schema, added)
+    val oldRows = readFilesDv(spark, table, from, removed ++ dvTargets)
+      .select(outCols.map(c =>
+        if (oldHas(c)) col(c)
+        else lit(null).cast(to.schema(c).dataType).as(c)).toIndexedSeq: _*)
+    val newRows = readFilesDv(spark, table, to, added ++ dvTargets)
       .select(outCols.map(col).toIndexedSeq: _*)
     newRows.exceptAll(oldRows).withColumn("change_type", lit("insert"))
       .unionAll(
@@ -946,9 +1051,11 @@ object SnapshotTable {
     old.files.foreach(r => require(f.exists(new Path(table, r)),
       s"cannot restore v$version: data file $r was expired"))
     val streamMarks = cur.meta.filter(_._1.startsWith("lastBatchId."))
+    old.deleteFiles.foreach(r => require(f.exists(new Path(table, r)),
+      s"cannot restore v$version: delete file $r was expired"))
     commitManifest(spark, table, old.schema, old.files, cur.version,
       old.meta ++ streamMarks + ("restoredFrom" -> version.toString),
-      old.partitionOf, old.statsOf)
+      old.partitionOf, old.statsOf, old.deleteFiles)
   }
 
   private def stagedManifestPath(table: String, token: String) =
@@ -975,7 +1082,8 @@ object SnapshotTable {
     val out = f.create(p, false)
     try out.write(renderManifest(snap.schema, snap.files ++ files,
       snap.meta + ("wapBase" -> snap.version.toString),
-      snap.partitionOf ++ labels, snap.statsOf ++ stats))
+      snap.partitionOf ++ labels, snap.statsOf ++ stats,
+      snap.deleteFiles))
     finally out.close()
     token
   }
@@ -987,11 +1095,7 @@ object SnapshotTable {
       token: String): DataFrame = {
     val snap = readManifestAt(spark, table,
       stagedManifestPath(table, token), -1L)
-    if (snap.files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else spark.read.schema(snap.schema)
-      .parquet(snap.files.map(f => s"$table/$f"): _*)
+    readFilesDv(spark, table, snap, snap.files)
   }
 
   /** WAP step 3 (publish): promote the audited candidate to the next
@@ -1014,7 +1118,8 @@ object SnapshotTable {
         s"publish conflict at $table: candidate staged on v$base but " +
           s"current is v$cur; re-stage on the new base")
     val v = commitManifest(spark, table, snap.schema, snap.files, base,
-      snap.meta - "wapBase", snap.partitionOf, snap.statsOf)
+      snap.meta - "wapBase", snap.partitionOf, snap.statsOf,
+      snap.deleteFiles)
     fs(spark, table).delete(p, false)
     v
   }
@@ -1134,6 +1239,34 @@ object SnapshotTable {
       changesBetween(s, t, 1L, 3L)
         .orderBy(col("change_type").asc_nulls_first,
           col("o_orderkey").asc_nulls_first)
+    }),
+
+    // Deletion vectors end to end: a row-level delete commits only a
+    // position-delete file (SnapshotSuite asserts the data file list is
+    // untouched), a replay of the same delete is a no-op (matching runs
+    // on the live view), and a later file-granular UPDATE composes with
+    // the vectors (its rewrite materializes them for touched files,
+    // never resurrecting dead rows). The oracle replays delete+update
+    // as plain SQL.
+    "q_table_delete_vector" -> ((s, d) => {
+      val t = scratch(s, d, "dvq")
+      fs(s, t).delete(new Path(t), true)
+      val items = graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+      create(s, t, items, numFiles = 8)
+      deleteWhereVector(s, t, col("l_orderkey") % 17 === 3)
+      deleteWhereVector(s, t, col("l_orderkey") % 17 === 3) // no-op replay
+      updateWhere(s, t, col("l_orderkey") % 100 === 0,
+        Map("l_quantity" -> (col("l_quantity") + 5)))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // corpus — order by every projected column for a total order
+      // (full duplicates are order-indifferent to the hash compare)
+      read(s, t)
+        .orderBy(col("l_orderkey").asc_nulls_first,
+          col("l_linenumber").asc_nulls_first,
+          col("l_returnflag").asc_nulls_first,
+          col("l_quantity").asc_nulls_first)
     }),
 
     // Bloom point-lookup skipping: the table is NOT clustered on the
@@ -1294,6 +1427,16 @@ object SnapshotTable {
     "q_table_restore" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // vector delete + file-granular update replayed in plain SQL; the
+    // +5 on an integral-valued double is exact on both engines
+    "q_table_delete_vector" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CASE WHEN l_orderkey % 100 = 0 THEN l_quantity + 5
+        |    ELSE l_quantity END AS l_quantity
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 17 = 3)
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |  l_returnflag ASC NULLS FIRST, l_quantity ASC NULLS FIRST""".stripMargin,
     // the same point set as a plain filter — bloom skipping must never
     // change results, only the files opened
     "q_table_bloom_skip" ->

@@ -622,6 +622,70 @@ class SnapshotSuite extends AnyFunSuite {
     assert(SnapshotTable.read(spark, t).count() === baseRows.size + 10L)
   }
 
+  test("deletion vectors: delete touches no data file, time travel and " +
+      "re-delete hold, compact purges") {
+    val t = freshTable("dv")
+    SnapshotTable.create(spark, t, orders, numFiles = 8)
+    val total = orders.count()
+    val (v2, n) = SnapshotTable.deleteWhereVector(spark, t,
+      col("o_orderkey") % 5 === 0)
+    assert(v2 === 2L && n > 0)
+    val m1 = SnapshotTable.readManifest(spark, t, 1L)
+    val m2 = SnapshotTable.readManifest(spark, t, 2L)
+    assert(m2.files === m1.files,
+      "a vector delete must not rewrite or drop any data file")
+    assert(m2.deleteFiles.nonEmpty && m1.deleteFiles.isEmpty)
+    assert(SnapshotTable.read(spark, t).count() === total - n)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") % 5 === 0).count() === 0L)
+    // time travel: v1 still reads the full table
+    assert(SnapshotTable.read(spark, t, Some(1L)).count() === total)
+    // replaying the delete is a no-op: matching runs on the live view
+    val (v3, n2) = SnapshotTable.deleteWhereVector(spark, t,
+      col("o_orderkey") % 5 === 0)
+    assert(v3 === 2L && n2 === 0L,
+      "re-delete of dead rows must not commit a new version")
+    // a second, overlapping vector composes
+    val (v4, n3) = SnapshotTable.deleteWhereVector(spark, t,
+      col("o_orderkey") % 3 === 0)
+    assert(v4 === 3L && n3 > 0)
+    val live = SnapshotTable.read(spark, t).count()
+    assert(live === total - n - n3)
+    // compact materializes the deletes and clears the vector list
+    SnapshotTable.compact(spark, t, targetMB = 1)
+    val mc = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(mc.deleteFiles.isEmpty, "compact must purge deletion vectors")
+    assert(SnapshotTable.read(spark, t).count() === live)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 5 === 0)
+      .count() === 0L)
+  }
+
+  test("deletion vectors: change feed emits exactly the vector-deleted " +
+      "rows, reading only the targeted files") {
+    val t = freshTable("dvcdc")
+    SnapshotTable.create(spark, t, orders, numFiles = 8)
+    val key = orders.select(min(col("o_orderkey"))).head().getLong(0)
+    SnapshotTable.deleteWhereVector(spark, t, col("o_orderkey") === key)
+    val changes = SnapshotTable.changesBetween(spark, t, 1L, 2L)
+    val rows = changes.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("change_type") === "delete")
+    assert(rows.head.getAs[Long]("o_orderkey") === key)
+    // IO: only the single DV-targeted data file (plus the delete file
+    // itself) is planned — not the other 7
+    val dataFilesRead = changes.inputFiles
+      .filter(f => f.contains("/data/b-")).toSet
+    assert(dataFilesRead.size <= 1,
+      s"change feed should read only the targeted file, got $dataFilesRead")
+    // update after the vector delete must not resurrect the dead row
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") === key,
+      Map("o_orderstatus" -> lit("Z")))
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") === key).count() === 0L)
+  }
+
   test("bloom sidecar index: point lookup opens ~1 of 8 unclustered " +
       "files, mutations keep coverage, results never change") {
     val t = freshTable("bloom")
