@@ -1134,6 +1134,47 @@ object SnapshotTable {
     ()
   }
 
+  /** Merge-on-read UPDATE: vector-delete the matched rows' positions
+    * and append their updated images as a fresh batch, published by ONE
+    * commit — IO proportional to the MATCHES (old positions + new
+    * images), while [[updateWhere]]'s copy-on-write rewrite pays for
+    * every resident row of every touched file. The classic trade both
+    * Delta and Iceberg expose: merge-on-read wins on sparse updates,
+    * copy-on-write on dense ones; [[compact]] later folds the debt.
+    * Returns (new version, rows updated).
+    */
+  def updateWhereVector(spark: SparkSession, table: String,
+      predicate: Column, assignments: Map[String, Column]): (Long, Long) = {
+    val snap = loadCurrent(spark, table)
+    val matches = coalesce(predicate, lit(false))
+    val matched = readFilesDvProv(spark, table, snap, snap.files)
+      .filter(matches)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = matched.count()
+      if (n == 0) return (snap.version, 0L)
+      val batch = "dv-" + java.util.UUID.randomUUID().toString
+      val dir = s"$table/data/$batch"
+      matched.select(col("__fk").as("file_key"), col("__rp").as("pos"))
+        .write.mode("error").parquet(dir)
+      val f = fs(spark, table)
+      val dvFiles = f.listStatus(new Path(dir)).iterator
+        .map(_.getPath.getName)
+        .filter(nm => nm.startsWith("part-") && nm.endsWith(".parquet"))
+        .map(nm => s"data/$batch/$nm").toVector.sorted
+      val updated = assignments.foldLeft(
+        matched.drop("__fk", "__rp")) { case (d, (c, v)) =>
+        d.withColumn(c, v)
+      }.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      val (fresh, labels, stats) = stageFor(snap, updated, table)
+      val v = commitManifest(spark, table, snap.schema,
+        snap.files ++ fresh, snap.version, snap.meta,
+        snap.partitionOf ++ labels, snap.statsOf ++ stats,
+        snap.deleteFiles ++ dvFiles)
+      (v, n)
+    } finally { matched.unpersist(blocking = false); () }
+  }
+
   /** Session-scoped scratch root (keyed by applicationId like
     * IvfPq.fittedFor: concurrent processes never share a table path).
     */
@@ -1262,6 +1303,26 @@ object SnapshotTable {
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic
       // corpus — order by every projected column for a total order
       // (full duplicates are order-indifferent to the hash compare)
+      read(s, t)
+        .orderBy(col("l_orderkey").asc_nulls_first,
+          col("l_linenumber").asc_nulls_first,
+          col("l_returnflag").asc_nulls_first,
+          col("l_quantity").asc_nulls_first)
+    }),
+
+    // Merge-on-read UPDATE: the sparse update commits positions of the
+    // old images + a matches-sized batch of new images — every original
+    // data file carries over verbatim (SnapshotSuite asserts the
+    // superset manifest). The oracle replays the update as plain SQL.
+    "q_table_update_vector" -> ((s, d) => {
+      val t = scratch(s, d, "uvq")
+      fs(s, t).delete(new Path(t), true)
+      val items = graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+      create(s, t, items, numFiles = 8)
+      updateWhereVector(s, t, col("l_orderkey") % 100 === 0,
+        Map("l_quantity" -> (col("l_quantity") + 5)))
       read(s, t)
         .orderBy(col("l_orderkey").asc_nulls_first,
           col("l_linenumber").asc_nulls_first,
@@ -1427,6 +1488,14 @@ object SnapshotTable {
     "q_table_restore" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // the merge-on-read update replayed in plain SQL
+    "q_table_update_vector" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CASE WHEN l_orderkey % 100 = 0 THEN l_quantity + 5
+        |    ELSE l_quantity END AS l_quantity
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |  l_returnflag ASC NULLS FIRST, l_quantity ASC NULLS FIRST""".stripMargin,
     // vector delete + file-granular update replayed in plain SQL; the
     // +5 on an integral-valued double is exact on both engines
     "q_table_delete_vector" ->

@@ -686,6 +686,40 @@ class SnapshotSuite extends AnyFunSuite {
       .filter(col("o_orderkey") === key).count() === 0L)
   }
 
+  test("merge-on-read update: original files carry over verbatim, one " +
+      "matches-sized batch appends, compact folds the debt") {
+    val t = freshTable("mor")
+    SnapshotTable.create(spark, t, orders, numFiles = 8)
+    val total = orders.count()
+    val (v2, n) = SnapshotTable.updateWhereVector(spark, t,
+      col("o_orderkey") % 50 === 0,
+      Map("o_orderstatus" -> lit("U")))
+    assert(v2 === 2L && n > 0)
+    val m1 = SnapshotTable.readManifest(spark, t, 1L)
+    val m2 = SnapshotTable.readManifest(spark, t, 2L)
+    assert(m1.files.forall(m2.files.contains),
+      "merge-on-read must not rewrite or drop any original file")
+    assert(m2.files.size > m1.files.size, "the new images append as a batch")
+    assert(m2.deleteFiles.nonEmpty, "the old images are vector-deleted")
+    val cur = SnapshotTable.read(spark, t)
+    assert(cur.count() === total, "an update must preserve row count")
+    assert(cur.filter(col("o_orderkey") % 50 === 0)
+      .filter(col("o_orderstatus") =!= "U").count() === 0L)
+    assert(cur.filter(col("o_orderstatus") === "U").count() === n)
+    // no-match update is a version-preserving no-op
+    val (v3, n0) = SnapshotTable.updateWhereVector(spark, t,
+      col("o_orderkey") === -1L, Map("o_orderstatus" -> lit("Q")))
+    assert(v3 === 2L && n0 === 0L)
+    // compact folds: vectors purged, counts and values survive
+    SnapshotTable.compact(spark, t, targetMB = 1)
+    val mc = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(mc.deleteFiles.isEmpty)
+    assert(SnapshotTable.read(spark, t).count() === total)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_orderstatus") === "U").count() === n)
+  }
+
   test("bloom sidecar index: point lookup opens ~1 of 8 unclustered " +
       "files, mutations keep coverage, results never change") {
     val t = freshTable("bloom")
