@@ -518,8 +518,15 @@ object SnapshotTable {
     finally out.close()
     val target = manifestPath(table, next)
     // exists+rename, not atomic CAS — the documented filesystem-catalog
-    // caveat; the conflict window is the commit seam a catalog replaces
-    if (f.exists(target) || !f.rename(tmp, target)) {
+    // caveat. The JVM-wide lock serializes the check-then-rename pair
+    // for IN-PROCESS writers (Spark local mode's actual deployment
+    // unit, exercised by the withCommitRetry race test); the remaining
+    // cross-process window is exactly the commit seam a catalog/CAS
+    // endpoint replaces in a multi-driver deployment.
+    val won = commitLock.synchronized {
+      !f.exists(target) && f.rename(tmp, target)
+    }
+    if (!won) {
       f.delete(tmp, false)
       throw new IllegalStateException(
         s"concurrent commit detected at $table v$next (current is " +
@@ -527,6 +534,8 @@ object SnapshotTable {
     }
     next
   }
+
+  private object commitLock
 
   /** Create the table from `df` as version 1 (`numFiles` data files so
     * mutation tests/benchmarks exercise file granularity).
@@ -1173,6 +1182,36 @@ object SnapshotTable {
         snap.deleteFiles ++ dvFiles)
       (v, n)
     } finally { matched.unpersist(blocking = false); () }
+  }
+
+  /** Optimistic-concurrency retry: run `op` (any mutation verb — each
+    * one re-resolves the current snapshot when it starts), and if it
+    * loses the commit race, re-run it against the new current snapshot
+    * after a short jittered backoff — the standard writer loop every
+    * catalog-backed table format wraps around its commits. The losing
+    * attempt's staged files are orphans for [[vacuumOrphans]]; nothing
+    * visible ever tears. Semantic conflicts (e.g. a WAP publish whose
+    * base moved) re-validate naturally because the retried verb reads
+    * the NEW snapshot.
+    */
+  def withCommitRetry[T](maxAttempts: Int = 5)(op: => T): T = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 0
+    var backoffMs = 50L
+    while (true) {
+      attempt += 1
+      try return op
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent commit") &&
+              attempt < maxAttempts =>
+          Thread.sleep(backoffMs +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(backoffMs))
+          backoffMs = math.min(backoffMs * 2, 2000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Session-scoped scratch root (keyed by applicationId like

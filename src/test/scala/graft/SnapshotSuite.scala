@@ -780,6 +780,76 @@ class SnapshotSuite extends AnyFunSuite {
       "a refused publish must not disturb the committed table")
   }
 
+  test("CDC reconstruction property: across a mixed mutation sequence " +
+      "(CoW update, vector delete, MoR update, append), v1 minus the " +
+      "feed's deletes plus its inserts rebuilds the final table exactly") {
+    val t = freshTable("cdcprop")
+    SnapshotTable.create(spark, t, orders, numFiles = 6)
+    // a deterministic gauntlet mixing every mutation family
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 9 === 2,
+      Map("o_orderstatus" -> lit("A")))
+    SnapshotTable.deleteWhereVector(spark, t, col("o_orderkey") % 11 === 5)
+    SnapshotTable.updateWhereVector(spark, t, col("o_orderkey") % 13 === 1,
+      Map("o_totalprice" -> (col("o_totalprice") * 2)))
+    SnapshotTable.append(spark, t, orders.limit(20)
+      .select((col("o_orderkey") + 9000000).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice")))
+    SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 7 === 3)
+    val vFinal = SnapshotTable.currentVersion(spark, t)
+    val changes = SnapshotTable.changesBetween(spark, t, 1L, vFinal)
+      .persist()
+    try {
+      val ins = changes.filter(col("change_type") === "insert")
+        .drop("change_type")
+      val del = changes.filter(col("change_type") === "delete")
+        .drop("change_type")
+      val rebuilt = SnapshotTable.read(spark, t, Some(1L))
+        .exceptAll(del).unionAll(ins)
+      val want = SnapshotTable.read(spark, t)
+      assert(rebuilt.exceptAll(want).count() === 0L &&
+        want.exceptAll(rebuilt).count() === 0L,
+        "CDC replay must reconstruct the final snapshot as a multiset")
+      // and the feed is minimal: no row is both inserted and deleted
+      assert(ins.intersect(del).count() === 0L,
+        "netting must leave no insert/delete pair of identical rows")
+    } finally { changes.unpersist(blocking = false); () }
+  }
+
+  test("withCommitRetry: racing writers all land; every batch visible " +
+      "exactly once") {
+    val t = freshTable("race")
+    SnapshotTable.create(spark, t, orders.limit(100), numFiles = 2)
+    val writers = 4
+    val perWriter = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            (0 until perWriter).foreach { i =>
+              SnapshotTable.withCommitRetry(maxAttempts = 20) {
+                SnapshotTable.append(spark, t, orders.limit(1)
+                  .select(lit(1000000L * (w + 1) + i).as("o_orderkey"),
+                    lit(s"W$w").as("o_orderstatus"),
+                    lit(1.0d).as("o_totalprice")))
+                ()
+              }
+            }
+        })
+      }
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(SnapshotTable.currentVersion(spark, t) ===
+      1L + writers * perWriter,
+      "every append must have committed its own version")
+    val appended = SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") >= 1000000L)
+    assert(appended.count() === writers.toLong * perWriter,
+      "each racing batch must be visible exactly once")
+    assert(appended.select(col("o_orderkey")).distinct().count() ===
+      writers.toLong * perWriter)
+  }
+
   test("q_table_changes equals the first-principles logical diff") {
     val got = SnapshotTable.queries("q_table_changes")(spark, sf).collect()
     val o = Tables.orders(spark, sf)
