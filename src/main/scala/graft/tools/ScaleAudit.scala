@@ -66,7 +66,11 @@ object ScaleAudit {
     // to churn" claim under measurement; churn here scales linearly
     // with the table (modulus predicates), so the bound is the
     // standard linear one
-    "q_table_changes")
+    "q_table_changes",
+    // round 11c: the deletion-vector mutations (vector delete + CoW
+    // update compose; merge-on-read update) — the matched sets scale
+    // linearly with the table, so both lifecycles must too
+    "q_table_delete_vector", "q_table_update_vector")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0
