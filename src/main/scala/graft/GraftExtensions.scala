@@ -45,6 +45,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.AbbrevPairsGen].getName,
         "abbrev_pairs_gen"),
       genBuilder))
+
+    // Snapshot tables as SQL TABLE-VALUED FUNCTIONS — the seam that
+    // makes the transactional layer first-class for plain-SQL users:
+    //
+    //   SELECT * FROM graft_snapshot('<table>')            -- current
+    //   SELECT * FROM graft_snapshot('<table>', 2)         -- time travel
+    //   SELECT * FROM graft_changes('<table>', 1, 3)       -- change feed
+    //
+    // The builders resolve literal arguments at ANALYSIS time (the
+    // session is active) and splice in the corresponding DataFrame's
+    // logical plan: for `graft_snapshot` on a DV-free snapshot that is
+    // the manifest-backed `SnapshotFileIndex` relation — fully
+    // Catalyst-planned, so predicates above the TVF still prune files —
+    // and for DV-bearing snapshots the anti-join read (scan-planning
+    // pruning does not apply there, correctness does). Joins,
+    // filters, and CTEs over the TVFs compose like any other relation.
+    e.injectTableFunction((
+      FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "graft_snapshot"),
+      GraftExtensions.snapshotTvf))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "graft_changes"),
+      GraftExtensions.changesTvf))
   }
 }
 
@@ -84,7 +108,59 @@ object GraftExtensions {
       }
   }
 
-  /** Runtime registration of the full custom-function surface. */
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def litString(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+        if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a non-null literal, got $other")
+  }
+  private def litLong(e: Expression, what: String): Long =
+    litString(e, what).toLong
+
+  /** `graft_snapshot('<table>'[, version])` — the snapshot (current or
+    * time-traveled) as a SQL relation.
+    */
+  val snapshotTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1 || args.size == 2,
+      s"graft_snapshot(table[, version]) takes 1-2 arguments, got ${args.size}")
+    val spark = SparkSession.active
+    val table = litString(args.head, "graft_snapshot table path")
+    val version =
+      if (args.size == 2) Some(litLong(args(1), "graft_snapshot version"))
+      else None
+    val snap = graft.sources.SnapshotTable.readManifest(spark, table,
+      version.getOrElse(
+        graft.sources.SnapshotTable.currentVersion(spark, table)))
+    val df =
+      if (snap.deleteFiles.isEmpty)
+        graft.sources.SnapshotScan.scan(spark, table, version)._1
+      else graft.sources.SnapshotTable.read(spark, table, version)
+    df.queryExecution.logical
+  }
+
+  /** `graft_changes('<table>', fromVersion, toVersion)` — the change
+    * feed between two snapshot versions as a SQL relation.
+    */
+  val changesTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 3,
+      s"graft_changes(table, fromVersion, toVersion) takes 3 arguments, got ${args.size}")
+    val spark = SparkSession.active
+    graft.sources.SnapshotTable.changesBetween(spark,
+      litString(args.head, "graft_changes table path"),
+      litLong(args(1), "graft_changes fromVersion"),
+      litLong(args(2), "graft_changes toVersion"))
+      .queryExecution.logical
+  }
+
+  /** Runtime registration of the full custom-function surface
+    * (including the snapshot TVFs, via the `private[sql]` registry
+    * bridge — the driver contract builds plain sessions, so the
+    * extensions-config path alone would leave `spark.sql` users
+    * without them).
+    */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("partial_ratio",
       udf((a: String, b: String) => FuzzyMatch.normalizedPartialRatio(a, b)))
@@ -92,5 +168,9 @@ object GraftExtensions {
       udf((text: String) => AbbrevPairs.parse(text)))
     spark.udf.register("graft_row_density",
       org.apache.spark.sql.functions.udaf(new RowDensityAgg(4)))
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_snapshot", snapshotTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_changes", changesTvf)
   }
 }

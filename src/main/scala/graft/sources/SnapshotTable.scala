@@ -1349,6 +1349,30 @@ object SnapshotTable {
           col("l_quantity").asc_nulls_first)
     }),
 
+    // The SQL surface of the table layer: both TVFs in one plain-SQL
+    // statement — the current snapshot joined against its own change
+    // feed (updated keys carry their 'insert' post-image mark). The
+    // oracle derives the same relation from the source table.
+    "q_table_sql_tvf" -> ((s, d) => {
+      val t = scratch(s, d, "tvf")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      create(s, t, orders, numFiles = 4)
+      updateWhere(s, t, col("o_orderkey") % 100 === 0,
+        Map("o_orderstatus" -> lit("X")))
+      graft.GraftExtensions.register(s)
+      s.sql(
+        s"""SELECT snap.o_orderkey, snap.o_orderstatus, ch.change_type
+           |FROM graft_snapshot('$t') snap
+           |LEFT JOIN (
+           |  SELECT o_orderkey, change_type
+           |  FROM graft_changes('$t', 1, 2)
+           |  WHERE change_type = 'insert') ch
+           |  ON snap.o_orderkey = ch.o_orderkey
+           |ORDER BY snap.o_orderkey ASC NULLS FIRST""".stripMargin)
+    }),
+
     // Merge-on-read UPDATE: the sparse update commits positions of the
     // old images + a matches-sized batch of new images — every original
     // data file carries over verbatim (SnapshotSuite asserts the
@@ -1526,6 +1550,14 @@ object SnapshotTable {
         |ORDER BY change_type ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_table_restore" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // snapshot + change feed derived from the source table directly
+    "q_table_sql_tvf" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 100 = 0 THEN 'insert' END AS change_type
+        |FROM orders
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     // the merge-on-read update replayed in plain SQL
     "q_table_update_vector" ->

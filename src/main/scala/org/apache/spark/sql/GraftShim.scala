@@ -19,4 +19,22 @@ object GraftShim {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Bridge to the `private[sql]` session TableFunctionRegistry —
+    * RUNTIME registration of a SQL table-valued function on an already-
+    * built session (the extensions path needs `spark.sql.extensions`
+    * set at session construction; the driver contract builds plain
+    * sessions).
+    */
+  def registerTableFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.sessionState.tableFunctionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        GraftShim.getClass.getName, name),
+      builder)
+    ()
+  }
 }

@@ -850,6 +850,48 @@ class SnapshotSuite extends AnyFunSuite {
       writers.toLong * perWriter)
   }
 
+  test("SQL TVFs: graft_snapshot composes with Catalyst pruning, time " +
+      "travel, and the DV-applying read; graft_changes joins like any " +
+      "relation") {
+    val t = freshTable("tvf")
+    SnapshotTable.createClustered(spark, t, orders, "o_orderkey",
+      numFiles = 8)
+    GraftExtensions.register(spark)
+    // a plain SQL filter over the TVF reaches the manifest FileIndex:
+    // the narrow range must NOT open all 8 clustered files (asserted
+    // via the executed scan's numFiles metric — inputFiles reports the
+    // index's full listing, planning-time pruning does not)
+    val pruned = spark.sql(
+      s"SELECT * FROM graft_snapshot('$t') WHERE o_orderkey BETWEEN 1000 AND 2000")
+    assert(pruned.collect().map(_.getLong(0)).toSeq.sorted ===
+      orders.filter(col("o_orderkey").between(1000, 2000))
+        .collect().map(_.getLong(0)).toSeq.sorted)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }
+    assert(scanned.exists(n => n >= 1 && n <= 3),
+      s"TVF + filter should prune via SnapshotFileIndex, scanned $scanned of 8")
+    // time travel + change feed through SQL
+    SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 2 === 0)
+    val v1Count = spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot('$t', 1)").head().getLong(0)
+    assert(v1Count === orders.count())
+    val delCount = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_changes('$t', 1, 2)
+         |WHERE change_type = 'delete'""".stripMargin).head().getLong(0)
+    assert(delCount === orders.filter(col("o_orderkey") % 2 === 0).count())
+    // a DV-bearing snapshot routes through the anti-join read (the raw
+    // Catalyst scan refuses it) and still answers correctly
+    SnapshotTable.deleteWhereVector(spark, t, col("o_orderkey") % 3 === 0)
+    val live = spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot('$t')").head().getLong(0)
+    assert(live === orders
+      .filter(!(col("o_orderkey") % 2 === 0))
+      .filter(!(col("o_orderkey") % 3 === 0)).count())
+  }
+
   test("q_table_changes equals the first-principles logical diff") {
     val got = SnapshotTable.queries("q_table_changes")(spark, sf).collect()
     val o = Tables.orders(spark, sf)
