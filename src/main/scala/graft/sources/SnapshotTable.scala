@@ -1184,6 +1184,43 @@ object SnapshotTable {
     } finally { matched.unpersist(blocking = false); () }
   }
 
+  final case class Maintenance(compacted: Boolean, filesBefore: Int,
+      filesAfter: Int, manifestsExpired: Int, dataFilesRemoved: Int,
+      orphanBatchesRemoved: Int)
+
+  /** One-call table maintenance — the OPTIMIZE autopilot every
+    * long-lived table needs, composing the primitives under thresholds:
+    * compact (which also purges deletion vectors) when the file count
+    * exceeds `maxFiles` OR the vectors cover more than `maxDeleteRatio`
+    * of the resident rows (merge-on-read debt), then expire old
+    * snapshots and vacuum orphaned crash debris. The health probes are
+    * metadata-tier (manifest file count; delete-file row count, which
+    * is churn-sized). Runs under the same no-concurrent-writer
+    * discipline as the GC primitives it calls.
+    */
+  def maintain(spark: SparkSession, table: String, maxFiles: Int = 64,
+      maxDeleteRatio: Double = 0.1, keepLast: Int = 2,
+      graceMs: Long = 3600000L): Maintenance = {
+    val snap = loadCurrent(spark, table)
+    val dvRows =
+      if (snap.deleteFiles.isEmpty) 0L
+      else spark.read
+        .parquet(snap.deleteFiles.map(d => s"$table/$d"): _*).count()
+    // resident rows from parquet footer counts (metadata-only plan)
+    val resident =
+      if (snap.files.isEmpty) 0L
+      else spark.read.schema(snap.schema)
+        .parquet(snap.files.map(f => s"$table/$f"): _*).count()
+    val needCompact = snap.files.size > maxFiles ||
+      (resident > 0 && dvRows.toDouble / resident > maxDeleteRatio)
+    val (before, after) =
+      if (needCompact) { val (_, b, a) = compact(spark, table); (b, a) }
+      else (snap.files.size, snap.files.size)
+    val (expired, removed) = expireSnapshots(spark, table, keepLast)
+    val orphans = vacuumOrphans(spark, table, graceMs)
+    Maintenance(needCompact, before, after, expired, removed, orphans)
+  }
+
   /** Optimistic-concurrency retry: run `op` (any mutation verb — each
     * one re-resolves the current snapshot when it starts), and if it
     * loses the commit race, re-run it against the new current snapshot

@@ -892,6 +892,36 @@ class SnapshotSuite extends AnyFunSuite {
       .filter(!(col("o_orderkey") % 3 === 0)).count())
   }
 
+  test("maintain: compacts fragmented/DV-heavy tables, GCs history and " +
+      "orphans, leaves healthy tables alone") {
+    val t = freshTable("maint")
+    SnapshotTable.create(spark, t, orders, numFiles = 8)
+    // heavy vector-delete debt (~1/3 of rows) plus crash debris
+    SnapshotTable.deleteWhereVector(spark, t, col("o_orderkey") % 3 === 0)
+    val debris = SnapshotTable.stageBatch(orders.limit(3), t)
+    val live = SnapshotTable.read(spark, t).count()
+    val m = SnapshotTable.maintain(spark, t, maxFiles = 64,
+      maxDeleteRatio = 0.1, keepLast = 1, graceMs = 0L)
+    assert(m.compacted, "a >10% delete ratio must trigger the purge")
+    // the debris is gone from disk — swept by whichever GC pass reached
+    // it first (expiry's unreferenced-file sweep or the orphan vacuum)
+    val fsD = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(debris.forall(r =>
+      !fsD.exists(new org.apache.hadoop.fs.Path(t, r))),
+      "crash debris must be collected")
+    assert(m.manifestsExpired >= 1, "old snapshots must expire")
+    val snap = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap.deleteFiles.isEmpty, "maintenance must purge the vectors")
+    assert(SnapshotTable.read(spark, t).count() === live)
+    // a healthy table: no compaction, nothing to vacuum
+    val m2 = SnapshotTable.maintain(spark, t, maxFiles = 64,
+      maxDeleteRatio = 0.1, keepLast = 1, graceMs = 0L)
+    assert(!m2.compacted && m2.orphanBatchesRemoved === 0)
+    assert(SnapshotTable.read(spark, t).count() === live)
+  }
+
   test("q_table_changes equals the first-principles logical diff") {
     val got = SnapshotTable.queries("q_table_changes")(spark, sf).collect()
     val o = Tables.orders(spark, sf)
