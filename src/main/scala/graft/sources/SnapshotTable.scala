@@ -55,6 +55,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object SnapshotTable {
 
+  /** A lost optimistic-commit race (another writer published first).
+    * Typed so [[withCommitRetry]] retries on the CLASS, not on message
+    * text; extends IllegalStateException for source compatibility with
+    * callers that catch the old type.
+    */
+  final class CommitConflictException(msg: String)
+    extends IllegalStateException(msg)
+
   private val Marker = "graft-snapshot-1"
 
   private def fs(spark: SparkSession, p: String): FileSystem =
@@ -164,7 +172,10 @@ object SnapshotTable {
     * partition subdirectories don't truncate the key.
     */
   private def fileKeyOf(absCol: Column): Column =
-    regexp_extract(absCol, "data/(?:b|dv)-[^/]+/.*$", 0)
+    // greedy .* prefix pins the LAST `data/<batch>/` occurrence, so a
+    // table path that itself contains a `data/b-...` segment cannot
+    // truncate the key
+    regexp_extract(absCol, "^.*(data/(?:b|dv)-[^/]+/.*)$", 1)
 
   /** Read `files` under snapshot `snap` with its DELETION VECTORS
     * applied: rows whose (file key, row position) appear in a delete
@@ -528,7 +539,7 @@ object SnapshotTable {
     }
     if (!won) {
       f.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"concurrent commit detected at $table v$next (current is " +
           s"${currentVersion(spark, table)}); staged files left orphaned")
     }
@@ -1123,7 +1134,7 @@ object SnapshotTable {
       throw new IllegalStateException(s"$p carries no wapBase")).toLong
     val cur = currentVersion(spark, table)
     if (cur != base)
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"publish conflict at $table: candidate staged on v$base but " +
           s"current is v$cur; re-stage on the new base")
     val v = commitManifest(spark, table, snap.schema, snap.files, base,
@@ -1239,10 +1250,7 @@ object SnapshotTable {
       attempt += 1
       try return op
       catch {
-        case e: IllegalStateException
-            if e.getMessage != null &&
-              e.getMessage.contains("concurrent commit") &&
-              attempt < maxAttempts =>
+        case _: CommitConflictException if attempt < maxAttempts =>
           Thread.sleep(backoffMs +
             java.util.concurrent.ThreadLocalRandom.current().nextLong(backoffMs))
           backoffMs = math.min(backoffMs * 2, 2000L)
