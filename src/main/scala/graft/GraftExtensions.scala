@@ -128,16 +128,18 @@ object GraftExtensions {
       s"graft_snapshot(table[, version]) takes 1-2 arguments, got ${args.size}")
     val spark = SparkSession.active
     val table = litString(args.head, "graft_snapshot table path")
+    // resolve the version ONCE and pin it for both the DV check and the
+    // read — resolving twice would race a concurrent commit (the DV
+    // decision could be made on a different snapshot than the scan)
     val version =
-      if (args.size == 2) Some(litLong(args(1), "graft_snapshot version"))
-      else None
+      if (args.size == 2) litLong(args(1), "graft_snapshot version")
+      else graft.sources.SnapshotTable.currentVersion(spark, table)
     val snap = graft.sources.SnapshotTable.readManifest(spark, table,
-      version.getOrElse(
-        graft.sources.SnapshotTable.currentVersion(spark, table)))
+      version)
     val df =
       if (snap.deleteFiles.isEmpty)
-        graft.sources.SnapshotScan.scan(spark, table, version)._1
-      else graft.sources.SnapshotTable.read(spark, table, version)
+        graft.sources.SnapshotScan.scan(spark, table, Some(version))._1
+      else graft.sources.SnapshotTable.read(spark, table, Some(version))
     df.queryExecution.logical
   }
 

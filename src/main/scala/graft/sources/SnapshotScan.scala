@@ -133,10 +133,23 @@ class SnapshotFileIndex(spark: SparkSession, table: String,
     }
   }
 
-  private def render(l: Literal): String = l.value match {
-    case null => null
-    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-    case other => other.toString
+  /** The literal as the STRING `computeStats`/partition labels record
+    * (Spark's cast-to-string rendering). Types whose internal Catalyst
+    * value does not stringify to that form must either convert
+    * faithfully (DateType: epoch days → ISO local date, which also
+    * compares correctly lexicographically) or return null = UNPRUNABLE
+    * (timestamps: micros vs a zone-dependent rendering — soundness
+    * before pruning). A mismatch here silently EXCLUDES matching files,
+    * the worst failure mode a skipping layer can have.
+    */
+  private def render(l: Literal): String = (l.value, l.dataType) match {
+    case (null, _) => null
+    case (days: Integer, org.apache.spark.sql.types.DateType) =>
+      java.time.LocalDate.ofEpochDay(days.longValue).toString
+    case (_, org.apache.spark.sql.types.TimestampType) => null
+    case (_, org.apache.spark.sql.types.TimestampNTZType) => null
+    case (u: org.apache.spark.unsafe.types.UTF8String, _) => u.toString
+    case (other, _) => other.toString
   }
 }
 

@@ -131,7 +131,9 @@ object SnapshotTable {
         case f if f.startsWith("p=") => part = Some(f.stripPrefix("p="))
         case f if f.startsWith("s=") =>
           stats = f.stripPrefix("s=").split(';').iterator.map { e =>
-            val Array(c, mn, mx) = e.split('|').map(dec)
+            // -1 limit: an empty-string max ("col||") must not drop its
+            // trailing field and poison the manifest with a MatchError
+            val Array(c, mn, mx) = e.split("\\|", -1).map(dec)
             c -> ((mn, mx))
           }.toMap
         case _ => ()
@@ -275,6 +277,28 @@ object SnapshotTable {
     * partition values carry Hive's default-partition token. Repartition
     * by the column => one file per partition value per batch.
     */
+  /** Hive-style partition-dir unescape: ONLY %xx sequences decode.
+    * Spark's escapePathName never writes '+' for a space, so
+    * URLDecoder — which maps '+' -> ' ' — would corrupt any label
+    * containing a literal '+', silently breaking partition pruning for
+    * that value.
+    */
+  private def unescapePartValue(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
+
   private[graft] def stagePartitionedBatch(df: DataFrame, table: String,
       pcol: String): Seq[(String, String)] = {
     val batch = "b-" + java.util.UUID.randomUUID().toString
@@ -286,8 +310,8 @@ object SnapshotTable {
     f.listStatus(new Path(dir)).filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("__part="))
       .toIndexedSeq.flatMap { pd =>
-        val v = java.net.URLDecoder.decode(
-          pd.getPath.getName.stripPrefix("__part="), "UTF-8")
+        val v = unescapePartValue(
+          pd.getPath.getName.stripPrefix("__part="))
         f.listStatus(pd.getPath).iterator
           .map(_.getPath.getName)
           .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
@@ -631,8 +655,14 @@ object SnapshotTable {
     }
     val numeric = snap.schema(column).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // an unparseable numeric stat (a NaN/Infinity max is committable —
+    // Spark's max treats NaN as largest) must degrade to keep-the-file,
+    // never to an exception that makes the column unqueryable
     def le(x: String, y: String) =
-      if (numeric) BigDecimal(x) <= BigDecimal(y) else x <= y
+      if (numeric)
+        try BigDecimal(x) <= BigDecimal(y)
+        catch { case _: NumberFormatException => true }
+      else x <= y
     val (loS, hiS) = (lo.toString, hi.toString)
     val files = snap.files.filter { f =>
       snap.statsOf.get(f).flatMap(_.get(column)) match {
@@ -879,6 +909,10 @@ object SnapshotTable {
       case Some(_) => stageFor(snap, df0, table)
       case None =>
         val files = stageBatch(df0.repartition(nOut), table)
+        // re-index like every other mutation: compaction must not
+        // silently degrade bloom point-lookup coverage
+        writeBloomSidecars(spark, table, files, declaredBloomCols(snap),
+          snap.schema)
         (files, Map.empty[String, String],
           computeStats(spark, table, files, declaredStatsCols(snap),
             snap.schema))
@@ -968,18 +1002,25 @@ object SnapshotTable {
     val dataDir = new Path(table, "data")
     var removed = 0
     if (f.exists(dataDir)) {
+      val tableUri = f.makeQualified(new Path(table)).toString
       f.listStatus(dataDir).filter(_.isDirectory).foreach { b =>
-        val batch = b.getPath.getName
-        f.listStatus(b.getPath).filter(_.isFile).foreach { s =>
-          val rel = s"data/$batch/${s.getPath.getName}"
-          val isData = s.getPath.getName.endsWith(".parquet")
-          if (isData && !live.contains(rel)) {
-            f.delete(s.getPath, false); removed += 1
+        // RECURSIVE listing: partitioned batches nest their parquet
+        // under __part=* subdirectories — a direct-children-only sweep
+        // would miss them AND then judge the batch dir empty-of-parquet
+        // and recursively delete LIVE nested data
+        val it = f.listFiles(b.getPath, true)
+        var liveParquetLeft = false
+        while (it.hasNext) {
+          val s = it.next()
+          val abs = s.getPath.toString
+          val rel = abs.stripPrefix(tableUri).stripPrefix("/")
+          if (s.getPath.getName.endsWith(".parquet")) {
+            if (!live.contains(rel)) {
+              f.delete(s.getPath, false); removed += 1
+            } else liveParquetLeft = true
           }
         }
-        if (f.listStatus(b.getPath)
-            .forall(s => !s.getPath.getName.endsWith(".parquet")))
-          f.delete(b.getPath, true)
+        if (!liveParquetLeft) f.delete(b.getPath, true)
       }
     }
     (expire.size, removed)
@@ -1133,8 +1174,12 @@ object SnapshotTable {
     val base = snap.meta.getOrElse("wapBase",
       throw new IllegalStateException(s"$p carries no wapBase")).toLong
     val cur = currentVersion(spark, table)
+    // deliberately NOT CommitConflictException: the staged manifest's
+    // base is frozen, so retrying the publish can never succeed —
+    // withCommitRetry must not burn its attempts on it; the caller
+    // re-stages on the new base instead
     if (cur != base)
-      throw new CommitConflictException(
+      throw new IllegalStateException(
         s"publish conflict at $table: candidate staged on v$base but " +
           s"current is v$cur; re-stage on the new base")
     val v = commitManifest(spark, table, snap.schema, snap.files, base,
@@ -1238,9 +1283,11 @@ object SnapshotTable {
     * after a short jittered backoff — the standard writer loop every
     * catalog-backed table format wraps around its commits. The losing
     * attempt's staged files are orphans for [[vacuumOrphans]]; nothing
-    * visible ever tears. Semantic conflicts (e.g. a WAP publish whose
-    * base moved) re-validate naturally because the retried verb reads
-    * the NEW snapshot.
+    * visible ever tears. Only the typed rename-race
+    * [[CommitConflictException]] retries — a WAP publish whose base
+    * moved throws a plain IllegalStateException instead, because its
+    * staged manifest pins the old base and re-running could never
+    * succeed (re-stage on the new base).
     */
   def withCommitRetry[T](maxAttempts: Int = 5)(op: => T): T = {
     require(maxAttempts >= 1, "need at least one attempt")

@@ -922,6 +922,45 @@ class SnapshotSuite extends AnyFunSuite {
     assert(SnapshotTable.read(spark, t).count() === live)
   }
 
+  test("expireSnapshots on a PARTITIONED table: nested live data " +
+      "survives, expired nested files are collected") {
+    val t = freshTable("partexpire")
+    SnapshotTable.createPartitioned(spark, t, orders, "o_orderstatus")
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 10 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + 1)))
+    val liveRows = sortedRows(SnapshotTable.read(spark, t))
+    val (expired, removed) = SnapshotTable.expireSnapshots(spark, t,
+      keepLast = 1)
+    assert(expired === 1)
+    assert(removed >= 1, "v1's replaced nested files must be collected")
+    assert(sortedRows(SnapshotTable.read(spark, t)) === liveRows,
+      "the current partitioned snapshot must survive expiry intact")
+  }
+
+  test("SnapshotFileIndex: DATE literals prune on ISO stats without " +
+      "excluding matching files") {
+    import graft.sources.SnapshotScan
+    val t = freshTable("datestats")
+    // the corpus ships l_shipdate as TIMESTAMP; derive a true DATE
+    // column (timestamp literals stay deliberately unprunable)
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("l_shipdate"),
+        col("l_quantity"))
+    SnapshotTable.createClustered(spark, t, items, "l_shipdate",
+      numFiles = 8, statsCols = Seq("l_shipdate"))
+    val (df, idx) = SnapshotScan.scan(spark, t)
+    val lo = java.sql.Date.valueOf("1995-01-01")
+    val hi = java.sql.Date.valueOf("1995-03-31")
+    val got = df.filter(col("l_shipdate").between(lo, hi)).count()
+    val want = items.filter(col("l_shipdate").between(lo, hi)).count()
+    assert(got === want,
+      "date-literal pruning must never exclude matching files")
+    assert(want > 0, "the probe range should be non-empty at this sf")
+    assert(idx.lastPlannedFiles < 8,
+      s"a ~3-month range over date-clustered files should prune, " +
+        s"planned ${idx.lastPlannedFiles}")
+  }
+
   test("q_table_changes equals the first-principles logical diff") {
     val got = SnapshotTable.queries("q_table_changes")(spark, sf).collect()
     val o = Tables.orders(spark, sf)
