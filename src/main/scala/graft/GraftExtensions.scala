@@ -69,6 +69,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_changes"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "graft_changes"),
       GraftExtensions.changesTvf))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_dml"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "graft_dml"),
+      GraftExtensions.dmlTvf))
+    // NATIVE DML on snapshot-table paths: Spark's grammar already
+    // parses `UPDATE `/path` SET...` / `DELETE FROM` / `MERGE INTO`
+    // into their catalyst plans; this rule intercepts the ones whose
+    // target path is a snapshot table (has `_manifests`) and lowers
+    // them to the eagerly-executed SnapshotDmlCommand. Non-snapshot DML
+    // targets pass through untouched for Spark's own v2 handling.
+    e.injectResolutionRule(_ => GraftExtensions.SnapshotDmlRule)
   }
 }
 
@@ -143,6 +154,48 @@ object GraftExtensions {
     df.queryExecution.logical
   }
 
+  /** `graft_dml('<UPDATE|DELETE|MERGE statement>')` — SQL DML on
+    * snapshot tables as a procedure TVF (see [[graft.sources.GraftDml]]).
+    * The statement executes at analysis time (the procedure convention
+    * of the snapshot TVFs); the call returns one row
+    * (verb, version, rows_affected, files_rewritten).
+    */
+  val dmlTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1,
+      s"graft_dml(statement) takes 1 argument, got ${args.size}")
+    val spark = SparkSession.active
+    graft.sources.GraftDml.execute(spark,
+      litString(args.head, "graft_dml statement"))
+      .queryExecution.logical
+  }
+
+  /** The native-DML lowering rule for extensions-built sessions: a
+    * parsed UPDATE/DELETE/MERGE whose target is a snapshot-table path
+    * becomes a [[graft.sources.SnapshotDmlCommand]]; anything else is
+    * left for Spark's own resolution. DML nodes are always plan roots,
+    * so only the root is inspected.
+    */
+  object SnapshotDmlRule extends Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      DeleteFromTable, MergeIntoTable, UpdateTable}
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val spark = SparkSession.active
+      plan match {
+        case u: UpdateTable
+            if graft.sources.GraftDml.targetPath(spark, u.table).isDefined =>
+          graft.sources.SnapshotDmlCommand(u)
+        case d: DeleteFromTable
+            if graft.sources.GraftDml.targetPath(spark, d.table).isDefined =>
+          graft.sources.SnapshotDmlCommand(d)
+        case m: MergeIntoTable
+            if graft.sources.GraftDml
+              .targetPath(spark, m.targetTable).isDefined =>
+          graft.sources.SnapshotDmlCommand(m)
+        case other => other
+      }
+    }
+  }
+
   /** `graft_changes('<table>', fromVersion, toVersion)` — the change
     * feed between two snapshot versions as a SQL relation.
     */
@@ -174,5 +227,7 @@ object GraftExtensions {
       "graft_snapshot", snapshotTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,
       "graft_changes", changesTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_dml", dmlTvf)
   }
 }

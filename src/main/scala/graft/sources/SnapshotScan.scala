@@ -121,13 +121,15 @@ class SnapshotFileIndex(spark: SparkSession, table: String,
         val numeric = snap.schema.fieldNames.contains(column) &&
           snap.schema(column).dataType.isInstanceOf[NumericType]
         // unparseable numeric repr -> no exclusion (soundness first);
-        // string compare is java-lexicographic, matching the ASCII
-        // renderings `computeStats` records
+        // string compare is by CODE POINT — the order UTF8String's
+        // min/max recorded the stats under (Java's UTF-16 <= disagrees
+        // for supplementary chars vs U+E000..U+FFFF and would silently
+        // exclude matching files)
         def le(x: String, y: String): Boolean =
           if (numeric)
             try BigDecimal(x) <= BigDecimal(y)
             catch { case _: NumberFormatException => true }
-          else x <= y
+          else SnapshotTable.codePointLe(x, y)
         (!hi || le(mn, v)) && (!lo || le(v, mx))
       case None => true
     }

@@ -40,13 +40,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    this for free from its journal).
   *
   * Concurrency: optimistic. Two writers racing to commit the same next
-  * version are detected by the commit rename (the loser sees the target
-  * already existing and aborts with the staged files orphaned, data
-  * intact). Caveat shared with every filesystem-catalog design (e.g.
-  * Iceberg's HadoopTables): POSIX rename OVERWRITES, so the
-  * exists-then-rename pair is checked, not atomic — a real deployment
-  * points the commit at a catalog/CAS endpoint; this seam is the one
-  * method [[commitManifest]].
+  * version are detected at the commit point (the loser aborts with its
+  * staged files orphaned, data intact) — ACROSS PROCESSES: the
+  * check-then-rename pair is serialized by [[LockFileCatalog]]'s
+  * exclusive-create lockfile (O_CREAT|O_EXCL via NIO on local
+  * filesystems, server-side-atomic create on HDFS), behind the
+  * pluggable [[CommitCatalog]] seam a multi-driver deployment points at
+  * a real catalog/CAS endpoint. Exercised by a forked-second-JVM race
+  * test in SnapshotSuite.
   *
   * Scale: the manifest is file-list-sized (100 TB at 128 MB files ~
   * 800k lines, tens of MB — driver/metadata-tier, never data-tier);
@@ -89,20 +90,25 @@ object SnapshotTable {
     * unpartitioned tables), and small key=value metadata (e.g. the
     * streaming sink's last committed batch id — committed ATOMICALLY
     * with the file list by the same manifest rename, which is what
-    * makes idempotent exactly-once replay possible).
+    * makes idempotent exactly-once replay possible). `depth` is the
+    * DELTA-CHAIN depth of the backing manifest: 0 for a full manifest,
+    * base.depth + 1 for a delta (see [[commitManifest]]'s O(churn)
+    * commit-metadata encoding).
     */
   final case class Snapshot(version: Long, schema: StructType,
       files: Seq[String], meta: Map[String, String] = Map.empty,
       partitionOf: Map[String, String] = Map.empty,
       statsOf: Map[String, Map[String, (String, String)]] = Map.empty,
-      deleteFiles: Seq[String] = Nil)
+      deleteFiles: Seq[String] = Nil, depth: Int = 0)
 
-  def readManifest(spark: SparkSession, table: String,
-      version: Long): Snapshot =
-    readManifestAt(spark, table, manifestPath(table, version), version)
+  /** One manifest FILE as written (full, or a delta against `base`). */
+  private final case class RawManifest(version: Long, schema: StructType,
+      base: Option[Long], depth: Int, meta: Map[String, String],
+      deleteFiles: Seq[String], removed: Seq[String],
+      entries: Seq[(String, Option[String], Map[String, (String, String)])])
 
-  private def readManifestAt(spark: SparkSession, table: String,
-      p: Path, version: Long): Snapshot = {
+  private def parseManifestFile(spark: SparkSession, table: String,
+      p: Path, version: Long): RawManifest = {
     val in = fs(spark, table).open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
@@ -112,8 +118,11 @@ object SnapshotTable {
     val schema = DataType.fromJson(lines(1).stripPrefix("schema:"))
       .asInstanceOf[StructType]
     val body = lines.drop(2).filter(_.nonEmpty)
-    val (metaLines, rest) = body.partition(_.startsWith("meta:"))
-    val (dvLines, fileLines) = rest.partition(_.startsWith("dv:"))
+    val (metaLines, rest0) = body.partition(_.startsWith("meta:"))
+    val (dvLines, rest1) = rest0.partition(_.startsWith("dv:"))
+    val (baseLines, rest2) = rest1.partition(_.startsWith("base:"))
+    val (depthLines, rest3) = rest2.partition(_.startsWith("depth:"))
+    val (rmLines, fileLines) = rest3.partition(_.startsWith("rm:"))
     val meta = metaLines.map(_.stripPrefix("meta:")).map { kv =>
       val i = kv.indexOf('=')
       kv.take(i) -> kv.drop(i + 1)
@@ -140,10 +149,58 @@ object SnapshotTable {
       }
       (path, part, stats)
     }
-    Snapshot(version, schema, parsed.map(_._1), meta,
-      parsed.collect { case (f, Some(v), _) => f -> v }.toMap,
-      parsed.collect { case (f, _, st) if st.nonEmpty => f -> st }.toMap,
-      dvLines.map(_.stripPrefix("dv:")))
+    RawManifest(version, schema,
+      baseLines.headOption.map(_.stripPrefix("base:").toLong),
+      depthLines.headOption.map(_.stripPrefix("depth:").toInt).getOrElse(0),
+      meta, dvLines.map(_.stripPrefix("dv:")),
+      rmLines.map(_.stripPrefix("rm:")), parsed)
+  }
+
+  private def toSnapshot(raw: RawManifest): Snapshot =
+    Snapshot(raw.version, raw.schema, raw.entries.map(_._1), raw.meta,
+      raw.entries.collect { case (f, Some(v), _) => f -> v }.toMap,
+      raw.entries.collect { case (f, _, st) if st.nonEmpty => f -> st }.toMap,
+      raw.deleteFiles, raw.depth)
+
+  /** Apply one delta on top of its resolved base: the file list drops
+    * the removed paths and appends the added entries; meta, schema and
+    * the DV list come WHOLLY from the delta (each manifest is
+    * authoritative for them — this is how additive schema evolution and
+    * stream high-water marks ride delta commits unchanged).
+    */
+  private def applyDelta(base: Snapshot, d: RawManifest): Snapshot = {
+    val rm = d.removed.toSet
+    Snapshot(d.version, d.schema,
+      base.files.filterNot(rm) ++ d.entries.map(_._1), d.meta,
+      (base.partitionOf -- rm) ++
+        d.entries.collect { case (f, Some(v), _) => f -> v },
+      (base.statsOf -- rm) ++
+        d.entries.collect { case (f, _, st) if st.nonEmpty => f -> st },
+      d.deleteFiles, d.depth)
+  }
+
+  def readManifest(spark: SparkSession, table: String,
+      version: Long): Snapshot =
+    readManifestAt(spark, table, manifestPath(table, version), version)
+
+  private def readManifestAt(spark: SparkSession, table: String,
+      p: Path, version: Long): Snapshot = {
+    val top = parseManifestFile(spark, table, p, version)
+    if (top.base.isEmpty) toSnapshot(top)
+    else {
+      // walk the chain down to the full manifest, then fold forward;
+      // chain length is bounded by MaxChainDepth at commit time
+      var stack: List[RawManifest] = List(top)
+      var baseV = top.base
+      while (baseV.isDefined) {
+        val r = parseManifestFile(spark, table,
+          manifestPath(table, baseV.get), baseV.get)
+        stack ::= r
+        baseV = r.base
+      }
+      require(stack.head.base.isEmpty, "delta chain must end at a full manifest")
+      stack.tail.foldLeft(toSnapshot(stack.head))(applyDelta)
+    }
   }
 
   private def loadCurrent(spark: SparkSession, table: String): Snapshot = {
@@ -166,18 +223,47 @@ object SnapshotTable {
   }
 
   /** The location-independent identity of a data file: its
-    * `data/<batch>/...` suffix — exactly the manifest's relative path
-    * (partitioned files carry their `__part=` subdir too), extractable
-    * from `_metadata.file_path` wherever the table lives. Deletion
-    * vectors key on it (plus row position), so a moved table keeps its
-    * deletes. Anchored on the batch-dir prefix (`b-`/`dv-` + uuid), so
-    * partition subdirectories don't truncate the key.
+    * `data/<batch>/...` suffix — the manifest's relative path in the
+    * URI-ENCODED space of `_metadata.file_path` (a raw disk name like
+    * `__part=a b` or `__part=a%20b` renders as `a%20b` / `a%2520b`
+    * there). Deletion vectors key on it (plus row position), so a moved
+    * table keeps its deletes; the encoding is location-independent too.
+    * Anchored on the batch-dir prefix (`b-`/`dv-` + uuid), so partition
+    * subdirectories don't truncate the key. Compare against
+    * manifest-relative paths ONLY after [[pctDecode]] — they live in the
+    * raw on-disk space ([[relKeyFromUri]] is the driver-side bridge).
     */
   private def fileKeyOf(absCol: Column): Column =
     // greedy .* prefix pins the LAST `data/<batch>/` occurrence, so a
     // table path that itself contains a `data/b-...` segment cannot
     // truncate the key
     regexp_extract(absCol, "^.*(data/(?:b|dv)-[^/]+/.*)$", 1)
+
+  /** Decode %xx sequences ONLY — the inverse of Hadoop Path/URI
+    * rendering, which never writes '+' for a space (URLDecoder would
+    * corrupt a literal '+'). One decode maps an encoded file key back
+    * to the raw on-disk name the manifest records: a space in a dir
+    * name renders as `%20` in URI space and decodes back; a
+    * Hive-escaped '%' (on disk as `%25`, e.g. inside `__part=a%20b`
+    * for a value containing "a%20b" verbatim) renders as `%2525` and
+    * decodes back to the on-disk `%25` — never double-decoded.
+    */
+  private def pctDecode(s: String): String = unescapePartValue(s)
+
+  private val RelKeyRe = "^.*(data/(?:b|dv)-[^/]+/.*)$".r
+
+  /** Driver-side bridge from an encoded absolute URI (input_file_name /
+    * _metadata.file_path / FileStatus Path.toString) to the RAW
+    * manifest-relative path: extract the `data/<batch>/...` suffix in
+    * the encoded space (where the uuid batch anchor is guaranteed
+    * literal), then decode once. Replaces the former O(files) endsWith
+    * scan per row AND fixes the silent mismatch for partition values
+    * with URI-special characters (space, '%', Hive-escaped '='/':').
+    */
+  private def relKeyFromUri(abs: String): Option[String] = abs match {
+    case RelKeyRe(rel) => Some(pctDecode(rel))
+    case _ => None
+  }
 
   /** Read `files` under snapshot `snap` with its DELETION VECTORS
     * applied: rows whose (file key, row position) appear in a delete
@@ -251,7 +337,7 @@ object SnapshotTable {
     if (n == 0) { f.delete(new Path(dir), true); return (snap.version, 0L) }
     val v = commitManifest(spark, table, snap.schema, snap.files,
       snap.version, snap.meta, snap.partitionOf, snap.statsOf,
-      snap.deleteFiles ++ dvFiles)
+      snap.deleteFiles ++ dvFiles, Some(snap))
     (v, n)
   }
 
@@ -338,9 +424,11 @@ object SnapshotTable {
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    val fileSet = files.toSet
     rows.flatMap { r =>
-      val abs = r.getString(0)
-      files.find(f => abs.endsWith("/" + f) || abs.endsWith(f)).map { rel =>
+      // O(1) key extraction per row (extract-then-decode), not an
+      // O(files) endsWith scan — and exact for URI-special characters
+      relKeyFromUri(r.getString(0)).filter(fileSet).map { rel =>
         rel -> statsCols.zipWithIndex.flatMap { case (c, i) =>
           val mn = r.getString(1 + 2 * i)
           val mx = r.getString(2 + 2 * i)
@@ -349,6 +437,46 @@ object SnapshotTable {
       }
     }.toMap
   }
+
+  /** String order matching how string stats were RECORDED: Spark's
+    * min/max on strings orders by UTF8String binary comparison, which
+    * equals code-point order — while Java's String <= orders by UTF-16
+    * code units. The two disagree whenever a supplementary character
+    * (>= U+10000, surrogate-encoded) meets U+E000..U+FFFF, and a wrong
+    * order here silently EXCLUDES a file that contains matching rows —
+    * the worst failure mode a skipping layer can have. Compare by code
+    * point.
+    */
+  private[graft] def codePointLe(x: String, y: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val a = x.codePointAt(i)
+      val b = y.codePointAt(j)
+      if (a != b) return a < b
+      i += Character.charCount(a)
+      j += Character.charCount(b)
+    }
+    i >= x.length // x exhausted first (or equal) => x <= y
+  }
+
+  /** An observed long metric, null-safe (a sum over zero rows is null)
+    * — with a FALLBACK job for the case where the metric was LOST:
+    * AQE's runtime empty-relation propagation replaces a subtree whose
+    * shuffle output turned out empty (e.g. a delete that leaves no
+    * survivors) and the final adaptive plan then no longer contains the
+    * CollectMetrics node, so the observation resolves to an EMPTY map
+    * even though the scan ran (reproduced on 4.1.2). The fast path
+    * stays job-free; the rare lost path recomputes.
+    */
+  private def observedLong(metrics: Map[String, Any], name: String)(
+      fallback: => Long): Long =
+    metrics.get(name) match {
+      case Some(null) => 0L
+      case Some(n: java.lang.Long) => n.longValue
+      case Some(other) => other.toString.toLong
+      case None => fallback
+    }
 
   private def declaredStatsCols(snap: Snapshot): Seq[String] =
     snap.meta.get("statsCols").toSeq
@@ -396,8 +524,9 @@ object SnapshotTable {
         .mapValues(_._2)
         .agg(agg.toColumn.name("bloom"))
         .collect()
+      val fileSet = files.toSet
       val byBatch = perFile.flatMap { case (abs, bytes) =>
-        files.find(f => abs.endsWith("/" + f) || abs.endsWith(f))
+        relKeyFromUri(abs).filter(fileSet)
           .map(rel => (rel.split('/')(1), rel, bytes))
       }.groupBy(_._1)
       batches.foreach { b =>
@@ -504,37 +633,76 @@ object SnapshotTable {
     (files, labels, stats)
   }
 
+  private def fileLine(p: String, partitionOf: Map[String, String],
+      statsOf: Map[String, Map[String, (String, String)]]): String = {
+    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    val partField = partitionOf.get(p).map(v => s"p=$v")
+    val statField = statsOf.get(p).filter(_.nonEmpty).map(st =>
+      "s=" + st.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"${enc(c)}|${enc(mn)}|${enc(mx)}"
+      }.mkString(";"))
+    (p +: (partField.toSeq ++ statField.toSeq)).mkString("\t")
+  }
+
   private def renderManifest(schema: StructType, files: Seq[String],
       meta: Map[String, String],
       partitionOf: Map[String, String],
       statsOf: Map[String, Map[String, (String, String)]],
-      deleteFiles: Seq[String] = Nil): Array[Byte] = {
-    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
-    val fileLines = files.map { p =>
-      val partField = partitionOf.get(p).map(v => s"p=$v")
-      val statField = statsOf.get(p).filter(_.nonEmpty).map(st =>
-        "s=" + st.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-          s"${enc(c)}|${enc(mn)}|${enc(mx)}"
-        }.mkString(";"))
-      (p +: (partField.toSeq ++ statField.toSeq)).mkString("\t")
-    }
+      deleteFiles: Seq[String] = Nil): Array[Byte] =
     (Seq(Marker, "schema:" + schema.json) ++
       meta.toSeq.sortBy(_._1).map { case (k, v) => s"meta:$k=$v" } ++
       deleteFiles.map(d => s"dv:$d") ++
-      fileLines).mkString("\n").getBytes("UTF-8")
-  }
+      files.map(p => fileLine(p, partitionOf, statsOf)))
+      .mkString("\n").getBytes("UTF-8")
+
+  /** A DELTA manifest: adds/removes against `baseVersion` instead of
+    * the full file list — commit metadata cost O(churn), not O(table
+    * files). Meta and the DV list are still written whole (both are
+    * small/churn-sized and each manifest stays authoritative for them).
+    */
+  private def renderDelta(schema: StructType, baseVersion: Long,
+      depth: Int, meta: Map[String, String], deleteFiles: Seq[String],
+      removed: Seq[String], added: Seq[String],
+      partitionOf: Map[String, String],
+      statsOf: Map[String, Map[String, (String, String)]]): Array[Byte] =
+    (Seq(Marker, "schema:" + schema.json,
+      s"base:$baseVersion", s"depth:$depth") ++
+      meta.toSeq.sortBy(_._1).map { case (k, v) => s"meta:$k=$v" } ++
+      deleteFiles.map(d => s"dv:$d") ++
+      removed.map(r => s"rm:$r") ++
+      added.map(p => fileLine(p, partitionOf, statsOf)))
+      .mkString("\n").getBytes("UTF-8")
+
+  /** Delta chains re-anchor with a full manifest after this many links
+    * so resolution stays O(1) small reads and expiry retains a bounded
+    * tail of chain manifests.
+    */
+  private val MaxChainDepth = 16
 
   /** The commit point: publish `files` as version `expected + 1`. Fails
     * (leaving staged files orphaned, all snapshots intact) if another
     * writer committed first — optimistic concurrency on the manifest
-    * rename.
+    * publish.
+    *
+    * O(churn) metadata: when the caller supplies the `base` snapshot it
+    * mutated (every verb has it in hand), the manifest is written as a
+    * DELTA — adds/removes against the base version — whenever that is
+    * smaller than re-listing the table (it always is for a bounded
+    * mutation of a large table) and the chain is shorter than
+    * [[MaxChainDepth]]; otherwise a full manifest re-anchors the chain.
+    * A 1-file append to an 800k-file table therefore writes O(1)
+    * manifest bytes, not tens of MB (the Iceberg manifest-list shape,
+    * collapsed to one level). Readers resolve the chain in
+    * [[readManifest]]; [[compact]] naturally re-anchors (its delta
+    * would exceed the full list); [[expireSnapshots]] retains chain
+    * manifests that kept versions still resolve through.
     */
   private[graft] def commitManifest(spark: SparkSession, table: String,
       schema: StructType, files: Seq[String], expected: Long,
       meta: Map[String, String] = Map.empty,
       partitionOf: Map[String, String] = Map.empty,
       statsOf: Map[String, Map[String, (String, String)]] = Map.empty,
-      deleteFiles: Seq[String] = Nil)
+      deleteFiles: Seq[String] = Nil, base: Option[Snapshot] = None)
       : Long = {
     require(meta.forall { case (k, v) =>
       !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r') },
@@ -545,21 +713,34 @@ object SnapshotTable {
     val next = expected + 1
     val f = fs(spark, table)
     f.mkdirs(manifestDir(table))
+    val body: Array[Byte] = base match {
+      case Some(b) if b.version == expected && expected > 0 &&
+          b.depth + 1 <= MaxChainDepth =>
+        val baseSet = b.files.toSet
+        val targetSet = files.toSet
+        val removed = b.files.filterNot(targetSet)
+        val added = files.filterNot(baseSet)
+        if (removed.size + added.size < b.files.size)
+          renderDelta(schema, expected, b.depth + 1, meta, deleteFiles,
+            removed, added, partitionOf, statsOf)
+        else renderManifest(schema, files, meta, partitionOf, statsOf,
+          deleteFiles)
+      case _ => renderManifest(schema, files, meta, partitionOf, statsOf,
+        deleteFiles)
+    }
     val tmp = new Path(manifestDir(table),
       s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(renderManifest(schema, files, meta, partitionOf, statsOf,
-      deleteFiles))
+    try out.write(body)
     finally out.close()
     val target = manifestPath(table, next)
-    // exists+rename, not atomic CAS — the documented filesystem-catalog
-    // caveat. The JVM-wide lock serializes the check-then-rename pair
-    // for IN-PROCESS writers (Spark local mode's actual deployment
-    // unit, exercised by the withCommitRetry race test); the remaining
-    // cross-process window is exactly the commit seam a catalog/CAS
-    // endpoint replaces in a multi-driver deployment.
+    // the catalog seam: publish is delegated to the pluggable
+    // CommitCatalog (default: the cross-process lockfile CAS below); a
+    // real multi-driver deployment can point it at a catalog endpoint.
+    // The JVM-wide lock stays as a cheap fast-path serializer for
+    // in-process writers (it spares them the FS lock contention).
     val won = commitLock.synchronized {
-      !f.exists(target) && f.rename(tmp, target)
+      catalog.publish(f, tmp, target)
     }
     if (!won) {
       f.delete(tmp, false)
@@ -569,6 +750,79 @@ object SnapshotTable {
     }
     next
   }
+
+  /** The commit point abstraction: atomically publish `tmp` as `target`
+    * iff `target` does not exist yet, returning whether this writer
+    * won. Implementations must be safe across PROCESSES, not just
+    * threads — the one property SQLite gave the 656-LoC reference for
+    * free (database.py:32 commit) and a bare exists+rename cannot
+    * provide (POSIX rename overwrites).
+    */
+  trait CommitCatalog {
+    def publish(fs: FileSystem, tmp: Path, target: Path): Boolean
+  }
+
+  /** The default catalog: an exclusive-create LOCKFILE serializes the
+    * check-then-rename pair across processes. On a local filesystem the
+    * lock uses `Files.createFile` (true O_CREAT|O_EXCL atomicity —
+    * Hadoop's RawLocalFileSystem `create(overwrite=false)` is itself
+    * check-then-act); on HDFS `create(overwrite=false)` is
+    * server-side-atomic already. A holder that died mid-commit leaves a
+    * stale lock, broken after `staleMs`; a writer that cannot acquire
+    * within `waitMs` throws the retryable [[CommitConflictException]].
+    * Exercised cross-JVM by SnapshotSuite's forked-process race test.
+    */
+  final class LockFileCatalog(staleMs: Long = 60000L,
+      waitMs: Long = 30000L) extends CommitCatalog {
+
+    private def atomicCreate(fs: FileSystem, p: Path): Boolean =
+      if ("file".equalsIgnoreCase(
+          Option(fs.getUri.getScheme).getOrElse("file"))) {
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(p.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try { fs.create(p, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+
+    override def publish(fs: FileSystem, tmp: Path,
+        target: Path): Boolean = {
+      val lock = new Path(target.getParent, "commit.lock")
+      val deadline = System.currentTimeMillis() + waitMs
+      var held = false
+      while (!held) {
+        held = atomicCreate(fs, lock)
+        if (!held) {
+          // stale-lock break: the holder died between acquire and
+          // release (its commit either renamed or it didn't — both are
+          // consistent states; only the lock itself is debris)
+          val stale =
+            try fs.getFileStatus(lock).getModificationTime <
+              System.currentTimeMillis() - staleMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stale) { fs.delete(lock, false); () }
+          else if (System.currentTimeMillis() > deadline)
+            throw new CommitConflictException(
+              s"commit lock wait timed out at $lock")
+          else Thread.sleep(20L)
+        }
+      }
+      try {
+        if (fs.exists(target)) false
+        else fs.rename(tmp, target)
+      } finally { fs.delete(lock, false); () }
+    }
+  }
+
+  /** The pluggable commit catalog — swap for a real catalog/CAS
+    * endpoint in a multi-driver deployment.
+    */
+  @volatile var catalog: CommitCatalog = new LockFileCatalog()
 
   private object commitLock
 
@@ -662,7 +916,7 @@ object SnapshotTable {
       if (numeric)
         try BigDecimal(x) <= BigDecimal(y)
         catch { case _: NumberFormatException => true }
-      else x <= y
+      else codePointLe(x, y) // stats were recorded in UTF8String order
     val (loS, hiS) = (lo.toString, hi.toString)
     val files = snap.files.filter { f =>
       snap.statsOf.get(f).flatMap(_.get(column)) match {
@@ -689,7 +943,7 @@ object SnapshotTable {
     commitManifest(spark, table,
       StructType(snap.schema.fields ++ newFields), snap.files,
       snap.version, snap.meta, snap.partitionOf, snap.statsOf,
-      snap.deleteFiles)
+      snap.deleteFiles, Some(snap))
   }
 
   /** Remove staged-but-never-committed batch dirs older than `graceMs`
@@ -745,7 +999,7 @@ object SnapshotTable {
     val (files, labels, stats) = stageFor(snap, df, table)
     commitManifest(spark, table, snap.schema, snap.files ++ files,
       snap.version, snap.meta, snap.partitionOf ++ labels,
-      snap.statsOf ++ stats, snap.deleteFiles)
+      snap.statsOf ++ stats, snap.deleteFiles, Some(snap))
   }
 
   /** Table-relative paths of the files that contain rows matching
@@ -758,11 +1012,14 @@ object SnapshotTable {
     // DV-applied provenance scan: a file whose only matching rows are
     // already vector-deleted is NOT affected (rewriting it would be
     // wasted IO, though never wrong)
+    // __fk is the manifest-relative path in URI-ENCODED space — decode
+    // the (file-count-bounded) collected set on the driver before
+    // matching the raw manifest paths, or files in partitions whose
+    // value carries a URI-special character silently never match
     val keys = readFilesDvProv(spark, table, snap, snap.files)
       .filter(predicate)
       .select(col("__fk")).distinct()
-      .collect().map(_.getString(0)).toSet
-    // __fk IS the manifest's relative path (data/<batch>/<name>)
+      .collect().map(r => pctDecode(r.getString(0))).toSet
     snap.files.filter(keys)
   }
 
@@ -777,17 +1034,24 @@ object SnapshotTable {
     if (hit.isEmpty) return (snap.version, 0L, 0)
     // DV-applied: a rewrite materializes the touched files' deletion
     // vectors (their dead rows must not resurrect); stale DV entries
-    // pointing at the replaced files match nothing afterwards
+    // pointing at the replaced files match nothing afterwards.
+    // The matched count rides the rewrite pass as an observed metric
+    // (CollectMetrics — Delta's merge-metrics shape) instead of a
+    // separate count() job over the touched files.
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-upd-${java.util.UUID.randomUUID()}")
     val touched = readFilesDv(spark, table, snap, hit)
-    val matched = touched.filter(predicate).count()
+      .observe(obs, sum(when(predicate, 1L).otherwise(0L)).as("matched"))
     val rewritten = assignments.foldLeft(touched) { case (d, (c, v)) =>
       d.withColumn(c, when(predicate, v).otherwise(col(c)))
     }.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
     val (fresh, labels, stats) = stageFor(snap, rewritten, table)
+    val matched = observedLong(obs.get, "matched")(
+      readFilesDv(spark, table, snap, hit).filter(predicate).count())
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema, keep ++ fresh,
       snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels,
-      (snap.statsOf -- hit) ++ stats, snap.deleteFiles)
+      (snap.statsOf -- hit) ++ stats, snap.deleteFiles, Some(snap))
     (v, matched, hit.size)
   }
 
@@ -802,18 +1066,37 @@ object SnapshotTable {
     val matches = coalesce(predicate, lit(false))
     val hit = affectedFiles(spark, table, snap, matches)
     if (hit.isEmpty) return (snap.version, 0L, 0)
+    // both counts ride the survivor-rewrite pass as observed metrics
+    // (the CollectMetrics node sits below the filter, so it sees every
+    // touched row) — no separate count() job before the write
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-del-${java.util.UUID.randomUUID()}")
     val touched = readFilesDv(spark, table, snap, hit)
-    val deleted = touched.filter(matches).count()
+      .observe(obs,
+        sum(when(matches, 1L).otherwise(0L)).as("deleted"),
+        sum(when(matches, 0L).otherwise(1L)).as("kept"))
     val survivors = touched.filter(!matches)
-    val (fresh, labels, stats) =
-      if (survivors.isEmpty)
-        (Nil, Map.empty[String, String],
-          Map.empty[String, Map[String, (String, String)]])
-      else stageFor(snap, survivors, table)
+    val (staged, labels, stats) = stageFor(snap, survivors, table)
+    val mm = obs.get
+    lazy val recount = readFilesDv(spark, table, snap, hit)
+      .agg(coalesce(sum(when(matches, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(matches, 0L).otherwise(1L)), lit(0L))).head()
+    val deleted = observedLong(mm, "deleted")(recount.getLong(0))
+    // every touched row matched: the staged batch holds only Spark's
+    // schema-carrying empty file — drop it; the fully-deleted files
+    // simply leave the manifest with no replacement
+    val fresh =
+      if (observedLong(mm, "kept")(recount.getLong(1)) > 0L) staged
+      else {
+        val f = fs(spark, table)
+        staged.map(_.split('/')(1)).distinct.foreach(b =>
+          f.delete(new Path(s"$table/data/$b"), true))
+        Nil
+      }
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema, keep ++ fresh,
       snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels,
-      (snap.statsOf -- hit) ++ stats, snap.deleteFiles)
+      (snap.statsOf -- hit) ++ stats, snap.deleteFiles, Some(snap))
     (v, deleted, hit.size)
   }
 
@@ -847,40 +1130,63 @@ object SnapshotTable {
       .select(col(key), col("__fk"))
       .join(srcKeys, Seq(key), "left_semi")
       .select(col("__fk")).distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => pctDecode(r.getString(0))).toSet
     val hit = snap.files.filter(hitKeys)
     val (rewrittenFiles, updated) = if (hit.isEmpty)
       ((Nil: Seq[String], Map.empty[String, String],
         Map.empty[String, Map[String, (String, String)]]), 0L)
     else {
+      // the updated count rides the rewrite pass as an observed metric
+      // (every touched row flows through the CollectMetrics node; the
+      // __k probe marks the matched ones) — no separate semi-join job
+      val obs = org.apache.spark.sql.Observation(
+        s"graft-mrg-${java.util.UUID.randomUUID()}")
       val touched = readFilesDv(spark, table, snap, hit)
-      val nUpd = touched.join(srcKeys, Seq(key), "left_semi").count()
       val s2 = src.select(
         col(key).as("__k") +: cols.filterNot(_ == key)
           .map(c => col(c).as(s"__s_$c")).toIndexedSeq: _*)
       val merged = touched
         .join(s2, touched(key) === col("__k"), "left_outer")
+        .observe(obs,
+          sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("updated"))
         .select(cols.map(c =>
           if (c == key) col(key)
           else coalesce(when(col("__k").isNotNull, col(s"__s_$c")),
             col(c)).as(c)).toIndexedSeq: _*)
-      (stageFor(snap, merged, table), nUpd)
+      val staged = stageFor(snap, merged, table)
+      val nUpd = observedLong(obs.get, "updated")(
+        readFilesDv(spark, table, snap, hit)
+          .join(srcKeys, Seq(key), "left_semi").count())
+      (staged, nUpd)
     }
+    // the inserted count likewise rides the insert-batch write; a
+    // no-insert merge stages only Spark's schema-carrying empty file,
+    // which is dropped again below
+    val obsIns = org.apache.spark.sql.Observation(
+      s"graft-ins-${java.util.UUID.randomUUID()}")
     val inserts = src.join(
       cur.select(col(key)).distinct(), Seq(key), "left_anti")
-    val nIns = inserts.count()
-    val (insertFiles, insertLabels, insertStats) =
-      if (nIns == 0)
-        (Nil, Map.empty[String, String],
-          Map.empty[String, Map[String, (String, String)]])
-      else stageFor(snap, inserts, table)
+      .observe(obsIns, sum(lit(1L)).as("inserted"))
+    val (insertFiles0, insertLabels, insertStats) =
+      stageFor(snap, inserts, table)
+    val nIns = observedLong(obsIns.get, "inserted")(
+      src.join(cur.select(col(key)).distinct(), Seq(key), "left_anti")
+        .count())
+    val insertFiles =
+      if (nIns > 0) insertFiles0
+      else {
+        val f = fs(spark, table)
+        insertFiles0.map(_.split('/')(1)).distinct.foreach(b =>
+          f.delete(new Path(s"$table/data/$b"), true))
+        Nil
+      }
     if (updated == 0 && nIns == 0) return (snap.version, 0L, 0L, 0)
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema,
       keep ++ rewrittenFiles._1 ++ insertFiles, snap.version, snap.meta,
       (snap.partitionOf -- hit) ++ rewrittenFiles._2 ++ insertLabels,
       (snap.statsOf -- hit) ++ rewrittenFiles._3 ++ insertStats,
-      snap.deleteFiles)
+      snap.deleteFiles, Some(snap))
     (v, updated, nIns, hit.size)
   }
 
@@ -894,8 +1200,17 @@ object SnapshotTable {
     val snap = loadCurrent(spark, table)
     if (snap.files.isEmpty) return (snap.version, 0, 0)
     val f = fs(spark, table)
-    val bytes = snap.files.map(r =>
-      f.getFileStatus(new Path(table, r)).getLen).sum
+    // one listStatus per batch dir, not one getFileStatus RPC per file —
+    // the same batching SnapshotFileIndex uses (at production file
+    // counts the per-file round trip is the metadata bottleneck)
+    val bytes = snap.files
+      .groupBy(r => r.substring(0, r.lastIndexOf('/')))
+      .iterator.map { case (dir, rels) =>
+        val names = rels.map(r => r.substring(r.lastIndexOf('/') + 1)).toSet
+        f.listStatus(new Path(table, dir)).iterator
+          .filter(st => st.isFile && names(st.getPath.getName))
+          .map(_.getLen).sum
+      }.sum
     val nOut = math.max(1L,
       (bytes + targetMB.toLong * 1024 * 1024 - 1) /
         (targetMB.toLong * 1024 * 1024)).toInt
@@ -918,7 +1233,7 @@ object SnapshotTable {
             snap.schema))
     }
     val v = commitManifest(spark, table, snap.schema, fresh,
-      snap.version, snap.meta, labels, stats)
+      snap.version, snap.meta, labels, stats, Nil, Some(snap))
     (v, snap.files.size, fresh.size)
   }
 
@@ -946,7 +1261,7 @@ object SnapshotTable {
       commitManifest(spark, table, snap.schema, snap.files ++ files,
         snap.version, snap.meta + (metaKey -> batchId.toString),
         snap.partitionOf ++ labels, snap.statsOf ++ stats,
-        snap.deleteFiles)
+        snap.deleteFiles, Some(snap))
       true
     }
   }
@@ -998,7 +1313,23 @@ object SnapshotTable {
         val m = readManifest(spark, table, v)
         m.files ++ m.deleteFiles
       } ++ stagedLive).toSet
-    expire.foreach(v => f.delete(manifestPath(table, v), false))
+    // a kept DELTA manifest resolves through its chain — retain every
+    // manifest a kept version's chain passes through (their own data
+    // files still GC below: chain manifests contribute reachability of
+    // the KEPT file lists only, never liveness of their own)
+    val chainNeeded: Set[Long] = keep.flatMap { v =>
+      val acc = scala.collection.mutable.ListBuffer.empty[Long]
+      var cur = parseManifestFile(spark, table,
+        manifestPath(table, v), v).base
+      while (cur.isDefined) {
+        acc += cur.get
+        cur = parseManifestFile(spark, table,
+          manifestPath(table, cur.get), cur.get).base
+      }
+      acc
+    }.toSet
+    val dropped = expire.filterNot(chainNeeded)
+    dropped.foreach(v => f.delete(manifestPath(table, v), false))
     val dataDir = new Path(table, "data")
     var removed = 0
     if (f.exists(dataDir)) {
@@ -1012,6 +1343,10 @@ object SnapshotTable {
         var liveParquetLeft = false
         while (it.hasNext) {
           val s = it.next()
+          // Hadoop Path.toString is the UNESCAPED path (unlike Spark's
+          // _metadata.file_path, which is the encoded URI), so this
+          // strip already yields the raw manifest-relative name — no
+          // decode, which would corrupt Hive-escaped dir names
           val abs = s.getPath.toString
           val rel = abs.stripPrefix(tableUri).stripPrefix("/")
           if (s.getPath.getName.endsWith(".parquet")) {
@@ -1023,7 +1358,7 @@ object SnapshotTable {
         if (!liveParquetLeft) f.delete(b.getPath, true)
       }
     }
-    (expire.size, removed)
+    (dropped.size, removed)
   }
 
   /** Change data feed between two committed versions, derived from the
@@ -1075,10 +1410,12 @@ object SnapshotTable {
     val dvTargets: Seq[String] =
       if (dvChangedFiles.isEmpty) Nil
       else {
+        // stored DV file_keys live in the encoded __fk space; decode
+        // before matching the raw manifest paths
         val keys = spark.read
           .parquet(dvChangedFiles.map(d => s"$table/$d"): _*)
           .select(col("file_key")).distinct()
-          .collect().map(_.getString(0)).toSet
+          .collect().map(r => pctDecode(r.getString(0))).toSet
         from.files.filter(f => toSet(f) && keys(f))
       }
     val outCols = to.schema.fieldNames
@@ -1114,6 +1451,9 @@ object SnapshotTable {
     val streamMarks = cur.meta.filter(_._1.startsWith("lastBatchId."))
     old.deleteFiles.foreach(r => require(f.exists(new Path(table, r)),
       s"cannot restore v$version: delete file $r was expired"))
+    // deliberately a FULL manifest (base = None): restore re-lists the
+    // old snapshot verbatim and re-anchors any delta chain — the verb
+    // is rare and the verbatim list is its contract
     commitManifest(spark, table, old.schema, old.files, cur.version,
       old.meta ++ streamMarks + ("restoredFrom" -> version.toString),
       old.partitionOf, old.statsOf, old.deleteFiles)
@@ -1184,7 +1524,7 @@ object SnapshotTable {
           s"current is v$cur; re-stage on the new base")
     val v = commitManifest(spark, table, snap.schema, snap.files, base,
       snap.meta - "wapBase", snap.partitionOf, snap.statsOf,
-      snap.deleteFiles)
+      snap.deleteFiles, Some(readManifest(spark, table, base)))
     fs(spark, table).delete(p, false)
     v
   }
@@ -1235,7 +1575,7 @@ object SnapshotTable {
       val v = commitManifest(spark, table, snap.schema,
         snap.files ++ fresh, snap.version, snap.meta,
         snap.partitionOf ++ labels, snap.statsOf ++ stats,
-        snap.deleteFiles ++ dvFiles)
+        snap.deleteFiles ++ dvFiles, Some(snap))
       (v, n)
     } finally { matched.unpersist(blocking = false); () }
   }
@@ -1463,6 +1803,42 @@ object SnapshotTable {
            |  WHERE change_type = 'insert') ch
            |  ON snap.o_orderkey = ch.o_orderkey
            |ORDER BY snap.o_orderkey ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // The SQL DML surface (GraftDml): UPDATE + DELETE + MERGE all run
+    // THROUGH spark.sql via the graft_dml procedure TVF — Spark's own
+    // parser produces the DML plans, GraftDml lowers them onto the
+    // file-granular snapshot verbs (file accounting suite-asserted in
+    // SnapshotSuite). The oracle replays the same three statements'
+    // logical effect in plain SQL.
+    "q_table_sql_dml" -> ((s, d) => {
+      val t = scratch(s, d, "dml")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      create(s, t, orders, numFiles = 8)
+      graft.GraftExtensions.register(s)
+      s.sql(s"""SELECT * FROM graft_dml("UPDATE `$t` SET """ +
+        """o_orderstatus = 'X', o_totalprice = o_totalprice * 2 """ +
+        """WHERE o_orderkey % 100 = 0")""").collect()
+      s.sql(s"""SELECT * FROM graft_dml("DELETE FROM `$t` """ +
+        """WHERE o_orderkey % 17 = 3")""").collect()
+      orders.filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("M").as("o_orderstatus"),
+          (col("o_totalprice") + 100000).as("o_totalprice"))
+        .union(orders.filter(col("o_orderkey") % 1000 === 7)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            col("o_custkey"), lit("N").as("o_orderstatus"),
+            col("o_totalprice")))
+        .createOrReplaceTempView("graft_dml_src")
+      s.sql(s"""SELECT * FROM graft_dml("MERGE INTO `$t` tg """ +
+        """USING graft_dml_src sr ON tg.o_orderkey = sr.o_orderkey """ +
+        """WHEN MATCHED THEN UPDATE SET * """ +
+        """WHEN NOT MATCHED THEN INSERT *")""").collect()
+      read(s, t)
+        .orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
     // Merge-on-read UPDATE: the sparse update commits positions of the
@@ -1700,6 +2076,36 @@ object SnapshotTable {
     "q_table_scan_pushdown" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 100 AND 1300
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // the three SQL DML statements' logical effect replayed in plain
+    // SQL: update+delete (as q_table_snapshot), then the key-equality
+    // upsert (as q_table_merge) against the post-update/delete state;
+    // *2 is exponent-only IEEE, +100000 a single exact addition
+    "q_table_sql_dml" ->
+      """WITH afterud AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 17 = 3)),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+        |    o_totalprice + 100000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 50 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 7)
+        |SELECT b.o_orderkey,
+        |  coalesce(s.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(s.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |  coalesce(s.o_totalprice, b.o_totalprice) AS o_totalprice
+        |FROM afterud b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
+        |FROM src s LEFT JOIN afterud b ON b.o_orderkey = s.o_orderkey
+        |WHERE b.o_orderkey IS NULL
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     // o_totalprice + 100000 is one IEEE double addition — deterministic
     // and identical across engines

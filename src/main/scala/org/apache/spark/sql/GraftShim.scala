@@ -20,6 +20,39 @@ object GraftShim {
       : DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Bridge to the `private[sql]` session SQL parser — needed to parse
+    * a DML string (UPDATE/DELETE/MERGE, which Spark's grammar accepts
+    * but `spark.sql` cannot execute for path tables) into its catalyst
+    * plan for graft's own lowering.
+    */
+  def parsePlan(spark: SparkSession, sql: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+      .parsePlan(sql)
+
+  /** A SIBLING session sharing this one's SparkContext but built with
+    * the given extensions — the way to exercise an extensions-injected
+    * rule when the primary session was built plain (the driver
+    * contract): `builder().getOrCreate` returns the existing session
+    * (ignoring `withExtensions`) unless the active/default session
+    * registrations are cleared first, and `newSession()` clones the
+    * parent's EMPTY extensions. Public-API only: clear, build with
+    * extensions (reusing the live SparkContext), restore.
+    */
+  def sessionWithExtensions(spark: SparkSession,
+      f: SparkSessionExtensions => Unit): SparkSession = {
+    val oldActive = SparkSession.getActiveSession
+    val oldDefault = SparkSession.getDefaultSession
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.builder().withExtensions(f).getOrCreate()
+    } finally {
+      oldActive.foreach(SparkSession.setActiveSession)
+      oldDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   /** Bridge to the `private[sql]` session TableFunctionRegistry —
     * RUNTIME registration of a SQL table-valued function on an already-
     * built session (the extensions path needs `spark.sql.extensions`

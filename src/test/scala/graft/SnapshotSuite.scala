@@ -979,4 +979,293 @@ class SnapshotSuite extends AnyFunSuite {
     assert(got.map(_.toString).toSeq ===
       expect.collect().map(_.toString).toSeq)
   }
+
+  test("delta manifests: append commit metadata is O(churn) not " +
+      "O(files), chains re-anchor at max depth, expiry retains chain " +
+      "manifests kept versions resolve through") {
+    val t = freshTable("deltachain")
+    SnapshotTable.create(spark, t, orders, numFiles = 40)
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestBytes(v: Long): Long = f.getFileStatus(
+      new org.apache.hadoop.fs.Path(t, f"_manifests/v$v%d.manifest")).getLen
+    val fullBytes = manifestBytes(1L)
+    val one = orders.limit(5).repartition(1)
+    (1 to 3).foreach(_ => SnapshotTable.append(spark, t, one))
+    assert(SnapshotTable.readManifest(spark, t, 4L).files.size === 43)
+    (2L to 4L).foreach { v =>
+      assert(manifestBytes(v) < fullBytes / 3,
+        s"append commit v$v must write churn-sized metadata " +
+          s"(${manifestBytes(v)} B vs full $fullBytes B)")
+    }
+    assert(SnapshotTable.read(spark, t).count() === orders.count() + 15)
+    // a file-granular delete rides a delta too and reads back exactly
+    val (_, deleted, _) = SnapshotTable.deleteWhere(spark, t,
+      col("o_orderkey") % 5 === 1)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") % 5 === 1).count() === 0L)
+    assert(deleted > 0L)
+    // the chain re-anchors with a FULL manifest at MaxChainDepth
+    var lastV = SnapshotTable.currentVersion(spark, t)
+    while (SnapshotTable.readManifest(spark, t, lastV).depth < 16)
+      lastV = SnapshotTable.append(spark, t, one)
+    val reanchored = SnapshotTable.append(spark, t, one)
+    assert(SnapshotTable.readManifest(spark, t, reanchored).depth === 0,
+      "the commit after a depth-16 chain must re-anchor full")
+    assert(manifestBytes(reanchored) > manifestBytes(reanchored - 1),
+      "the re-anchor is the full manifest, its predecessor a delta")
+    // expire down to a DELTA current version: its chain manifests must
+    // be retained (or the kept version could no longer resolve)
+    val tip = SnapshotTable.append(spark, t, one) // delta on reanchored
+    val rows = SnapshotTable.read(spark, t).count()
+    SnapshotTable.expireSnapshots(spark, t, keepLast = 1)
+    assert(SnapshotTable.read(spark, t).count() === rows,
+      "the kept delta version must still resolve after expiry")
+    assert(SnapshotTable.currentVersion(spark, t) === tip)
+    assert(f.exists(new org.apache.hadoop.fs.Path(t,
+      f"_manifests/v$reanchored%d.manifest")),
+      "the chain base the kept delta resolves through must be retained")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(t,
+      "_manifests/v1.manifest")),
+      "manifests outside every kept chain must still expire")
+  }
+
+  test("CROSS-PROCESS commit race: two forked JVMs + this one, every " +
+      "commit lands exactly once with a contiguous version chain") {
+    val t = freshTable("xproc")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType)))
+    SnapshotTable.commitManifest(spark, t, schema, Nil, 0L,
+      Map("w" -> "init-0")) // v1
+    val perWorker = 6
+    // Test/fork := true, so java.class.path IS the full test classpath
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def spawn(id: String): (Process, java.io.File) = {
+      val cmd = (Seq(javaBin) ++ opens ++ Seq("-Xmx1g", "-cp", cp,
+        "-Dspark.ui.enabled=false",
+        "graft.tools.CommitWorker", t, perWorker.toString, id))
+      val pb = new ProcessBuilder(cmd: _*)
+      // file-redirected output: a pipe would fill with Spark startup
+      // logs and block the child while this JVM is still committing
+      val outFile = java.io.File.createTempFile(s"xproc-$id", ".log")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(outFile)
+      (pb.start(), outFile)
+    }
+    val p1 = spawn("jvmA")
+    val p2 = spawn("jvmB")
+    // ...while THIS JVM commits concurrently through the same protocol
+    (1 to perWorker).foreach { i =>
+      SnapshotTable.withCommitRetry(maxAttempts = 200) {
+        val cur = SnapshotTable.currentVersion(spark, t)
+        val files = SnapshotTable.readManifest(spark, t, cur).files
+        SnapshotTable.commitManifest(spark, t, schema, files, cur,
+          Map("w" -> s"self-$i"))
+      }
+    }
+    def drain(pf: (Process, java.io.File), id: String): Unit = {
+      val (p, f) = pf
+      assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        s"worker $id did not finish")
+      val out = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      f.delete()
+      assert(p.exitValue === 0, s"worker $id failed:\n${out.takeRight(2000)}")
+      assert(out.contains(s"COMMIT_WORKER_DONE $id"),
+        s"worker $id did not report completion:\n${out.takeRight(2000)}")
+    }
+    drain(p1, "jvmA")
+    drain(p2, "jvmB")
+    val finalV = SnapshotTable.currentVersion(spark, t)
+    assert(finalV === 1L + 3 * perWorker,
+      "every commit must land exactly once (no overwrites, no gaps)")
+    val tags = (1L to finalV).map(v =>
+      SnapshotTable.readManifest(spark, t, v).meta("w")).toSet
+    val expected = (Set("init-0") ++
+      (1 to perWorker).flatMap(i =>
+        Seq(s"jvmA-$i", s"jvmB-$i", s"self-$i")).toSet)
+    assert(tags === expected,
+      "each writer's every tagged commit must appear in the chain")
+  }
+
+  test("SQL DML: graft_dml procedure runs UPDATE/DELETE/MERGE through " +
+      "spark.sql with file granularity") {
+    val t = freshTable("sqldml")
+    SnapshotTable.create(spark, t, orders, numFiles = 8)
+    GraftExtensions.register(spark)
+    val key = orders.select(min(col("o_orderkey"))).head().getLong(0)
+    val r1 = spark.sql(
+      s"""SELECT * FROM graft_dml("UPDATE `$t` SET o_orderstatus = 'Q' """ +
+        s"""WHERE o_orderkey = $key")""").head()
+    assert(r1.getString(0) === "update")
+    assert(r1.getLong(1) === 2L)
+    assert(r1.getLong(2) === 1L)
+    assert(r1.getLong(3) === 1L,
+      "a 1-key SQL update must rewrite exactly 1 file")
+    val before = SnapshotTable.readManifest(spark, t, 1L)
+    val after = SnapshotTable.readManifest(spark, t, 2L)
+    assert(before.files.toSet.intersect(after.files.toSet).size === 7,
+      "the 7 untouched files must carry over through the SQL verb")
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_orderstatus") === "Q").count() === 1L)
+    val r2 = spark.sql(
+      s"""SELECT * FROM graft_dml("DELETE FROM `$t` """ +
+        s"""WHERE o_orderkey = $key")""").head()
+    assert(r2.getString(0) === "delete" && r2.getLong(2) === 1L)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") === key).count() === 0L)
+    // merge re-inserts the deleted key and updates another
+    val k2 = orders.filter(col("o_orderkey") =!= key)
+      .select(min(col("o_orderkey"))).head().getLong(0)
+    orders.filter(col("o_orderkey").isin(key, k2))
+      .select(col("o_orderkey"), lit("R").as("o_orderstatus"),
+        col("o_totalprice"))
+      .createOrReplaceTempView("sqldml_src")
+    val r3 = spark.sql(
+      s"""SELECT * FROM graft_dml("MERGE INTO `$t` tg """ +
+        """USING sqldml_src sr ON tg.o_orderkey = sr.o_orderkey """ +
+        """WHEN MATCHED THEN UPDATE SET * """ +
+        """WHEN NOT MATCHED THEN INSERT *")""").head()
+    assert(r3.getString(0) === "merge" && r3.getLong(2) === 2L)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_orderstatus") === "R").count() === 2L)
+    val ex = intercept[Exception] {
+      spark.sql("""SELECT * FROM graft_dml("SELECT 1")""")
+    }
+    assert(ex.getMessage.contains("UPDATE / DELETE / MERGE"))
+  }
+
+  test("native UPDATE/DELETE/MERGE statements execute on an " +
+      "extensions-built session; non-snapshot targets pass through") {
+    val t = freshTable("nativedml")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val key = orders.select(min(col("o_orderkey"))).head().getLong(0)
+    val r1 = s2.sql(s"UPDATE `$t` SET o_orderstatus = 'N' " +
+      s"WHERE o_orderkey = $key").head()
+    assert(r1.getString(0) === "update" && r1.getLong(2) === 1L)
+    val r2 = s2.sql(s"DELETE FROM `$t` WHERE o_orderkey = $key").head()
+    assert(r2.getLong(2) === 1L)
+    // merge with an inline subquery source: the deleted key re-inserts
+    val r3 = s2.sql(s"MERGE INTO `$t` tg USING (SELECT $key AS " +
+      "o_orderkey, 'V' AS o_orderstatus, CAST(1.5 AS DOUBLE) AS " +
+      "o_totalprice) sr ON tg.o_orderkey = sr.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *").head()
+    assert(r3.getString(0) === "merge" && r3.getLong(2) === 1L)
+    assert(SnapshotTable.read(spark, t).filter(col("o_orderkey") === key)
+      .head().getAs[String]("o_orderstatus") === "V")
+    // a DML on a non-snapshot target is left for Spark's own handling
+    intercept[Exception] { s2.sql("UPDATE nonexistent_tbl SET x = 1") }
+  }
+
+  test("q_table_sql_dml equals the replayed update+delete+merge") {
+    val got = SnapshotTable.queries("q_table_sql_dml")(spark, sf)
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val afterud = o.select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 100 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 100 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .filter(!(col("o_orderkey") % 17 === 3))
+    val src = o.filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("M").as("o_orderstatus"),
+        (col("o_totalprice") + 100000).as("o_totalprice"))
+      .union(o.filter(col("o_orderkey") % 1000 === 7)
+        .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"),
+          col("o_totalprice")))
+    val s2 = src.select(col("o_orderkey").as("__k"),
+      col("o_custkey").as("s_ck"), col("o_orderstatus").as("s_os"),
+      col("o_totalprice").as("s_tp"))
+    val expect = afterud.join(s2, afterud("o_orderkey") === col("__k"),
+        "left_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("s_ck"), col("o_custkey")).as("o_custkey"),
+        coalesce(col("s_os"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("s_tp"), col("o_totalprice")).as("o_totalprice"))
+      .unionAll(src.join(afterud.select(col("o_orderkey")),
+        Seq("o_orderkey"), "left_anti"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+    assert(got.collect().map(_.toString).toSeq ===
+      expect.collect().map(_.toString).toSeq)
+  }
+
+  test("partitioned mutations and CDC survive URI-special partition " +
+      "values (space, literal %, Hive-escaped = and :)") {
+    val t = freshTable("partenc")
+    import spark.implicits._
+    // "a b": space stays literal on disk but renders %20 in
+    // _metadata.file_path; "p%20q": literal % is Hive-escaped to %25 on
+    // disk and %2525 in the URI; "x=y:z": both chars Hive-escaped.
+    // Before the pctDecode fix every one of these partitions was
+    // silently unreachable by the mutation verbs (0 matches reported).
+    val df = Seq(
+      (1L, "a b", 10.0), (2L, "a b", 20.0),
+      (3L, "p%20q", 30.0), (4L, "x=y:z", 40.0), (5L, "plain", 50.0)
+    ).toDF("k", "part", "v")
+    SnapshotTable.createPartitioned(spark, t, df, "part")
+    val (_, m, rw) = SnapshotTable.updateWhere(spark, t, col("k") === 1L,
+      Map("v" -> lit(11.0)))
+    assert(m === 1L && rw === 1,
+      "the space-partition file must be found and rewritten")
+    val (_, del, _) =
+      SnapshotTable.deleteWhere(spark, t, col("part") === "p%20q")
+    assert(del === 1L, "the literal-% partition must be reachable")
+    val src = Seq((4L, "x=y:z", 44.0), (6L, "a b", 60.0))
+      .toDF("k", "part", "v")
+    val (v4, upd, ins, _) = SnapshotTable.mergeInto(spark, t, src, "k")
+    assert(upd === 1L && ins === 1L)
+    val (v5, dv) = SnapshotTable.deleteWhereVector(spark, t, col("k") === 2L)
+    assert(dv === 1L)
+    // the DV stores its file key in the encoded __fk space; the change
+    // feed must decode it to find the affected manifest file
+    val changes = SnapshotTable.changesBetween(spark, t, v4, v5)
+    assert(changes.filter(col("change_type") === "delete").count() === 1L,
+      "the vector delete in an encoded partition dir must surface in CDC")
+    val fin = SnapshotTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(fin === Set((1L, "a b", 11.0), (4L, "x=y:z", 44.0),
+      (5L, "plain", 50.0), (6L, "a b", 60.0)))
+    // expiry must not eat live files in encoded partition dirs
+    SnapshotTable.expireSnapshots(spark, t, keepLast = 1)
+    assert(SnapshotTable.read(spark, t).count() === 4L)
+  }
+
+  test("string stats prune in code-point order, not UTF-16 order") {
+    // UTF-16 code units order U+E000 AFTER the surrogate pair for
+    // U+10000; code points (= UTF8String binary, the order min/max were
+    // recorded under) order it BEFORE
+    assert(SnapshotTable.codePointLe("\ue000", "\ud800\udc00"))
+    assert(!SnapshotTable.codePointLe("\ud800\udc00", "\ue000"))
+    assert(SnapshotTable.codePointLe("ab", "ab"))
+    assert(SnapshotTable.codePointLe("a", "ab"))
+    assert(!SnapshotTable.codePointLe("ab", "a"))
+    // functional: a range query whose bounds straddle the surrogate
+    // zone must not skip the file holding the supplementary row (Java
+    // String <= judged lo="￿" > max=U+10000 and excluded it)
+    val t = freshTable("cporder")
+    import spark.implicits._
+    val df = Seq("a", "b", "\ud800\udc00").toDF("s")
+    SnapshotTable.createClustered(spark, t, df, "s", numFiles = 2)
+    val got = SnapshotTable.readWhereRange(spark, t, "s",
+        "\uffff", "\ud800\udc01")
+      .filter(col("s") >= "\uffff" && col("s") <= "\ud800\udc01")
+    assert(got.count() === 1L, "the supplementary row must not be skipped")
+  }
 }
