@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{NumericType, StructType}
@@ -97,9 +97,24 @@ class SnapshotFileIndex(spark: SparkSession, table: String,
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists(v => boundsAdmit(file, a.name,
         v.asInstanceOf[Literal], lo = true, hi = true))
-    case _: IsNotNull => true // no null counts in the manifest
+    // per-file row/null counts (manifest `x=` attributes) prove a file
+    // all-null or null-free — unknown counts keep the file (soundness)
+    case IsNotNull(a: AttributeReference) =>
+      (extraLong(file, "rows"), extraLong(file, s"nulls.${a.name}")) match {
+        case (Some(rows), Some(nulls)) => nulls < rows
+        case _ => true
+      }
+    case IsNull(a: AttributeReference) =>
+      extraLong(file, s"nulls.${a.name}") match {
+        case Some(nulls) => nulls > 0
+        case _ => true
+      }
     case _ => true
   }
+
+  private def extraLong(file: String, key: String): Option[Long] =
+    snap.extraOf.get(file).flatMap(_.get(key))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
 
   /** `lo`: the predicate needs rows with value ≥ literal to exist, so
     * the file admits it iff literal ≤ max; `hi`: needs value ≤ literal,
@@ -118,8 +133,12 @@ class SnapshotFileIndex(spark: SparkSession, table: String,
     }
     snap.statsOf.get(file).flatMap(_.get(column)) match {
       case Some((mn, mx)) =>
+        // TIMESTAMP stats are recorded as epoch micros, so they compare
+        // numerically like any numeric column
         val numeric = snap.schema.fieldNames.contains(column) &&
-          snap.schema(column).dataType.isInstanceOf[NumericType]
+          (snap.schema(column).dataType.isInstanceOf[NumericType] ||
+            snap.schema(column).dataType ==
+              org.apache.spark.sql.types.TimestampType)
         // unparseable numeric repr -> no exclusion (soundness first);
         // string compare is by CODE POINT — the order UTF8String's
         // min/max recorded the stats under (Java's UTF-16 <= disagrees
@@ -139,15 +158,18 @@ class SnapshotFileIndex(spark: SparkSession, table: String,
     * (Spark's cast-to-string rendering). Types whose internal Catalyst
     * value does not stringify to that form must either convert
     * faithfully (DateType: epoch days → ISO local date, which also
-    * compares correctly lexicographically) or return null = UNPRUNABLE
-    * (timestamps: micros vs a zone-dependent rendering — soundness
-    * before pruning). A mismatch here silently EXCLUDES matching files,
-    * the worst failure mode a skipping layer can have.
+    * compares correctly lexicographically; TimestampType: the Catalyst
+    * value IS epoch micros, exactly what the stats record — zone-free
+    * on both sides) or return null = UNPRUNABLE (TimestampNTZ —
+    * soundness before pruning). A mismatch here silently EXCLUDES
+    * matching files, the worst failure mode a skipping layer can have.
     */
   private def render(l: Literal): String = (l.value, l.dataType) match {
     case (null, _) => null
     case (days: Integer, org.apache.spark.sql.types.DateType) =>
       java.time.LocalDate.ofEpochDay(days.longValue).toString
+    case (micros: java.lang.Long, org.apache.spark.sql.types.TimestampType) =>
+      micros.toString
     case (_, org.apache.spark.sql.types.TimestampType) => null
     case (_, org.apache.spark.sql.types.TimestampNTZType) => null
     case (u: org.apache.spark.unsafe.types.UTF8String, _) => u.toString

@@ -99,13 +99,18 @@ object SnapshotTable {
       files: Seq[String], meta: Map[String, String] = Map.empty,
       partitionOf: Map[String, String] = Map.empty,
       statsOf: Map[String, Map[String, (String, String)]] = Map.empty,
-      deleteFiles: Seq[String] = Nil, depth: Int = 0)
+      deleteFiles: Seq[String] = Nil, depth: Int = 0,
+      extraOf: Map[String, Map[String, String]] = Map.empty)
 
-  /** One manifest FILE as written (full, or a delta against `base`). */
+  /** One manifest FILE as written (full, or a delta against `base`).
+    * An entry is (path, partition label, min/max stats, extra per-file
+    * attributes — row count and per-column null counts).
+    */
   private final case class RawManifest(version: Long, schema: StructType,
       base: Option[Long], depth: Int, meta: Map[String, String],
       deleteFiles: Seq[String], removed: Seq[String],
-      entries: Seq[(String, Option[String], Map[String, (String, String)])])
+      entries: Seq[(String, Option[String], Map[String, (String, String)],
+        Map[String, String])])
 
   private def parseManifestFile(spark: SparkSession, table: String,
       p: Path, version: Long): RawManifest = {
@@ -136,6 +141,7 @@ object SnapshotTable {
       val path = fields.head
       var part: Option[String] = None
       var stats = Map.empty[String, (String, String)]
+      var extra = Map.empty[String, String]
       fields.tail.foreach {
         case f if f.startsWith("p=") => part = Some(f.stripPrefix("p="))
         case f if f.startsWith("s=") =>
@@ -145,9 +151,14 @@ object SnapshotTable {
             val Array(c, mn, mx) = e.split("\\|", -1).map(dec)
             c -> ((mn, mx))
           }.toMap
+        case f if f.startsWith("x=") =>
+          extra = f.stripPrefix("x=").split(';').iterator.map { e =>
+            val Array(k, v) = e.split("\\|", -1).map(dec)
+            k -> v
+          }.toMap
         case _ => ()
       }
-      (path, part, stats)
+      (path, part, stats, extra)
     }
     RawManifest(version, schema,
       baseLines.headOption.map(_.stripPrefix("base:").toLong),
@@ -158,9 +169,12 @@ object SnapshotTable {
 
   private def toSnapshot(raw: RawManifest): Snapshot =
     Snapshot(raw.version, raw.schema, raw.entries.map(_._1), raw.meta,
-      raw.entries.collect { case (f, Some(v), _) => f -> v }.toMap,
-      raw.entries.collect { case (f, _, st) if st.nonEmpty => f -> st }.toMap,
-      raw.deleteFiles, raw.depth)
+      raw.entries.collect { case (f, Some(v), _, _) => f -> v }.toMap,
+      raw.entries.collect {
+        case (f, _, st, _) if st.nonEmpty => f -> st }.toMap,
+      raw.deleteFiles, raw.depth,
+      raw.entries.collect {
+        case (f, _, _, x) if x.nonEmpty => f -> x }.toMap)
 
   /** Apply one delta on top of its resolved base: the file list drops
     * the removed paths and appends the added entries; meta, schema and
@@ -173,10 +187,12 @@ object SnapshotTable {
     Snapshot(d.version, d.schema,
       base.files.filterNot(rm) ++ d.entries.map(_._1), d.meta,
       (base.partitionOf -- rm) ++
-        d.entries.collect { case (f, Some(v), _) => f -> v },
+        d.entries.collect { case (f, Some(v), _, _) => f -> v },
       (base.statsOf -- rm) ++
-        d.entries.collect { case (f, _, st) if st.nonEmpty => f -> st },
-      d.deleteFiles, d.depth)
+        d.entries.collect { case (f, _, st, _) if st.nonEmpty => f -> st },
+      d.deleteFiles, d.depth,
+      (base.extraOf -- rm) ++
+        d.entries.collect { case (f, _, _, x) if x.nonEmpty => f -> x })
   }
 
   def readManifest(spark: SparkSession, table: String,
@@ -337,7 +353,7 @@ object SnapshotTable {
     if (n == 0) { f.delete(new Path(dir), true); return (snap.version, 0L) }
     val v = commitManifest(spark, table, snap.schema, snap.files,
       snap.version, snap.meta, snap.partitionOf, snap.statsOf,
-      snap.deleteFiles ++ dvFiles, Some(snap))
+      snap.deleteFiles ++ dvFiles, Some(snap), snap.extraOf)
     (v, n)
   }
 
@@ -406,36 +422,58 @@ object SnapshotTable {
       }.sortBy(_._1)
   }
 
-  /** Per-file min/max of `statsCols` over a FRESHLY STAGED batch: one
-    * codegen pass over the new files only (never the table), values
+  /** Per-file stats of `statsCols` over a FRESHLY STAGED batch in one
+    * codegen pass over the new files only (never the table): min/max
     * rendered as strings (numeric columns re-compare as decimals at
-    * prune time). A file whose column is all-NULL omits that column —
-    * it stays unprunable on it, preserving exactness.
+    * prune time; TIMESTAMP columns record epoch-micros so they prune
+    * numerically — a zone-dependent string rendering could not), plus
+    * the per-file row count and per-column NULL counts as extra
+    * attributes (`x=` fields), which let IS [NOT] NULL predicates skip
+    * all-null / null-free files. A file whose column is all-NULL omits
+    * its min/max — it stays range-unprunable, preserving exactness.
+    * Returns (statsOf, extraOf) slices for the staged files.
     */
   private def computeStats(spark: SparkSession, table: String,
       files: Seq[String], statsCols: Seq[String], schema: StructType)
-      : Map[String, Map[String, (String, String)]] = {
-    if (files.isEmpty || statsCols.isEmpty) return Map.empty
+      : (Map[String, Map[String, (String, String)]],
+         Map[String, Map[String, String]]) = {
+    if (files.isEmpty || statsCols.isEmpty) return (Map.empty, Map.empty)
+    def bound(c: String, isMin: Boolean) = {
+      val v = schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+        case _ => col(c)
+      }
+      (if (isMin) min(v) else max(v)).cast("string")
+    }
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c")))
+      bound(c, isMin = true).as(s"min_$c"),
+      bound(c, isMin = false).as(s"max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) :+
+      count(lit(1L)).as("__rows")
     val rows = spark.read.schema(schema)
       .parquet(files.map(f => s"$table/$f"): _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val fileSet = files.toSet
-    rows.flatMap { r =>
+    val perFile = rows.flatMap { r =>
       // O(1) key extraction per row (extract-then-decode), not an
       // O(files) endsWith scan — and exact for URI-special characters
       relKeyFromUri(r.getString(0)).filter(fileSet).map { rel =>
-        rel -> statsCols.zipWithIndex.flatMap { case (c, i) =>
-          val mn = r.getString(1 + 2 * i)
-          val mx = r.getString(2 + 2 * i)
+        val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val mn = r.getString(1 + 3 * i)
+          val mx = r.getString(2 + 3 * i)
           if (mn == null || mx == null) None else Some(c -> ((mn, mx)))
         }.toMap
+        val extras = Map("rows" -> r.getLong(1 + 3 * statsCols.size).toString) ++
+          statsCols.zipWithIndex.map { case (c, i) =>
+            s"nulls.$c" -> r.getLong(3 + 3 * i).toString
+          }
+        (rel, stats, extras)
       }
-    }.toMap
+    }
+    (perFile.map { case (rel, st, _) => rel -> st }.toMap,
+      perFile.map { case (rel, _, x) => rel -> x }.toMap)
   }
 
   /** String order matching how string stats were RECORDED: Spark's
@@ -619,40 +657,48 @@ object SnapshotTable {
     */
   private def stageFor(snap: Snapshot, df: DataFrame, table: String)
       : (Seq[String], Map[String, String],
-         Map[String, Map[String, (String, String)]]) = {
+         Map[String, Map[String, (String, String)]],
+         Map[String, Map[String, String]]) = {
     val (files, labels) = snap.meta.get("partitionCol") match {
       case Some(pc) =>
         val staged = stagePartitionedBatch(df, table, pc)
         (staged.map(_._1), staged.toMap)
       case None => (stageBatch(df, table), Map.empty[String, String])
     }
-    val stats = computeStats(df.sparkSession, table, files,
+    val (stats, extras) = computeStats(df.sparkSession, table, files,
       declaredStatsCols(snap), snap.schema)
     writeBloomSidecars(df.sparkSession, table, files,
       declaredBloomCols(snap), snap.schema)
-    (files, labels, stats)
+    (files, labels, stats, extras)
   }
 
   private def fileLine(p: String, partitionOf: Map[String, String],
-      statsOf: Map[String, Map[String, (String, String)]]): String = {
+      statsOf: Map[String, Map[String, (String, String)]],
+      extraOf: Map[String, Map[String, String]]): String = {
     def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
     val partField = partitionOf.get(p).map(v => s"p=$v")
     val statField = statsOf.get(p).filter(_.nonEmpty).map(st =>
       "s=" + st.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         s"${enc(c)}|${enc(mn)}|${enc(mx)}"
       }.mkString(";"))
-    (p +: (partField.toSeq ++ statField.toSeq)).mkString("\t")
+    val extraField = extraOf.get(p).filter(_.nonEmpty).map(x =>
+      "x=" + x.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${enc(k)}|${enc(v)}"
+      }.mkString(";"))
+    (p +: (partField.toSeq ++ statField.toSeq ++ extraField.toSeq))
+      .mkString("\t")
   }
 
   private def renderManifest(schema: StructType, files: Seq[String],
       meta: Map[String, String],
       partitionOf: Map[String, String],
       statsOf: Map[String, Map[String, (String, String)]],
-      deleteFiles: Seq[String] = Nil): Array[Byte] =
+      deleteFiles: Seq[String] = Nil,
+      extraOf: Map[String, Map[String, String]] = Map.empty): Array[Byte] =
     (Seq(Marker, "schema:" + schema.json) ++
       meta.toSeq.sortBy(_._1).map { case (k, v) => s"meta:$k=$v" } ++
       deleteFiles.map(d => s"dv:$d") ++
-      files.map(p => fileLine(p, partitionOf, statsOf)))
+      files.map(p => fileLine(p, partitionOf, statsOf, extraOf)))
       .mkString("\n").getBytes("UTF-8")
 
   /** A DELTA manifest: adds/removes against `baseVersion` instead of
@@ -664,13 +710,14 @@ object SnapshotTable {
       depth: Int, meta: Map[String, String], deleteFiles: Seq[String],
       removed: Seq[String], added: Seq[String],
       partitionOf: Map[String, String],
-      statsOf: Map[String, Map[String, (String, String)]]): Array[Byte] =
+      statsOf: Map[String, Map[String, (String, String)]],
+      extraOf: Map[String, Map[String, String]]): Array[Byte] =
     (Seq(Marker, "schema:" + schema.json,
       s"base:$baseVersion", s"depth:$depth") ++
       meta.toSeq.sortBy(_._1).map { case (k, v) => s"meta:$k=$v" } ++
       deleteFiles.map(d => s"dv:$d") ++
       removed.map(r => s"rm:$r") ++
-      added.map(p => fileLine(p, partitionOf, statsOf)))
+      added.map(p => fileLine(p, partitionOf, statsOf, extraOf)))
       .mkString("\n").getBytes("UTF-8")
 
   /** Delta chains re-anchor with a full manifest after this many links
@@ -702,7 +749,8 @@ object SnapshotTable {
       meta: Map[String, String] = Map.empty,
       partitionOf: Map[String, String] = Map.empty,
       statsOf: Map[String, Map[String, (String, String)]] = Map.empty,
-      deleteFiles: Seq[String] = Nil, base: Option[Snapshot] = None)
+      deleteFiles: Seq[String] = Nil, base: Option[Snapshot] = None,
+      extraOf: Map[String, Map[String, String]] = Map.empty)
       : Long = {
     require(meta.forall { case (k, v) =>
       !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r') },
@@ -722,11 +770,11 @@ object SnapshotTable {
         val added = files.filterNot(baseSet)
         if (removed.size + added.size < b.files.size)
           renderDelta(schema, expected, b.depth + 1, meta, deleteFiles,
-            removed, added, partitionOf, statsOf)
+            removed, added, partitionOf, statsOf, extraOf)
         else renderManifest(schema, files, meta, partitionOf, statsOf,
-          deleteFiles)
+          deleteFiles, extraOf)
       case _ => renderManifest(schema, files, meta, partitionOf, statsOf,
-        deleteFiles)
+        deleteFiles, extraOf)
     }
     val tmp = new Path(manifestDir(table),
       s".tmp-${java.util.UUID.randomUUID()}")
@@ -887,9 +935,10 @@ object SnapshotTable {
       .repartitionByRange(numFiles, col(clusterCol))
       .sortWithinPartitions(col(clusterCol))
     val files = stageBatch(arranged, table)
-    val stats = computeStats(spark, table, files, sc, df.schema)
+    val (stats, extras) = computeStats(spark, table, files, sc, df.schema)
     commitManifest(spark, table, df.schema, files, 0L,
-      Map("statsCols" -> sc.mkString(",")), Map.empty, stats)
+      Map("statsCols" -> sc.mkString(",")), Map.empty, stats, Nil,
+      None, extras)
   }
 
   /** Read only the files whose recorded [min,max] for `column` can
@@ -907,7 +956,9 @@ object SnapshotTable {
       case Some(v) => readManifest(spark, table, v)
       case None => loadCurrent(spark, table)
     }
-    val numeric = snap.schema(column).dataType
+    val isTimestamp = snap.schema(column).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    val numeric = isTimestamp || snap.schema(column).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     // an unparseable numeric stat (a NaN/Infinity max is committable —
     // Spark's max treats NaN as largest) must degrade to keep-the-file,
@@ -917,7 +968,16 @@ object SnapshotTable {
         try BigDecimal(x) <= BigDecimal(y)
         catch { case _: NumberFormatException => true }
       else codePointLe(x, y) // stats were recorded in UTF8String order
-    val (loS, hiS) = (lo.toString, hi.toString)
+    // timestamp stats are recorded as epoch MICROS — accept bounds as
+    // Timestamp/Instant/numeric micros and compare in that space
+    def render(x: Any): String = x match {
+      case t: java.sql.Timestamp if isTimestamp =>
+        (t.getTime * 1000L + (t.getNanos % 1000000) / 1000L).toString
+      case i: java.time.Instant if isTimestamp =>
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+      case other => other.toString
+    }
+    val (loS, hiS) = (render(lo), render(hi))
     val files = snap.files.filter { f =>
       snap.statsOf.get(f).flatMap(_.get(column)) match {
         case Some((mn, mx)) => le(loS, mx) && le(mn, hiS)
@@ -943,7 +1003,7 @@ object SnapshotTable {
     commitManifest(spark, table,
       StructType(snap.schema.fields ++ newFields), snap.files,
       snap.version, snap.meta, snap.partitionOf, snap.statsOf,
-      snap.deleteFiles, Some(snap))
+      snap.deleteFiles, Some(snap), snap.extraOf)
   }
 
   /** Remove staged-but-never-committed batch dirs older than `graceMs`
@@ -996,10 +1056,11 @@ object SnapshotTable {
     */
   def append(spark: SparkSession, table: String, df: DataFrame): Long = {
     val snap = loadCurrent(spark, table)
-    val (files, labels, stats) = stageFor(snap, df, table)
+    val (files, labels, stats, extras) = stageFor(snap, df, table)
     commitManifest(spark, table, snap.schema, snap.files ++ files,
       snap.version, snap.meta, snap.partitionOf ++ labels,
-      snap.statsOf ++ stats, snap.deleteFiles, Some(snap))
+      snap.statsOf ++ stats, snap.deleteFiles, Some(snap),
+      snap.extraOf ++ extras)
   }
 
   /** Table-relative paths of the files that contain rows matching
@@ -1045,13 +1106,14 @@ object SnapshotTable {
     val rewritten = assignments.foldLeft(touched) { case (d, (c, v)) =>
       d.withColumn(c, when(predicate, v).otherwise(col(c)))
     }.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
-    val (fresh, labels, stats) = stageFor(snap, rewritten, table)
+    val (fresh, labels, stats, extras) = stageFor(snap, rewritten, table)
     val matched = observedLong(obs.get, "matched")(
       readFilesDv(spark, table, snap, hit).filter(predicate).count())
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema, keep ++ fresh,
       snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels,
-      (snap.statsOf -- hit) ++ stats, snap.deleteFiles, Some(snap))
+      (snap.statsOf -- hit) ++ stats, snap.deleteFiles, Some(snap),
+      (snap.extraOf -- hit) ++ extras)
     (v, matched, hit.size)
   }
 
@@ -1076,7 +1138,7 @@ object SnapshotTable {
         sum(when(matches, 1L).otherwise(0L)).as("deleted"),
         sum(when(matches, 0L).otherwise(1L)).as("kept"))
     val survivors = touched.filter(!matches)
-    val (staged, labels, stats) = stageFor(snap, survivors, table)
+    val (staged, labels, stats, extras) = stageFor(snap, survivors, table)
     val mm = obs.get
     lazy val recount = readFilesDv(spark, table, snap, hit)
       .agg(coalesce(sum(when(matches, 1L).otherwise(0L)), lit(0L)),
@@ -1096,7 +1158,8 @@ object SnapshotTable {
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema, keep ++ fresh,
       snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels,
-      (snap.statsOf -- hit) ++ stats, snap.deleteFiles, Some(snap))
+      (snap.statsOf -- hit) ++ stats, snap.deleteFiles, Some(snap),
+      (snap.extraOf -- hit) ++ extras)
     (v, deleted, hit.size)
   }
 
@@ -1134,7 +1197,8 @@ object SnapshotTable {
     val hit = snap.files.filter(hitKeys)
     val (rewrittenFiles, updated) = if (hit.isEmpty)
       ((Nil: Seq[String], Map.empty[String, String],
-        Map.empty[String, Map[String, (String, String)]]), 0L)
+        Map.empty[String, Map[String, (String, String)]],
+        Map.empty[String, Map[String, String]]), 0L)
     else {
       // the updated count rides the rewrite pass as an observed metric
       // (every touched row flows through the CollectMetrics node; the
@@ -1167,7 +1231,7 @@ object SnapshotTable {
     val inserts = src.join(
       cur.select(col(key)).distinct(), Seq(key), "left_anti")
       .observe(obsIns, sum(lit(1L)).as("inserted"))
-    val (insertFiles0, insertLabels, insertStats) =
+    val (insertFiles0, insertLabels, insertStats, insertExtras) =
       stageFor(snap, inserts, table)
     val nIns = observedLong(obsIns.get, "inserted")(
       src.join(cur.select(col(key)).distinct(), Seq(key), "left_anti")
@@ -1186,7 +1250,8 @@ object SnapshotTable {
       keep ++ rewrittenFiles._1 ++ insertFiles, snap.version, snap.meta,
       (snap.partitionOf -- hit) ++ rewrittenFiles._2 ++ insertLabels,
       (snap.statsOf -- hit) ++ rewrittenFiles._3 ++ insertStats,
-      snap.deleteFiles, Some(snap))
+      snap.deleteFiles, Some(snap),
+      (snap.extraOf -- hit) ++ rewrittenFiles._4 ++ insertExtras)
     (v, updated, nIns, hit.size)
   }
 
@@ -1220,20 +1285,21 @@ object SnapshotTable {
     val df0 = readFilesDv(spark, table, snap, snap.files)
     // partitioned tables compact per partition (stageFor re-labels);
     // unpartitioned ones into ~targetMB files
-    val (fresh, labels, stats) = snap.meta.get("partitionCol") match {
-      case Some(_) => stageFor(snap, df0, table)
-      case None =>
-        val files = stageBatch(df0.repartition(nOut), table)
-        // re-index like every other mutation: compaction must not
-        // silently degrade bloom point-lookup coverage
-        writeBloomSidecars(spark, table, files, declaredBloomCols(snap),
-          snap.schema)
-        (files, Map.empty[String, String],
-          computeStats(spark, table, files, declaredStatsCols(snap),
-            snap.schema))
-    }
+    val (fresh, labels, stats, extras) =
+      snap.meta.get("partitionCol") match {
+        case Some(_) => stageFor(snap, df0, table)
+        case None =>
+          val files = stageBatch(df0.repartition(nOut), table)
+          // re-index like every other mutation: compaction must not
+          // silently degrade bloom point-lookup coverage
+          writeBloomSidecars(spark, table, files, declaredBloomCols(snap),
+            snap.schema)
+          val (st, ex) = computeStats(spark, table, files,
+            declaredStatsCols(snap), snap.schema)
+          (files, Map.empty[String, String], st, ex)
+      }
     val v = commitManifest(spark, table, snap.schema, fresh,
-      snap.version, snap.meta, labels, stats, Nil, Some(snap))
+      snap.version, snap.meta, labels, stats, Nil, Some(snap), extras)
     (v, snap.files.size, fresh.size)
   }
 
@@ -1256,12 +1322,12 @@ object SnapshotTable {
     val metaKey = s"lastBatchId.$queryKey"
     if (snap.meta.get(metaKey).exists(_.toLong >= batchId)) false
     else {
-      val (files, labels, stats) = stageFor(snap,
+      val (files, labels, stats, extras) = stageFor(snap,
         batch.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*), table)
       commitManifest(spark, table, snap.schema, snap.files ++ files,
         snap.version, snap.meta + (metaKey -> batchId.toString),
         snap.partitionOf ++ labels, snap.statsOf ++ stats,
-        snap.deleteFiles, Some(snap))
+        snap.deleteFiles, Some(snap), snap.extraOf ++ extras)
       true
     }
   }
@@ -1280,6 +1346,50 @@ object SnapshotTable {
         ()
       }
       .start()
+
+  /** The STREAMING change-feed source: tail new snapshot versions and
+    * hand each advance's [[changesBetween]] delta frame to `process` —
+    * the Delta-CDF-streaming shape, so a downstream incremental
+    * consumer no longer polls versions itself. Driven by a rate-source
+    * micro-batch clock (the engine's watermark/offset machinery) whose
+    * rows are ignored; each tick resolves the current version ONCE and
+    * emits one churn-sized delta for the whole advance.
+    *
+    * Delivery is at-least-once across RESTARTS (the in-memory cursor
+    * restarts from `fromVersion`); exactly-once EFFECT comes from the
+    * consumer applying idempotently — record the delta's `toVersion`
+    * high-water mark transactionally with the output, the same
+    * batch-id-in-manifest discipline as [[commitStreamBatch]] (a
+    * snapshot-table consumer gets this by committing
+    * `meta("cdcUpTo") = toVersion` with its output and skipping deltas
+    * at-or-below the mark; StreamingSuite's incremental-view test is
+    * the reference implementation).
+    *
+    * `process(delta, fromVersion, toVersion)`: `delta` has the table
+    * schema plus `change_type` ('insert' | 'delete'), netted
+    * endpoint-to-endpoint.
+    */
+  def changesStream(spark: SparkSession, table: String, fromVersion: Long,
+      checkpointDir: String, intervalMs: Long = 250L)(
+      process: (DataFrame, Long, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cursor = new java.util.concurrent.atomic.AtomicLong(fromVersion)
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(intervalMs))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val from = cursor.get()
+        val cur = currentVersion(spark, table)
+        if (cur > from) {
+          process(changesBetween(spark, table, from, cur), from, cur)
+          cursor.set(cur)
+        }
+        ()
+      }
+      .start()
+  }
 
   /** Garbage collection: drop all manifests except the newest
     * `keepLast`, then delete every data file no surviving manifest
@@ -1456,7 +1566,7 @@ object SnapshotTable {
     // is rare and the verbatim list is its contract
     commitManifest(spark, table, old.schema, old.files, cur.version,
       old.meta ++ streamMarks + ("restoredFrom" -> version.toString),
-      old.partitionOf, old.statsOf, old.deleteFiles)
+      old.partitionOf, old.statsOf, old.deleteFiles, None, old.extraOf)
   }
 
   private def stagedManifestPath(table: String, token: String) =
@@ -1476,7 +1586,7 @@ object SnapshotTable {
   def stageAppend(spark: SparkSession, table: String,
       df: DataFrame): String = {
     val snap = loadCurrent(spark, table)
-    val (files, labels, stats) = stageFor(snap, df, table)
+    val (files, labels, stats, extras) = stageFor(snap, df, table)
     val token = java.util.UUID.randomUUID().toString
     val f = fs(spark, table)
     val p = stagedManifestPath(table, token)
@@ -1484,7 +1594,7 @@ object SnapshotTable {
     try out.write(renderManifest(snap.schema, snap.files ++ files,
       snap.meta + ("wapBase" -> snap.version.toString),
       snap.partitionOf ++ labels, snap.statsOf ++ stats,
-      snap.deleteFiles))
+      snap.deleteFiles, snap.extraOf ++ extras))
     finally out.close()
     token
   }
@@ -1524,7 +1634,8 @@ object SnapshotTable {
           s"current is v$cur; re-stage on the new base")
     val v = commitManifest(spark, table, snap.schema, snap.files, base,
       snap.meta - "wapBase", snap.partitionOf, snap.statsOf,
-      snap.deleteFiles, Some(readManifest(spark, table, base)))
+      snap.deleteFiles, Some(readManifest(spark, table, base)),
+      snap.extraOf)
     fs(spark, table).delete(p, false)
     v
   }
@@ -1571,11 +1682,11 @@ object SnapshotTable {
         matched.drop("__fk", "__rp")) { case (d, (c, v)) =>
         d.withColumn(c, v)
       }.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
-      val (fresh, labels, stats) = stageFor(snap, updated, table)
+      val (fresh, labels, stats, extras) = stageFor(snap, updated, table)
       val v = commitManifest(spark, table, snap.schema,
         snap.files ++ fresh, snap.version, snap.meta,
         snap.partitionOf ++ labels, snap.statsOf ++ stats,
-        snap.deleteFiles ++ dvFiles, Some(snap))
+        snap.deleteFiles ++ dvFiles, Some(snap), snap.extraOf ++ extras)
       (v, n)
     } finally { matched.unpersist(blocking = false); () }
   }

@@ -980,6 +980,54 @@ class SnapshotSuite extends AnyFunSuite {
       expect.collect().map(_.toString).toSeq)
   }
 
+  test("timestamp stats prune files (epoch-micros recording), and " +
+      "IS [NOT] NULL prunes on per-file null counts") {
+    val t = freshTable("tsnull")
+    import graft.sources.SnapshotScan
+    def bucket(fromId: Long, toId: Long, nullV: Boolean) =
+      spark.range(fromId, toId).select(
+        expr("timestamp_micros(1700000000000000 + id * 60000000)").as("ts"),
+        (if (nullV) lit(null).cast("double")
+         else col("id").cast("double")).as("v"),
+        col("id"))
+    // deterministic per-file content: one file per bucket; bucket 0 is
+    // all-NULL in v, the others null-free
+    SnapshotTable.createClustered(spark, t,
+      bucket(0, 100, nullV = true).repartition(1), "ts", numFiles = 1,
+      statsCols = Seq("ts", "v"))
+    SnapshotTable.append(spark, t, bucket(100, 200, nullV = false)
+      .repartition(1))
+    SnapshotTable.append(spark, t, bucket(200, 300, nullV = false)
+      .repartition(1))
+    assert(SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t)).files.size === 3)
+    val lo = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + 600))
+    val hi = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + 1200))
+    // Catalyst pushdown: a narrow timestamp range plans 1 of 3 files
+    val (scanDf, idx) = SnapshotScan.scan(spark, t)
+    assert(scanDf.filter(col("ts").between(lit(lo), lit(hi)))
+      .count() === 11L)
+    assert(idx.lastPlannedFiles === 1,
+      s"a narrow timestamp range must plan 1 of 3 files, " +
+        s"planned ${idx.lastPlannedFiles}")
+    // the explicit range read prunes the same way (Timestamp bounds)
+    val ranged = SnapshotTable.readWhereRange(spark, t, "ts", lo, hi)
+    assert(ranged.inputFiles.length === 1)
+    assert(ranged.filter(col("ts").between(lit(lo), lit(hi)))
+      .count() === 11L)
+    // IS NOT NULL skips the all-null file; IS NULL skips null-free ones
+    val (scan2, idx2) = SnapshotScan.scan(spark, t)
+    assert(scan2.filter(col("v").isNotNull).count() === 200L)
+    assert(idx2.lastPlannedFiles === 2,
+      "the all-null file must be skipped for IS NOT NULL")
+    val (scan3, idx3) = SnapshotScan.scan(spark, t)
+    assert(scan3.filter(col("v").isNull).count() === 100L)
+    assert(idx3.lastPlannedFiles === 1,
+      "null-free files must be skipped for IS NULL")
+  }
+
   test("delta manifests: append commit metadata is O(churn) not " +
       "O(files), chains re-anchor at max depth, expiry retains chain " +
       "manifests kept versions resolve through") {
