@@ -146,19 +146,135 @@ object IvfPq {
       load(s, path)
     })
 
+  private def ivfpqCentroidsPath: String =
+    s"${graft.StagePaths.root}/ivfpq_centroids"
+  private def ivfpqCodebooksPath: String =
+    s"${graft.StagePaths.root}/ivfpq_codebooks"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Persisted IVFPQ round trip: fit (cells + residual codebooks +
     // cell-partitioned codes), reload from disk, search 8 queries at
-    // nProbe=4. No oracle (engine k-means at both levels); PqSuite pins
-    // recall vs brute force, exact re-ranked distances, the pruned
-    // probe scan, and determinism.
+    // nProbe=4. HARD ORACLE since round 12: both model layers (cell
+    // centroids + residual codebooks) stage to parquet and DuckDB
+    // replays assignment, float32 residuals, residual encode, the
+    // per-probe residual LUT, ADC and the exact rerank — a lost code
+    // file, a residual computed against the wrong centroid, or a probe
+    // ordering bug all break the hash. PqSuite keeps recall vs brute
+    // force, exact re-ranked distances, the pruned probe scan, and
+    // determinism.
     "q_ivfpq_search" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val h = fittedFor(s, d)
+      IvfAnn.stageCentroids(s, h.centroids, ivfpqCentroidsPath)
+      PqIndex.stageCodebooks(s, h.codebooks, ivfpqCodebooksPath)
       search(s, h, e.filter(col("vec_id") < 8), e,
         nProbe = 4, rerank = 32, topK = 5)
     })
   )
 
-  val oracle: Map[String, String] = Map.empty // engine-side k-means layers
+  /** DuckDB replay of q_ivfpq_search over BOTH staged model layers:
+    * cell assignment by the shared `cn2 − 2·x·c` surrogate, float32
+    * residual against the assigned (candidates) / probed (query) cell
+    * centroid — CAST(… AS REAL) reproduces the engine's
+    * `cast(v as float)` rounding exactly — then the PQ replay
+    * (subspace argmin encode, LUT slice, in-order ADC sum) and the
+    * shared exact-rerank tail. Candidate and probe sides reuse one
+    * residual→subspace-distance shape; (qid, nid) pairs are unique
+    * because a candidate lives in exactly one cell.
+    */
+  private def ivfpqOracle: String =
+    s"""WITH cent AS (
+       |  SELECT c, vec, cn2
+       |  FROM read_parquet('$ivfpqCentroidsPath/*.parquet')),
+       |cb AS (
+       |  SELECT mi, ki, vec
+       |  FROM read_parquet('$ivfpqCodebooksPath/*.parquet')),
+       |dist AS (
+       |  SELECT e.vec_id, cent.c,
+       |    cent.cn2 - 2.0 * list_sum(list_transform(
+       |      list_zip(e.embedding, cent.vec),
+       |      p -> CAST(p[1] AS DOUBLE) * p[2])) AS d
+       |  FROM embeddings e CROSS JOIN cent),
+       |asg AS (
+       |  SELECT vec_id, c AS cell FROM (
+       |    SELECT vec_id, c, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |resid AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(1, 65), j ->
+       |      CAST(CAST(e.embedding[j] AS DOUBLE) - cent.vec[j] AS REAL)) AS r
+       |  FROM asg a
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN cent ON cent.c = a.cell),
+       |sdc AS (
+       |  SELECT r.vec_id, r.cell, cb.mi, cb.ki,
+       |    list_sum(list_transform(range(1, 9), j ->
+       |      (CAST(r.r[cb.mi * 8 + j] AS DOUBLE) - cb.vec[j]) *
+       |      (CAST(r.r[cb.mi * 8 + j] AS DOUBLE) - cb.vec[j]))) AS d
+       |  FROM resid r CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, cell, mi, ki AS code FROM (
+       |    SELECT vec_id, cell, mi, ki, row_number() OVER (
+       |        PARTITION BY vec_id, mi ORDER BY d ASC, ki ASC) AS rn
+       |    FROM sdc) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS qid, c AS cell FROM (
+       |    SELECT vec_id, c, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+       |    FROM dist WHERE vec_id < 8) WHERE rn <= 4),
+       |qresid AS (
+       |  SELECT p.qid, p.cell,
+       |    list_transform(range(1, 65), j ->
+       |      CAST(CAST(e.embedding[j] AS DOUBLE) - cent.vec[j] AS REAL)) AS r
+       |  FROM probe p
+       |  JOIN embeddings e ON e.vec_id = p.qid
+       |  JOIN cent ON cent.c = p.cell),
+       |qlut AS (
+       |  SELECT q.qid, q.cell, cb.mi, cb.ki,
+       |    list_sum(list_transform(range(1, 9), j ->
+       |      (CAST(q.r[cb.mi * 8 + j] AS DOUBLE) - cb.vec[j]) *
+       |      (CAST(q.r[cb.mi * 8 + j] AS DOUBLE) - cb.vec[j]))) AS d
+       |  FROM qresid q CROSS JOIN cb),
+       |adc AS (
+       |  SELECT p.qid, cd.vec_id AS nid,
+       |    list_sum(list(ql.d ORDER BY cd.mi)) AS ad
+       |  FROM probe p
+       |  JOIN codes cd ON cd.cell = p.cell AND cd.vec_id <> p.qid
+       |  JOIN qlut ql ON ql.qid = p.qid AND ql.cell = p.cell
+       |    AND ql.mi = cd.mi AND ql.ki = cd.code
+       |  GROUP BY p.qid, cd.vec_id),
+       |cand AS (
+       |  SELECT qid, nid, ad FROM (
+       |    SELECT qid, nid, ad, row_number() OVER (
+       |        PARTITION BY qid ORDER BY ad ASC NULLS LAST,
+       |        nid ASC NULLS FIRST) AS rnk0
+       |    FROM adc) WHERE rnk0 <= 32),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |rr AS (
+       |  SELECT c.qid, c.nid,
+       |    floor(sqrt(greatest(CAST(0.0 AS DOUBLE),
+       |      pow(n.nrm, 2) + pow(q.nrm, 2)
+       |      - 2.0 * list_sum(list_transform(
+       |          list_zip(n.embedding, q.embedding),
+       |          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))))
+       |      * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS dist,
+       |    floor(c.ad * 10000 + CAST(0.5 AS DOUBLE))
+       |      / CAST(10000 AS DOUBLE) AS adist
+       |  FROM cand c
+       |  JOIN e q ON q.vec_id = c.qid
+       |  JOIN e n ON n.vec_id = c.nid),
+       |ranked AS (
+       |  SELECT qid, nid, dist, adist, row_number() OVER (
+       |      PARTITION BY qid ORDER BY dist ASC NULLS LAST,
+       |      nid ASC NULLS FIRST) AS rnk
+       |  FROM rr)
+       |SELECT qid, rnk, nid, dist, adist FROM ranked WHERE rnk <= 5
+       |ORDER BY qid ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
+
+  val oracle: Map[String, String] = Map("q_ivfpq_search" -> ivfpqOracle)
 }

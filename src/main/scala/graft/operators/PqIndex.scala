@@ -137,20 +137,105 @@ object PqIndex {
     exactRerank(e, cand, topK)
   }
 
+  /** Stage fitted codebooks to parquet as (mi, ki, vec) rows — the
+    * oracle boundary for the PQ searchers, the same staged-boundary
+    * trick as IvfAnn.stageCentroids: DuckDB re-derives encode (argmin
+    * subspace distance, ties to lowest index), the LUT entries and the
+    * ADC sums independently from the staged model.
+    */
+  private[operators] def stageCodebooks(s: SparkSession,
+      cb: Array[Array[Array[Double]]], path: String): Unit = {
+    import s.implicits._
+    cb.zipWithIndex.flatMap { case (sub, mi) =>
+      sub.zipWithIndex.map { case (cw, ki) => (mi, ki, cw.toSeq) }
+    }.toIndexedSeq.toDF("mi", "ki", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def pqCodebooksPath: String =
+    s"${graft.StagePaths.root}/pq_codebooks"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PQ-ADC search over the full embeddings table: fit codebooks,
     // encode to the 32x-compressed code store, ADC-rank, exact re-rank
-    // of the top 32, emit top-5 per query. No oracle (engine-side
-    // k-means codebooks); PqSuite pins recall vs brute force, exactness
-    // of the re-ranked distances, the compression contract, and
-    // determinism.
+    // of the top 32, emit top-5 per query. HARD ORACLE since round 12:
+    // the codebooks stage to parquet and DuckDB replays encode + ADC +
+    // exact rerank — a wrong code byte, a perturbed LUT entry or a
+    // dropped candidate breaks the hash. PqSuite keeps recall vs brute
+    // force, exactness of the re-ranked distances, the compression
+    // contract, and determinism.
     "q_pq_search" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val cb = fitCodebooks(e)
+      stageCodebooks(s, cb, pqCodebooksPath)
       val enc = encode(e, cb)
       search(e, enc, cb, e.filter(col("vec_id") < 8), rerank = 32, topK = 5)
     })
   )
 
-  val oracle: Map[String, String] = Map.empty // engine-side k-means codebooks
+  /** DuckDB replay of q_pq_search over the STAGED codebooks. `sd` is
+    * the (vector, subspace, codeword) squared-L2 matrix — the engine's
+    * per-element `(float→double − codeword)²` left-fold restated as the
+    * proven in-order list fold; encode is its per-(vector, subspace)
+    * argmin (ties to lowest ki, the engine's strict-< rule), the LUT is
+    * the query's slice of the same matrix, and ADC sums the candidate's
+    * 8 looked-up entries in subspace order (ordered list aggregate —
+    * SQL SUM would be order-nondeterministic over doubles). The exact
+    * tier restates `r4(sqrt(max(0, ‖n‖² + ‖q‖² − 2·n·q)))` verbatim.
+    */
+  private def pqOracle: String =
+    s"""WITH cb AS (
+       |  SELECT mi, ki, vec FROM read_parquet('$pqCodebooksPath/*.parquet')),
+       |sd AS (
+       |  SELECT e.vec_id, cb.mi, cb.ki,
+       |    list_sum(list_transform(range(1, 9), j ->
+       |      (CAST(e.embedding[cb.mi * 8 + j] AS DOUBLE) - cb.vec[j]) *
+       |      (CAST(e.embedding[cb.mi * 8 + j] AS DOUBLE) - cb.vec[j]))) AS d
+       |  FROM embeddings e CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, mi, ki AS code FROM (
+       |    SELECT vec_id, mi, ki, row_number() OVER (
+       |        PARTITION BY vec_id, mi ORDER BY d ASC, ki ASC) AS rn
+       |    FROM sd) WHERE rn = 1),
+       |adc AS (
+       |  SELECT q.vec_id AS qid, cd.vec_id AS nid,
+       |    list_sum(list(sq.d ORDER BY cd.mi)) AS ad
+       |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+       |  JOIN codes cd ON cd.vec_id <> q.vec_id
+       |  JOIN sd sq ON sq.vec_id = q.vec_id AND sq.mi = cd.mi
+       |    AND sq.ki = cd.code
+       |  GROUP BY q.vec_id, cd.vec_id),
+       |cand AS (
+       |  SELECT qid, nid, ad FROM (
+       |    SELECT qid, nid, ad, row_number() OVER (
+       |        PARTITION BY qid ORDER BY ad ASC NULLS LAST,
+       |        nid ASC NULLS FIRST) AS rnk0
+       |    FROM adc) WHERE rnk0 <= 32),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |rr AS (
+       |  SELECT c.qid, c.nid,
+       |    floor(sqrt(greatest(CAST(0.0 AS DOUBLE),
+       |      pow(n.nrm, 2) + pow(q.nrm, 2)
+       |      - 2.0 * list_sum(list_transform(
+       |          list_zip(n.embedding, q.embedding),
+       |          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))))
+       |      * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS dist,
+       |    floor(c.ad * 10000 + CAST(0.5 AS DOUBLE))
+       |      / CAST(10000 AS DOUBLE) AS adist
+       |  FROM cand c
+       |  JOIN e q ON q.vec_id = c.qid
+       |  JOIN e n ON n.vec_id = c.nid),
+       |ranked AS (
+       |  SELECT qid, nid, dist, adist, row_number() OVER (
+       |      PARTITION BY qid ORDER BY dist ASC NULLS LAST,
+       |      nid ASC NULLS FIRST) AS rnk
+       |  FROM rr)
+       |SELECT qid, rnk, nid, dist, adist FROM ranked WHERE rnk <= 5
+       |ORDER BY qid ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
+
+  val oracle: Map[String, String] = Map("q_pq_search" -> pqOracle)
 }

@@ -120,9 +120,11 @@ object TrainingOps {
     * surviving (vec_id, label) rows.
     */
   def semanticDedup(e0: DataFrame, k: Int, iters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, stagePath: Option[String] = None): DataFrame = {
     val e = e0.withColumn("nrm", vec_norm(col("embedding")))
-    val (assigned, _) = IvfAnn.assign(e, k, iters)
+    val (assigned, centroids) = IvfAnn.assign(e, k, iters)
+    stagePath.foreach(p =>
+      IvfAnn.stageCentroids(e0.sparkSession, centroids, p))
     // both self-join sides read this frame — persisted LAZILY
     // (MEMORY_AND_DISK, recomputable from lineage) per the
     // MultimodalOps.decodedMedia idiom: a localCheckpoint here would
@@ -409,14 +411,17 @@ object TrainingOps {
         salt = "budget7")
         .orderBy(col("doc_id").asc_nulls_first)),
 
-    // k-means seed is engine-defined → no SQL oracle; exactness
-    // (drops ⊆ brute-force cosine pairs) + recall are unit-asserted
-    // in TrainingOpsSuite. k=4 suits the 500-vector test corpus; at
+    // HARD ORACLE since round 12 (was: k-means-seed rows-only): the
+    // fitted centroids stage to parquet and DuckDB replays assignment
+    // + the within-cell r4-cosine drop set independently — the same
+    // staged-boundary trick as q_sim_ann_ivf. Exactness (drops ⊆
+    // brute-force cosine pairs) + recall stay unit-asserted in
+    // TrainingOpsSuite. k=4 suits the 500-vector test corpus; at
     // scale pick k ~ sqrt(n) (SemDeDup used 50k cells for 5B docs) so
     // the within-cell self-join stays ~n^1.5 total work.
     "q_dedup_semantic" -> ((s, d) =>
       semanticDedup(Tables.embeddings(s, d), k = 4, iters = 2,
-        threshold = 0.35)
+        threshold = 0.35, stagePath = Some(semCentroidsPath))
         .orderBy(col("vec_id").asc_nulls_first))
   )
 
@@ -425,7 +430,50 @@ object TrainingOps {
       |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
       |           ts[i+3] || ' ' || ts[i+4])""".stripMargin
 
+  /** Staged-centroids path for q_dedup_semantic — process-scoped like
+    * every other oracle-read staging (see graft.StagePaths).
+    */
+  private def semCentroidsPath: String =
+    s"${graft.StagePaths.root}/semdedup_centroids"
+
   val oracle: Map[String, String] = Map(
+    // assignment + drop set replayed over the staged centroids: argmin
+    // cell by (cn2 − 2·x·c, c), within-cell v1 < v2 pairs at
+    // r4-cosine ≥ 0.35, survivors = anti-join — the engine pipeline
+    // in SQL, bit-exact through the shared left-associated dot fold
+    "q_dedup_semantic" ->
+      s"""WITH cent AS (
+         |  SELECT c, vec, cn2
+         |  FROM read_parquet('$semCentroidsPath/*.parquet')),
+         |dist AS (
+         |  SELECT e.vec_id, cent.c,
+         |    cent.cn2 - 2.0 * list_sum(list_transform(
+         |      list_zip(e.embedding, cent.vec),
+         |      p -> CAST(p[1] AS DOUBLE) * p[2])) AS d
+         |  FROM embeddings e CROSS JOIN cent),
+         |asg AS (
+         |  SELECT vec_id, c AS cell FROM (
+         |    SELECT vec_id, c, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id AS v2
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN e q ON q.vec_id = a.vec_id
+         |  JOIN e n ON n.vec_id = b.vec_id
+         |  WHERE floor((list_sum(list_transform(
+         |      list_zip(q.embedding, n.embedding),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / (q.nrm * n.nrm)) * 10000 + CAST(0.5 AS DOUBLE))
+         |      / CAST(10000 AS DOUBLE) >= CAST(0.35 AS DOUBLE))
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT v2 FROM dropped)
+         |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
     "q_decontaminate" ->
       s"""WITH g5 AS (
         |  SELECT doc_id, unnest(list_distinct($gram5)) AS g

@@ -187,13 +187,18 @@ class TrainingOpsSuite extends AnyFunSuite {
     val j1 = spark.sparkContext.statusTracker.getJobIdsForGroup(g1)
     assert(j1.isEmpty,
       s"perplexity construction ran ${j1.length} Spark job(s) — eager")
-    // baseline: the K-bounded k-means fit alone (its collects fan out
-    // into several AQE jobs — count them, don't guess)
+    // baseline: the K-bounded k-means fit plus the round-12 oracle
+    // staging of its centroids — BOTH are model-sized (K rows), never
+    // corpus-sized (the collects/write fan out into several AQE jobs —
+    // count them, don't guess)
     val gFit = "graft-semdedup-fit-baseline"
     spark.sparkContext.setJobGroup(gFit, "the fit's own job count")
-    try graft.operators.IvfAnn.assign(
-      Tables.embeddings(spark, sf), k = 4, iters = 2)
-    finally spark.sparkContext.clearJobGroup()
+    try {
+      val (_, cents) = graft.operators.IvfAnn.assign(
+        Tables.embeddings(spark, sf), k = 4, iters = 2)
+      graft.operators.IvfAnn.stageCentroids(spark, cents,
+        s"/tmp/graft_semdedup_baseline_stage_${System.nanoTime()}")
+    } finally spark.sparkContext.clearJobGroup()
     val jFit = spark.sparkContext.statusTracker.getJobIdsForGroup(gFit)
     val g2 = "graft-semdedup-construct-probe"
     spark.sparkContext.setJobGroup(g2, "only the k-means fit may run")
