@@ -80,6 +80,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // them to the eagerly-executed SnapshotDmlCommand. Non-snapshot DML
     // targets pass through untouched for Spark's own v2 handling.
     e.injectResolutionRule(_ => GraftExtensions.SnapshotDmlRule)
+    // NATIVE DDL (CREATE TABLE ... AS / DROP TABLE on a path) must be
+    // intercepted at PARSE time: the analyzer's own ResolveSessionCatalog
+    // converts CTAS to a v1 catalog command in the same resolution batch
+    // BEFORE any injected rule runs, and the session catalog rejects
+    // path-shaped names. The target test (a single backquoted identifier
+    // containing '/') is purely syntactic, so no session state is
+    // needed at parse time; everything else delegates verbatim.
+    e.injectParser((_, delegate) =>
+      new GraftExtensions.SnapshotDdlParser(delegate))
   }
 }
 
@@ -169,18 +178,22 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
-  /** The native-DML lowering rule for extensions-built sessions: a
-    * parsed UPDATE/DELETE/MERGE whose target is a snapshot-table path
-    * becomes a [[graft.sources.SnapshotDmlCommand]]; anything else is
-    * left for Spark's own resolution. DML nodes are always plan roots,
-    * so only the root is inspected.
+  /** The native-DML/DDL lowering rule for extensions-built sessions: a
+    * parsed CREATE TABLE AS / DROP TABLE / INSERT / UPDATE / DELETE /
+    * MERGE whose target is a snapshot-table path becomes a
+    * [[graft.sources.SnapshotDmlCommand]]; anything else is left for
+    * Spark's own resolution. DML nodes are always plan roots, so only
+    * the root is inspected.
     */
   object SnapshotDmlRule extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.plans.logical.{
-      DeleteFromTable, MergeIntoTable, UpdateTable}
+      DeleteFromTable, InsertIntoStatement, MergeIntoTable, UpdateTable}
     override def apply(plan: LogicalPlan): LogicalPlan = {
       val spark = SparkSession.active
       plan match {
+        case i: InsertIntoStatement
+            if graft.sources.GraftDml.targetPath(spark, i.table).isDefined =>
+          graft.sources.SnapshotDmlCommand(i)
         case u: UpdateTable
             if graft.sources.GraftDml.targetPath(spark, u.table).isDefined =>
           graft.sources.SnapshotDmlCommand(u)
@@ -194,6 +207,52 @@ object GraftExtensions {
         case other => other
       }
     }
+  }
+
+  /** Parse-time DDL interception (see the injectParser comment): a
+    * CREATE TABLE ... AS / DROP TABLE whose target is a single
+    * backquoted path identifier becomes a SnapshotDmlCommand before
+    * the analyzer can hand it to the session catalog (which rejects
+    * path-shaped names). Every other method delegates verbatim.
+    */
+  final class SnapshotDdlParser(
+      delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+      extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      CreateTableAsSelect, DropTable}
+
+    private def lower(plan: LogicalPlan): LogicalPlan = plan match {
+      case ct: CreateTableAsSelect
+          if graft.sources.GraftDml.pathIdent(ct.name).isDefined =>
+        graft.sources.SnapshotDmlCommand(ct)
+      case dt: DropTable
+          if graft.sources.GraftDml.pathIdent(dt.child).isDefined =>
+        graft.sources.SnapshotDmlCommand(dt)
+      case other => other
+    }
+
+    override def parsePlan(sqlText: String): LogicalPlan =
+      lower(delegate.parsePlan(sqlText))
+    override def parsePlanWithParameters(sqlText: String,
+        ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+        : LogicalPlan =
+      lower(delegate.parsePlanWithParameters(sqlText, ctx))
+    override def parseQuery(sqlText: String): LogicalPlan =
+      delegate.parseQuery(sqlText)
+    override def parseExpression(sqlText: String) =
+      delegate.parseExpression(sqlText)
+    override def parseTableIdentifier(sqlText: String) =
+      delegate.parseTableIdentifier(sqlText)
+    override def parseFunctionIdentifier(sqlText: String) =
+      delegate.parseFunctionIdentifier(sqlText)
+    override def parseMultipartIdentifier(sqlText: String) =
+      delegate.parseMultipartIdentifier(sqlText)
+    override def parseTableSchema(sqlText: String) =
+      delegate.parseTableSchema(sqlText)
+    override def parseDataType(sqlText: String) =
+      delegate.parseDataType(sqlText)
+    override def parseRoutineParam(sqlText: String) =
+      delegate.parseRoutineParam(sqlText)
   }
 
   /** `graft_changes('<table>', fromVersion, toVersion)` — the change

@@ -3,7 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, GraftShim, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -39,6 +40,22 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *     every other command, returning the same one-row result.
   *
   * Supported grammar (everything else raises a clear error):
+  *   - `CREATE TABLE <t> [PARTITIONED BY (col)] [IF NOT EXISTS]
+  *      AS <query>` — lowers to [[SnapshotTable.create]] /
+  *     [[SnapshotTable.createPartitioned]] (the reference's
+  *     `create_table`, tables.py DDL); `USING`/`TBLPROPERTIES` clauses
+  *     are ignored — snapshot tables ARE parquet + manifests.
+  *   - `DROP TABLE [IF EXISTS] <t>` — removes the table tree; refuses
+  *     a path that is not a snapshot table (the `_manifests` marker is
+  *     the guard against deleting arbitrary directories).
+  *   - `INSERT INTO <t> [(col[, ...])] <query|VALUES ...>` — lowers to
+  *     the atomic [[SnapshotTable.append]]; columns align positionally
+  *     (or through the explicit column list) and cast to the table
+  *     schema, the reference's `add_to_table` verb (database.py:18-31).
+  *     `INSERT OVERWRITE <t> <query>` lowers to the atomic whole-table
+  *     [[SnapshotTable.replaceContents]] (old version stays
+  *     time-travelable). Static `PARTITION` specs are rejected —
+  *     partitioned snapshot tables label files from row values.
   *   - `UPDATE <t> SET col = expr[, ...] [WHERE <cond>]` — unqualified
   *     column references (the target is a path, not an aliased view)
   *   - `DELETE FROM <t> [WHERE <cond>]`
@@ -137,10 +154,112 @@ object GraftDml {
         SnapshotTable.mergeInto(spark, path, source, key)
       ("merge", v, updated + inserted, files.toLong)
 
+    case i: InsertIntoStatement =>
+      val path = targetPath(spark, i.table).getOrElse(throw new
+        IllegalArgumentException(s"INSERT target is not a snapshot table " +
+          s"path: ${unwrap(i.table)}"))
+      require(i.partitionSpec.isEmpty,
+        "static PARTITION specs are not supported; partitioned snapshot " +
+          "tables label files from row values")
+      val schema = SnapshotTable.readManifest(spark, path,
+        SnapshotTable.currentVersion(spark, path)).schema
+      val src = GraftShim.ofRows(spark, i.query)
+      import org.apache.spark.sql.functions.{col => c}
+      // align to the table schema: positional (or through the explicit
+      // column list), then cast — an int VALUES literal must land in a
+      // bigint column as a bigint, never as a mistyped parquet file
+      val aligned = (if (i.userSpecifiedCols.nonEmpty) {
+        require(i.userSpecifiedCols.length == src.columns.length,
+          s"INSERT column list arity ${i.userSpecifiedCols.length} != " +
+            s"query arity ${src.columns.length}")
+        require(i.userSpecifiedCols.map(_.toLowerCase).sorted ==
+          schema.fieldNames.map(_.toLowerCase).toSeq.sorted,
+          "INSERT column list must cover the table schema exactly " +
+            s"(got ${i.userSpecifiedCols.mkString(", ")})")
+        val byName = src.toDF(i.userSpecifiedCols.toIndexedSeq: _*)
+        byName.select(schema.fieldNames.map(n => c(s"`$n`")).toIndexedSeq: _*)
+      } else {
+        require(src.columns.length == schema.length,
+          s"INSERT query arity ${src.columns.length} != table arity " +
+            s"${schema.length}")
+        src.toDF(schema.fieldNames.toIndexedSeq: _*)
+      }).select(schema.map(f =>
+        c(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      // the inserted count rides the write pass itself (the
+      // CollectMetrics discipline every other verb uses — no extra job)
+      val obs = org.apache.spark.sql.Observation()
+      val observed = aligned.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1L)).as("inserted"))
+      val v =
+        if (i.overwrite)
+          // INSERT OVERWRITE = atomic whole-table replace (the Delta
+          // semantics): ONE commit whose snapshot lists only the fresh
+          // files — readers see old-or-new, never a mix, and the old
+          // version stays time-travelable until expiry
+          SnapshotTable.replaceContents(spark, path, observed)
+        else SnapshotTable.append(spark, path, observed)
+      (if (i.overwrite) "insert_overwrite" else "insert",
+        v, obs.get("inserted").asInstanceOf[Long], -1L)
+
+    case ct: CreateTableAsSelect =>
+      val path = pathIdent(ct.name).getOrElse(throw new
+        IllegalArgumentException("CREATE TABLE target must be a " +
+          s"backquoted path identifier, got ${ct.name}"))
+      if (snapshotPathOf(spark, Seq(path)).isDefined) {
+        if (ct.ignoreIfExists)
+          ("create", SnapshotTable.currentVersion(spark, path), 0L, -1L)
+        else throw new IllegalArgumentException(
+          s"snapshot table $path already exists (use IF NOT EXISTS)")
+      } else {
+        val df = GraftShim.ofRows(spark, ct.query)
+        val obs = org.apache.spark.sql.Observation()
+        val observed = df.observe(obs, org.apache.spark.sql.functions
+          .count(org.apache.spark.sql.functions.lit(1L)).as("created"))
+        val v = ct.partitioning match {
+          case Seq() => SnapshotTable.create(spark, path, observed)
+          // the Scala IdentityTransform case class is private[sql];
+          // the public Transform interface names it "identity"
+          case Seq(t) if t.name == "identity" &&
+              t.references.length == 1 =>
+            SnapshotTable.createPartitioned(spark, path, observed,
+              t.references()(0).fieldNames.mkString("."))
+          case other => throw new IllegalArgumentException(
+            "only PARTITIONED BY (<one column>) is supported, got " +
+              other.mkString(", "))
+        }
+        ("create", v, obs.get("created").asInstanceOf[Long], -1L)
+      }
+
+    case DropTable(ident, ifExists, _) =>
+      val path = pathIdent(ident).getOrElse(throw new
+        IllegalArgumentException("DROP TABLE target must be a " +
+          s"backquoted path identifier, got $ident"))
+      snapshotPathOf(spark, Seq(path)) match {
+        case Some(p) =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+          ("drop", 0L, 0L, -1L)
+        case None if ifExists => ("drop", 0L, 0L, -1L)
+        case None => throw new IllegalArgumentException(
+          s"$path is not a snapshot table (no _manifests marker) — " +
+            "refusing to delete")
+      }
+
     case other => throw new IllegalArgumentException(
-      "graft_dml supports UPDATE / DELETE / MERGE INTO statements, got: " +
-        other.nodeName)
+      "graft_dml supports CREATE TABLE AS / DROP TABLE / INSERT INTO / " +
+        "UPDATE / DELETE / MERGE INTO statements, got: " + other.nodeName)
   }
+
+  /** A single backquoted path-shaped identifier under an
+    * UnresolvedIdentifier (the CREATE/DROP target form).
+    */
+  private[graft] def pathIdent(plan: LogicalPlan): Option[String] =
+    plan match {
+      case UnresolvedIdentifier(Seq(p), _) if p.contains('/') => Some(p)
+      case _ => None
+    }
 
   /** Parse and execute `stmt`, returning the one-row result frame —
     * the body of the `graft_dml` procedure TVF.

@@ -1063,6 +1063,25 @@ object SnapshotTable {
       snap.extraOf ++ extras)
   }
 
+  /** Atomic whole-table replace (the INSERT OVERWRITE verb): stage the
+    * new contents and commit ONE snapshot listing only the fresh files
+    * — readers see old-or-new, never a mix, and the replaced version
+    * stays time-travelable until [[expireSnapshots]]. Deletion vectors
+    * are dropped (they target replaced files); partition labels, stats
+    * and bloom sidecars are rebuilt by the staging pass like every
+    * other mutation, so skipping never degrades. Stream high-water
+    * marks carry over — a replace must not re-open the exactly-once
+    * replay window (the [[restore]] rule).
+    */
+  def replaceContents(spark: SparkSession, table: String,
+      df: DataFrame): Long = {
+    val snap = loadCurrent(spark, table)
+    val (files, labels, stats, extras) = stageFor(snap,
+      df.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*), table)
+    commitManifest(spark, table, snap.schema, files, snap.version,
+      snap.meta, labels, stats, Nil, Some(snap), extras)
+  }
+
   /** Table-relative paths of the files that contain rows matching
     * `predicate` — a pushed-down scan reading only the predicate's
     * columns plus file provenance; the heart of file-granular mutation.
@@ -1916,12 +1935,12 @@ object SnapshotTable {
            |ORDER BY snap.o_orderkey ASC NULLS FIRST""".stripMargin)
     }),
 
-    // The SQL DML surface (GraftDml): UPDATE + DELETE + MERGE all run
-    // THROUGH spark.sql via the graft_dml procedure TVF — Spark's own
-    // parser produces the DML plans, GraftDml lowers them onto the
-    // file-granular snapshot verbs (file accounting suite-asserted in
-    // SnapshotSuite). The oracle replays the same three statements'
-    // logical effect in plain SQL.
+    // The SQL DML surface (GraftDml): UPDATE + DELETE + MERGE + INSERT
+    // all run THROUGH spark.sql via the graft_dml procedure TVF —
+    // Spark's own parser produces the DML plans, GraftDml lowers them
+    // onto the file-granular snapshot verbs (file accounting
+    // suite-asserted in SnapshotSuite). The oracle replays the same
+    // four statements' logical effect in plain SQL.
     "q_table_sql_dml" -> ((s, d) => {
       val t = scratch(s, d, "dml")
       fs(s, t).delete(new Path(t), true)
@@ -1948,6 +1967,13 @@ object SnapshotTable {
         """USING graft_dml_src sr ON tg.o_orderkey = sr.o_orderkey """ +
         """WHEN MATCHED THEN UPDATE SET * """ +
         """WHEN NOT MATCHED THEN INSERT *")""").collect()
+      orders.filter(col("o_orderkey") % 500 === 11)
+        .select((col("o_orderkey") + 20000000).as("o_orderkey"),
+          col("o_custkey"), lit("I").as("o_orderstatus"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("graft_dml_ins")
+      s.sql(s"""SELECT * FROM graft_dml("INSERT INTO `$t` """ +
+        """SELECT * FROM graft_dml_ins")""").collect()
       read(s, t)
         .orderBy(col("o_orderkey").asc_nulls_first)
     }),
@@ -2188,9 +2214,10 @@ object SnapshotTable {
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 100 AND 1300
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
-    // the three SQL DML statements' logical effect replayed in plain
-    // SQL: update+delete (as q_table_snapshot), then the key-equality
-    // upsert (as q_table_merge) against the post-update/delete state;
+    // the four SQL DML statements' logical effect replayed in plain
+    // SQL: update+delete (as q_table_snapshot), the key-equality
+    // upsert (as q_table_merge) against the post-update/delete state,
+    // then the appended INSERT rows (disjoint key range — +20M);
     // *2 is exponent-only IEEE, +100000 a single exact addition
     "q_table_sql_dml" ->
       """WITH afterud AS (
@@ -2217,6 +2244,9 @@ object SnapshotTable {
         |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
         |FROM src s LEFT JOIN afterud b ON b.o_orderkey = s.o_orderkey
         |WHERE b.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, o_custkey, 'I', o_totalprice
+        |FROM orders WHERE o_orderkey % 500 = 11
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     // o_totalprice + 100000 is one IEEE double addition — deterministic
     // and identical across engines

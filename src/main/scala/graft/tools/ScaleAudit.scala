@@ -70,7 +70,12 @@ object ScaleAudit {
     // round 11c: the deletion-vector mutations (vector delete + CoW
     // update compose; merge-on-read update) — the matched sets scale
     // linearly with the table, so both lifecycles must too
-    "q_table_delete_vector", "q_table_update_vector")
+    "q_table_delete_vector", "q_table_update_vector",
+    // round 12: the SQL DML surface end-to-end (create + parsed
+    // UPDATE/DELETE/MERGE/INSERT lowered through GraftDml onto the
+    // file-granular verbs) — the parse/lowering layer must add no
+    // super-linear cost over the q_table_snapshot lifecycle it wraps
+    "q_table_sql_dml")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0

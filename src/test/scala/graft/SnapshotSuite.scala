@@ -1188,6 +1188,31 @@ class SnapshotSuite extends AnyFunSuite {
     assert(r3.getString(0) === "merge" && r3.getLong(2) === 2L)
     assert(SnapshotTable.read(spark, t)
       .filter(col("o_orderstatus") === "R").count() === 2L)
+    // INSERT INTO with an explicit column list (reordered): columns
+    // align by name and the int literal casts to the bigint key
+    val nBefore = SnapshotTable.read(spark, t).count()
+    val r4 = spark.sql(
+      s"""SELECT * FROM graft_dml("INSERT INTO `$t` """ +
+        """(o_orderstatus, o_orderkey, o_totalprice) """ +
+        """VALUES ('Z', 999999991, CAST(7.5 AS DOUBLE)), """ +
+        """('Z', 999999992, CAST(8.5 AS DOUBLE))")""").head()
+    assert(r4.getString(0) === "insert" && r4.getLong(2) === 2L)
+    assert(SnapshotTable.read(spark, t).count() === nBefore + 2)
+    val ins = SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") === 999999991L).head()
+    assert(ins.getAs[String]("o_orderstatus") === "Z")
+    assert(ins.getAs[Double]("o_totalprice") === 7.5)
+    // INSERT OVERWRITE atomically replaces the whole table in ONE
+    // commit; the replaced version stays time-travelable
+    val vBefore = SnapshotTable.currentVersion(spark, t)
+    val rOw = spark.sql(
+      s"""SELECT * FROM graft_dml("INSERT OVERWRITE `$t` """ +
+        """SELECT * FROM sqldml_src")""").head()
+    assert(rOw.getString(0) === "insert_overwrite" &&
+      rOw.getLong(2) === 2L)
+    assert(SnapshotTable.read(spark, t).count() === 2L)
+    assert(SnapshotTable.read(spark, t, Some(vBefore)).count() ===
+      nBefore + 2, "the replaced version must stay time-travelable")
     val ex = intercept[Exception] {
       spark.sql("""SELECT * FROM graft_dml("SELECT 1")""")
     }
@@ -1215,11 +1240,68 @@ class SnapshotSuite extends AnyFunSuite {
     assert(r3.getString(0) === "merge" && r3.getLong(2) === 1L)
     assert(SnapshotTable.read(spark, t).filter(col("o_orderkey") === key)
       .head().getAs[String]("o_orderstatus") === "V")
+    // native INSERT INTO ... SELECT lowers to the atomic append
+    val r4 = s2.sql(s"INSERT INTO `$t` SELECT o_orderkey + 900000000, " +
+      s"'W' AS o_orderstatus, o_totalprice FROM parquet.`$sf/orders" +
+      ".parquet` WHERE o_orderkey % 1000 = 1").head()
+    assert(r4.getString(0) === "insert")
+    assert(r4.getLong(2) === SnapshotTable.read(spark, t)
+      .filter(col("o_orderstatus") === "W").count())
+    assert(r4.getLong(2) > 0L)
     // a DML on a non-snapshot target is left for Spark's own handling
     intercept[Exception] { s2.sql("UPDATE nonexistent_tbl SET x = 1") }
   }
 
-  test("q_table_sql_dml equals the replayed update+delete+merge") {
+  test("SQL DDL: CREATE TABLE AS and DROP TABLE through both surfaces") {
+    val t = freshTable("sqlctas")
+    GraftExtensions.register(spark)
+    val r1 = spark.sql(
+      s"""SELECT * FROM graft_dml("CREATE TABLE `$t` AS """ +
+        s"""SELECT * FROM parquet.`$sf/orders.parquet` """ +
+        """WHERE o_orderkey % 3 = 0")""").head()
+    assert(r1.getString(0) === "create" && r1.getLong(1) === 1L)
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 3 === 0).count()
+    assert(r1.getLong(2) === expect)
+    assert(SnapshotTable.read(spark, t).count() === expect)
+    // IF NOT EXISTS on an existing table is a no-op; without it, error
+    val r2 = spark.sql(
+      s"""SELECT * FROM graft_dml("CREATE TABLE IF NOT EXISTS `$t` """ +
+        """AS SELECT 1 AS x")""").head()
+    assert(r2.getString(0) === "create" && r2.getLong(2) === 0L)
+    assert(SnapshotTable.read(spark, t).count() === expect)
+    intercept[Exception] { spark.sql(
+      s"""SELECT * FROM graft_dml("CREATE TABLE `$t` AS SELECT 1 AS x")""") }
+    // native surface: PARTITIONED CTAS — the DDL-created table prunes
+    // partitions like one built through the Scala API
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val t2 = freshTable("sqlctasp")
+    val r3 = s2.sql(s"CREATE TABLE `$t2` PARTITIONED BY (o_orderstatus) " +
+      s"AS SELECT o_orderkey, o_orderstatus, o_totalprice FROM " +
+      s"parquet.`$sf/orders.parquet`").head()
+    assert(r3.getString(0) === "create")
+    val all = spark.read.parquet(s"$sf/orders.parquet")
+    val pr = SnapshotTable.readWhere(spark, t2, Set("F"))
+    assert(pr.count() === all.filter(col("o_orderstatus") === "F").count())
+    assert(pr.inputFiles.length <
+      SnapshotTable.read(spark, t2).inputFiles.length,
+      "partition pruning must open fewer files than the full scan")
+    // native DROP removes the tree; IF EXISTS on a missing table is a
+    // no-op; a non-snapshot dir refuses (the _manifests guard)
+    assert(s2.sql(s"DROP TABLE `$t2`").head().getString(0) === "drop")
+    assert(!new java.io.File(t2).exists())
+    assert(s2.sql(s"DROP TABLE IF EXISTS `$t2`").head()
+      .getString(0) === "drop")
+    val plainDir = freshTable("plaindir")
+    new java.io.File(plainDir).mkdirs()
+    intercept[Exception] { spark.sql(
+      s"""SELECT * FROM graft_dml("DROP TABLE `$plainDir`")""") }
+    assert(new java.io.File(plainDir).exists(),
+      "a non-snapshot directory must survive DROP TABLE")
+  }
+
+  test("q_table_sql_dml equals the replayed update+delete+merge+insert") {
     val got = SnapshotTable.queries("q_table_sql_dml")(spark, sf)
     val o = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -1249,6 +1331,10 @@ class SnapshotSuite extends AnyFunSuite {
         coalesce(col("s_tp"), col("o_totalprice")).as("o_totalprice"))
       .unionAll(src.join(afterud.select(col("o_orderkey")),
         Seq("o_orderkey"), "left_anti"))
+      .unionAll(o.filter(col("o_orderkey") % 500 === 11)
+        .select((col("o_orderkey") + 20000000).as("o_orderkey"),
+          col("o_custkey"), lit("I").as("o_orderstatus"),
+          col("o_totalprice")))
       .orderBy(col("o_orderkey").asc_nulls_first)
     assert(got.collect().map(_.toString).toSeq ===
       expect.collect().map(_.toString).toSeq)
