@@ -143,13 +143,35 @@ class MultimodalSuite extends AnyFunSuite {
     val group = "graft-construct-probe"
     spark.sparkContext.setJobGroup(group, "construction must be lazy")
     try {
-      SparkEntry.queries("q_dedup_phash")(spark, sf)
       SparkEntry.queries("q_multimodal_decode")(spark, sf)
       SparkEntry.queries("q_multimodal_frames")(spark, sf)
     } finally spark.sparkContext.clearJobGroup()
     val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
     assert(jobs.isEmpty,
       s"query construction ran ${jobs.length} Spark job(s) — eager materialization")
+    // q_dedup_phash's round-12 oracle promotion stages the decoded
+    // thumbnails at construction (the declared codec boundary) — the
+    // ONE deliberate construction job in this family. Baseline-compare
+    // like TrainingOpsSuite: constructing the query must run no more
+    // jobs than the staging write alone (the pairing plan itself stays
+    // lazy; the decode rides the shared cached frame either way).
+    val gStage = "graft-phash-stage-baseline"
+    spark.sparkContext.setJobGroup(gStage, "the staging write alone")
+    try graft.operators.MultimodalOps.decodedMedia(spark, sf).toDF()
+      .select(col("doc_id"), col("thumb")).coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"/tmp/graft_phash_baseline_stage_${System.nanoTime()}")
+    finally spark.sparkContext.clearJobGroup()
+    val jStage = spark.sparkContext.statusTracker.getJobIdsForGroup(gStage)
+    val gPh = "graft-phash-construct-probe"
+    spark.sparkContext.setJobGroup(gPh, "only the staging write may run")
+    try SparkEntry.queries("q_dedup_phash")(spark, sf)
+    finally spark.sparkContext.clearJobGroup()
+    val jPh = spark.sparkContext.statusTracker.getJobIdsForGroup(gPh)
+    assert(jPh.length <= jStage.length,
+      s"q_dedup_phash construction ran ${jPh.length} jobs vs " +
+        s"${jStage.length} for the staging write alone — the pairing " +
+        "plan must stay lazy")
   }
 
   test("multimodal decode is deterministic across runs") {
