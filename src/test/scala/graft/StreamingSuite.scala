@@ -587,8 +587,8 @@ class StreamingSuite extends AnyFunSuite {
     // committing the cdcUpTo high-water mark atomically with the new
     // view data (the batch-id-in-manifest discipline) — replays and
     // overlapping restarts skip or re-derive from the mark
-    val q = SnapshotTable.changesStream(spark, t, 1L, s"$dir/ckpt") {
-      (delta0, from, to) =>
+    def consumer(delta0: org.apache.spark.sql.DataFrame, from: Long,
+        to: Long): Unit =
         SnapshotTable.withCommitRetry() {
           val cur = SnapshotTable.currentVersion(spark, viewT)
           val vsnap = SnapshotTable.readManifest(spark, viewT, cur)
@@ -618,7 +618,7 @@ class StreamingSuite extends AnyFunSuite {
             ()
           }
         }
-    }
+    val q = SnapshotTable.changesStream(spark, t, 1L, s"$dir/ckpt")(consumer)
     try {
       // live mutation gauntlet WHILE the feed runs
       SnapshotTable.updateWhere(spark, t, col("l_orderkey") % 100 === 0,
@@ -641,5 +641,30 @@ class StreamingSuite extends AnyFunSuite {
       // integral quantities: the delta-maintained view is bit-identical
       assert(viewRows === recompute)
     } finally q.stop()
+    // RESTART from scratch (fromVersion = 1 again — the naive operator
+    // restart): the cdcUpTo mark must make the replayed v1..v4 prefix a
+    // no-op (a double-apply would corrupt every count), while the
+    // mutations landed AFTER the stop are picked up and applied once
+    SnapshotTable.deleteWhere(spark, t, col("l_orderkey") % 13 === 1)
+    SnapshotTable.append(spark, t, items.limit(25))
+    val q2 = SnapshotTable.changesStream(spark, t, 1L, s"$dir/ckpt2")(consumer)
+    try {
+      val deadline2 = System.currentTimeMillis() + 120000
+      def mark2(): Long = SnapshotTable.readManifest(spark, viewT,
+        SnapshotTable.currentVersion(spark, viewT))
+        .meta.get("cdcUpTo").map(_.toLong).getOrElse(1L)
+      while (mark2() < 6L && System.currentTimeMillis() < deadline2)
+        Thread.sleep(200)
+      assert(mark2() === 6L, "the restarted stream must reach source v6")
+      val viewRows2 = SnapshotTable.read(spark, viewT)
+        .orderBy(col("l_returnflag")).collect().map(_.toString).toSeq
+      val recompute2 = SnapshotTable.read(spark, t)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag")).collect().map(_.toString).toSeq
+      assert(viewRows2 === recompute2,
+        "restart must apply the post-stop tail exactly once and the " +
+          "replayed prefix zero times")
+    } finally q2.stop()
   }
 }
