@@ -246,6 +246,8 @@ object MultimodalOps {
       thumb: Array[Int])
   case class DecodedAudio(doc_id: Long, sample_rate: Int, channels: Int,
       n_samples: Int, rms: Double, est_freq_hz: Double)
+  case class DecodedPcm(doc_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Int, samples: Array[Int])
   case class DecodedImage(doc_id: Long, width: Int, height: Int,
       channels: Int, n_px: Int, mean_red: Double, head_px_csv: String)
   case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int,
@@ -333,11 +335,11 @@ object MultimodalOps {
   }
 
   /** Real audio decode via mapPartitions: `javax.sound.sampled` parses
-    * the WAV container (format, frame count, PCM frames); RMS level and
-    * a zero-crossing pitch estimate are computed from the decoded
-    * samples — the audio analog of `decodeImages`.
+    * the WAV container (format, frame count, PCM frames) into the
+    * decoded int16 samples — the CODEC BOUNDARY the q_multimodal_audio
+    * oracle stages.
     */
-  def decodeAudio(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def decodePcm(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
     import javax.sound.sampled.AudioSystem
     Tables.documents(spark, sfDir)
@@ -350,22 +352,46 @@ object MultimodalOps {
           val fmt = ais.getFormat
           val n = ais.getFrameLength.toInt
           val pcm = ais.readAllBytes()
-          var sumSq = 0.0
-          var zc = 0
-          var prev = 0
+          val samples = new Array[Int](n)
           var i = 0
           while (i < n) {
-            val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
-            sumSq += s.toDouble * s
-            if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
-            prev = s
+            samples(i) =
+              ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
             i += 1
           }
-          val dur = n.toDouble / fmt.getSampleRate
-          DecodedAudio(id, fmt.getSampleRate.toInt, fmt.getChannels, n,
-            math.sqrt(sumSq / n) / 32768.0, zc / 2.0 / dur)
+          DecodedPcm(id, fmt.getSampleRate.toInt, fmt.getChannels, n, samples)
         }
-      }.toDF()
+      }
+  }
+
+  /** RMS level + zero-crossing pitch estimate from decoded samples —
+    * the arithmetic the oracle replays: the s² sum is integer-exact in
+    * doubles (≤ 768 · 32767² < 2⁵³), the divisions run in the written
+    * order on both engines.
+    */
+  private[graft] def audioFeatures(p: DecodedPcm): DecodedAudio = {
+    var sumSq = 0.0
+    var zc = 0
+    var prev = 0
+    var i = 0
+    while (i < p.n_samples) {
+      val s = p.samples(i)
+      sumSq += s.toDouble * s
+      if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+      prev = s
+      i += 1
+    }
+    val dur = p.n_samples.toDouble / p.sample_rate
+    DecodedAudio(p.doc_id, p.sample_rate, p.channels, p.n_samples,
+      math.sqrt(sumSq / p.n_samples) / 32768.0, zc / 2.0 / dur)
+  }
+
+  /** Decoded-audio features: the decode composed with [[audioFeatures]]
+    * — the audio analog of `decodeImages`.
+    */
+  def decodeAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodePcm(spark, sfDir).map(audioFeatures).toDF()
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
@@ -388,20 +414,43 @@ object MultimodalOps {
     }),
 
     // Real ImageIO decode of per-document synthetic PNGs: true raster
-    // width/height/band-count + pixel features. No DuckDB oracle (no
-    // codec there); MultimodalSuite pins planted pixels exactly.
-    "q_multimodal_decode" -> ((s, d) => decodeImages(s, d)),
+    // width/height/band-count + pixel features. HARD ORACLE since
+    // round 12: the decoded red plane — the codec boundary — stages to
+    // parquet and DuckDB re-derives n_px, the exact integer-sum
+    // mean_red and the head-pixel CSV independently (MultimodalSuite
+    // keeps the planted-pixel exactness pins on the decode itself).
+    "q_multimodal_decode" -> ((s, d) => {
+      stageMediaPlanes(s, d)
+      decodeImages(s, d)
+    }),
 
     // Frame sampling (one-to-many strip explosion) over the same real
-    // decode. No oracle; frame counts/ids/features pinned in the suite.
-    "q_multimodal_frames" -> ((s, d) => decodeFrames(s, d)),
+    // decode. HARD ORACLE since round 12 over the same staged planes:
+    // DuckDB replays the 8-row strip tiling and the integer-exact
+    // luminance feature (sum / (w·rows) / 255 in the engine's division
+    // order); frame counts/ids/features stay pinned in the suite.
+    "q_multimodal_frames" -> ((s, d) => {
+      stageMediaPlanes(s, d)
+      decodeFrames(s, d)
+    }),
 
     // Second modality, same honest-decode pattern: WAV clips parsed by
     // javax.sound (real container + PCM decode), with level + pitch
-    // features from the decoded samples. No oracle; the suite pins the
-    // planted tone's frequency, the exact PCM round-trip, and format
-    // fields.
-    "q_multimodal_audio" -> ((s, d) => decodeAudio(s, d)),
+    // features from the decoded samples. HARD ORACLE since round 12:
+    // the decoded PCM samples stage to parquet (written, then READ
+    // BACK as the feature inputs — the staged bytes ARE what both
+    // engines score), and DuckDB re-derives rms (the s² sum is
+    // integer-exact in doubles: ≤ 768·32767² < 2⁵³, so fold order is
+    // irrelevant) and the zero-crossing pitch estimate. The suite
+    // keeps the planted-tone frequency, exact PCM round-trip and
+    // format pins.
+    "q_multimodal_audio" -> ((s, d) => {
+      import s.implicits._
+      decodePcm(s, d).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(audioSamplesPath)
+      s.read.parquet(audioSamplesPath).as[DecodedPcm].map(audioFeatures)
+        .toDF().orderBy(col("doc_id").asc_nulls_first)
+    }),
 
     // Image near-dup dedup: perceptual hash (aHash) over the real PNG
     // decode, chunk-pigeonhole candidates, exact hamming verify.
@@ -426,6 +475,23 @@ object MultimodalOps {
     */
   private def phashThumbsPath: String =
     s"${graft.StagePaths.root}/phash_thumbs"
+
+  private def mediaPlanesPath: String =
+    s"${graft.StagePaths.root}/media_planes"
+  private def audioSamplesPath: String =
+    s"${graft.StagePaths.root}/audio_samples"
+
+  /** Stage the shared decoded red planes (the codec boundary) for the
+    * q_multimodal_decode / q_multimodal_frames oracles. Idempotent
+    * overwrite of the same rows whichever query runs first.
+    */
+  private def stageMediaPlanes(s: SparkSession, d: String): Unit = {
+    decodedMedia(s, d).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("channels"), col("red"))
+      .coalesce(1).write.mode("overwrite").parquet(mediaPlanesPath)
+    ()
+  }
 
   /** DuckDB replay of q_dedup_phash from the staged grays: cell sums
     * over the 2x2 blocks (p -> cell by integer division), mean as the
@@ -474,6 +540,55 @@ object MultimodalOps {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_phash" -> phashOracle,
+    // derivations over the staged red planes: integer-sum mean (one
+    // exact division), head-pixel CSV via an inclusive 1-based slice
+    "q_multimodal_decode" ->
+      s"""SELECT doc_id, width, height, channels,
+         |  width * height AS n_px,
+         |  CAST(list_sum(red) AS DOUBLE) / len(red) AS mean_red,
+         |  array_to_string(list_slice(red, 1, least(8, width)), ',')
+         |    AS head_px_csv
+         |FROM read_parquet('$mediaPlanesPath/*.parquet')
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    // 8-row strip tiling over the same planes; the luminance feature
+    // replays the engine's division order (sum / (w·rows) / 255)
+    "q_multimodal_frames" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, width, height, red
+         |  FROM read_parquet('$mediaPlanesPath/*.parquet')),
+         |f AS (
+         |  SELECT doc_id, width, height, red, r.f
+         |  FROM p CROSS JOIN range(0, 64) r(f)
+         |  WHERE r.f < (height + 7) // 8)
+         |SELECT doc_id, f AS frame_idx, width,
+         |  least(f * 8 + 8, height) - f * 8 AS height,
+         |  CAST(list_sum(list_slice(red, f * 8 * width + 1,
+         |    least(f * 8 + 8, height) * width)) AS DOUBLE)
+         |    / (width * (least(f * 8 + 8, height) - f * 8)) / 255.0
+         |    AS feature
+         |FROM f
+         |ORDER BY doc_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin,
+    // rms + zero-crossing pitch from the staged decoded PCM: the s²
+    // sum is integer-exact in doubles, the divisions run in the
+    // engine's order, and the crossing count compares adjacent
+    // samples' sign bits
+    "q_multimodal_audio" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, sample_rate, channels, n_samples, samples
+         |  FROM read_parquet('$audioSamplesPath/*.parquet')),
+         |z AS (
+         |  SELECT doc_id, sample_rate, channels, n_samples,
+         |    list_sum(list_transform(samples,
+         |      s -> CAST(s AS BIGINT) * s)) AS ss,
+         |    list_sum(list_transform(range(2, n_samples + 1), i ->
+         |      CASE WHEN (samples[i] >= 0) <> (samples[i - 1] >= 0)
+         |        THEN 1 ELSE 0 END)) AS zc
+         |  FROM a)
+         |SELECT doc_id, sample_rate, channels, n_samples,
+         |  sqrt(CAST(ss AS DOUBLE) / n_samples) / 32768.0 AS rms,
+         |  CAST(zc AS DOUBLE) / 2.0
+         |    / (CAST(n_samples AS DOUBLE) / sample_rate) AS est_freq_hz
+         |FROM z ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -140,21 +140,23 @@ class MultimodalSuite extends AnyFunSuite {
     // full codec pass as a job before any action, and its blocks don't
     // survive executor loss. The shared decode is now a LAZY persist —
     // constructing the queries must schedule nothing.
+    // the LIBRARY entries stay zero-job at construction — the lazy
+    // persist discipline the round-6 review installed
     val group = "graft-construct-probe"
     spark.sparkContext.setJobGroup(group, "construction must be lazy")
     try {
-      SparkEntry.queries("q_multimodal_decode")(spark, sf)
-      SparkEntry.queries("q_multimodal_frames")(spark, sf)
+      graft.operators.MultimodalOps.decodeImages(spark, sf)
+      graft.operators.MultimodalOps.decodeFrames(spark, sf)
     } finally spark.sparkContext.clearJobGroup()
     val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
     assert(jobs.isEmpty,
-      s"query construction ran ${jobs.length} Spark job(s) — eager materialization")
-    // q_dedup_phash's round-12 oracle promotion stages the decoded
+      s"library construction ran ${jobs.length} Spark job(s) — eager materialization")
+    // the round-12 oracle promotions stage the decoded planes /
     // thumbnails at construction (the declared codec boundary) — the
-    // ONE deliberate construction job in this family. Baseline-compare
-    // like TrainingOpsSuite: constructing the query must run no more
-    // jobs than the staging write alone (the pairing plan itself stays
-    // lazy; the decode rides the shared cached frame either way).
+    // ONE deliberate construction job per query. Baseline-compare like
+    // TrainingOpsSuite: constructing each query must run no more jobs
+    // than the staging write alone (the downstream plan stays lazy;
+    // the decode rides the shared cached frame either way).
     val gStage = "graft-phash-stage-baseline"
     spark.sparkContext.setJobGroup(gStage, "the staging write alone")
     try graft.operators.MultimodalOps.decodedMedia(spark, sf).toDF()
@@ -163,15 +165,18 @@ class MultimodalSuite extends AnyFunSuite {
       .parquet(s"/tmp/graft_phash_baseline_stage_${System.nanoTime()}")
     finally spark.sparkContext.clearJobGroup()
     val jStage = spark.sparkContext.statusTracker.getJobIdsForGroup(gStage)
-    val gPh = "graft-phash-construct-probe"
-    spark.sparkContext.setJobGroup(gPh, "only the staging write may run")
-    try SparkEntry.queries("q_dedup_phash")(spark, sf)
-    finally spark.sparkContext.clearJobGroup()
-    val jPh = spark.sparkContext.statusTracker.getJobIdsForGroup(gPh)
-    assert(jPh.length <= jStage.length,
-      s"q_dedup_phash construction ran ${jPh.length} jobs vs " +
-        s"${jStage.length} for the staging write alone — the pairing " +
-        "plan must stay lazy")
+    Seq("q_dedup_phash", "q_multimodal_decode", "q_multimodal_frames")
+      .foreach { q =>
+        val g = s"graft-construct-probe-$q"
+        spark.sparkContext.setJobGroup(g, "only the staging write may run")
+        try SparkEntry.queries(q)(spark, sf)
+        finally spark.sparkContext.clearJobGroup()
+        val j = spark.sparkContext.statusTracker.getJobIdsForGroup(g)
+        assert(j.length <= jStage.length,
+          s"$q construction ran ${j.length} jobs vs ${jStage.length} " +
+            "for the staging write alone — the downstream plan must " +
+            "stay lazy")
+      }
   }
 
   test("multimodal decode is deterministic across runs") {
