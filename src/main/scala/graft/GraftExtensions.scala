@@ -73,6 +73,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dml"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "graft_dml"),
       GraftExtensions.dmlTvf))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "graft_history"),
+      GraftExtensions.historyTvf))
     // NATIVE DML on snapshot-table paths: Spark's grammar already
     // parses `UPDATE `/path` SET...` / `DELETE FROM` / `MERGE INTO`
     // into their catalyst plans; this rule intercepts the ones whose
@@ -269,6 +273,19 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_history('<table>')` — the retained-version history
+    * (DESCRIBE HISTORY shape) as a SQL relation: commit times, file
+    * counts, manifest-diff churn per version, all metadata-tier.
+    */
+  val historyTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1,
+      s"graft_history(table) takes 1 argument, got ${args.size}")
+    val spark = SparkSession.active
+    graft.sources.SnapshotTable.history(spark,
+      litString(args.head, "graft_history table path"))
+      .queryExecution.logical
+  }
+
   /** Runtime registration of the full custom-function surface
     * (including the snapshot TVFs, via the `private[sql]` registry
     * bridge — the driver contract builds plain sessions, so the
@@ -288,5 +305,7 @@ object GraftExtensions {
       "graft_changes", changesTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,
       "graft_dml", dmlTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_history", historyTvf)
   }
 }

@@ -64,6 +64,14 @@ object SnapshotTable {
   final class CommitConflictException(msg: String)
     extends IllegalStateException(msg)
 
+  /** A staged batch (or the existing data, for [[addConstraint]])
+    * violates a CHECK constraint. Typed — and deliberately NOT a
+    * [[CommitConflictException]]: a constraint violation is not
+    * retryable, so [[withCommitRetry]] must not spin on it.
+    */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
+
   private val Marker = "graft-snapshot-1"
 
   private def fs(spark: SparkSession, p: String): FileSystem =
@@ -659,17 +667,88 @@ object SnapshotTable {
       : (Seq[String], Map[String, String],
          Map[String, Map[String, (String, String)]],
          Map[String, Map[String, String]]) = {
+    // CHECK constraints ride the staging write as observed metrics (no
+    // extra pass): a row violates when its predicate is false OR null
+    // (the Delta rule). Violations surface AFTER the batch is staged
+    // but BEFORE anything is committed — the staged files are deleted
+    // and the verb throws, so the table is untouched.
+    val cons = constraintsOf(snap)
+    val (df1, obs) =
+      if (cons.isEmpty) (df, None)
+      else {
+        val o = org.apache.spark.sql.Observation()
+        val aggs = cons.map { case (n, e) =>
+          sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)).as(n)
+        }
+        (df.observe(o, aggs.head, aggs.tail: _*), Some(o))
+      }
     val (files, labels) = snap.meta.get("partitionCol") match {
       case Some(pc) =>
-        val staged = stagePartitionedBatch(df, table, pc)
+        val staged = stagePartitionedBatch(df1, table, pc)
         (staged.map(_._1), staged.toMap)
-      case None => (stageBatch(df, table), Map.empty[String, String])
+      case None => (stageBatch(df1, table), Map.empty[String, String])
+    }
+    obs.foreach { o =>
+      val m = o.get
+      val viol = cons.map { case (n, _) =>
+        n -> (m.get(n) match {
+          case Some(x: java.lang.Number) => x.longValue
+          case _ => 0L
+        })
+      }.filter(_._2 > 0)
+      if (viol.nonEmpty) {
+        val f = fs(df.sparkSession, table)
+        files.foreach(p => f.delete(new Path(table, p), false))
+        throw new ConstraintViolationException(
+          s"batch rejected by CHECK constraint(s): " +
+            viol.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+      }
     }
     val (stats, extras) = computeStats(df.sparkSession, table, files,
       declaredStatsCols(snap), snap.schema)
     writeBloomSidecars(df.sparkSession, table, files,
       declaredBloomCols(snap), snap.schema)
     (files, labels, stats, extras)
+  }
+
+  private def constraintsOf(snap: Snapshot): Seq[(String, String)] =
+    snap.meta.toSeq.collect {
+      case (k, v) if k.startsWith("constraint.") =>
+        k.stripPrefix("constraint.") -> v
+    }.sortBy(_._1)
+
+  /** Add a CHECK constraint (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * shape): existing data is validated in one DV-aware scan, then the
+    * predicate commits as table metadata — every subsequent mutation
+    * verb enforces it on its staged batch via an observed metric
+    * riding the stage write (violating batches are rejected atomically,
+    * staged files cleaned, table untouched).
+    */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      predicateSql: String): Long = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    require(!predicateSql.exists(c => c == '\n' || c == '\r'),
+      "constraint predicate must be single-line")
+    val snap = loadCurrent(spark, table)
+    val bad = readFilesDv(spark, table, snap, snap.files)
+      .filter(!coalesce(expr(predicateSql), lit(false))).count()
+    if (bad > 0) throw new ConstraintViolationException(
+      s"existing data violates $name: $bad rows")
+    commitManifest(spark, table, snap.schema, snap.files, snap.version,
+      snap.meta + (s"constraint.$name" -> predicateSql),
+      snap.partitionOf, snap.statsOf, snap.deleteFiles, Some(snap),
+      snap.extraOf)
+  }
+
+  /** Drop a CHECK constraint — a metadata-only commit. */
+  def dropConstraint(spark: SparkSession, table: String,
+      name: String): Long = {
+    val snap = loadCurrent(spark, table)
+    commitManifest(spark, table, snap.schema, snap.files, snap.version,
+      snap.meta - s"constraint.$name",
+      snap.partitionOf, snap.statsOf, snap.deleteFiles, Some(snap),
+      snap.extraOf)
   }
 
   private def fileLine(p: String, partitionOf: Map[String, String],
@@ -1004,6 +1083,40 @@ object SnapshotTable {
       StructType(snap.schema.fields ++ newFields), snap.files,
       snap.version, snap.meta, snap.partitionOf, snap.statsOf,
       snap.deleteFiles, Some(snap), snap.extraOf)
+  }
+
+  /** Table history (the DESCRIBE HISTORY shape): one row per retained
+    * version with its commit time (manifest mtime), file counts, and
+    * the manifest-diff churn vs the predecessor — derived entirely
+    * from the metadata tier (N manifest reads, zero data IO).
+    * `files_added`/`files_removed` are NULL for a version whose
+    * predecessor has been expired (no base to diff against).
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    val mDir = manifestDir(table)
+    val versions =
+      if (!f.exists(mDir)) Vector.empty[Long]
+      else f.listStatus(mDir).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toLong
+        }.toVector.sorted
+    val snaps = versions.map(v => v -> readManifest(spark, table, v)).toMap
+    versions.map { v =>
+      val cur = snaps(v)
+      val curSet = cur.files.toSet
+      val prevSet = snaps.get(v - 1).map(_.files.toSet)
+      (v,
+        new java.sql.Timestamp(
+          f.getFileStatus(manifestPath(table, v)).getModificationTime),
+        cur.files.size,
+        prevSet.map(p => (curSet -- p).size),
+        prevSet.map(p => (p -- curSet).size),
+        cur.deleteFiles.size, cur.depth > 0)
+    }.toDF("version", "committed_at", "n_files", "files_added",
+      "files_removed", "delete_files", "is_delta")
+      .orderBy(col("version").asc_nulls_first)
   }
 
   /** Remove staged-but-never-committed batch dirs older than `graceMs`
@@ -1978,6 +2091,34 @@ object SnapshotTable {
         .orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // CHECK constraints (the Delta ADD CONSTRAINT shape): existing data
+    // validated at add time, then every mutation verb enforces the
+    // predicate on its staged batch via an observed metric riding the
+    // stage write — a violating batch is rejected ATOMICALLY (staged
+    // files cleaned, table untouched), a valid one commits. The oracle
+    // replays the surviving state: base plus only the valid batch.
+    "q_table_constraints" -> ((s, d) => {
+      val t = scratch(s, d, "constraints")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      create(s, t, orders, numFiles = 4)
+      addConstraint(s, t, "positive_price", "o_totalprice > 0")
+      val rejected =
+        try {
+          append(s, t, orders.limit(100)
+            .withColumn("o_totalprice", lit(-1.0)))
+          false
+        } catch { case _: ConstraintViolationException => true }
+      require(rejected, "a violating append must be rejected")
+      append(s, t, orders.filter(col("o_orderkey") % 50 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100000))
+      read(s, t).orderBy(col("o_orderkey").asc_nulls_first,
+        col("o_totalprice").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+    }),
+
     // Merge-on-read UPDATE: the sparse update commits positions of the
     // old images + a matches-sized batch of new images — every original
     // data file carries over verbatim (SnapshotSuite asserts the
@@ -2214,6 +2355,19 @@ object SnapshotTable {
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 100 AND 1300
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // the surviving state after the rejected + accepted batches: base
+    // plus only the valid appended slice (+100000 is one exact double
+    // addition). A constraint layer that let the violating batch
+    // through — or leaked its staged files into the table — breaks the
+    // hash.
+    "q_table_constraints" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice + 100000
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |ORDER BY o_orderkey ASC NULLS FIRST,
+        |  o_totalprice ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
     // the four SQL DML statements' logical effect replayed in plain
     // SQL: update+delete (as q_table_snapshot), the key-equality
     // upsert (as q_table_merge) against the post-update/delete state,

@@ -1252,6 +1252,93 @@ class SnapshotSuite extends AnyFunSuite {
     intercept[Exception] { s2.sql("UPDATE nonexistent_tbl SET x = 1") }
   }
 
+  test("CHECK constraints: violating batches rejected atomically with " +
+      "staged files cleaned; null = violation; add validates existing " +
+      "data; drop restores") {
+    val t = freshTable("constraints")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    // a constraint the existing data violates fails and commits nothing
+    val v0 = SnapshotTable.currentVersion(spark, t)
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.addConstraint(spark, t, "impossible",
+        "o_totalprice > 1e12")
+    }
+    assert(SnapshotTable.currentVersion(spark, t) === v0)
+    SnapshotTable.addConstraint(spark, t, "positive_price",
+      "o_totalprice > 0")
+    val beforeRows = sortedRows(SnapshotTable.read(spark, t))
+    val vBefore = SnapshotTable.currentVersion(spark, t)
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.append(spark, t,
+        orders.limit(10).withColumn("o_totalprice", lit(-5.0)))
+    }
+    assert(SnapshotTable.currentVersion(spark, t) === vBefore,
+      "a rejected batch must commit nothing")
+    assert(sortedRows(SnapshotTable.read(spark, t)) === beforeRows)
+    // no leaked staged parquet: every data file on disk is in the
+    // manifest (the rejected batch's files were deleted)
+    val manifestFiles = SnapshotTable.readManifest(spark, t, vBefore)
+      .files.toSet
+    val onDisk = {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(t)
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => base.relativize(p).toString).toSet
+      finally s.close()
+    }
+    assert(onDisk === manifestFiles,
+      s"rejected staged files must be cleaned: ${onDisk -- manifestFiles}")
+    // a violating UPDATE rewrite is rejected too; NULL counts as a
+    // violation (the Delta rule)
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 2 === 0,
+        Map("o_totalprice" -> lit(-1.0)))
+    }
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 2 === 0,
+        Map("o_totalprice" -> lit(null).cast("double")))
+    }
+    assert(sortedRows(SnapshotTable.read(spark, t)) === beforeRows)
+    // valid mutations pass; drop restores free writes
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 2 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + 1)))
+    SnapshotTable.dropConstraint(spark, t, "positive_price")
+    SnapshotTable.append(spark, t,
+      orders.limit(5).withColumn("o_totalprice", lit(-5.0)))
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_totalprice") < 0).count() === 5L)
+  }
+
+  test("history: one metadata-only row per retained version with churn " +
+      "counts; graft_history TVF reads it from SQL") {
+    val t = freshTable("history")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    SnapshotTable.append(spark, t, orders.limit(10))
+    val key = orders.select(min(col("o_orderkey"))).head().getLong(0)
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") === key,
+      Map("o_orderstatus" -> lit("H")))
+    val h = SnapshotTable.history(spark, t)
+      .orderBy(col("version")).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(h(0).getInt(2) === 4 && h(0).isNullAt(3),
+      "v1 has no predecessor — churn columns must be NULL")
+    assert(h(1).getInt(2) === 5 && h(1).getInt(3) === 1 &&
+      h(1).getInt(4) === 0, "append adds 1 file, removes 0")
+    // the key lives in 1 base file and possibly the appended batch —
+    // CoW rewrites exactly the touched files, so added == removed ≤ 2
+    assert(h(2).getInt(2) === 5 && h(2).getInt(3) === h(2).getInt(4) &&
+      h(2).getInt(3) >= 1 && h(2).getInt(3) <= 2,
+      "a 1-key update rewrites only the touched files")
+    assert(h.forall(!_.isNullAt(1)), "every version has a commit time")
+    GraftExtensions.register(spark)
+    val sqlH = spark.sql(s"SELECT version, n_files, files_added " +
+      s"FROM graft_history('$t') ORDER BY version").collect()
+    assert(sqlH.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((1L, 4), (2L, 5), (3L, 5)))
+  }
+
   test("SQL DDL: CREATE TABLE AS and DROP TABLE through both surfaces") {
     val t = freshTable("sqlctas")
     GraftExtensions.register(spark)
