@@ -222,8 +222,15 @@ object GraftExtensions {
   final class SnapshotDdlParser(
       delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
       extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedRelation, UnresolvedTable}
     import org.apache.spark.sql.catalyst.plans.logical.{
-      CreateTableAsSelect, DropTable}
+      AddCheckConstraint, CreateTableAsSelect, DropConstraint, DropTable}
+
+    private def pathShaped(parts: Seq[String]): Boolean = parts match {
+      case Seq(p) => p.contains('/')
+      case _ => false
+    }
 
     private def lower(plan: LogicalPlan): LogicalPlan = plan match {
       case ct: CreateTableAsSelect
@@ -232,6 +239,16 @@ object GraftExtensions {
       case dt: DropTable
           if graft.sources.GraftDml.pathIdent(dt.child).isDefined =>
         graft.sources.SnapshotDmlCommand(dt)
+      case a: AddCheckConstraint
+          if a.child.collectFirst {
+            case UnresolvedRelation(parts, _, _) => parts
+          }.exists(pathShaped) =>
+        graft.sources.SnapshotDmlCommand(a)
+      case dc: DropConstraint
+          if dc.table.collectFirst {
+            case u: UnresolvedTable => u.multipartIdentifier
+          }.exists(pathShaped) =>
+        graft.sources.SnapshotDmlCommand(dc)
       case other => other
     }
 

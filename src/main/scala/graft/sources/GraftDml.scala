@@ -3,8 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, GraftShim, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, Assignment, CreateTableAsSelect, DeleteFromTable, DropConstraint, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -48,6 +48,11 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   - `DROP TABLE [IF EXISTS] <t>` — removes the table tree; refuses
   *     a path that is not a snapshot table (the `_manifests` marker is
   *     the guard against deleting arbitrary directories).
+  *   - `ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<cond>)` /
+  *     `ALTER TABLE <t> DROP CONSTRAINT <name>` — lowers to
+  *     [[SnapshotTable.addConstraint]]/[[SnapshotTable.dropConstraint]]
+  *     (existing data validated at add time; every later mutation
+  *     enforces the predicate on its staged batch).
   *   - `INSERT INTO <t> [(col[, ...])] <query|VALUES ...>` — lowers to
   *     the atomic [[SnapshotTable.append]]; columns align positionally
   *     (or through the explicit column list) and cast to the table
@@ -247,10 +252,39 @@ object GraftDml {
             "refusing to delete")
       }
 
+    case a: AddCheckConstraint =>
+      val path = constraintTargetPath(spark, a).getOrElse(throw new
+        IllegalArgumentException("ADD CONSTRAINT target is not a " +
+          "snapshot table path"))
+      val cc = a.checkConstraint
+      require(cc.userProvidedName != null && cc.userProvidedName.nonEmpty,
+        "ADD CONSTRAINT requires a constraint name")
+      val v = SnapshotTable.addConstraint(spark, path, cc.userProvidedName,
+        cc.condition.replaceAll("[\\r\\n]+", " "))
+      ("add_constraint", v, 0L, -1L)
+
+    case dc: DropConstraint =>
+      val path = dc.table.collectFirst {
+        case u: UnresolvedTable => u.multipartIdentifier
+      }.flatMap(snapshotPathOf(spark, _)).getOrElse(throw new
+        IllegalArgumentException("DROP CONSTRAINT target is not a " +
+          "snapshot table path"))
+      val v = SnapshotTable.dropConstraint(spark, path, dc.name)
+      ("drop_constraint", v, 0L, -1L)
+
     case other => throw new IllegalArgumentException(
-      "graft_dml supports CREATE TABLE AS / DROP TABLE / INSERT INTO / " +
-        "UPDATE / DELETE / MERGE INTO statements, got: " + other.nodeName)
+      "graft_dml supports CREATE TABLE AS / DROP TABLE / ALTER TABLE " +
+        "ADD|DROP CONSTRAINT / INSERT INTO / UPDATE / DELETE / " +
+        "MERGE INTO statements, got: " + other.nodeName)
   }
+
+  /** The snapshot-table path under an AddCheckConstraint's child (the
+    * parser nests the target relation inside a NOT(condition) filter).
+    */
+  private[graft] def constraintTargetPath(spark: SparkSession,
+      a: AddCheckConstraint): Option[String] =
+    a.child.collectFirst { case UnresolvedRelation(parts, _, _) => parts }
+      .flatMap(snapshotPathOf(spark, _))
 
   /** A single backquoted path-shaped identifier under an
     * UnresolvedIdentifier (the CREATE/DROP target form).

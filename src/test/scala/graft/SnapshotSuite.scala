@@ -1309,6 +1309,26 @@ class SnapshotSuite extends AnyFunSuite {
       orders.limit(5).withColumn("o_totalprice", lit(-5.0)))
     assert(SnapshotTable.read(spark, t)
       .filter(col("o_totalprice") < 0).count() === 5L)
+    // the SQL surface: ALTER TABLE ADD/DROP CONSTRAINT through the
+    // graft_dml procedure and the native statement both lower onto the
+    // same verbs
+    GraftExtensions.register(spark)
+    val rAdd = spark.sql(
+      s"""SELECT * FROM graft_dml("ALTER TABLE `$t` ADD CONSTRAINT """ +
+        """nonneg CHECK (o_totalprice > -100)")""").head()
+    assert(rAdd.getString(0) === "add_constraint")
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.append(spark, t,
+        orders.limit(3).withColumn("o_totalprice", lit(-500.0)))
+    }
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    assert(s2.sql(s"ALTER TABLE `$t` DROP CONSTRAINT nonneg").head()
+      .getString(0) === "drop_constraint")
+    SnapshotTable.append(spark, t,
+      orders.limit(3).withColumn("o_totalprice", lit(-500.0)))
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_totalprice") === -500.0).count() === 3L)
   }
 
   test("history: one metadata-only row per retained version with churn " +
