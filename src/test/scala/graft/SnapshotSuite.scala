@@ -1331,6 +1331,34 @@ class SnapshotSuite extends AnyFunSuite {
       .filter(col("o_totalprice") === -500.0).count() === 3L)
   }
 
+  test("CHECK constraints cover the partitioned and WAP staging paths") {
+    // partitioned tables stage through stagePartitionedBatch — the
+    // other half of stageFor; enforcement must be identical
+    val t = freshTable("consppart")
+    SnapshotTable.createPartitioned(spark, t, orders
+      .withColumn("part", col("o_orderstatus")), "part")
+    SnapshotTable.addConstraint(spark, t, "positive_price",
+      "o_totalprice > 0")
+    val vBefore = SnapshotTable.currentVersion(spark, t)
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.append(spark, t, orders.limit(10)
+        .withColumn("part", col("o_orderstatus"))
+        .withColumn("o_totalprice", lit(-2.0)))
+    }
+    assert(SnapshotTable.currentVersion(spark, t) === vBefore)
+    // a WAP stage of a violating batch is rejected before any
+    // candidate manifest exists — audit never sees poisoned data
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.stageAppend(spark, t, orders.limit(10)
+        .withColumn("part", col("o_orderstatus"))
+        .withColumn("o_totalprice", lit(-2.0)))
+    }
+    // valid batches pass through both paths
+    SnapshotTable.append(spark, t, orders.limit(10)
+      .withColumn("part", col("o_orderstatus")))
+    assert(SnapshotTable.currentVersion(spark, t) === vBefore + 1)
+  }
+
   test("history: one metadata-only row per retained version with churn " +
       "counts; graft_history TVF reads it from SQL") {
     val t = freshTable("history")
