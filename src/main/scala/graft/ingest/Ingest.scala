@@ -178,9 +178,16 @@ object Ingest {
   def updateWhere(spark: SparkSession, tablePath: String,
       predicate: Column, assignments: Map[String, Column]): Long = {
     val df = spark.read.parquet(tablePath)
-    val updated = assignments.foldLeft(df) { case (d, (c, v)) =>
-      d.withColumn(c, when(predicate, v).otherwise(col(c)))
-    }
+    // one simultaneous select — SQL UPDATE binds every RHS and the
+    // predicate against the OLD row (a withColumn fold would let later
+    // assignments see already-updated values; same rule as
+    // SnapshotTable.updateWhere)
+    val updated = df.select(df.columns.map { c =>
+      assignments.get(c) match {
+        case Some(v) => when(predicate, v).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
     val n = df.filter(predicate).count()
     val stage = tablePath + "__stage"
     updated.write.mode("overwrite").parquet(stage)

@@ -205,7 +205,7 @@ object GraftDml {
           SnapshotTable.replaceContents(spark, path, observed)
         else SnapshotTable.append(spark, path, observed)
       (if (i.overwrite) "insert_overwrite" else "insert",
-        v, obs.get("inserted").asInstanceOf[Long], -1L)
+        v, observedCount(obs, "inserted"), -1L)
 
     case ct: CreateTableAsSelect =>
       val path = pathIdent(ct.name).getOrElse(throw new
@@ -233,7 +233,7 @@ object GraftDml {
             "only PARTITIONED BY (<one column>) is supported, got " +
               other.mkString(", "))
         }
-        ("create", v, obs.get("created").asInstanceOf[Long], -1L)
+        ("create", v, observedCount(obs, "created"), -1L)
       }
 
     case DropTable(ident, ifExists, _) =>
@@ -277,6 +277,20 @@ object GraftDml {
         "ADD|DROP CONSTRAINT / INSERT INTO / UPDATE / DELETE / " +
         "MERGE INTO statements, got: " + other.nodeName)
   }
+
+  /** Observed row count with the empty-relation guard: AQE's
+    * empty-relation propagation can remove the CollectMetrics node
+    * entirely, resolving the Observation to an EMPTY map — which only
+    * happens when the written result was empty, so 0 is the exact
+    * count, never a guess. A bare Map.apply would throw AFTER the
+    * commit already succeeded.
+    */
+  private def observedCount(obs: org.apache.spark.sql.Observation,
+      key: String): Long =
+    obs.get.get(key) match {
+      case Some(x: java.lang.Number) => x.longValue
+      case _ => 0L
+    }
 
   /** The snapshot-table path under an AddCheckConstraint's child (the
     * parser nests the target relation inside a NOT(condition) filter).

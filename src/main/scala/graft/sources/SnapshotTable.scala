@@ -697,8 +697,7 @@ object SnapshotTable {
         })
       }.filter(_._2 > 0)
       if (viol.nonEmpty) {
-        val f = fs(df.sparkSession, table)
-        files.foreach(p => f.delete(new Path(table, p), false))
+        dropStagedBatches(df.sparkSession, table, files)
         throw new ConstraintViolationException(
           s"batch rejected by CHECK constraint(s): " +
             viol.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
@@ -709,6 +708,18 @@ object SnapshotTable {
     writeBloomSidecars(df.sparkSession, table, files,
       declaredBloomCols(snap), snap.schema)
     (files, labels, stats, extras)
+  }
+
+  /** Remove a set of staged-but-unwanted files' whole BATCH DIRS
+    * (recursive — part files, _SUCCESS, checksums, partition subdirs):
+    * the one cleanup shape shared by the constraint-rejection path and
+    * the all-deleted / nothing-inserted no-op paths.
+    */
+  private def dropStagedBatches(spark: SparkSession, table: String,
+      files: Seq[String]): Unit = {
+    val f = fs(spark, table)
+    files.map(_.split('/')(1)).distinct.foreach(b =>
+      f.delete(new Path(s"$table/data/$b"), true))
   }
 
   private def constraintsOf(snap: Snapshot): Seq[(String, String)] =
@@ -864,9 +875,13 @@ object SnapshotTable {
     // the catalog seam: publish is delegated to the pluggable
     // CommitCatalog (default: the cross-process lockfile CAS below); a
     // real multi-driver deployment can point it at a catalog endpoint.
-    // The JVM-wide lock stays as a cheap fast-path serializer for
-    // in-process writers (it spares them the FS lock contention).
-    val won = commitLock.synchronized {
+    // A PER-TABLE in-process lock stays as a cheap fast-path
+    // serializer for same-process writers (it spares them the FS lock
+    // contention). Per-table, not JVM-wide: catalog.publish can poll a
+    // contended or stale filesystem lock for up to its full wait
+    // budget, and one table's contention must not head-of-line-block
+    // commits to every other table in the process.
+    val won = commitLockFor(table).synchronized {
       catalog.publish(f, tmp, target)
     }
     if (!won) {
@@ -932,7 +947,29 @@ object SnapshotTable {
             try fs.getFileStatus(lock).getModificationTime <
               System.currentTimeMillis() - staleMs
             catch { case _: java.io.FileNotFoundException => false }
-          if (stale) { fs.delete(lock, false); () }
+          if (stale) {
+            // CLAIM the stale lock by atomic rename to a unique debris
+            // name — exactly ONE waiter wins the break (a loser's
+            // rename fails, source gone) and the winner removes the
+            // debris. Deleting in place would let two waiters both
+            // "break": the second delete could remove the winner's
+            // FRESH lock and put two writers inside the critical
+            // section. If the claimed lock turns out NOT stale after
+            // all (the stat-to-rename window crossed a release +
+            // re-acquire), put it back.
+            val debris = new Path(lock.getParent,
+              s".lock-broken-${java.util.UUID.randomUUID()}")
+            try {
+              if (fs.rename(lock, debris)) {
+                val freshAfterAll =
+                  try fs.getFileStatus(debris).getModificationTime >=
+                    System.currentTimeMillis() - staleMs
+                  catch { case _: java.io.FileNotFoundException => false }
+                if (freshAfterAll) { fs.rename(debris, lock); () }
+                else { fs.delete(debris, false); () }
+              }
+            } catch { case _: java.io.IOException => () }
+          }
           else if (System.currentTimeMillis() > deadline)
             throw new CommitConflictException(
               s"commit lock wait timed out at $lock")
@@ -951,7 +988,10 @@ object SnapshotTable {
     */
   @volatile var catalog: CommitCatalog = new LockFileCatalog()
 
-  private object commitLock
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLockFor(table: String): Object =
+    commitLocks.computeIfAbsent(table, _ => new Object)
 
   /** Create the table from `df` as version 1 (`numFiles` data files so
     * mutation tests/benchmarks exercise file granularity).
@@ -1235,9 +1275,18 @@ object SnapshotTable {
       s"graft-upd-${java.util.UUID.randomUUID()}")
     val touched = readFilesDv(spark, table, snap, hit)
       .observe(obs, sum(when(predicate, 1L).otherwise(0L)).as("matched"))
-    val rewritten = assignments.foldLeft(touched) { case (d, (c, v)) =>
-      d.withColumn(c, when(predicate, v).otherwise(col(c)))
-    }.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    // ONE simultaneous select, never a withColumn fold: SQL UPDATE
+    // semantics bind every assignment RHS and the predicate against
+    // the OLD row. A sequential fold would let later assignments (and
+    // the re-evaluated predicate) see already-updated values — `SET
+    // a = b, b = a` must swap, and `SET a = 0, c = 1 WHERE a > 5`
+    // must update c on exactly the rows that matched on the old a.
+    val rewritten = touched.select(snap.schema.fieldNames.map { c =>
+      assignments.get(c) match {
+        case Some(v) => when(predicate, v).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
     val (fresh, labels, stats, extras) = stageFor(snap, rewritten, table)
     val matched = observedLong(obs.get, "matched")(
       readFilesDv(spark, table, snap, hit).filter(predicate).count())
@@ -1281,12 +1330,7 @@ object SnapshotTable {
     // simply leave the manifest with no replacement
     val fresh =
       if (observedLong(mm, "kept")(recount.getLong(1)) > 0L) staged
-      else {
-        val f = fs(spark, table)
-        staged.map(_.split('/')(1)).distinct.foreach(b =>
-          f.delete(new Path(s"$table/data/$b"), true))
-        Nil
-      }
+      else { dropStagedBatches(spark, table, staged); Nil }
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema, keep ++ fresh,
       snap.version, snap.meta, (snap.partitionOf -- hit) ++ labels,
@@ -1313,7 +1357,13 @@ object SnapshotTable {
       key: String): (Long, Long, Long, Int) = {
     val snap = loadCurrent(spark, table)
     val cols = snap.schema.fieldNames
-    val src = source.select(cols.map(col).toIndexedSeq: _*)
+    // CAST to the table schema, not just select: a source whose column
+    // types differ (e.g. an int literal for a bigint key) would
+    // otherwise stage mistyped parquet the schema'd reader cannot open
+    // — committing an unreadable table version (the INSERT path casts
+    // for exactly this reason)
+    val src = source.select(snap.schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       .dropDuplicates(key)
     val cur = readFilesDv(spark, table, snap, snap.files)
     val srcKeys = src.select(col(key))
@@ -1370,12 +1420,7 @@ object SnapshotTable {
         .count())
     val insertFiles =
       if (nIns > 0) insertFiles0
-      else {
-        val f = fs(spark, table)
-        insertFiles0.map(_.split('/')(1)).distinct.foreach(b =>
-          f.delete(new Path(s"$table/data/$b"), true))
-        Nil
-      }
+      else { dropStagedBatches(spark, table, insertFiles0); Nil }
     if (updated == 0 && nIns == 0) return (snap.version, 0L, 0L, 0)
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema,
@@ -1810,10 +1855,16 @@ object SnapshotTable {
         .map(_.getPath.getName)
         .filter(nm => nm.startsWith("part-") && nm.endsWith(".parquet"))
         .map(nm => s"data/$batch/$nm").toVector.sorted
-      val updated = assignments.foldLeft(
-        matched.drop("__fk", "__rp")) { case (d, (c, v)) =>
-        d.withColumn(c, v)
-      }.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      // one simultaneous select (not a withColumn fold): every
+      // assignment RHS binds against the OLD row, so `SET a = b,
+      // b = a` swaps — the same SQL-UPDATE rule as [[updateWhere]]
+      val updated = matched.drop("__fk", "__rp")
+        .select(snap.schema.fieldNames.map { c =>
+          assignments.get(c) match {
+            case Some(v) => v.as(c)
+            case None => col(c)
+          }
+        }.toIndexedSeq: _*)
       val (fresh, labels, stats, extras) = stageFor(snap, updated, table)
       val v = commitManifest(spark, table, snap.schema,
         snap.files ++ fresh, snap.version, snap.meta,

@@ -1252,6 +1252,58 @@ class SnapshotSuite extends AnyFunSuite {
     intercept[Exception] { s2.sql("UPDATE nonexistent_tbl SET x = 1") }
   }
 
+  test("UPDATE binds every assignment and the predicate against the " +
+      "OLD row (simultaneous SQL semantics, not a sequential fold)") {
+    import spark.implicits._
+    val t = freshTable("updsem")
+    SnapshotTable.create(spark, t,
+      Seq((1L, 10.0, 20.0), (2L, 3.0, 4.0)).toDF("k", "a", "b"),
+      numFiles = 1)
+    // swap: SET a = b, b = a must exchange the values
+    SnapshotTable.updateWhere(spark, t, col("k") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val r1 = SnapshotTable.read(spark, t).filter(col("k") === 1L).head()
+    assert(r1.getDouble(1) === 20.0 && r1.getDouble(2) === 10.0,
+      "SET a = b, b = a must swap, not propagate the overwritten a")
+    // predicate on an assigned column: SET a = 0, b = 99 WHERE a > 5 —
+    // b must update on exactly the rows that matched on the OLD a
+    SnapshotTable.updateWhere(spark, t, col("a") > 5.0,
+      Map("a" -> lit(0.0), "b" -> lit(99.0)))
+    val rows = SnapshotTable.read(spark, t).orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, 0.0, 99.0), (2L, 3.0, 4.0)),
+      s"predicate must see the pre-update a: ${rows.toSeq}")
+    // merge-on-read takes the same rule
+    SnapshotTable.updateWhereVector(spark, t, col("k") === 2L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val r2 = SnapshotTable.read(spark, t).filter(col("k") === 2L).head()
+    assert(r2.getDouble(1) === 4.0 && r2.getDouble(2) === 3.0,
+      "merge-on-read SET a = b, b = a must swap too")
+    // ...and the SQL surface end to end
+    GraftExtensions.register(spark)
+    spark.sql(s"""SELECT * FROM graft_dml("UPDATE `$t` """ +
+      """SET a = b, b = a WHERE k = 1")""").collect()
+    val r3 = SnapshotTable.read(spark, t).filter(col("k") === 1L).head()
+    assert(r3.getDouble(1) === 99.0 && r3.getDouble(2) === 0.0)
+  }
+
+  test("MERGE casts the source to the table schema — a mistyped source " +
+      "must not commit an unreadable version") {
+    import spark.implicits._
+    val t = freshTable("mergecast")
+    SnapshotTable.create(spark, t,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), numFiles = 1)
+    // int key + int value source: without the cast this stages int32
+    // parquet under a bigint/double schema and every later read fails
+    val src = Seq((2, 99), (3, 30)).toDF("k", "v")
+    val (_, updated, inserted, _) =
+      SnapshotTable.mergeInto(spark, t, src, "k")
+    assert(updated === 1L && inserted === 1L)
+    val rows = SnapshotTable.read(spark, t).orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
   test("CHECK constraints: violating batches rejected atomically with " +
       "staged files cleaned; null = violation; add validates existing " +
       "data; drop restores") {
