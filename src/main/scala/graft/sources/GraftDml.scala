@@ -166,6 +166,10 @@ object GraftDml {
       require(i.partitionSpec.isEmpty,
         "static PARTITION specs are not supported; partitioned snapshot " +
           "tables label files from row values")
+      // the verb re-resolves the current snapshot internally; this read
+      // is only for casting, and a schema that moves in between is
+      // additive-only (extra columns read as NULL), so the batch stays
+      // readable against the committed snapshot
       val schema = SnapshotTable.readManifest(spark, path,
         SnapshotTable.currentVersion(spark, path)).schema
       val src = GraftShim.ofRows(spark, i.query)
