@@ -82,7 +82,14 @@ object GraftDml {
         val dir = new org.apache.hadoop.fs.Path(p, "_manifests")
         val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (f.exists(dir)) Some(p) else None
-      } catch { case _: Exception => None }
+      } catch {
+        // only not-a-usable-path classes mean "not a snapshot table";
+        // a transient IO/permission failure must PROPAGATE — silently
+        // rerouting a genuine snapshot UPDATE to Spark's own resolution
+        // would surface as a misleading TABLE_OR_VIEW_NOT_FOUND
+        case _: IllegalArgumentException => None
+        case _: java.io.FileNotFoundException => None
+      }
     case _ => None
   }
 
@@ -98,7 +105,10 @@ object GraftDml {
   }
 
   private def colName(e: Expression): String = e match {
-    case a: UnresolvedAttribute => a.nameParts.last
+    case a: UnresolvedAttribute if a.nameParts.size == 1 => a.nameParts.head
+    case a: UnresolvedAttribute => throw new IllegalArgumentException(
+      "struct-field / qualified SET targets are not supported, got " +
+        a.nameParts.mkString("."))
     case other => throw new IllegalArgumentException(
       s"expected a column reference, got $other")
   }
@@ -114,9 +124,14 @@ object GraftDml {
       val path = targetPath(spark, target).getOrElse(throw new
         IllegalArgumentException(s"UPDATE target is not a snapshot table " +
           s"path: ${unwrap(target)}"))
-      val assigns = assignments.map { case Assignment(k, v) =>
+      val assignSeq = assignments.map { case Assignment(k, v) =>
         colName(k) -> GraftShim.column(v)
-      }.toMap
+      }
+      val dup = assignSeq.groupBy(_._1).collect {
+        case (c, vs) if vs.size > 1 => c }
+      require(dup.isEmpty,
+        s"duplicate SET assignment target(s): ${dup.mkString(", ")}")
+      val assigns = assignSeq.toMap
       val cond = condition.map(GraftShim.column)
         .getOrElse(org.apache.spark.sql.functions.lit(true))
       val (v, matched, files) =
@@ -177,7 +192,19 @@ object GraftDml {
       // align to the table schema: positional (or through the explicit
       // column list), then cast — an int VALUES literal must land in a
       // bigint column as a bigint, never as a mistyped parquet file
-      val aligned = (if (i.userSpecifiedCols.nonEmpty) {
+      val aligned = (if (i.byName) {
+        // INSERT INTO ... BY NAME (Spark 3.5 grammar): align by the
+        // query's own column names — positional alignment here would
+        // silently insert values into the wrong columns
+        require(src.columns.map(_.toLowerCase).sorted.toSeq ==
+          schema.fieldNames.map(_.toLowerCase).toSeq.sorted,
+          "INSERT BY NAME query columns must cover the table schema " +
+            s"exactly (got ${src.columns.mkString(", ")})")
+        val byLower = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+        src.select(src.columns.map(n =>
+          c(s"`$n`").as(byLower(n.toLowerCase))).toIndexedSeq: _*)
+          .select(schema.fieldNames.map(n => c(s"`$n`")).toIndexedSeq: _*)
+      } else if (i.userSpecifiedCols.nonEmpty) {
         require(i.userSpecifiedCols.length == src.columns.length,
           s"INSERT column list arity ${i.userSpecifiedCols.length} != " +
             s"query arity ${src.columns.length}")
@@ -209,7 +236,8 @@ object GraftDml {
           SnapshotTable.replaceContents(spark, path, observed)
         else SnapshotTable.append(spark, path, observed)
       (if (i.overwrite) "insert_overwrite" else "insert",
-        v, observedCount(obs, "inserted"), -1L)
+        v, SnapshotTable.observedLong(obs.get, "inserted")(
+          aligned.count()), -1L)
 
     case ct: CreateTableAsSelect =>
       val path = pathIdent(ct.name).getOrElse(throw new
@@ -237,7 +265,8 @@ object GraftDml {
             "only PARTITIONED BY (<one column>) is supported, got " +
               other.mkString(", "))
         }
-        ("create", v, observedCount(obs, "created"), -1L)
+        ("create", v,
+          SnapshotTable.observedLong(obs.get, "created")(df.count()), -1L)
       }
 
     case DropTable(ident, ifExists, _) =>
@@ -282,19 +311,6 @@ object GraftDml {
         "MERGE INTO statements, got: " + other.nodeName)
   }
 
-  /** Observed row count with the empty-relation guard: AQE's
-    * empty-relation propagation can remove the CollectMetrics node
-    * entirely, resolving the Observation to an EMPTY map — which only
-    * happens when the written result was empty, so 0 is the exact
-    * count, never a guess. A bare Map.apply would throw AFTER the
-    * commit already succeeded.
-    */
-  private def observedCount(obs: org.apache.spark.sql.Observation,
-      key: String): Long =
-    obs.get.get(key) match {
-      case Some(x: java.lang.Number) => x.longValue
-      case _ => 0L
-    }
 
   /** The snapshot-table path under an AddCheckConstraint's child (the
     * parser nests the target relation inside a NOT(condition) filter).

@@ -204,21 +204,36 @@ object SnapshotTable {
   }
 
   def readManifest(spark: SparkSession, table: String,
-      version: Long): Snapshot =
+      version: Long): Snapshot = {
+    // fail FAST below the retention floor: the manifest may survive as
+    // a chain link, but its data files were expired — resolving it
+    // would fail mid-scan with FileNotFoundException later (the chain
+    // walk itself bypasses this check via readManifestAt)
+    val floor = retentionFloor(spark, table)
+    if (version < floor) throw new IllegalArgumentException(
+      s"version $version of $table is expired (retention floor $floor)")
     readManifestAt(spark, table, manifestPath(table, version), version)
+  }
 
   private def readManifestAt(spark: SparkSession, table: String,
-      p: Path, version: Long): Snapshot = {
-    val top = parseManifestFile(spark, table, p, version)
+      p: Path, version: Long): Snapshot =
+    resolveChain(parseManifestFile(spark, table, p, version),
+      v => parseManifestFile(spark, table, manifestPath(table, v), v))
+
+  /** Resolve a (possibly delta) manifest through `load`: walk the
+    * chain down to the full manifest, then fold forward; chain length
+    * is bounded by MaxChainDepth at commit time. `load` is the seam
+    * multi-version readers (history) memoize so shared chain prefixes
+    * parse once instead of once per version.
+    */
+  private def resolveChain(top: RawManifest,
+      load: Long => RawManifest): Snapshot = {
     if (top.base.isEmpty) toSnapshot(top)
     else {
-      // walk the chain down to the full manifest, then fold forward;
-      // chain length is bounded by MaxChainDepth at commit time
       var stack: List[RawManifest] = List(top)
       var baseV = top.base
       while (baseV.isDefined) {
-        val r = parseManifestFile(spark, table,
-          manifestPath(table, baseV.get), baseV.get)
+        val r = load(baseV.get)
         stack ::= r
         baseV = r.base
       }
@@ -515,7 +530,7 @@ object SnapshotTable {
     * even though the scan ran (reproduced on 4.1.2). The fast path
     * stays job-free; the rare lost path recomputes.
     */
-  private def observedLong(metrics: Map[String, Any], name: String)(
+  private[sources] def observedLong(metrics: Map[String, Any], name: String)(
       fallback: => Long): Long =
     metrics.get(name) match {
       case Some(null) => 0L
@@ -708,6 +723,20 @@ object SnapshotTable {
     writeBloomSidecars(df.sparkSession, table, files,
       declaredBloomCols(snap), snap.schema)
     (files, labels, stats, extras)
+  }
+
+  /** SQL's unresolved-column rule for UPDATE: every SET target must
+    * name an existing top-level column — a typo'd assignment silently
+    * dropped (files rewritten unchanged, success reported) is the
+    * worst failure mode a mutation verb can have.
+    */
+  private def requireAssignable(schema: StructType,
+      assignments: Map[String, Column]): Unit = {
+    val known = schema.fieldNames.toSet
+    val unknown = assignments.keys.filterNot(known)
+    require(unknown.isEmpty,
+      s"UPDATE assigns unknown column(s): ${unknown.mkString(", ")} " +
+        s"(table columns: ${schema.fieldNames.mkString(", ")})")
   }
 
   /** Remove a set of staged-but-unwanted files' whole BATCH DIRS
@@ -917,28 +946,50 @@ object SnapshotTable {
   final class LockFileCatalog(staleMs: Long = 60000L,
       waitMs: Long = 30000L) extends CommitCatalog {
 
-    private def atomicCreate(fs: FileSystem, p: Path): Boolean =
+    /** Exclusive-create the lock WITH an owner token inside: release
+      * and the pre-rename ownership check compare the token, so a
+      * writer can never release (or commit under) a lock it no longer
+      * owns after a stale-break + re-acquire crossed its stall.
+      */
+    private def atomicCreate(fs: FileSystem, p: Path,
+        token: String): Boolean =
       if ("file".equalsIgnoreCase(
           Option(fs.getUri.getScheme).getOrElse("file"))) {
         try {
           java.nio.file.Files.createFile(
             java.nio.file.Paths.get(p.toUri.getPath))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            token.getBytes("UTF-8"))
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
       } else {
-        try { fs.create(p, false).close(); true }
+        try {
+          val out = fs.create(p, false)
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+          true
+        }
         catch { case _: java.io.IOException => false }
       }
+
+    private def ownsLock(fs: FileSystem, p: Path,
+        token: String): Boolean =
+      try {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        new String(bytes, "UTF-8") == token
+      } catch { case _: java.io.IOException => false }
 
     override def publish(fs: FileSystem, tmp: Path,
         target: Path): Boolean = {
       val lock = new Path(target.getParent, "commit.lock")
+      val token = java.util.UUID.randomUUID().toString
       val deadline = System.currentTimeMillis() + waitMs
       var held = false
       while (!held) {
-        held = atomicCreate(fs, lock)
+        held = atomicCreate(fs, lock, token)
         if (!held) {
           // stale-lock break: the holder died between acquire and
           // release (its commit either renamed or it didn't — both are
@@ -977,9 +1028,23 @@ object SnapshotTable {
         }
       }
       try {
+        // ownership re-check right before the commit point: if this
+        // writer stalled past staleMs inside the critical section, a
+        // waiter broke the lock and another commit may have published
+        // — renaming now could overwrite it. Losing ownership means
+        // losing the race, never data.
+        if (!ownsLock(fs, lock, token))
+          throw new CommitConflictException(
+            s"commit lock at $lock was broken while held (stall " +
+              "exceeded the stale threshold); commit aborted")
         if (fs.exists(target)) false
         else fs.rename(tmp, target)
-      } finally { fs.delete(lock, false); () }
+      } finally {
+        // release only OUR lock: after a break, the path may hold a
+        // successor's fresh lock — deleting it would let yet another
+        // writer into the successor's critical section
+        if (ownsLock(fs, lock, token)) { fs.delete(lock, false); () }
+      }
     }
   }
 
@@ -1142,8 +1207,19 @@ object SnapshotTable {
         .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
           n.stripPrefix("v").stripSuffix(".manifest").toLong
         }.toVector.sorted
-    val snaps = versions.map(v => v -> readManifest(spark, table, v)).toMap
-    versions.map { v =>
+    // chain-retained manifests below the retention floor are not
+    // readable versions (their data files were expired) — exclude them
+    val floor = retentionFloor(spark, table)
+    val readable = versions.filter(_ >= floor)
+    // memoized chain loader: N versions over a depth-d chain parse
+    // each manifest ONCE (O(N + d) small-file reads), not once per
+    // version's chain walk (O(N * d))
+    val raw = scala.collection.mutable.Map.empty[Long, RawManifest]
+    def rawOf(v: Long): RawManifest = raw.getOrElseUpdate(v,
+      parseManifestFile(spark, table, manifestPath(table, v), v))
+    val snaps = readable.map(v =>
+      v -> resolveChain(rawOf(v), rawOf)).toMap
+    readable.map { v =>
       val cur = snaps(v)
       val curSet = cur.files.toSet
       val prevSet = snaps.get(v - 1).map(_.files.toSet)
@@ -1186,7 +1262,9 @@ object SnapshotTable {
       }.toVector
     val referenced = (versions
       .flatMap { v =>
-        val m = readManifest(spark, table, v)
+        // readManifestAt, not readManifest: the reachability walk must
+        // also see chain-retained manifests BELOW the retention floor
+        val m = readManifestAt(spark, table, manifestPath(table, v), v)
         m.files ++ m.deleteFiles
       } ++ stagedRefs)
       .map(_.split('/')(1)).toSet // batch dir component of data/<b>/<f>
@@ -1281,10 +1359,17 @@ object SnapshotTable {
     // the re-evaluated predicate) see already-updated values — `SET
     // a = b, b = a` must swap, and `SET a = 0, c = 1 WHERE a > 5`
     // must update c on exactly the rows that matched on the old a.
-    val rewritten = touched.select(snap.schema.fieldNames.map { c =>
-      assignments.get(c) match {
-        case Some(v) => when(predicate, v).otherwise(col(c)).as(c)
-        case None => col(c)
+    // Every assignment CASTS to the column's declared type (the same
+    // rule as INSERT/MERGE): an uncast RHS would let CaseWhen type
+    // promotion stage parquet whose type differs from the manifest
+    // schema — committing a version the schema'd reader cannot open.
+    requireAssignable(snap.schema, assignments)
+    val rewritten = touched.select(snap.schema.map { f =>
+      assignments.get(f.name) match {
+        case Some(v) =>
+          when(predicate, v.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
       }
     }.toIndexedSeq: _*)
     val (fresh, labels, stats, extras) = stageFor(snap, rewritten, table)
@@ -1645,7 +1730,33 @@ object SnapshotTable {
         if (!liveParquetLeft) f.delete(b.getPath, true)
       }
     }
+    // record the READ floor: chain-retained manifests BELOW the oldest
+    // kept version still exist (kept deltas resolve through them) but
+    // their own data files are gone — without the floor, history()
+    // would advertise them and a time-travel read would fail mid-scan
+    // with FileNotFoundException instead of fast with a clear error
+    keep.headOption.foreach { floor =>
+      val out = f.create(retentionFloorPath(table), true)
+      try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+    }
     (dropped.size, removed)
+  }
+
+  private def retentionFloorPath(table: String): Path =
+    new Path(manifestDir(table), "retention.floor")
+
+  /** The oldest version whose DATA is guaranteed retained (1 when no
+    * expiry has run). Versions below it may still have chain-retained
+    * manifests but are not readable.
+    */
+  def retentionFloor(spark: SparkSession, table: String): Long = {
+    val p = retentionFloorPath(table)
+    val f = fs(spark, table)
+    try {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    } catch { case _: java.io.IOException => 1L }
   }
 
   /** Change data feed between two committed versions, derived from the
@@ -1857,12 +1968,14 @@ object SnapshotTable {
         .map(nm => s"data/$batch/$nm").toVector.sorted
       // one simultaneous select (not a withColumn fold): every
       // assignment RHS binds against the OLD row, so `SET a = b,
-      // b = a` swaps — the same SQL-UPDATE rule as [[updateWhere]]
+      // b = a` swaps — and casts to the declared column type — the
+      // same SQL-UPDATE rules as [[updateWhere]]
+      requireAssignable(snap.schema, assignments)
       val updated = matched.drop("__fk", "__rp")
-        .select(snap.schema.fieldNames.map { c =>
-          assignments.get(c) match {
-            case Some(v) => v.as(c)
-            case None => col(c)
+        .select(snap.schema.map { f =>
+          assignments.get(f.name) match {
+            case Some(v) => v.cast(f.dataType).as(f.name)
+            case None => col(f.name)
           }
         }.toIndexedSeq: _*)
       val (fresh, labels, stats, extras) = stageFor(snap, updated, table)

@@ -1287,6 +1287,66 @@ class SnapshotSuite extends AnyFunSuite {
     assert(r3.getDouble(1) === 99.0 && r3.getDouble(2) === 0.0)
   }
 
+  test("UPDATE casts assignments to the declared column type, rejects " +
+      "unknown/duplicate/qualified SET targets; INSERT BY NAME aligns " +
+      "by name") {
+    import spark.implicits._
+    val t = freshTable("updcast")
+    SnapshotTable.create(spark, t,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), numFiles = 1)
+    // int literal into a double column stays double-typed parquet —
+    // the committed version must remain readable under the schema
+    SnapshotTable.updateWhere(spark, t, col("k") === 1L,
+      Map("v" -> lit(7)))
+    assert(SnapshotTable.read(spark, t).filter(col("k") === 1L)
+      .head().getDouble(1) === 7.0)
+    // merge-on-read path casts too
+    SnapshotTable.updateWhereVector(spark, t, col("k") === 2L,
+      Map("v" -> lit(9)))
+    assert(SnapshotTable.read(spark, t).filter(col("k") === 2L)
+      .head().getDouble(1) === 9.0)
+    // a typo'd SET target errors instead of silently rewriting files
+    intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhere(spark, t, lit(true),
+        Map("vv" -> lit(0.0)))
+    }
+    GraftExtensions.register(spark)
+    // duplicate and struct-qualified SET targets are rejected in SQL
+    intercept[Exception] { spark.sql(
+      s"""SELECT * FROM graft_dml("UPDATE `$t` SET v = 1, v = 2")""") }
+    intercept[Exception] { spark.sql(
+      s"""SELECT * FROM graft_dml("UPDATE `$t` SET s.inner = 1")""") }
+    // INSERT BY NAME aligns by the query's column names, not position
+    spark.sql(s"""SELECT * FROM graft_dml("INSERT INTO `$t` BY NAME """ +
+      """SELECT CAST(5.5 AS DOUBLE) AS v, 30 AS k")""").collect()
+    assert(SnapshotTable.read(spark, t).filter(col("k") === 30L)
+      .head().getDouble(1) === 5.5,
+      "BY NAME must put 5.5 in v and 30 in k, never positionally")
+  }
+
+  test("retention floor: expired chain-retained versions are excluded " +
+      "from history and fail fast on read") {
+    val t = freshTable("retfloor")
+    SnapshotTable.create(spark, t, orders, numFiles = 2)
+    // build a delta chain: several appends
+    (1 to 4).foreach(_ =>
+      SnapshotTable.append(spark, t, orders.limit(5)))
+    assert(SnapshotTable.currentVersion(spark, t) === 5L)
+    SnapshotTable.expireSnapshots(spark, t, keepLast = 2)
+    assert(SnapshotTable.retentionFloor(spark, t) === 4L)
+    // history only advertises readable versions
+    assert(SnapshotTable.history(spark, t).collect()
+      .map(_.getLong(0)).toSeq === Seq(4L, 5L))
+    // a read below the floor fails FAST with a clear error, not a
+    // mid-scan FileNotFoundException through a chain-retained manifest
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.readManifest(spark, t, 2L)
+    }
+    assert(ex.getMessage.contains("retention floor"))
+    // the kept versions read fine
+    assert(SnapshotTable.read(spark, t, Some(4L)).count() > 0)
+  }
+
   test("MERGE casts the source to the table schema — a mistyped source " +
       "must not commit an unreadable version") {
     import spark.implicits._
