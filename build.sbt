@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The container locale is POSIX, under which the JVM's native path
+// codec (sun.jnu.encoding) is ASCII and any non-ASCII filename —
+// e.g. a `café` partition directory — throws InvalidPathException
+// before the engine code even runs. Force a UTF-8 locale in forked
+// JVMs so tests model a production cluster (always UTF-8).
+Test / envVars += ("LC_ALL" -> "C.UTF-8")
+run / envVars += ("LC_ALL" -> "C.UTF-8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

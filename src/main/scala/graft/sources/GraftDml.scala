@@ -208,12 +208,31 @@ object GraftDml {
         require(i.userSpecifiedCols.length == src.columns.length,
           s"INSERT column list arity ${i.userSpecifiedCols.length} != " +
             s"query arity ${src.columns.length}")
-        require(i.userSpecifiedCols.map(_.toLowerCase).sorted ==
-          schema.fieldNames.map(_.toLowerCase).toSeq.sorted,
-          "INSERT column list must cover the table schema exactly " +
-            s"(got ${i.userSpecifiedCols.mkString(", ")})")
+        val listedLower = i.userSpecifiedCols.map(_.toLowerCase)
+        require(listedLower.distinct.length == listedLower.length,
+          "INSERT column list repeats a column " +
+            s"(${i.userSpecifiedCols.mkString(", ")})")
+        val known = schema.fieldNames.map(_.toLowerCase).toSet
+        val unknown = listedLower.filterNot(known)
+        require(unknown.isEmpty,
+          s"INSERT column list names unknown columns: " +
+            s"${unknown.mkString(", ")}")
+        // standard SQL / Delta semantics: a SUBSET column list is
+        // legal — omitted columns fill with typed NULLs, provided
+        // they are nullable (a non-null omission is a hard error, not
+        // a silent corrupt row)
+        val omittedNonNull = schema.filter(f =>
+          !f.nullable && !listedLower.contains(f.name.toLowerCase))
+        require(omittedNonNull.isEmpty,
+          "INSERT omits non-nullable columns: " +
+            s"${omittedNonNull.map(_.name).mkString(", ")}")
         val byName = src.toDF(i.userSpecifiedCols.toIndexedSeq: _*)
-        byName.select(schema.fieldNames.map(n => c(s"`$n`")).toIndexedSeq: _*)
+        byName.select(schema.map { f =>
+          if (listedLower.contains(f.name.toLowerCase))
+            c(s"`${f.name}`")
+          else org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
       } else {
         require(src.columns.length == schema.length,
           s"INSERT query arity ${src.columns.length} != table arity " +

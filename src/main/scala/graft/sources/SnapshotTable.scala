@@ -402,25 +402,39 @@ object SnapshotTable {
     * partition values carry Hive's default-partition token. Repartition
     * by the column => one file per partition value per batch.
     */
-  /** Hive-style partition-dir unescape: ONLY %xx sequences decode.
-    * Spark's escapePathName never writes '+' for a space, so
+  /** Hive-style partition-dir / URI unescape: ONLY %xx sequences
+    * decode. Spark's escapePathName never writes '+' for a space, so
     * URLDecoder — which maps '+' -> ' ' — would corrupt any label
     * containing a literal '+', silently breaking partition pruning for
-    * that value.
+    * that value. Runs of CONSECUTIVE %xx escapes decode as one UTF-8
+    * byte sequence, not char-by-char: URI rendering encodes a
+    * multi-byte code point as adjacent escapes (`é` -> `%C3%A9`), and
+    * per-escape toChar decoding would yield mojibake whose key never
+    * matches the raw manifest path — UPDATE/DELETE/MERGE would then
+    * silently skip those files' rows. ASCII escapes (the only kind
+    * escapePathName emits) are a one-byte run, so both callers share
+    * this decoder.
     */
   private def unescapePartValue(s: String): String = {
     val sb = new StringBuilder(s.length)
+    val run = new java.io.ByteArrayOutputStream(8)
     var i = 0
+    def flushRun(): Unit = if (run.size() > 0) {
+      sb.append(new String(run.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      run.reset()
+    }
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '%' && i + 2 < s.length &&
           Character.digit(s.charAt(i + 1), 16) >= 0 &&
           Character.digit(s.charAt(i + 2), 16) >= 0) {
-        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
-          Character.digit(s.charAt(i + 2), 16)).toChar)
+        run.write(Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16))
         i += 3
-      } else { sb.append(c); i += 1 }
+      } else { flushRun(); sb.append(c); i += 1 }
     }
+    flushRun()
     sb.result()
   }
 
@@ -955,15 +969,35 @@ object SnapshotTable {
         token: String): Boolean =
       if ("file".equalsIgnoreCase(
           Option(fs.getUri.getScheme).getOrElse("file"))) {
+        // write the token to a private temp, then HARD-LINK it into
+        // place: link(2) is exclusive AND the lock is born with its
+        // owner token, so no crash window can leave an empty ownerless
+        // lock that blocks writers for the full staleMs
+        val lock = java.nio.file.Paths.get(p.toUri.getPath)
+        val tmp = lock.resolveSibling(
+          lock.getFileName.toString + ".tmp-" +
+            java.util.UUID.randomUUID().toString)
         try {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(p.toUri.getPath))
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(p.toUri.getPath),
-            token.getBytes("UTF-8"))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
+          java.nio.file.Files.write(tmp, token.getBytes("UTF-8"))
+          try {
+            java.nio.file.Files.createLink(lock, tmp)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException =>
+              // FS without hard links: CREATE_NEW is one open(O_EXCL)
+              // + write in a single call — the narrowest fallback
+              try {
+                java.nio.file.Files.write(lock, token.getBytes("UTF-8"),
+                  java.nio.file.StandardOpenOption.CREATE_NEW)
+                true
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException => false
+              }
+          }
+        } finally {
+          try java.nio.file.Files.deleteIfExists(tmp)
+          catch { case _: java.io.IOException => () }
         }
       } else {
         try {
@@ -1736,8 +1770,20 @@ object SnapshotTable {
     // would advertise them and a time-travel read would fail mid-scan
     // with FileNotFoundException instead of fast with a clear error
     keep.headOption.foreach { floor =>
-      val out = f.create(retentionFloorPath(table), true)
+      // temp + rename, never truncate-in-place: a racing readManifest
+      // must see either the old floor or the new one, never a partial
+      // file (which would throw out of every read until the next
+      // expiry)
+      val dst = retentionFloorPath(table)
+      val tmp = new Path(dst.getParent,
+        dst.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
+      val out = f.create(tmp, true)
       try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+      if (!f.rename(tmp, dst)) { // HDFS semantics: no overwrite
+        f.delete(dst, false)
+        if (!f.rename(tmp, dst))
+          throw new java.io.IOException(s"cannot publish $dst")
+      }
     }
     (dropped.size, removed)
   }
@@ -1756,7 +1802,12 @@ object SnapshotTable {
       val in = f.open(p)
       try new String(in.readAllBytes(), "UTF-8").trim.toLong
       finally in.close()
-    } catch { case _: java.io.IOException => 1L }
+    } catch {
+      case _: java.io.IOException => 1L
+      // a floor that cannot be parsed (legacy partial write) reads as
+      // "no expiry recorded" rather than poisoning every readManifest
+      case _: NumberFormatException => 1L
+    }
   }
 
   /** Change data feed between two committed versions, derived from the

@@ -1202,6 +1202,22 @@ class SnapshotSuite extends AnyFunSuite {
       .filter(col("o_orderkey") === 999999991L).head()
     assert(ins.getAs[String]("o_orderstatus") === "Z")
     assert(ins.getAs[Double]("o_totalprice") === 7.5)
+    // a SUBSET column list is legal (standard SQL / Delta): omitted
+    // nullable columns fill with typed NULLs, never a hard error
+    val r4b = spark.sql(
+      s"""SELECT * FROM graft_dml("INSERT INTO `$t` """ +
+        """(o_orderkey) VALUES (999999993)")""").head()
+    assert(r4b.getString(0) === "insert" && r4b.getLong(2) === 1L)
+    val insNull = SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") === 999999993L).head()
+    assert(insNull.isNullAt(insNull.fieldIndex("o_orderstatus")) &&
+      insNull.isNullAt(insNull.fieldIndex("o_totalprice")),
+      "omitted columns must land as typed NULLs")
+    // unknown names and duplicates in the list stay hard errors
+    val exCols = intercept[Exception] { spark.sql(
+      s"""SELECT * FROM graft_dml("INSERT INTO `$t` """ +
+        """(o_orderkey, nope) VALUES (1, 2)")""").head() }
+    assert(exCols.getMessage.contains("unknown columns"))
     // INSERT OVERWRITE atomically replaces the whole table in ONE
     // commit; the replaced version stays time-travelable
     val vBefore = SnapshotTable.currentVersion(spark, t)
@@ -1212,7 +1228,7 @@ class SnapshotSuite extends AnyFunSuite {
       rOw.getLong(2) === 2L)
     assert(SnapshotTable.read(spark, t).count() === 2L)
     assert(SnapshotTable.read(spark, t, Some(vBefore)).count() ===
-      nBefore + 2, "the replaced version must stay time-travelable")
+      nBefore + 3, "the replaced version must stay time-travelable")
     val ex = intercept[Exception] {
       spark.sql("""SELECT * FROM graft_dml("SELECT 1")""")
     }
@@ -1626,6 +1642,55 @@ class SnapshotSuite extends AnyFunSuite {
     // expiry must not eat live files in encoded partition dirs
     SnapshotTable.expireSnapshots(spark, t, keepLast = 1)
     assert(SnapshotTable.read(spark, t).count() === 4L)
+  }
+
+  test("partitioned mutations, stats and CDC survive non-ASCII " +
+      "(multi-byte UTF-8) partition values") {
+    val t = freshTable("partutf8")
+    import spark.implicits._
+    // escapePathName leaves non-ASCII literal on disk, but the URI
+    // space (_metadata.file_path, Path.toUri) renders each code point
+    // as a RUN of %xx escapes: é -> %C3%A9, 語 -> %E8%AA%9E. A
+    // char-per-escape decoder turns the run into mojibake whose key
+    // never matches the raw manifest path — every mutation verb then
+    // silently skips the partition's files (0 matched, no error).
+    val df = Seq(
+      (1L, "café", 10.0), (2L, "café", 20.0),
+      (3L, "日本語", 30.0), (4L, "naïve-ß", 40.0), (5L, "plain", 50.0)
+    ).toDF("k", "part", "v")
+    SnapshotTable.createPartitioned(spark, t, df, "part")
+    val (_, m, rw) = SnapshotTable.updateWhere(spark, t, col("k") === 1L,
+      Map("v" -> lit(11.0)))
+    assert(m === 1L && rw === 1,
+      "the café-partition file must be found and rewritten")
+    val (_, del, _) =
+      SnapshotTable.deleteWhere(spark, t, col("part") === "日本語")
+    assert(del === 1L, "the CJK partition must be reachable")
+    val src = Seq((4L, "naïve-ß", 44.0), (6L, "café", 60.0))
+      .toDF("k", "part", "v")
+    val (v4, upd, ins, _) = SnapshotTable.mergeInto(spark, t, src, "k")
+    assert(upd === 1L && ins === 1L,
+      "MERGE must reach rows in multi-byte partition dirs")
+    val (v5, dv) =
+      SnapshotTable.deleteWhereVector(spark, t, col("k") === 2L)
+    assert(dv === 1L, "the DV path must key multi-byte dirs correctly")
+    val changes = SnapshotTable.changesBetween(spark, t, v4, v5)
+    assert(changes.filter(col("change_type") === "delete").count() === 1L,
+      "a vector delete in a multi-byte partition dir must surface in CDC")
+    val fin = SnapshotTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(fin === Set((1L, "café", 11.0), (4L, "naïve-ß", 44.0),
+      (5L, "plain", 50.0), (6L, "café", 60.0)))
+    // per-file stats must cover the rewritten files (computeStats keys
+    // by the same decoded bridge): a value-range read that depends on
+    // fresh min/max must still find the café rows
+    val pruned = SnapshotTable.readWhereRange(spark, t, "v", "11.0", "11.0")
+      .filter(col("v") === 11.0)
+    assert(pruned.count() === 1L,
+      "stats over files in multi-byte dirs must not be dropped")
+    SnapshotTable.expireSnapshots(spark, t, keepLast = 1)
+    assert(SnapshotTable.read(spark, t).count() === 4L,
+      "expiry must not eat live files in multi-byte partition dirs")
   }
 
   test("string stats prune in code-point order, not UTF-16 order") {
