@@ -232,10 +232,38 @@ object GraftExtensions {
       case _ => false
     }
 
+    /** Does this DML target a CATALOG-NAMED graft table? Parse-time
+      * interception is REQUIRED for named targets (unlike path targets,
+      * which stay unresolvable): the analyzer's own ResolveRelations +
+      * ResolveReferences resolve a catalog name in the first fixpoint
+      * iteration — before any injected resolution rule fires — and a
+      * partially-resolved UPDATE/MERGE (expanded star actions,
+      * exprId-bound attributes from a different relation instance) can
+      * no longer be lowered onto the snapshot verbs by name.
+      */
+    private def namedGraftTarget(target: LogicalPlan): Boolean =
+      target.collectFirst {
+        case UnresolvedRelation(parts, _, _) => parts
+      }.exists(parts => !pathShaped(parts) &&
+        graft.sources.GraftDml
+          .namedGraftTable(SparkSession.active, parts).isDefined)
+
     private def lower(plan: LogicalPlan): LogicalPlan = plan match {
       case ct: CreateTableAsSelect
           if graft.sources.GraftDml.pathIdent(ct.name).isDefined =>
         graft.sources.SnapshotDmlCommand(ct)
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable
+          if namedGraftTarget(u.table) =>
+        graft.sources.SnapshotDmlCommand(u)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+          if namedGraftTarget(d.table) =>
+        graft.sources.SnapshotDmlCommand(d)
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+          if namedGraftTarget(m.targetTable) =>
+        graft.sources.SnapshotDmlCommand(m)
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+          if namedGraftTarget(i.table) =>
+        graft.sources.SnapshotDmlCommand(i)
       case dt: DropTable
           if graft.sources.GraftDml.pathIdent(dt.child).isDefined =>
         graft.sources.SnapshotDmlCommand(dt)

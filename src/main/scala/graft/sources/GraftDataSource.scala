@@ -1,0 +1,202 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShim, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider, TableScan}
+import org.apache.spark.sql.types.StructType
+
+/** Snapshot tables as a registered Spark data source (`format("graft")`)
+  * and as CATALOG-NAMED tables — the seam that lets a user address the
+  * transactional layer the way the reference addresses its tables: by
+  * NAME (database.py:75-278 keeps a named-table registry; every
+  * reference verb takes a table name, never a path).
+  *
+  *   - `spark.read.format("graft").load(path)` — the manifest-backed
+  *     scan: a [[SnapshotFileIndex]] relation, so Catalyst prunes files
+  *     with manifest stats/partition labels, parquet prunes row groups,
+  *     and the scan stays inside whole-stage codegen. Time travel via
+  *     `.option("versionAsOf", v)`.
+  *   - `df.write.format("graft").mode(m).save(path)` — append /
+  *     overwrite / errorIfExists / ignore, each lowered onto the atomic
+  *     snapshot verbs (append, replaceContents, create): one manifest
+  *     commit per save, never a bare parquet write.
+  *   - `CREATE TABLE name USING graft LOCATION '<path>'` (+ CTAS, with
+  *     `OPTIONS (partitionCol '<c>')` for partitioned CTAS) — the
+  *     session catalog stores name -> provider/location; SELECT on the
+  *     name resolves through this provider on ANY session, and on an
+  *     extensions session the DML verbs (INSERT/UPDATE/DELETE/MERGE)
+  *     resolve the name to its snapshot path and run the file-granular
+  *     verbs (GraftDml).
+  *
+  * This is the provider integration shape v1 sources use on Spark 4
+  * (the Delta OSS lineage): the provider implements only the v1
+  * interfaces, so ResolveSessionCatalog routes its DDL to the v1
+  * commands and FindDataSourceTable materializes reads through
+  * [[RelationProvider.createRelation]]. DSv1 deliberately: the read
+  * relation can then BE a HadoopFsRelation over the manifest FileIndex
+  * — the exact plan shape Spark's FileSourceStrategy optimizes
+  * (vectorized parquet, pushed filters, column pruning) — instead of a
+  * row-at-a-time DSv2 PartitionReader re-implementing parquet.
+  *
+  * DV-bearing snapshots (outstanding deletion vectors) fall back to a
+  * pre-planned merge-on-read scan ([[GraftDataSource.DvRelation]]):
+  * correct always, file-skipping resumes after `compact()` purges the
+  * vectors.
+  */
+class GraftDataSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft requires a path (load(path) / LOCATION '<path>')"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = pathOf(parameters)
+    val version = parameters.get("versionAsOf").map { v =>
+      require(scala.util.Try(v.trim.toLong).isSuccess,
+        s"versionAsOf must be a version number, got '$v'")
+      v.trim.toLong
+    }
+    GraftDataSource.relationFor(spark, table, version)
+  }
+
+  /** `CREATE TABLE name (<schema>) USING graft LOCATION p` on a fresh
+    * location: bootstrap an EMPTY snapshot table with that schema, so
+    * the name is immediately insertable. On an existing table the
+    * declared schema must match the manifest (a silent cast here would
+    * be a wrong-answer class).
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = pathOf(parameters)
+    if (GraftDml.snapshotPathOf(spark, Seq(table)).isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      SnapshotTable.create(spark, table, empty, numFiles = 1)
+    } else {
+      val existing = SnapshotTable.readManifest(spark, table,
+        SnapshotTable.currentVersion(spark, table)).schema
+      require(existing.fieldNames.toSeq == schema.fieldNames.toSeq &&
+        existing.fields.map(_.dataType).toSeq ==
+          schema.fields.map(_.dataType).toSeq,
+        s"declared schema does not match the snapshot table at $table: " +
+          s"declared ${schema.simpleString}, table ${existing.simpleString}")
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** `df.write.format("graft")` / `CREATE TABLE name USING graft AS
+    * SELECT`: every mode lowers onto an atomic snapshot verb.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = pathOf(parameters)
+    val exists = GraftDml.snapshotPathOf(spark, Seq(table)).isDefined
+    val pcol = parameters.get("partitionCol")
+    def createNew(): Unit = {
+      pcol match {
+        case Some(c) => SnapshotTable.createPartitioned(spark, table, data, c)
+        case None => SnapshotTable.create(spark, table, data)
+      }
+      ()
+    }
+    mode match {
+      case SaveMode.Append =>
+        if (exists) SnapshotTable.append(spark, table, data)
+        else createNew()
+      case SaveMode.Overwrite =>
+        // atomic whole-table replace: ONE commit, the old version stays
+        // time-travelable (the Delta overwrite semantics)
+        if (exists) SnapshotTable.replaceContents(spark, table, data)
+        else createNew()
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"snapshot table $table already exists (mode=ErrorIfExists)")
+        createNew()
+      case SaveMode.Ignore =>
+        if (!exists) createNew()
+    }
+    GraftDataSource.relationFor(spark, table, None)
+  }
+}
+
+object GraftDataSource {
+
+  /** Parquet that READS like parquet and refuses to WRITE: handed to
+    * the HadoopFsRelation so a plain session's
+    * InsertIntoHadoopFsRelationCommand (the built-in lowering for
+    * `INSERT INTO <v1 file table>`) fails LOUDLY instead of dropping
+    * uncommitted parquet files into the table root — files no manifest
+    * lists, which readers would never see and expiry would delete:
+    * silent data loss. With GraftExtensions on the session the insert
+    * is intercepted upstream and lowered onto the atomic append; this
+    * guard is for sessions without the extensions.
+    */
+  final class ReadOnlyParquetFormat extends ParquetFileFormat {
+    override def prepareWrite(sparkSession: SparkSession,
+        job: org.apache.hadoop.mapreduce.Job,
+        options: Map[String, String],
+        dataSchema: StructType)
+        : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+      throw new UnsupportedOperationException(
+        "direct file writes to a graft snapshot table are not supported" +
+          " — use df.write.format(\"graft\").mode(\"append\"), " +
+          "SnapshotTable.append, or INSERT INTO on a session built " +
+          "with graft.GraftExtensions (the atomic, manifest-committed " +
+          "paths)")
+    override def toString: String = "GraftParquet"
+  }
+
+  /** The relation for one pinned snapshot. DV-free: the
+    * manifest-FileIndex HadoopFsRelation (pruned, vectorized, codegen).
+    * DV-bearing: the merge-on-read scan pre-planned as an opaque
+    * row-stream relation — no file skipping, always correct.
+    */
+  private[graft] def relationFor(spark: SparkSession, table: String,
+      version: Option[Long]): BaseRelation = {
+    val snap = version match {
+      case Some(v) => SnapshotTable.readManifest(spark, table, v)
+      case None => SnapshotTable.readManifest(spark, table,
+        SnapshotTable.currentVersion(spark, table))
+    }
+    if (snap.deleteFiles.isEmpty) {
+      val index = new SnapshotFileIndex(spark, table, snap)
+      HadoopFsRelation(
+        location = index,
+        partitionSchema = StructType(Nil),
+        dataSchema = snap.schema,
+        bucketSpec = None,
+        fileFormat = new ReadOnlyParquetFormat,
+        options = Map.empty)(spark)
+    } else new DvRelation(spark, table, snap.version, snap.schema)
+  }
+
+  /** Fallback scan for DV-bearing snapshots: executes the DV-applying
+    * read ([[SnapshotTable.read]]) and hands its InternalRow stream to
+    * the v1 scan node (`needConversion = false` is the v1 contract for
+    * sources that already produce InternalRows). The anti join inside
+    * still broadcasts the delete-sized side; what is lost vs the
+    * FileIndex path is manifest file-skipping above the scan — bounded
+    * in time, because compact() purges the vectors and the relation
+    * class flips back.
+    */
+  final class DvRelation(spark: SparkSession, table: String,
+      pinnedVersion: Long, override val schema: StructType)
+      extends BaseRelation with TableScan {
+    override def sqlContext: SQLContext = spark.sqlContext
+    override def needConversion: Boolean = false
+    override def buildScan(): RDD[Row] =
+      SnapshotTable.read(spark, table, Some(pinnedVersion))
+        .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}

@@ -98,10 +98,121 @@ object GraftDml {
     case other => other
   }
 
+  /** A catalog location URI as the path string the snapshot verbs use:
+    * local-FS locations stay plain paths (manifest-relative keys are
+    * scheme-free, and `/tmp/t` == `file:/tmp/t` must be ONE table).
+    */
+  private def pathString(u: java.net.URI): String =
+    if (u.getScheme == null || u.getScheme.equalsIgnoreCase("file"))
+      u.getPath
+    else u.toString
+
+  private def identOf(parts: Seq[String])
+      : Option[org.apache.spark.sql.catalyst.TableIdentifier] =
+    parts match {
+      case Seq(t) if !t.contains('/') =>
+        Some(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      case Seq(db, t) =>
+        Some(org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db)))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        Some(org.apache.spark.sql.catalyst
+          .TableIdentifier(t, Some(db), Some(cat)))
+      case _ => None
+    }
+
+  /** Is `parts` a CATALOG-NAMED graft table (`CREATE TABLE name USING
+    * graft LOCATION ...`)? Returns its snapshot path + identifier. The
+    * provider check keeps non-graft named tables on Spark's own
+    * resolution path.
+    */
+  private[graft] def namedGraftTable(spark: SparkSession,
+      parts: Seq[String]): Option[(String,
+        org.apache.spark.sql.catalyst.TableIdentifier)] =
+    identOf(parts).flatMap { id =>
+      val cat = GraftShim.v1Catalog(spark)
+      try {
+        // temp views SHADOW catalog tables in every other resolution
+        // path; intercepting through the shadow would mutate a table
+        // the query no longer names
+        if (cat.isTempView(parts)) None
+        else if (!cat.tableExists(id)) None
+        else {
+          val meta = cat.getTableMetadata(id)
+          if (meta.provider.exists(_.equalsIgnoreCase("graft")))
+            Some((pathString(meta.location), id))
+          else None
+        }
+      } catch {
+        // temp views shadow, dropped dbs race — either means "not a
+        // resolvable named graft table", never an analysis abort
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException =>
+          None
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+          None
+      }
+    }
+
+  private def graftCatalogTable(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)
+      : Option[String] =
+    if (meta.provider.exists(_.equalsIgnoreCase("graft")))
+      Some(pathString(meta.location))
+    else None
+
+  /** The snapshot path behind a DML target, whatever resolution stage
+    * the analyzer has carried it to when the interception rule fires:
+    * a backquoted PATH identifier (pre-resolution), a NAMED identifier
+    * the catalog maps to provider=graft (pre-resolution),
+    * the catalog relation stub (mid-resolution), or the fully resolved
+    * v1 LogicalRelation (post-FindDataSourceTable — the common case,
+    * since the built-in rules run first in the batch).
+    */
   private[graft] def targetPath(spark: SparkSession,
       target: LogicalPlan): Option[String] = unwrap(target) match {
-    case UnresolvedRelation(parts, _, _) => snapshotPathOf(spark, parts)
+    case UnresolvedRelation(parts, _, _) =>
+      snapshotPathOf(spark, parts)
+        .orElse(namedGraftTable(spark, parts).map(_._1))
+    case org.apache.spark.sql.catalyst.catalog
+        .UnresolvedCatalogRelation(meta, _, _) => graftCatalogTable(meta)
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.catalogTable.flatMap(graftCatalogTable)
     case _ => None
+  }
+
+  /** After a mutation through a NAMED target, drop the analyzer's
+    * cached relation for that name — FindDataSourceTable caches the
+    * resolved (snapshot-pinned) relation per session, so without this
+    * the next `SELECT ... FROM name` would read the pre-mutation
+    * snapshot.
+    */
+  private[graft] def refreshNamedTargets(spark: SparkSession,
+      parsed: LogicalPlan): Unit = {
+    val cat = GraftShim.v1Catalog(spark)
+    // the mutated TARGET is not a plan CHILD for every verb
+    // (InsertIntoStatement keeps it as a field), so extract explicitly
+    val roots: Seq[LogicalPlan] = parsed match {
+      case cmd: SnapshotDmlCommand => return refreshNamedTargets(spark,
+        cmd.parsed)
+      case i: InsertIntoStatement => Seq(i.table)
+      case u: UpdateTable => Seq(u.table)
+      case d: DeleteFromTable => Seq(d.table)
+      case m: MergeIntoTable => Seq(m.targetTable)
+      case other => Seq(other)
+    }
+    roots.flatMap(_.collect { case p => p }).foreach {
+      case UnresolvedRelation(parts, _, _) =>
+        namedGraftTable(spark, parts).foreach { case (_, id) =>
+          cat.refreshTable(id) }
+      case org.apache.spark.sql.catalyst.catalog
+          .UnresolvedCatalogRelation(meta, _, _)
+          if meta.provider.exists(_.equalsIgnoreCase("graft")) =>
+        cat.refreshTable(meta.identifier)
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.catalogTable
+          .filter(_.provider.exists(_.equalsIgnoreCase("graft")))
+          .foreach(m => cat.refreshTable(m.identifier))
+      case _ => ()
+    }
   }
 
   private def colName(e: Expression): String = e match {
@@ -119,6 +230,11 @@ object GraftDml {
     */
   private[graft] def runParsed(spark: SparkSession, parsed: LogicalPlan)
       : (String, Long, Long, Long) = parsed match {
+
+    // on an extensions session the SESSION PARSER already lowers DML
+    // with graft targets to the command form (parse-time interception);
+    // graft_dml('<stmt>') re-parses through that same parser, so unwrap
+    case cmd: SnapshotDmlCommand => runParsed(spark, cmd.parsed)
 
     case UpdateTable(target, assignments, condition) =>
       val path = targetPath(spark, target).getOrElse(throw new
@@ -352,8 +468,9 @@ object GraftDml {
     * the body of the `graft_dml` procedure TVF.
     */
   def execute(spark: SparkSession, stmt: String): DataFrame = {
-    val (verb, v, rows, files) =
-      runParsed(spark, GraftShim.parsePlan(spark, stmt))
+    val parsed = GraftShim.parsePlan(spark, stmt)
+    val (verb, v, rows, files) = runParsed(spark, parsed)
+    refreshNamedTargets(spark, parsed)
     import org.apache.spark.sql.functions.lit
     spark.range(1).select(
       lit(verb).as("verb"), lit(v).as("version"),
@@ -377,6 +494,7 @@ final case class SnapshotDmlCommand(parsed: LogicalPlan)
     AttributeReference("files_rewritten", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (verb, v, rows, files) = GraftDml.runParsed(spark, parsed)
+    GraftDml.refreshNamedTargets(spark, parsed)
     Seq(Row(verb, v, rows, files))
   }
 }

@@ -2239,6 +2239,46 @@ object SnapshotTable {
           col("l_quantity").asc_nulls_first)
     }),
 
+    // CATALOG-NAMED tables through the registered data source: the
+    // table is created at a path through format("graft"), registered
+    // under a NAME (`CREATE TABLE ... USING graft LOCATION`), and the
+    // whole mutation surface then runs BY NAME — UPDATE, DELETE,
+    // INSERT INTO, MERGE INTO — through the parse-time interception,
+    // with every SELECT resolving the name to the manifest-backed
+    // pruned scan. This is the reference's addressing model
+    // (database.py:75-278 keys every verb by table name). The oracle
+    // replays the same four statements' logical effect in plain SQL.
+    "q_table_catalog" -> ((s, d) => {
+      val t = scratch(s, d, "cat")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      orders.write.format("graft").mode("errorifexists").save(t)
+      val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(s,
+        e => new graft.GraftExtensions()(e))
+      s2.sql("DROP TABLE IF EXISTS graft_q_catalog")
+      s2.sql(s"CREATE TABLE graft_q_catalog USING graft LOCATION '$t'")
+      s2.sql("UPDATE graft_q_catalog SET o_orderstatus = 'X', " +
+        "o_totalprice = o_totalprice * 2 WHERE o_orderkey % 100 = 0")
+        .collect()
+      s2.sql("DELETE FROM graft_q_catalog WHERE o_orderkey % 17 = 3")
+        .collect()
+      s2.sql("INSERT INTO graft_q_catalog " +
+        "SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey, " +
+        s"'I' AS o_orderstatus, o_totalprice FROM parquet.`$d/orders" +
+        ".parquet` WHERE o_orderkey % 500 = 11").collect()
+      s2.sql("MERGE INTO graft_q_catalog tg USING (" +
+        "SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus, " +
+        "o_totalprice + 100000 AS o_totalprice " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 50 = 0" +
+        ") sr ON tg.o_orderkey = sr.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()
+      s2.sql("SELECT * FROM graft_q_catalog " +
+        "ORDER BY o_orderkey ASC NULLS FIRST")
+    }),
+
     // The SQL surface of the table layer: both TVFs in one plain-SQL
     // statement — the current snapshot joined against its own change
     // feed (updated keys carry their 'insert' post-image mark). The
@@ -2583,6 +2623,39 @@ object SnapshotTable {
         |ORDER BY o_orderkey ASC NULLS FIRST,
         |  o_totalprice ASC NULLS FIRST,
         |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+    // the named-table DML sequence replayed in plain SQL: update +
+    // delete, then the INSERT rows (disjoint +20M key range), then the
+    // key-equality upsert against that state; *2 is exponent-only
+    // IEEE, +100000 a single exact addition — both deterministic
+    // across engines
+    "q_table_catalog" ->
+      """WITH afterud AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 17 = 3)),
+        |afterins AS (
+        |  SELECT * FROM afterud
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, 'I', o_totalprice
+        |  FROM orders WHERE o_orderkey % 500 = 11),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+        |    o_totalprice + 100000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 50 = 0)
+        |SELECT b.o_orderkey,
+        |  coalesce(s.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(s.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |  coalesce(s.o_totalprice, b.o_totalprice) AS o_totalprice
+        |FROM afterins b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
+        |FROM src s LEFT JOIN afterins b ON b.o_orderkey = s.o_orderkey
+        |WHERE b.o_orderkey IS NULL
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     // the four SQL DML statements' logical effect replayed in plain
     // SQL: update+delete (as q_table_snapshot), the key-equality
     // upsert (as q_table_merge) against the post-update/delete state,

@@ -53,6 +53,16 @@ object GraftShim {
     }
   }
 
+  /** Bridge to the `private[sql]` v1 session catalog — needed to
+    * resolve CATALOG-NAMED graft tables (name -> provider + location)
+    * inside the DML interception rule, and to invalidate the analyzer's
+    * cached relation after a mutation so the next SELECT on the name
+    * sees the new snapshot.
+    */
+  def v1Catalog(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.catalog.SessionCatalog =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+
   /** Bridge to the `private[sql]` session TableFunctionRegistry —
     * RUNTIME registration of a SQL table-valued function on an already-
     * built session (the extensions path needs `spark.sql.extensions`

@@ -1693,6 +1693,134 @@ class SnapshotSuite extends AnyFunSuite {
       "expiry must not eat live files in multi-byte partition dirs")
   }
 
+  test("format(\"graft\") provider: load/save modes, time travel, " +
+      "manifest pruning, DV fallback, and the raw-write guard") {
+    val t = freshTable("dsv1")
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+    df.write.format("graft").mode("errorifexists").save(t)
+    assert(spark.read.format("graft").load(t).count() === 3L)
+    // append commits atomically through the manifest layer
+    Seq((4L, "d", 4.0)).toDF("k", "s", "v")
+      .write.format("graft").mode("append").save(t)
+    assert(spark.read.format("graft").load(t).count() === 4L)
+    assert(SnapshotTable.currentVersion(spark, t) === 2L)
+    // time travel through the reader option
+    assert(spark.read.format("graft").option("versionAsOf", "1")
+      .load(t).count() === 3L)
+    // mode semantics: ignore = no-op, errorIfExists = hard error
+    Seq((9L, "z", 9.0)).toDF("k", "s", "v")
+      .write.format("graft").mode("ignore").save(t)
+    assert(spark.read.format("graft").load(t).count() === 4L)
+    intercept[Exception] {
+      Seq((9L, "z", 9.0)).toDF("k", "s", "v")
+        .write.format("graft").mode("errorifexists").save(t)
+    }
+    // overwrite = one atomic replace; the old version stays readable
+    Seq((7L, "o", 7.0)).toDF("k", "s", "v")
+      .write.format("graft").mode("overwrite").save(t)
+    assert(spark.read.format("graft").load(t).count() === 1L)
+    assert(spark.read.format("graft").option("versionAsOf", "2")
+      .load(t).count() === 4L)
+
+    // manifest pruning reaches the provider's scan: clustered table, a
+    // narrow range must PLAN fewer files than the table holds
+    val tc = freshTable("dsv1prune")
+    SnapshotTable.createClustered(spark, tc, orders, "o_orderkey",
+      numFiles = 8)
+    val scan = spark.read.format("graft").load(tc)
+      .filter(col("o_orderkey").between(100, 1300))
+    val idx = scan.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.asInstanceOf[graft.sources.SnapshotFileIndex]
+    }.get
+    val expect = orders.filter(col("o_orderkey").between(100, 1300)).count()
+    assert(scan.count() === expect)
+    assert(idx.lastPlannedFiles >= 1 && idx.lastPlannedFiles < 8,
+      s"provider scan must prune via the manifest, planned " +
+        s"${idx.lastPlannedFiles} of 8")
+
+    // DV-bearing snapshots read through the merge-on-read fallback —
+    // never resurrect vector-deleted rows
+    SnapshotTable.deleteWhereVector(spark, t, col("k") === 7L)
+    assert(spark.read.format("graft").load(t).count() === 0L)
+  }
+
+  test("catalog-named graft tables: CREATE/SELECT on any session, " +
+      "full DML by name on an extensions session") {
+    val t = freshTable("cattbl")
+    import spark.implicits._
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+      .write.format("graft").mode("errorifexists").save(t)
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val name = s"graft_cat_${System.nanoTime()}"
+    try {
+      s2.sql(s"CREATE TABLE $name USING graft LOCATION '$t'")
+      assert(s2.sql(s"SELECT * FROM $name").count() === 3L)
+      // INSERT by name lowers onto the atomic append; the refreshed
+      // relation makes the new snapshot visible to the next SELECT
+      val ri = s2.sql(s"INSERT INTO $name VALUES (4, 'd', 4.0)").head()
+      assert(ri.getString(0) === "insert" && ri.getLong(2) === 1L)
+      assert(s2.sql(s"SELECT * FROM $name").count() === 4L)
+      // UPDATE by name
+      val ru = s2.sql(s"UPDATE $name SET v = 10.0 WHERE k = 1").head()
+      assert(ru.getString(0) === "update" && ru.getLong(2) === 1L)
+      assert(s2.sql(s"SELECT v FROM $name WHERE k = 1")
+        .head().getDouble(0) === 10.0)
+      // DELETE by name
+      val rd = s2.sql(s"DELETE FROM $name WHERE k = 2").head()
+      assert(rd.getLong(2) === 1L)
+      // MERGE by name (upsert: update k=3, insert k=5)
+      s2.createDataFrame(Seq((3L, "C", 30.0), (5L, "e", 5.0)))
+        .toDF("k", "s", "v")
+        .createOrReplaceTempView("graft_cat_src")
+      s2.sql(s"MERGE INTO $name tg USING graft_cat_src sr " +
+        "ON tg.k = sr.k WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()
+      val fin = s2.sql(s"SELECT * FROM $name").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(fin === Set((1L, "a", 10.0), (3L, "C", 30.0),
+        (4L, "d", 4.0), (5L, "e", 5.0)))
+      // the graft_dml procedure TVF accepts names too (and composes
+      // with the session parser's own interception — the re-parse
+      // yields the command form, which runParsed unwraps)
+      s2.sql(s"""SELECT * FROM graft_dml("UPDATE $name """ +
+        """SET v = 99.0 WHERE k = 5")""").collect()
+      assert(s2.sql(s"SELECT v FROM $name WHERE k = 5")
+        .head().getDouble(0) === 99.0)
+    } finally {
+      s2.sql(s"DROP TABLE IF EXISTS $name")
+    }
+
+    // a PLAIN session (no extensions): CREATE/SELECT by name work
+    // through the provider alone, and INSERT must FAIL LOUDLY at the
+    // read-only format guard — never drop unmanifested parquet into
+    // the table root (files no manifest lists = silent data loss)
+    val name2 = s"graft_cat_plain_${System.nanoTime()}"
+    try {
+      spark.sql(s"CREATE TABLE $name2 USING graft LOCATION '$t'")
+      assert(spark.sql(s"SELECT * FROM $name2").count() === 4L)
+      val ex = intercept[Exception] {
+        spark.sql(s"INSERT INTO $name2 VALUES (9, 'x', 9.0)")
+      }
+      def rootCauseChain(e: Throwable): Seq[String] =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(_.toString).toSeq
+      assert(rootCauseChain(ex).exists(_.contains("not supported")),
+        s"plain-session INSERT must hit the read-only guard, got $ex")
+      spark.sql(s"REFRESH TABLE $name2")
+      assert(spark.sql(s"SELECT * FROM $name2").count() === 4L,
+        "the failed raw insert must not have changed the table")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $name2")
+    }
+  }
+
   test("string stats prune in code-point order, not UTF-16 order") {
     // UTF-16 code units order U+E000 AFTER the surrogate pair for
     // U+10000; code points (= UTF8String binary, the order min/max were
