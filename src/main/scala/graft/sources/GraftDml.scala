@@ -64,11 +64,19 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   - `UPDATE <t> SET col = expr[, ...] [WHERE <cond>]` — unqualified
   *     column references (the target is a path, not an aliased view)
   *   - `DELETE FROM <t> [WHERE <cond>]`
-  *   - `MERGE INTO <t> [AS a] USING <source> [AS b] ON a.k = b.k
-  *      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-  *     — the key-equality upsert [[SnapshotTable.mergeInto]] implements;
-  *     `<source>` may be any resolvable relation (temp view, subquery,
-  *     `parquet.`-style path)
+  *   - `MERGE INTO <t> [AS a] USING <source> [AS b] ON <a.k = b.k
+  *     [AND ...]>` with the FULL Delta clause surface: conditional
+  *     `WHEN MATCHED [AND cond] THEN UPDATE SET &lowast;/col = expr | DELETE`,
+  *     `WHEN NOT MATCHED [AND cond] THEN INSERT &lowast;/(<cols>) VALUES ...`,
+  *     `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET/DELETE`
+  *     — lowered onto [[SnapshotTable.mergeIntoFull]] (file-granular,
+  *     one simultaneous select per touched file, Delta clause
+  *     precedence + cardinality rule); `<source>` may be any
+  *     resolvable relation (temp view, subquery, `parquet.`-style path)
+  *
+  * Targets may be snapshot-table PATHS (backquoted) or CATALOG NAMES
+  * registered through `CREATE TABLE name USING graft LOCATION ...`
+  * ([[GraftDataSource]]); named targets are intercepted at parse time.
   */
 object GraftDml {
 
@@ -266,29 +274,8 @@ object GraftDml {
       val path = targetPath(spark, m.targetTable).getOrElse(throw new
         IllegalArgumentException(s"MERGE target is not a snapshot table " +
           s"path: ${unwrap(m.targetTable)}"))
-      val key = m.mergeCondition match {
-        case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
-            if l.nameParts.last == r.nameParts.last => l.nameParts.last
-        case other => throw new IllegalArgumentException(
-          "MERGE ON must be a key equality `t.k = s.k` on the same " +
-            s"column name, got $other")
-      }
-      m.matchedActions match {
-        case Seq(UpdateStarAction(None)) => ()
-        case other => throw new IllegalArgumentException(
-          "only WHEN MATCHED THEN UPDATE SET * is supported, got " + other)
-      }
-      m.notMatchedActions match {
-        case Seq(InsertStarAction(None)) => ()
-        case other => throw new IllegalArgumentException(
-          "only WHEN NOT MATCHED THEN INSERT * is supported, got " + other)
-      }
-      require(m.notMatchedBySourceActions.isEmpty,
-        "WHEN NOT MATCHED BY SOURCE is not supported")
-      val source = GraftShim.ofRows(spark, m.sourceTable)
-      val (v, updated, inserted, files) =
-        SnapshotTable.mergeInto(spark, path, source, key)
-      ("merge", v, updated + inserted, files.toLong)
+      val (v, updated, deleted, inserted, files) = lowerMerge(spark, path, m)
+      ("merge", v, updated + deleted + inserted, files.toLong)
 
     case i: InsertIntoStatement =>
       val path = targetPath(spark, i.table).getOrElse(throw new
@@ -454,6 +441,189 @@ object GraftDml {
       a: AddCheckConstraint): Option[String] =
     a.child.collectFirst { case UnresolvedRelation(parts, _, _) => parts }
       .flatMap(snapshotPathOf(spark, _))
+
+  /** Lower a parsed MERGE INTO carrying the FULL clause surface —
+    * conditional matched clauses, THEN DELETE, column-level SET,
+    * conditional/column-list inserts, NOT MATCHED BY SOURCE, and
+    * multi-column ON — onto [[SnapshotTable.mergeIntoFull]]. The parsed
+    * expressions are TRANSLATED, not resolved: every attribute maps to
+    * its side by alias/name (ambiguity is a hard error, as in SQL), the
+    * target side keeps plain names, the source side takes the merge
+    * join's `__s_` namespace — so the snapshot verb can bind them
+    * against its own frames without exprId plumbing.
+    */
+  private def lowerMerge(spark: SparkSession, path: String,
+      m: MergeIntoTable): (Long, Long, Long, Long, Int) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      DeleteAction, InsertAction, UpdateAction}
+    def aliasOf(p: LogicalPlan): Option[String] = p match {
+      case SubqueryAlias(id, _) => Some(id.name)
+      case _ => None
+    }
+    val tAlias = aliasOf(m.targetTable)
+    val sAlias = aliasOf(m.sourceTable)
+    val source = GraftShim.ofRows(spark, m.sourceTable)
+    val schema = SnapshotTable.readManifest(spark, path,
+      SnapshotTable.currentVersion(spark, path)).schema
+    val tByLower = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    val sByLower = source.columns.map(n => n.toLowerCase -> n).toMap
+
+    // resolve one attribute to its side + canonical column name
+    // (isTarget=true) / (isTarget=false → source)
+    def side(a: UnresolvedAttribute): (Boolean, String) = a.nameParts match {
+      case Seq(q, c) if tAlias.exists(_.equalsIgnoreCase(q)) =>
+        (true, tByLower.getOrElse(c.toLowerCase,
+          throw new IllegalArgumentException(
+            s"MERGE references unknown target column $q.$c")))
+      case Seq(q, c) if sAlias.exists(_.equalsIgnoreCase(q)) =>
+        (false, sByLower.getOrElse(c.toLowerCase,
+          throw new IllegalArgumentException(
+            s"MERGE references unknown source column $q.$c")))
+      case Seq(c) =>
+        (tByLower.get(c.toLowerCase), sByLower.get(c.toLowerCase)) match {
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            s"MERGE reference $c is ambiguous — qualify it with the " +
+              "target or source alias")
+          case (Some(t), None) => (true, t)
+          case (None, Some(s)) => (false, s)
+          case (None, None) => throw new IllegalArgumentException(
+            s"MERGE references unknown column $c")
+        }
+      case parts => throw new IllegalArgumentException(
+        s"MERGE reference ${parts.mkString(".")} does not resolve to " +
+          "the target or the source")
+    }
+    def translate(e: Expression, where: String, allowTarget: Boolean,
+        allowSource: Boolean): org.apache.spark.sql.Column =
+      GraftShim.column(e.transformUp {
+        case a: UnresolvedAttribute =>
+          // when a clause can only see ONE side (NMBS conditions are
+          // target-only, INSERT values source-only), unqualified names
+          // resolve against that side alone — no spurious ambiguity
+          val (isTarget, c) = a.nameParts match {
+            case Seq(n) if allowTarget && !allowSource =>
+              (true, tByLower.getOrElse(n.toLowerCase,
+                throw new IllegalArgumentException(
+                  s"$where references unknown target column $n")))
+            case Seq(n) if allowSource && !allowTarget =>
+              (false, sByLower.getOrElse(n.toLowerCase,
+                throw new IllegalArgumentException(
+                  s"$where references unknown source column $n")))
+            case _ => side(a)
+          }
+          if (isTarget) {
+            require(allowTarget,
+              s"$where may not reference target column $c")
+            UnresolvedAttribute(Seq(c))
+          } else {
+            require(allowSource,
+              s"$where may not reference source column $c")
+            UnresolvedAttribute(Seq(s"__s_$c"))
+          }
+      })
+    def conj(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    val on = conj(m.mergeCondition).map {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
+        (side(l), side(r)) match {
+          case ((true, tc), (false, sc)) => (tc, sc)
+          case ((false, sc), (true, tc)) => (tc, sc)
+          case _ => throw new IllegalArgumentException(
+            "each MERGE ON conjunct must equate a target and a source " +
+              s"column, got ${l.nameParts.mkString(".")} = " +
+              r.nameParts.mkString("."))
+        }
+      case other => throw new IllegalArgumentException(
+        "MERGE ON must be a conjunction of target = source column " +
+          s"equalities, got $other")
+    }
+    def starSet(where: String): Map[String, org.apache.spark.sql.Column] =
+      schema.fieldNames.map { t =>
+        val s = sByLower.getOrElse(t.toLowerCase,
+          throw new IllegalArgumentException(
+            s"$where * requires a source column named $t"))
+        t -> SnapshotTable.srcRef(s)
+      }.toMap
+    def assignsOf(assigns: Seq[Assignment], where: String,
+        allowTarget: Boolean, allowSource: Boolean)
+        : Map[String, org.apache.spark.sql.Column] = {
+      val pairs = assigns.map { case Assignment(k, v) =>
+        // a SET / INSERT target is ALWAYS a target column in SQL —
+        // an unqualified name resolves against the table schema alone
+        // (no source ambiguity), a qualified one must use the target
+        // alias
+        val tcol = k match {
+          case a: UnresolvedAttribute => a.nameParts match {
+            case Seq(c) => tByLower.getOrElse(c.toLowerCase,
+              throw new IllegalArgumentException(
+                s"$where assigns unknown target column $c"))
+            case Seq(q, c) if tAlias.exists(_.equalsIgnoreCase(q)) =>
+              tByLower.getOrElse(c.toLowerCase,
+                throw new IllegalArgumentException(
+                  s"$where assigns unknown target column $q.$c"))
+            case parts => throw new IllegalArgumentException(
+              s"$where assignment target ${parts.mkString(".")} does " +
+                "not name a target column")
+          }
+          case other => throw new IllegalArgumentException(
+            s"expected a column reference, got $other")
+        }
+        tcol -> translate(v, where, allowTarget, allowSource)
+      }
+      val dup = pairs.groupBy(_._1).collect {
+        case (c, vs) if vs.size > 1 => c }
+      require(dup.isEmpty,
+        s"$where assigns duplicate column(s): ${dup.mkString(", ")}")
+      pairs.toMap
+    }
+    val matched = m.matchedActions.map {
+      case UpdateStarAction(cond) => SnapshotTable.MergeWhen(
+        cond.map(translate(_, "WHEN MATCHED condition",
+          allowTarget = true, allowSource = true)),
+        Some(starSet("WHEN MATCHED UPDATE SET")))
+      case UpdateAction(cond, assigns, _) => SnapshotTable.MergeWhen(
+        cond.map(translate(_, "WHEN MATCHED condition",
+          allowTarget = true, allowSource = true)),
+        Some(assignsOf(assigns, "WHEN MATCHED UPDATE",
+          allowTarget = true, allowSource = true)))
+      case DeleteAction(cond) => SnapshotTable.MergeWhen(
+        cond.map(translate(_, "WHEN MATCHED condition",
+          allowTarget = true, allowSource = true)), None)
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+    val nmbs = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, assigns, _) => SnapshotTable.MergeWhen(
+        cond.map(translate(_, "WHEN NOT MATCHED BY SOURCE condition",
+          allowTarget = true, allowSource = false)),
+        Some(assignsOf(assigns, "WHEN NOT MATCHED BY SOURCE UPDATE",
+          allowTarget = true, allowSource = false)))
+      case DeleteAction(cond) => SnapshotTable.MergeWhen(
+        cond.map(translate(_, "WHEN NOT MATCHED BY SOURCE condition",
+          allowTarget = true, allowSource = false)), None)
+      case other => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE supports UPDATE SET and DELETE, " +
+          s"got $other")
+    }
+    val notMatched = m.notMatchedActions.map {
+      case InsertStarAction(cond) => SnapshotTable.MergeInsert(
+        cond.map(translate(_, "WHEN NOT MATCHED condition",
+          allowTarget = false, allowSource = true)),
+        starSet("WHEN NOT MATCHED INSERT"))
+      case InsertAction(cond, assigns) => SnapshotTable.MergeInsert(
+        cond.map(translate(_, "WHEN NOT MATCHED condition",
+          allowTarget = false, allowSource = true)),
+        assignsOf(assigns, "WHEN NOT MATCHED INSERT",
+          allowTarget = false, allowSource = true))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    SnapshotTable.mergeIntoFull(spark, path, source, on, matched, nmbs,
+      notMatched)
+  }
 
   /** A single backquoted path-shaped identifier under an
     * UnresolvedIdentifier (the CREATE/DROP target form).

@@ -1551,6 +1551,238 @@ object SnapshotTable {
     (v, updated, nIns, hit.size)
   }
 
+  /** One WHEN clause of a general MERGE (matched or not-matched-by-
+    * source side): `set` None = THEN DELETE, Some = THEN UPDATE SET
+    * (empty map is legal and means "no column changes"); `condition`
+    * None = unconditional. Target columns are plain `col(name)`; source
+    * columns are [[srcRef]].
+    */
+  final case class MergeWhen(condition: Option[Column],
+      set: Option[Map[String, Column]])
+
+  /** One WHEN NOT MATCHED clause: insert `values` (target column ->
+    * source-side expression; omitted nullable columns fill with typed
+    * NULLs) when `condition` (source-side) holds.
+    */
+  final case class MergeInsert(condition: Option[Column],
+      values: Map[String, Column])
+
+  /** A SOURCE column inside a [[MergeWhen]]/[[MergeInsert]] expression
+    * (the merge join prefixes source columns to keep the two
+    * namespaces disjoint).
+    */
+  def srcRef(name: String): Column = col(s"`__s_$name`")
+
+  /** General MERGE with the full Delta clause surface: conditional
+    * matched clauses, `WHEN MATCHED THEN DELETE`, column-level
+    * `UPDATE SET c = expr`, `WHEN NOT MATCHED [AND cond] THEN INSERT`,
+    * `WHEN NOT MATCHED BY SOURCE` update/delete, multi-column equality
+    * ON. Clause PRECEDENCE is Delta's: within each category clauses
+    * evaluate in declaration order and the FIRST one whose condition
+    * holds acts; a row no clause claims carries over (matched / not
+    * matched by source) or is discarded (not matched).
+    *
+    * Execution stays file-granular: touched files = files holding at
+    * least one row a matched or not-matched-by-source clause could
+    * claim (key semi-join + target-only clause predicates, pruned
+    * provenance scan); each touched file's rows rewrite in ONE
+    * simultaneous select (every assignment binds against the OLD row
+    * and CASTS to the declared column type — the UPDATE discipline);
+    * inserts stage as one fresh batch; ONE atomic commit publishes all
+    * of it. IO ∝ matches, never table size.
+    *
+    * The Delta cardinality rule is enforced: a target row matching
+    * MORE THAN ONE source row is ambiguous (which clause update wins
+    * would be nondeterministic) and raises rather than guessing.
+    *
+    * Returns (new version, updated, deleted, inserted, files
+    * rewritten).
+    */
+  def mergeIntoFull(spark: SparkSession, table: String, source: DataFrame,
+      on: Seq[(String, String)], matched: Seq[MergeWhen],
+      notMatchedBySource: Seq[MergeWhen], notMatched: Seq[MergeInsert])
+      : (Long, Long, Long, Long, Int) = {
+    val snap = loadCurrent(spark, table)
+    val schema = snap.schema
+    require(on.nonEmpty, "MERGE ON must contain at least one " +
+      "target = source column equality")
+    on.foreach { case (t, s) =>
+      require(schema.fieldNames.contains(t),
+        s"MERGE ON names unknown target column $t")
+      require(source.columns.contains(s),
+        s"MERGE ON names unknown source column $s")
+    }
+    require(!schema.fieldNames.exists(c =>
+      c.startsWith("__s_") || c == "__m" || c == "__mk"),
+      "target columns may not use the reserved __s_/__m prefixes")
+    (matched ++ notMatchedBySource).flatMap(_.set).foreach(m =>
+      requireAssignable(schema, m))
+    notMatched.foreach { i =>
+      requireAssignable(schema, i.values)
+      val omittedNonNull = schema.filter(f =>
+        !f.nullable && !i.values.contains(f.name))
+      require(omittedNonNull.isEmpty,
+        "MERGE INSERT omits non-nullable columns: " +
+          omittedNonNull.map(_.name).mkString(", "))
+    }
+    val srcP = source.select(source.columns.map(c =>
+      col(s"`$c`").as(s"__s_$c")).toIndexedSeq: _*)
+      .withColumn("__m", lit(true))
+    val sKeys = on.map { case (_, s) => col(s"`__s_$s`") }
+    // Delta cardinality rule, checked on the ON projection only (one
+    // small aggregate over the source, not a join blow-up later)
+    require(srcP.groupBy(sKeys: _*).count()
+      .filter(col("count") > 1).limit(1).count() == 0L,
+      "MERGE source has multiple rows per ON key — a matched target " +
+        "row would update nondeterministically (the Delta cardinality " +
+        "rule); de-duplicate the source first")
+    def condOf(c: Option[Column]): Column =
+      c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+    // first-match-wins fold: when(c1, v1).otherwise(when(c2, v2)...)
+    def firstWhen[A](clauses: Seq[A], cond: A => Column, value: A => Column,
+        default: Column): Column =
+      clauses.foldRight(default)((cl, els) =>
+        when(cond(cl), value(cl)).otherwise(els))
+
+    // ----- touched files: rows a matched / NMBS clause could claim.
+    // The probe joins the FULL prefixed source (not just its keys) so
+    // conditional matched clauses prune too: a file whose matches all
+    // fail every clause condition is never rewritten.
+    val hit: Seq[String] =
+      if (matched.isEmpty && notMatchedBySource.isEmpty) Nil
+      else {
+        val prov = readFilesDvProv(spark, table, snap, snap.files)
+        val joinedProv = prov.join(srcP,
+          on.map { case (t, s) => prov(t) === col(s"`__s_$s`") }
+            .reduce(_ && _), "left_outer")
+        val matchedAny = matched
+          .map(c => condOf(c.condition)).reduceOption(_ || _)
+        val nmbsAny = notMatchedBySource
+          .map(c => condOf(c.condition)).reduceOption(_ || _)
+        val affected =
+          matchedAny.map(c => col("__m").isNotNull && c)
+            .getOrElse(lit(false)) ||
+            nmbsAny.map(c => col("__m").isNull && c).getOrElse(lit(false))
+        val hitKeys = joinedProv.filter(affected)
+          .select(col("__fk")).distinct()
+          .collect().map(r => pctDecode(r.getString(0))).toSet
+        snap.files.filter(hitKeys)
+      }
+
+    // ----- rewrite pass over touched files: one simultaneous select
+    val isM = col("__m").isNotNull
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-mrgf-${java.util.UUID.randomUUID()}")
+    val (rewritten, nUpd, nDel, anyKept) = if (hit.isEmpty)
+      ((Nil: Seq[String], Map.empty[String, String],
+        Map.empty[String, Map[String, (String, String)]],
+        Map.empty[String, Map[String, String]]), 0L, 0L, true)
+    else {
+      val touched = readFilesDv(spark, table, snap, hit)
+      val joined = touched.join(srcP,
+        on.map { case (t, s) => touched(t) === col(s"`__s_$s`") }
+          .reduce(_ && _), "left_outer")
+      val delM = firstWhen[MergeWhen](matched, c => condOf(c.condition),
+        c => lit(c.set.isEmpty), lit(false))
+      val delN = firstWhen[MergeWhen](notMatchedBySource,
+        c => condOf(c.condition), c => lit(c.set.isEmpty), lit(false))
+      val appliedM = firstWhen[MergeWhen](matched,
+        c => condOf(c.condition), _ => lit(true), lit(false))
+      val appliedN = firstWhen[MergeWhen](notMatchedBySource,
+        c => condOf(c.condition), _ => lit(true), lit(false))
+      val deleteRow = when(isM, delM).otherwise(delN)
+      val observed = joined.observe(obs,
+        sum(when(isM && appliedM && !delM, 1L).otherwise(0L)
+          + when(!isM && appliedN && !delN, 1L).otherwise(0L))
+          .as("updated"),
+        sum(when(isM && delM, 1L).otherwise(0L)
+          + when(!isM && delN, 1L).otherwise(0L)).as("deleted"),
+        sum(when(deleteRow, 0L).otherwise(1L)).as("kept"))
+      def valueFor(f: org.apache.spark.sql.types.StructField,
+          clauses: Seq[MergeWhen]): Column =
+        firstWhen[MergeWhen](clauses, c => condOf(c.condition),
+          c => c.set.flatMap(_.get(f.name))
+            .map(_.cast(f.dataType)).getOrElse(col(s"`${f.name}`")),
+          col(s"`${f.name}`"))
+      val out = observed.filter(!deleteRow)
+        .select(schema.map { f =>
+          when(isM, valueFor(f, matched))
+            .otherwise(valueFor(f, notMatchedBySource))
+            .cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      val staged = stageFor(snap, out, table)
+      lazy val re = readFilesDv(spark, table, snap, hit).join(srcP,
+        on.map { case (t, s) => col(s"`$t`") === col(s"`__s_$s`") }
+          .reduce(_ && _), "left_outer")
+        .agg(
+          coalesce(sum(when(isM && appliedM && !delM, 1L).otherwise(0L)
+            + when(!isM && appliedN && !delN, 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(isM && delM, 1L).otherwise(0L)
+            + when(!isM && delN, 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(deleteRow, 0L).otherwise(1L)), lit(0L))).head()
+      val m = obs.get
+      val upd = observedLong(m, "updated")(re.getLong(0))
+      val del = observedLong(m, "deleted")(re.getLong(1))
+      val kept = observedLong(m, "kept")(re.getLong(2))
+      val fresh =
+        if (kept > 0L) staged
+        else {
+          dropStagedBatches(spark, table, staged._1)
+          (Nil: Seq[String], Map.empty[String, String],
+            Map.empty[String, Map[String, (String, String)]],
+            Map.empty[String, Map[String, String]])
+        }
+      (fresh, upd, del, kept > 0L)
+    }
+
+    // ----- insert pass: source rows matching NO live target row, first
+    // applicable NOT MATCHED clause builds the row, unclaimed rows drop
+    val (insertStaged, nIns) = if (notMatched.isEmpty) {
+      ((Nil: Seq[String], Map.empty[String, String],
+        Map.empty[String, Map[String, (String, String)]],
+        Map.empty[String, Map[String, String]]), 0L)
+    } else {
+      val cur = readFilesDv(spark, table, snap, snap.files)
+      val curKeys = cur.select(on.map { case (t, _) =>
+        col(s"`$t`") }.toIndexedSeq: _*).distinct()
+      val unmatched = srcP.join(curKeys,
+        on.map { case (t, s) => col(s"`__s_$s`") === curKeys(t) }
+          .reduce(_ && _), "left_anti")
+      val appliedI = firstWhen[MergeInsert](notMatched,
+        c => condOf(c.condition), _ => lit(true), lit(false))
+      val obsIns = org.apache.spark.sql.Observation(
+        s"graft-mrgfi-${java.util.UUID.randomUUID()}")
+      val rows = unmatched.filter(appliedI)
+        .observe(obsIns, sum(lit(1L)).as("inserted"))
+        .select(schema.map { f =>
+          firstWhen[MergeInsert](notMatched, c => condOf(c.condition),
+            c => c.values.get(f.name).map(_.cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)),
+            lit(null).cast(f.dataType)).as(f.name)
+        }.toIndexedSeq: _*)
+      val staged = stageFor(snap, rows, table)
+      val n = observedLong(obsIns.get, "inserted")(
+        unmatched.filter(appliedI).count())
+      if (n > 0) (staged, n)
+      else {
+        dropStagedBatches(spark, table, staged._1)
+        ((Nil: Seq[String], Map.empty[String, String],
+          Map.empty[String, Map[String, (String, String)]],
+          Map.empty[String, Map[String, String]]), 0L)
+      }
+    }
+    if (nUpd == 0 && nDel == 0 && nIns == 0 && hit.isEmpty)
+      return (snap.version, 0L, 0L, 0L, 0)
+    val keep = snap.files.filterNot(hit.contains)
+    val v = commitManifest(spark, table, schema,
+      keep ++ rewritten._1 ++ insertStaged._1, snap.version, snap.meta,
+      (snap.partitionOf -- hit) ++ rewritten._2 ++ insertStaged._2,
+      (snap.statsOf -- hit) ++ rewritten._3 ++ insertStaged._3,
+      snap.deleteFiles, Some(snap),
+      (snap.extraOf -- hit) ++ rewritten._4 ++ insertStaged._4)
+    (v, nUpd, nDel, nIns, hit.size)
+  }
+
   /** Small-file compaction as a snapshot commit: rewrite the whole file
     * list into ~`targetMB` files; the PREVIOUS snapshot (and its small
     * files) stays readable until expired. Returns (new version, files
@@ -2279,6 +2511,45 @@ object SnapshotTable {
         "ORDER BY o_orderkey ASC NULLS FIRST")
     }),
 
+    // The FULL MERGE clause surface in one statement: a conditional
+    // column-level UPDATE, a catch-all DELETE for the remaining
+    // matches, a NOT MATCHED BY SOURCE update, and a conditional
+    // column-list INSERT — all lowered onto one file-granular commit
+    // (touched files rewritten in one simultaneous select, Delta
+    // clause precedence; precedence + cardinality rule suite-asserted
+    // in SnapshotSuite). The oracle replays the clause logic as a
+    // CASE over a LEFT JOIN plus an anti-join for the inserts.
+    "q_table_merge_full" -> ((s, d) => {
+      val t = scratch(s, d, "mgf")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      create(s, t, orders, numFiles = 8)
+      val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(s,
+        e => new graft.GraftExtensions()(e))
+      s2.sql(
+        s"""MERGE INTO `$t` tg USING (
+           |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |  FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 20 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey + 30000000, o_custkey, o_orderstatus,
+           |    o_totalprice
+           |  FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 500 = 7
+           |) sr ON tg.o_orderkey = sr.o_orderkey
+           |WHEN MATCHED AND tg.o_totalprice < 150000 THEN
+           |  UPDATE SET o_totalprice = sr.o_totalprice * 2,
+           |    o_orderstatus = 'U'
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED AND sr.o_orderkey % 8 = 7 THEN
+           |  INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+           |  VALUES (sr.o_orderkey, sr.o_custkey, 'N', sr.o_totalprice)
+           |WHEN NOT MATCHED BY SOURCE AND tg.o_orderkey % 777 = 0 THEN
+           |  UPDATE SET o_orderstatus = 'Z'
+           |""".stripMargin).collect()
+      read(s, t).orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
     // The SQL surface of the table layer: both TVFs in one plain-SQL
     // statement — the current snapshot joined against its own change
     // feed (updated keys carry their 'insert' post-image mark). The
@@ -2623,6 +2894,42 @@ object SnapshotTable {
         |ORDER BY o_orderkey ASC NULLS FIRST,
         |  o_totalprice ASC NULLS FIRST,
         |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+    // the full-clause MERGE replayed as a CASE over a LEFT JOIN (clause
+    // order = CASE order — matched branches first, NMBS branches under
+    // the NULL side) plus an anti-join for the conditional inserts;
+    // *2 is exponent-only IEEE so double math matches across engines
+    "q_table_merge_full" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_custkey, o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 500 = 7),
+        |merged AS (
+        |  SELECT t.o_orderkey, t.o_custkey,
+        |    CASE
+        |      WHEN s.o_orderkey IS NOT NULL AND t.o_totalprice < 150000
+        |        THEN 'U'
+        |      WHEN s.o_orderkey IS NULL AND t.o_orderkey % 777 = 0
+        |        THEN 'Z'
+        |      ELSE t.o_orderstatus END AS o_orderstatus,
+        |    CASE
+        |      WHEN s.o_orderkey IS NOT NULL AND t.o_totalprice < 150000
+        |        THEN s.o_totalprice * 2
+        |      ELSE t.o_totalprice END AS o_totalprice,
+        |    CASE
+        |      WHEN s.o_orderkey IS NOT NULL
+        |        AND NOT (t.o_totalprice < 150000) THEN 1
+        |      ELSE 0 END AS del
+        |  FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM merged WHERE del = 0
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_custkey, 'N', s.o_totalprice
+        |FROM src s LEFT JOIN orders t ON s.o_orderkey = t.o_orderkey
+        |WHERE t.o_orderkey IS NULL AND s.o_orderkey % 8 = 7
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     // the named-table DML sequence replayed in plain SQL: update +
     // delete, then the INSERT rows (disjoint +20M key range), then the
     // key-equality upsert against that state; *2 is exponent-only

@@ -1821,6 +1821,96 @@ class SnapshotSuite extends AnyFunSuite {
     }
   }
 
+  test("full MERGE clause surface: conditional clauses, DELETE, " +
+      "column-level SET, NOT MATCHED BY SOURCE, Delta precedence") {
+    val t = freshTable("mergefull")
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L), (3L, "c", 30.0, 2L),
+      (4L, "d", 40.0, 2L), (5L, "e", 50.0, 3L)
+    ).toDF("k", "s", "v", "g")
+    SnapshotTable.create(spark, t, base, numFiles = 3)
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    s2.createDataFrame(Seq(
+      (1L, "a2", 100.0), (2L, "b2", 5.0), (3L, "c2", 300.0),
+      (6L, "f", 60.0), (7L, "g", 5.0)
+    )).toDF("k", "s", "v").createOrReplaceTempView("mergefull_src")
+    val r = s2.sql(
+      s"""MERGE INTO `$t` tg USING mergefull_src sr ON tg.k = sr.k
+         |WHEN MATCHED AND sr.v > 50 THEN
+         |  UPDATE SET v = sr.v, s = upper(sr.s)
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND sr.v >= 50 THEN
+         |  INSERT (k, s, v, g) VALUES (sr.k, sr.s, sr.v, 9)
+         |WHEN NOT MATCHED BY SOURCE AND g = 3 THEN UPDATE SET v = 0.0
+         |WHEN NOT MATCHED BY SOURCE AND k = 4 THEN DELETE
+         |""".stripMargin).head()
+    // k=1: matched, 100>50 -> update; k=2: matched, 5 -> DELETE (2nd
+    // clause); k=3: matched, 300 -> update; k=6: not matched, 60>=50 ->
+    // insert with g=9; k=7: not matched, 5 -> discarded; k=4: NMBS,
+    // g=2 fails clause 1, k=4 hits clause 2 -> DELETE; k=5: NMBS,
+    // g=3 -> v=0
+    assert(r.getString(0) === "merge")
+    assert(r.getLong(2) === 6L, // 3 updates + 2 deletes + 1 insert
+      s"rows_affected: ${r.getLong(2)}")
+    val fin = SnapshotTable.read(spark, t).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2),
+        x.getLong(3))).toSet
+    assert(fin === Set(
+      (1L, "A2", 100.0, 1L), (3L, "C2", 300.0, 2L),
+      (5L, "e", 0.0, 3L), (6L, "f", 60.0, 9L)))
+
+    // precedence: clauses fire in declaration order — the conditional
+    // DELETE must claim its rows BEFORE the catch-all UPDATE
+    val t2 = freshTable("mergeprec")
+    SnapshotTable.create(spark, t2, base, numFiles = 2)
+    s2.sql(
+      s"""MERGE INTO `$t2` tg USING mergefull_src sr ON tg.k = sr.k
+         |WHEN MATCHED AND tg.v < 25 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = 0.0
+         |""".stripMargin).collect()
+    // matched: k=1 (v=10, deleted), k=2 (v=20, deleted), k=3 (v=30,
+    // updated to 0); k=4, k=5 untouched
+    assert(SnapshotTable.read(spark, t2).count() === 3L,
+      "the first-declared DELETE must claim v<25 rows")
+    assert(SnapshotTable.read(spark, t2)
+      .filter(col("v") === 0.0).count() === 1L,
+      "only the non-deleted match falls through to the UPDATE")
+
+    // multi-column ON: key requires BOTH columns to line up
+    val t3 = freshTable("mergemc")
+    SnapshotTable.create(spark, t3, base, numFiles = 2)
+    s2.createDataFrame(Seq((1L, 1L, 111.0), (3L, 9L, 333.0)))
+      .toDF("k", "g", "v").createOrReplaceTempView("mergemc_src")
+    s2.sql(
+      s"""MERGE INTO `$t3` tg USING mergemc_src sr
+         |ON tg.k = sr.k AND tg.g = sr.g
+         |WHEN MATCHED THEN UPDATE SET v = sr.v
+         |WHEN NOT MATCHED THEN
+         |  INSERT (k, s, v, g) VALUES (sr.k, 'n', sr.v, sr.g)
+         |""".stripMargin).collect()
+    val fin3 = SnapshotTable.read(spark, t3).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2),
+        x.getLong(3))).toSet
+    assert(fin3.contains((1L, "a", 111.0, 1L)),
+      "both-column match must update")
+    assert(fin3.contains((3L, "c", 30.0, 2L)) &&
+      fin3.contains((3L, "n", 333.0, 9L)),
+      "a half-matching key must insert, not update")
+
+    // the Delta cardinality rule: duplicate source keys are an error
+    s2.createDataFrame(Seq((1L, "x", 1.0), (1L, "y", 2.0)))
+      .toDF("k", "s", "v").createOrReplaceTempView("mergedup_src")
+    val ex = intercept[Exception] {
+      s2.sql(s"""MERGE INTO `$t2` tg USING mergedup_src sr
+        |ON tg.k = sr.k
+        |WHEN MATCHED THEN UPDATE SET v = sr.v
+        |""".stripMargin).collect()
+    }
+    assert(ex.getMessage.contains("multiple rows per ON key"))
+  }
+
   test("string stats prune in code-point order, not UTF-16 order") {
     // UTF-16 code units order U+E000 AFTER the surrogate pair for
     // U+10000; code points (= UTF8String binary, the order min/max were
