@@ -169,7 +169,7 @@ object GraftDataSource {
       case None => SnapshotTable.readManifest(spark, table,
         SnapshotTable.currentVersion(spark, table))
     }
-    if (snap.deleteFiles.isEmpty) {
+    if (snap.deleteFiles.isEmpty && SnapshotTable.colMapOf(snap).isEmpty) {
       val index = new SnapshotFileIndex(spark, table, snap)
       HadoopFsRelation(
         location = index,

@@ -197,6 +197,14 @@ object SnapshotScan {
     require(snap.deleteFiles.isEmpty,
       s"$table v${snap.version} carries deletion vectors; read it via " +
         "SnapshotTable.read (DV-applying) or compact() to purge them")
+    // same honesty rule for column mapping: the raw FileIndex scan
+    // reads by CURRENT names only, so files written before a rename
+    // would read the column as NULL — silently wrong. compact()
+    // rewrites under current names, after which the mapping clears.
+    require(SnapshotTable.colMapOf(snap).isEmpty,
+      s"$table v${snap.version} carries renamed columns; read it via " +
+        "SnapshotTable.read (mapping-aware) or compact() to rewrite " +
+        "under the current names")
     val index = new SnapshotFileIndex(spark, table, snap)
     val relation = HadoopFsRelation(
       location = index,

@@ -311,17 +311,98 @@ object SnapshotTable {
     * strategy), and a DV-free snapshot reads with zero overhead —
     * the plain scan, no provenance columns, full codegen.
     */
+  // ------------------------------------------------------------------
+  // COLUMN MAPPING (metadata-only RENAME / DROP / type widening)
+  //
+  // A renamed column keeps its data under its FORMER name in every
+  // file written before the rename; files written after carry the new
+  // name. Each file therefore holds EXACTLY ONE of the name
+  // generations (the others read as NULL under parquet's by-name
+  // resolution), so `coalesce(current, former1, former2, ...)` is an
+  // exact reconstruction — no file rewrite, no per-file bookkeeping.
+  // A dropped column's data stays in old files and is simply never
+  // requested. Type widening (int->long, float->double) is pure
+  // schema metadata: Spark 4's parquet readers (vectorized and not)
+  // up-convert narrow physical values to the requested wider type.
+  // The one restriction this scheme needs: a former/dropped physical
+  // name can never be REUSED for a new column — old files still carry
+  // real values under it, and by-name resolution would resurrect them
+  // (the guard lives in renameColumn/addColumns).
+
+  /** logical column -> its former names, newest first (a column
+    * renamed a->b->c maps c -> [b, a]).
+    */
+  private[graft] def colMapOf(snap: Snapshot): Map[String, Seq[String]] =
+    snap.meta.get("colmap").map { v =>
+      v.split(';').filter(_.nonEmpty).map { entry =>
+        val Array(l, fs) = entry.split(":", 2)
+        dec(l) -> fs.split(',').filter(_.nonEmpty).map(dec).toSeq
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def encodeColMap(m: Map[String, Seq[String]]): String =
+    m.toSeq.sortBy(_._1).map { case (l, fs) =>
+      s"${enc(l)}:${fs.map(enc).mkString(",")}"
+    }.mkString(";")
+
+  /** Physical names whose reuse would resurrect stale file data:
+    * every former name plus every dropped column's name lineage.
+    */
+  private def retiredNames(snap: Snapshot): Set[String] =
+    colMapOf(snap).values.flatten.toSet ++
+      snap.meta.get("droppedCols").toSeq
+        .flatMap(_.split(',').filter(_.nonEmpty).map(dec))
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
   private def readFilesDv(spark: SparkSession, table: String,
       snap: Snapshot, files: Seq[String]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    if (snap.deleteFiles.isEmpty)
-      spark.read.schema(snap.schema)
-        .parquet(files.map(f => s"$table/$f"): _*)
-    else
+    if (snap.deleteFiles.isEmpty) {
+      val cm = colMapOf(snap)
+      if (cm.isEmpty) // the hot path stays a bare schema'd scan
+        spark.read.schema(snap.schema)
+          .parquet(files.map(f => s"$table/$f"): _*)
+      else
+        mappedScan(spark, table, snap, files)
+          .select(snap.schema.fieldNames
+            .map(n => col(s"`$n`")).toIndexedSeq: _*)
+    } else
       readFilesDvProv(spark, table, snap, files)
         .drop("__fk", "__rp")
+  }
+
+  /** The column-mapping read: request current + former names (each
+    * nullable — a file holds exactly one generation), then coalesce
+    * the generations into the logical column. Keeps `_metadata`
+    * available to the caller (the select is applied by the callers).
+    */
+  private def mappedScan(spark: SparkSession, table: String,
+      snap: Snapshot, files: Seq[String]): DataFrame = {
+    val cm = colMapOf(snap)
+    val readFields = snap.schema.fields.flatMap { f =>
+      (f.name +: cm.getOrElse(f.name, Nil)).map(n =>
+        org.apache.spark.sql.types.StructField(n, f.dataType,
+          nullable = true))
+    }
+    val raw = spark.read
+      .schema(org.apache.spark.sql.types.StructType(readFields))
+      .parquet(files.map(f => s"$table/$f"): _*)
+    raw.select(snap.schema.fields.map { f =>
+      cm.get(f.name) match {
+        case Some(formers) =>
+          coalesce((f.name +: formers).map(n => col(s"`$n`")): _*)
+            .as(f.name)
+        case None => col(s"`${f.name}`")
+      }
+    }.toIndexedSeq
+      :+ expr("_metadata.file_path").as("__meta_fp")
+      :+ expr("_metadata.row_index").as("__meta_ri"): _*)
   }
 
   /** As [[readFilesDv]] but KEEPING the provenance columns `__fk`
@@ -330,10 +411,17 @@ object SnapshotTable {
     */
   private def readFilesDvProv(spark: SparkSession, table: String,
       snap: Snapshot, files: Seq[String]): DataFrame = {
-    val base = spark.read.schema(snap.schema)
-      .parquet(files.map(f => s"$table/$f"): _*)
-      .withColumn("__fk", fileKeyOf(expr("_metadata.file_path")))
-      .withColumn("__rp", expr("_metadata.row_index"))
+    val base =
+      if (colMapOf(snap).isEmpty)
+        spark.read.schema(snap.schema)
+          .parquet(files.map(f => s"$table/$f"): _*)
+          .withColumn("__fk", fileKeyOf(expr("_metadata.file_path")))
+          .withColumn("__rp", expr("_metadata.row_index"))
+      else
+        mappedScan(spark, table, snap, files)
+          .withColumn("__fk", fileKeyOf(col("__meta_fp")))
+          .withColumn("__rp", col("__meta_ri"))
+          .drop("__meta_fp", "__meta_ri")
     if (snap.deleteFiles.isEmpty) base
     else {
       val dv = spark.read
@@ -1218,10 +1306,143 @@ object SnapshotTable {
       "added columns must not collide with existing ones")
     require(newFields.forall(_.nullable),
       "added columns must be nullable (existing files have no values)")
+    val retired = retiredNames(snap)
+    val reused = newFields.map(_.name).filter(retired)
+    require(reused.isEmpty,
+      s"column name(s) ${reused.mkString(", ")} were renamed away or " +
+        "dropped — old files still hold values under them, and by-name " +
+        "parquet resolution would resurrect that data; pick fresh names")
     commitManifest(spark, table,
       StructType(snap.schema.fields ++ newFields), snap.files,
       snap.version, snap.meta, snap.partitionOf, snap.statsOf,
       snap.deleteFiles, Some(snap), snap.extraOf)
+  }
+
+  /** A constraint that mentions `name` blocks renaming/dropping it —
+    * the stored predicate is a SQL string over logical names and would
+    * silently bind to nothing (or the wrong column) afterwards.
+    */
+  private def requireUnconstrained(snap: Snapshot, name: String,
+      what: String): Unit = {
+    val hit = constraintsOf(snap).collect {
+      case (n, e) if ("(?i)\\b" + java.util.regex.Pattern.quote(name) +
+        "\\b").r.findFirstIn(e).isDefined => n
+    }
+    require(hit.isEmpty,
+      s"cannot $what column $name: referenced by CHECK constraint(s) " +
+        s"${hit.mkString(", ")} — drop them first")
+  }
+
+  /** METADATA-ONLY column rename: no file is rewritten. The committed
+    * manifest renames the schema field, re-keys the column's per-file
+    * stats/null-counts, updates the partition/stats/bloom declarations,
+    * and records the old name as a FORMER name so reads coalesce it
+    * out of pre-rename files ([[mappedScan]]). Old snapshots
+    * time-travel with their original names (each manifest carries its
+    * own schema + mapping). The former name is retired forever (see
+    * [[addColumns]]' reuse guard).
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Long = {
+    val snap = loadCurrent(spark, table)
+    require(snap.schema.fieldNames.contains(from),
+      s"no such column $from")
+    require(!snap.schema.fieldNames.contains(to),
+      s"column $to already exists")
+    require(!retiredNames(snap).contains(to),
+      s"column name $to was renamed away or dropped — old files still " +
+        "hold values under it; pick a fresh name")
+    requireUnconstrained(snap, from, "rename")
+    val cm = colMapOf(snap)
+    val newCm = (cm - from) + (to -> (from +: cm.getOrElse(from, Nil)))
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    def rekey(m: Map[String, (String, String)]) =
+      m.map { case (k, v) => (if (k == from) to else k) -> v }
+    def rekeyExtra(m: Map[String, String]) =
+      m.map { case (k, v) =>
+        (if (k == s"nulls.$from") s"nulls.$to" else k) -> v }
+    def rekeyList(v: String) =
+      v.split(',').map(c => if (c == from) to else c).mkString(",")
+    val newMeta = snap.meta
+      .map {
+        case ("partitionCol", `from`) => "partitionCol" -> to
+        case ("statsCols", v) => "statsCols" -> rekeyList(v)
+        case ("bloomCols", v) => "bloomCols" -> rekeyList(v)
+        case kv => kv
+      } + ("colmap" -> encodeColMap(newCm))
+    commitManifest(spark, table, newSchema, snap.files, snap.version,
+      newMeta, snap.partitionOf,
+      snap.statsOf.map { case (f, m) => f -> rekey(m) },
+      snap.deleteFiles, Some(snap),
+      snap.extraOf.map { case (f, m) => f -> rekeyExtra(m) })
+  }
+
+  /** METADATA-ONLY column drop: the data stays in existing files and
+    * is simply never requested again (explicit-schema parquet reads
+    * ignore extra file columns). The name — and its whole former-name
+    * lineage — is retired so it can never be re-added over stale data.
+    */
+  def dropColumn(spark: SparkSession, table: String,
+      name: String): Long = {
+    val snap = loadCurrent(spark, table)
+    require(snap.schema.fieldNames.contains(name), s"no such column $name")
+    require(snap.schema.length > 1, "cannot drop the only column")
+    require(!snap.meta.get("partitionCol").contains(name),
+      s"cannot drop partition column $name")
+    requireUnconstrained(snap, name, "drop")
+    val cm = colMapOf(snap)
+    val lineage = name +: cm.getOrElse(name, Nil)
+    val dropped = (snap.meta.get("droppedCols").toSeq
+      .flatMap(_.split(',').filter(_.nonEmpty)) ++ lineage.map(enc))
+      .distinct.mkString(",")
+    def strip(v: String) =
+      v.split(',').filterNot(_ == name).mkString(",")
+    val newMeta = snap.meta
+      .map {
+        case ("statsCols", v) => "statsCols" -> strip(v)
+        case ("bloomCols", v) => "bloomCols" -> strip(v)
+        case kv => kv
+      } ++ Map("droppedCols" -> dropped) ++
+      (if ((cm - name).isEmpty) Map.empty[String, String]
+       else Map("colmap" -> encodeColMap(cm - name)))
+    val newMeta2 =
+      if ((cm - name).isEmpty) newMeta - "colmap" else newMeta
+    commitManifest(spark, table,
+      StructType(snap.schema.fields.filterNot(_.name == name)),
+      snap.files, snap.version, newMeta2, snap.partitionOf,
+      snap.statsOf.map { case (f, m) => f -> (m - name) },
+      snap.deleteFiles, Some(snap),
+      snap.extraOf.map { case (f, m) => f -> (m - s"nulls.$name") })
+  }
+
+  /** METADATA-ONLY type widening (int -> long, float -> double): the
+    * committed schema carries the wider type; Spark 4's parquet
+    * readers up-convert the narrow physical values of pre-widening
+    * files at scan time (both the vectorized and row-based paths), and
+    * post-widening writes stage the wide type natively. Recorded
+    * min/max stats compare as decimals, so file skipping is unaffected.
+    */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType,
+      IntegerType, LongType}
+    val snap = loadCurrent(spark, table)
+    val f = snap.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no such column $name"))
+    val ok = (f.dataType, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"unsupported widening ${f.dataType.simpleString} -> " +
+      s"${to.simpleString}: only int->bigint and float->double are " +
+      "lossless at the parquet reader")
+    commitManifest(spark, table,
+      StructType(snap.schema.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x)),
+      snap.files, snap.version, snap.meta, snap.partitionOf,
+      snap.statsOf, snap.deleteFiles, Some(snap), snap.extraOf)
   }
 
   /** Table history (the DESCRIBE HISTORY shape): one row per retained
@@ -1826,8 +2047,13 @@ object SnapshotTable {
             declaredStatsCols(snap), snap.schema)
           (files, Map.empty[String, String], st, ex)
       }
+    // the rewrite lands every row under the CURRENT column names, so
+    // compaction clears the column mapping (and un-retires former /
+    // dropped names: no current-snapshot file carries them anymore) —
+    // the raw FileIndex scan becomes exact again, same as the DV purge
     val v = commitManifest(spark, table, snap.schema, fresh,
-      snap.version, snap.meta, labels, stats, Nil, Some(snap), extras)
+      snap.version, snap.meta - "colmap" - "droppedCols", labels, stats,
+      Nil, Some(snap), extras)
     (v, snap.files.size, fresh.size)
   }
 
@@ -2550,6 +2776,39 @@ object SnapshotTable {
       read(s, t).orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // COLUMN MAPPING end to end: rename + drop + int->bigint widening,
+    // all METADATA-ONLY (zero file churn — suite-asserted), then a
+    // post-evolution append (new-generation files under the new
+    // name/type) and an UPDATE whose predicate binds the renamed
+    // column across BOTH file generations. The read coalesces the
+    // name generations (each file holds exactly one) and the parquet
+    // reader widens the narrow old values; the oracle replays the
+    // logical history (rename = projection alias, drop = omission,
+    // widen = CAST, then the update CASE).
+    "q_table_schema_evolution" -> ((s, d) => {
+      val t = scratch(s, d, "sev")
+      fs(s, t).delete(new Path(t), true)
+      val items = graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+      create(s, t, items, numFiles = 8)
+      renameColumn(s, t, "l_returnflag", "flag")
+      dropColumn(s, t, "l_quantity")
+      widenColumn(s, t, "l_linenumber",
+        org.apache.spark.sql.types.LongType)
+      append(s, t, items.filter(col("l_orderkey") % 100 === 0)
+        .select((col("l_orderkey") + 50000000L).as("l_orderkey"),
+          (col("l_linenumber").cast("bigint") + 10000000000L)
+            .as("l_linenumber"),
+          col("l_returnflag").as("flag")))
+      updateWhere(s, t,
+        col("flag") === "R" && col("l_orderkey") % 50 === 0,
+        Map("flag" -> lit("Q")))
+      read(s, t).orderBy(col("l_orderkey").asc_nulls_first,
+        col("l_linenumber").asc_nulls_first,
+        col("flag").asc_nulls_first)
+    }),
+
     // The SQL surface of the table layer: both TVFs in one plain-SQL
     // statement — the current snapshot joined against its own change
     // feed (updated keys carry their 'insert' post-image mark). The
@@ -2894,6 +3153,24 @@ object SnapshotTable {
         |ORDER BY o_orderkey ASC NULLS FIRST,
         |  o_totalprice ASC NULLS FIRST,
         |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+    // the schema-evolution history replayed logically: rename = alias,
+    // drop = omission, widen = CAST, then the post-evolution append
+    // and the update CASE over the union
+    "q_table_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_returnflag AS flag
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey + 50000000,
+        |    CAST(l_linenumber AS BIGINT) + 10000000000, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN flag = 'R' AND l_orderkey % 50 = 0 THEN 'Q'
+        |    ELSE flag END AS flag
+        |FROM base
+        |ORDER BY l_orderkey ASC NULLS FIRST,
+        |  l_linenumber ASC NULLS FIRST, flag ASC NULLS FIRST""".stripMargin,
     // the full-clause MERGE replayed as a CASE over a LEFT JOIN (clause
     // order = CASE order — matched branches first, NMBS branches under
     // the NULL side) plus an anti-join for the conditional inserts;

@@ -1911,6 +1911,78 @@ class SnapshotSuite extends AnyFunSuite {
     assert(ex.getMessage.contains("multiple rows per ON key"))
   }
 
+  test("column mapping: metadata-only RENAME/DROP/widen — zero file " +
+      "rewrites, exact reads over mixed generations, name-reuse guard") {
+    val t = freshTable("colmap")
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val df = Seq(
+      (1L, 10, 1.5f, "x", 100.0), (2L, 20, 2.5f, "y", 200.0),
+      (3L, 30, 3.5f, null.asInstanceOf[String], 300.0)
+    ).toDF("k", "i", "f", "s", "v")
+    SnapshotTable.create(spark, t, df, numFiles = 2)
+    def files = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t)).files.sorted
+    val before = files
+    SnapshotTable.renameColumn(spark, t, "s", "label")
+    SnapshotTable.dropColumn(spark, t, "v")
+    SnapshotTable.widenColumn(spark, t, "i", LongType)
+    assert(files === before,
+      "rename/drop/widen must be metadata-only — zero file churn")
+    val evolved = SnapshotTable.read(spark, t)
+    assert(evolved.columns.toSeq === Seq("k", "i", "f", "label"))
+    assert(evolved.schema("i").dataType === LongType)
+    val rows = evolved.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getFloat(2),
+        Option(r.getString(3)))).toSet
+    assert(rows === Set((1L, 10L, 1.5f, Some("x")),
+      (2L, 20L, 2.5f, Some("y")), (3L, 30L, 3.5f, None)),
+      "old files must read through the mapping (incl. genuine NULLs)")
+    // post-evolution writes carry the NEW names/types; reads mix
+    // generations exactly
+    SnapshotTable.append(spark, t,
+      Seq((4L, 4000000000L, 4.5f, "z")).toDF("k", "i", "f", "label"))
+    assert(SnapshotTable.read(spark, t).count() === 4L)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("i") === 4000000000L).count() === 1L,
+      "the widened column must hold post-int-range values")
+    // mutation THROUGH the mapping: the predicate and assignment bind
+    // to the logical name, the rewrite lands under current names
+    val (_, m, _) = SnapshotTable.updateWhere(spark, t,
+      col("label") === "x", Map("label" -> lit("X")))
+    assert(m === 1L, "UPDATE must reach rows in pre-rename files")
+    // time travel: the old snapshot keeps its original schema
+    val v1 = SnapshotTable.read(spark, t, Some(1L))
+    assert(v1.columns.toSeq === Seq("k", "i", "f", "s", "v"))
+    assert(v1.filter(col("s") === "x").count() === 1L)
+    // name-reuse guards: a former/dropped name would resurrect stale
+    // file data under by-name resolution
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addColumns(spark, t, Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, t, "f", "v")
+    }
+    // deletion vectors compose with the mapping
+    val (_, dv) = SnapshotTable.deleteWhereVector(spark, t,
+      col("label") === "y")
+    assert(dv === 1L)
+    assert(SnapshotTable.read(spark, t).count() === 3L)
+    // the raw FileIndex scan refuses a mapped table (it would read
+    // renamed columns as NULL); compact() rewrites under current names
+    // and clears the mapping, after which it is exact again
+    SnapshotTable.compact(spark, t)
+    val (scanned, _) = graft.sources.SnapshotScan.scan(spark, t)
+    assert(scanned.columns.toSeq === Seq("k", "i", "f", "label"))
+    assert(scanned.count() === 3L)
+    // ...and the retired names are live again after the rewrite
+    SnapshotTable.addColumns(spark, t, Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+  }
+
   test("string stats prune in code-point order, not UTF-16 order") {
     // UTF-16 code units order U+E000 AFTER the surrogate pair for
     // U+10000; code points (= UTF8String binary, the order min/max were
