@@ -51,14 +51,29 @@ object IvfAnn {
     * the loop lag one update step behind, and persisting/probing a
     * lagging assignment against the final model silently costs recall
     * (a vector can sit in a cell that is no longer its nearest).
+    *
+    * The Lloyd FIT runs on a deterministic hash-sample of at most
+    * `maxTrain` vectors (xxhash64(vec_id) order — an unbiased
+    * deterministic shuffle; at 100 TB the same sample comes from a
+    * pushed-down TABLESAMPLE): centroid quality needs a bounded,
+    * representative sample, never the corpus, so the fit cost stops
+    * growing with the table. The final ASSIGNMENT pass stays over the
+    * full frame (that one is the product). Every driver collect in the
+    * loop is model-bounded (k x dim), independent of maxTrain.
     */
-  def assign(e: DataFrame, k: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {
+  def assign(e: DataFrame, k: Int, iters: Int,
+      maxTrain: Int = 65536): (DataFrame, Array[Array[Double]]) = {
+    val train = e.select(col("vec_id"), col("embedding"))
+      .withColumn("__h", xxhash64(col("vec_id")))
+      .orderBy(col("__h").asc, col("vec_id").asc)
+      .limit(maxTrain)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[Array[Double]] = e
       .filter(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     (0 until iters).foreach { _ =>
-      val upd = e.withColumn("cell", cellCol(centroids))
+      val upd = train.withColumn("cell", cellCol(centroids))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("v")).as("m"))
@@ -72,6 +87,7 @@ object IvfAnn {
         }
       }.toArray
     }
+    train.unpersist(blocking = false)
     (e.withColumn("cell", cellCol(centroids)), centroids)
   }
 

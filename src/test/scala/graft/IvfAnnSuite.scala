@@ -40,6 +40,22 @@ class IvfAnnSuite extends AnyFunSuite
     assert(mean >= 0.2, s"mean recall@5 $mean suspiciously low")
   }
 
+  test("the capped Lloyd fit sample covers the corpus at test scale — " +
+      "model parity with an unbounded fit") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    assert(e.count() <= 65536L,
+      "corpus outgrew the default cap; parity claim needs revisiting")
+    val (_, capped) = IvfAnn.assign(e, k = 8, iters = 2)
+    val (_, unbounded) = IvfAnn.assign(e, k = 8, iters = 2,
+      maxTrain = Int.MaxValue)
+    assert(capped.length === unbounded.length)
+    capped.zip(unbounded).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b),
+        "a cap that covers the corpus must not change the model")
+    }
+  }
+
   test("persisted IvfIndex search matches the inline query path exactly") {
     import graft.operators.{IvfAnn, IvfIndex}
     import org.apache.spark.sql.functions._
