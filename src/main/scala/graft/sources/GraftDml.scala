@@ -379,13 +379,13 @@ object GraftDml {
           case Seq() => SnapshotTable.create(spark, path, observed)
           // the Scala IdentityTransform case class is private[sql];
           // the public Transform interface names it "identity"
-          case Seq(t) if t.name == "identity" &&
-              t.references.length == 1 =>
+          case ts if ts.nonEmpty && ts.forall(t =>
+              t.name == "identity" && t.references.length == 1) =>
             SnapshotTable.createPartitioned(spark, path, observed,
-              t.references()(0).fieldNames.mkString("."))
+              ts.map(_.references()(0).fieldNames.mkString(".")))
           case other => throw new IllegalArgumentException(
-            "only PARTITIONED BY (<one column>) is supported, got " +
-              other.mkString(", "))
+            "only PARTITIONED BY (<columns>) identity transforms are " +
+              s"supported, got ${other.mkString(", ")}")
         }
         ("create", v,
           SnapshotTable.observedLong(obs.get, "created")(df.count()), -1L)

@@ -66,7 +66,7 @@ class SnapshotFileIndex(spark: SparkSession, table: String,
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
   }
 
-  private val pcol = snap.meta.get("partitionCol")
+  private val pcols = SnapshotTable.partitionColsOf(snap)
 
   /** Can `file` possibly hold a row satisfying `e`? (false only on a
     * provable exclusion.)
@@ -124,10 +124,14 @@ class SnapshotFileIndex(spark: SparkSession, table: String,
       lo: Boolean, hi: Boolean): Boolean = {
     val v = render(l)
     if (v == null) return true
-    // exact partition label beats range stats for the partition column
-    if (pcol.contains(column)) {
-      snap.partitionOf.get(file) match {
-        case Some(label) if lo && hi => return label == v
+    // exact partition value beats range stats for ANY partition column
+    // (multi-column tables carry the full value tuple per file, so a
+    // predicate on the second column prunes as well as the first —
+    // subset pruning, not Hive's prefix-only trie walk)
+    val pi = pcols.indexOf(column)
+    if (pi >= 0) {
+      SnapshotTable.partValuesOf(snap, file).flatMap(_.lift(pi)) match {
+        case Some(value) if lo && hi => return value == v
         case _ => ()
       }
     }

@@ -547,6 +547,42 @@ object SnapshotTable {
       }.sortBy(_._1)
   }
 
+  /** Multi-column staging: nested `__part0=<a>/__part1=<b>/...` dirs,
+    * one (table-relative path, COMPOSITE label) pair per file. The
+    * composite label percent-encodes each column's string value and
+    * joins with ',' — unambiguous for values containing the separator.
+    * Null values carry Hive's default-partition token like the
+    * single-column path.
+    */
+  private[graft] def stagePartitionedBatchMulti(df: DataFrame,
+      table: String, pcols: Seq[String]): Seq[(String, String)] = {
+    val batch = "b-" + java.util.UUID.randomUUID().toString
+    val dir = s"$table/data/$batch"
+    val partNames = pcols.indices.map(i => s"__part$i")
+    val withParts = pcols.zip(partNames).foldLeft(df) {
+      case (acc, (c, p)) => acc.withColumn(p, col(s"`$c`").cast("string"))
+    }
+    withParts.repartition(partNames.map(col): _*)
+      .write.mode("error").partitionBy(partNames: _*).parquet(dir)
+    val f = fs(df.sparkSession, table)
+    def walk(p: Path, depth: Int, rel: String,
+        vals: List[String]): Vector[(String, String)] =
+      if (depth == pcols.length)
+        f.listStatus(p).iterator.map(_.getPath.getName)
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+          .map(n => (s"$rel/$n", vals.reverse.map(enc).mkString(",")))
+          .toVector
+      else
+        f.listStatus(p).iterator.filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith(s"__part$depth="))
+          .flatMap { pd =>
+            val name = pd.getPath.getName
+            val v = unescapePartValue(name.stripPrefix(s"__part$depth="))
+            walk(pd.getPath, depth + 1, s"$rel/$name", v :: vals)
+          }.toVector
+    walk(new Path(dir), 0, s"data/$batch", Nil).sortBy(_._1)
+  }
+
   /** Per-file stats of `statsCols` over a FRESHLY STAGED batch in one
     * codegen pass over the new files only (never the table): min/max
     * rendered as strings (numeric columns re-compare as decimals at
@@ -799,12 +835,17 @@ object SnapshotTable {
         }
         (df.observe(o, aggs.head, aggs.tail: _*), Some(o))
       }
-    val (files, labels) = snap.meta.get("partitionCol") match {
-      case Some(pc) =>
-        val staged = stagePartitionedBatch(df1, table, pc)
+    val (files, labels) =
+      if (snap.meta.contains("partitionCols")) {
+        val staged = stagePartitionedBatchMulti(df1, table,
+          partitionColsOf(snap))
         (staged.map(_._1), staged.toMap)
-      case None => (stageBatch(df1, table), Map.empty[String, String])
-    }
+      } else snap.meta.get("partitionCol") match {
+        case Some(pc) =>
+          val staged = stagePartitionedBatch(df1, table, pc)
+          (staged.map(_._1), staged.toMap)
+        case None => (stageBatch(df1, table), Map.empty[String, String])
+      }
     obs.foreach { o =>
       val m = o.get
       val viol = cons.map { case (n, _) =>
@@ -1207,6 +1248,45 @@ object SnapshotTable {
       Map("partitionCol" -> pcol), staged.toMap)
   }
 
+  /** MULTI-COLUMN partitioning: files live in nested Hive-style dirs
+    * (`__part0=<a>/__part1=<b>/...`) and each carries the COMPOSITE
+    * label (per-column values, percent-encoded and comma-joined) in
+    * the manifest, so scan planning prunes on a predicate over ANY
+    * subset of the partition columns — first, last, or both — without
+    * opening an excluded file (the Iceberg partition-tuple shape, a
+    * strict superset of Hive's prefix-only pruning because the
+    * manifest holds full tuples, not a directory trie).
+    */
+  def createPartitioned(spark: SparkSession, table: String, df: DataFrame,
+      pcols: Seq[String]): Long = {
+    require(pcols.nonEmpty, "PARTITIONED BY needs at least one column")
+    if (pcols.length == 1)
+      return createPartitioned(spark, table, df, pcols.head)
+    require(currentVersion(spark, table) == 0,
+      s"$table already has committed snapshots")
+    val staged = stagePartitionedBatchMulti(df, table, pcols)
+    commitManifest(spark, table, df.schema, staged.map(_._1), 0L,
+      Map("partitionCols" -> pcols.map(enc).mkString(",")), staged.toMap)
+  }
+
+  /** The table's partition columns: multi-column tables store the
+    * encoded list under `partitionCols`, single-column ones the bare
+    * name under `partitionCol` (the pre-existing format — both read).
+    */
+  private[sources] def partitionColsOf(snap: Snapshot): Seq[String] =
+    snap.meta.get("partitionCols")
+      .map(_.split(',').filter(_.nonEmpty).map(dec).toSeq)
+      .getOrElse(snap.meta.get("partitionCol").toSeq)
+
+  /** A file's partition values, aligned with [[partitionColsOf]]. */
+  private[sources] def partValuesOf(snap: Snapshot,
+      file: String): Option[Seq[String]] =
+    snap.partitionOf.get(file).map { l =>
+      if (snap.meta.contains("partitionCols"))
+        l.split(",", -1).map(dec).toSeq
+      else Seq(l)
+    }
+
   /** Read only the partitions in `values`: the file list is pruned on
     * manifest metadata ALONE — no data-file footer of an excluded
     * partition is ever opened (suite-asserted via inputFiles).
@@ -1367,6 +1447,9 @@ object SnapshotTable {
     val newMeta = snap.meta
       .map {
         case ("partitionCol", `from`) => "partitionCol" -> to
+        case ("partitionCols", v) => "partitionCols" ->
+          v.split(',').map(c => if (dec(c) == from) enc(to) else c)
+            .mkString(",")
         case ("statsCols", v) => "statsCols" -> rekeyList(v)
         case ("bloomCols", v) => "bloomCols" -> rekeyList(v)
         case kv => kv
@@ -1388,7 +1471,8 @@ object SnapshotTable {
     val snap = loadCurrent(spark, table)
     require(snap.schema.fieldNames.contains(name), s"no such column $name")
     require(snap.schema.length > 1, "cannot drop the only column")
-    require(!snap.meta.get("partitionCol").contains(name),
+    require(!snap.meta.get("partitionCol").contains(name) &&
+      !partitionColsOf(snap).contains(name),
       s"cannot drop partition column $name")
     requireUnconstrained(snap, name, "drop")
     val cm = colMapOf(snap)
@@ -2035,7 +2119,8 @@ object SnapshotTable {
     // partitioned tables compact per partition (stageFor re-labels);
     // unpartitioned ones into ~targetMB files
     val (fresh, labels, stats, extras) =
-      snap.meta.get("partitionCol") match {
+      if (snap.meta.contains("partitionCols")) stageFor(snap, df0, table)
+      else snap.meta.get("partitionCol") match {
         case Some(_) => stageFor(snap, df0, table)
         case None =>
           val files = stageBatch(df0.repartition(nOut), table)
@@ -2776,6 +2861,32 @@ object SnapshotTable {
       read(s, t).orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // MULTI-COLUMN partitioning end to end: a two-column PARTITIONED
+    // BY CTAS through SQL, then a DELETE whose predicate names BOTH
+    // partition columns (planned against the manifest's composite
+    // labels — subset pruning suite-asserted) and an UPDATE that only
+    // touches data columns. The oracle replays the logical history
+    // over the derived-bucket projection.
+    "q_table_multipart" -> ((s, d) => {
+      val t = scratch(s, d, "mp")
+      fs(s, t).delete(new Path(t), true)
+      graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .withColumn("pbucket", col("o_orderkey") % 4)
+        .createOrReplaceTempView("graft_mp_src")
+      graft.GraftExtensions.register(s)
+      s.sql(s"""SELECT * FROM graft_dml("CREATE TABLE `$t` """ +
+        """PARTITIONED BY (o_orderstatus, pbucket) """ +
+        """AS SELECT * FROM graft_mp_src")""").collect()
+      s.sql(s"""SELECT * FROM graft_dml("DELETE FROM `$t` """ +
+        """WHERE o_orderstatus = 'O' AND pbucket = 2")""").collect()
+      s.sql(s"""SELECT * FROM graft_dml("UPDATE `$t` """ +
+        """SET o_totalprice = o_totalprice * 2 """ +
+        """WHERE o_orderkey % 100 = 0")""").collect()
+      read(s, t).orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
     // COLUMN MAPPING end to end: rename + drop + int->bigint widening,
     // all METADATA-ONLY (zero file churn — suite-asserted), then a
     // post-evolution append (new-generation files under the new
@@ -3153,6 +3264,20 @@ object SnapshotTable {
         |ORDER BY o_orderkey ASC NULLS FIRST,
         |  o_totalprice ASC NULLS FIRST,
         |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+    // the two-column-partitioned lifecycle replayed logically over the
+    // derived-bucket projection; *2 is exponent-only IEEE
+    "q_table_multipart" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    o_orderkey % 4 AS pbucket
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+        |    ELSE o_totalprice END AS o_totalprice,
+        |  pbucket
+        |FROM base
+        |WHERE NOT (o_orderstatus = 'O' AND pbucket = 2)
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     // the schema-evolution history replayed logically: rename = alias,
     // drop = omission, widen = CAST, then the post-evolution append
     // and the update CASE over the union

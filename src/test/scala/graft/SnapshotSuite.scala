@@ -1983,6 +1983,71 @@ class SnapshotSuite extends AnyFunSuite {
         org.apache.spark.sql.types.StringType, nullable = true)))
   }
 
+  test("multi-column partitioning: nested dirs, subset pruning on " +
+      "any column, mutations keep composite labels, SQL CTAS") {
+    val t = freshTable("multipart")
+    import spark.implicits._
+    import graft.sources.SnapshotScan
+    val df = (for {
+      g <- Seq("a", "b", "c"); r <- Seq("x", "y"); i <- 1 to 10
+    } yield (i.toLong + (g + r).hashCode.abs % 97 * 100, g, r, i * 1.5))
+      .toDF("k", "grp", "reg", "v")
+    SnapshotTable.createPartitioned(spark, t, df, Seq("grp", "reg"))
+    val snap = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap.partitionOf.size === snap.files.size,
+      "every file must carry its composite label")
+    assert(snap.files.forall(f =>
+      f.contains("__part0=") && f.contains("__part1=")),
+      "files must live in nested partition dirs")
+    assert(SnapshotTable.read(spark, t).count() === df.count())
+    // planned-file counts: both columns, either column alone, none
+    def planned(pred: Option[org.apache.spark.sql.Column]): Int = {
+      val (scan, idx) = SnapshotScan.scan(spark, t)
+      val q = pred.map(scan.filter).getOrElse(scan)
+      q.count()
+      idx.lastPlannedFiles
+    }
+    val total = planned(None)
+    assert(total === snap.files.size)
+    val both = planned(Some(col("grp") === "a" && col("reg") === "x"))
+    val first = planned(Some(col("grp") === "a"))
+    val second = planned(Some(col("reg") === "y"))
+    assert(both < first && first < total,
+      s"both-column pruning must beat one-column ($both/$first/$total)")
+    assert(second < total,
+      s"a predicate on the SECOND column alone must prune " +
+        s"($second/$total) — subset, not prefix-only")
+    // correctness under pruning
+    assert(SnapshotScan.scan(spark, t)._1
+      .filter(col("grp") === "a" && col("reg") === "x").count() ===
+      df.filter(col("grp") === "a" && col("reg") === "x").count())
+    // mutations re-label from row values: migrate a row across both
+    // partition columns
+    val (_, m, _) = SnapshotTable.updateWhere(spark, t,
+      col("grp") === "a" && col("reg") === "x" && col("v") === 1.5,
+      Map("grp" -> lit("c"), "reg" -> lit("y"), "v" -> lit(999.0)))
+    assert(m === 1L)
+    val snap2 = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap2.partitionOf.size === snap2.files.size,
+      "mutation must not shed composite labels")
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("grp") === "c" && col("reg") === "y" &&
+        col("v") === 999.0).count() === 1L)
+    // SQL CTAS with a two-column PARTITIONED BY
+    val t2 = freshTable("multipartctas")
+    graft.GraftExtensions.register(spark)
+    spark.sql(s"""SELECT * FROM graft_dml("CREATE TABLE `$t2` """ +
+      s"""PARTITIONED BY (grp, reg) AS SELECT * FROM """ +
+      s"""graft_snapshot('$t')")""").collect()
+    val snap3 = SnapshotTable.readManifest(spark, t2,
+      SnapshotTable.currentVersion(spark, t2))
+    assert(snap3.meta.get("partitionCols").isDefined)
+    assert(SnapshotTable.read(spark, t2).count() ===
+      SnapshotTable.read(spark, t).count())
+  }
+
   test("string stats prune in code-point order, not UTF-16 order") {
     // UTF-16 code units order U+E000 AFTER the surrogate pair for
     // U+10000; code points (= UTF8String binary, the order min/max were
