@@ -47,9 +47,50 @@ import org.apache.spark.sql.types.StructType
   * vectors.
   */
 class GraftDataSource extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** table schema + change_type: the shape of the streaming change
+    * feed ([[org.apache.spark.sql.GraftChangeSource]]).
+    */
+  private def changeSchemaOf(spark: SparkSession,
+      table: String): StructType = {
+    val v = SnapshotTable.currentVersion(spark, table)
+    require(v > 0, s"no committed snapshot at $table — the change " +
+      "feed needs an existing table")
+    StructType(SnapshotTable.readManifest(spark, table, v).schema.fields
+      :+ org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType, nullable = true))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft", changeSchemaOf(sqlContext.sparkSession, pathOf(parameters)))
+
+  /** `spark.readStream.format("graft").load(path)`: the change feed
+    * as a streaming source whose checkpointed offsets are snapshot
+    * versions. `option("fromVersion", v)` starts the feed after
+    * version v; the default (0) emits the whole starting snapshot as
+    * an initial insert batch, then tails commits.
+    */
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val table = pathOf(parameters)
+    val base = parameters.get("fromVersion").map { v =>
+      require(scala.util.Try(v.trim.toLong).isSuccess,
+        s"fromVersion must be a version number, got '$v'")
+      v.trim.toLong
+    }.getOrElse(0L)
+    new org.apache.spark.sql.GraftChangeSource(spark, table, base,
+      changeSchemaOf(spark, table))
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(

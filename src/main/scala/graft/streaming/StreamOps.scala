@@ -244,15 +244,84 @@ object StreamOps {
       }
       .start()
 
+  /** The snapshot change feed consumed as a FIRST-CLASS streaming
+    * source (`readStream.format("graft")` — GraftChangeSource, whose
+    * checkpointed offsets are snapshot versions): one aggregate over
+    * the full event stream of a create + update + delete + append
+    * lifecycle, each version its own micro-batch
+    * (processAllAvailable between mutations pins the batch
+    * boundaries, so the per-version CDC netting is deterministic and
+    * the oracle can replay the event multiset exactly).
+    */
+  private def tableCdf(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = s"/tmp/graft_stream_cdf_${s.sparkContext.applicationId}_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+    val t = s"$root/t"
+    val orders = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    SnapshotTable.create(s, t, orders, numFiles = 4)
+    val agg = s.readStream.format("graft").option("path", t).load()
+      .groupBy(col("change_type"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("graft_cdf_events")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      q.processAllAvailable() // v1: the full snapshot as inserts
+      SnapshotTable.updateWhere(s, t, col("o_orderkey") % 100 === 0,
+        Map("o_orderstatus" -> lit("X")))
+      q.processAllAvailable() // v2: netted delete+insert pairs
+      SnapshotTable.deleteWhere(s, t, col("o_orderkey") % 17 === 3)
+      q.processAllAvailable() // v3: deletes of the then-current rows
+      SnapshotTable.append(s, t,
+        orders.filter(col("o_orderkey") % 500 === 11)
+          .select((col("o_orderkey") + 20000000).as("o_orderkey"),
+            lit("I").as("o_orderstatus"), col("o_totalprice")))
+      q.processAllAvailable() // v4: appended inserts
+    } finally q.stop()
+    s.table("graft_cdf_events")
+      .orderBy(col("change_type").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (session _),
     "q_stream_watermark_late" -> ((s, d) => watermarkLate(s, d)),
-    "q_stream_join" -> (streamJoinBatch _)
+    "q_stream_join" -> (streamJoinBatch _),
+    "q_stream_table_cdf" -> (tableCdf _)
   )
 
   val oracle: Map[String, String] = Map(
+    // the change-event multiset replayed version by version: v1 = all
+    // rows as inserts; v2 = a delete (old status) + insert ('X') pair
+    // per %100 match; v3 = deletes of the post-update rows matching
+    // %17; v4 = the appended 'I' inserts
+    "q_stream_table_cdf" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders),
+        |v2m AS (SELECT * FROM v1 WHERE o_orderkey % 100 = 0),
+        |cur2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 'X'
+        |      ELSE o_orderstatus END AS o_orderstatus
+        |  FROM v1),
+        |events AS (
+        |  SELECT 'insert' AS ct, o_orderstatus FROM v1
+        |  UNION ALL SELECT 'delete', o_orderstatus FROM v2m
+        |  UNION ALL SELECT 'insert', 'X' FROM v2m
+        |  UNION ALL SELECT 'delete', o_orderstatus FROM cur2
+        |    WHERE o_orderkey % 17 = 3
+        |  UNION ALL SELECT 'insert', 'I' FROM orders
+        |    WHERE o_orderkey % 500 = 11)
+        |SELECT ct AS change_type, o_orderstatus, count(1) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY change_type ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |  count(1) AS n, floor((sum(value)) * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS total

@@ -1,0 +1,73 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+/** The snapshot-table CHANGE FEED as a first-class Structured
+  * Streaming source: `spark.readStream.format("graft").load(path)`.
+  *
+  * Offsets ARE snapshot versions. The engine checkpoints them in its
+  * offset log like any other source, so a restarted query resumes from
+  * the exact committed version — exactly-once with zero bookkeeping in
+  * user code (the property the previous rate-source + foreachBatch
+  * poller could not offer: its cursor lived in driver memory and reset
+  * on restart). Each micro-batch is `changesBetween(startV, endV)` —
+  * manifest-diff files only, IO ∝ churn — with `fromVersion = 0`
+  * (the default) emitting the full starting snapshot as an initial
+  * `insert` batch first, the Delta `startingVersion` semantics.
+  *
+  * This is the v1 `Source` integration shape (the Delta OSS lineage):
+  * `getBatch` can return an arbitrary Catalyst-planned DataFrame —
+  * the change feed is a JOIN/EXCEPT-ALL plan over pruned file sets,
+  * not a file list, so the row-at-a-time DSv2 `PartitionReader`
+  * contract would force either a driver collect per batch or a
+  * hand-rolled parquet reader. The file sits in the
+  * `org.apache.spark.sql` package for the same `private[sql]` bridge
+  * reason as [[GraftShim]]: `internalCreateDataFrame(isStreaming =
+  * true)` is how a v1 source hands the engine a streaming-tagged
+  * frame.
+  *
+  * The schema is pinned at stream start (table schema + `change_type`);
+  * additive evolution mid-stream reads missing new columns as absent
+  * from the feed until restart, like Delta.
+  */
+final class GraftChangeSource(spark: SparkSession, table: String,
+    base: Long, override val schema: StructType) extends Source {
+
+  private def longOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val v = graft.sources.SnapshotTable.currentVersion(spark, table)
+    if (v <= base) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(longOf).getOrElse(base)
+    val to = longOf(end)
+    val batch =
+      if (to <= from)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+      else if (from == 0L)
+        // stream-from-birth: the whole first visible snapshot is the
+        // initial insert batch (there is no v0 manifest to diff)
+        graft.sources.SnapshotTable.read(spark, table, Some(to))
+          .withColumn("change_type", lit("insert"))
+      else
+        graft.sources.SnapshotTable.changesBetween(spark, table, from, to)
+    val aligned = batch.select(
+      schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      aligned.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"GraftChangeSource[$table, from v$base]"
+}
