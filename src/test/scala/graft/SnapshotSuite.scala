@@ -1743,10 +1743,15 @@ class SnapshotSuite extends AnyFunSuite {
       s"provider scan must prune via the manifest, planned " +
         s"${idx.lastPlannedFiles} of 8")
 
-    // DV-bearing snapshots read through the merge-on-read fallback —
-    // never resurrect vector-deleted rows
+    // DV-bearing snapshots read through the merge-on-read fallback:
+    // surviving rows decode correctly (a REAL row-stream assertion,
+    // not just an empty count) and vector-deleted rows never surface
+    Seq((8L, "p", 8.0), (9L, "q", 9.0)).toDF("k", "s", "v")
+      .write.format("graft").mode("append").save(t)
     SnapshotTable.deleteWhereVector(spark, t, col("k") === 7L)
-    assert(spark.read.format("graft").load(t).count() === 0L)
+    val dvRows = spark.read.format("graft").load(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(dvRows === Set((8L, "p", 8.0), (9L, "q", 9.0)))
   }
 
   test("catalog-named graft tables: CREATE/SELECT on any session, " +
