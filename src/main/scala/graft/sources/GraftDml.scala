@@ -456,12 +456,16 @@ object GraftDml {
       m: MergeIntoTable): (Long, Long, Long, Long, Int) = {
     import org.apache.spark.sql.catalyst.plans.logical.{
       DeleteAction, InsertAction, UpdateAction}
-    def aliasOf(p: LogicalPlan): Option[String] = p match {
-      case SubqueryAlias(id, _) => Some(id.name)
-      case _ => None
+    // qualifiers resolve against the alias when one is given, else
+    // against the relation's own NAME (standard SQL: `MERGE INTO tbl
+    // USING v ON tbl.k = v.k` is legal without AS aliases)
+    def namesOf(p: LogicalPlan): Seq[String] = p match {
+      case SubqueryAlias(id, _) => Seq(id.name)
+      case UnresolvedRelation(parts, _, _) => Seq(parts.last)
+      case _ => Nil
     }
-    val tAlias = aliasOf(m.targetTable)
-    val sAlias = aliasOf(m.sourceTable)
+    val tAlias = namesOf(m.targetTable)
+    val sAlias = namesOf(m.sourceTable)
     val source = GraftShim.ofRows(spark, m.sourceTable)
     val schema = SnapshotTable.readManifest(spark, path,
       SnapshotTable.currentVersion(spark, path)).schema

@@ -798,7 +798,18 @@ object SnapshotTable {
       case Some(v) => readManifest(spark, table, v)
       case None => loadCurrent(spark, table)
     }
-    val blooms = loadBlooms(spark, table, snap.files, column)
+    // sidecar files are immutable and keyed by the column name AT
+    // WRITE TIME: after a rename, pre-rename batches hold
+    // `bloom-<formerName>.idx` — probe the whole name lineage so
+    // point-lookup pruning survives metadata-only renames (first hit
+    // wins; each batch wrote exactly one generation)
+    val lineage = column +: colMapOf(snap).getOrElse(column, Nil)
+    val blooms = lineage.foldLeft(
+        Map.empty[String, org.apache.spark.util.sketch.BloomFilter]) {
+      (acc, name) => loadBlooms(spark, table, snap.files, name)
+        .foldLeft(acc) { case (a, (k, v)) =>
+          if (a.contains(k)) a else a + (k -> v) }
+    }
     val kept = snap.files.filter { rel =>
       blooms.get(rel) match {
         case Some(bf) => values.exists(bf.mightContainLong)
@@ -1297,10 +1308,15 @@ object SnapshotTable {
       case Some(v) => readManifest(spark, table, v)
       case None => loadCurrent(spark, table)
     }
-    require(snap.meta.contains("partitionCol"),
+    require(snap.meta.contains("partitionCol") ||
+      snap.meta.contains("partitionCols"),
       s"$table is not partitioned - use read + a filter")
+    // multi-column tables prune on the FIRST partition column's value
+    // (the single-column semantics, generalized); predicates over any
+    // other partition column go through the Catalyst scan, which
+    // prunes on the full composite tuple
     val files = snap.files.filter(f =>
-      snap.partitionOf.get(f).exists(values))
+      partValuesOf(snap, f).flatMap(_.headOption).exists(values))
     readFilesDv(spark, table, snap, files)
   }
 
@@ -1382,12 +1398,15 @@ object SnapshotTable {
   def addColumns(spark: SparkSession, table: String,
       newFields: Seq[org.apache.spark.sql.types.StructField]): Long = {
     val snap = loadCurrent(spark, table)
-    require(newFields.forall(f => !snap.schema.fieldNames.contains(f.name)),
-      "added columns must not collide with existing ones")
+    require(newFields.forall(f => !snap.schema.fieldNames
+      .exists(_.equalsIgnoreCase(f.name))),
+      "added columns must not collide with existing ones (resolution " +
+        "is case-insensitive)")
     require(newFields.forall(_.nullable),
       "added columns must be nullable (existing files have no values)")
     val retired = retiredNames(snap)
-    val reused = newFields.map(_.name).filter(retired)
+    val reused = newFields.map(_.name)
+      .filter(n => retired.exists(_.equalsIgnoreCase(n)))
     require(reused.isEmpty,
       s"column name(s) ${reused.mkString(", ")} were renamed away or " +
         "dropped — old files still hold values under them, and by-name " +
@@ -1427,14 +1446,28 @@ object SnapshotTable {
     val snap = loadCurrent(spark, table)
     require(snap.schema.fieldNames.contains(from),
       s"no such column $from")
-    require(!snap.schema.fieldNames.contains(to),
+    // guards are CASE-INSENSITIVE like Spark's read resolution: a
+    // collision differing only in case would make mappedScan request
+    // two same-named-ci read columns and brick every read under the
+    // default spark.sql.caseSensitive=false
+    val caseOnly = to.equalsIgnoreCase(from) && to != from
+    require(caseOnly || !snap.schema.fieldNames
+      .exists(_.equalsIgnoreCase(to)),
       s"column $to already exists")
-    require(!retiredNames(snap).contains(to),
+    require(caseOnly ||
+      !retiredNames(snap).exists(_.equalsIgnoreCase(to)),
       s"column name $to was renamed away or dropped — old files still " +
         "hold values under it; pick a fresh name")
     requireUnconstrained(snap, from, "rename")
     val cm = colMapOf(snap)
-    val newCm = (cm - from) + (to -> (from +: cm.getOrElse(from, Nil)))
+    // a case-ONLY rename needs no former-name entry: parquet by-name
+    // resolution is case-insensitive under the default config, so old
+    // files' `f` column answers a requested `F` directly — and a
+    // colmap entry would put both casings in one read schema
+    val newCm =
+      if (caseOnly) // carry any existing lineage forward, no new entry
+        (cm - from) ++ cm.get(from).map(l => to -> l)
+      else (cm - from) + (to -> (from +: cm.getOrElse(from, Nil)))
     val newSchema = StructType(snap.schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     def rekey(m: Map[String, (String, String)]) =
@@ -1482,19 +1515,17 @@ object SnapshotTable {
       .distinct.mkString(",")
     def strip(v: String) =
       v.split(',').filterNot(_ == name).mkString(",")
-    val newMeta = snap.meta
-      .map {
-        case ("statsCols", v) => "statsCols" -> strip(v)
-        case ("bloomCols", v) => "bloomCols" -> strip(v)
-        case kv => kv
-      } ++ Map("droppedCols" -> dropped) ++
-      (if ((cm - name).isEmpty) Map.empty[String, String]
-       else Map("colmap" -> encodeColMap(cm - name)))
-    val newMeta2 =
-      if ((cm - name).isEmpty) newMeta - "colmap" else newMeta
+    val base = snap.meta.map {
+      case ("statsCols", v) => "statsCols" -> strip(v)
+      case ("bloomCols", v) => "bloomCols" -> strip(v)
+      case kv => kv
+    } + ("droppedCols" -> dropped)
+    val newMeta =
+      if ((cm - name).isEmpty) base - "colmap"
+      else base + ("colmap" -> encodeColMap(cm - name))
     commitManifest(spark, table,
       StructType(snap.schema.fields.filterNot(_.name == name)),
-      snap.files, snap.version, newMeta2, snap.partitionOf,
+      snap.files, snap.version, newMeta, snap.partitionOf,
       snap.statsOf.map { case (f, m) => f -> (m - name) },
       snap.deleteFiles, Some(snap),
       snap.extraOf.map { case (f, m) => f -> (m - s"nulls.$name") })
@@ -1648,8 +1679,12 @@ object SnapshotTable {
     val snap = loadCurrent(spark, table)
     val (files, labels, stats, extras) = stageFor(snap,
       df.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*), table)
+    // every surviving row is freshly staged under CURRENT column names,
+    // so the replace clears the column mapping exactly like compact()
+    // — the raw FileIndex fast path resumes and retired names free up
     commitManifest(spark, table, snap.schema, files, snap.version,
-      snap.meta, labels, stats, Nil, Some(snap), extras)
+      snap.meta - "colmap" - "droppedCols", labels, stats, Nil,
+      Some(snap), extras)
   }
 
   /** Table-relative paths of the files that contain rows matching
@@ -1934,13 +1969,27 @@ object SnapshotTable {
       col(s"`$c`").as(s"__s_$c")).toIndexedSeq: _*)
       .withColumn("__m", lit(true))
     val sKeys = on.map { case (_, s) => col(s"`__s_$s`") }
-    // Delta cardinality rule, checked on the ON projection only (one
-    // small aggregate over the source, not a join blow-up later)
-    require(srcP.groupBy(sKeys: _*).count()
-      .filter(col("count") > 1).limit(1).count() == 0L,
-      "MERGE source has multiple rows per ON key — a matched target " +
-        "row would update nondeterministically (the Delta cardinality " +
-        "rule); de-duplicate the source first")
+    // Delta cardinality rule: error ONLY when a TARGET row would match
+    // more than one source row (that update would be
+    // nondeterministic). Duplicate source keys that match nothing —
+    // including NULL keys, which never equi-match — are legal and
+    // simply flow to the insert clauses, so the dup candidates are
+    // semi-joined against the live target keys before raising. The
+    // check is skipped outright when no clause can claim a matched row.
+    if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
+      val dupKeys = srcP.groupBy(sKeys: _*).count()
+        .filter(col("count") > 1).drop("count")
+      val tKeys = readFilesDv(spark, table, snap, snap.files)
+        .select(on.map { case (t, _) => col(s"`$t`") }.toIndexedSeq: _*)
+        .distinct()
+      val offending = dupKeys.join(tKeys,
+        on.map { case (t, s) => col(s"`__s_$s`") === tKeys(t) }
+          .reduce(_ && _), "left_semi")
+      require(offending.limit(1).count() == 0L,
+        "MERGE source has multiple rows per ON key for a matched " +
+          "target row — the update would be nondeterministic (the " +
+          "Delta cardinality rule); de-duplicate the source first")
+    }
     def condOf(c: Option[Column]): Column =
       c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
     // first-match-wins fold: when(c1, v1).otherwise(when(c2, v2)...)
@@ -1978,10 +2027,10 @@ object SnapshotTable {
     val isM = col("__m").isNotNull
     val obs = org.apache.spark.sql.Observation(
       s"graft-mrgf-${java.util.UUID.randomUUID()}")
-    val (rewritten, nUpd, nDel, anyKept) = if (hit.isEmpty)
+    val (rewritten, nUpd, nDel) = if (hit.isEmpty)
       ((Nil: Seq[String], Map.empty[String, String],
         Map.empty[String, Map[String, (String, String)]],
-        Map.empty[String, Map[String, String]]), 0L, 0L, true)
+        Map.empty[String, Map[String, String]]), 0L, 0L)
     else {
       val touched = readFilesDv(spark, table, snap, hit)
       val joined = touched.join(srcP,
@@ -2037,7 +2086,7 @@ object SnapshotTable {
             Map.empty[String, Map[String, (String, String)]],
             Map.empty[String, Map[String, String]])
         }
-      (fresh, upd, del, kept > 0L)
+      (fresh, upd, del)
     }
 
     // ----- insert pass: source rows matching NO live target row, first
@@ -2412,10 +2461,23 @@ object SnapshotTable {
       }
     val outCols = to.schema.fieldNames
     val oldHas = from.schema.fieldNames.toSet
+    // COLUMN-MAPPING bridge across the endpoints: a column renamed
+    // between `from` and `to` exists in the old snapshot under a
+    // FORMER name (the `to` manifest's colmap records the lineage).
+    // Matching by current name alone would null-fill the old side —
+    // delete events would lose their pre-images and unchanged rows in
+    // rewritten files would stop cancelling in the EXCEPT ALL,
+    // emitting spurious insert+delete pairs. NULL-fill only when no
+    // lineage name exists in the old schema (a genuinely added column,
+    // also widened to the new type below for the union).
+    val lineageOf = colMapOf(to)
+    def oldNameOf(c: String): Option[String] =
+      (c +: lineageOf.getOrElse(c, Nil)).find(oldHas)
     val oldRows = readFilesDv(spark, table, from, removed ++ dvTargets)
-      .select(outCols.map(c =>
-        if (oldHas(c)) col(c)
-        else lit(null).cast(to.schema(c).dataType).as(c)).toIndexedSeq: _*)
+      .select(outCols.map(c => oldNameOf(c) match {
+        case Some(o) => col(s"`$o`").cast(to.schema(c).dataType).as(c)
+        case None => lit(null).cast(to.schema(c).dataType).as(c)
+      }).toIndexedSeq: _*)
     val newRows = readFilesDv(spark, table, to, added ++ dvTargets)
       .select(outCols.map(col).toIndexedSeq: _*)
     newRows.exceptAll(oldRows).withColumn("change_type", lit("insert"))

@@ -1791,6 +1791,16 @@ class SnapshotSuite extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
       assert(fin === Set((1L, "a", 10.0), (3L, "C", 30.0),
         (4L, "d", 4.0), (5L, "e", 5.0)))
+      // alias-less MERGE: standard SQL qualifies by the relation NAMES
+      // when no AS alias is given — must not require aliases
+      s2.createDataFrame(Seq((6L, "g", 66.0))).toDF("k", "s", "v")
+        .createOrReplaceTempView("graft_cat_src2")
+      s2.sql(s"MERGE INTO $name USING graft_cat_src2 " +
+        s"ON $name.k = graft_cat_src2.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()
+      assert(s2.sql(s"SELECT * FROM $name WHERE k = 6").count() === 1L,
+        "alias-less qualified MERGE must resolve by relation name")
       // the graft_dml procedure TVF accepts names too (and composes
       // with the session parser's own interception — the re-parse
       // yields the command form, which runParsed unwraps)
@@ -1809,7 +1819,7 @@ class SnapshotSuite extends AnyFunSuite {
     val name2 = s"graft_cat_plain_${System.nanoTime()}"
     try {
       spark.sql(s"CREATE TABLE $name2 USING graft LOCATION '$t'")
-      assert(spark.sql(s"SELECT * FROM $name2").count() === 4L)
+      assert(spark.sql(s"SELECT * FROM $name2").count() === 5L)
       val ex = intercept[Exception] {
         spark.sql(s"INSERT INTO $name2 VALUES (9, 'x', 9.0)")
       }
@@ -1819,7 +1829,7 @@ class SnapshotSuite extends AnyFunSuite {
       assert(rootCauseChain(ex).exists(_.contains("not supported")),
         s"plain-session INSERT must hit the read-only guard, got $ex")
       spark.sql(s"REFRESH TABLE $name2")
-      assert(spark.sql(s"SELECT * FROM $name2").count() === 4L,
+      assert(spark.sql(s"SELECT * FROM $name2").count() === 5L,
         "the failed raw insert must not have changed the table")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $name2")
@@ -1904,8 +1914,9 @@ class SnapshotSuite extends AnyFunSuite {
       fin3.contains((3L, "n", 333.0, 9L)),
       "a half-matching key must insert, not update")
 
-    // the Delta cardinality rule: duplicate source keys are an error
-    s2.createDataFrame(Seq((1L, "x", 1.0), (1L, "y", 2.0)))
+    // the Delta cardinality rule: duplicate source keys MATCHING a
+    // live target row are an error (k=3 survived the precedence merge)
+    s2.createDataFrame(Seq((3L, "x", 1.0), (3L, "y", 2.0)))
       .toDF("k", "s", "v").createOrReplaceTempView("mergedup_src")
     val ex = intercept[Exception] {
       s2.sql(s"""MERGE INTO `$t2` tg USING mergedup_src sr
@@ -2051,6 +2062,97 @@ class SnapshotSuite extends AnyFunSuite {
     assert(snap3.meta.get("partitionCols").isDefined)
     assert(SnapshotTable.read(spark, t2).count() ===
       SnapshotTable.read(spark, t).count())
+  }
+
+  test("column mapping interplay: CDC spans a rename exactly, " +
+      "case-only renames stay readable, bloom pruning survives, " +
+      "INSERT OVERWRITE clears the mapping, readWhere on multi tables") {
+    import spark.implicits._
+    import graft.sources.SnapshotScan
+    // --- CDC across a rename boundary: pre-images keep real values,
+    // carried-through rows still cancel (no spurious pairs)
+    val t = freshTable("cdcren")
+    SnapshotTable.create(spark,
+      t, Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
+        .toDF("k", "s", "v"), numFiles = 1) // v1
+    SnapshotTable.renameColumn(spark, t, "s", "label") // v2 (meta-only)
+    SnapshotTable.updateWhere(spark, t, col("k") === 2L,
+      Map("v" -> lit(22.0))) // v3 rewrites the single file
+    val ch = SnapshotTable.changesBetween(spark, t, 1L, 3L).collect()
+      .map(r => (r.getAs[String]("change_type"), r.getLong(0),
+        r.getAs[String]("label"), r.getDouble(2))).toSet
+    assert(ch === Set(("delete", 2L, "y", 20.0),
+      ("insert", 2L, "y", 22.0)),
+      s"CDC must read pre-rename files through the lineage, got $ch")
+    // the streaming CDF source spans the rename the same way
+    // --- case-only rename: pure relabel, NO colmap entry, reads fine
+    SnapshotTable.renameColumn(spark, t, "label", "Label")
+    assert(SnapshotTable.read(spark, t).columns.toSeq ===
+      Seq("k", "Label", "v"))
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("Label") === "y").count() === 1L)
+    // ...and the raw scan still works (no mapping was recorded beyond
+    // the earlier real rename; compact clears that one)
+    SnapshotTable.compact(spark, t)
+    assert(SnapshotScan.scan(spark, t)._1.count() === 3L)
+    // --- INSERT OVERWRITE (replaceContents) clears the mapping like
+    // compact: fresh files under current names, fast path resumes
+    val t2 = freshTable("rcclear")
+    SnapshotTable.create(spark, t2,
+      Seq((1L, "a")).toDF("k", "s"), numFiles = 1)
+    SnapshotTable.renameColumn(spark, t2, "s", "name")
+    intercept[IllegalArgumentException] { SnapshotScan.scan(spark, t2) }
+    SnapshotTable.replaceContents(spark, t2,
+      SnapshotTable.read(spark, t2))
+    assert(SnapshotScan.scan(spark, t2)._1.columns.toSeq ===
+      Seq("k", "name"))
+    // --- bloom point-lookup pruning survives a rename: pre-rename
+    // sidecars are keyed by the FORMER name and found via the lineage
+    val tb = freshTable("bloomren")
+    SnapshotTable.createBloomIndexed(spark, tb, orders,
+      Seq("o_orderkey"), numFiles = 8)
+    SnapshotTable.renameColumn(spark, tb, "o_orderkey", "okey")
+    val key = orders.select(min(col("o_orderkey"))).head().getLong(0)
+    val probe = SnapshotTable.readWherePoint(spark, tb, "okey", Set(key))
+    assert(probe.count() === 1L)
+    assert(probe.inputFiles.length <= 2,
+      s"post-rename bloom pruning lost: opened " +
+        s"${probe.inputFiles.length} of 8")
+    // --- readWhere prunes multi-column tables on the first column
+    val tm = freshTable("rwmulti")
+    SnapshotTable.createPartitioned(spark, tm,
+      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "y"))
+        .toDF("k", "g", "r"), Seq("g", "r"))
+    val rw = SnapshotTable.readWhere(spark, tm, Set("a"))
+    assert(rw.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("full MERGE cardinality rule fires only for MATCHED duplicate " +
+      "keys; unmatched and NULL duplicates flow to the insert clauses") {
+    val t = freshTable("mergecard")
+    import spark.implicits._
+    SnapshotTable.create(spark, t,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), numFiles = 1)
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    // duplicate keys that match NO target row: both rows insert
+    s2.createDataFrame(Seq((9L, 90.0), (9L, 91.0)))
+      .toDF("k", "v").createOrReplaceTempView("card_src")
+    val r = s2.sql(s"MERGE INTO `$t` tg USING card_src sr " +
+      "ON tg.k = sr.k WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *").head()
+    assert(r.getLong(2) === 2L, "unmatched duplicates must both insert")
+    assert(SnapshotTable.read(spark, t).filter(col("k") === 9L)
+      .count() === 2L)
+    // duplicate keys that DO match a target row: hard error
+    s2.createDataFrame(Seq((1L, 10.0), (1L, 11.0)))
+      .toDF("k", "v").createOrReplaceTempView("card_dup")
+    val ex = intercept[Exception] {
+      s2.sql(s"MERGE INTO `$t` tg USING card_dup sr " +
+        "ON tg.k = sr.k WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()
+    }
+    assert(ex.getMessage.contains("multiple rows per ON key"))
   }
 
   test("string stats prune in code-point order, not UTF-16 order") {
