@@ -75,7 +75,16 @@ object ScaleAudit {
     // UPDATE/DELETE/MERGE/INSERT lowered through GraftDml onto the
     // file-granular verbs) — the parse/lowering layer must add no
     // super-linear cost over the q_table_snapshot lifecycle it wraps
-    "q_table_sql_dml")
+    "q_table_sql_dml",
+    // round 14: the named-catalog lifecycle (provider write + catalog
+    // DDL + DML by name), the full-clause MERGE (conditional clauses +
+    // NMBS probe + cardinality semi-join must all stay ∝ matches), the
+    // column-mapping evolution (metadata-only commits + coalesce-read
+    // over mixed generations), multi-column partitioning (nested
+    // staging + composite-label pruning), and the streaming change
+    // feed (per-version micro-batches, IO ∝ churn)
+    "q_table_catalog", "q_table_merge_full", "q_table_schema_evolution",
+    "q_table_multipart", "q_stream_table_cdf")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0
