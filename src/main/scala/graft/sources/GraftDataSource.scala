@@ -143,12 +143,16 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val spark = sqlContext.sparkSession
     val table = pathOf(parameters)
     val exists = GraftDml.snapshotPathOf(spark, Seq(table)).isDefined
-    val pcol = parameters.get("partitionCol")
+    // partitionCol '<c>' (single) or partitionCols 'a,b' (multi) on
+    // the CREATE path; appends inherit the table's declared layout
+    val pcols: Seq[String] =
+      parameters.get("partitionCols")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .orElse(parameters.get("partitionCol").map(Seq(_)))
+        .getOrElse(Nil)
     def createNew(): Unit = {
-      pcol match {
-        case Some(c) => SnapshotTable.createPartitioned(spark, table, data, c)
-        case None => SnapshotTable.create(spark, table, data)
-      }
+      if (pcols.isEmpty) SnapshotTable.create(spark, table, data)
+      else SnapshotTable.createPartitioned(spark, table, data, pcols)
       ()
     }
     mode match {

@@ -298,15 +298,33 @@ object GraftDml {
       val aligned = (if (i.byName) {
         // INSERT INTO ... BY NAME (Spark 3.5 grammar): align by the
         // query's own column names — positional alignment here would
-        // silently insert values into the wrong columns
-        require(src.columns.map(_.toLowerCase).sorted.toSeq ==
-          schema.fieldNames.map(_.toLowerCase).toSeq.sorted,
-          "INSERT BY NAME query columns must cover the table schema " +
-            s"exactly (got ${src.columns.mkString(", ")})")
+        // silently insert values into the wrong columns. A SUBSET of
+        // the table columns is legal like the explicit-column-list
+        // path: omitted nullable columns fill with typed NULLs
+        // (Delta's BY NAME semantics); unknown/duplicate names stay
+        // hard errors
+        val srcLower = src.columns.map(_.toLowerCase)
+        require(srcLower.distinct.length == srcLower.length,
+          "INSERT BY NAME query repeats a column " +
+            s"(${src.columns.mkString(", ")})")
+        val known = schema.fieldNames.map(_.toLowerCase).toSet
+        val unknown = srcLower.filterNot(known)
+        require(unknown.isEmpty,
+          "INSERT BY NAME query names unknown columns: " +
+            s"${unknown.mkString(", ")}")
+        val omittedNonNull = schema.filter(f =>
+          !f.nullable && !srcLower.contains(f.name.toLowerCase))
+        require(omittedNonNull.isEmpty,
+          "INSERT BY NAME omits non-nullable columns: " +
+            s"${omittedNonNull.map(_.name).mkString(", ")}")
         val byLower = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
         src.select(src.columns.map(n =>
           c(s"`$n`").as(byLower(n.toLowerCase))).toIndexedSeq: _*)
-          .select(schema.fieldNames.map(n => c(s"`$n`")).toIndexedSeq: _*)
+          .select(schema.map { f =>
+            if (srcLower.contains(f.name.toLowerCase)) c(s"`${f.name}`")
+            else org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
       } else if (i.userSpecifiedCols.nonEmpty) {
         require(i.userSpecifiedCols.length == src.columns.length,
           s"INSERT column list arity ${i.userSpecifiedCols.length} != " +

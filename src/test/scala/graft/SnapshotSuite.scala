@@ -1308,8 +1308,11 @@ class SnapshotSuite extends AnyFunSuite {
       "by name") {
     import spark.implicits._
     val t = freshTable("updcast")
+    // Option[_] keeps v NULLABLE (product encoders make primitives
+    // non-null), which the BY-NAME-subset NULL-fill below needs
     SnapshotTable.create(spark, t,
-      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), numFiles = 1)
+      Seq((1L, Option(10.0)), (2L, Option(20.0))).toDF("k", "v"),
+      numFiles = 1)
     // int literal into a double column stays double-typed parquet —
     // the committed version must remain readable under the schema
     SnapshotTable.updateWhere(spark, t, col("k") === 1L,
@@ -1338,6 +1341,17 @@ class SnapshotSuite extends AnyFunSuite {
     assert(SnapshotTable.read(spark, t).filter(col("k") === 30L)
       .head().getDouble(1) === 5.5,
       "BY NAME must put 5.5 in v and 30 in k, never positionally")
+    // BY NAME with a SUBSET of columns: omitted nullable columns fill
+    // with typed NULLs (Delta semantics); unknown names stay errors
+    spark.sql(s"""SELECT * FROM graft_dml("INSERT INTO `$t` BY NAME """ +
+      """SELECT 31 AS k")""").collect()
+    val sub = SnapshotTable.read(spark, t).filter(col("k") === 31L).head()
+    assert(sub.isNullAt(sub.fieldIndex("v")),
+      "BY NAME subset must NULL-fill omitted columns")
+    val exbn = intercept[Exception] { spark.sql(
+      s"""SELECT * FROM graft_dml("INSERT INTO `$t` BY NAME """ +
+        """SELECT 1 AS nope")""").collect() }
+    assert(exbn.getMessage.contains("unknown columns"))
   }
 
   test("retention floor: expired chain-retained versions are excluded " +
@@ -2118,11 +2132,17 @@ class SnapshotSuite extends AnyFunSuite {
     assert(probe.inputFiles.length <= 2,
       s"post-rename bloom pruning lost: opened " +
         s"${probe.inputFiles.length} of 8")
-    // --- readWhere prunes multi-column tables on the first column
+    // --- readWhere prunes multi-column tables on the first column;
+    // the writer API creates multi-partitioned tables via the
+    // partitionCols option
     val tm = freshTable("rwmulti")
-    SnapshotTable.createPartitioned(spark, tm,
-      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "y"))
-        .toDF("k", "g", "r"), Seq("g", "r"))
+    Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "y"))
+      .toDF("k", "g", "r")
+      .write.format("graft").option("partitionCols", "g,r")
+      .mode("errorifexists").save(tm)
+    assert(SnapshotTable.readManifest(spark, tm,
+      SnapshotTable.currentVersion(spark, tm))
+      .meta.contains("partitionCols"))
     val rw = SnapshotTable.readWhere(spark, tm, Set("a"))
     assert(rw.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
   }
