@@ -61,7 +61,14 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val v = SnapshotTable.currentVersion(spark, table)
     require(v > 0, s"no committed snapshot at $table — the change " +
       "feed needs an existing table")
-    StructType(SnapshotTable.readManifest(spark, table, v).schema.fields
+    val base = SnapshotTable.readManifest(spark, table, v).schema
+    // fail at STREAM DEFINITION, not in the first micro-batch: a data
+    // column named change_type would collide with the feed's marker
+    // (Delta reserves its CDF column names for the same reason)
+    require(!base.fieldNames.exists(_.equalsIgnoreCase("change_type")),
+      s"$table has a column named change_type — the change feed " +
+        "reserves that name; rename the column to stream this table")
+    StructType(base.fields
       :+ org.apache.spark.sql.types.StructField("change_type",
         org.apache.spark.sql.types.StringType, nullable = true))
   }
@@ -108,9 +115,14 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     GraftDataSource.relationFor(spark, table, version)
   }
 
-  /** `CREATE TABLE name (<schema>) USING graft LOCATION p` on a fresh
-    * location: bootstrap an EMPTY snapshot table with that schema, so
-    * the name is immediately insertable. On an existing table the
+  /** Schema-supplied resolution. Bootstrapping an EMPTY table from the
+    * declared schema (`CREATE TABLE name (<schema>) USING graft
+    * OPTIONS (createIfMissing 'true') LOCATION p`) is OPT-IN: this
+    * same method services every schema-supplied READ — including a
+    * catalog SELECT whose stored schema rides along — so an implicit
+    * bootstrap would turn a typo'd load path, or a table directory
+    * lost out-of-band, into a silently-created empty table returning
+    * zero rows where a loud error is owed. On an existing table the
     * declared schema must match the manifest (a silent cast here would
     * be a wrong-answer class).
     */
@@ -120,9 +132,19 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val spark = sqlContext.sparkSession
     val table = pathOf(parameters)
     if (GraftDml.snapshotPathOf(spark, Seq(table)).isEmpty) {
+      require(parameters.get("createIfMissing").exists(_.toBoolean),
+        s"no snapshot table at $table — to bootstrap an empty table " +
+          "from the declared schema pass OPTIONS (createIfMissing " +
+          "'true'); a read must fail loudly, not create tables")
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
-      SnapshotTable.create(spark, table, empty, numFiles = 1)
+      // honor the declared partitioning — an empty partitioned create
+      // commits the layout metadata so every later INSERT labels files
+      partitionColsOf(parameters) match {
+        case Nil => SnapshotTable.create(spark, table, empty, numFiles = 1)
+        case cols => SnapshotTable.createPartitioned(spark, table,
+          empty, cols)
+      }
     } else {
       val existing = SnapshotTable.readManifest(spark, table,
         SnapshotTable.currentVersion(spark, table)).schema
@@ -143,26 +165,45 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val spark = sqlContext.sparkSession
     val table = pathOf(parameters)
     val exists = GraftDml.snapshotPathOf(spark, Seq(table)).isDefined
-    // partitionCol '<c>' (single) or partitionCols 'a,b' (multi) on
-    // the CREATE path; appends inherit the table's declared layout
-    val pcols: Seq[String] =
-      parameters.get("partitionCols")
-        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-        .orElse(parameters.get("partitionCol").map(Seq(_)))
-        .getOrElse(Nil)
+    val pcols = partitionColsOf(parameters)
     def createNew(): Unit = {
       if (pcols.isEmpty) SnapshotTable.create(spark, table, data)
       else SnapshotTable.createPartitioned(spark, table, data, pcols)
       ()
     }
+    // writes into an EXISTING table go through the same align-by-name
+    // + cast discipline as SQL INSERT: a frame whose column names
+    // drift (e.g. 'value' for 'v') must error, never commit a file
+    // the schema'd reader silently NULL-fills; a type drift must cast,
+    // never stage mistyped parquet that poisons every later read
+    def aligned(): org.apache.spark.sql.DataFrame = {
+      val schema = SnapshotTable.readManifest(spark, table,
+        SnapshotTable.currentVersion(spark, table)).schema
+      val srcLower = data.columns.map(_.toLowerCase)
+      require(srcLower.distinct.length == srcLower.length,
+        s"write frame repeats a column (${data.columns.mkString(", ")})")
+      val known = schema.fieldNames.map(_.toLowerCase).toSet
+      val unknown = srcLower.filterNot(known)
+      require(unknown.isEmpty,
+        s"write frame has columns the table lacks: " +
+          s"${unknown.mkString(", ")} (table: " +
+          s"${schema.fieldNames.mkString(", ")})")
+      val missing = schema.fieldNames
+        .filterNot(n => srcLower.contains(n.toLowerCase))
+      require(missing.isEmpty,
+        s"write frame is missing table columns: ${missing.mkString(", ")}")
+      import org.apache.spark.sql.functions.col
+      data.select(schema.map(f =>
+        col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    }
     mode match {
       case SaveMode.Append =>
-        if (exists) SnapshotTable.append(spark, table, data)
+        if (exists) SnapshotTable.append(spark, table, aligned())
         else createNew()
       case SaveMode.Overwrite =>
         // atomic whole-table replace: ONE commit, the old version stays
         // time-travelable (the Delta overwrite semantics)
-        if (exists) SnapshotTable.replaceContents(spark, table, data)
+        if (exists) SnapshotTable.replaceContents(spark, table, aligned())
         else createNew()
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalArgumentException(
@@ -171,8 +212,22 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       case SaveMode.Ignore =>
         if (!exists) createNew()
     }
+    // a catalog name registered at this location holds a cached,
+    // snapshot-pinned relation — drop the caches so the next SELECT on
+    // any such name resolves the fresh version (blunt but rare: one
+    // writer save; other tables merely re-resolve once)
+    GraftShim.v1Catalog(spark).invalidateAllCachedTables()
     GraftDataSource.relationFor(spark, table, None)
   }
+
+  /** partitionCol '<c>' (single) or partitionCols 'a,b' (multi) on
+    * the CREATE paths; appends inherit the table's declared layout.
+    */
+  private def partitionColsOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("partitionCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(parameters.get("partitionCol").map(Seq(_)))
+      .getOrElse(Nil)
 }
 
 object GraftDataSource {

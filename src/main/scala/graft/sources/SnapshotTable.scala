@@ -1976,12 +1976,24 @@ object SnapshotTable {
     // simply flow to the insert clauses, so the dup candidates are
     // semi-joined against the live target keys before raising. The
     // check is skipped outright when no clause can claim a matched row.
-    if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
+    // the distinct live target-key projection serves BOTH the
+    // cardinality check and the insert anti-join — computed once and
+    // cached when both need it, never scanned twice
+    val needCardCheck = matched.nonEmpty || notMatchedBySource.nonEmpty
+    val targetKeys: Option[DataFrame] =
+      if (!needCardCheck && notMatched.isEmpty) None
+      else {
+        val k = readFilesDv(spark, table, snap, snap.files)
+          .select(on.map { case (t, _) => col(s"`$t`") }.toIndexedSeq: _*)
+          .distinct()
+        Some(if (needCardCheck && notMatched.nonEmpty)
+          k.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else k)
+      }
+    if (needCardCheck) {
       val dupKeys = srcP.groupBy(sKeys: _*).count()
         .filter(col("count") > 1).drop("count")
-      val tKeys = readFilesDv(spark, table, snap, snap.files)
-        .select(on.map { case (t, _) => col(s"`$t`") }.toIndexedSeq: _*)
-        .distinct()
+      val tKeys = targetKeys.get
       val offending = dupKeys.join(tKeys,
         on.map { case (t, s) => col(s"`__s_$s`") === tKeys(t) }
           .reduce(_ && _), "left_semi")
@@ -2096,9 +2108,7 @@ object SnapshotTable {
         Map.empty[String, Map[String, (String, String)]],
         Map.empty[String, Map[String, String]]), 0L)
     } else {
-      val cur = readFilesDv(spark, table, snap, snap.files)
-      val curKeys = cur.select(on.map { case (t, _) =>
-        col(s"`$t`") }.toIndexedSeq: _*).distinct()
+      val curKeys = targetKeys.get
       val unmatched = srcP.join(curKeys,
         on.map { case (t, s) => col(s"`__s_$s`") === curKeys(t) }
           .reduce(_ && _), "left_anti")
@@ -2125,8 +2135,10 @@ object SnapshotTable {
           Map.empty[String, Map[String, String]]), 0L)
       }
     }
-    if (nUpd == 0 && nDel == 0 && nIns == 0 && hit.isEmpty)
+    if (nUpd == 0 && nDel == 0 && nIns == 0 && hit.isEmpty) {
+      targetKeys.foreach(_.unpersist(blocking = false))
       return (snap.version, 0L, 0L, 0L, 0)
+    }
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, schema,
       keep ++ rewritten._1 ++ insertStaged._1, snap.version, snap.meta,
@@ -2134,6 +2146,7 @@ object SnapshotTable {
       (snap.statsOf -- hit) ++ rewritten._3 ++ insertStaged._3,
       snap.deleteFiles, Some(snap),
       (snap.extraOf -- hit) ++ rewritten._4 ++ insertStaged._4)
+    targetKeys.foreach(_.unpersist(blocking = false))
     (v, nUpd, nDel, nIns, hit.size)
   }
 

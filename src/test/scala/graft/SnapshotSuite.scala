@@ -2175,6 +2175,71 @@ class SnapshotSuite extends AnyFunSuite {
     assert(ex.getMessage.contains("multiple rows per ON key"))
   }
 
+  test("provider guards: writer aligns+casts by name, schema reads " +
+      "never create tables, bootstrap is opt-in and partition-aware, " +
+      "provider writes refresh named relations, change_type reserved") {
+    import spark.implicits._
+    val t = freshTable("dsguards")
+    Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+      .write.format("graft").mode("errorifexists").save(t)
+    // drifted column NAME must error, never commit a NULL-reading file
+    intercept[IllegalArgumentException] {
+      Seq((2L, "b", 2.0)).toDF("k", "s", "value")
+        .write.format("graft").mode("append").save(t)
+    }
+    // missing column must error too
+    intercept[IllegalArgumentException] {
+      Seq((2L, "b")).toDF("k", "s")
+        .write.format("graft").mode("append").save(t)
+    }
+    // reordered columns align by name; an int literal casts to double
+    Seq(("c", 3, 3L)).toDF("s", "v", "k")
+      .write.format("graft").mode("append").save(t)
+    val r3 = SnapshotTable.read(spark, t).filter(col("k") === 3L).head()
+    assert(r3.getAs[String]("s") === "c" && r3.getAs[Double]("v") === 3.0)
+    // a schema-supplied READ of a missing path fails loudly — and
+    // creates NOTHING on disk
+    val missing = freshTable("dsnothere")
+    intercept[Exception] {
+      spark.read.format("graft").schema("k LONG, v DOUBLE")
+        .load(missing).count()
+    }
+    val mp = new org.apache.hadoop.fs.Path(missing)
+    assert(!mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(mp), "a failed read must not create a table")
+    // opt-in bootstrap honors the declared partitioning
+    val boot = freshTable("dsboot")
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val bname = s"graft_boot_${System.nanoTime()}"
+    try {
+      s2.sql(s"CREATE TABLE $bname (k BIGINT, g STRING) USING graft " +
+        s"OPTIONS (createIfMissing 'true', partitionCol 'g') " +
+        s"LOCATION '$boot'")
+      s2.sql(s"INSERT INTO $bname VALUES (1, 'x'), (2, 'y')")
+      val snap = SnapshotTable.readManifest(s2, boot,
+        SnapshotTable.currentVersion(s2, boot))
+      assert(snap.meta.get("partitionCol").contains("g"),
+        "the bootstrap must commit the declared partition layout")
+      assert(snap.partitionOf.size === snap.files.size)
+      assert(s2.sql(s"SELECT * FROM $bname").count() === 2L)
+      // a provider-API write at the PATH must be visible to the next
+      // SELECT on the NAME (cache invalidated by the writer)
+      s2.createDataFrame(Seq((3L, "z"))).toDF("k", "g")
+        .write.format("graft").mode("append").save(boot)
+      assert(s2.sql(s"SELECT * FROM $bname").count() === 3L,
+        "provider writes must refresh cached named relations")
+    } finally s2.sql(s"DROP TABLE IF EXISTS $bname")
+    // the change feed reserves change_type — error at definition
+    val tc = freshTable("dsctcol")
+    Seq((1L, "i")).toDF("k", "change_type")
+      .write.format("graft").mode("errorifexists").save(tc)
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft").option("path", tc).load()
+    }
+    assert(ex.getMessage.contains("change_type"))
+  }
+
   test("string stats prune in code-point order, not UTF-16 order") {
     // UTF-16 code units order U+E000 AFTER the surrogate pair for
     // U+10000; code points (= UTF8String binary, the order min/max were
