@@ -264,6 +264,25 @@ object GraftExtensions {
       case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
           if namedGraftTarget(i.table) =>
         graft.sources.SnapshotDmlCommand(i)
+      // the column-evolution DDL (RENAME/DROP/ADD COLUMN, ALTER COLUMN
+      // TYPE) on a snapshot path or graft catalog name lowers onto the
+      // metadata-only verbs; non-graft ALTERs pass through untouched
+      case a: org.apache.spark.sql.catalyst.plans.logical.RenameColumn
+          if graft.sources.GraftDml
+            .alterTargetPath(SparkSession.active, a.table).isDefined =>
+        graft.sources.SnapshotDmlCommand(a)
+      case a: org.apache.spark.sql.catalyst.plans.logical.DropColumns
+          if graft.sources.GraftDml
+            .alterTargetPath(SparkSession.active, a.table).isDefined =>
+        graft.sources.SnapshotDmlCommand(a)
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns
+          if graft.sources.GraftDml
+            .alterTargetPath(SparkSession.active, a.table).isDefined =>
+        graft.sources.SnapshotDmlCommand(a)
+      case a: org.apache.spark.sql.catalyst.plans.logical.AlterColumns
+          if graft.sources.GraftDml
+            .alterTargetPath(SparkSession.active, a.table).isDefined =>
+        graft.sources.SnapshotDmlCommand(a)
       case dt: DropTable
           if graft.sources.GraftDml.pathIdent(dt.child).isDefined =>
         graft.sources.SnapshotDmlCommand(dt)

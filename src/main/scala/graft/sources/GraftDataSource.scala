@@ -145,15 +145,13 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         case cols => SnapshotTable.createPartitioned(spark, table,
           empty, cols)
       }
-    } else {
-      val existing = SnapshotTable.readManifest(spark, table,
-        SnapshotTable.currentVersion(spark, table)).schema
-      require(existing.fieldNames.toSeq == schema.fieldNames.toSeq &&
-        existing.fields.map(_.dataType).toSeq ==
-          schema.fields.map(_.dataType).toSeq,
-        s"declared schema does not match the snapshot table at $table: " +
-          s"declared ${schema.simpleString}, table ${existing.simpleString}")
     }
+    // the MANIFEST is the single source of truth for an existing
+    // table's schema: a supplied schema (a catalog entry recorded at
+    // CREATE time, stale after metadata-only column evolution; or a
+    // user read schema) is not re-imposed — Delta's rule, since
+    // honoring a stale declared schema would resurrect renamed/dropped
+    // columns or un-widen types
     createRelation(sqlContext, parameters)
   }
 

@@ -445,10 +445,12 @@ object GraftDml {
       val v = SnapshotTable.dropConstraint(spark, path, dc.name)
       ("drop_constraint", v, 0L, -1L)
 
-    case other => throw new IllegalArgumentException(
-      "graft_dml supports CREATE TABLE AS / DROP TABLE / ALTER TABLE " +
-        "ADD|DROP CONSTRAINT / INSERT INTO / UPDATE / DELETE / " +
-        "MERGE INTO statements, got: " + other.nodeName)
+    case other => runAlter(spark, other).getOrElse(
+      throw new IllegalArgumentException(
+        "graft_dml supports CREATE TABLE AS / DROP TABLE / ALTER TABLE " +
+          "ADD|DROP CONSTRAINT / RENAME|DROP|ADD COLUMN(S) / ALTER " +
+          "COLUMN TYPE / INSERT INTO / UPDATE / DELETE / " +
+          "MERGE INTO statements, got: " + other.nodeName))
   }
 
 
@@ -459,6 +461,108 @@ object GraftDml {
       a: AddCheckConstraint): Option[String] =
     a.child.collectFirst { case UnresolvedRelation(parts, _, _) => parts }
       .flatMap(snapshotPathOf(spark, _))
+
+  /** The snapshot path behind an ALTER TABLE target (UnresolvedTable
+    * child): a backquoted path or a catalog name with provider graft.
+    */
+  private[graft] def alterTargetPath(spark: SparkSession,
+      table: LogicalPlan): Option[String] =
+    table.collectFirst { case u: UnresolvedTable => u.multipartIdentifier }
+      .flatMap(parts => snapshotPathOf(spark, parts)
+        .orElse(namedGraftTable(spark, parts).map(_._1)))
+
+  /** Lower the ALTER TABLE column-evolution verbs (RENAME/DROP/ADD
+    * COLUMN, ALTER COLUMN TYPE) onto the metadata-only snapshot verbs
+    * — the SQL face of the column-mapping layer. Returns None when the
+    * plan is not one of these shapes.
+    */
+  private[graft] def runAlter(spark: SparkSession, parsed: LogicalPlan)
+      : Option[(String, Long, Long, Long)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      AddColumns, AlterColumns, DropColumns, RenameColumn}
+    def single(f: org.apache.spark.sql.catalyst.analysis.FieldName,
+        what: String): String = {
+      require(f.name.size == 1,
+        s"$what supports top-level columns only, got " +
+          f.name.mkString("."))
+      f.name.head
+    }
+    def pathOf(t: LogicalPlan, what: String): String =
+      alterTargetPath(spark, t).getOrElse(throw new
+        IllegalArgumentException(s"$what target is not a snapshot " +
+          s"table path or a graft catalog name"))
+    val out = parsed match {
+      case rc: RenameColumn =>
+        val path = pathOf(rc.table, "ALTER TABLE RENAME COLUMN")
+        val v = SnapshotTable.renameColumn(spark, path,
+          single(rc.column, "RENAME COLUMN"), rc.newName)
+        Some(("rename_column", v, 0L, 0L))
+      case dc: DropColumns =>
+        val path = pathOf(dc.table, "ALTER TABLE DROP COLUMN")
+        val names = dc.columnsToDrop.map(single(_, "DROP COLUMN"))
+        var v = SnapshotTable.currentVersion(spark, path)
+        var dropped = 0L
+        names.foreach { n =>
+          val exists = SnapshotTable
+            .readManifest(spark, path, v).schema.fieldNames.contains(n)
+          if (exists) { v = SnapshotTable.dropColumn(spark, path, n)
+            dropped += 1 }
+          else require(dc.ifExists,
+            s"DROP COLUMN: no such column $n (use IF EXISTS to ignore)")
+        }
+        Some(("drop_column", v, dropped, 0L))
+      case ac: AddColumns =>
+        val path = pathOf(ac.table, "ALTER TABLE ADD COLUMNS")
+        val fields = ac.columnsToAdd.map { q =>
+          require(q.path.isEmpty,
+            "ADD COLUMNS supports top-level columns only, got " +
+              q.name.mkString("."))
+          require(q.position.isEmpty,
+            "ADD COLUMNS position clauses are not supported")
+          require(q.default.isEmpty,
+            "ADD COLUMNS DEFAULT values are not supported")
+          require(q.nullable,
+            s"added column ${q.colName} must be nullable (existing " +
+              "files have no values)")
+          org.apache.spark.sql.types.StructField(q.colName, q.dataType,
+            nullable = true)
+        }
+        val v = SnapshotTable.addColumns(spark, path, fields)
+        Some(("add_columns", v, fields.size.toLong, 0L))
+      case al: AlterColumns =>
+        val path = pathOf(al.table, "ALTER TABLE ALTER COLUMN")
+        var v = SnapshotTable.currentVersion(spark, path)
+        al.specs.foreach { spec =>
+          val c = single(spec.column, "ALTER COLUMN")
+          require(spec.newDataType.isDefined && spec.newNullability.isEmpty &&
+            spec.newComment.isEmpty && spec.newPosition.isEmpty &&
+            spec.newDefaultExpression.isEmpty && !spec.dropDefault,
+            "ALTER COLUMN supports TYPE widening only " +
+              "(int -> bigint, float -> double)")
+          v = SnapshotTable.widenColumn(spark, path, c, spec.newDataType.get)
+        }
+        Some(("alter_column_type", v, al.specs.size.toLong, 0L))
+      case _ => None
+    }
+    out.foreach { case (_, v, _, _) =>
+      // named targets: converge the catalog's stored schema onto the
+      // evolved manifest (the source of truth) and drop the cached
+      // relation pinned to the old one
+      parsed.foreach {
+        case u: UnresolvedTable =>
+          namedGraftTable(spark, u.multipartIdentifier).foreach {
+            case (path, id) =>
+              val cat = GraftShim.v1Catalog(spark)
+              try cat.alterTableDataSchema(id,
+                SnapshotTable.readManifest(spark, path, v).schema)
+              catch { case _: Exception => () } // best-effort mirror
+              cat.refreshTable(id)
+          }
+        case _ => ()
+      }
+    }
+    out
+  }
 
   /** Lower a parsed MERGE INTO carrying the FULL clause surface —
     * conditional matched clauses, THEN DELETE, column-level SET,

@@ -2240,6 +2240,54 @@ class SnapshotSuite extends AnyFunSuite {
     assert(ex.getMessage.contains("change_type"))
   }
 
+  test("SQL column evolution: ALTER TABLE RENAME/DROP/ADD COLUMN and " +
+      "ALTER COLUMN TYPE through graft_dml and native statements") {
+    import spark.implicits._
+    val t = freshTable("sqlevol")
+    SnapshotTable.create(spark, t,
+      Seq((1L, 10, Option("a"), Option(1.0)),
+        (2L, 20, Option("b"), Option(2.0)))
+        .toDF("k", "i", "s", "v"), numFiles = 1)
+    val before = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t)).files.sorted
+    graft.GraftExtensions.register(spark)
+    def dml(stmt: String) = spark.sql(
+      s"""SELECT * FROM graft_dml("$stmt")""").head()
+    assert(dml(s"ALTER TABLE `$t` RENAME COLUMN s TO label")
+      .getString(0) === "rename_column")
+    assert(dml(s"ALTER TABLE `$t` DROP COLUMN v")
+      .getString(0) === "drop_column")
+    assert(dml(s"ALTER TABLE `$t` ALTER COLUMN i TYPE BIGINT")
+      .getString(0) === "alter_column_type")
+    assert(dml(s"ALTER TABLE `$t` ADD COLUMNS (note STRING)")
+      .getString(0) === "add_columns")
+    val evolved = SnapshotTable.read(spark, t)
+    assert(evolved.columns.toSeq === Seq("k", "i", "label", "note"))
+    assert(evolved.schema("i").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(evolved.filter(col("label") === "a").count() === 1L)
+    assert(SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t)).files.sorted === before,
+      "four SQL evolutions must rewrite zero files")
+    // IF EXISTS tolerates a missing column; a bare drop errors
+    assert(dml(s"ALTER TABLE `$t` DROP COLUMN IF EXISTS nope")
+      .getLong(2) === 0L)
+    intercept[Exception] { dml(s"ALTER TABLE `$t` DROP COLUMN nope") }
+    // native statements on an extensions session, addressed BY NAME
+    val t2 = freshTable("sqlevoln")
+    Seq((1L, Option("x"))).toDF("k", "s")
+      .write.format("graft").mode("errorifexists").save(t2)
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val name = s"graft_evol_${System.nanoTime()}"
+    try {
+      s2.sql(s"CREATE TABLE $name USING graft LOCATION '$t2'")
+      s2.sql(s"ALTER TABLE $name RENAME COLUMN s TO txt")
+      assert(s2.sql(s"SELECT txt FROM $name").head().getString(0) === "x",
+        "the refreshed named relation must carry the new schema")
+    } finally s2.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("string stats prune in code-point order, not UTF-16 order") {
     // UTF-16 code units order U+E000 AFTER the surrogate pair for
     // U+10000; code points (= UTF8String binary, the order min/max were
