@@ -279,9 +279,13 @@ object GraftExtensions {
           if graft.sources.GraftDml
             .alterTargetPath(SparkSession.active, a.table).isDefined =>
         graft.sources.SnapshotDmlCommand(a)
+      // only TYPE changes are ours; COMMENT / nullability ALTERs on a
+      // graft catalog table stay on Spark's own catalog-metadata path
+      // (they worked there before and touch no data)
       case a: org.apache.spark.sql.catalyst.plans.logical.AlterColumns
-          if graft.sources.GraftDml
-            .alterTargetPath(SparkSession.active, a.table).isDefined =>
+          if a.specs.forall(_.newDataType.isDefined) &&
+            graft.sources.GraftDml
+              .alterTargetPath(SparkSession.active, a.table).isDefined =>
         graft.sources.SnapshotDmlCommand(a)
       case dt: DropTable
           if graft.sources.GraftDml.pathIdent(dt.child).isDefined =>

@@ -145,13 +145,29 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         case cols => SnapshotTable.createPartitioned(spark, table,
           empty, cols)
       }
+    } else {
+      // the MANIFEST is the single source of truth for an existing
+      // table's schema — a supplied schema is never re-imposed
+      // (honoring a stale one would resurrect renamed/dropped columns
+      // or un-widen types). TOLERATED: schemas explainable by the
+      // table's own history — current names, former names, dropped
+      // names (the stale-catalog-after-evolution case). REJECTED: a
+      // schema naming columns this table never had (a genuinely wrong
+      // user read schema must fail loudly, not silently return
+      // different columns).
+      val snap = SnapshotTable.readManifest(spark, table,
+        SnapshotTable.currentVersion(spark, table))
+      val knownEver = (snap.schema.fieldNames.toSeq ++
+        SnapshotTable.retiredNames(snap)).map(_.toLowerCase).toSet
+      val alien = schema.fieldNames.filterNot(n =>
+        knownEver(n.toLowerCase))
+      require(alien.isEmpty,
+        s"declared schema names columns the snapshot table at $table " +
+          s"never had: ${alien.mkString(", ")} (table: " +
+          s"${snap.schema.fieldNames.mkString(", ")}); the manifest is " +
+          "the schema source of truth — a supplied read schema is not " +
+          "honored")
     }
-    // the MANIFEST is the single source of truth for an existing
-    // table's schema: a supplied schema (a catalog entry recorded at
-    // CREATE time, stale after metadata-only column evolution; or a
-    // user read schema) is not re-imposed — Delta's rule, since
-    // honoring a stale declared schema would resurrect renamed/dropped
-    // columns or un-widen types
     createRelation(sqlContext, parameters)
   }
 
@@ -174,47 +190,36 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // drift (e.g. 'value' for 'v') must error, never commit a file
     // the schema'd reader silently NULL-fills; a type drift must cast,
     // never stage mistyped parquet that poisons every later read
-    def aligned(): org.apache.spark.sql.DataFrame = {
-      val schema = SnapshotTable.readManifest(spark, table,
-        SnapshotTable.currentVersion(spark, table)).schema
-      val srcLower = data.columns.map(_.toLowerCase)
-      require(srcLower.distinct.length == srcLower.length,
-        s"write frame repeats a column (${data.columns.mkString(", ")})")
-      val known = schema.fieldNames.map(_.toLowerCase).toSet
-      val unknown = srcLower.filterNot(known)
-      require(unknown.isEmpty,
-        s"write frame has columns the table lacks: " +
-          s"${unknown.mkString(", ")} (table: " +
-          s"${schema.fieldNames.mkString(", ")})")
-      val missing = schema.fieldNames
-        .filterNot(n => srcLower.contains(n.toLowerCase))
-      require(missing.isEmpty,
-        s"write frame is missing table columns: ${missing.mkString(", ")}")
-      import org.apache.spark.sql.functions.col
-      data.select(schema.map(f =>
-        col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-    }
-    mode match {
+    def aligned(): org.apache.spark.sql.DataFrame =
+      GraftDml.alignByName(data,
+        SnapshotTable.readManifest(spark, table,
+          SnapshotTable.currentVersion(spark, table)).schema,
+        "write frame", allowSubset = false)
+    val wrote = mode match {
       case SaveMode.Append =>
         if (exists) SnapshotTable.append(spark, table, aligned())
         else createNew()
+        true
       case SaveMode.Overwrite =>
         // atomic whole-table replace: ONE commit, the old version stays
         // time-travelable (the Delta overwrite semantics)
         if (exists) SnapshotTable.replaceContents(spark, table, aligned())
         else createNew()
+        true
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalArgumentException(
           s"snapshot table $table already exists (mode=ErrorIfExists)")
         createNew()
+        true
       case SaveMode.Ignore =>
-        if (!exists) createNew()
+        if (!exists) { createNew(); true } else false
     }
     // a catalog name registered at this location holds a cached,
     // snapshot-pinned relation — drop the caches so the next SELECT on
-    // any such name resolves the fresh version (blunt but rare: one
-    // writer save; other tables merely re-resolve once)
-    GraftShim.v1Catalog(spark).invalidateAllCachedTables()
+    // any such name resolves the fresh version. Blunt (all cached
+    // relations re-resolve once) but only after an ACTUAL commit;
+    // per-location targeting would need a full catalog enumeration.
+    if (wrote) GraftShim.v1Catalog(spark).invalidateAllCachedTables()
     GraftDataSource.relationFor(spark, table, None)
   }
 

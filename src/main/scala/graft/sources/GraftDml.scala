@@ -106,6 +106,50 @@ object GraftDml {
     case other => other
   }
 
+  /** THE align-by-name discipline every write surface shares (SQL
+    * INSERT BY NAME / column-list, the DataFrameWriter): resolve the
+    * frame's columns against `schema` case-insensitively, CAST each to
+    * its declared type (an uncast drift would stage parquet the
+    * schema'd reader cannot open or silently NULL-fills), error on
+    * duplicates and unknown names. `allowSubset`: omitted NULLABLE
+    * columns fill with typed NULLs (the SQL-standard/Delta column-list
+    * rule); otherwise every table column must be present (the writer
+    * rule — a positionally-built frame with a missing column is more
+    * likely a bug than an intentional projection).
+    */
+  private[sources] def alignByName(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType, what: String,
+      allowSubset: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val srcLower = df.columns.map(_.toLowerCase)
+    require(srcLower.distinct.length == srcLower.length,
+      s"$what repeats a column (${df.columns.mkString(", ")})")
+    val known = schema.fieldNames.map(_.toLowerCase).toSet
+    val unknown = srcLower.filterNot(known)
+    require(unknown.isEmpty,
+      s"$what names unknown columns: ${unknown.mkString(", ")} " +
+        s"(table: ${schema.fieldNames.mkString(", ")})")
+    if (allowSubset) {
+      val omittedNonNull = schema.filter(f =>
+        !f.nullable && !srcLower.contains(f.name.toLowerCase))
+      require(omittedNonNull.isEmpty,
+        s"$what omits non-nullable columns: " +
+          omittedNonNull.map(_.name).mkString(", "))
+    } else {
+      val missing = schema.fieldNames
+        .filterNot(n => srcLower.contains(n.toLowerCase))
+      require(missing.isEmpty,
+        s"$what is missing table columns: ${missing.mkString(", ")}")
+    }
+    val byLower = df.columns.map(n => n.toLowerCase -> n).toMap
+    df.select(schema.map { f =>
+      byLower.get(f.name.toLowerCase) match {
+        case Some(src) => col(s"`$src`").cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
   /** A catalog location URI as the path string the snapshot verbs use:
     * local-FS locations stay plain paths (manifest-relative keys are
     * scheme-free, and `/tmp/t` == `file:/tmp/t` must be ONE table).
@@ -299,61 +343,18 @@ object GraftDml {
         // INSERT INTO ... BY NAME (Spark 3.5 grammar): align by the
         // query's own column names — positional alignment here would
         // silently insert values into the wrong columns. A SUBSET of
-        // the table columns is legal like the explicit-column-list
-        // path: omitted nullable columns fill with typed NULLs
-        // (Delta's BY NAME semantics); unknown/duplicate names stay
-        // hard errors
-        val srcLower = src.columns.map(_.toLowerCase)
-        require(srcLower.distinct.length == srcLower.length,
-          "INSERT BY NAME query repeats a column " +
-            s"(${src.columns.mkString(", ")})")
-        val known = schema.fieldNames.map(_.toLowerCase).toSet
-        val unknown = srcLower.filterNot(known)
-        require(unknown.isEmpty,
-          "INSERT BY NAME query names unknown columns: " +
-            s"${unknown.mkString(", ")}")
-        val omittedNonNull = schema.filter(f =>
-          !f.nullable && !srcLower.contains(f.name.toLowerCase))
-        require(omittedNonNull.isEmpty,
-          "INSERT BY NAME omits non-nullable columns: " +
-            s"${omittedNonNull.map(_.name).mkString(", ")}")
-        val byLower = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
-        src.select(src.columns.map(n =>
-          c(s"`$n`").as(byLower(n.toLowerCase))).toIndexedSeq: _*)
-          .select(schema.map { f =>
-            if (srcLower.contains(f.name.toLowerCase)) c(s"`${f.name}`")
-            else org.apache.spark.sql.functions.lit(null)
-              .cast(f.dataType).as(f.name)
-          }.toIndexedSeq: _*)
+        // the table columns is legal (omitted nullable columns fill
+        // with typed NULLs — Delta's BY NAME semantics)
+        alignByName(src, schema, "INSERT BY NAME query",
+          allowSubset = true)
       } else if (i.userSpecifiedCols.nonEmpty) {
         require(i.userSpecifiedCols.length == src.columns.length,
           s"INSERT column list arity ${i.userSpecifiedCols.length} != " +
             s"query arity ${src.columns.length}")
-        val listedLower = i.userSpecifiedCols.map(_.toLowerCase)
-        require(listedLower.distinct.length == listedLower.length,
-          "INSERT column list repeats a column " +
-            s"(${i.userSpecifiedCols.mkString(", ")})")
-        val known = schema.fieldNames.map(_.toLowerCase).toSet
-        val unknown = listedLower.filterNot(known)
-        require(unknown.isEmpty,
-          s"INSERT column list names unknown columns: " +
-            s"${unknown.mkString(", ")}")
         // standard SQL / Delta semantics: a SUBSET column list is
-        // legal — omitted columns fill with typed NULLs, provided
-        // they are nullable (a non-null omission is a hard error, not
-        // a silent corrupt row)
-        val omittedNonNull = schema.filter(f =>
-          !f.nullable && !listedLower.contains(f.name.toLowerCase))
-        require(omittedNonNull.isEmpty,
-          "INSERT omits non-nullable columns: " +
-            s"${omittedNonNull.map(_.name).mkString(", ")}")
-        val byName = src.toDF(i.userSpecifiedCols.toIndexedSeq: _*)
-        byName.select(schema.map { f =>
-          if (listedLower.contains(f.name.toLowerCase))
-            c(s"`${f.name}`")
-          else org.apache.spark.sql.functions.lit(null)
-            .cast(f.dataType).as(f.name)
-        }.toIndexedSeq: _*)
+        // legal — omitted nullable columns fill with typed NULLs
+        alignByName(src.toDF(i.userSpecifiedCols.toIndexedSeq: _*),
+          schema, "INSERT column list", allowSubset = true)
       } else {
         require(src.columns.length == schema.length,
           s"INSERT query arity ${src.columns.length} != table arity " +
@@ -491,26 +492,42 @@ object GraftDml {
       alterTargetPath(spark, t).getOrElse(throw new
         IllegalArgumentException(s"$what target is not a snapshot " +
           s"table path or a graft catalog name"))
+    // names resolve CASE-INSENSITIVELY like every other SQL reference
+    // (a case-differing IF EXISTS must find the column, not silently
+    // no-op; a case-differing plain reference must act, not throw a
+    // spurious 'no such column')
+    def canonical(schema: org.apache.spark.sql.types.StructType,
+        n: String): Option[String] =
+      schema.fieldNames.find(_.equalsIgnoreCase(n))
     val out = parsed match {
       case rc: RenameColumn =>
         val path = pathOf(rc.table, "ALTER TABLE RENAME COLUMN")
-        val v = SnapshotTable.renameColumn(spark, path,
-          single(rc.column, "RENAME COLUMN"), rc.newName)
+        val schema = SnapshotTable.readManifest(spark, path,
+          SnapshotTable.currentVersion(spark, path)).schema
+        val from0 = single(rc.column, "RENAME COLUMN")
+        val from = canonical(schema, from0).getOrElse(
+          throw new IllegalArgumentException(s"no such column $from0"))
+        val v = SnapshotTable.renameColumn(spark, path, from, rc.newName)
         Some(("rename_column", v, 0L, 0L))
       case dc: DropColumns =>
         val path = pathOf(dc.table, "ALTER TABLE DROP COLUMN")
+        val schema = SnapshotTable.readManifest(spark, path,
+          SnapshotTable.currentVersion(spark, path)).schema
+        // resolve and VALIDATE every column before the first commit —
+        // a multi-column statement must never half-apply then error
         val names = dc.columnsToDrop.map(single(_, "DROP COLUMN"))
+          .flatMap { n =>
+            canonical(schema, n) match {
+              case Some(c) => Seq(c)
+              case None =>
+                require(dc.ifExists, s"DROP COLUMN: no such column $n " +
+                  "(use IF EXISTS to ignore)")
+                Nil
+            }
+          }
         var v = SnapshotTable.currentVersion(spark, path)
-        var dropped = 0L
-        names.foreach { n =>
-          val exists = SnapshotTable
-            .readManifest(spark, path, v).schema.fieldNames.contains(n)
-          if (exists) { v = SnapshotTable.dropColumn(spark, path, n)
-            dropped += 1 }
-          else require(dc.ifExists,
-            s"DROP COLUMN: no such column $n (use IF EXISTS to ignore)")
-        }
-        Some(("drop_column", v, dropped, 0L))
+        names.foreach(n => v = SnapshotTable.dropColumn(spark, path, n))
+        Some(("drop_column", v, names.size.toLong, 0L))
       case ac: AddColumns =>
         val path = pathOf(ac.table, "ALTER TABLE ADD COLUMNS")
         val fields = ac.columnsToAdd.map { q =>
@@ -524,23 +541,34 @@ object GraftDml {
           require(q.nullable,
             s"added column ${q.colName} must be nullable (existing " +
               "files have no values)")
-          org.apache.spark.sql.types.StructField(q.colName, q.dataType,
-            nullable = true)
+          val f = org.apache.spark.sql.types.StructField(q.colName,
+            q.dataType, nullable = true)
+          q.comment.map(f.withComment).getOrElse(f)
         }
         val v = SnapshotTable.addColumns(spark, path, fields)
         Some(("add_columns", v, fields.size.toLong, 0L))
       case al: AlterColumns =>
         val path = pathOf(al.table, "ALTER TABLE ALTER COLUMN")
-        var v = SnapshotTable.currentVersion(spark, path)
-        al.specs.foreach { spec =>
-          val c = single(spec.column, "ALTER COLUMN")
+        val schema = SnapshotTable.readManifest(spark, path,
+          SnapshotTable.currentVersion(spark, path)).schema
+        // validate EVERY spec (supported shape + legal widening on the
+        // canonical name) before committing anything — never
+        // half-apply a multi-spec statement
+        val widens = al.specs.map { spec =>
+          val c0 = single(spec.column, "ALTER COLUMN")
           require(spec.newDataType.isDefined && spec.newNullability.isEmpty &&
             spec.newComment.isEmpty && spec.newPosition.isEmpty &&
             spec.newDefaultExpression.isEmpty && !spec.dropDefault,
             "ALTER COLUMN supports TYPE widening only " +
               "(int -> bigint, float -> double)")
-          v = SnapshotTable.widenColumn(spark, path, c, spec.newDataType.get)
+          val c = canonical(schema, c0).getOrElse(
+            throw new IllegalArgumentException(s"no such column $c0"))
+          SnapshotTable.requireWidenable(schema, c, spec.newDataType.get)
+          (c, spec.newDataType.get)
         }
+        var v = SnapshotTable.currentVersion(spark, path)
+        widens.foreach { case (c, t) =>
+          v = SnapshotTable.widenColumn(spark, path, c, t) }
         Some(("alter_column_type", v, al.specs.size.toLong, 0L))
       case _ => None
     }

@@ -348,7 +348,7 @@ object SnapshotTable {
   /** Physical names whose reuse would resurrect stale file data:
     * every former name plus every dropped column's name lineage.
     */
-  private def retiredNames(snap: Snapshot): Set[String] =
+  private[sources] def retiredNames(snap: Snapshot): Set[String] =
     colMapOf(snap).values.flatten.toSet ++
       snap.meta.get("droppedCols").toSeq
         .flatMap(_.split(',').filter(_.nonEmpty).map(dec))
@@ -1538,12 +1538,15 @@ object SnapshotTable {
     * post-widening writes stage the wide type natively. Recorded
     * min/max stats compare as decimals, so file skipping is unaffected.
     */
-  def widenColumn(spark: SparkSession, table: String, name: String,
-      to: org.apache.spark.sql.types.DataType): Long = {
+  /** Pre-flight the widening rules without committing — lets a
+    * multi-spec ALTER statement validate every spec before its first
+    * commit (never half-apply then error).
+    */
+  private[sources] def requireWidenable(schema: StructType, name: String,
+      to: org.apache.spark.sql.types.DataType): Unit = {
     import org.apache.spark.sql.types.{DoubleType, FloatType,
       IntegerType, LongType}
-    val snap = loadCurrent(spark, table)
-    val f = snap.schema.fields.find(_.name == name).getOrElse(
+    val f = schema.fields.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"no such column $name"))
     val ok = (f.dataType, to) match {
       case (IntegerType, LongType) => true
@@ -1553,6 +1556,12 @@ object SnapshotTable {
     require(ok, s"unsupported widening ${f.dataType.simpleString} -> " +
       s"${to.simpleString}: only int->bigint and float->double are " +
       "lossless at the parquet reader")
+  }
+
+  def widenColumn(spark: SparkSession, table: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    val snap = loadCurrent(spark, table)
+    requireWidenable(snap.schema, name, to)
     commitManifest(spark, table,
       StructType(snap.schema.fields.map(x =>
         if (x.name == name) x.copy(dataType = to) else x)),
@@ -1990,6 +1999,9 @@ object SnapshotTable {
           k.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else k)
       }
+    // every exit — including a cardinality-rule violation or a staging
+    // failure — releases the cached key projection
+    try {
     if (needCardCheck) {
       val dupKeys = srcP.groupBy(sKeys: _*).count()
         .filter(col("count") > 1).drop("count")
@@ -2135,10 +2147,8 @@ object SnapshotTable {
           Map.empty[String, Map[String, String]]), 0L)
       }
     }
-    if (nUpd == 0 && nDel == 0 && nIns == 0 && hit.isEmpty) {
-      targetKeys.foreach(_.unpersist(blocking = false))
+    if (nUpd == 0 && nDel == 0 && nIns == 0 && hit.isEmpty)
       return (snap.version, 0L, 0L, 0L, 0)
-    }
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, schema,
       keep ++ rewritten._1 ++ insertStaged._1, snap.version, snap.meta,
@@ -2146,8 +2156,8 @@ object SnapshotTable {
       (snap.statsOf -- hit) ++ rewritten._3 ++ insertStaged._3,
       snap.deleteFiles, Some(snap),
       (snap.extraOf -- hit) ++ rewritten._4 ++ insertStaged._4)
-    targetKeys.foreach(_.unpersist(blocking = false))
     (v, nUpd, nDel, nIns, hit.size)
+    } finally targetKeys.foreach(_.unpersist(blocking = false))
   }
 
   /** Small-file compaction as a snapshot commit: rewrite the whole file
