@@ -83,7 +83,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // target path is a snapshot table (has `_manifests`) and lowers
     // them to the eagerly-executed SnapshotDmlCommand. Non-snapshot DML
     // targets pass through untouched for Spark's own v2 handling.
-    e.injectResolutionRule(_ => GraftExtensions.SnapshotDmlRule)
+    e.injectResolutionRule(session =>
+      new GraftExtensions.SnapshotDmlRule(session))
     // NATIVE DDL (CREATE TABLE ... AS / DROP TABLE on a path) must be
     // intercepted at PARSE time: the analyzer's own ResolveSessionCatalog
     // converts CTAS to a v1 catalog command in the same resolution batch
@@ -91,8 +92,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // path-shaped names. The target test (a single backquoted identifier
     // containing '/') is purely syntactic, so no session state is
     // needed at parse time; everything else delegates verbatim.
-    e.injectParser((_, delegate) =>
-      new GraftExtensions.SnapshotDdlParser(delegate))
+    e.injectParser((session, delegate) =>
+      new GraftExtensions.SnapshotDdlParser(session, delegate))
   }
 }
 
@@ -189,11 +190,14 @@ object GraftExtensions {
     * Spark's own resolution. DML nodes are always plan roots, so only
     * the root is inspected.
     */
-  object SnapshotDmlRule extends Rule[LogicalPlan] {
+  final class SnapshotDmlRule(spark: SparkSession)
+      extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.plans.logical.{
       DeleteFromTable, InsertIntoStatement, MergeIntoTable, UpdateTable}
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      val spark = SparkSession.active
+      // `spark` is the session this rule was INJECTED into — in a
+      // multi-session application SparkSession.active could name a
+      // sibling whose catalog registrations differ
       plan match {
         case i: InsertIntoStatement
             if graft.sources.GraftDml.targetPath(spark, i.table).isDefined =>
@@ -219,7 +223,7 @@ object GraftExtensions {
     * the analyzer can hand it to the session catalog (which rejects
     * path-shaped names). Every other method delegates verbatim.
     */
-  final class SnapshotDdlParser(
+  final class SnapshotDdlParser(spark: SparkSession,
       delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
       extends org.apache.spark.sql.catalyst.parser.ParserInterface {
     import org.apache.spark.sql.catalyst.analysis.{
@@ -246,7 +250,7 @@ object GraftExtensions {
         case UnresolvedRelation(parts, _, _) => parts
       }.exists(parts => !pathShaped(parts) &&
         graft.sources.GraftDml
-          .namedGraftTable(SparkSession.active, parts).isDefined)
+          .namedGraftTable(spark, parts).isDefined)
 
     private def lower(plan: LogicalPlan): LogicalPlan = plan match {
       case ct: CreateTableAsSelect
@@ -269,15 +273,15 @@ object GraftExtensions {
       // metadata-only verbs; non-graft ALTERs pass through untouched
       case a: org.apache.spark.sql.catalyst.plans.logical.RenameColumn
           if graft.sources.GraftDml
-            .alterTargetPath(SparkSession.active, a.table).isDefined =>
+            .alterTargetPath(spark, a.table).isDefined =>
         graft.sources.SnapshotDmlCommand(a)
       case a: org.apache.spark.sql.catalyst.plans.logical.DropColumns
           if graft.sources.GraftDml
-            .alterTargetPath(SparkSession.active, a.table).isDefined =>
+            .alterTargetPath(spark, a.table).isDefined =>
         graft.sources.SnapshotDmlCommand(a)
       case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns
           if graft.sources.GraftDml
-            .alterTargetPath(SparkSession.active, a.table).isDefined =>
+            .alterTargetPath(spark, a.table).isDefined =>
         graft.sources.SnapshotDmlCommand(a)
       // only TYPE changes are ours; COMMENT / nullability ALTERs on a
       // graft catalog table stay on Spark's own catalog-metadata path
@@ -285,7 +289,7 @@ object GraftExtensions {
       case a: org.apache.spark.sql.catalyst.plans.logical.AlterColumns
           if a.specs.forall(_.newDataType.isDefined) &&
             graft.sources.GraftDml
-              .alterTargetPath(SparkSession.active, a.table).isDefined =>
+              .alterTargetPath(spark, a.table).isDefined =>
         graft.sources.SnapshotDmlCommand(a)
       case dt: DropTable
           if graft.sources.GraftDml.pathIdent(dt.child).isDefined =>

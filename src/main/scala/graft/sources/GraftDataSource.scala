@@ -49,6 +49,7 @@ import org.apache.spark.sql.types.StructType
 class GraftDataSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -102,6 +103,48 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft requires a path (load(path) / LOCATION '<path>')"))
+
+  /** `df.writeStream.format("graft")` — the exactly-once streaming
+    * SINK onto a snapshot table, completing the round-trip with the
+    * change-feed source (stream a table in, stream results back into
+    * another table). Every micro-batch is ONE atomic manifest commit
+    * carrying the batch id ([[SnapshotTable.commitStreamBatch]]), so a
+    * batch redelivered after a crash between data write and checkpoint
+    * advance — the at-least-once window every file sink double-writes
+    * in — is detected and skipped: exactly-once effect with zero user
+    * bookkeeping (the Delta sink's txn-action protocol; INSERT is the
+    * reference's hottest verb, database.py:18-32).
+    *
+    *   - Append mode appends the batch; Complete mode atomically
+    *     replaces the table with it (aggregate streams).
+    *   - Update mode has no table-level equivalent — use foreachBatch
+    *     + mergeIntoFull (StreamOps documents the recipe).
+    *   - `option("createIfMissing", "true")` bootstraps the table from
+    *     the first batch's schema; otherwise the table must exist.
+    *   - `option("queryKey", k)` namespaces the batch-id watermark so
+    *     several independent streams can feed one table.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val table = pathOf(parameters)
+    require(partitionColumns.isEmpty,
+      "partitionBy on the stream writer is not supported — declare the " +
+        "layout at table create (OPTIONS partitionCols / partitionBy on " +
+        "the batch writer); streamed appends inherit it")
+    require(outputMode == OutputMode.Append() ||
+      outputMode == OutputMode.Complete(),
+      s"graft sink supports Append and Complete output modes, got " +
+        s"$outputMode — for Update semantics run foreachBatch + " +
+        "SnapshotTable.mergeIntoFull (exactly-once via commitStreamBatch)")
+    val queryKey = parameters.getOrElse("queryKey", "sink")
+    val createIfMissing =
+      parameters.get("createIfMissing").exists(_.toBoolean)
+    new GraftDataSource.GraftSink(sqlContext.sparkSession, table,
+      queryKey, outputMode == OutputMode.Complete(), createIfMissing)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -225,12 +268,30 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
 
   /** partitionCol '<c>' (single) or partitionCols 'a,b' (multi) on
     * the CREATE paths; appends inherit the table's declared layout.
+    * `df.write.partitionBy(...)` also lands here: DataFrameWriter
+    * passes v1 partitioning as the JSON-encoded `__partition_columns`
+    * option (DataSourceUtils.PARTITIONING_COLUMNS_KEY) — dropping it
+    * silently would create an unpartitioned table the user explicitly
+    * asked to partition.
     */
-  private def partitionColsOf(parameters: Map[String, String]): Seq[String] =
-    parameters.get("partitionCols")
+  private def partitionColsOf(parameters: Map[String, String]): Seq[String] = {
+    val declared = parameters.get("partitionCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .orElse(parameters.get("partitionCol").map(Seq(_)))
-      .getOrElse(Nil)
+    val writerBy = parameters
+      .get(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .PARTITIONING_COLUMNS_KEY)
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .decodePartitioningColumns)
+    (declared, writerBy) match {
+      case (Some(d), Some(w)) =>
+        require(d == w, s"partitionBy(${w.mkString(", ")}) disagrees " +
+          s"with OPTIONS partitionCols '${d.mkString(",")}' — declare " +
+          "the layout once")
+        d
+      case (d, w) => d.orElse(w).getOrElse(Nil)
+    }
+  }
 }
 
 object GraftDataSource {
@@ -258,6 +319,51 @@ object GraftDataSource {
           "with graft.GraftExtensions (the atomic, manifest-committed " +
           "paths)")
     override def toString: String = "GraftParquet"
+  }
+
+  /** The v1 streaming sink (see [[GraftDataSource.createSink]]):
+    * lowers each micro-batch onto the idempotent snapshot commits.
+    * The incoming frame is rewrapped as a batch frame over the same
+    * physical rows (GraftShim.rewrapBatch — the Delta sink
+    * discipline) because the snapshot verbs re-analyze it (align,
+    * constraint observation, staging write).
+    */
+  final class GraftSink(spark: SparkSession, table: String,
+      queryKey: String, complete: Boolean, createIfMissing: Boolean)
+      extends org.apache.spark.sql.execution.streaming.Sink {
+
+    override def addBatch(batchId: Long, data: DataFrame): Unit = {
+      val batch = GraftShim.rewrapBatch(data)
+      if (SnapshotTable.currentVersion(spark, table) == 0) {
+        require(createIfMissing,
+          s"no snapshot table at $table — create it first (or pass " +
+            "option createIfMissing 'true' to bootstrap from the first " +
+            "batch's schema)")
+        // bootstrap an EMPTY v1 from the stream schema, then commit
+        // the batch through the normal idempotent path: if a crash
+        // lands between the two commits, the replay finds the table
+        // existing and the batch id absent — it commits exactly once
+        SnapshotTable.create(spark, table,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            batch.schema), numFiles = 1)
+      }
+      val snap = SnapshotTable.readManifest(spark, table,
+        SnapshotTable.currentVersion(spark, table))
+      // same align-by-name + cast discipline as every other write path
+      val aligned = GraftDml.alignByName(batch, snap.schema,
+        s"stream batch $batchId", allowSubset = false)
+      if (complete)
+        SnapshotTable.replaceStreamBatch(spark, table, aligned, batchId,
+          queryKey)
+      else
+        SnapshotTable.commitStreamBatch(spark, table, aligned, batchId,
+          queryKey)
+      // cached catalog relations pinned to the pre-batch snapshot
+      // re-resolve (same discipline as the batch writer path)
+      GraftShim.v1Catalog(spark).invalidateAllCachedTables()
+    }
+    override def toString: String =
+      s"GraftSink[$table, ${if (complete) "complete" else "append"}]"
   }
 
   /** The relation for one pinned snapshot. DV-free: the

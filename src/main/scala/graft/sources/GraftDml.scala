@@ -513,8 +513,11 @@ object GraftDml {
         val path = pathOf(dc.table, "ALTER TABLE DROP COLUMN")
         val schema = SnapshotTable.readManifest(spark, path,
           SnapshotTable.currentVersion(spark, path)).schema
-        // resolve and VALIDATE every column before the first commit —
-        // a multi-column statement must never half-apply then error
+        // resolve names here (IF EXISTS filters the missing ones);
+        // dropColumns pre-flights EVERY guard — partition membership,
+        // constraint references, remaining-column count — against the
+        // starting schema and applies the whole statement as ONE
+        // manifest commit, so it can never half-apply then error
         val names = dc.columnsToDrop.map(single(_, "DROP COLUMN"))
           .flatMap { n =>
             canonical(schema, n) match {
@@ -525,8 +528,9 @@ object GraftDml {
                 Nil
             }
           }
-        var v = SnapshotTable.currentVersion(spark, path)
-        names.foreach(n => v = SnapshotTable.dropColumn(spark, path, n))
+        val v =
+          if (names.isEmpty) SnapshotTable.currentVersion(spark, path)
+          else SnapshotTable.dropColumns(spark, path, names)
         Some(("drop_column", v, names.size.toLong, 0L))
       case ac: AddColumns =>
         val path = pathOf(ac.table, "ALTER TABLE ADD COLUMNS")
@@ -551,9 +555,11 @@ object GraftDml {
         val path = pathOf(al.table, "ALTER TABLE ALTER COLUMN")
         val schema = SnapshotTable.readManifest(spark, path,
           SnapshotTable.currentVersion(spark, path)).schema
-        // validate EVERY spec (supported shape + legal widening on the
-        // canonical name) before committing anything — never
-        // half-apply a multi-spec statement
+        // validate spec SHAPE here; widenColumns validates each
+        // widening against the schema as evolved by the specs before
+        // it (two specs on one column fail up front) and applies the
+        // whole statement as ONE manifest commit — a multi-spec
+        // statement can never half-apply then error
         val widens = al.specs.map { spec =>
           val c0 = single(spec.column, "ALTER COLUMN")
           require(spec.newDataType.isDefined && spec.newNullability.isEmpty &&
@@ -563,12 +569,9 @@ object GraftDml {
               "(int -> bigint, float -> double)")
           val c = canonical(schema, c0).getOrElse(
             throw new IllegalArgumentException(s"no such column $c0"))
-          SnapshotTable.requireWidenable(schema, c, spec.newDataType.get)
           (c, spec.newDataType.get)
         }
-        var v = SnapshotTable.currentVersion(spark, path)
-        widens.foreach { case (c, t) =>
-          v = SnapshotTable.widenColumn(spark, path, c, t) }
+        val v = SnapshotTable.widenColumns(spark, path, widens)
         Some(("alter_column_type", v, al.specs.size.toLong, 0L))
       case _ => None
     }

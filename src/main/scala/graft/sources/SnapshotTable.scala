@@ -1117,6 +1117,16 @@ object SnapshotTable {
         val tmp = lock.resolveSibling(
           lock.getFileName.toString + ".tmp-" +
             java.util.UUID.randomUUID().toString)
+        // FS without hard links: CREATE_NEW is one open(O_EXCL) +
+        // write in a single call — the narrowest fallback
+        def createNewFallback(): Boolean =
+          try {
+            java.nio.file.Files.write(lock, token.getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
         try {
           java.nio.file.Files.write(tmp, token.getBytes("UTF-8"))
           try {
@@ -1124,16 +1134,12 @@ object SnapshotTable {
             true
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
-            case _: UnsupportedOperationException =>
-              // FS without hard links: CREATE_NEW is one open(O_EXCL)
-              // + write in a single call — the narrowest fallback
-              try {
-                java.nio.file.Files.write(lock, token.getBytes("UTF-8"),
-                  java.nio.file.StandardOpenOption.CREATE_NEW)
-                true
-              } catch {
-                case _: java.nio.file.FileAlreadyExistsException => false
-              }
+            case _: UnsupportedOperationException => createNewFallback()
+            // link(2) unsupported surfaces as EPERM (FileSystemException,
+            // not UnsupportedOperationException) on FAT/exFAT and some
+            // NFS/bind mounts — same fallback, not an abort. The
+            // FileAlreadyExistsException subclass is matched above.
+            case _: java.nio.file.FileSystemException => createNewFallback()
           }
         } finally {
           try java.nio.file.Files.deleteIfExists(tmp)
@@ -1308,17 +1314,53 @@ object SnapshotTable {
       case Some(v) => readManifest(spark, table, v)
       case None => loadCurrent(spark, table)
     }
-    require(snap.meta.contains("partitionCol") ||
-      snap.meta.contains("partitionCols"),
+    val pcols = partitionColsOf(snap)
+    require(pcols.nonEmpty,
       s"$table is not partitioned - use read + a filter")
-    // multi-column tables prune on the FIRST partition column's value
-    // (the single-column semantics, generalized); predicates over any
-    // other partition column go through the Catalyst scan, which
-    // prunes on the full composite tuple
+    // the bare-values signature names no column, so it is only
+    // well-defined on a SINGLE-column layout — on a multi-column
+    // table it would silently consult one arbitrary column (and a
+    // caller passing second-column values would get an empty, WRONG
+    // result); require the explicit column->values form there
+    require(pcols.size == 1,
+      s"$table is partitioned by (${pcols.mkString(", ")}) — use " +
+        "readWhere(table, Map(column -> values)) to name the " +
+        "column(s), or read + a filter (the scan prunes on the full " +
+        "composite tuple)")
     val files = snap.files.filter(f =>
       partValuesOf(snap, f).flatMap(_.headOption).exists(values))
     readFilesDv(spark, table, snap, files)
   }
+
+  /** Read only the files whose partition tuple matches `colValues` on
+    * EVERY named column — any subset of the partition columns, in any
+    * order. Pruning is manifest-metadata-only, like the single-column
+    * form: no excluded file is opened.
+    */
+  def readWhere(spark: SparkSession, table: String,
+      colValues: Map[String, Set[String]],
+      version: Option[Long]): DataFrame = {
+    val snap = version match {
+      case Some(v) => readManifest(spark, table, v)
+      case None => loadCurrent(spark, table)
+    }
+    val pcols = partitionColsOf(snap)
+    require(pcols.nonEmpty,
+      s"$table is not partitioned - use read + a filter")
+    val unknown = colValues.keys.filterNot(pcols.contains)
+    require(unknown.isEmpty,
+      s"not partition column(s) of $table: ${unknown.mkString(", ")} " +
+        s"(partitioned by ${pcols.mkString(", ")})")
+    val wanted = pcols.map(colValues.get) // aligned with the tuple
+    val files = snap.files.filter(f =>
+      partValuesOf(snap, f).exists(tuple =>
+        tuple.lazyZip(wanted).forall((v, w) => w.forall(_ (v)))))
+    readFilesDv(spark, table, snap, files)
+  }
+
+  def readWhere(spark: SparkSession, table: String,
+      colValues: Map[String, Set[String]]): DataFrame =
+    readWhere(spark, table, colValues, None)
 
   /** Create a CLUSTERED table: rows are range-partitioned and sorted on
     * `clusterCol` so each file covers a tight, near-disjoint value
@@ -1500,35 +1542,58 @@ object SnapshotTable {
     * lineage — is retired so it can never be re-added over stale data.
     */
   def dropColumn(spark: SparkSession, table: String,
-      name: String): Long = {
+      name: String): Long = dropColumns(spark, table, Seq(name))
+
+  /** Drop several columns in ONE manifest commit. Every per-column
+    * guard (existence, partition membership, CHECK-constraint
+    * reference) plus the remaining-column count AFTER all drops is
+    * pre-flighted against the starting schema before anything commits
+    * — a multi-column `ALTER TABLE DROP COLUMN (a, b)` either applies
+    * completely or leaves version AND schema untouched, never
+    * half-applies (the reference's DDL is likewise
+    * statement-atomic through SQLite, database.py:75-110).
+    */
+  def dropColumns(spark: SparkSession, table: String,
+      names: Seq[String]): Long = {
     val snap = loadCurrent(spark, table)
-    require(snap.schema.fieldNames.contains(name), s"no such column $name")
-    require(snap.schema.length > 1, "cannot drop the only column")
-    require(!snap.meta.get("partitionCol").contains(name) &&
-      !partitionColsOf(snap).contains(name),
-      s"cannot drop partition column $name")
-    requireUnconstrained(snap, name, "drop")
+    val distinct = names.distinct
+    require(distinct.nonEmpty, "DROP COLUMN needs at least one column")
+    // ---- pre-flight EVERY guard for EVERY name before the commit ----
+    distinct.foreach { name =>
+      require(snap.schema.fieldNames.contains(name),
+        s"no such column $name")
+      require(!snap.meta.get("partitionCol").contains(name) &&
+        !partitionColsOf(snap).contains(name),
+        s"cannot drop partition column $name")
+      requireUnconstrained(snap, name, "drop")
+    }
+    require(snap.schema.length > distinct.size,
+      s"cannot drop ${if (distinct.size == 1) "the only column"
+        else "every column"} of $table")
+    val nameSet = distinct.toSet
     val cm = colMapOf(snap)
-    val lineage = name +: cm.getOrElse(name, Nil)
+    val lineage = distinct.flatMap(n => n +: cm.getOrElse(n, Nil))
     val dropped = (snap.meta.get("droppedCols").toSeq
       .flatMap(_.split(',').filter(_.nonEmpty)) ++ lineage.map(enc))
       .distinct.mkString(",")
     def strip(v: String) =
-      v.split(',').filterNot(_ == name).mkString(",")
+      v.split(',').filterNot(nameSet).mkString(",")
     val base = snap.meta.map {
       case ("statsCols", v) => "statsCols" -> strip(v)
       case ("bloomCols", v) => "bloomCols" -> strip(v)
       case kv => kv
     } + ("droppedCols" -> dropped)
+    val newCm = cm -- nameSet
     val newMeta =
-      if ((cm - name).isEmpty) base - "colmap"
-      else base + ("colmap" -> encodeColMap(cm - name))
+      if (newCm.isEmpty) base - "colmap"
+      else base + ("colmap" -> encodeColMap(newCm))
     commitManifest(spark, table,
-      StructType(snap.schema.fields.filterNot(_.name == name)),
+      StructType(snap.schema.fields.filterNot(f => nameSet(f.name))),
       snap.files, snap.version, newMeta, snap.partitionOf,
-      snap.statsOf.map { case (f, m) => f -> (m - name) },
+      snap.statsOf.map { case (f, m) => f -> (m -- nameSet) },
       snap.deleteFiles, Some(snap),
-      snap.extraOf.map { case (f, m) => f -> (m - s"nulls.$name") })
+      snap.extraOf.map { case (f, m) =>
+        f -> (m -- nameSet.map(n => s"nulls.$n")) })
   }
 
   /** METADATA-ONLY type widening (int -> long, float -> double): the
@@ -1559,12 +1624,25 @@ object SnapshotTable {
   }
 
   def widenColumn(spark: SparkSession, table: String, name: String,
-      to: org.apache.spark.sql.types.DataType): Long = {
+      to: org.apache.spark.sql.types.DataType): Long =
+    widenColumns(spark, table, Seq(name -> to))
+
+  /** Widen several columns in ONE manifest commit. Each spec is
+    * validated against the schema AS EVOLVED by the specs before it —
+    * so two specs touching the same column fail the whole statement up
+    * front (the second would be widening an already-widened type),
+    * never after a first spec has committed.
+    */
+  def widenColumns(spark: SparkSession, table: String,
+      widens: Seq[(String, org.apache.spark.sql.types.DataType)]): Long = {
     val snap = loadCurrent(spark, table)
-    requireWidenable(snap.schema, name, to)
-    commitManifest(spark, table,
-      StructType(snap.schema.fields.map(x =>
-        if (x.name == name) x.copy(dataType = to) else x)),
+    require(widens.nonEmpty, "ALTER COLUMN needs at least one spec")
+    val newSchema = widens.foldLeft(snap.schema) { case (sch, (name, to)) =>
+      requireWidenable(sch, name, to)
+      StructType(sch.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x))
+    }
+    commitManifest(spark, table, newSchema,
       snap.files, snap.version, snap.meta, snap.partitionOf,
       snap.statsOf, snap.deleteFiles, Some(snap), snap.extraOf)
   }
@@ -2239,6 +2317,31 @@ object SnapshotTable {
         snap.version, snap.meta + (metaKey -> batchId.toString),
         snap.partitionOf ++ labels, snap.statsOf ++ stats,
         snap.deleteFiles, Some(snap), snap.extraOf ++ extras)
+      true
+    }
+  }
+
+  /** [[commitStreamBatch]]'s Complete-mode sibling: the micro-batch
+    * REPLACES the table contents (one atomic commit, the overwrite
+    * semantics a complete-output aggregate stream needs), with the
+    * same batch-id-in-manifest idempotency — a replayed batch after a
+    * crash between data write and checkpoint advance is skipped.
+    * Clears colmap/droppedCols like [[replaceContents]] (every row is
+    * freshly staged under current names).
+    */
+  def replaceStreamBatch(spark: SparkSession, table: String,
+      batch: DataFrame, batchId: Long,
+      queryKey: String = "stream"): Boolean = {
+    val snap = loadCurrent(spark, table)
+    val metaKey = s"lastBatchId.$queryKey"
+    if (snap.meta.get(metaKey).exists(_.toLong >= batchId)) false
+    else {
+      val (files, labels, stats, extras) = stageFor(snap,
+        batch.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
+        table)
+      commitManifest(spark, table, snap.schema, files, snap.version,
+        snap.meta - "colmap" - "droppedCols" + (metaKey -> batchId.toString),
+        labels, stats, Nil, Some(snap), extras)
       true
     }
   }

@@ -287,16 +287,77 @@ object StreamOps {
         col("o_orderstatus").asc_nulls_first)
   }
 
+  /** The streaming round trip over the snapshot layer: table A's
+    * change feed streams IN (`readStream.format("graft")`, offsets =
+    * versions) and the insert images stream OUT into table B through
+    * the exactly-once SINK (`writeStream.format("graft")` —
+    * GraftDataSource.GraftSink, one batch-id-carrying atomic commit
+    * per micro-batch; replays skipped, StreamingSuite asserts the
+    * redelivery and restart cases). B accumulates every insert event
+    * across A's create → update → append lifecycle, so the oracle is
+    * the exact event-multiset replay. processAllAvailable between
+    * mutations pins batch boundaries; the result is
+    * boundary-indifferent anyway (endpoint netting composes).
+    */
+  private def tableSink(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = s"/tmp/graft_stream_sink_${s.sparkContext.applicationId}_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+    val a = s"$root/a"
+    val b = s"$root/b"
+    val orders = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    SnapshotTable.create(s, a, orders, numFiles = 4)
+    val q = s.readStream.format("graft").option("path", a).load()
+      .filter(col("change_type") === "insert").drop("change_type")
+      .writeStream.format("graft").option("path", b)
+      .option("createIfMissing", "true").option("queryKey", "cdf")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      q.processAllAvailable() // v1: the whole snapshot as inserts
+      SnapshotTable.updateWhere(s, a, col("o_orderkey") % 100 === 0,
+        Map("o_orderstatus" -> lit("X")))
+      q.processAllAvailable() // v2: the updated rows' insert images
+      SnapshotTable.append(s, a,
+        orders.filter(col("o_orderkey") % 500 === 11)
+          .select((col("o_orderkey") + 20000000).as("o_orderkey"),
+            lit("I").as("o_orderstatus"), col("o_totalprice")))
+      q.processAllAvailable() // v3: the appended inserts
+    } finally q.stop()
+    SnapshotTable.read(s, b)
+      .orderBy(col("o_orderkey").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first,
+        col("o_totalprice").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (session _),
     "q_stream_watermark_late" -> ((s, d) => watermarkLate(s, d)),
     "q_stream_join" -> (streamJoinBatch _),
-    "q_stream_table_cdf" -> (tableCdf _)
+    "q_stream_table_cdf" -> (tableCdf _),
+    "q_stream_table_sink" -> (tableSink _)
   )
 
   val oracle: Map[String, String] = Map(
+    // the insert-event multiset of the source lifecycle, accumulated
+    // by the exactly-once sink: v1 = every row, v2 = the updated rows'
+    // post-images ('X'), v3 = the appended 'I' rows. A sink that
+    // double-commits a replayed batch (or drops one) breaks the hash.
+    "q_stream_table_sink" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'X', o_totalprice FROM orders
+        |WHERE o_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, 'I', o_totalprice FROM orders
+        |WHERE o_orderkey % 500 = 11
+        |ORDER BY o_orderkey ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST,
+        |  o_totalprice ASC NULLS FIRST""".stripMargin,
     // the change-event multiset replayed version by version: v1 = all
     // rows as inserts; v2 = a delete (old status) + insert ('X') pair
     // per %100 match; v3 = deletes of the post-update rows matching

@@ -53,6 +53,20 @@ object GraftShim {
     }
   }
 
+  /** Re-plan a streaming micro-batch frame as a BATCH frame over the
+    * same physical rows (`private[sql]` internalCreateDataFrame — the
+    * v1 sink discipline the Delta OSS sink uses): a Sink.addBatch
+    * frame is bound to the query's IncrementalExecution, and handing
+    * it straight to batch verbs that re-analyze (joins, observed
+    * metrics, writes) can re-plan against streaming state. The rows
+    * stream through untouched; only the plan wrapper changes.
+    */
+  def rewrapBatch(df: DataFrame): DataFrame = {
+    val s = df.sparkSession.asInstanceOf[classic.SparkSession]
+    s.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   /** Bridge to the `private[sql]` v1 session catalog — needed to
     * resolve CATALOG-NAMED graft tables (name -> provider + location)
     * inside the DML interception rule, and to invalidate the analyzer's

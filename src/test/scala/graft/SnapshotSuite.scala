@@ -2132,9 +2132,11 @@ class SnapshotSuite extends AnyFunSuite {
     assert(probe.inputFiles.length <= 2,
       s"post-rename bloom pruning lost: opened " +
         s"${probe.inputFiles.length} of 8")
-    // --- readWhere prunes multi-column tables on the first column;
-    // the writer API creates multi-partitioned tables via the
-    // partitionCols option
+    // --- readWhere on a multi-column table: the bare-values form
+    // names no column, so it must ERROR (not silently consult one
+    // arbitrary column); the column->values form prunes on ANY subset
+    // of the partition columns. The writer API creates
+    // multi-partitioned tables via the partitionCols option.
     val tm = freshTable("rwmulti")
     Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "y"))
       .toDF("k", "g", "r")
@@ -2143,8 +2145,34 @@ class SnapshotSuite extends AnyFunSuite {
     assert(SnapshotTable.readManifest(spark, tm,
       SnapshotTable.currentVersion(spark, tm))
       .meta.contains("partitionCols"))
-    val rw = SnapshotTable.readWhere(spark, tm, Set("a"))
+    val bare = intercept[IllegalArgumentException] {
+      SnapshotTable.readWhere(spark, tm, Set("a"))
+    }
+    assert(bare.getMessage.contains("Map(column -> values)"))
+    val rw = SnapshotTable.readWhere(spark, tm, Map("g" -> Set("a")))
     assert(rw.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // SECOND-column values prune correctly (the bug class the bare
+    // form had: these used to return empty against the first column)
+    val rw2 = SnapshotTable.readWhere(spark, tm, Map("r" -> Set("y")))
+    assert(rw2.collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    val rwBoth = SnapshotTable.readWhere(spark, tm,
+      Map("g" -> Set("a"), "r" -> Set("y")))
+    assert(rwBoth.collect().map(_.getLong(0)).toSet === Set(3L))
+    assert(rwBoth.inputFiles.length === 1,
+      "subset pruning must open only the matching partition's file")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readWhere(spark, tm, Map("nope" -> Set("a")))
+    }
+    // df.write.partitionBy(...) (the v1 __partition_columns option)
+    // must land as the table layout, not be silently dropped
+    val tp = freshTable("rwpby")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "g")
+      .write.format("graft").partitionBy("g")
+      .mode("errorifexists").save(tp)
+    assert(graft.sources.SnapshotTable.readManifest(spark, tp,
+      SnapshotTable.currentVersion(spark, tp))
+      .meta.get("partitionCol").contains("g"),
+      "partitionBy must create a partitioned table")
   }
 
   test("full MERGE cardinality rule fires only for MATCHED duplicate " +
@@ -2286,6 +2314,76 @@ class SnapshotSuite extends AnyFunSuite {
       assert(s2.sql(s"SELECT txt FROM $name").head().getString(0) === "x",
         "the refreshed named relation must carry the new schema")
     } finally s2.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("multi-column ALTER is statement-atomic: a guarded later column " +
+      "leaves version AND schema untouched; a clean multi-drop/widen " +
+      "is ONE manifest commit") {
+    import spark.implicits._
+    val t = freshTable("atomalter")
+    SnapshotTable.create(spark, t,
+      Seq((1L, 10, Option("a"), Option(1.0), 5.0f),
+        (2L, 20, Option("b"), Option(2.0), 6.0f))
+        .toDF("k", "i", "s", "v", "w"), numFiles = 1)
+    SnapshotTable.addConstraint(spark, t, "v_pos", "v > 0")
+    graft.GraftExtensions.register(spark)
+    def dml(stmt: String) = spark.sql(
+      s"""SELECT * FROM graft_dml("$stmt")""").head()
+    def state() = {
+      val v = SnapshotTable.currentVersion(spark, t)
+      (v, SnapshotTable.readManifest(spark, t, v).schema)
+    }
+    // FIRST column clean, SECOND constraint-referenced: the whole
+    // statement must error with version AND schema untouched — the
+    // half-apply class (s dropped, then the error) is the regression
+    val (v0, schema0) = state()
+    intercept[Exception] { dml(s"ALTER TABLE `$t` DROP COLUMNS (s, v)") }
+    assert(state() === ((v0, schema0)),
+      "a failed multi-drop must not half-apply")
+    intercept[Exception] {
+      SnapshotTable.dropColumns(spark, t, Seq("s", "v"))
+    }
+    assert(state() === ((v0, schema0)))
+    // dropping EVERY column must error whole (pre-flighted against
+    // the count AFTER all drops, not per-column)
+    val tAll = freshTable("atomalterall")
+    Seq((1L, "a")).toDF("k", "s")
+      .write.format("graft").mode("errorifexists").save(tAll)
+    intercept[Exception] {
+      SnapshotTable.dropColumns(spark, tAll, Seq("k", "s"))
+    }
+    assert(SnapshotTable.read(spark, tAll).columns.toSeq === Seq("k", "s"))
+    // a clean two-column drop commits EXACTLY ONE version
+    assert(dml(s"ALTER TABLE `$t` DROP COLUMNS (s, w)")
+      .getString(0) === "drop_column")
+    val (v1, schema1) = state()
+    assert(v1 === v0 + 1, "a multi-column drop must be ONE commit")
+    assert(schema1.fieldNames.toSeq === Seq("k", "i", "v"))
+    // multi-spec ALTER COLUMN touching the SAME column twice: the
+    // second spec widens an already-widened type — invalid, and must
+    // fail BEFORE the first spec commits
+    import org.apache.spark.sql.types.LongType
+    intercept[Exception] {
+      SnapshotTable.widenColumns(spark, t,
+        Seq("i" -> LongType, "i" -> LongType))
+    }
+    assert(state() === ((v1, schema1)),
+      "a failed multi-widen must not half-apply")
+    // a valid single-statement widen still works after the rejections
+    SnapshotTable.widenColumns(spark, t, Seq("i" -> LongType))
+    assert(SnapshotTable.read(spark, t).schema("i").dataType === LongType)
+    // SECOND drop target is a partition column: pre-flighted, atomic
+    val tp = freshTable("atomalterp")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "g", "x")
+      .write.format("graft").option("partitionCol", "g")
+      .mode("errorifexists").save(tp)
+    val vp = SnapshotTable.currentVersion(spark, tp)
+    intercept[Exception] {
+      SnapshotTable.dropColumns(spark, tp, Seq("x", "g"))
+    }
+    assert(SnapshotTable.currentVersion(spark, tp) === vp &&
+      SnapshotTable.read(spark, tp).columns.toSeq === Seq("k", "g", "x"),
+      "a partition-column drop must fail whole, not half-apply")
   }
 
   test("string stats prune in code-point order, not UTF-16 order") {

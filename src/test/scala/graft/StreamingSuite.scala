@@ -735,4 +735,98 @@ class StreamingSuite extends AnyFunSuite {
           "missed tail once, replayed prefix never")
     } finally q2.stop()
   }
+
+  test("graft streaming SINK: exactly-once appends — a redelivered " +
+      "batch id is skipped, a restart resumes without duplicates, " +
+      "createIfMissing bootstraps from the first batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{GraftDataSource, SnapshotTable}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val t = s"$dir/table"
+    val mem = MemoryStream[(Long, String)]
+    def start() = mem.toDF().toDF("k", "v").writeStream.format("graft")
+      .option("path", t).option("createIfMissing", "true")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q = start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      val got = SnapshotTable.read(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    } finally q.stop()
+    // RESTART from the same checkpoint: only the new data commits
+    mem.addData((4L, "d"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(SnapshotTable.read(spark, t).count() === 4L,
+      "restart must append exactly the missed tail")
+    // REDELIVERY (the crash-between-data-and-checkpoint window): the
+    // sink sees an already-committed batch id — must skip, version
+    // and contents unchanged. The live query committed ids 0..2 under
+    // the default queryKey.
+    val v = SnapshotTable.currentVersion(spark, t)
+    val sink = new GraftDataSource.GraftSink(spark, t, "sink",
+      complete = false, createIfMissing = false)
+    sink.addBatch(2L, Seq((9L, "dup")).toDF("k", "v"))
+    assert(SnapshotTable.currentVersion(spark, t) === v &&
+      SnapshotTable.read(spark, t).count() === 4L,
+      "a redelivered batch must commit exactly once (skip the replay)")
+    // a FRESH id commits; its own replay then skips
+    sink.addBatch(3L, Seq((5L, "e")).toDF("k", "v"))
+    sink.addBatch(3L, Seq((6L, "f")).toDF("k", "v"))
+    assert(SnapshotTable.read(spark, t).collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    // a second stream into the SAME table under its own queryKey gets
+    // an independent batch-id watermark
+    val sink2 = new GraftDataSource.GraftSink(spark, t, "other",
+      complete = false, createIfMissing = false)
+    sink2.addBatch(0L, Seq((7L, "g")).toDF("k", "v"))
+    assert(SnapshotTable.read(spark, t).count() === 6L)
+    // misaligned batch columns must error, never NULL-fill silently
+    intercept[Exception] {
+      sink.addBatch(4L, Seq((8L, "h")).toDF("k", "WRONG"))
+    }
+  }
+
+  test("graft streaming SINK: Complete mode replaces the table per " +
+      "batch atomically; Update mode is rejected at start") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_sinkc").toString
+    val t = s"$dir/table"
+    val mem = MemoryStream[(Long, String)]
+    val agg = mem.toDF().toDF("k", "v")
+      .groupBy(col("v")).agg(sum(col("k")).as("total"))
+    val q = agg.writeStream.outputMode("complete").format("graft")
+      .option("path", t).option("createIfMissing", "true")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData((1L, "a"))
+      q.processAllAvailable()
+      assert(SnapshotTable.read(spark, t).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+        Map("a" -> 1L))
+      mem.addData((2L, "a"), (3L, "b"))
+      q.processAllAvailable()
+      assert(SnapshotTable.read(spark, t).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+        Map("a" -> 3L, "b" -> 3L),
+        "each complete batch must REPLACE, not append")
+      // the previous complete state stays time-travelable (v2 was the
+      // first non-empty replace; v1 is the bootstrap)
+      assert(SnapshotTable.read(spark, t,
+        version = Some(2L)).count() === 1L)
+    } finally q.stop()
+    intercept[Exception] {
+      mem.toDF().toDF("k", "v").groupBy(col("v")).agg(count(lit(1)))
+        .writeStream.outputMode("update").format("graft")
+        .option("path", s"$dir/t2")
+        .option("checkpointLocation", s"$dir/ckpt2").start()
+    }
+  }
 }
