@@ -145,8 +145,12 @@ object GraftExtensions {
   private def litLong(e: Expression, what: String): Long =
     litString(e, what).toLong
 
-  /** `graft_snapshot('<table>'[, version])` — the snapshot (current or
-    * time-traveled) as a SQL relation.
+  /** `graft_snapshot('<table>'[, version | TIMESTAMP '…'])` — the
+    * snapshot (current or time-traveled) as a SQL relation. A second
+    * argument of timestamp/date type (or a non-numeric string) is
+    * `TIMESTAMP AS OF`: the latest version committed at or before it
+    * ([[graft.sources.SnapshotTable.versionAtTimestamp]]); a numeric
+    * one is `VERSION AS OF`.
     */
   val snapshotTvf: Seq[Expression] => LogicalPlan = { args =>
     require(args.size == 1 || args.size == 2,
@@ -157,8 +161,37 @@ object GraftExtensions {
     // read — resolving twice would race a concurrent commit (the DV
     // decision could be made on a different snapshot than the scan)
     val version =
-      if (args.size == 2) litLong(args(1), "graft_snapshot version")
+      if (args.size == 2) args(1).dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          // a timestamp literal's value is epoch MICROS
+          graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
+            Math.floorDiv(litLong(args(1), "graft_snapshot timestamp"),
+              1000L))
+        case org.apache.spark.sql.types.DateType =>
+          // a date literal's value is DAYS since the epoch, rendered in
+          // the JVM default zone (the manifest-mtime clock)
+          graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+              litLong(args(1), "graft_snapshot date"))).getTime)
+        case org.apache.spark.sql.types.StringType
+            if scala.util.Try(litString(args(1), "graft_snapshot " +
+              "version").trim.toLong).isFailure =>
+          graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
+            graft.sources.SnapshotTable.parseTsMillis(
+              litString(args(1), "graft_snapshot timestamp")))
+        case _ => litLong(args(1), "graft_snapshot version")
+      }
       else graft.sources.SnapshotTable.currentVersion(spark, table)
+    pinnedSnapshotPlan(spark, table, version)
+  }
+
+  /** The pinned time-traveled read as a logical plan: the
+    * manifest-FileIndex scan when DV-free (Catalyst file pruning
+    * stays live above it), the DV-applying read otherwise — shared by
+    * the TVF and the native `VERSION/TIMESTAMP AS OF` lowering.
+    */
+  private def pinnedSnapshotPlan(spark: SparkSession, table: String,
+      version: Long): LogicalPlan = {
     val snap = graft.sources.SnapshotTable.readManifest(spark, table,
       version)
     val df =
@@ -307,14 +340,74 @@ object GraftExtensions {
       case other => other
     }
 
+    /** Native `SELECT … FROM t VERSION AS OF v` / `TIMESTAMP AS OF ts`
+      * on a snapshot path or graft catalog name: Spark parses the
+      * clause into [[org.apache.spark.sql.catalyst.analysis
+      * .RelationTimeTravel]], but its analyzer supports it only for
+      * DSv2 tables — a v1 provider gets "time travel is not supported"
+      * in the FIRST resolution fixpoint, before any injected resolution
+      * rule can fire. So graft targets are lowered at parse time
+      * (the same discipline as the DDL above) onto the pinned snapshot
+      * scan; time travel over non-graft tables passes through
+      * untouched. The timestamp must be a literal (timestamp, date,
+      * string, or a cast of one) — the clause is resolved before the
+      * analyzer runs, so arbitrary expressions cannot be evaluated yet.
+      */
+    private def timeTravel(plan: LogicalPlan): LogicalPlan =
+      plan.transformDown {
+        case tt @ org.apache.spark.sql.catalyst.analysis
+            .RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+          val target = graft.sources.GraftDml
+            .snapshotPathOf(spark, u.multipartIdentifier)
+            .orElse(graft.sources.GraftDml
+              .namedGraftTable(spark, u.multipartIdentifier).map(_._1))
+          target match {
+            case None => tt
+            case Some(path) =>
+              val version = ver match {
+                case Some(v) =>
+                  require(scala.util.Try(v.trim.toLong).isSuccess,
+                    s"VERSION AS OF on a graft table takes a version " +
+                      s"number, got '$v'")
+                  v.trim.toLong
+                case None =>
+                  graft.sources.SnapshotTable.versionAtTimestamp(spark,
+                    path, tsMillisOfLiteral(ts.getOrElse(
+                      throw new IllegalArgumentException(
+                        "time travel needs VERSION AS OF or " +
+                          "TIMESTAMP AS OF"))))
+              }
+              pinnedSnapshotPlan(spark, path, version)
+          }
+      }
+
+    private def tsMillisOfLiteral(e: org.apache.spark.sql.catalyst
+        .expressions.Expression): Long = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+          org.apache.spark.sql.types.TimestampType) =>
+        Math.floorDiv(v, 1000L) // timestamp literals carry epoch micros
+      case org.apache.spark.sql.catalyst.expressions.Literal(d: Integer,
+          org.apache.spark.sql.types.DateType) =>
+        java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(d.longValue)).getTime
+      case org.apache.spark.sql.catalyst.expressions.Literal(s,
+          org.apache.spark.sql.types.StringType) if s != null =>
+        graft.sources.SnapshotTable.parseTsMillis(s.toString)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        tsMillisOfLiteral(c.child)
+      case other => throw new IllegalArgumentException(
+        "TIMESTAMP AS OF on a graft table must be a literal " +
+          s"timestamp/date/string, got $other")
+    }
+
     override def parsePlan(sqlText: String): LogicalPlan =
-      lower(delegate.parsePlan(sqlText))
+      timeTravel(lower(delegate.parsePlan(sqlText)))
     override def parsePlanWithParameters(sqlText: String,
         ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
         : LogicalPlan =
-      lower(delegate.parsePlanWithParameters(sqlText, ctx))
+      timeTravel(lower(delegate.parsePlanWithParameters(sqlText, ctx)))
     override def parseQuery(sqlText: String): LogicalPlan =
-      delegate.parseQuery(sqlText)
+      timeTravel(delegate.parseQuery(sqlText))
     override def parseExpression(sqlText: String) =
       delegate.parseExpression(sqlText)
     override def parseTableIdentifier(sqlText: String) =

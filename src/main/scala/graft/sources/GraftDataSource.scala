@@ -150,12 +150,20 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val table = pathOf(parameters)
-    val version = parameters.get("versionAsOf").map { v =>
+    val byVersion = parameters.get("versionAsOf").map { v =>
       require(scala.util.Try(v.trim.toLong).isSuccess,
         s"versionAsOf must be a version number, got '$v'")
       v.trim.toLong
     }
-    GraftDataSource.relationFor(spark, table, version)
+    // `TIMESTAMP AS OF`: resolve the commit-time high-water version
+    // once at relation build (metadata-tier lookup) and pin it — the
+    // scan then behaves exactly like an explicit versionAsOf read
+    val byTs = parameters.get("timestampAsOf").map(t =>
+      SnapshotTable.versionAtTimestamp(spark, table,
+        SnapshotTable.parseTsMillis(t)))
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "pass versionAsOf OR timestampAsOf, not both")
+    GraftDataSource.relationFor(spark, table, byVersion.orElse(byTs))
   }
 
   /** Schema-supplied resolution. Bootstrapping an EMPTY table from the
@@ -232,21 +240,35 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // + cast discipline as SQL INSERT: a frame whose column names
     // drift (e.g. 'value' for 'v') must error, never commit a file
     // the schema'd reader silently NULL-fills; a type drift must cast,
-    // never stage mistyped parquet that poisons every later read
+    // never stage mistyped parquet that poisons every later read.
+    // `option("mergeSchema", "true")` opts into write-time schema
+    // evolution: NEW source columns auto-ADD (nullable, same atomic
+    // commit — the verbs align internally against the evolved schema);
+    // without it the unknown-column error stands.
+    val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
     def aligned(): org.apache.spark.sql.DataFrame =
-      GraftDml.alignByName(data,
-        SnapshotTable.readManifest(spark, table,
-          SnapshotTable.currentVersion(spark, table)).schema,
-        "write frame", allowSubset = false)
+      if (mergeSchema) data
+      else {
+        val snap = SnapshotTable.readManifest(spark, table,
+          SnapshotTable.currentVersion(spark, table))
+        // identity tables: the id column is ASSIGNED at commit — the
+        // writer's every-column-present rule must not demand it
+        GraftDml.alignByName(data,
+          SnapshotTable.writeSchemaFor(snap, data),
+          "write frame", allowSubset = false)
+      }
     val wrote = mode match {
       case SaveMode.Append =>
-        if (exists) SnapshotTable.append(spark, table, aligned())
+        if (exists)
+          SnapshotTable.append(spark, table, aligned(), mergeSchema)
         else createNew()
         true
       case SaveMode.Overwrite =>
         // atomic whole-table replace: ONE commit, the old version stays
         // time-travelable (the Delta overwrite semantics)
-        if (exists) SnapshotTable.replaceContents(spark, table, aligned())
+        if (exists)
+          SnapshotTable.replaceContents(spark, table, aligned(),
+            mergeSchema)
         else createNew()
         true
       case SaveMode.ErrorIfExists =>
@@ -350,7 +372,10 @@ object GraftDataSource {
       val snap = SnapshotTable.readManifest(spark, table,
         SnapshotTable.currentVersion(spark, table))
       // same align-by-name + cast discipline as every other write path
-      val aligned = GraftDml.alignByName(batch, snap.schema,
+      // (identity tables: the id column is assigned at commit, so the
+      // stream frame is not required to carry it)
+      val aligned = GraftDml.alignByName(batch,
+        SnapshotTable.writeSchemaFor(snap, batch),
         s"stream batch $batchId", allowSubset = false)
       if (complete)
         SnapshotTable.replaceStreamBatch(spark, table, aligned, batchId,

@@ -1692,6 +1692,66 @@ object SnapshotTable {
       .orderBy(col("version").asc_nulls_first)
   }
 
+  /** `TIMESTAMP AS OF` resolution: the LATEST readable version whose
+    * commit time (manifest mtime — the same clock [[history]] reports
+    * as `committed_at`) is at or before `tsMillis`. Delta/Iceberg
+    * boundary semantics: a timestamp equal to a commit's time reads
+    * THAT commit; a timestamp after the last commit reads the latest
+    * version; a timestamp before the first READABLE commit errors
+    * (below it there is either nothing or only expired versions whose
+    * data files are gone — resolving to them would fail mid-scan).
+    * Metadata-tier only: one manifest-dir listing, no data IO.
+    */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Long = {
+    val f = fs(spark, table)
+    val mDir = manifestDir(table)
+    require(f.exists(mDir), s"no committed snapshot at $table")
+    val floor = retentionFloor(spark, table)
+    val committed = f.listStatus(mDir).iterator
+      .filter(st => st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.endsWith(".manifest"))
+      .map(st => (st.getPath.getName.stripPrefix("v")
+        .stripSuffix(".manifest").toLong, st.getModificationTime))
+      .filter(_._1 >= floor)
+      .toVector.sortBy(_._1)
+    require(committed.nonEmpty, s"no committed snapshot at $table")
+    val eligible = committed.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestamp ${new java.sql.Timestamp(tsMillis)} is before the " +
+        s"earliest available version of $table (v${committed.head._1} " +
+        s"committed at ${new java.sql.Timestamp(committed.head._2)})")
+    eligible.last._1
+  }
+
+  /** A user-supplied `timestampAsOf` rendering as epoch millis: epoch
+    * millis directly, a SQL timestamp (`yyyy-MM-dd HH:mm:ss[.f…]`), a
+    * bare date, or an ISO-8601 instant. Session-timezone-free formats
+    * (SQL timestamp / date) are interpreted in the JVM default zone —
+    * the same clock the manifest mtimes are stamped in.
+    */
+  private[graft] def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    if (t.nonEmpty && t.forall(c => c.isDigit || c == '-') &&
+        t.count(_ == '-') <= (if (t.startsWith("-")) 1 else 0))
+      return t.toLong
+    try java.sql.Timestamp.valueOf(t).getTime
+    catch {
+      case _: IllegalArgumentException =>
+        try java.sql.Date.valueOf(t).getTime
+        catch {
+          case _: IllegalArgumentException =>
+            try java.time.Instant.parse(t).toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"cannot parse timestamp '$s' — pass epoch millis, " +
+                    "'yyyy-MM-dd[ HH:mm:ss[.f]]', or an ISO-8601 instant")
+            }
+        }
+    }
+  }
+
   /** Remove staged-but-never-committed batch dirs older than `graceMs`
     * — crash debris from writers that died before their commit rename
     * (whose files NO manifest of any version references). The grace
@@ -1742,13 +1802,60 @@ object SnapshotTable {
   /** Append `df` as new files — no existing file is touched, the
     * manifest grows by the new batch (the R22 verb, snapshot-committed).
     */
-  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
-    val snap = loadCurrent(spark, table)
-    val (files, labels, stats, extras) = stageFor(snap, df, table)
+  def append(spark: SparkSession, table: String, df: DataFrame): Long =
+    append(spark, table, df, mergeSchema = false)
+
+  /** Append with OPT-IN write-time schema evolution (the Delta
+    * `mergeSchema` shape): when `mergeSchema` is true, source columns
+    * the table lacks are added — NULLABLE, in the SAME atomic commit
+    * as the data (existing files read them as NULL via parquet by-name
+    * resolution, exactly like [[addColumns]]), and the frame is
+    * aligned-by-name against the evolved schema (unknown-column drift
+    * still errors when the option is off; retired names still error
+    * always — evolution must never resurrect renamed/dropped data).
+    */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+      mergeSchema: Boolean): Long = {
+    val snap0 = loadCurrent(spark, table)
+    val (snap, batch0) =
+      if (!mergeSchema) (snap0, df)
+      else {
+        val s = evolvedFor(snap0, df.schema, "append(mergeSchema)")
+        (s, GraftDml.alignByName(df, writeSchemaFor(s, df),
+          "append frame", allowSubset = false))
+      }
+    val (batch, metaUp) = identityFor(snap, batch0)
+    val (files, labels, stats, extras) = stageFor(snap, batch, table)
     commitManifest(spark, table, snap.schema, snap.files ++ files,
-      snap.version, snap.meta, snap.partitionOf ++ labels,
-      snap.statsOf ++ stats, snap.deleteFiles, Some(snap),
+      snap.version, snap.meta ++ metaUp, snap.partitionOf ++ labels,
+      snap.statsOf ++ stats, snap.deleteFiles, Some(snap0),
       snap.extraOf ++ extras)
+  }
+
+  /** The snapshot with its schema evolved to append `src`'s NEW
+    * columns (case-insensitive match; forced nullable — existing files
+    * have no values). Enforces [[addColumns]]' retired-name guard: a
+    * renamed-away or dropped name would resurrect stale file data.
+    */
+  private def evolvedFor(snap: Snapshot,
+      src: org.apache.spark.sql.types.StructType,
+      what: String): Snapshot = {
+    val have = snap.schema.fieldNames.map(_.toLowerCase).toSet
+    val fresh = src.fields.filter(f => !have(f.name.toLowerCase))
+    if (fresh.isEmpty) return snap
+    val retired = retiredNames(snap)
+    val reused = fresh.map(_.name)
+      .filter(n => retired.exists(_.equalsIgnoreCase(n)))
+    require(reused.isEmpty,
+      s"$what: column name(s) ${reused.mkString(", ")} were renamed " +
+        "away or dropped — old files still hold values under them, and " +
+        "by-name parquet resolution would resurrect that data; pick " +
+        "fresh names")
+    require(fresh.map(_.name.toLowerCase).distinct.length == fresh.length,
+      s"$what: new columns collide case-insensitively: " +
+        fresh.map(_.name).mkString(", "))
+    snap.copy(schema = StructType(snap.schema.fields ++
+      fresh.map(_.copy(nullable = true))))
   }
 
   /** Atomic whole-table replace (the INSERT OVERWRITE verb): stage the
@@ -1762,17 +1869,157 @@ object SnapshotTable {
     * replay window (the [[restore]] rule).
     */
   def replaceContents(spark: SparkSession, table: String,
-      df: DataFrame): Long = {
-    val snap = loadCurrent(spark, table)
-    val (files, labels, stats, extras) = stageFor(snap,
-      df.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*), table)
+      df: DataFrame): Long =
+    replaceContents(spark, table, df, mergeSchema = false)
+
+  /** As the two-arg overload; `mergeSchema` opts into write-time
+    * schema evolution (see [[append]]'s four-arg doc) — new nullable
+    * source columns are added in the same atomic replace commit.
+    */
+  def replaceContents(spark: SparkSession, table: String,
+      df: DataFrame, mergeSchema: Boolean): Long = {
+    val snap0 = loadCurrent(spark, table)
+    val snap =
+      if (mergeSchema) evolvedFor(snap0, df.schema, "replace(mergeSchema)")
+      else snap0
+    // identity tables: the replacement rows get FRESH ids continuing
+    // from the mark (it never resets — the AUTOINCREMENT rule), so the
+    // frame may omit the column like any other append-shaped write
+    val batch0 =
+      if (mergeSchema) GraftDml.alignByName(df, writeSchemaFor(snap, df),
+        "replace frame", allowSubset = false)
+      else if (snap.meta.contains("identityCol")) df
+      else df.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val (batch, metaUp) = identityFor(snap, batch0)
+    val (files, labels, stats, extras) = stageFor(snap, batch, table)
     // every surviving row is freshly staged under CURRENT column names,
     // so the replace clears the column mapping exactly like compact()
     // — the raw FileIndex fast path resumes and retired names free up
     commitManifest(spark, table, snap.schema, files, snap.version,
       snap.meta - "colmap" - "droppedCols", labels, stats, Nil,
-      Some(snap), extras)
+      Some(snap0), extras)
   }
+
+  /** CREATE with an IDENTITY column (the reference's `INTEGER PRIMARY
+    * KEY AUTOINCREMENT`, database.py:78,83 — every reference table
+    * leads with one): the table carries `identityCol` metadata and a
+    * HIGH-WATER MARK in the manifest, and every append-shaped write
+    * (library append, SQL INSERT, the streaming sink, MERGE inserts)
+    * assigns the next `n` ids — monotonic, gap-free within a batch,
+    * never reused (the mark only ratchets; [[restore]] keeps the max).
+    *
+    * Assignment is the parallel global-rank pattern
+    * ([[graft.operators.ScalePatterns.withGlobalRank]] — prefix-sum of
+    * partition counts, NO single-task window), offset by the mark read
+    * from the CURRENT manifest; the new mark commits in the SAME
+    * atomic manifest as the data, so ids are exactly-once across
+    * commit-conflict retries: a loser re-reads the winner's mark and
+    * re-assigns from there — two appends can never share ids.
+    *
+    * Within-batch ORDER: ascending `sortCols` when declared (the
+    * deterministic, testable shape — e.g. event time); otherwise
+    * xxhash64 of the row (content-determined, shuffle-independent).
+    * The column is GENERATED ALWAYS: explicit values are rejected
+    * loudly (an all-NULL column — the INSERT-column-subset fill — is
+    * re-assigned). Declared nullable so INSERT column lists may omit
+    * it; it is never actually null.
+    */
+  def createWithIdentity(spark: SparkSession, table: String,
+      df: DataFrame, idCol: String = "id", sortCols: Seq[String] = Nil,
+      numFiles: Int = 8): Long = {
+    require(currentVersion(spark, table) == 0,
+      s"$table already has committed snapshots")
+    require(!df.columns.exists(_.equalsIgnoreCase(idCol)),
+      s"the create frame already carries $idCol — identity values are " +
+        "GENERATED ALWAYS, never supplied")
+    sortCols.foreach(c => require(df.columns.contains(c),
+      s"identity sort column $c is not in the frame " +
+        s"(${df.columns.mkString(", ")})"))
+    val schema = StructType(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = true) +:
+        df.schema.fields)
+    val meta = Map("identityCol" -> idCol, "identityHwm" -> "0") ++
+      (if (sortCols.isEmpty) Map.empty[String, String]
+       else Map("identitySort" -> sortCols.map(enc).mkString(",")))
+    val snap0 = Snapshot(0L, schema, Nil, meta)
+    val (assigned, hwm) = assignIdentity(snap0, df)
+    val files = stageBatch(assigned.repartition(numFiles), table)
+    commitManifest(spark, table, schema, files, 0L,
+      meta + ("identityHwm" -> hwm.toString))
+  }
+
+  /** Assign `hwm+1 .. hwm+n` to the table's identity column (see
+    * [[createWithIdentity]]). Returns the frame in schema order and
+    * the new high-water mark. The ranked input is localCheckpoint'ed
+    * by withGlobalRank, so the staged data and the returned mark are
+    * computed from ONE materialization — a non-deterministic upstream
+    * cannot make them disagree.
+    */
+  private def assignIdentity(snap: Snapshot, df: DataFrame)
+      : (DataFrame, Long) = {
+    val idc = snap.meta("identityCol")
+    val hwm = snap.meta.getOrElse("identityHwm", "0").toLong
+    val base = df.columns.find(_.equalsIgnoreCase(idc)) match {
+      case Some(actual) =>
+        require(df.filter(col(s"`$actual`").isNotNull).isEmpty,
+          s"column $idc is GENERATED ALWAYS AS IDENTITY — explicit " +
+            "values are not accepted; omit the column")
+        df.drop(actual)
+      case None => df
+    }
+    val order = snap.meta.get("identitySort")
+      .map(_.split(',').filter(_.nonEmpty).toSeq
+        .map(c => col(s"`${dec(c)}`")))
+      .getOrElse(Seq(xxhash64(
+        base.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)))
+    val rank = "__graft_identity_rank"
+    require(!base.columns.contains(rank),
+      s"the frame may not carry the reserved column $rank")
+    val ranked = graft.operators.ScalePatterns
+      .withGlobalRank(base, rank, order: _*)
+    val assigned = ranked.withColumn(idc, col(rank) + lit(hwm)).drop(rank)
+      .select(snap.schema.fieldNames
+        .map(n => col(s"`$n`")).toIndexedSeq: _*)
+    val n = ranked.agg(coalesce(max(col(rank)), lit(0L))).head().getLong(0)
+    (assigned, hwm + n)
+  }
+
+  /** The identity-aware append pre-pass shared by every append-shaped
+    * verb: assigns ids and returns the manifest-meta update carrying
+    * the new high-water mark (empty when the table has no identity).
+    */
+  private def identityFor(snap: Snapshot, batch: DataFrame)
+      : (DataFrame, Map[String, String]) =
+    if (!snap.meta.contains("identityCol")) (batch, Map.empty)
+    else {
+      val (assigned, hwm) = assignIdentity(snap, batch)
+      (assigned, Map("identityHwm" -> hwm.toString))
+    }
+
+  /** The align-by-name target for a write into an identity table: the
+    * schema minus the identity column when the frame doesn't carry it
+    * — the column is ASSIGNED at commit, not supplied, so the writer's
+    * every-column-present rule must not demand it.
+    */
+  private[sources] def writeSchemaFor(snap: Snapshot,
+      df: DataFrame): StructType =
+    snap.meta.get("identityCol") match {
+      case Some(c) if !df.columns.exists(_.equalsIgnoreCase(c)) =>
+        StructType(snap.schema.filterNot(_.name.equalsIgnoreCase(c)))
+      case _ => snap.schema
+    }
+
+  /** GENERATED ALWAYS enforcement for the mutation verbs: UPDATE /
+    * MERGE assignments may never target the identity column.
+    */
+  private def requireNotIdentity(snap: Snapshot,
+      assigned: Iterable[String], what: String): Unit =
+    snap.meta.get("identityCol").foreach { idc =>
+      require(!assigned.exists(_.equalsIgnoreCase(idc)),
+        s"column $idc is GENERATED ALWAYS AS IDENTITY — $what may " +
+          "not assign it")
+    }
 
   /** Table-relative paths of the files that contain rows matching
     * `predicate` — a pushed-down scan reading only the predicate's
@@ -1825,6 +2072,7 @@ object SnapshotTable {
     // promotion stage parquet whose type differs from the manifest
     // schema — committing a version the schema'd reader cannot open.
     requireAssignable(snap.schema, assignments)
+    requireNotIdentity(snap, assignments.keys, "UPDATE")
     val rewritten = touched.select(snap.schema.map { f =>
       assignments.get(f.name) match {
         case Some(v) =>
@@ -2028,8 +2276,31 @@ object SnapshotTable {
   def mergeIntoFull(spark: SparkSession, table: String, source: DataFrame,
       on: Seq[(String, String)], matched: Seq[MergeWhen],
       notMatchedBySource: Seq[MergeWhen], notMatched: Seq[MergeInsert])
+      : (Long, Long, Long, Long, Int) =
+    mergeIntoFull(spark, table, source, on, matched, notMatchedBySource,
+      notMatched, mergeSchema = false)
+
+  /** As the seven-arg overload; `mergeSchema` opts into Delta-style
+    * autoMerge: SOURCE columns the target lacks are added — nullable,
+    * in the SAME atomic commit as the merge itself. Rewritten target
+    * rows read the new columns as NULL unless a clause assigns them;
+    * insert clauses may assign them like any other column. The
+    * retired-name guard still applies (see [[addColumns]]).
+    */
+  def mergeIntoFull(spark: SparkSession, table: String, source: DataFrame,
+      on: Seq[(String, String)], matched: Seq[MergeWhen],
+      notMatchedBySource: Seq[MergeWhen], notMatched: Seq[MergeInsert],
+      mergeSchema: Boolean)
       : (Long, Long, Long, Long, Int) = {
-    val snap = loadCurrent(spark, table)
+    val snap0 = loadCurrent(spark, table)
+    // the evolved snapshot threads through the WHOLE merge: target
+    // scans read the new columns as NULL (explicit-schema parquet
+    // by-name resolution), clause validation and the rewrite/insert
+    // projections see the expanded schema, and the single commit
+    // publishes it — evolution and mutation are one atomic step
+    val snap =
+      if (mergeSchema) evolvedFor(snap0, source.schema, "MERGE source")
+      else snap0
     val schema = snap.schema
     require(on.nonEmpty, "MERGE ON must contain at least one " +
       "target = source column equality")
@@ -2042,10 +2313,13 @@ object SnapshotTable {
     require(!schema.fieldNames.exists(c =>
       c.startsWith("__s_") || c == "__m" || c == "__mk"),
       "target columns may not use the reserved __s_/__m prefixes")
-    (matched ++ notMatchedBySource).flatMap(_.set).foreach(m =>
-      requireAssignable(schema, m))
+    (matched ++ notMatchedBySource).flatMap(_.set).foreach { m =>
+      requireAssignable(schema, m)
+      requireNotIdentity(snap, m.keys, "MERGE UPDATE")
+    }
     notMatched.foreach { i =>
       requireAssignable(schema, i.values)
+      requireNotIdentity(snap, i.values.keys, "MERGE INSERT")
       val omittedNonNull = schema.filter(f =>
         !f.nullable && !i.values.contains(f.name))
       require(omittedNonNull.isEmpty,
@@ -2193,10 +2467,11 @@ object SnapshotTable {
 
     // ----- insert pass: source rows matching NO live target row, first
     // applicable NOT MATCHED clause builds the row, unclaimed rows drop
-    val (insertStaged, nIns) = if (notMatched.isEmpty) {
+    val (insertStaged, nIns, idMeta) = if (notMatched.isEmpty) {
       ((Nil: Seq[String], Map.empty[String, String],
         Map.empty[String, Map[String, (String, String)]],
-        Map.empty[String, Map[String, String]]), 0L)
+        Map.empty[String, Map[String, String]]), 0L,
+        Map.empty[String, String])
     } else {
       val curKeys = targetKeys.get
       val unmatched = srcP.join(curKeys,
@@ -2214,22 +2489,32 @@ object SnapshotTable {
               .getOrElse(lit(null).cast(f.dataType)),
             lit(null).cast(f.dataType)).as(f.name)
         }.toIndexedSeq: _*)
-      val staged = stageFor(snap, rows, table)
+      // identity tables: merge-inserted rows get fresh ids like every
+      // append-shaped write (the projection above left the column
+      // NULL by construction — MERGE may not assign it — so it is
+      // dropped pre-assignment to skip the explicit-values guard's
+      // extra pass); the new mark rides the same atomic commit
+      val rowsPre = snap.meta.get("identityCol")
+        .map(rows.drop(_)).getOrElse(rows)
+      val (rowsId, idMetaUp) = identityFor(snap, rowsPre)
+      val staged = stageFor(snap, rowsId, table)
       val n = observedLong(obsIns.get, "inserted")(
         unmatched.filter(appliedI).count())
-      if (n > 0) (staged, n)
+      if (n > 0) (staged, n, idMetaUp)
       else {
         dropStagedBatches(spark, table, staged._1)
         ((Nil: Seq[String], Map.empty[String, String],
           Map.empty[String, Map[String, (String, String)]],
-          Map.empty[String, Map[String, String]]), 0L)
+          Map.empty[String, Map[String, String]]), 0L,
+          Map.empty[String, String])
       }
     }
     if (nUpd == 0 && nDel == 0 && nIns == 0 && hit.isEmpty)
       return (snap.version, 0L, 0L, 0L, 0)
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, schema,
-      keep ++ rewritten._1 ++ insertStaged._1, snap.version, snap.meta,
+      keep ++ rewritten._1 ++ insertStaged._1, snap.version,
+      snap.meta ++ idMeta,
       (snap.partitionOf -- hit) ++ rewritten._2 ++ insertStaged._2,
       (snap.statsOf -- hit) ++ rewritten._3 ++ insertStaged._3,
       snap.deleteFiles, Some(snap),
@@ -2311,10 +2596,17 @@ object SnapshotTable {
     val metaKey = s"lastBatchId.$queryKey"
     if (snap.meta.get(metaKey).exists(_.toLong >= batchId)) false
     else {
-      val (files, labels, stats, extras) = stageFor(snap,
-        batch.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*), table)
+      // identity tables assign ids here like every append-shaped verb;
+      // the mark rides the SAME manifest as the batch id, so a replay
+      // skipped by the id check also never re-burns ids
+      val (rows, metaUp) =
+        if (snap.meta.contains("identityCol")) identityFor(snap, batch)
+        else (batch.select(
+          snap.schema.fieldNames.map(col).toIndexedSeq: _*), Map.empty)
+      val (files, labels, stats, extras) = stageFor(snap, rows, table)
       commitManifest(spark, table, snap.schema, snap.files ++ files,
-        snap.version, snap.meta + (metaKey -> batchId.toString),
+        snap.version,
+        snap.meta ++ metaUp + (metaKey -> batchId.toString),
         snap.partitionOf ++ labels, snap.statsOf ++ stats,
         snap.deleteFiles, Some(snap), snap.extraOf ++ extras)
       true
@@ -2336,11 +2628,14 @@ object SnapshotTable {
     val metaKey = s"lastBatchId.$queryKey"
     if (snap.meta.get(metaKey).exists(_.toLong >= batchId)) false
     else {
-      val (files, labels, stats, extras) = stageFor(snap,
-        batch.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
-        table)
+      val (rows, metaUp) =
+        if (snap.meta.contains("identityCol")) identityFor(snap, batch)
+        else (batch.select(
+          snap.schema.fieldNames.map(col).toIndexedSeq: _*), Map.empty)
+      val (files, labels, stats, extras) = stageFor(snap, rows, table)
       commitManifest(spark, table, snap.schema, files, snap.version,
-        snap.meta - "colmap" - "droppedCols" + (metaKey -> batchId.toString),
+        snap.meta - "colmap" - "droppedCols" ++ metaUp +
+          (metaKey -> batchId.toString),
         labels, stats, Nil, Some(snap), extras)
       true
     }
@@ -2629,13 +2924,24 @@ object SnapshotTable {
     old.files.foreach(r => require(f.exists(new Path(table, r)),
       s"cannot restore v$version: data file $r was expired"))
     val streamMarks = cur.meta.filter(_._1.startsWith("lastBatchId."))
+    // the identity mark only RATCHETS (the AUTOINCREMENT rule):
+    // restoring an old snapshot must not re-issue ids that versions
+    // after it already burned — an append after restore would
+    // otherwise collide with rows still readable via time travel
+    val idMark = (old.meta.get("identityHwm"), cur.meta.get("identityHwm"))
+      match {
+        case (Some(o), Some(c)) => Map("identityHwm" ->
+          math.max(o.toLong, c.toLong).toString)
+        case _ => Map.empty[String, String]
+      }
     old.deleteFiles.foreach(r => require(f.exists(new Path(table, r)),
       s"cannot restore v$version: delete file $r was expired"))
     // deliberately a FULL manifest (base = None): restore re-lists the
     // old snapshot verbatim and re-anchors any delta chain — the verb
     // is rare and the verbatim list is its contract
     commitManifest(spark, table, old.schema, old.files, cur.version,
-      old.meta ++ streamMarks + ("restoredFrom" -> version.toString),
+      old.meta ++ streamMarks ++ idMark +
+        ("restoredFrom" -> version.toString),
       old.partitionOf, old.statsOf, old.deleteFiles, None, old.extraOf)
   }
 
@@ -2753,6 +3059,7 @@ object SnapshotTable {
       // b = a` swaps — and casts to the declared column type — the
       // same SQL-UPDATE rules as [[updateWhere]]
       requireAssignable(snap.schema, assignments)
+      requireNotIdentity(snap, assignments.keys, "UPDATE")
       val updated = matched.drop("__fk", "__rp")
         .select(snap.schema.map { f =>
           assignments.get(f.name) match {
@@ -3341,6 +3648,59 @@ object SnapshotTable {
       deleteWhere(s, t, col("o_orderkey") % 17 === 3)
       read(s, t, version = Some(1L))
         .orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
+    // Write-time schema evolution (mergeSchema/autoMerge), both
+    // surfaces in one lifecycle: v1 creates the evens WITHOUT o_extra
+    // or o_flag; v2 appends the odds carrying NEW column o_extra via
+    // the writer option (one atomic commit: schema + data); v3 runs an
+    // evolving MERGE whose source carries NEW column o_flag, updating
+    // the %10==0 keys. Old files read both new columns as NULL — the
+    // CASE expressions in the oracle are exactly that contract.
+    "q_table_merge_schema" -> ((s, d) => {
+      val t = scratch(s, d, "msch")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+      create(s, t, orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus")), numFiles = 4)
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").as("o_extra"))
+        .write.format("graft").mode("append")
+        .option("mergeSchema", "true").save(t)
+      val src = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("M").as("o_flag"))
+      mergeIntoFull(s, t, src, Seq("o_orderkey" -> "o_orderkey"),
+        matched = Seq(MergeWhen(None,
+          Some(Map("o_flag" -> srcRef("o_flag"))))),
+        notMatchedBySource = Nil, notMatched = Nil, mergeSchema = true)
+      read(s, t).orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
+    // TIMESTAMP AS OF: same three commits; the manifest mtimes are then
+    // pinned to an explicit strictly-increasing clock (the test's clock
+    // control — on a production store each commit's own mtime IS the
+    // clock) and the read resolves a timestamp strictly between v1 and
+    // v2 — landing on v1, the pristine table, which is the oracle.
+    "q_table_timetravel_ts" -> ((s, d) => {
+      val t = scratch(s, d, "tts")
+      val f = fs(s, t)
+      f.delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      create(s, t, orders, numFiles = 8)
+      updateWhere(s, t, col("o_orderkey") % 100 === 0,
+        Map("o_orderstatus" -> lit("X")))
+      deleteWhere(s, t, col("o_orderkey") % 17 === 3)
+      val t0 = 1700000000000L
+      (1L to 3L).foreach(v =>
+        f.setTimes(manifestPath(t, v), t0 + (v - 1) * 60000L, -1))
+      val v = versionAtTimestamp(s, t, t0 + 30000L)
+      require(v == 1L, s"timestamp between v1 and v2 must resolve to " +
+        s"v1, got v$v")
+      s.read.format("graft")
+        .option("timestampAsOf", (t0 + 30000L).toString).load(t)
+        .orderBy(col("o_orderkey").asc_nulls_first)
     })
   )
 
@@ -3358,6 +3718,15 @@ object SnapshotTable {
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_table_timetravel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_table_timetravel_ts" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_table_merge_schema" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_extra,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'M' END AS o_flag
+        |FROM orders
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     // the logical diff from first principles; *2 is exponent-only IEEE
     "q_table_changes" ->

@@ -2407,4 +2407,181 @@ class SnapshotSuite extends AnyFunSuite {
       .filter(col("s") >= "\uffff" && col("s") <= "\ud800\udc01")
     assert(got.count() === 1L, "the supplementary row must not be skipped")
   }
+
+  test("mergeSchema: opt-in write-time evolution adds nullable source " +
+      "columns atomically; off stays a loud error; retired names stay " +
+      "rejected") {
+    val t = freshTable("msch")
+    SnapshotTable.create(spark, t,
+      orders.select(col("o_orderkey"), col("o_orderstatus")), numFiles = 4)
+    val drifted = orders.limit(10)
+      .select(col("o_orderkey") + 900000000L as "o_orderkey",
+        col("o_orderstatus"), col("o_totalprice").as("o_extra"))
+    // OFF: a frame carrying an unknown column must error, not evolve
+    val exOff = intercept[IllegalArgumentException] {
+      drifted.write.format("graft").mode("append").save(t)
+    }
+    assert(exOff.getMessage.contains("unknown columns"))
+    assert(SnapshotTable.currentVersion(spark, t) === 1L)
+    // ON: one atomic commit carries schema + data
+    drifted.write.format("graft").mode("append")
+      .option("mergeSchema", "true").save(t)
+    assert(SnapshotTable.currentVersion(spark, t) === 2L)
+    val evolved = SnapshotTable.read(spark, t)
+    assert(evolved.columns.toSeq ===
+      Seq("o_orderkey", "o_orderstatus", "o_extra"))
+    assert(evolved.schema("o_extra").nullable,
+      "auto-added columns must be nullable")
+    // old files read the new column as NULL; new rows carry values
+    assert(evolved.filter(col("o_orderkey") < 900000000L &&
+      col("o_extra").isNotNull).count() === 0L)
+    assert(evolved.filter(col("o_orderkey") >= 900000000L &&
+      col("o_extra").isNull).count() === 0L)
+    // time travel: v1 still reads with the ORIGINAL two-column schema
+    assert(SnapshotTable.read(spark, t, Some(1L)).columns.toSeq ===
+      Seq("o_orderkey", "o_orderstatus"))
+    // a renamed-away name must NOT come back through evolution
+    SnapshotTable.renameColumn(spark, t, "o_extra", "o_extra2")
+    val exRetired = intercept[IllegalArgumentException] {
+      orders.limit(1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").as("o_extra"))
+        .write.format("graft").mode("append")
+        .option("mergeSchema", "true").save(t)
+    }
+    assert(exRetired.getMessage.contains("renamed away or dropped"))
+    // a missing NON-nullable... the writer path still requires every
+    // existing column to be present (mergeSchema adds, never omits)
+    val exMissing = intercept[IllegalArgumentException] {
+      orders.limit(1).select(col("o_orderkey"))
+        .write.format("graft").mode("append")
+        .option("mergeSchema", "true").save(t)
+    }
+    assert(exMissing.getMessage.contains("missing table columns"))
+  }
+
+  test("mergeSchema on MERGE: the source's new column evolves the " +
+      "target in the same commit as the merge; off errors") {
+    val t = freshTable("mschmrg")
+    SnapshotTable.create(spark, t,
+      orders.select(col("o_orderkey"), col("o_orderstatus")), numFiles = 4)
+    val src = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("M").as("o_flag"))
+    // OFF: assigning an unknown target column is the UPDATE error
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeIntoFull(spark, t, src,
+        Seq("o_orderkey" -> "o_orderkey"),
+        matched = Seq(SnapshotTable.MergeWhen(None,
+          Some(Map("o_flag" -> SnapshotTable.srcRef("o_flag"))))),
+        notMatchedBySource = Nil, notMatched = Nil)
+    }
+    assert(SnapshotTable.currentVersion(spark, t) === 1L)
+    // ON: evolve + merge in ONE commit
+    val (v, nUpd, _, _, _) = SnapshotTable.mergeIntoFull(spark, t, src,
+      Seq("o_orderkey" -> "o_orderkey"),
+      matched = Seq(SnapshotTable.MergeWhen(None,
+        Some(Map("o_flag" -> SnapshotTable.srcRef("o_flag"))))),
+      notMatchedBySource = Nil, notMatched = Nil, mergeSchema = true)
+    assert(v === 2L)
+    val got = SnapshotTable.read(spark, t)
+    assert(got.columns.toSeq === Seq("o_orderkey", "o_orderstatus",
+      "o_flag"))
+    assert(got.filter(col("o_flag") === "M").count() === nUpd)
+    assert(got.filter(col("o_orderkey") % 10 === 0 &&
+      col("o_flag").isNull).count() === 0L)
+    assert(got.filter(col("o_orderkey") % 10 =!= 0 &&
+      col("o_flag").isNotNull).count() === 0L)
+  }
+
+  test("TIMESTAMP AS OF: boundary semantics match Delta's \u2014 exact " +
+      "commit time reads that commit, before-first errors, after-last " +
+      "reads latest") {
+    val t = freshTable("tsasof")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 10 === 0,
+      Map("o_orderstatus" -> lit("T")))
+    SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 7 === 0)
+    // pin the commit clock explicitly (local-FS mtime granularity is
+    // not a test dependency): v1@t0, v2@t0+60s, v3@t0+120s
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = 1700000000000L
+    (1L to 3L).foreach(v => fs.setTimes(
+      new org.apache.hadoop.fs.Path(t, s"_manifests/v$v.manifest"),
+      t0 + (v - 1) * 60000L, -1))
+    // strictly between commits -> the earlier one
+    assert(SnapshotTable.versionAtTimestamp(spark, t, t0 + 30000L) === 1L)
+    // EXACTLY a commit's time -> that commit
+    assert(SnapshotTable.versionAtTimestamp(spark, t, t0 + 60000L) === 2L)
+    // after the last commit -> latest
+    assert(SnapshotTable.versionAtTimestamp(spark, t,
+      t0 + 3600000L) === 3L)
+    // before the first commit -> loud error
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.versionAtTimestamp(spark, t, t0 - 1L)
+    }
+    assert(ex.getMessage.contains("before the earliest"))
+    // the reader option pins the resolved version
+    val viaOpt = spark.read.format("graft")
+      .option("timestampAsOf", (t0 + 30000L).toString).load(t)
+    assert(viaOpt.count() === orders.count(),
+      "a pre-mutation timestamp must read the pristine v1")
+    // versionAsOf and timestampAsOf together is ambiguous -> error
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "1")
+        .option("timestampAsOf", (t0 + 30000L).toString).load(t)
+    }
+    // SQL-timestamp rendering parses too (JVM default zone \u2014 the
+    // manifest-mtime clock)
+    val asSql = new java.sql.Timestamp(t0 + 60000L).toString
+    assert(SnapshotTable.versionAtTimestamp(spark, t,
+      SnapshotTable.parseTsMillis(asSql)) === 2L)
+  }
+
+  test("native SQL time travel: VERSION AS OF and TIMESTAMP AS OF on " +
+      "path and catalog-named graft tables; non-graft targets pass " +
+      "through") {
+    val t = freshTable("sqltt")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 3 === 0)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = 1700000000000L
+    (1L to 2L).foreach(v => fs.setTimes(
+      new org.apache.hadoop.fs.Path(t, s"_manifests/v$v.manifest"),
+      t0 + (v - 1) * 60000L, -1))
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val full = orders.count()
+    val afterDel = SnapshotTable.read(spark, t).count()
+    assert(s2.sql(s"SELECT count(*) AS n FROM `$t` VERSION AS OF 1")
+      .head().getLong(0) === full)
+    assert(s2.sql(s"SELECT count(*) AS n FROM `$t` VERSION AS OF 2")
+      .head().getLong(0) === afterDel)
+    // a timestamp string literal, between the commits -> v1
+    val between = new java.sql.Timestamp(t0 + 30000L).toString
+    assert(s2.sql(s"SELECT count(*) AS n FROM `$t` " +
+      s"TIMESTAMP AS OF '$between'").head().getLong(0) === full)
+    // a typed TIMESTAMP literal resolves too, and composes with joins
+    assert(s2.sql(s"SELECT count(*) AS n FROM `$t` " +
+      s"TIMESTAMP AS OF TIMESTAMP '$between'").head().getLong(0) === full)
+    // catalog-named target
+    s2.sql(s"CREATE TABLE graft_tt_named USING graft LOCATION '$t'")
+    try {
+      assert(s2.sql("SELECT count(*) AS n FROM graft_tt_named " +
+        "VERSION AS OF 1").head().getLong(0) === full)
+      assert(s2.sql("SELECT count(*) AS n FROM graft_tt_named " +
+        s"TIMESTAMP AS OF '$between'").head().getLong(0) === full)
+    } finally s2.sql("DROP TABLE graft_tt_named")
+    // the TVF accepts a TIMESTAMP literal second argument
+    GraftExtensions.register(spark)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_snapshot('$t', " +
+      s"TIMESTAMP '$between')").head().getLong(0) === full)
+    // time travel over a non-graft relation is left for Spark (which
+    // rejects it for plain parquet) \u2014 not silently swallowed
+    intercept[Exception] {
+      s2.sql(s"SELECT * FROM parquet.`$sf/orders.parquet` " +
+        "VERSION AS OF 1").collect()
+    }
+  }
 }
