@@ -527,11 +527,14 @@ object SnapshotTable {
   }
 
   private[graft] def stagePartitionedBatch(df: DataFrame, table: String,
-      pcol: String): Seq[(String, String)] = {
+      pcol: String, clusterSort: Seq[Column] = Nil)
+      : Seq[(String, String)] = {
     val batch = "b-" + java.util.UUID.randomUUID().toString
     val dir = s"$table/data/$batch"
-    df.withColumn("__part", col(pcol).cast("string"))
+    val arranged = df.withColumn("__part", col(pcol).cast("string"))
       .repartition(col("__part"))
+    (if (clusterSort.isEmpty) arranged
+     else arranged.sortWithinPartitions(col("__part") +: clusterSort: _*))
       .write.mode("error").partitionBy("__part").parquet(dir)
     val f = fs(df.sparkSession, table)
     f.listStatus(new Path(dir)).filter(_.isDirectory)
@@ -555,14 +558,18 @@ object SnapshotTable {
     * single-column path.
     */
   private[graft] def stagePartitionedBatchMulti(df: DataFrame,
-      table: String, pcols: Seq[String]): Seq[(String, String)] = {
+      table: String, pcols: Seq[String],
+      clusterSort: Seq[Column] = Nil): Seq[(String, String)] = {
     val batch = "b-" + java.util.UUID.randomUUID().toString
     val dir = s"$table/data/$batch"
     val partNames = pcols.indices.map(i => s"__part$i")
     val withParts = pcols.zip(partNames).foldLeft(df) {
       case (acc, (c, p)) => acc.withColumn(p, col(s"`$c`").cast("string"))
     }
-    withParts.repartition(partNames.map(col): _*)
+    val arranged = withParts.repartition(partNames.map(col): _*)
+    (if (clusterSort.isEmpty) arranged
+     else arranged.sortWithinPartitions(
+       partNames.map(col) ++ clusterSort: _*))
       .write.mode("error").partitionBy(partNames: _*).parquet(dir)
     val f = fs(df.sparkSession, table)
     def walk(p: Path, depth: Int, rel: String,
@@ -683,6 +690,16 @@ object SnapshotTable {
 
   private def declaredBloomCols(snap: Snapshot): Seq[String] =
     snap.meta.get("bloomCols").toSeq
+      .flatMap(_.split(',').toSeq).filter(_.nonEmpty)
+
+  /** The table's declared clustering key (`clusterCols` metadata, set
+    * by [[createClustered]] or a clustered [[compact]]): staging sorts
+    * every fresh batch within partitions on it — appends and mutation
+    * rewrites keep per-file min/max ranges tight — and maintenance
+    * compaction range-resorts the whole table on it.
+    */
+  private def declaredClusterCols(snap: Snapshot): Seq[String] =
+    snap.meta.get("clusterCols").toSeq
       .flatMap(_.split(',').toSeq).filter(_.nonEmpty)
 
   private def bloomSidecarPath(table: String, batch: String,
@@ -846,16 +863,26 @@ object SnapshotTable {
         }
         (df.observe(o, aggs.head, aggs.tail: _*), Some(o))
       }
+    // declared clustering: every fresh batch sorts within its write
+    // tasks on the cluster key (batch-local, no extra shuffle), so
+    // per-file min/max ranges stay tight and range pruning keeps
+    // working as the table mutates — full re-clustering is compact()'s
+    // job, this keeps the decay slow between compactions
+    val clusterSort = declaredClusterCols(snap).map(c => col(s"`$c`"))
     val (files, labels) =
       if (snap.meta.contains("partitionCols")) {
         val staged = stagePartitionedBatchMulti(df1, table,
-          partitionColsOf(snap))
+          partitionColsOf(snap), clusterSort)
         (staged.map(_._1), staged.toMap)
       } else snap.meta.get("partitionCol") match {
         case Some(pc) =>
-          val staged = stagePartitionedBatch(df1, table, pc)
+          val staged = stagePartitionedBatch(df1, table, pc, clusterSort)
           (staged.map(_._1), staged.toMap)
-        case None => (stageBatch(df1, table), Map.empty[String, String])
+        case None =>
+          val arranged =
+            if (clusterSort.isEmpty) df1
+            else df1.sortWithinPartitions(clusterSort: _*)
+          (stageBatch(arranged, table), Map.empty[String, String])
       }
     obs.foreach { o =>
       val m = o.get
@@ -1380,8 +1407,12 @@ object SnapshotTable {
       .sortWithinPartitions(col(clusterCol))
     val files = stageBatch(arranged, table)
     val (stats, extras) = computeStats(spark, table, files, sc, df.schema)
+    // the clustering key is DECLARED table metadata: staging keeps
+    // later batches batch-locally sorted on it and compact()/maintain()
+    // re-cluster the whole table on it (see declaredClusterCols)
     commitManifest(spark, table, df.schema, files, 0L,
-      Map("statsCols" -> sc.mkString(",")), Map.empty, stats, Nil,
+      Map("statsCols" -> sc.mkString(","),
+        "clusterCols" -> clusterCol), Map.empty, stats, Nil,
       None, extras)
   }
 
@@ -1527,6 +1558,11 @@ object SnapshotTable {
             .mkString(",")
         case ("statsCols", v) => "statsCols" -> rekeyList(v)
         case ("bloomCols", v) => "bloomCols" -> rekeyList(v)
+        case ("clusterCols", v) => "clusterCols" -> rekeyList(v)
+        case ("identityCol", `from`) => "identityCol" -> to
+        case ("identitySort", v) => "identitySort" ->
+          v.split(',').map(c => if (dec(c) == from) enc(to) else c)
+            .mkString(",")
         case kv => kv
       } + ("colmap" -> encodeColMap(newCm))
     commitManifest(spark, table, newSchema, snap.files, snap.version,
@@ -1578,9 +1614,22 @@ object SnapshotTable {
       .distinct.mkString(",")
     def strip(v: String) =
       v.split(',').filterNot(nameSet).mkString(",")
+    // the identity column is undroppable like a partition column: the
+    // mark/assignment machinery would dangle (and ids are the one
+    // column a user cannot rebuild)
+    distinct.foreach { name =>
+      require(!snap.meta.get("identityCol").contains(name),
+        s"cannot drop identity column $name")
+      require(!snap.meta.get("identitySort").toSeq
+        .flatMap(_.split(',').filter(_.nonEmpty).map(dec))
+        .contains(name),
+        s"cannot drop $name: it orders identity assignment " +
+          "(identitySort)")
+    }
     val base = snap.meta.map {
       case ("statsCols", v) => "statsCols" -> strip(v)
       case ("bloomCols", v) => "bloomCols" -> strip(v)
+      case ("clusterCols", v) => "clusterCols" -> strip(v)
       case kv => kv
     } + ("droppedCols" -> dropped)
     val newCm = cm -- nameSet
@@ -2528,10 +2577,39 @@ object SnapshotTable {
     * files) stays readable until expired. Returns (new version, files
     * before, files after).
     */
+  /** `clusterBy` RE-CLUSTERS the rewrite
+    * (OPTIMIZE ZORDER's role): the surviving rows range-repartition
+    * and sort on the key — per partition for partitioned tables — so
+    * a mutated table's decayed clustering is restored, per-file
+    * min/max stats re-record tight ranges, and [[readWhereRange]] /
+    * planned-file pruning work again on every clustered dimension.
+    * The key is recorded as `clusterCols` metadata (staging keeps
+    * later batches batch-locally sorted on it) and added to the
+    * declared stats columns. An EMPTY `clusterBy` re-clusters on the
+    * table's declared key when one exists, so `maintain()`'s periodic
+    * compaction automatically repairs clustering instead of letting it
+    * decay permanently.
+    */
   def compact(spark: SparkSession, table: String,
-      targetMB: Int = 128): (Long, Int, Int) = {
-    val snap = loadCurrent(spark, table)
-    if (snap.files.isEmpty) return (snap.version, 0, 0)
+      targetMB: Int = 128, clusterBy: Seq[String] = Nil,
+      numFiles: Int = 0): (Long, Int, Int) = {
+    val snap0 = loadCurrent(spark, table)
+    if (snap0.files.isEmpty) return (snap0.version, 0, 0)
+    val cluster =
+      if (clusterBy.nonEmpty) clusterBy else declaredClusterCols(snap0)
+    cluster.foreach(c => require(snap0.schema.fieldNames.contains(c),
+      s"cluster column $c is not a table column " +
+        s"(${snap0.schema.fieldNames.mkString(", ")})"))
+    // the evolved declarations ride the compaction commit AND drive
+    // its own staging/stats passes (stats must cover the cluster key
+    // or range pruning on it has nothing to prune with)
+    val snap =
+      if (cluster.isEmpty) snap0
+      else snap0.copy(meta = snap0.meta +
+        ("clusterCols" -> cluster.mkString(",")) +
+        ("statsCols" -> (declaredStatsCols(snap0) ++
+          cluster.filterNot(declaredStatsCols(snap0).contains))
+          .mkString(",")))
     val f = fs(spark, table)
     // one listStatus per batch dir, not one getFileStatus RPC per file —
     // the same batching SnapshotFileIndex uses (at production file
@@ -2544,9 +2622,14 @@ object SnapshotTable {
           .filter(st => st.isFile && names(st.getPath.getName))
           .map(_.getLen).sum
       }.sum
-    val nOut = math.max(1L,
-      (bytes + targetMB.toLong * 1024 * 1024 - 1) /
-        (targetMB.toLong * 1024 * 1024)).toInt
+    // explicit numFiles overrides the size-derived count (small tables
+    // whose bytes round to one target-size file can still lay out a
+    // multi-file clustered range)
+    val nOut =
+      if (numFiles > 0) numFiles
+      else math.max(1L,
+        (bytes + targetMB.toLong * 1024 * 1024 - 1) /
+          (targetMB.toLong * 1024 * 1024)).toInt
     // DV-applied: compaction MATERIALIZES the deletion vectors (dead
     // rows drop out of the rewrite) and the new manifest clears the
     // vector list — compact doubles as the DV purge
@@ -2558,7 +2641,16 @@ object SnapshotTable {
       else snap.meta.get("partitionCol") match {
         case Some(_) => stageFor(snap, df0, table)
         case None =>
-          val files = stageBatch(df0.repartition(nOut), table)
+          // clustered: a GLOBAL range re-sort on the key (the one
+          // shuffle this maintenance verb is for) — file k holds keys
+          // strictly below file k+1, the tightest min/max layout a
+          // single sort dimension allows
+          val arranged =
+            if (cluster.isEmpty) df0.repartition(nOut)
+            else df0
+              .repartitionByRange(nOut, cluster.map(col): _*)
+              .sortWithinPartitions(cluster.map(col): _*)
+          val files = stageBatch(arranged, table)
           // re-index like every other mutation: compaction must not
           // silently degrade bloom point-lookup coverage
           writeBloomSidecars(spark, table, files, declaredBloomCols(snap),
@@ -3650,6 +3742,51 @@ object SnapshotTable {
         .orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // Clustered compaction (OPTIMIZE ZORDER's role): create a
+    // hash-laid-out table (every file spans the whole key range — zero
+    // prunable), mutate it, then compact(clusterBy) — the rewrite
+    // range-sorts on the key, re-records tight per-file stats, and the
+    // lambda ASSERTS a narrow range scan now prunes (inputFiles). The
+    // returned frame is the full post-mutation table; the oracle
+    // replays the update — a hash match proves re-clustering moved
+    // rows without changing any.
+    "q_table_recluster" -> ((s, d) => {
+      val t = scratch(s, d, "reclus")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      create(s, t, orders, numFiles = 8)
+      updateWhere(s, t, col("o_orderkey") % 100 === 0,
+        Map("o_orderstatus" -> lit("X")))
+      compact(s, t, targetMB = 128, clusterBy = Seq("o_orderkey"),
+        numFiles = 4)
+      val snap = readManifest(s, t, currentVersion(s, t))
+      val planned = readWhereRange(s, t, "o_orderkey", 1L, 1000L)
+        .inputFiles.length
+      require(planned < snap.files.size,
+        s"re-clustered range scan must prune files (read $planned of " +
+          s"${snap.files.size})")
+      read(s, t).orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
+    // Identity columns (the reference's INTEGER PRIMARY KEY
+    // AUTOINCREMENT): create the evens with a generated o_id ordered
+    // by o_orderkey, append the odds (ids continue from the manifest
+    // high-water mark), read back. The oracle replays the assignment
+    // as row_number() per batch offset by the first batch's count —
+    // a hash match proves ids are monotonic, gap-free, batch-ordered,
+    // and exactly-once across the two commits.
+    "q_table_identity" -> ((s, d) => {
+      val t = scratch(s, d, "ident")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      createWithIdentity(s, t, orders.filter(col("o_orderkey") % 2 === 0),
+        idCol = "o_id", sortCols = Seq("o_orderkey"))
+      append(s, t, orders.filter(col("o_orderkey") % 2 === 1))
+      read(s, t).orderBy(col("o_id").asc_nulls_first)
+    }),
+
     // Write-time schema evolution (mergeSchema/autoMerge), both
     // surfaces in one lifecycle: v1 creates the evens WITHOUT o_extra
     // or o_flag; v2 appends the odds carrying NEW column o_extra via
@@ -3722,6 +3859,27 @@ object SnapshotTable {
     "q_table_timetravel_ts" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_table_recluster" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_table_identity" ->
+      """WITH b1 AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) AS o_id,
+        |         o_orderkey, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |b2 AS (
+        |  SELECT (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |           + row_number() OVER (ORDER BY o_orderkey) AS o_id,
+        |         o_orderkey, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_id, o_orderkey, o_orderstatus FROM b1
+        |UNION ALL
+        |SELECT o_id, o_orderkey, o_orderstatus FROM b2
+        |ORDER BY o_id ASC NULLS FIRST""".stripMargin,
     "q_table_merge_schema" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_extra,

@@ -2493,6 +2493,183 @@ class SnapshotSuite extends AnyFunSuite {
       col("o_flag").isNotNull).count() === 0L)
   }
 
+  test("clustered compaction: compact(clusterBy) restores range " +
+      "pruning on a hash-laid-out table; maintain() re-clusters " +
+      "automatically on the declared key") {
+    val t = freshTable("recluster")
+    SnapshotTable.create(spark, t, orders, numFiles = 8)
+    val lo = orders.agg(min("o_orderkey")).head().getLong(0)
+    // hash layout: a narrow range scan cannot prune (no stats at all)
+    assert(SnapshotTable.readWhereRange(spark, t, "o_orderkey",
+      lo, lo + 10).inputFiles.length === 8)
+    val (v, before, after) = SnapshotTable.compact(spark, t,
+      targetMB = 128, clusterBy = Seq("o_orderkey"), numFiles = 4)
+    assert(v === 2L && before === 8 && after === 4)
+    val prunedScan = SnapshotTable.readWhereRange(spark, t,
+      "o_orderkey", lo, lo + 10)
+    assert(prunedScan.inputFiles.length === 1,
+      "a narrow range over a range-clustered table reads ONE file")
+    assert(prunedScan.filter(col("o_orderkey").between(lo, lo + 10))
+      .count() === orders
+      .filter(col("o_orderkey").between(lo, lo + 10)).count())
+    // rows unchanged by the re-sort
+    assert(sortedRows(SnapshotTable.read(spark, t)) === sortedRows(orders))
+    // the key is now DECLARED: appends stage batch-locally sorted and
+    // carry stats; maintain()'s compaction re-clusters automatically
+    SnapshotTable.append(spark, t, orders.limit(500))
+    SnapshotTable.append(spark, t, orders.limit(500))
+    val m = SnapshotTable.maintain(spark, t, maxFiles = 4)
+    assert(m.compacted, "maintain must compact past maxFiles")
+    val snapM = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snapM.meta.get("clusterCols").contains("o_orderkey"),
+      "the declared cluster key must survive maintenance compaction")
+    // an empty clusterBy re-clusters on the DECLARED key (the
+    // maintain() path at production sizes; the tiny test table rounds
+    // to one size-derived file, so lay out 4 explicitly)
+    SnapshotTable.compact(spark, t, numFiles = 4)
+    val snapR = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snapR.files.size === 4)
+    val planned = SnapshotTable.readWhereRange(spark, t, "o_orderkey",
+      lo, lo + 10).inputFiles.length
+    assert(planned === 1,
+      s"declared-key re-clustering must restore pruning (read $planned" +
+        " of 4)")
+  }
+
+  test("identity columns: generated-always assignment across append, " +
+      "SQL INSERT, MERGE insert, and restore's ratcheting mark") {
+    val t = freshTable("identity")
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"))
+    SnapshotTable.createWithIdentity(spark, t,
+      base.filter(col("o_orderkey") % 2 === 0),
+      idCol = "o_id", sortCols = Seq("o_orderkey"))
+    val n1 = base.filter(col("o_orderkey") % 2 === 0).count()
+    val got1 = SnapshotTable.read(spark, t)
+    assert(got1.columns.head === "o_id")
+    assert(got1.agg(min("o_id"), max("o_id"),
+      countDistinct("o_id")).head().toSeq === Seq(1L, n1, n1),
+      "create assigns 1..n densely")
+    // ids follow the declared sort: smallest key gets id 1
+    assert(got1.orderBy(col("o_id")).head().getLong(1) ===
+      got1.agg(min("o_orderkey")).head().getLong(0))
+    // append continues from the mark
+    SnapshotTable.append(spark, t,
+      base.filter(col("o_orderkey") % 2 === 1))
+    val n2 = base.filter(col("o_orderkey") % 2 === 1).count()
+    val got2 = SnapshotTable.read(spark, t)
+    assert(got2.agg(max("o_id"), countDistinct("o_id")).head().toSeq ===
+      Seq(n1 + n2, n1 + n2))
+    // GENERATED ALWAYS: explicit values are rejected loudly
+    val exExplicit = intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, t, SnapshotTable.read(spark, t)
+        .limit(3).select(col("o_id") + 1000000L as "o_id",
+          col("o_orderkey"), col("o_orderstatus")))
+    }
+    assert(exExplicit.getMessage.contains("GENERATED ALWAYS"))
+    // ...and UPDATE may not assign the column
+    val exUpd = intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhere(spark, t, lit(true),
+        Map("o_id" -> lit(0L)))
+    }
+    assert(exUpd.getMessage.contains("GENERATED ALWAYS"))
+    // SQL INSERT omitting the column assigns (the NULL-fill is
+    // re-assigned, not stored)
+    GraftExtensions.register(spark)
+    spark.sql(s"""SELECT * FROM graft_dml("INSERT INTO `$t` """ +
+      """(o_orderkey, o_orderstatus) VALUES (900000001, 'I')")""")
+      .collect()
+    val inserted = SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") === 900000001L).head()
+    assert(inserted.getLong(0) === n1 + n2 + 1,
+      "SQL INSERT must draw the next id from the mark")
+    // MERGE inserts draw ids too; updates keep the existing id
+    val src = base.filter(col("o_orderkey") % 2 === 0).limit(1)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"))
+      .union(spark.range(1).select(lit(900000002L).as("o_orderkey"),
+        lit("N").as("o_orderstatus")))
+    SnapshotTable.mergeIntoFull(spark, t, src,
+      Seq("o_orderkey" -> "o_orderkey"),
+      matched = Seq(SnapshotTable.MergeWhen(None, Some(Map(
+        "o_orderstatus" -> SnapshotTable.srcRef("o_orderstatus"))))),
+      notMatchedBySource = Nil,
+      notMatched = Seq(SnapshotTable.MergeInsert(None, Map(
+        "o_orderkey" -> SnapshotTable.srcRef("o_orderkey"),
+        "o_orderstatus" -> SnapshotTable.srcRef("o_orderstatus")))))
+    val all = SnapshotTable.read(spark, t)
+    assert(all.filter(col("o_orderkey") === 900000002L).head()
+      .getLong(0) === n1 + n2 + 2, "MERGE insert draws the next id")
+    assert(all.filter(col("o_orderstatus") === "U").head()
+      .getLong(0) <= n1, "MERGE update keeps the row's existing id")
+    assert(all.agg(countDistinct("o_id")).head().getLong(0) ===
+      all.count(), "ids stay globally unique")
+    // MERGE may not assign the identity column
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeIntoFull(spark, t, src,
+        Seq("o_orderkey" -> "o_orderkey"),
+        matched = Seq(SnapshotTable.MergeWhen(None,
+          Some(Map("o_id" -> lit(0L))))),
+        notMatchedBySource = Nil, notMatched = Nil)
+    }
+    // restore RATCHETS the mark: ids burned after v1 are never reused
+    val hwmBefore = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t)).meta("identityHwm").toLong
+    SnapshotTable.restore(spark, t, 1L)
+    assert(SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+      .meta("identityHwm").toLong === hwmBefore)
+    SnapshotTable.append(spark, t, base.limit(1))
+    assert(SnapshotTable.read(spark, t).agg(max("o_id")).head()
+      .getLong(0) === hwmBefore + 1,
+      "an append after restore draws ABOVE every id ever issued")
+  }
+
+  test("identity columns: concurrent appenders with conflict retry " +
+      "never share ids") {
+    val t = freshTable("identcc")
+    import spark.implicits._
+    SnapshotTable.createWithIdentity(spark, t,
+      Seq.empty[(Long, String)].toDF("k", "s"), idCol = "id",
+      numFiles = 1)
+    val perWriter = 40
+    val writers = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val batch = spark.range(perWriter)
+              .select((col("id") + w * 1000L).as("k"),
+                lit(s"w$w").as("s"))
+            var done = false
+            var attempts = 0
+            while (!done) {
+              try { SnapshotTable.append(spark, t, batch); done = true }
+              catch {
+                case _: SnapshotTable.CommitConflictException =>
+                  attempts += 1
+                  require(attempts < 60, "too many conflicts")
+                  Thread.sleep(20L * (attempts % 5))
+              }
+            }
+          }
+        })
+      }
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    val got = SnapshotTable.read(spark, t)
+    val total = writers * perWriter
+    assert(got.count() === total)
+    assert(got.agg(countDistinct("id")).head().getLong(0) === total,
+      "retried appends must re-read the mark \u2014 no shared ids")
+    assert(got.agg(min("id"), max("id")).head().toSeq ===
+      Seq(1L, total.toLong), "ids are dense 1..N across all writers")
+    assert(SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+      .meta("identityHwm").toLong === total)
+  }
+
   test("TIMESTAMP AS OF: boundary semantics match Delta's \u2014 exact " +
       "commit time reads that commit, before-first errors, after-last " +
       "reads latest") {
