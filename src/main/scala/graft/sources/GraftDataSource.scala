@@ -187,14 +187,35 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         s"no snapshot table at $table — to bootstrap an empty table " +
           "from the declared schema pass OPTIONS (createIfMissing " +
           "'true'); a read must fail loudly, not create tables")
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], schema)
-      // honor the declared partitioning — an empty partitioned create
-      // commits the layout metadata so every later INSERT labels files
-      partitionColsOf(parameters) match {
-        case Nil => SnapshotTable.create(spark, table, empty, numFiles = 1)
-        case cols => SnapshotTable.createPartitioned(spark, table,
-          empty, cols)
+      // honor the declared layout metadata — partitioning and identity
+      // — so every later INSERT labels files / draws ids
+      identityColOf(parameters) match {
+        case Some((idc, sortCols)) =>
+          val declared = schema.fields.find(_.name.equalsIgnoreCase(idc))
+          declared.foreach(f => require(f.dataType ==
+            org.apache.spark.sql.types.LongType,
+            s"identity column $idc must be BIGINT, got ${f.dataType}"))
+          require(partitionColsOf(parameters).isEmpty,
+            "identityCol with partitionCols is not supported on the " +
+              "empty-bootstrap path — create via the library API")
+          // createWithIdentity prepends the column itself; strip a
+          // declared one so `CREATE TABLE t (id BIGINT, …)` reads
+          // naturally
+          val without = StructType(schema.fields
+            .filterNot(f => f.name.equalsIgnoreCase(idc)))
+          SnapshotTable.createWithIdentity(spark, table,
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              without), idCol = declared.map(_.name).getOrElse(idc),
+            sortCols = sortCols, numFiles = 1)
+        case None =>
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema)
+          partitionColsOf(parameters) match {
+            case Nil =>
+              SnapshotTable.create(spark, table, empty, numFiles = 1)
+            case cols => SnapshotTable.createPartitioned(spark, table,
+              empty, cols)
+          }
       }
     } else {
       // the MANIFEST is the single source of truth for an existing
@@ -232,8 +253,16 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val exists = GraftDml.snapshotPathOf(spark, Seq(table)).isDefined
     val pcols = partitionColsOf(parameters)
     def createNew(): Unit = {
-      if (pcols.isEmpty) SnapshotTable.create(spark, table, data)
-      else SnapshotTable.createPartitioned(spark, table, data, pcols)
+      identityColOf(parameters) match {
+        case Some((idc, sortCols)) =>
+          require(pcols.isEmpty, "identityCol with partitionCols is " +
+            "not supported on the CTAS path — create via the library API")
+          SnapshotTable.createWithIdentity(spark, table, data,
+            idCol = idc, sortCols = sortCols)
+        case None =>
+          if (pcols.isEmpty) SnapshotTable.create(spark, table, data)
+          else SnapshotTable.createPartitioned(spark, table, data, pcols)
+      }
       ()
     }
     // writes into an EXISTING table go through the same align-by-name
@@ -296,6 +325,20 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     * silently would create an unpartitioned table the user explicitly
     * asked to partition.
     */
+  /** `identityCol 'id'` (+ optional `identitySort 'a,b'`) on the
+    * CREATE paths — the SQL face of [[SnapshotTable.createWithIdentity]]
+    * (the reference declares identity in DDL: `id INTEGER PRIMARY KEY
+    * AUTOINCREMENT`, database.py:78). Appends by any surface then draw
+    * ids from the manifest high-water mark.
+    */
+  private def identityColOf(parameters: Map[String, String])
+      : Option[(String, Seq[String])] =
+    parameters.get("identityCol").map { c =>
+      (c.trim, parameters.get("identitySort")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil))
+    }
+
   private def partitionColsOf(parameters: Map[String, String]): Seq[String] = {
     val declared = parameters.get("partitionCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)

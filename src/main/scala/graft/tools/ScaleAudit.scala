@@ -84,7 +84,17 @@ object ScaleAudit {
     // staging + composite-label pruning), and the streaming change
     // feed (per-version micro-batches, IO ∝ churn)
     "q_table_catalog", "q_table_merge_full", "q_table_schema_evolution",
-    "q_table_multipart", "q_stream_table_cdf")
+    "q_table_multipart", "q_stream_table_cdf",
+    // round 15: the streaming sink (per-micro-batch atomic commits —
+    // the commit protocol must stay O(batch), not O(table)), timestamp
+    // time travel (resolution is metadata-tier — the lifecycle is the
+    // same three commits plus one lookup), write-time schema evolution
+    // (evolved-alignment append + evolving MERGE), identity assignment
+    // (global-rank prefix sums must scale with the BATCH), and
+    // clustered compaction (one range re-sort — n log n, inside the
+    // linear-with-headroom bound)
+    "q_stream_table_sink", "q_table_timetravel_ts",
+    "q_table_merge_schema", "q_table_identity", "q_table_recluster")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0

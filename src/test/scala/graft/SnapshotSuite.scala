@@ -2625,6 +2625,38 @@ class SnapshotSuite extends AnyFunSuite {
       "an append after restore draws ABOVE every id ever issued")
   }
 
+  test("identity columns: SQL-declared via OPTIONS (identityCol) on " +
+      "CREATE TABLE and the CTAS/writer path") {
+    val t = freshTable("sqlident")
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val name = s"graft_ident_${System.nanoTime()}"
+    try {
+      s2.sql(s"CREATE TABLE $name (id BIGINT, k BIGINT, s STRING) " +
+        "USING graft OPTIONS (createIfMissing 'true', " +
+        s"identityCol 'id', identitySort 'k') LOCATION '$t'")
+      s2.sql(s"INSERT INTO $name (k, s) VALUES (30, 'a'), (10, 'b')")
+      s2.sql(s"INSERT INTO $name (k, s) VALUES (20, 'c')")
+      val got = SnapshotTable.read(spark, t).orderBy(col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === Seq((1L, 10L), (2L, 30L), (3L, 20L)),
+        "SQL inserts must draw batch-sorted ids from the mark")
+      // positional INSERT supplying the identity column is rejected
+      intercept[Exception] {
+        s2.sql(s"INSERT INTO $name VALUES (99, 1, 'x')")
+      }
+    } finally s2.sql(s"DROP TABLE IF EXISTS $name")
+    // writer CTAS-shape create with identity
+    val t2 = freshTable("sqlident2")
+    orders.limit(100).select(col("o_orderkey"), col("o_orderstatus"))
+      .write.format("graft").option("identityCol", "oid")
+      .option("identitySort", "o_orderkey").save(t2)
+    val w = SnapshotTable.read(spark, t2)
+    assert(w.columns.head === "oid")
+    assert(w.agg(min("oid"), max("oid"), countDistinct("oid"))
+      .head().toSeq === Seq(1L, 100L, 100L))
+  }
+
   test("identity columns: concurrent appenders with conflict retry " +
       "never share ids") {
     val t = freshTable("identcc")
