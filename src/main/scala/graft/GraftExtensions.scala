@@ -77,6 +77,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_history"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "graft_history"),
       GraftExtensions.historyTvf))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_optimize"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "graft_optimize"),
+      GraftExtensions.optimizeTvf))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_maintain"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "graft_maintain"),
+      GraftExtensions.maintainTvf))
     // NATIVE DML on snapshot-table paths: Spark's grammar already
     // parses `UPDATE `/path` SET...` / `DELETE FROM` / `MERGE INTO`
     // into their catalyst plans; this rule intercepts the ones whose
@@ -451,6 +459,54 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_optimize('<table>'[, 'c1,c2'])` — compaction as a SQL
+    * procedure (Delta's `OPTIMIZE [ZORDER BY]`): rewrites the table
+    * into target-size files, materializing deletion vectors and
+    * clearing the column mapping; a second argument re-clusters on the
+    * named columns (recorded as the table's declared cluster key), an
+    * omitted one re-clusters on the already-declared key when there is
+    * one. Returns one row (version, files_before, files_after).
+    */
+  val optimizeTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1 || args.size == 2,
+      s"graft_optimize(table[, clusterCols]) takes 1-2 arguments, " +
+        s"got ${args.size}")
+    val spark = SparkSession.active
+    val table = litString(args.head, "graft_optimize table path")
+    val cluster =
+      if (args.size == 2)
+        litString(args(1), "graft_optimize cluster columns")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      else Nil
+    val (v, before, after) =
+      graft.sources.SnapshotTable.compact(spark, table,
+        clusterBy = cluster)
+    import spark.implicits._
+    Seq((v, before, after))
+      .toDF("version", "files_before", "files_after")
+      .queryExecution.logical
+  }
+
+  /** `graft_maintain('<table>')` — the one-call maintenance autopilot
+    * ([[graft.sources.SnapshotTable.maintain]]) as a SQL procedure:
+    * threshold-gated compaction (re-clustering on the declared key),
+    * snapshot expiry, and orphan vacuum. Returns the Maintenance
+    * report as one row.
+    */
+  val maintainTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1,
+      s"graft_maintain(table) takes 1 argument, got ${args.size}")
+    val spark = SparkSession.active
+    val m = graft.sources.SnapshotTable.maintain(spark,
+      litString(args.head, "graft_maintain table path"))
+    import spark.implicits._
+    Seq((m.compacted, m.filesBefore, m.filesAfter, m.manifestsExpired,
+      m.dataFilesRemoved, m.orphanBatchesRemoved))
+      .toDF("compacted", "files_before", "files_after",
+        "manifests_expired", "data_files_removed", "orphans_removed")
+      .queryExecution.logical
+  }
+
   /** Runtime registration of the full custom-function surface
     * (including the snapshot TVFs, via the `private[sql]` registry
     * bridge — the driver contract builds plain sessions, so the
@@ -472,5 +528,9 @@ object GraftExtensions {
       "graft_dml", dmlTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,
       "graft_history", historyTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_optimize", optimizeTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_maintain", maintainTvf)
   }
 }

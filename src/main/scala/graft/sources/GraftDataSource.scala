@@ -123,6 +123,10 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     *     the first batch's schema; otherwise the table must exist.
     *   - `option("queryKey", k)` namespaces the batch-id watermark so
     *     several independent streams can feed one table.
+    *   - `option("mergeSchema", "true")` (Append mode) opts into
+    *     write-time schema evolution: a batch carrying NEW columns
+    *     auto-adds them — nullable, in the same atomic commit as the
+    *     batch and its id — instead of erroring.
     */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -142,8 +146,14 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val queryKey = parameters.getOrElse("queryKey", "sink")
     val createIfMissing =
       parameters.get("createIfMissing").exists(_.toBoolean)
+    val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
+    require(!(mergeSchema &&
+      outputMode == OutputMode.Complete()),
+      "mergeSchema applies to Append-mode sinks — Complete mode " +
+        "replaces the whole table, so evolve it with a batch overwrite")
     new GraftDataSource.GraftSink(sqlContext.sparkSession, table,
-      queryKey, outputMode == OutputMode.Complete(), createIfMissing)
+      queryKey, outputMode == OutputMode.Complete(), createIfMissing,
+      mergeSchema)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -394,7 +404,8 @@ object GraftDataSource {
     * constraint observation, staging write).
     */
   final class GraftSink(spark: SparkSession, table: String,
-      queryKey: String, complete: Boolean, createIfMissing: Boolean)
+      queryKey: String, complete: Boolean, createIfMissing: Boolean,
+      mergeSchema: Boolean = false)
       extends org.apache.spark.sql.execution.streaming.Sink {
 
     override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -412,20 +423,31 @@ object GraftDataSource {
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
             batch.schema), numFiles = 1)
       }
-      val snap = SnapshotTable.readManifest(spark, table,
-        SnapshotTable.currentVersion(spark, table))
-      // same align-by-name + cast discipline as every other write path
-      // (identity tables: the id column is assigned at commit, so the
-      // stream frame is not required to carry it)
-      val aligned = GraftDml.alignByName(batch,
-        SnapshotTable.writeSchemaFor(snap, batch),
-        s"stream batch $batchId", allowSubset = false)
-      if (complete)
+      if (complete) {
+        val snap = SnapshotTable.readManifest(spark, table,
+          SnapshotTable.currentVersion(spark, table))
+        // same align-by-name + cast discipline as every other write
+        // path (identity tables: the id column is assigned at commit,
+        // so the stream frame is not required to carry it)
+        val aligned = GraftDml.alignByName(batch,
+          SnapshotTable.writeSchemaFor(snap, batch),
+          s"stream batch $batchId", allowSubset = false)
         SnapshotTable.replaceStreamBatch(spark, table, aligned, batchId,
           queryKey)
-      else
+      } else if (mergeSchema)
+        // the verb aligns internally against the evolved schema —
+        // evolution and the batch (and its id) are ONE atomic commit
+        SnapshotTable.commitStreamBatch(spark, table, batch, batchId,
+          queryKey, mergeSchema = true)
+      else {
+        val snap = SnapshotTable.readManifest(spark, table,
+          SnapshotTable.currentVersion(spark, table))
+        val aligned = GraftDml.alignByName(batch,
+          SnapshotTable.writeSchemaFor(snap, batch),
+          s"stream batch $batchId", allowSubset = false)
         SnapshotTable.commitStreamBatch(spark, table, aligned, batchId,
           queryKey)
+      }
       // cached catalog relations pinned to the pre-batch snapshot
       // re-resolve (same discipline as the batch writer path)
       GraftShim.v1Catalog(spark).invalidateAllCachedTables()

@@ -332,8 +332,9 @@ object GraftDml {
       // is only for casting, and a schema that moves in between is
       // additive-only (extra columns read as NULL), so the batch stays
       // readable against the committed snapshot
-      val schema = SnapshotTable.readManifest(spark, path,
-        SnapshotTable.currentVersion(spark, path)).schema
+      val snap = SnapshotTable.readManifest(spark, path,
+        SnapshotTable.currentVersion(spark, path))
+      val schema = snap.schema
       val src = GraftShim.ofRows(spark, i.query)
       import org.apache.spark.sql.functions.{col => c}
       // align to the table schema: positional (or through the explicit
@@ -362,10 +363,25 @@ object GraftDml {
         src.toDF(schema.fieldNames.toIndexedSeq: _*)
       }).select(schema.map(f =>
         c(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      // identity tables: an INSERT that OMITTED the column had it
+      // NULL-filled by the alignment above — drop it again so the
+      // append's generated-always guard (a data scan) never runs on
+      // the common path; an insert that NAMED the column keeps it and
+      // pays the guard (which rejects any non-null value)
+      val supplied = snap.meta.get("identityCol").map { idc =>
+        if (i.byName) src.columns.exists(_.equalsIgnoreCase(idc))
+        else if (i.userSpecifiedCols.nonEmpty)
+          i.userSpecifiedCols.exists(_.equalsIgnoreCase(idc))
+        else true // positional arity covers every column, id included
+      }
+      val toWrite = snap.meta.get("identityCol") match {
+        case Some(idc) if supplied.contains(false) => aligned.drop(idc)
+        case _ => aligned
+      }
       // the inserted count rides the write pass itself (the
       // CollectMetrics discipline every other verb uses — no extra job)
       val obs = org.apache.spark.sql.Observation()
-      val observed = aligned.observe(obs,
+      val observed = toWrite.observe(obs,
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1L)).as("inserted"))
       val v =

@@ -2683,24 +2683,39 @@ object SnapshotTable {
     */
   def commitStreamBatch(spark: SparkSession, table: String,
       batch: DataFrame, batchId: Long,
-      queryKey: String = "stream"): Boolean = {
-    val snap = loadCurrent(spark, table)
+      queryKey: String = "stream",
+      mergeSchema: Boolean = false): Boolean = {
+    val snap0 = loadCurrent(spark, table)
     val metaKey = s"lastBatchId.$queryKey"
-    if (snap.meta.get(metaKey).exists(_.toLong >= batchId)) false
+    if (snap0.meta.get(metaKey).exists(_.toLong >= batchId)) false
     else {
+      // opt-in write-time evolution, same contract as [[append]]: new
+      // nullable source columns ride the SAME atomic commit as the
+      // batch (and its id) — a drifting stream schema evolves the
+      // table exactly once even across replays
+      val snap =
+        if (mergeSchema) evolvedFor(snap0, batch.schema, "stream batch")
+        else snap0
+      val batch0 =
+        if (mergeSchema) GraftDml.alignByName(batch,
+          writeSchemaFor(snap, batch), s"stream batch $batchId",
+          allowSubset = false)
+        else batch
       // identity tables assign ids here like every append-shaped verb;
       // the mark rides the SAME manifest as the batch id, so a replay
       // skipped by the id check also never re-burns ids
       val (rows, metaUp) =
-        if (snap.meta.contains("identityCol")) identityFor(snap, batch)
-        else (batch.select(
-          snap.schema.fieldNames.map(col).toIndexedSeq: _*), Map.empty)
+        if (snap.meta.contains("identityCol")) identityFor(snap, batch0)
+        else if (mergeSchema) (batch0, Map.empty[String, String])
+        else (batch0.select(
+          snap.schema.fieldNames.map(col).toIndexedSeq: _*),
+          Map.empty[String, String])
       val (files, labels, stats, extras) = stageFor(snap, rows, table)
       commitManifest(spark, table, snap.schema, snap.files ++ files,
         snap.version,
         snap.meta ++ metaUp + (metaKey -> batchId.toString),
         snap.partitionOf ++ labels, snap.statsOf ++ stats,
-        snap.deleteFiles, Some(snap), snap.extraOf ++ extras)
+        snap.deleteFiles, Some(snap0), snap.extraOf ++ extras)
       true
     }
   }

@@ -2625,6 +2625,31 @@ class SnapshotSuite extends AnyFunSuite {
       "an append after restore draws ABOVE every id ever issued")
   }
 
+  test("graft_optimize / graft_maintain: compaction and the " +
+      "maintenance autopilot as SQL procedures") {
+    val t = freshTable("sqlopt")
+    SnapshotTable.create(spark, t, orders, numFiles = 8)
+    GraftExtensions.register(spark)
+    // OPTIMIZE with a cluster key: 8 hash files -> size-derived layout
+    // re-sorted on the key, declared for later maintenance
+    val r = spark.sql(s"SELECT * FROM graft_optimize('$t', 'o_orderkey')")
+      .head()
+    assert(r.getLong(0) === 2L && r.getInt(1) === 8)
+    val snap = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap.meta.get("clusterCols").contains("o_orderkey"))
+    assert(sortedRows(SnapshotTable.read(spark, t)) === sortedRows(orders))
+    // the autopilot: under thresholds it is a no-op report
+    val m = spark.sql(s"SELECT * FROM graft_maintain('$t')").head()
+    assert(!m.getBoolean(0), "a freshly compacted table needs no work")
+    // fragment it past maxFiles(64): maintain compacts
+    (1 to 8).foreach(_ =>
+      SnapshotTable.append(spark, t, orders.limit(10).repartition(9)))
+    val m2 = spark.sql(s"SELECT * FROM graft_maintain('$t')").head()
+    assert(m2.getBoolean(0) && m2.getInt(2) < m2.getInt(1),
+      "maintain must compact a fragmented table")
+  }
+
   test("identity columns: SQL-declared via OPTIONS (identityCol) on " +
       "CREATE TABLE and the CTAS/writer path") {
     val t = freshTable("sqlident")

@@ -819,6 +819,39 @@ class StreamingSuite extends AnyFunSuite {
       .meta("identityHwm").toLong === 4L)
   }
 
+  test("graft streaming SINK with mergeSchema: a drifting stream " +
+      "schema evolves the table atomically with the batch; off errors") {
+    import spark.implicits._
+    import graft.sources.{GraftDataSource, SnapshotTable}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sinkms")
+      .toString
+    val t = s"$dir/table"
+    SnapshotTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"),
+      numFiles = 1)
+    // OFF: a batch with an unknown column errors, version unchanged
+    val strict = new GraftDataSource.GraftSink(spark, t, "sink",
+      complete = false, createIfMissing = false)
+    intercept[Exception] {
+      strict.addBatch(0L, Seq((2L, "b", 1.5)).toDF("k", "v", "score"))
+    }
+    assert(SnapshotTable.currentVersion(spark, t) === 1L)
+    // ON: schema + data + batch id in ONE commit
+    val sink = new GraftDataSource.GraftSink(spark, t, "sink",
+      complete = false, createIfMissing = false, mergeSchema = true)
+    sink.addBatch(0L, Seq((2L, "b", 1.5)).toDF("k", "v", "score"))
+    assert(SnapshotTable.currentVersion(spark, t) === 2L)
+    val got = SnapshotTable.read(spark, t)
+    assert(got.columns.toSeq === Seq("k", "v", "score"))
+    assert(got.filter(col("k") === 1L).head().isNullAt(2),
+      "pre-evolution rows read the new column as NULL")
+    assert(got.filter(col("k") === 2L).head().getDouble(2) === 1.5)
+    // the replay of the evolving batch skips — no second evolution,
+    // no duplicate rows
+    sink.addBatch(0L, Seq((9L, "dup", 9.9)).toDF("k", "v", "score"))
+    assert(SnapshotTable.currentVersion(spark, t) === 2L &&
+      got.count() === 2L)
+  }
+
   test("graft streaming SINK: Complete mode replaces the table per " +
       "batch atomically; Update mode is rejected at start") {
     implicit val sq = spark.sqlContext
