@@ -154,32 +154,38 @@ object Bench {
     def cpuNow(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
     val results = selected.map { case (name, fn) =>
       var best = Double.MaxValue
-      var worst = 0.0
       var bestCpu = 0.0
       var err: Option[String] = None
       var r = 0
+      val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
       while (r < reps && err.isEmpty) {
         val t0 = System.nanoTime()
         val c0 = cpuNow()
         try { fn(spark, sfDir).count(); () }
         catch { case t: Throwable => err = Some(t.toString.take(300)) }
         val wall = (System.nanoTime() - t0) / 1e9
+        walls += wall
         if (wall < best) {
           best = wall
           val c1 = cpuNow()
           bestCpu = if (c0 >= 0 && c1 >= 0) (c1 - c0) / 1e9 else 0.0
         }
-        if (wall > worst) worst = wall
         r += 1
       }
-      // spread = (worst-best)/best over the same-run reps: ~0 on a
-      // quiet host; large values mark timings the host, not the plan,
-      // produced. Includes cache-fill attribution on rep 1 for the
-      // shared-lazy-persist queries — still the right flag, since
-      // either way the MIN is the comparable number.
+      // spread = (worst-best)/best, the host-noise flag: ~0 on a quiet
+      // host; large values mark timings the host, not the plan,
+      // produced. At REPS>=3 the FIRST rep is excluded from the spread
+      // — rep 1 systematically pays per-plan codegen/analysis (and
+      // cache fill for the shared-lazy-persist queries), a structural
+      // cost that would floor the metric around 0.3-0.6 at this
+      // query-cost scale and mask actual contention. The MIN still
+      // considers every rep; at the default REPS=2 the spread keeps
+      // its warmup component (there is no warm pair to compare).
+      val spreadWalls = if (walls.size >= 3) walls.drop(1) else walls.toSeq
       val spread =
-        if (reps < 2 || best <= 0 || best == Double.MaxValue) 0.0
-        else (worst - best) / best
+        if (spreadWalls.size < 2 || best <= 0 || best == Double.MaxValue)
+          0.0
+        else (spreadWalls.max - spreadWalls.min) / spreadWalls.min
       (name, best, err, bestCpu, spread)
     }.toSeq
     // millisecond precision keeps the JSON line compact enough for

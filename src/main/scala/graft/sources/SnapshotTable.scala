@@ -2641,13 +2641,32 @@ object SnapshotTable {
       else snap.meta.get("partitionCol") match {
         case Some(_) => stageFor(snap, df0, table)
         case None =>
-          // clustered: a GLOBAL range re-sort on the key (the one
-          // shuffle this maintenance verb is for) — file k holds keys
-          // strictly below file k+1, the tightest min/max layout a
-          // single sort dimension allows
+          // clustered: a GLOBAL re-sort (the one shuffle this
+          // maintenance verb is for). One dimension → range sort (file
+          // k holds keys strictly below file k+1 — the tightest
+          // min/max layout one dimension allows). SEVERAL numeric
+          // dimensions → Z-ORDER (bit-interleaved cells): every file
+          // covers a small hyper-rectangle, so a narrow predicate on
+          // ANY clustered dimension prunes — lexicographic multi-key
+          // sort would cluster only the leading column. Non-numeric
+          // multi-column keys fall back to lexicographic (z-cells need
+          // a numeric scale).
+          val numericZ = cluster.size > 1 && cluster.forall { c =>
+            val dt = snap.schema(c).dataType
+            dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+              dt == org.apache.spark.sql.types.TimestampType ||
+              dt == org.apache.spark.sql.types.DateType
+          }
           val arranged =
             if (cluster.isEmpty) df0.repartition(nOut)
-            else df0
+            else if (numericZ) {
+              require(!snap.schema.fieldNames.contains("__z"),
+                "z-order compaction reserves the column name __z")
+              graft.operators.ScalePatterns.withZValue(df0, cluster)
+                .repartitionByRange(nOut, col("__z"))
+                .sortWithinPartitions(col("__z"))
+                .drop("__z")
+            } else df0
               .repartitionByRange(nOut, cluster.map(col): _*)
               .sortWithinPartitions(cluster.map(col): _*)
           val files = stageBatch(arranged, table)
@@ -3784,6 +3803,38 @@ object SnapshotTable {
       read(s, t).orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // Z-ORDER compaction: a TWO-dimension cluster key lays files out
+    // as bit-interleaved z-cells, so a narrow predicate on EITHER
+    // dimension prunes (lexicographic multi-key sort would cluster
+    // only the leading column) — both prunings asserted in the lambda
+    // via planned-file counts. The full scan hash-matching the plain
+    // source proves the interleave moved rows without changing any.
+    "q_table_zorder" -> ((s, d) => {
+      val t = scratch(s, d, "zord")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      create(s, t, orders, numFiles = 8)
+      compact(s, t, clusterBy = Seq("o_orderkey", "o_custkey"),
+        numFiles = 16)
+      val snap = readManifest(s, t, currentVersion(s, t))
+      val Seq(kLo, kHi, cLo, cHi) = {
+        val r = orders.agg(min("o_orderkey"), max("o_orderkey"),
+          min("o_custkey"), max("o_custkey")).head()
+        Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val byKey = readWhereRange(s, t, "o_orderkey",
+        kLo, kLo + (kHi - kLo) / 20).inputFiles.length
+      val byCust = readWhereRange(s, t, "o_custkey",
+        cLo, cLo + (cHi - cLo) / 20).inputFiles.length
+      require(byKey < snap.files.size && byCust < snap.files.size,
+        s"z-order must prune on both dimensions (key $byKey, cust " +
+          s"$byCust of ${snap.files.size})")
+      read(s, t).orderBy(col("o_orderkey").asc_nulls_first,
+        col("o_custkey").asc_nulls_first,
+        col("o_totalprice").asc_nulls_first)
+    }),
+
     // Identity columns (the reference's INTEGER PRIMARY KEY
     // AUTOINCREMENT): create the evens with a generated o_id ordered
     // by o_orderkey, append the odds (ids continue from the manifest
@@ -3874,6 +3925,10 @@ object SnapshotTable {
     "q_table_timetravel_ts" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_table_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST, o_custkey ASC NULLS FIRST,
+        |  o_totalprice ASC NULLS FIRST""".stripMargin,
     "q_table_recluster" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END

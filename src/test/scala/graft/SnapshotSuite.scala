@@ -2625,6 +2625,40 @@ class SnapshotSuite extends AnyFunSuite {
       "an append after restore draws ABOVE every id ever issued")
   }
 
+  test("z-order compaction: a two-dimension cluster key prunes on " +
+      "EITHER dimension; lexicographic would only prune the leading one") {
+    val t = freshTable("zorder")
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    SnapshotTable.create(spark, t, src, numFiles = 8)
+    SnapshotTable.compact(spark, t,
+      clusterBy = Seq("o_orderkey", "o_custkey"), numFiles = 16)
+    val snap = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap.files.size === 16)
+    val (kLo, kHi) = {
+      val r = src.agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (cLo, cHi) = {
+      val r = src.agg(min("o_custkey"), max("o_custkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // a ~5% slice on EACH dimension independently must prune: z-cells
+    // give every file a small hyper-rectangle
+    val byKey = SnapshotTable.readWhereRange(spark, t, "o_orderkey",
+      kLo, kLo + (kHi - kLo) / 20).inputFiles.length
+    val byCust = SnapshotTable.readWhereRange(spark, t, "o_custkey",
+      cLo, cLo + (cHi - cLo) / 20).inputFiles.length
+    assert(byKey < 16, s"o_orderkey slice read $byKey of 16")
+    assert(byCust < 16, s"o_custkey slice read $byCust of 16")
+    // correctness: the z re-sort moved rows without changing any
+    assert(SnapshotTable.read(spark, t).count() === src.count())
+    assert(SnapshotTable.read(spark, t)
+      .agg(sum(col("o_orderkey")), sum(col("o_custkey"))).head() ===
+      src.agg(sum(col("o_orderkey")), sum(col("o_custkey"))).head())
+  }
+
   test("graft_optimize / graft_maintain: compaction and the " +
       "maintenance autopilot as SQL procedures") {
     val t = freshTable("sqlopt")
