@@ -181,13 +181,35 @@ object GraftExtensions {
           graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
             java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
               litLong(args(1), "graft_snapshot date"))).getTime)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // NTZ micros are a LOCAL datetime — render in the JVM
+          // default zone, the manifest-mtime clock
+          graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(litLong(args(1), "graft_snapshot timestamp"),
+                1000000L),
+              (Math.floorMod(litLong(args(1), "graft_snapshot timestamp"),
+                1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
+              .atZone(java.time.ZoneId.systemDefault())
+              .toInstant.toEpochMilli)
         case org.apache.spark.sql.types.StringType
             if scala.util.Try(litString(args(1), "graft_snapshot " +
               "version").trim.toLong).isFailure =>
           graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
             graft.sources.SnapshotTable.parseTsMillis(
               litString(args(1), "graft_snapshot timestamp")))
-        case _ => litLong(args(1), "graft_snapshot version")
+        case org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType =>
+          litLong(args(1), "graft_snapshot version")
+        case org.apache.spark.sql.types.StringType =>
+          // a numeric string (the non-numeric case matched above)
+          litLong(args(1), "graft_snapshot version")
+        case other => throw new IllegalArgumentException(
+          "graft_snapshot's second argument must be a version number " +
+            s"or a timestamp/date/string literal, got type $other")
       }
       else graft.sources.SnapshotTable.currentVersion(spark, table)
     pinnedSnapshotPlan(spark, table, version)
@@ -408,12 +430,19 @@ object GraftExtensions {
           s"timestamp/date/string, got $other")
     }
 
+    // timeTravel BEFORE lower: lower wraps a DML/DDL root into
+    // SnapshotDmlCommand, a LEAF command holding the parsed plan as a
+    // field — a transform applied afterwards could no longer reach a
+    // RelationTimeTravel inside (e.g. the source of `INSERT INTO t
+    // SELECT … FROM s VERSION AS OF 1`). DML targets are never
+    // time-travel nodes, so the rewrite cannot hide a target from
+    // lower's detection.
     override def parsePlan(sqlText: String): LogicalPlan =
-      timeTravel(lower(delegate.parsePlan(sqlText)))
+      lower(timeTravel(delegate.parsePlan(sqlText)))
     override def parsePlanWithParameters(sqlText: String,
         ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
         : LogicalPlan =
-      timeTravel(lower(delegate.parsePlanWithParameters(sqlText, ctx)))
+      lower(timeTravel(delegate.parsePlanWithParameters(sqlText, ctx)))
     override def parseQuery(sqlText: String): LogicalPlan =
       timeTravel(delegate.parseQuery(sqlText))
     override def parseExpression(sqlText: String) =

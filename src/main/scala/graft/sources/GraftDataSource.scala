@@ -205,12 +205,22 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
           declared.foreach(f => require(f.dataType ==
             org.apache.spark.sql.types.LongType,
             s"identity column $idc must be BIGINT, got ${f.dataType}"))
+          // createWithIdentity always commits the column FIRST; a
+          // declaration anywhere else would be silently reordered —
+          // and a positional INSERT written against the declared
+          // order would then shift every value one column (the id is
+          // NULL-filled, so the generated-always guard could not
+          // catch it). The reference declares it first too
+          // (database.py:78).
+          declared.foreach(_ => require(
+            schema.fields.head.name.equalsIgnoreCase(idc),
+            s"declare the identity column $idc FIRST — the committed " +
+              "schema leads with it, and a reordered declaration " +
+              "would shift positional INSERT values"))
           require(partitionColsOf(parameters).isEmpty,
             "identityCol with partitionCols is not supported on the " +
               "empty-bootstrap path — create via the library API")
-          // createWithIdentity prepends the column itself; strip a
-          // declared one so `CREATE TABLE t (id BIGINT, …)` reads
-          // naturally
+          // strip the declared column; createWithIdentity prepends it
           val without = StructType(schema.fields
             .filterNot(f => f.name.equalsIgnoreCase(idc)))
           SnapshotTable.createWithIdentity(spark, table,
@@ -285,6 +295,21 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // commit — the verbs align internally against the evolved schema);
     // without it the unknown-column error stands.
     val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
+    // partitionBy on a write into an EXISTING table: the table's
+    // declared layout governs (appends inherit it), so a MATCHING
+    // declaration is a no-op and a disagreeing one errors — dropping
+    // the user's layout request silently is the one wrong option
+    // (the same rule as the OPTIONS/partitionBy disagreement above)
+    if (exists && pcols.nonEmpty) {
+      val declared = SnapshotTable.partitionColsOf(
+        SnapshotTable.readManifest(spark, table,
+          SnapshotTable.currentVersion(spark, table)))
+      require(declared == pcols,
+        s"partitionBy(${pcols.mkString(", ")}) disagrees with the " +
+          s"existing table's layout (${if (declared.isEmpty)
+            "unpartitioned" else declared.mkString(", ")}) — a write " +
+          "into an existing table inherits its declared partitioning")
+    }
     def aligned(): org.apache.spark.sql.DataFrame =
       if (mergeSchema) data
       else {
@@ -423,30 +448,35 @@ object GraftDataSource {
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
             batch.schema), numFiles = 1)
       }
-      if (complete) {
-        val snap = SnapshotTable.readManifest(spark, table,
-          SnapshotTable.currentVersion(spark, table))
+      val snap = SnapshotTable.readManifest(spark, table,
+        SnapshotTable.currentVersion(spark, table))
+      // the replay-skip check runs BEFORE alignment: an
+      // already-committed batch id must be skipped even when the
+      // table's schema evolved since it committed — aligning first
+      // would error on the (now-narrower) replayed frame and kill the
+      // restarted query instead of letting it advance past the
+      // checkpoint. The verb re-checks under its own snapshot read,
+      // so a lost race here only costs the skipped alignment.
+      if (snap.meta.get(s"lastBatchId.$queryKey")
+          .exists(_.toLong >= batchId)) return
+      if (mergeSchema)
+        // the verb aligns internally against the evolved schema —
+        // evolution and the batch (and its id) are ONE atomic commit
+        SnapshotTable.commitStreamBatch(spark, table, batch, batchId,
+          queryKey, mergeSchema = true)
+      else {
         // same align-by-name + cast discipline as every other write
         // path (identity tables: the id column is assigned at commit,
         // so the stream frame is not required to carry it)
         val aligned = GraftDml.alignByName(batch,
           SnapshotTable.writeSchemaFor(snap, batch),
           s"stream batch $batchId", allowSubset = false)
-        SnapshotTable.replaceStreamBatch(spark, table, aligned, batchId,
-          queryKey)
-      } else if (mergeSchema)
-        // the verb aligns internally against the evolved schema —
-        // evolution and the batch (and its id) are ONE atomic commit
-        SnapshotTable.commitStreamBatch(spark, table, batch, batchId,
-          queryKey, mergeSchema = true)
-      else {
-        val snap = SnapshotTable.readManifest(spark, table,
-          SnapshotTable.currentVersion(spark, table))
-        val aligned = GraftDml.alignByName(batch,
-          SnapshotTable.writeSchemaFor(snap, batch),
-          s"stream batch $batchId", allowSubset = false)
-        SnapshotTable.commitStreamBatch(spark, table, aligned, batchId,
-          queryKey)
+        if (complete)
+          SnapshotTable.replaceStreamBatch(spark, table, aligned,
+            batchId, queryKey)
+        else
+          SnapshotTable.commitStreamBatch(spark, table, aligned, batchId,
+            queryKey)
       }
       // cached catalog relations pinned to the pre-batch snapshot
       // re-resolve (same discipline as the batch writer path)

@@ -531,10 +531,17 @@ object SnapshotTable {
       : Seq[(String, String)] = {
     val batch = "b-" + java.util.UUID.randomUUID().toString
     val dir = s"$table/data/$batch"
-    val arranged = df.withColumn("__part", col(pcol).cast("string"))
-      .repartition(col("__part"))
-    (if (clusterSort.isEmpty) arranged
-     else arranged.sortWithinPartitions(col("__part") +: clusterSort: _*))
+    val withPart = df.withColumn("__part", col(pcol).cast("string"))
+    // clustered tables RANGE-partition on (partition, cluster key)
+    // instead of hashing on the partition alone: a task then holds a
+    // contiguous key slice of one (or a few) partition values, so each
+    // partition directory gets one file PER SLICE — tight per-file
+    // min/max a range predicate prunes WITHIN the partition — rather
+    // than one file spanning the partition's whole key range
+    (if (clusterSort.isEmpty) withPart.repartition(col("__part"))
+     else withPart
+       .repartitionByRange(col("__part") +: clusterSort: _*)
+       .sortWithinPartitions(col("__part") +: clusterSort: _*))
       .write.mode("error").partitionBy("__part").parquet(dir)
     val f = fs(df.sparkSession, table)
     f.listStatus(new Path(dir)).filter(_.isDirectory)
@@ -566,10 +573,14 @@ object SnapshotTable {
     val withParts = pcols.zip(partNames).foldLeft(df) {
       case (acc, (c, p)) => acc.withColumn(p, col(s"`$c`").cast("string"))
     }
-    val arranged = withParts.repartition(partNames.map(col): _*)
-    (if (clusterSort.isEmpty) arranged
-     else arranged.sortWithinPartitions(
-       partNames.map(col) ++ clusterSort: _*))
+    // range-on-(partitions, cluster key) when clustered — same
+    // within-partition file-splitting rationale as the single-column
+    // staging path
+    (if (clusterSort.isEmpty)
+       withParts.repartition(partNames.map(col): _*)
+     else withParts
+       .repartitionByRange(partNames.map(col) ++ clusterSort: _*)
+       .sortWithinPartitions(partNames.map(col) ++ clusterSort: _*))
       .write.mode("error").partitionBy(partNames: _*).parquet(dir)
     val f = fs(df.sparkSession, table)
     def walk(p: Path, depth: Int, rel: String,

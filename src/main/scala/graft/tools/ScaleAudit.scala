@@ -94,7 +94,10 @@ object ScaleAudit {
     // clustered compaction (one range re-sort — n log n, inside the
     // linear-with-headroom bound)
     "q_stream_table_sink", "q_table_timetravel_ts",
-    "q_table_merge_schema", "q_table_identity", "q_table_recluster")
+    "q_table_merge_schema", "q_table_identity", "q_table_recluster",
+    // the multi-dimension z-order rewrite: stats pass + interleave +
+    // range sort — n log n, inside the linear-with-headroom bound
+    "q_table_zorder")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0

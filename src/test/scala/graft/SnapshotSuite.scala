@@ -2625,6 +2625,77 @@ class SnapshotSuite extends AnyFunSuite {
       "an append after restore draws ABOVE every id ever issued")
   }
 
+  test("review fixes: time travel inside DML sources, identity " +
+      "declaration order, partitioned clustered compaction, writer " +
+      "partitionBy vs existing layout") {
+    // 1) VERSION AS OF inside an INSERT source must be lowered before
+    // the DML wrap (a leaf command would hide it from the transform)
+    val src = freshTable("ttsrc")
+    SnapshotTable.create(spark, src, orders.limit(50), numFiles = 2)
+    SnapshotTable.deleteWhere(spark, src, lit(true))
+    val tgt = freshTable("ttdml")
+    SnapshotTable.create(spark, tgt, orders.limit(0), numFiles = 1)
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    s2.sql(s"INSERT INTO `$tgt` SELECT * FROM `$src` VERSION AS OF 1")
+    assert(SnapshotTable.read(spark, tgt).count() === 50L,
+      "the INSERT source must read the time-traveled (pre-delete) v1")
+    // 2) an identity column declared anywhere but FIRST errors loudly
+    // instead of silently reordering (positional INSERTs would shift)
+    val tid = freshTable("identorder")
+    val exOrder = intercept[Exception] {
+      s2.sql(s"CREATE TABLE graft_identorder (k BIGINT, id BIGINT) " +
+        "USING graft OPTIONS (createIfMissing 'true', " +
+        s"identityCol 'id') LOCATION '$tid'")
+      s2.sql("SELECT * FROM graft_identorder").collect()
+    }
+    assert(exOrder.getMessage.contains("FIRST"))
+    s2.sql("DROP TABLE IF EXISTS graft_identorder")
+    // 3) clustered compaction on a PARTITIONED table splits each
+    // partition into key slices — a range predicate prunes WITHIN it
+    val tp = freshTable("partclus")
+    val src2 = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    SnapshotTable.createPartitioned(spark, tp, src2, "o_orderstatus")
+    // the range split count follows spark.sql.shuffle.partitions (the
+    // production knob); the 4-partition test fixture would give ~one
+    // slice per partition value, so size it like a real deployment
+    // the range split count follows spark.sql.shuffle.partitions and
+    // AQE coalescing (the production knobs — AQE re-merges slices to
+    // ~64MB targets, which at this 1500-row fixture collapses back to
+    // one slice per partition value); pin both like a real deployment
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "12")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SnapshotTable.compact(spark, tp, clusterBy = Seq("o_orderkey"))
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    val snapP = SnapshotTable.readManifest(spark, tp,
+      SnapshotTable.currentVersion(spark, tp))
+    val nParts = snapP.partitionOf.values.toSet.size
+    assert(snapP.files.size > nParts,
+      "a clustered partitioned compact must split partitions into " +
+        "key slices, not one file per partition")
+    val kLo = src2.agg(min("o_orderkey")).head().getLong(0)
+    val planned = SnapshotTable.readWhereRange(spark, tp, "o_orderkey",
+      kLo, kLo + 10).inputFiles.length
+    assert(planned < snapP.files.size,
+      s"range scan must prune within partitions ($planned of " +
+        s"${snapP.files.size})")
+    // 4) writer partitionBy on an EXISTING table: matching layout is a
+    // no-op, a disagreeing one errors instead of being dropped
+    src2.limit(5).write.format("graft").mode("append")
+      .partitionBy("o_orderstatus").save(tp)
+    val exLayout = intercept[IllegalArgumentException] {
+      src2.limit(5).write.format("graft").mode("append")
+        .partitionBy("o_custkey").save(tp)
+    }
+    assert(exLayout.getMessage.contains("disagrees"))
+  }
+
   test("z-order compaction: a two-dimension cluster key prunes on " +
       "EITHER dimension; lexicographic would only prune the leading one") {
     val t = freshTable("zorder")

@@ -850,6 +850,14 @@ class StreamingSuite extends AnyFunSuite {
     sink.addBatch(0L, Seq((9L, "dup", 9.9)).toDF("k", "v", "score"))
     assert(SnapshotTable.currentVersion(spark, t) === 2L &&
       got.count() === 2L)
+    // a STRICT sink's replay after the schema evolved must SKIP, not
+    // die aligning the (now-narrower) replayed frame — the
+    // crash-before-checkpoint redelivery would otherwise wedge the
+    // restarted query forever
+    strict.addBatch(0L, Seq((9L, "dup")).toDF("k", "v"))
+    assert(SnapshotTable.currentVersion(spark, t) === 2L &&
+      SnapshotTable.read(spark, t).count() === 2L,
+      "an already-committed batch id skips before alignment")
   }
 
   test("graft streaming SINK: Complete mode replaces the table per " +
