@@ -78,6 +78,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(GraftExtensions.getClass.getName, "graft_history"),
       GraftExtensions.historyTvf))
     e.injectTableFunction((
+      FunctionIdentifier("graft_detail"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "graft_detail"),
+      GraftExtensions.detailTvf))
+    e.injectTableFunction((
       FunctionIdentifier("graft_optimize"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "graft_optimize"),
       GraftExtensions.optimizeTvf))
@@ -169,50 +173,57 @@ object GraftExtensions {
     // read — resolving twice would race a concurrent commit (the DV
     // decision could be made on a different snapshot than the scan)
     val version =
-      if (args.size == 2) args(1).dataType match {
-        case org.apache.spark.sql.types.TimestampType =>
-          // a timestamp literal's value is epoch MICROS
-          graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
-            Math.floorDiv(litLong(args(1), "graft_snapshot timestamp"),
-              1000L))
-        case org.apache.spark.sql.types.DateType =>
-          // a date literal's value is DAYS since the epoch, rendered in
-          // the JVM default zone (the manifest-mtime clock)
-          graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
-            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
-              litLong(args(1), "graft_snapshot date"))).getTime)
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          // NTZ micros are a LOCAL datetime — render in the JVM
-          // default zone, the manifest-mtime clock
-          graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
-            java.time.LocalDateTime.ofEpochSecond(
-              Math.floorDiv(litLong(args(1), "graft_snapshot timestamp"),
-                1000000L),
-              (Math.floorMod(litLong(args(1), "graft_snapshot timestamp"),
-                1000000L) * 1000L).toInt,
-              java.time.ZoneOffset.UTC)
-              .atZone(java.time.ZoneId.systemDefault())
-              .toInstant.toEpochMilli)
-        case org.apache.spark.sql.types.StringType
-            if scala.util.Try(litString(args(1), "graft_snapshot " +
-              "version").trim.toLong).isFailure =>
-          graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
-            graft.sources.SnapshotTable.parseTsMillis(
-              litString(args(1), "graft_snapshot timestamp")))
-        case org.apache.spark.sql.types.ByteType |
-            org.apache.spark.sql.types.ShortType |
-            org.apache.spark.sql.types.IntegerType |
-            org.apache.spark.sql.types.LongType =>
-          litLong(args(1), "graft_snapshot version")
-        case org.apache.spark.sql.types.StringType =>
-          // a numeric string (the non-numeric case matched above)
-          litLong(args(1), "graft_snapshot version")
-        case other => throw new IllegalArgumentException(
-          "graft_snapshot's second argument must be a version number " +
-            s"or a timestamp/date/string literal, got type $other")
-      }
+      if (args.size == 2) versionArg(spark, table, args(1),
+        "graft_snapshot")
       else graft.sources.SnapshotTable.currentVersion(spark, table)
     pinnedSnapshotPlan(spark, table, version)
+  }
+
+  /** A version-OR-timestamp TVF argument: integral (or numeric-string)
+    * literals are versions; timestamp/date/non-numeric-string literals
+    * resolve through the commit-time high-water lookup
+    * ([[graft.sources.SnapshotTable.versionAtTimestamp]]). Anything
+    * else errors loudly — a silently misread type (e.g. NTZ micros as
+    * a version number) is the failure mode this match exists to close.
+    */
+  private def versionArg(spark: SparkSession, table: String,
+      e: Expression, what: String): Long = e.dataType match {
+    case org.apache.spark.sql.types.TimestampType =>
+      // a timestamp literal's value is epoch MICROS
+      graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
+        Math.floorDiv(litLong(e, s"$what timestamp"), 1000L))
+    case org.apache.spark.sql.types.DateType =>
+      // a date literal's value is DAYS since the epoch, rendered in
+      // the JVM default zone (the manifest-mtime clock)
+      graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          litLong(e, s"$what date"))).getTime)
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      // NTZ micros are a LOCAL datetime — render in the JVM default
+      // zone, the manifest-mtime clock
+      graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(litLong(e, s"$what timestamp"), 1000000L),
+          (Math.floorMod(litLong(e, s"$what timestamp"),
+            1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+          .atZone(java.time.ZoneId.systemDefault())
+          .toInstant.toEpochMilli)
+    case org.apache.spark.sql.types.StringType
+        if scala.util.Try(
+          litString(e, s"$what version").trim.toLong).isFailure =>
+      graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
+        graft.sources.SnapshotTable.parseTsMillis(
+          litString(e, s"$what timestamp")))
+    case org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.StringType =>
+      litLong(e, s"$what version")
+    case other => throw new IllegalArgumentException(
+      s"$what takes a version number or a timestamp/date/string " +
+        s"literal, got type $other")
   }
 
   /** The pinned time-traveled read as a logical plan: the
@@ -468,10 +479,27 @@ object GraftExtensions {
     require(args.size == 3,
       s"graft_changes(table, fromVersion, toVersion) takes 3 arguments, got ${args.size}")
     val spark = SparkSession.active
-    graft.sources.SnapshotTable.changesBetween(spark,
-      litString(args.head, "graft_changes table path"),
-      litLong(args(1), "graft_changes fromVersion"),
-      litLong(args(2), "graft_changes toVersion"))
+    val table = litString(args.head, "graft_changes table path")
+    // each bound is version-or-timestamp, like graft_snapshot's second
+    // argument — `graft_changes(t, TIMESTAMP '…', TIMESTAMP '…')` is
+    // the CDF-between-times shape Delta exposes
+    graft.sources.SnapshotTable.changesBetween(spark, table,
+      versionArg(spark, table, args(1), "graft_changes from"),
+      versionArg(spark, table, args(2), "graft_changes to"))
+      .queryExecution.logical
+  }
+
+  /** `graft_detail('<table>')` — DESCRIBE DETAIL as a SQL relation:
+    * one metadata-tier row (version, file counts, declared layout —
+    * partition/cluster/identity/stats/bloom/constraints — manifest
+    * shape, retention floor).
+    */
+  val detailTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1,
+      s"graft_detail(table) takes 1 argument, got ${args.size}")
+    val spark = SparkSession.active
+    graft.sources.SnapshotTable.detail(spark,
+      litString(args.head, "graft_detail table path"))
       .queryExecution.logical
   }
 
@@ -557,6 +585,8 @@ object GraftExtensions {
       "graft_dml", dmlTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,
       "graft_history", historyTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_detail", detailTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,
       "graft_optimize", optimizeTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,

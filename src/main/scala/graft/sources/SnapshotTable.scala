@@ -1812,6 +1812,34 @@ object SnapshotTable {
     }
   }
 
+  /** DESCRIBE DETAIL (the Delta shape): one row of table-level
+    * metadata — version, file/delete-file counts, the declared layout
+    * (partition / cluster / identity / stats / bloom / constraints),
+    * manifest-chain shape, and the retention floor. Entirely
+    * metadata-tier: one manifest chain read, no data IO.
+    */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val snap = loadCurrent(spark, table)
+    Seq((
+      "graft-snapshot", table, snap.version,
+      snap.files.size, snap.deleteFiles.size,
+      partitionColsOf(snap).mkString(","),
+      declaredClusterCols(snap).mkString(","),
+      snap.meta.get("identityCol"),
+      snap.meta.get("identityHwm").map(_.toLong),
+      declaredStatsCols(snap).mkString(","),
+      declaredBloomCols(snap).mkString(","),
+      constraintsOf(snap).size,
+      snap.depth > 0,
+      retentionFloor(spark, table)))
+      .toDF("format", "location", "version", "num_files",
+        "num_delete_files", "partition_columns", "cluster_columns",
+        "identity_column", "identity_hwm", "stats_columns",
+        "bloom_columns", "num_constraints", "is_delta_manifest",
+        "retention_floor")
+  }
+
   /** Remove staged-but-never-committed batch dirs older than `graceMs`
     * — crash debris from writers that died before their commit rename
     * (whose files NO manifest of any version references). The grace
@@ -3814,6 +3842,26 @@ object SnapshotTable {
       read(s, t).orderBy(col("o_orderkey").asc_nulls_first)
     }),
 
+    // DESCRIBE DETAIL: the identity create + clustered compact
+    // lifecycle, read back entirely from the manifest metadata tier.
+    // Every returned field is derivable from the source table (the
+    // high-water mark is exactly count(*)), so the oracle is a plain
+    // constant projection — a hash match proves the metadata the
+    // lifecycle committed is the metadata the detail row reports.
+    "q_table_detail" -> ((s, d) => {
+      val t = scratch(s, d, "detail")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      createWithIdentity(s, t, orders, idCol = "o_id",
+        sortCols = Seq("o_orderkey"))
+      compact(s, t, clusterBy = Seq("o_orderkey"), numFiles = 4)
+      detail(s, t).select(col("version"), col("num_files"),
+        col("num_delete_files"), col("partition_columns"),
+        col("cluster_columns"), col("identity_column"),
+        col("identity_hwm"), col("num_constraints"))
+    }),
+
     // Z-ORDER compaction: a TWO-dimension cluster key lays files out
     // as bit-interleaved z-cells, so a narrow predicate on EITHER
     // dimension prunes (lexicographic multi-key sort would cluster
@@ -3936,6 +3984,12 @@ object SnapshotTable {
     "q_table_timetravel_ts" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_table_detail" ->
+      """SELECT CAST(2 AS BIGINT) AS version, 4 AS num_files,
+        |  0 AS num_delete_files, '' AS partition_columns,
+        |  'o_orderkey' AS cluster_columns, 'o_id' AS identity_column,
+        |  count(*) AS identity_hwm, 0 AS num_constraints
+        |FROM orders""".stripMargin,
     "q_table_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey ASC NULLS FIRST, o_custkey ASC NULLS FIRST,

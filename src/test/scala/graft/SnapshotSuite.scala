@@ -2730,6 +2730,35 @@ class SnapshotSuite extends AnyFunSuite {
       src.agg(sum(col("o_orderkey")), sum(col("o_custkey"))).head())
   }
 
+  test("graft_detail and timestamp-bounded graft_changes") {
+    val t = freshTable("detail")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 5 === 0)
+    GraftExtensions.register(spark)
+    val d = spark.sql(s"SELECT * FROM graft_detail('$t')").head()
+    assert(d.getAs[String]("format") === "graft-snapshot")
+    assert(d.getAs[Long]("version") === 2L)
+    assert(d.getAs[String]("identity_column") == null)
+    assert(d.getAs[Int]("num_constraints") === 0)
+    // timestamp bounds on the change feed: pin the commit clock, then
+    // ask for the changes between the two commits' times
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = 1700000000000L
+    (1L to 2L).foreach(v => fs.setTimes(
+      new org.apache.hadoop.fs.Path(t, s"_manifests/v$v.manifest"),
+      t0 + (v - 1) * 60000L, -1))
+    val ts1 = new java.sql.Timestamp(t0).toString
+    val ts2 = new java.sql.Timestamp(t0 + 60000L).toString
+    val viaTs = spark.sql(s"SELECT count(*) AS n FROM graft_changes(" +
+      s"'$t', TIMESTAMP '$ts1', TIMESTAMP '$ts2')").head().getLong(0)
+    val viaV = spark.sql(
+      s"SELECT count(*) AS n FROM graft_changes('$t', 1, 2)")
+      .head().getLong(0)
+    assert(viaTs === viaV && viaTs > 0L,
+      "timestamp bounds must resolve to the same versions")
+  }
+
   test("graft_optimize / graft_maintain: compaction and the " +
       "maintenance autopilot as SQL procedures") {
     val t = freshTable("sqlopt")
