@@ -2064,8 +2064,15 @@ object SnapshotTable {
     val rank = "__graft_identity_rank"
     require(!base.columns.contains(rank),
       s"the frame may not carry the reserved column $rank")
+    // materialize ONCE before ranking: withGlobalRank's
+    // repartitionByRange SAMPLES its input in a separate job, so an
+    // upstream Observation (the verbs' inserted-count metrics) would
+    // fire twice and report a doubled count — the barrier makes every
+    // caller's observed plan execute exactly once, and the rank
+    // pipeline reads the checkpointed rows
+    val once = base.localCheckpoint()
     val ranked = graft.operators.ScalePatterns
-      .withGlobalRank(base, rank, order: _*)
+      .withGlobalRank(once, rank, order: _*)
     val assigned = ranked.withColumn(idc, col(rank) + lit(hwm)).drop(rank)
       .select(snap.schema.fieldNames
         .map(n => col(s"`$n`")).toIndexedSeq: _*)
@@ -2238,13 +2245,28 @@ object SnapshotTable {
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
       key: String): (Long, Long, Long, Int) = {
     val snap = loadCurrent(spark, table)
+    // identity tables: the column is GENERATED ALWAYS — the upsert
+    // source must not carry it; matched rows keep their target id,
+    // inserted rows draw fresh ones below
+    val idcOpt = snap.meta.get("identityCol")
+    idcOpt.foreach { idc =>
+      require(!source.columns.exists(_.equalsIgnoreCase(idc)),
+        s"column $idc is GENERATED ALWAYS AS IDENTITY — the merge " +
+          "source must not carry it (matched rows keep their id, " +
+          "inserts draw fresh ones)")
+      require(!key.equalsIgnoreCase(idc),
+        s"cannot merge on identity column $idc — its values are " +
+          "generated, a source cannot address them")
+    }
+    val srcSchema = snap.schema.filterNot(f =>
+      idcOpt.exists(_.equalsIgnoreCase(f.name)))
     val cols = snap.schema.fieldNames
     // CAST to the table schema, not just select: a source whose column
     // types differ (e.g. an int literal for a bigint key) would
     // otherwise stage mistyped parquet the schema'd reader cannot open
     // — committing an unreadable table version (the INSERT path casts
     // for exactly this reason)
-    val src = source.select(snap.schema.map(f =>
+    val src = source.select(srcSchema.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       .dropDuplicates(key)
     val cur = readFilesDv(spark, table, snap, snap.files)
@@ -2271,7 +2293,7 @@ object SnapshotTable {
         s"graft-mrg-${java.util.UUID.randomUUID()}")
       val touched = readFilesDv(spark, table, snap, hit)
       val s2 = src.select(
-        col(key).as("__k") +: cols.filterNot(_ == key)
+        col(key).as("__k") +: srcSchema.map(_.name).filterNot(_ == key)
           .map(c => col(c).as(s"__s_$c")).toIndexedSeq: _*)
       val merged = touched
         .join(s2, touched(key) === col("__k"), "left_outer")
@@ -2279,6 +2301,9 @@ object SnapshotTable {
           sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("updated"))
         .select(cols.map(c =>
           if (c == key) col(key)
+          // a matched row KEEPS its identity value — the source has
+          // no say over a generated column
+          else if (idcOpt.exists(_.equalsIgnoreCase(c))) col(c)
           else coalesce(when(col("__k").isNotNull, col(s"__s_$c")),
             col(c)).as(c)).toIndexedSeq: _*)
       val staged = stageFor(snap, merged, table)
@@ -2295,8 +2320,11 @@ object SnapshotTable {
     val inserts = src.join(
       cur.select(col(key)).distinct(), Seq(key), "left_anti")
       .observe(obsIns, sum(lit(1L)).as("inserted"))
+    // inserted rows draw fresh identity values; the new mark rides the
+    // same atomic commit as the upsert
+    val (insertRows, idMeta) = identityFor(snap, inserts)
     val (insertFiles0, insertLabels, insertStats, insertExtras) =
-      stageFor(snap, inserts, table)
+      stageFor(snap, insertRows, table)
     val nIns = observedLong(obsIns.get, "inserted")(
       src.join(cur.select(col(key)).distinct(), Seq(key), "left_anti")
         .count())
@@ -2306,7 +2334,8 @@ object SnapshotTable {
     if (updated == 0 && nIns == 0) return (snap.version, 0L, 0L, 0)
     val keep = snap.files.filterNot(hit.contains)
     val v = commitManifest(spark, table, snap.schema,
-      keep ++ rewrittenFiles._1 ++ insertFiles, snap.version, snap.meta,
+      keep ++ rewrittenFiles._1 ++ insertFiles, snap.version,
+      snap.meta ++ (if (nIns > 0) idMeta else Map.empty),
       (snap.partitionOf -- hit) ++ rewrittenFiles._2 ++ insertLabels,
       (snap.statsOf -- hit) ++ rewrittenFiles._3 ++ insertStats,
       snap.deleteFiles, Some(snap),
@@ -3127,13 +3156,19 @@ object SnapshotTable {
   def stageAppend(spark: SparkSession, table: String,
       df: DataFrame): String = {
     val snap = loadCurrent(spark, table)
-    val (files, labels, stats, extras) = stageFor(snap, df, table)
+    // identity tables assign ids AT STAGE TIME — the audited candidate
+    // is the exact bytes that go live, ids included, and the baked
+    // high-water mark stays correct because publish enforces the
+    // frozen base (any interleaving commit fails the publish and the
+    // caller re-stages on the new base, drawing fresh ids)
+    val (rows, metaUp) = identityFor(snap, df)
+    val (files, labels, stats, extras) = stageFor(snap, rows, table)
     val token = java.util.UUID.randomUUID().toString
     val f = fs(spark, table)
     val p = stagedManifestPath(table, token)
     val out = f.create(p, false)
     try out.write(renderManifest(snap.schema, snap.files ++ files,
-      snap.meta + ("wapBase" -> snap.version.toString),
+      snap.meta ++ metaUp + ("wapBase" -> snap.version.toString),
       snap.partitionOf ++ labels, snap.statsOf ++ stats,
       snap.deleteFiles, snap.extraOf ++ extras))
     finally out.close()

@@ -2816,6 +2816,41 @@ class SnapshotSuite extends AnyFunSuite {
       .head().toSeq === Seq(1L, 100L, 100L))
   }
 
+  test("identity columns: WAP staged appends and the keyed upsert " +
+      "draw ids too — no write path bypasses the mark") {
+    val t = freshTable("identwap")
+    import spark.implicits._
+    SnapshotTable.createWithIdentity(spark, t,
+      Seq((10L, "a"), (20L, "b")).toDF("k", "s"), idCol = "id",
+      sortCols = Seq("k"), numFiles = 1)
+    // WAP: the audited candidate must carry assigned ids
+    val token = SnapshotTable.stageAppend(spark, t,
+      Seq((30L, "c")).toDF("k", "s"))
+    val staged = SnapshotTable.readStaged(spark, t, token)
+    assert(staged.filter(col("id").isNull).count() === 0L,
+      "the staged candidate is the exact bytes that go live — ids " +
+        "must already be assigned")
+    SnapshotTable.publishStaged(spark, t, token)
+    val afterWap = SnapshotTable.read(spark, t)
+    assert(afterWap.orderBy(col("id")).collect().map(_.getLong(0))
+      .toSeq === Seq(1L, 2L, 3L))
+    // the keyed upsert: matched rows KEEP their id, inserts draw fresh
+    val (_, nUpd, nIns, _) = SnapshotTable.mergeInto(spark, t,
+      Seq((20L, "B"), (40L, "d")).toDF("k", "s"), "k")
+    assert(nUpd === 1L && nIns === 1L)
+    val rows = SnapshotTable.read(spark, t).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq === Seq((1L, 10L, "a"), (2L, 20L, "B"),
+      (3L, 30L, "c"), (4L, 40L, "d")),
+      "matched keeps id 2; the insert draws id 4 from the mark")
+    // a source carrying the identity column is rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.mergeInto(spark, t,
+        Seq((99L, 50L, "e")).toDF("id", "k", "s"), "k")
+    }
+    assert(ex.getMessage.contains("GENERATED ALWAYS"))
+  }
+
   test("identity columns: concurrent appenders with conflict retry " +
       "never share ids") {
     val t = freshTable("identcc")
