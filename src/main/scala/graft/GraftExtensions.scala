@@ -154,8 +154,46 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$what must be a non-null literal, got $other")
   }
-  private def litLong(e: Expression, what: String): Long =
-    litString(e, what).toLong
+  private def litLong(e: Expression, what: String): Long = {
+    val s = litString(e, what).trim
+    require(scala.util.Try(s.toLong).isSuccess,
+      s"$what must be an integer, got '$s'")
+    s.toLong
+  }
+
+  /** Epoch millis of a timestamp-like LITERAL (typed timestamp / NTZ /
+    * date, a string rendering, or a cast of one) — ONE decoder shared
+    * by the TVF argument resolution and the native `TIMESTAMP AS OF`
+    * lowering, so both surfaces resolve the same literal to the same
+    * version. Timestamp literals carry epoch MICROS; NTZ micros are a
+    * LOCAL datetime and date literals epoch DAYS, both rendered in the
+    * JVM default zone (the manifest-mtime clock).
+    */
+  private def tsMillisOfLiteral(e: Expression): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+        org.apache.spark.sql.types.TimestampType) =>
+      Math.floorDiv(v, 1000L)
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+        org.apache.spark.sql.types.TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(v, 1000000L),
+        (Math.floorMod(v, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+        .atZone(java.time.ZoneId.systemDefault())
+        .toInstant.toEpochMilli
+    case org.apache.spark.sql.catalyst.expressions.Literal(d: Integer,
+        org.apache.spark.sql.types.DateType) =>
+      java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(d.longValue)).getTime
+    case org.apache.spark.sql.catalyst.expressions.Literal(s,
+        org.apache.spark.sql.types.StringType) if s != null =>
+      graft.sources.SnapshotTable.parseTsMillis(s.toString)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      tsMillisOfLiteral(c.child)
+    case other => throw new IllegalArgumentException(
+      "time travel timestamps must be literal timestamp/date/string " +
+        s"values (or casts of them), got $other")
+  }
 
   /** `graft_snapshot('<table>'[, version | TIMESTAMP '…'])` — the
     * snapshot (current or time-traveled) as a SQL relation. A second
@@ -188,33 +226,16 @@ object GraftExtensions {
     */
   private def versionArg(spark: SparkSession, table: String,
       e: Expression, what: String): Long = e.dataType match {
-    case org.apache.spark.sql.types.TimestampType =>
-      // a timestamp literal's value is epoch MICROS
+    case org.apache.spark.sql.types.TimestampType |
+        org.apache.spark.sql.types.TimestampNTZType |
+        org.apache.spark.sql.types.DateType =>
       graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
-        Math.floorDiv(litLong(e, s"$what timestamp"), 1000L))
-    case org.apache.spark.sql.types.DateType =>
-      // a date literal's value is DAYS since the epoch, rendered in
-      // the JVM default zone (the manifest-mtime clock)
-      graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
-        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
-          litLong(e, s"$what date"))).getTime)
-    case org.apache.spark.sql.types.TimestampNTZType =>
-      // NTZ micros are a LOCAL datetime — render in the JVM default
-      // zone, the manifest-mtime clock
-      graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
-        java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(litLong(e, s"$what timestamp"), 1000000L),
-          (Math.floorMod(litLong(e, s"$what timestamp"),
-            1000000L) * 1000L).toInt,
-          java.time.ZoneOffset.UTC)
-          .atZone(java.time.ZoneId.systemDefault())
-          .toInstant.toEpochMilli)
+        tsMillisOfLiteral(e))
     case org.apache.spark.sql.types.StringType
         if scala.util.Try(
           litString(e, s"$what version").trim.toLong).isFailure =>
       graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
-        graft.sources.SnapshotTable.parseTsMillis(
-          litString(e, s"$what timestamp")))
+        tsMillisOfLiteral(e))
     case org.apache.spark.sql.types.ByteType |
         org.apache.spark.sql.types.ShortType |
         org.apache.spark.sql.types.IntegerType |
@@ -422,25 +443,6 @@ object GraftExtensions {
           }
       }
 
-    private def tsMillisOfLiteral(e: org.apache.spark.sql.catalyst
-        .expressions.Expression): Long = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
-          org.apache.spark.sql.types.TimestampType) =>
-        Math.floorDiv(v, 1000L) // timestamp literals carry epoch micros
-      case org.apache.spark.sql.catalyst.expressions.Literal(d: Integer,
-          org.apache.spark.sql.types.DateType) =>
-        java.sql.Date.valueOf(
-          java.time.LocalDate.ofEpochDay(d.longValue)).getTime
-      case org.apache.spark.sql.catalyst.expressions.Literal(s,
-          org.apache.spark.sql.types.StringType) if s != null =>
-        graft.sources.SnapshotTable.parseTsMillis(s.toString)
-      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-        tsMillisOfLiteral(c.child)
-      case other => throw new IllegalArgumentException(
-        "TIMESTAMP AS OF on a graft table must be a literal " +
-          s"timestamp/date/string, got $other")
-    }
-
     // timeTravel BEFORE lower: lower wraps a DML/DDL root into
     // SnapshotDmlCommand, a LEAF command holding the parsed plan as a
     // field — a transform applied afterwards could no longer reach a
@@ -481,8 +483,14 @@ object GraftExtensions {
     val spark = SparkSession.active
     val table = litString(args.head, "graft_changes table path")
     // each bound is version-or-timestamp, like graft_snapshot's second
-    // argument — `graft_changes(t, TIMESTAMP '…', TIMESTAMP '…')` is
-    // the CDF-between-times shape Delta exposes
+    // argument. Timestamp semantics are SNAPSHOT-DIFF, the same as the
+    // version form: the result is the logical difference between the
+    // table AS OF t1 and AS OF t2 (each resolves to its at-or-before
+    // version; the from-state is the base, so its own changes are not
+    // included). That is deliberately the version form's contract
+    // extended to times — NOT Delta's event-window startingTimestamp
+    // (earliest commit >= t1, inclusive); for "everything since the
+    // beginning" pass version 0.
     graft.sources.SnapshotTable.changesBetween(spark, table,
       versionArg(spark, table, args(1), "graft_changes from"),
       versionArg(spark, table, args(2), "graft_changes to"))

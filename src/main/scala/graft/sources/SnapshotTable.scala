@@ -1982,9 +1982,11 @@ object SnapshotTable {
     val (files, labels, stats, extras) = stageFor(snap, batch, table)
     // every surviving row is freshly staged under CURRENT column names,
     // so the replace clears the column mapping exactly like compact()
-    // — the raw FileIndex fast path resumes and retired names free up
+    // — the raw FileIndex fast path resumes and retired names free up.
+    // The identity mark update MUST ride this commit: dropping it
+    // would hand the replaced rows' ids out again on the next append
     commitManifest(spark, table, snap.schema, files, snap.version,
-      snap.meta - "colmap" - "droppedCols", labels, stats, Nil,
+      snap.meta - "colmap" - "droppedCols" ++ metaUp, labels, stats, Nil,
       Some(snap0), extras)
   }
 
@@ -2077,6 +2079,11 @@ object SnapshotTable {
       .select(snap.schema.fieldNames
         .map(n => col(s"`$n`")).toIndexedSeq: _*)
     val n = ranked.agg(coalesce(max(col(rank)), lit(0L))).head().getLong(0)
+    // withGlobalRank's own (eager) checkpoint now holds the ranked
+    // rows — release the barrier copy instead of waiting for the
+    // ContextCleaner, or a long-lived writer session accumulates a
+    // dead batch copy in block storage per identity write
+    once.unpersist(blocking = false)
     (assigned, hwm + n)
   }
 

@@ -2816,6 +2816,29 @@ class SnapshotSuite extends AnyFunSuite {
       .head().toSeq === Seq(1L, 100L, 100L))
   }
 
+  test("identity columns: replaceContents commits the advanced mark — " +
+      "an append after a replace never reuses the replaced rows' ids") {
+    val t = freshTable("identreplace")
+    import spark.implicits._
+    SnapshotTable.createWithIdentity(spark, t,
+      (1L to 10L).map(k => (k, "a")).toDF("k", "s"), idCol = "id",
+      sortCols = Seq("k"), numFiles = 1)
+    SnapshotTable.replaceContents(spark, t,
+      (1L to 5L).map(k => (k, "b")).toDF("k", "s"))
+    val afterReplace = SnapshotTable.read(spark, t)
+    assert(afterReplace.agg(min("id"), max("id")).head().toSeq ===
+      Seq(11L, 15L), "replaced rows draw ids ABOVE the mark")
+    assert(SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+      .meta("identityHwm").toLong === 15L,
+      "the advanced mark must ride the replace commit")
+    SnapshotTable.append(spark, t, Seq((99L, "c")).toDF("k", "s"))
+    val all = SnapshotTable.read(spark, t)
+    assert(all.agg(countDistinct("id")).head().getLong(0) === all.count())
+    assert(all.filter(col("k") === 99L).head().getLong(0) === 16L,
+      "the post-replace append draws id 16, never a replaced row's id")
+  }
+
   test("identity columns: WAP staged appends and the keyed upsert " +
       "draw ids too — no write path bypasses the mark") {
     val t = freshTable("identwap")
