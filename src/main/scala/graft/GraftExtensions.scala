@@ -165,11 +165,15 @@ object GraftExtensions {
     * date, a string rendering, or a cast of one) — ONE decoder shared
     * by the TVF argument resolution and the native `TIMESTAMP AS OF`
     * lowering, so both surfaces resolve the same literal to the same
-    * version. Timestamp literals carry epoch MICROS; NTZ micros are a
-    * LOCAL datetime and date literals epoch DAYS, both rendered in the
-    * JVM default zone (the manifest-mtime clock).
+    * version. Typed timestamp literals carry epoch MICROS (already an
+    * instant — Spark anchored the text in the session zone at parse
+    * time); NTZ micros are a LOCAL datetime and date literals epoch
+    * DAYS, and string renderings are zone-free text — all three are
+    * anchored in the SAME session zone, so `TIMESTAMP '…'` and '…'
+    * for one wall-clock time always resolve to one version.
     */
-  private def tsMillisOfLiteral(e: Expression): Long = e match {
+  private def tsMillisOfLiteral(spark: SparkSession,
+      e: Expression): Long = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
         org.apache.spark.sql.types.TimestampType) =>
       Math.floorDiv(v, 1000L)
@@ -179,17 +183,18 @@ object GraftExtensions {
         Math.floorDiv(v, 1000000L),
         (Math.floorMod(v, 1000000L) * 1000L).toInt,
         java.time.ZoneOffset.UTC)
-        .atZone(java.time.ZoneId.systemDefault())
+        .atZone(graft.sources.SnapshotTable.sessionZone(spark))
         .toInstant.toEpochMilli
     case org.apache.spark.sql.catalyst.expressions.Literal(d: Integer,
         org.apache.spark.sql.types.DateType) =>
-      java.sql.Date.valueOf(
-        java.time.LocalDate.ofEpochDay(d.longValue)).getTime
+      java.time.LocalDate.ofEpochDay(d.longValue)
+        .atStartOfDay(graft.sources.SnapshotTable.sessionZone(spark))
+        .toInstant.toEpochMilli
     case org.apache.spark.sql.catalyst.expressions.Literal(s,
         org.apache.spark.sql.types.StringType) if s != null =>
-      graft.sources.SnapshotTable.parseTsMillis(s.toString)
+      graft.sources.SnapshotTable.parseTsMillis(spark, s.toString)
     case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-      tsMillisOfLiteral(c.child)
+      tsMillisOfLiteral(spark, c.child)
     case other => throw new IllegalArgumentException(
       "time travel timestamps must be literal timestamp/date/string " +
         s"values (or casts of them), got $other")
@@ -230,18 +235,28 @@ object GraftExtensions {
         org.apache.spark.sql.types.TimestampNTZType |
         org.apache.spark.sql.types.DateType =>
       graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
-        tsMillisOfLiteral(e))
+        tsMillisOfLiteral(spark, e))
     case org.apache.spark.sql.types.StringType
         if scala.util.Try(
           litString(e, s"$what version").trim.toLong).isFailure =>
       graft.sources.SnapshotTable.versionAtTimestamp(spark, table,
-        tsMillisOfLiteral(e))
+        tsMillisOfLiteral(spark, e))
     case org.apache.spark.sql.types.ByteType |
         org.apache.spark.sql.types.ShortType |
         org.apache.spark.sql.types.IntegerType |
         org.apache.spark.sql.types.LongType |
         org.apache.spark.sql.types.StringType =>
-      litLong(e, s"$what version")
+      val v = litLong(e, s"$what version")
+      // the READER option timestampAsOf reads the identical all-digit
+      // string as epoch millis; silently reading it here as a version
+      // would make the two time-travel surfaces disagree on one input.
+      // No real table reaches 1e11 versions, and 1e11 millis is 1973 —
+      // the ranges cannot collide, so reject the ambiguous zone loudly.
+      require(v < 100000000000L,
+        s"$what: '$v' looks like epoch millis, not a version number — " +
+          "pass a TIMESTAMP '…' literal (or the timestampAsOf reader " +
+          "option) for timestamp time travel")
+      v
     case other => throw new IllegalArgumentException(
       s"$what takes a version number or a timestamp/date/string " +
         s"literal, got type $other")
@@ -257,7 +272,7 @@ object GraftExtensions {
     val snap = graft.sources.SnapshotTable.readManifest(spark, table,
       version)
     val df =
-      if (snap.deleteFiles.isEmpty)
+      if (graft.sources.SnapshotTable.fileIndexExact(snap))
         graft.sources.SnapshotScan.scan(spark, table, Some(version))._1
       else graft.sources.SnapshotTable.read(spark, table, Some(version))
     df.queryExecution.logical
@@ -434,7 +449,7 @@ object GraftExtensions {
                   v.trim.toLong
                 case None =>
                   graft.sources.SnapshotTable.versionAtTimestamp(spark,
-                    path, tsMillisOfLiteral(ts.getOrElse(
+                    path, tsMillisOfLiteral(spark, ts.getOrElse(
                       throw new IllegalArgumentException(
                         "time travel needs VERSION AS OF or " +
                           "TIMESTAMP AS OF"))))
@@ -442,6 +457,73 @@ object GraftExtensions {
               pinnedSnapshotPlan(spark, path, version)
           }
       }
+
+    // Native `OPTIMIZE t [ZORDER BY (c, ...)]` and `VACUUM t [RETAIN n
+    // HOURS]` (the Delta statement shapes): neither is Spark grammar,
+    // so the intercept runs BEFORE the delegate (which would throw a
+    // ParseException) — the same pre-parse discipline Delta's own SQL
+    // parser uses. Targets may be a snapshot path (quoted, backticked,
+    // or bare) or a graft catalog name; they lower onto compact /
+    // expireSnapshots+vacuumOrphans and, like the procedure TVFs,
+    // execute at parse time and return their report as the plan.
+    private val OptimizeRe =
+      """(?is)\s*OPTIMIZE\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    private val VacuumRe =
+      """(?is)\s*VACUUM\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+
+    private def unquote(s: String): String =
+      if ((s.startsWith("`") && s.endsWith("`")) ||
+          (s.startsWith("'") && s.endsWith("'")))
+        s.substring(1, s.length - 1)
+      else s
+
+    private def maintTargetPath(raw: String, what: String): String = {
+      val t = unquote(raw)
+      if (t.contains('/')) {
+        require(graft.sources.GraftDml
+          .snapshotPathOf(spark, Seq(t)).isDefined,
+          s"$what: no snapshot table at $t")
+        t
+      } else graft.sources.GraftDml
+        .namedGraftTable(spark, t.split('.').toSeq)
+        .map(_._1)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$what targets graft snapshot tables; $t is not one"))
+    }
+
+    private def maintenance(sqlText: String): Option[LogicalPlan] = {
+      import spark.implicits._
+      sqlText match {
+        case OptimizeRe(rawT, zcols) =>
+          val path = maintTargetPath(rawT, "OPTIMIZE")
+          val cluster = Option(zcols).toSeq
+            .flatMap(_.split(',').map(c =>
+              unquote(c.trim)).filter(_.nonEmpty))
+          val (v, before, after) = graft.sources.SnapshotTable
+            .compact(spark, path, clusterBy = cluster)
+          Some(Seq((v, before, after))
+            .toDF("version", "files_before", "files_after")
+            .queryExecution.logical)
+        case VacuumRe(rawT, hours) =>
+          val path = maintTargetPath(rawT, "VACUUM")
+          val grace = Option(hours)
+            .map(_.toLong * 3600000L).getOrElse(3600000L)
+          // RETAIN 0 HOURS is the Delta escape hatch: collapse history
+          // to the current snapshot (and zero orphan grace); otherwise
+          // the default retention (keep the last two versions) holds
+          // and RETAIN bounds the orphan grace
+          val keep = if (grace == 0L) 1 else 2
+          val (expired, removed) = graft.sources.SnapshotTable
+            .expireSnapshots(spark, path, keepLast = keep)
+          val orphans = graft.sources.SnapshotTable
+            .vacuumOrphans(spark, path, graceMs = grace)
+          Some(Seq((expired, removed, orphans))
+            .toDF("manifests_expired", "data_files_removed",
+              "orphans_removed")
+            .queryExecution.logical)
+        case _ => None
+      }
+    }
 
     // timeTravel BEFORE lower: lower wraps a DML/DDL root into
     // SnapshotDmlCommand, a LEAF command holding the parsed plan as a
@@ -451,11 +533,13 @@ object GraftExtensions {
     // time-travel nodes, so the rewrite cannot hide a target from
     // lower's detection.
     override def parsePlan(sqlText: String): LogicalPlan =
-      lower(timeTravel(delegate.parsePlan(sqlText)))
+      maintenance(sqlText).getOrElse(
+        lower(timeTravel(delegate.parsePlan(sqlText))))
     override def parsePlanWithParameters(sqlText: String,
         ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
         : LogicalPlan =
-      lower(timeTravel(delegate.parsePlanWithParameters(sqlText, ctx)))
+      maintenance(sqlText).getOrElse(
+        lower(timeTravel(delegate.parsePlanWithParameters(sqlText, ctx))))
     override def parseQuery(sqlText: String): LogicalPlan =
       timeTravel(delegate.parseQuery(sqlText))
     override def parseExpression(sqlText: String) =

@@ -96,8 +96,17 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         s"fromVersion must be a version number, got '$v'")
       v.trim.toLong
     }.getOrElse(0L)
+    // rate control: bound how far one micro-batch may advance the
+    // version cursor, so a lagging stream (restart after a weekend of
+    // commits) catches up in bounded batches, not one unbounded one
+    val maxVersions = parameters.get("maxVersionsPerBatch").map { v =>
+      require(scala.util.Try(v.trim.toLong).isSuccess &&
+        v.trim.toLong > 0,
+        s"maxVersionsPerBatch must be a positive integer, got '$v'")
+      v.trim.toLong
+    }
     new org.apache.spark.sql.GraftChangeSource(spark, table, base,
-      changeSchemaOf(spark, table))
+      changeSchemaOf(spark, table), maxVersions)
   }
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -170,7 +179,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // scan then behaves exactly like an explicit versionAsOf read
     val byTs = parameters.get("timestampAsOf").map(t =>
       SnapshotTable.versionAtTimestamp(spark, table,
-        SnapshotTable.parseTsMillis(t)))
+        SnapshotTable.parseTsMillis(spark, t)))
     require(byVersion.isEmpty || byTs.isEmpty,
       "pass versionAsOf OR timestampAsOf, not both")
     GraftDataSource.relationFor(spark, table, byVersion.orElse(byTs))
@@ -217,16 +226,14 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
             s"declare the identity column $idc FIRST — the committed " +
               "schema leads with it, and a reordered declaration " +
               "would shift positional INSERT values"))
-          require(partitionColsOf(parameters).isEmpty,
-            "identityCol with partitionCols is not supported on the " +
-              "empty-bootstrap path — create via the library API")
           // strip the declared column; createWithIdentity prepends it
           val without = StructType(schema.fields
             .filterNot(f => f.name.equalsIgnoreCase(idc)))
           SnapshotTable.createWithIdentity(spark, table,
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
               without), idCol = declared.map(_.name).getOrElse(idc),
-            sortCols = sortCols, numFiles = 1)
+            sortCols = sortCols, numFiles = 1,
+            partitionCols = partitionColsOf(parameters))
         case None =>
           val empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], schema)
@@ -275,10 +282,8 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     def createNew(): Unit = {
       identityColOf(parameters) match {
         case Some((idc, sortCols)) =>
-          require(pcols.isEmpty, "identityCol with partitionCols is " +
-            "not supported on the CTAS path — create via the library API")
           SnapshotTable.createWithIdentity(spark, table, data,
-            idCol = idc, sortCols = sortCols)
+            idCol = idc, sortCols = sortCols, partitionCols = pcols)
         case None =>
           if (pcols.isEmpty) SnapshotTable.create(spark, table, data)
           else SnapshotTable.createPartitioned(spark, table, data, pcols)
@@ -498,7 +503,7 @@ object GraftDataSource {
       case None => SnapshotTable.readManifest(spark, table,
         SnapshotTable.currentVersion(spark, table))
     }
-    if (snap.deleteFiles.isEmpty && SnapshotTable.colMapOf(snap).isEmpty) {
+    if (SnapshotTable.fileIndexExact(snap)) {
       val index = new SnapshotFileIndex(spark, table, snap)
       HadoopFsRelation(
         location = index,
@@ -524,6 +529,13 @@ object GraftDataSource {
       extends BaseRelation with TableScan {
     override def sqlContext: SQLContext = spark.sqlContext
     override def needConversion: Boolean = false
+    // real manifest-derived size, not defaultSizeInBytes: without it a
+    // small DV-bearing dimension could never auto-broadcast. Data-file
+    // bytes are an upper bound on the DV-applied rows — safe for the
+    // broadcast-threshold check in the same way parquet's raw size is
+    override lazy val sizeInBytes: Long =
+      SnapshotTable.dataBytesOf(spark, table,
+        SnapshotTable.readManifest(spark, table, pinnedVersion))
     override def buildScan(): RDD[Row] =
       SnapshotTable.read(spark, table, Some(pinnedVersion))
         .queryExecution.toRdd.asInstanceOf[RDD[Row]]

@@ -119,8 +119,9 @@ object GraftDml {
     */
   private[sources] def alignByName(df: DataFrame,
       schema: org.apache.spark.sql.types.StructType, what: String,
-      allowSubset: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+      allowSubset: Boolean,
+      defaults: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
     val srcLower = df.columns.map(_.toLowerCase)
     require(srcLower.distinct.length == srcLower.length,
       s"$what repeats a column (${df.columns.mkString(", ")})")
@@ -142,10 +143,17 @@ object GraftDml {
         s"$what is missing table columns: ${missing.mkString(", ")}")
     }
     val byLower = df.columns.map(n => n.toLowerCase -> n).toMap
+    // omitted columns fill with their declared write-default when one
+    // exists (Delta/Iceberg write-default), typed NULL otherwise; an
+    // EXPLICIT NULL in the source is a supplied value and stays NULL
+    val defByLower = defaults.map { case (k, v) => k.toLowerCase -> v }
     df.select(schema.map { f =>
       byLower.get(f.name.toLowerCase) match {
         case Some(src) => col(s"`$src`").cast(f.dataType).as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
+        case None => defByLower.get(f.name.toLowerCase) match {
+          case Some(d) => expr(d).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }
     }.toIndexedSeq: _*)
   }
@@ -347,7 +355,7 @@ object GraftDml {
         // the table columns is legal (omitted nullable columns fill
         // with typed NULLs — Delta's BY NAME semantics)
         alignByName(src, schema, "INSERT BY NAME query",
-          allowSubset = true)
+          allowSubset = true, defaults = SnapshotTable.defaultsOf(snap))
       } else if (i.userSpecifiedCols.nonEmpty) {
         require(i.userSpecifiedCols.length == src.columns.length,
           s"INSERT column list arity ${i.userSpecifiedCols.length} != " +
@@ -355,7 +363,8 @@ object GraftDml {
         // standard SQL / Delta semantics: a SUBSET column list is
         // legal — omitted nullable columns fill with typed NULLs
         alignByName(src.toDF(i.userSpecifiedCols.toIndexedSeq: _*),
-          schema, "INSERT column list", allowSubset = true)
+          schema, "INSERT column list", allowSubset = true,
+          defaults = SnapshotTable.defaultsOf(snap))
       } else {
         require(src.columns.length == schema.length,
           s"INSERT query arity ${src.columns.length} != table arity " +
@@ -556,8 +565,6 @@ object GraftDml {
               q.name.mkString("."))
           require(q.position.isEmpty,
             "ADD COLUMNS position clauses are not supported")
-          require(q.default.isEmpty,
-            "ADD COLUMNS DEFAULT values are not supported")
           require(q.nullable,
             s"added column ${q.colName} must be nullable (existing " +
               "files have no values)")
@@ -565,7 +572,12 @@ object GraftDml {
             q.dataType, nullable = true)
           q.comment.map(f.withComment).getOrElse(f)
         }
-        val v = SnapshotTable.addColumns(spark, path, fields)
+        // `ADD COLUMN c T DEFAULT <lit>` — initial-default (rows that
+        // predate the evolution read it) + write-default (INSERTs that
+        // omit the column fill it); addColumns validates constancy
+        val defaults = ac.columnsToAdd.flatMap(q =>
+          q.default.map(d => q.colName -> d.originalSQL)).toMap
+        val v = SnapshotTable.addColumns(spark, path, fields, defaults)
         Some(("add_columns", v, fields.size.toLong, 0L))
       case al: AlterColumns =>
         val path = pathOf(al.table, "ALTER TABLE ALTER COLUMN")

@@ -209,6 +209,13 @@ object SnapshotScan {
       s"$table v${snap.version} carries renamed columns; read it via " +
         "SnapshotTable.read (mapping-aware) or compact() to rewrite " +
         "under the current names")
+    // and for initial-defaults: files predating an ADD COLUMN DEFAULT
+    // must read the default, which only the frame-level read applies —
+    // compact() materializes it, after which this scan is exact again
+    require(!SnapshotTable.hasLiveDefaults(snap),
+      s"$table v${snap.version} has files predating a column DEFAULT; " +
+        "read it via SnapshotTable.read (default-applying) or " +
+        "compact() to materialize the defaults")
     val index = new SnapshotFileIndex(spark, table, snap)
     val relation = HadoopFsRelation(
       location = index,

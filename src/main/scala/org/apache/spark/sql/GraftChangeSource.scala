@@ -34,21 +34,42 @@ import org.apache.spark.sql.types.StructType
   * from the feed until restart, like Delta.
   */
 final class GraftChangeSource(spark: SparkSession, table: String,
-    base: Long, override val schema: StructType) extends Source {
+    base: Long, override val schema: StructType,
+    maxVersionsPerBatch: Option[Long] = None) extends Source {
 
   private def longOf(o: Offset): Long = o match {
     case LongOffset(v) => v
     case other => other.json.trim.toLong
   }
 
+  // the highest version this source has handed the engine in a batch
+  // range — the catch-up clamp anchors here. Restart recovery: the
+  // engine replays getBatch over the checkpointed range before the
+  // first new trigger, which re-seats the anchor; if a first getOffset
+  // ever races ahead of that, the worst case is ONE empty micro-batch
+  // (getBatch sees to <= from) and the anchor self-heals from `start`.
+  @volatile private var lastEnd: Option[Long] = None
+
+  /** Rate control (Delta's maxFilesPerTrigger intent at version
+    * granularity): a stream that fell N versions behind drains in
+    * ceil(N / maxVersionsPerBatch) micro-batches instead of one
+    * unbounded catch-up batch. Offsets stay snapshot versions, so the
+    * clamp is pure arithmetic — no extra manifest IO in getOffset.
+    */
   override def getOffset: Option[Offset] = {
     val v = graft.sources.SnapshotTable.currentVersion(spark, table)
-    if (v <= base) None else Some(LongOffset(v))
+    val capped = maxVersionsPerBatch match {
+      case Some(n) => math.min(v, math.max(lastEnd.getOrElse(base), base) + n)
+      case None => v
+    }
+    if (capped <= base) None else Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(longOf).getOrElse(base)
     val to = longOf(end)
+    lastEnd = Some(math.max(lastEnd.getOrElse(Long.MinValue),
+      math.max(from, to)))
     val batch =
       if (to <= from)
         spark.createDataFrame(

@@ -332,4 +332,33 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
         spark.sql(s"DROP TABLE IF EXISTS graft_cbo_$t"))
     }
   }
+  test("manifest-sized relations auto-broadcast: a small graft " +
+      "dimension joins by broadcast with NO hint, on both the " +
+      "FileIndex scan and the DV-bearing fallback relation") {
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bcast").toString
+    val t = s"$dir/dim"
+    SnapshotTable.create(spark, t, Tables.nation(spark, sf), numFiles = 1)
+    val fact = Tables.customer(spark, sf)
+    def joined() = {
+      val dim = spark.read.format("graft").load(t)
+      val j = fact.join(dim, col("c_nationkey") === col("n_nationkey"))
+      j.collect()
+      j.queryExecution.executedPlan
+    }
+    val bhj1 = collectWithSubqueries(joined()) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj1.nonEmpty, "the FileIndex relation must broadcast off " +
+      "its manifest-listed size, hint-free")
+    // flip the table onto the DV fallback relation: its sizeInBytes
+    // must come from the manifest file sizes, not defaultSizeInBytes
+    SnapshotTable.deleteWhereVector(spark, t, col("n_nationkey") === 0)
+    val bhj2 = collectWithSubqueries(joined()) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj2.nonEmpty, "the DV-bearing relation must broadcast off " +
+      "dataBytesOf, hint-free")
+  }
 }

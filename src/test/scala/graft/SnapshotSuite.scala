@@ -328,6 +328,86 @@ class SnapshotSuite extends AnyFunSuite {
     ()
   }
 
+  test("column DEFAULT values: pre-evolution rows read the default, " +
+      "post-evolution NULLs stay NULL, INSERT fills omitted columns, " +
+      "compaction materializes") {
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    import spark.implicits._
+    val t = freshTable("defaults")
+    SnapshotTable.create(spark, t,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), numFiles = 2)
+    SnapshotTable.append(spark, t,
+      (11L to 15L).map(k => (k, s"v$k")).toDF("k", "v"))
+    // v3: ADD COLUMN score DOUBLE DEFAULT 2.5 — metadata-only
+    val before = SnapshotTable.readManifest(spark, t, 2L)
+    val v = SnapshotTable.addColumns(spark, t,
+      Seq(StructField("score", DoubleType, nullable = true)),
+      defaults = Map("score" -> "2.5"))
+    assert(v === 3L)
+    assert(SnapshotTable.readManifest(spark, t, 3L).files ===
+      before.files, "declaring a default must rewrite nothing")
+    // every pre-evolution row reads the default, not NULL
+    val cur = SnapshotTable.read(spark, t)
+    assert(cur.filter(col("score") === 2.5).count() === 15L)
+    assert(cur.filter(col("score").isNull).count() === 0L)
+    // a post-evolution batch with an EXPLICIT NULL keeps it — the
+    // rewrite is file-scoped, never a blanket coalesce
+    SnapshotTable.append(spark, t, Seq(
+      (16L, "v16", java.lang.Double.valueOf(9.0)),
+      (17L, "v17", null.asInstanceOf[java.lang.Double])
+    ).toDF("k", "v", "score"))
+    val cur2 = SnapshotTable.read(spark, t)
+    assert(cur2.filter(col("k") === 17L && col("score").isNull)
+      .count() === 1L, "explicit NULL after evolution must stay NULL")
+    assert(cur2.filter(col("score") === 2.5).count() === 15L)
+    // SQL INSERT omitting the column fills the write-default
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    s2.sql(s"INSERT INTO `$t` (k, v) VALUES (18, 'v18')")
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("k") === 18L && col("score") === 2.5).count() === 1L,
+      "INSERT omitting a defaulted column must fill the default")
+    // mutations read defaults too (the DV/provenance path): a rewrite
+    // materializes them, untouched files keep the read-side rewrite
+    SnapshotTable.updateWhere(spark, t, col("k") === 1L,
+      Map("v" -> lit("V1")))
+    val cur3 = SnapshotTable.read(spark, t)
+    assert(cur3.filter(col("k") === 1L).select("score").head()
+      .getDouble(0) === 2.5)
+    assert(cur3.filter(col("score") === 2.5).count() === 16L)
+    // time travel BEFORE the evolution: no score column at all
+    assert(!SnapshotTable.read(spark, t, Some(2L))
+      .columns.contains("score"))
+    // the raw FileIndex scan refuses while pre-default files live;
+    // compact() materializes the default and it is exact again
+    intercept[IllegalArgumentException] {
+      graft.sources.SnapshotScan.scan(spark, t)
+    }
+    SnapshotTable.compact(spark, t)
+    val scanned = graft.sources.SnapshotScan.scan(spark, t)._1
+    assert(scanned.filter(col("score") === 2.5).count() === 16L)
+    assert(scanned.filter(col("score").isNull).count() === 1L)
+    assert(!SnapshotTable.hasLiveDefaults(
+      SnapshotTable.readManifest(spark, t,
+        SnapshotTable.currentVersion(spark, t))))
+    // the write-default SURVIVES compaction for future inserts
+    s2.sql(s"INSERT INTO `$t` (k, v) VALUES (19, 'v19')")
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("k") === 19L && col("score") === 2.5).count() === 1L)
+    // SQL ALTER TABLE ADD COLUMN ... DEFAULT on the path surface
+    s2.sql(s"ALTER TABLE `$t` ADD COLUMN tag STRING DEFAULT 'web'")
+    val withTag = SnapshotTable.read(spark, t)
+    assert(withTag.filter(col("tag") === "web").count() ===
+      withTag.count(), "every pre-evolution row reads the new default")
+    // a non-constant default is rejected loudly
+    intercept[Exception] {
+      SnapshotTable.addColumns(spark, t,
+        Seq(StructField("r", DoubleType, nullable = true)),
+        defaults = Map("r" -> "rand()"))
+    }
+    ()
+  }
+
   test("vacuumOrphans removes only aged, unreferenced crash debris") {
     val t = freshTable("vacuum")
     SnapshotTable.create(spark, t, orders, numFiles = 2)
@@ -2784,6 +2864,97 @@ class SnapshotSuite extends AnyFunSuite {
       "maintain must compact a fragmented table")
   }
 
+  test("native SQL OPTIMIZE / VACUUM: Delta statement shapes on path " +
+      "and catalog-named targets, non-graft targets error") {
+    val t = freshTable("sqlopt2")
+    SnapshotTable.create(spark, t, orders, numFiles = 8)
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    // OPTIMIZE `path` ZORDER BY (col): compaction + declared cluster
+    val r = s2.sql(s"OPTIMIZE `$t` ZORDER BY (o_orderkey)").head()
+    assert(r.getLong(0) === 2L && r.getInt(1) === 8)
+    val snap = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap.meta.get("clusterCols").contains("o_orderkey"))
+    assert(sortedRows(SnapshotTable.read(spark, t)) === sortedRows(orders))
+    // VACUUM `path` RETAIN 0 HOURS: v1 expires, its files GC
+    val vac = s2.sql(s"VACUUM `$t` RETAIN 0 HOURS").head()
+    assert(vac.getInt(0) >= 1, "VACUUM must expire the pre-OPTIMIZE " +
+      s"manifest, got $vac")
+    intercept[Exception] {
+      SnapshotTable.read(spark, t, Some(1L))
+    }
+    assert(sortedRows(SnapshotTable.read(spark, t)) === sortedRows(orders))
+    // catalog-named target
+    val name = s"graft_opt_${System.nanoTime()}"
+    val t2 = freshTable("sqlopt3")
+    try {
+      s2.sql(s"CREATE TABLE $name USING graft LOCATION '$t2' AS " +
+        s"SELECT * FROM parquet.`$sf/orders.parquet`")
+      val r2 = s2.sql(s"OPTIMIZE $name").head()
+      assert(r2.getLong(0) === 2L)
+      assert(s2.sql(s"VACUUM $name").head().getInt(0) >= 0)
+    } finally s2.sql(s"DROP TABLE IF EXISTS $name")
+    // a non-graft target errors loudly instead of silently parsing
+    intercept[Exception] { s2.sql("OPTIMIZE not_a_graft_table") }
+    intercept[Exception] { s2.sql(s"VACUUM `/tmp/definitely/not/a/table`") }
+  }
+
+  test("partition-spec evolution: repartitionTable is one atomic " +
+      "staged rewrite — new-column pruning live, old versions keep " +
+      "their layout, identity and declarations survive") {
+    import spark.implicits._
+    val t = freshTable("respec")
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"))
+    SnapshotTable.createWithIdentity(spark, t, base, idCol = "oid",
+      sortCols = Seq("o_orderkey"),
+      partitionCols = Seq("o_orderstatus"))
+    SnapshotTable.deleteWhereVector(spark, t, col("o_orderkey") % 97 === 0)
+    val preContent = sortedRows(SnapshotTable.read(spark, t))
+    val n = SnapshotTable.read(spark, t).count()
+    // evolve the layout: o_orderstatus -> a derived bucket column must
+    // fail (not a table column), a real column succeeds
+    intercept[IllegalArgumentException] {
+      SnapshotTable.repartitionTable(spark, t, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.repartitionTable(spark, t, Seq("oid"))
+    }
+    val v = SnapshotTable.repartitionTable(spark, t, Seq("o_orderkey"))
+    val snap = SnapshotTable.readManifest(spark, t, v)
+    assert(SnapshotTable.partitionColsOf(snap) === Seq("o_orderkey"))
+    assert(snap.partitionOf.size === snap.files.size,
+      "every rewritten file carries its NEW label")
+    assert(snap.deleteFiles.isEmpty, "the rewrite materializes DVs")
+    // content identical (DV-applied), ids intact
+    assert(sortedRows(SnapshotTable.read(spark, t)) === preContent)
+    assert(SnapshotTable.read(spark, t)
+      .agg(countDistinct("oid")).head().getLong(0) === n)
+    // pruning on the NEW column is manifest-only
+    val one = base.filter(col("o_orderkey") === 1L).count()
+    if (one > 0) {
+      val pruned = SnapshotTable.readWhere(spark, t, Set("1"))
+      assert(pruned.inputFiles.length <
+        snap.files.size, "new-layout pruning must skip files")
+    }
+    // the OLD version still reads with the OLD layout
+    val old = SnapshotTable.readManifest(spark, t, 1L)
+    assert(SnapshotTable.partitionColsOf(old) === Seq("o_orderstatus"))
+    assert(SnapshotTable.readWhere(spark, t, Set("F"), version = Some(1L))
+      .filter(col("o_orderstatus") =!= "F").count() === 0L)
+    // identity keeps assigning above the mark after the evolution
+    SnapshotTable.append(spark, t,
+      Seq((999000001L, "F")).toDF("o_orderkey", "o_orderstatus"))
+    val after = SnapshotTable.read(spark, t)
+    assert(after.agg(countDistinct("oid")).head().getLong(0) === n + 1)
+    // de-partitioning is the Nil spec
+    val v2 = SnapshotTable.repartitionTable(spark, t, Nil)
+    val snap2 = SnapshotTable.readManifest(spark, t, v2)
+    assert(SnapshotTable.partitionColsOf(snap2).isEmpty &&
+      snap2.partitionOf.isEmpty)
+    assert(SnapshotTable.read(spark, t).count() === n + 1)
+  }
+
   test("identity columns: SQL-declared via OPTIONS (identityCol) on " +
       "CREATE TABLE and the CTAS/writer path") {
     val t = freshTable("sqlident")
@@ -2919,6 +3090,96 @@ class SnapshotSuite extends AnyFunSuite {
       .meta("identityHwm").toLong === total)
   }
 
+  test("identity columns on PARTITIONED tables: dense generated-always " +
+      "ids, manifest partition pruning intact, concurrent appenders " +
+      "never share ids") {
+    import spark.implicits._
+    val t = freshTable("identpart")
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"))
+    SnapshotTable.createWithIdentity(spark, t, base, idCol = "oid",
+      sortCols = Seq("o_orderkey"),
+      partitionCols = Seq("o_orderstatus"))
+    val n = base.count()
+    val got = SnapshotTable.read(spark, t)
+    assert(got.columns.head === "oid")
+    assert(got.agg(min("oid"), max("oid"), countDistinct("oid"))
+      .head().toSeq === Seq(1L, n, n),
+      "create assigns 1..n densely ACROSS partitions")
+    // the layout is real: every file carries its label, and pruning is
+    // manifest-only \u2014 excluded partitions never reach the scan
+    val snap = SnapshotTable.readManifest(spark, t, 1L)
+    assert(snap.partitionOf.size === snap.files.size)
+    val pruned = SnapshotTable.readWhere(spark, t, Set("F"))
+    assert(pruned.inputFiles.length ===
+      snap.files.count(f => snap.partitionOf(f) == "F"))
+    assert(pruned.count() ===
+      base.filter(col("o_orderstatus") === "F").count())
+    // identity + partition racing appenders: ids stay unique and dense
+    val perWriter = 25
+    val writers = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val batch = spark.range(perWriter)
+              .select((col("id") + 1000000L + w * 1000L)
+                .as("o_orderkey"),
+                lit(if (w % 2 == 0) "F" else "O").as("o_orderstatus"))
+            var done = false
+            var attempts = 0
+            while (!done) {
+              try { SnapshotTable.append(spark, t, batch); done = true }
+              catch {
+                case _: SnapshotTable.CommitConflictException =>
+                  attempts += 1
+                  require(attempts < 60, "too many conflicts")
+                  Thread.sleep(20L * (attempts % 5))
+              }
+            }
+          }
+        })
+      }
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    val total = n + writers * perWriter
+    val after = SnapshotTable.read(spark, t)
+    assert(after.count() === total)
+    assert(after.agg(countDistinct("oid")).head().getLong(0) === total,
+      "racing partitioned appends must never share ids")
+    assert(after.agg(min("oid"), max("oid")).head().toSeq ===
+      Seq(1L, total), "ids stay dense 1..N across partitions and races")
+    val snapAfter = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snapAfter.partitionOf.size === snapAfter.files.size,
+      "appended files keep their partition labels")
+    assert(snapAfter.meta("identityHwm").toLong === total)
+    // the SQL surfaces accept the combination now: bootstrap + CTAS
+    val tSql = freshTable("identpartsql")
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val name = s"graft_identpart_${System.nanoTime()}"
+    try {
+      s2.sql(s"CREATE TABLE $name (id BIGINT, k BIGINT, cat STRING) " +
+        "USING graft OPTIONS (createIfMissing 'true', " +
+        s"identityCol 'id', partitionCol 'cat') LOCATION '$tSql'")
+      s2.sql(s"INSERT INTO $name (k, cat) " +
+        "VALUES (10, 'a'), (20, 'b'), (30, 'a')")
+      val sqlGot = SnapshotTable.read(spark, tSql)
+      assert(sqlGot.agg(min("id"), max("id"), countDistinct("id"))
+        .head().toSeq === Seq(1L, 3L, 3L))
+      assert(SnapshotTable.readWhere(spark, tSql, Set("a")).count() === 2L)
+    } finally s2.sql(s"DROP TABLE IF EXISTS $name")
+    val tCtas = freshTable("identpartctas")
+    base.write.format("graft").option("identityCol", "oid")
+      .option("identitySort", "o_orderkey")
+      .option("partitionCol", "o_orderstatus").save(tCtas)
+    val ctasGot = SnapshotTable.read(spark, tCtas)
+    assert(ctasGot.agg(countDistinct("oid")).head().getLong(0) === n)
+    assert(SnapshotTable.readManifest(spark, tCtas, 1L)
+      .partitionOf.nonEmpty)
+  }
+
   test("TIMESTAMP AS OF: boundary semantics match Delta's \u2014 exact " +
       "commit time reads that commit, before-first errors, after-last " +
       "reads latest") {
@@ -2957,11 +3218,13 @@ class SnapshotSuite extends AnyFunSuite {
       spark.read.format("graft").option("versionAsOf", "1")
         .option("timestampAsOf", (t0 + 30000L).toString).load(t)
     }
-    // SQL-timestamp rendering parses too (JVM default zone \u2014 the
-    // manifest-mtime clock)
-    val asSql = new java.sql.Timestamp(t0 + 60000L).toString
+    // SQL-timestamp rendering parses too \u2014 interpreted in the SESSION
+    // zone, the same contract as a typed TIMESTAMP literal
+    val asSql = java.time.Instant.ofEpochMilli(t0 + 60000L)
+      .atZone(SnapshotTable.sessionZone(spark))
+      .toLocalDateTime.toString.replace('T', ' ')
     assert(SnapshotTable.versionAtTimestamp(spark, t,
-      SnapshotTable.parseTsMillis(asSql)) === 2L)
+      SnapshotTable.parseTsMillis(spark, asSql)) === 2L)
   }
 
   test("native SQL time travel: VERSION AS OF and TIMESTAMP AS OF on " +

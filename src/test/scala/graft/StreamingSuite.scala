@@ -897,4 +897,55 @@ class StreamingSuite extends AnyFunSuite {
         .option("checkpointLocation", s"$dir/ckpt2").start()
     }
   }
+
+  test("change-feed rate control: maxVersionsPerBatch drains a " +
+      "backlog in bounded micro-batches whose union equals the " +
+      "uncapped diff, and keeps tailing live commits") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rate").toString
+    val tbl = s"$dir/src"
+    SnapshotTable.create(spark, tbl,
+      Seq((0L, "seed")).toDF("k", "v"), numFiles = 1) // v1
+    // a 5-version backlog: v2..v6 committed while no stream is running
+    (1 to 5).foreach(i => SnapshotTable.append(spark, tbl,
+      Seq((i.toLong, s"r$i")).toDF("k", "v")))
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, String)]]
+    def start() = spark.readStream.format("graft").option("path", tbl)
+      .option("fromVersion", "1").option("maxVersionsPerBatch", "2")
+      .load()
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val got = df.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .toSeq
+        batches.synchronized { if (got.nonEmpty) batches += got }
+        ()
+      }.start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    // ceil(5 backlog versions / cap 2) = 3 bounded catch-up batches —
+    // never one unbounded drain
+    assert(batches.size === 3,
+      s"expected 3 capped catch-up micro-batches, got ${batches.size}")
+    assert(batches.forall(_.nonEmpty))
+    // the capped batches' union is EXACTLY the uncapped v1->v6 diff
+    val uncapped = SnapshotTable.changesBetween(spark, tbl, 1L, 6L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    assert(batches.flatten.sorted === uncapped)
+    // caught up: a live commit still arrives (the clamp anchors on the
+    // last handed-out version, not a stale base) — restart on the SAME
+    // checkpoint resumes from the committed offset, no replay
+    SnapshotTable.append(spark, tbl, Seq((9L, "tail")).toDF("k", "v"))
+    batches.clear()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.size === 1 &&
+      batches.head.map(x => (x._1, x._2)) === Seq((9L, "tail")),
+      s"restart must process exactly the missed tail, got $batches")
+  }
 }
