@@ -89,6 +89,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_maintain"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "graft_maintain"),
       GraftExtensions.maintainTvf))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_restore"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "graft_restore"),
+      GraftExtensions.restoreTvf))
     // NATIVE DML on snapshot-table paths: Spark's grammar already
     // parses `UPDATE `/path` SET...` / `DELETE FROM` / `MERGE INTO`
     // into their catalyst plans; this rule intercepts the ones whose
@@ -393,11 +397,16 @@ object GraftExtensions {
           if graft.sources.GraftDml
             .alterTargetPath(spark, a.table).isDefined =>
         graft.sources.SnapshotDmlCommand(a)
-      // only TYPE changes are ours; COMMENT / nullability ALTERs on a
-      // graft catalog table stay on Spark's own catalog-metadata path
-      // (they worked there before and touch no data)
+      // TYPE / nullability / default changes are ours (nullability and
+      // defaults must land in the MANIFEST to be enforced — the
+      // catalog-metadata path would record them without teeth);
+      // COMMENT/position ALTERs on a graft catalog table stay on
+      // Spark's own catalog path (they worked there before and touch
+      // no data)
       case a: org.apache.spark.sql.catalyst.plans.logical.AlterColumns
-          if a.specs.forall(_.newDataType.isDefined) &&
+          if a.specs.forall(s => s.newDataType.isDefined ||
+            s.newNullability.isDefined ||
+            s.newDefaultExpression.isDefined || s.dropDefault) &&
             graft.sources.GraftDml
               .alterTargetPath(spark, a.table).isDefined =>
         graft.sources.SnapshotDmlCommand(a)
@@ -470,6 +479,8 @@ object GraftExtensions {
       """(?is)\s*OPTIMIZE\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
     private val VacuumRe =
       """(?is)\s*VACUUM\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+    private val RestoreRe =
+      """(?is)\s*RESTORE\s+(?:TABLE\s+)?(`[^`]+`|'[^']+'|[\w$./-]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']+'|[\w.:-]+)\s*;?\s*""".r
 
     private def unquote(s: String): String =
       if ((s.startsWith("`") && s.endsWith("`")) ||
@@ -506,20 +517,44 @@ object GraftExtensions {
             .queryExecution.logical)
         case VacuumRe(rawT, hours) =>
           val path = maintTargetPath(rawT, "VACUUM")
-          val grace = Option(hours)
-            .map(_.toLong * 3600000L).getOrElse(3600000L)
-          // RETAIN 0 HOURS is the Delta escape hatch: collapse history
-          // to the current snapshot (and zero orphan grace); otherwise
-          // the default retention (keep the last two versions) holds
-          // and RETAIN bounds the orphan grace
-          val keep = if (grace == 0L) 1 else 2
-          val (expired, removed) = graft.sources.SnapshotTable
-            .expireSnapshots(spark, path, keepLast = keep)
+          // RETAIN n HOURS is an AGE cutoff (the Delta/Iceberg clock):
+          // versions whose commit time is older than n hours expire
+          // (RETAIN 0 collapses history to the current snapshot), and
+          // the same horizon bounds the orphan grace. Without RETAIN,
+          // the default count-based retention (keep the last two
+          // versions) and the 1 h orphan grace hold.
+          val (expired, removed) = Option(hours) match {
+            case Some(h) => graft.sources.SnapshotTable
+              .expireSnapshotsOlderThan(spark, path,
+                System.currentTimeMillis() - h.toLong * 3600000L)
+            case None => graft.sources.SnapshotTable
+              .expireSnapshots(spark, path)
+          }
           val orphans = graft.sources.SnapshotTable
-            .vacuumOrphans(spark, path, graceMs = grace)
+            .vacuumOrphans(spark, path, graceMs = Option(hours)
+              .map(_.toLong * 3600000L).getOrElse(3600000L))
           Some(Seq((expired, removed, orphans))
             .toDF("manifests_expired", "data_files_removed",
               "orphans_removed")
+            .queryExecution.logical)
+        // `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF x` — the Delta
+        // statement shape over the metadata-only rollback verb
+        case RestoreRe(rawT, kind, rawArg) =>
+          val path = maintTargetPath(rawT, "RESTORE")
+          val arg = unquote(rawArg)
+          val version =
+            if (kind.equalsIgnoreCase("VERSION")) {
+              require(scala.util.Try(arg.trim.toLong).isSuccess,
+                s"RESTORE TO VERSION AS OF takes a version number, " +
+                  s"got '$arg'")
+              arg.trim.toLong
+            } else graft.sources.SnapshotTable.versionAtTimestamp(
+              spark, path,
+              graft.sources.SnapshotTable.parseTsMillis(spark, arg))
+          val v = graft.sources.SnapshotTable.restore(spark, path,
+            version)
+          Some(Seq((version, v))
+            .toDF("restored_version", "new_version")
             .queryExecution.logical)
         case _ => None
       }
@@ -608,6 +643,27 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_restore('<table>', version | TIMESTAMP '…')` — rollback
+    * as a SQL procedure (Delta's `RESTORE TABLE`): a METADATA-ONLY
+    * commit re-listing the target version's files verbatim
+    * ([[graft.sources.SnapshotTable.restore]]); a timestamp second
+    * argument resolves through the shared commit-time lookup like
+    * every other time-travel surface. Returns one row
+    * (restored_version, new_version).
+    */
+  val restoreTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 2,
+      s"graft_restore(table, version|timestamp) takes 2 arguments, " +
+        s"got ${args.size}")
+    val spark = SparkSession.active
+    val table = litString(args.head, "graft_restore table path")
+    val version = versionArg(spark, table, args(1), "graft_restore")
+    val v = graft.sources.SnapshotTable.restore(spark, table, version)
+    import spark.implicits._
+    Seq((version, v)).toDF("restored_version", "new_version")
+      .queryExecution.logical
+  }
+
   /** `graft_optimize('<table>'[, 'c1,c2'])` — compaction as a SQL
     * procedure (Delta's `OPTIMIZE [ZORDER BY]`): rewrites the table
     * into target-size files, materializing deletion vectors and
@@ -683,5 +739,7 @@ object GraftExtensions {
       "graft_optimize", optimizeTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,
       "graft_maintain", maintainTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_restore", restoreTvf)
   }
 }

@@ -91,11 +91,19 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     val spark = sqlContext.sparkSession
     val table = pathOf(parameters)
-    val base = parameters.get("fromVersion").map { v =>
+    // `fromTimestamp` mirrors `fromVersion` through the shared
+    // commit-time resolution (Delta's startingTimestamp): the feed
+    // starts AFTER the latest version committed at or before it
+    val byTs = parameters.get("fromTimestamp").map(t =>
+      SnapshotTable.versionAtTimestamp(spark, table,
+        SnapshotTable.parseTsMillis(spark, t)))
+    require(byTs.isEmpty || !parameters.contains("fromVersion"),
+      "pass fromVersion OR fromTimestamp, not both")
+    val base = byTs.orElse(parameters.get("fromVersion").map { v =>
       require(scala.util.Try(v.trim.toLong).isSuccess,
         s"fromVersion must be a version number, got '$v'")
       v.trim.toLong
-    }.getOrElse(0L)
+    }).getOrElse(0L)
     // rate control: bound how far one micro-batch may advance the
     // version cursor, so a lagging stream (restart after a weekend of
     // commits) catches up in bounded batches, not one unbounded one
@@ -105,13 +113,34 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         s"maxVersionsPerBatch must be a positive integer, got '$v'")
       v.trim.toLong
     }
+    val maxBytes = parameters.get("maxBytesPerBatch").map { v =>
+      require(scala.util.Try(v.trim.toLong).isSuccess &&
+        v.trim.toLong > 0,
+        s"maxBytesPerBatch must be a positive byte count, got '$v'")
+      v.trim.toLong
+    }
     new org.apache.spark.sql.GraftChangeSource(spark, table, base,
-      changeSchemaOf(spark, table), maxVersions)
+      changeSchemaOf(spark, table), maxVersions, maxBytes)
   }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft requires a path (load(path) / LOCATION '<path>')"))
+
+  /** `CREATE TABLE (c T DEFAULT <lit>) USING graft`: Spark's analyzer
+    * stores the default's SQL text as `CURRENT_DEFAULT` field metadata
+    * (gated on `spark.sql.defaultColumn.allowedProviders` including
+    * "graft" — the v1-source opt-in). A fresh bootstrap has no
+    * pre-evolution files, so these are pure WRITE-defaults: record
+    * them in the manifest meta right after the create commit.
+    */
+  private def recordDeclaredDefaults(spark: SparkSession, table: String,
+      schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      if (f.metadata.contains("CURRENT_DEFAULT"))
+        SnapshotTable.setColumnDefault(spark, table, f.name,
+          f.metadata.getString("CURRENT_DEFAULT"))
+    }
 
   /** `df.writeStream.format("graft")` — the exactly-once streaming
     * SINK onto a snapshot table, completing the round-trip with the
@@ -234,15 +263,23 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
               without), idCol = declared.map(_.name).getOrElse(idc),
             sortCols = sortCols, numFiles = 1,
             partitionCols = partitionColsOf(parameters))
+          recordDeclaredDefaults(spark, table, schema)
         case None =>
           val empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], schema)
-          partitionColsOf(parameters) match {
-            case Nil =>
+          (partitionColsOf(parameters), bucketOf(parameters)) match {
+            case (Nil, Some((bc, n))) =>
+              SnapshotTable.createBucketed(spark, table, empty, bc, n)
+            case (cols, Some(_)) =>
+              throw new IllegalArgumentException("bucketed and " +
+                "partitioned layouts do not compose — declare one " +
+                s"(got partition ${cols.mkString(",")} + bucketCol)")
+            case (Nil, None) =>
               SnapshotTable.create(spark, table, empty, numFiles = 1)
-            case cols => SnapshotTable.createPartitioned(spark, table,
-              empty, cols)
+            case (cols, None) => SnapshotTable.createPartitioned(spark,
+              table, empty, cols)
           }
+          recordDeclaredDefaults(spark, table, schema)
       }
     } else {
       // the MANIFEST is the single source of truth for an existing
@@ -282,11 +319,22 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     def createNew(): Unit = {
       identityColOf(parameters) match {
         case Some((idc, sortCols)) =>
+          require(bucketOf(parameters).isEmpty,
+            "identityCol with bucketCol is not supported — ids are " +
+              "assigned at commit; create unbucketed or drop the " +
+              "identity declaration")
           SnapshotTable.createWithIdentity(spark, table, data,
             idCol = idc, sortCols = sortCols, partitionCols = pcols)
-        case None =>
-          if (pcols.isEmpty) SnapshotTable.create(spark, table, data)
-          else SnapshotTable.createPartitioned(spark, table, data, pcols)
+        case None => bucketOf(parameters) match {
+          case Some((bc, n)) =>
+            require(pcols.isEmpty, "bucketed and partitioned layouts " +
+              "do not compose — declare one")
+            SnapshotTable.createBucketed(spark, table, data, bc, n)
+          case None =>
+            if (pcols.isEmpty) SnapshotTable.create(spark, table, data)
+            else SnapshotTable.createPartitioned(spark, table, data,
+              pcols)
+        }
       }
       ()
     }
@@ -371,6 +419,18 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     * AUTOINCREMENT`, database.py:78). Appends by any surface then draw
     * ids from the manifest high-water mark.
     */
+  /** `OPTIONS (bucketCol 'c', bucketN '8')` on the create surfaces. */
+  private def bucketOf(parameters: Map[String, String])
+      : Option[(String, Int)] =
+    parameters.get("bucketCol").map { c =>
+      val n = parameters.getOrElse("bucketN",
+        throw new IllegalArgumentException(
+          "bucketCol needs bucketN (the bucket count)"))
+      require(scala.util.Try(n.trim.toInt).isSuccess && n.trim.toInt > 0,
+        s"bucketN must be a positive integer, got '$n'")
+      (c.trim, n.trim.toInt)
+    }
+
   private def identityColOf(parameters: Map[String, String])
       : Option[(String, Seq[String])] =
     parameters.get("identityCol").map { c =>
@@ -509,7 +569,9 @@ object GraftDataSource {
         location = index,
         partitionSchema = StructType(Nil),
         dataSchema = snap.schema,
-        bucketSpec = None,
+        bucketSpec = SnapshotTable.bucketSpecOf(snap).map { case (c, n) =>
+          org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil)
+        },
         fileFormat = new ReadOnlyParquetFormat,
         options = Map.empty)(spark)
     } else new DvRelation(spark, table, snap.version, snap.schema)

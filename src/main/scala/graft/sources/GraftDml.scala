@@ -583,24 +583,62 @@ object GraftDml {
         val path = pathOf(al.table, "ALTER TABLE ALTER COLUMN")
         val schema = SnapshotTable.readManifest(spark, path,
           SnapshotTable.currentVersion(spark, path)).schema
-        // validate spec SHAPE here; widenColumns validates each
-        // widening against the schema as evolved by the specs before
-        // it (two specs on one column fail up front) and applies the
-        // whole statement as ONE manifest commit — a multi-spec
-        // statement can never half-apply then error
-        val widens = al.specs.map { spec =>
+        def colOf(spec: org.apache.spark.sql.catalyst.plans.logical
+            .AlterColumnSpec): String = {
           val c0 = single(spec.column, "ALTER COLUMN")
-          require(spec.newDataType.isDefined && spec.newNullability.isEmpty &&
-            spec.newComment.isEmpty && spec.newPosition.isEmpty &&
-            spec.newDefaultExpression.isEmpty && !spec.dropDefault,
-            "ALTER COLUMN supports TYPE widening only " +
-              "(int -> bigint, float -> double)")
-          val c = canonical(schema, c0).getOrElse(
+          canonical(schema, c0).getOrElse(
             throw new IllegalArgumentException(s"no such column $c0"))
-          (c, spec.newDataType.get)
         }
-        val v = SnapshotTable.widenColumns(spark, path, widens)
-        Some(("alter_column_type", v, al.specs.size.toLong, 0L))
+        if (al.specs.forall(_.newDataType.isDefined)) {
+          // validate spec SHAPE here; widenColumns validates each
+          // widening against the schema as evolved by the specs before
+          // it (two specs on one column fail up front) and applies the
+          // whole statement as ONE manifest commit — a multi-spec
+          // statement can never half-apply then error
+          val widens = al.specs.map { spec =>
+            require(spec.newNullability.isEmpty &&
+              spec.newComment.isEmpty && spec.newPosition.isEmpty &&
+              spec.newDefaultExpression.isEmpty && !spec.dropDefault,
+              "ALTER COLUMN TYPE does not combine with other changes " +
+                "in one spec")
+            (colOf(spec), spec.newDataType.get)
+          }
+          val v = SnapshotTable.widenColumns(spark, path, widens)
+          Some(("alter_column_type", v, al.specs.size.toLong, 0L))
+        } else {
+          // nullability / default specs commit one at a time (each is
+          // its own verb); a single-spec statement is the common case
+          // and stays atomic. Multi-spec statements mixing classes
+          // are refused rather than half-applied.
+          require(al.specs.size == 1,
+            "ALTER COLUMN SET/DROP NOT NULL / SET/DROP DEFAULT takes " +
+              "one column per statement")
+          val spec = al.specs.head
+          require(spec.newDataType.isEmpty && spec.newComment.isEmpty &&
+            spec.newPosition.isEmpty,
+            "ALTER COLUMN supports TYPE widening, SET/DROP NOT NULL, " +
+              "and SET/DROP DEFAULT — one change per statement")
+          val c = colOf(spec)
+          (spec.newNullability, spec.newDefaultExpression,
+              spec.dropDefault) match {
+            case (Some(false), None, false) =>
+              val v = SnapshotTable.setNotNull(spark, path, c)
+              Some(("alter_column_set_not_null", v, 1L, 0L))
+            case (Some(true), None, false) =>
+              val v = SnapshotTable.dropNotNull(spark, path, c)
+              Some(("alter_column_drop_not_null", v, 1L, 0L))
+            case (None, Some(d), false) =>
+              val v = SnapshotTable.setColumnDefault(spark, path, c,
+                d.originalSQL)
+              Some(("alter_column_set_default", v, 1L, 0L))
+            case (None, None, true) =>
+              val v = SnapshotTable.dropColumnDefault(spark, path, c)
+              Some(("alter_column_drop_default", v, 1L, 0L))
+            case other => throw new IllegalArgumentException(
+              "ALTER COLUMN supports TYPE widening, SET/DROP NOT " +
+                s"NULL, and SET/DROP DEFAULT — got $other")
+          }
+        }
       case _ => None
     }
     out.foreach { case (_, v, _, _) =>

@@ -221,7 +221,13 @@ object SnapshotScan {
       location = index,
       partitionSchema = StructType(Nil),
       dataSchema = snap.schema,
-      bucketSpec = None,
+      // declared bucket layout rides the relation: the v1 bucketed
+      // scan groups the tagged files by bucket id and reports hash
+      // output partitioning — equal-bucketed graft tables then join
+      // with no exchange on either side
+      bucketSpec = SnapshotTable.bucketSpecOf(snap).map { case (c, n) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil)
+      },
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     (GraftShim.ofRows(spark, LogicalRelation(relation, isStreaming = false)),

@@ -490,6 +490,46 @@ object SnapshotTable {
       .map(n => s"data/$batch/$n").toVector.sorted
   }
 
+  /** BUCKETED batch staging: hash-repartition on the bucket column
+    * into exactly `numBuckets` tasks (Spark's own HashPartitioning —
+    * the same murmur3 bucketing a `bucketBy` write uses), then tag
+    * each staged file's NAME with its bucket id in the `_NNNNN` form
+    * `BucketingUtils.getBucketId` parses. The task-partition index IS
+    * the bucket id (the parquet writer names one file per non-empty
+    * partition `part-<idx>-…`), so the tag is read off the original
+    * name — no data is inspected. A relation built over these files
+    * with the matching `BucketSpec` reports hash output partitioning,
+    * and two graft tables bucketed the same way JOIN WITHOUT A
+    * SHUFFLE on the bucket column (the 100 TB co-located-join layout;
+    * PlanAuditSuite asserts the exchange-free plan).
+    */
+  private[graft] def stageBucketedBatch(df: DataFrame, table: String,
+      bucketCol: String, numBuckets: Int,
+      clusterSort: Seq[Column] = Nil): Seq[String] = {
+    val batch = "b-" + java.util.UUID.randomUUID().toString
+    val dir = s"$table/data/$batch"
+    val bucketed = df.repartition(numBuckets, col(s"`$bucketCol`"))
+    // declared clustering sorts WITHIN each bucket (after the bucket
+    // shuffle — a pre-shuffle sort would be destroyed by it)
+    (if (clusterSort.isEmpty) bucketed
+     else bucketed.sortWithinPartitions(clusterSort: _*))
+      .write.mode("error").parquet(dir)
+    val f = fs(df.sparkSession, table)
+    f.listStatus(new Path(dir)).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .map { n =>
+        val idx = n.substring(5, 10).toInt // part-NNNNN-…
+        val dot = n.indexOf('.')
+        val (stem, ext) =
+          if (dot < 0) (n, "") else (n.substring(0, dot), n.substring(dot))
+        val tagged = f"${stem}_$idx%05d$ext"
+        require(f.rename(new Path(dir, n), new Path(dir, tagged)),
+          s"cannot bucket-tag $n")
+        s"data/$batch/$tagged"
+      }.toVector.sorted
+  }
+
   /** Hive-style partitioned batch staging: a duplicated string column
     * drives partitionBy (the data keeps the original column), and the
     * partition value of every file is parsed back from its directory
@@ -907,11 +947,19 @@ object SnapshotTable {
         case Some(pc) =>
           val staged = stagePartitionedBatch(dfIn, table, pc, clusterSort)
           (staged.map(_._1), staged.toMap)
-        case None =>
-          val arranged =
-            if (clusterSort.isEmpty) dfIn
-            else dfIn.sortWithinPartitions(clusterSort: _*)
-          (stageBatch(arranged, table), Map.empty[String, String])
+        case None => bucketSpecOf(snap) match {
+          case Some((bc, n)) =>
+            // bucketed layout: EVERY batch re-buckets, so the declared
+            // BucketSpec stays true for the whole file list and the
+            // shuffle-free join property never silently degrades
+            (stageBucketedBatch(dfIn, table, bc, n, clusterSort),
+              Map.empty[String, String])
+          case None =>
+            val arranged =
+              if (clusterSort.isEmpty) dfIn
+              else dfIn.sortWithinPartitions(clusterSort: _*)
+            (stageBatch(arranged, table), Map.empty[String, String])
+        }
       }
     // the staged parquet now holds the rows — release the barrier copy
     // instead of waiting for the ContextCleaner
@@ -1345,6 +1393,38 @@ object SnapshotTable {
       Map("partitionCols" -> pcols.map(enc).mkString(",")), staged.toMap)
   }
 
+  /** Create a BUCKETED table: every batch — the create, appends,
+    * mutation rewrites, compaction — hash-repartitions into exactly
+    * `numBuckets` bucket-tagged files ([[stageBucketedBatch]]), and
+    * the Catalyst relations declare the matching `BucketSpec`, so a
+    * join between two graft tables bucketed the same way on the join
+    * key plans WITHOUT a shuffle on either side (Spark's v1 bucketed
+    * scan — the co-located-join layout that at 100 TB turns the
+    * biggest fact-fact joins from two full exchanges into zero).
+    * Bucketing composes with stats/bloom declarations and identity,
+    * but not with Hive partitioning (one physical layout per table).
+    */
+  def createBucketed(spark: SparkSession, table: String, df: DataFrame,
+      bucketCol: String, numBuckets: Int): Long = {
+    require(currentVersion(spark, table) == 0,
+      s"$table already has committed snapshots")
+    require(df.columns.contains(bucketCol),
+      s"bucket column $bucketCol is not in the frame " +
+        s"(${df.columns.mkString(", ")})")
+    require(numBuckets > 0 && numBuckets <= 100000,
+      s"numBuckets must be in [1, 100000], got $numBuckets")
+    val files = stageBucketedBatch(df, table, bucketCol, numBuckets)
+    commitManifest(spark, table, df.schema, files, 0L,
+      Map("bucketCol" -> bucketCol, "bucketN" -> numBuckets.toString))
+  }
+
+  /** The declared bucket layout, when the table has one. */
+  private[graft] def bucketSpecOf(snap: Snapshot): Option[(String, Int)] =
+    for {
+      c <- snap.meta.get("bucketCol")
+      n <- snap.meta.get("bucketN")
+    } yield (c, n.toInt)
+
   /** The table's partition columns: multi-column tables store the
     * encoded list under `partitionCols`, single-column ones the bare
     * name under `partitionCol` (the pre-existing format — both read).
@@ -1534,23 +1614,9 @@ object SnapshotTable {
     defaults.keys.foreach(c => require(
       newFields.exists(_.name == c),
       s"DEFAULT declared for $c, which is not among the added columns"))
-    // a default must be a constant: it is evaluated per-read forever,
-    // so a non-foldable expression (rand(), current_timestamp()) would
-    // make two reads of one committed row disagree
     defaults.foreach { case (c, d) =>
-      val dt = newFields.find(_.name == c).get.dataType
-      // constant-folding must collapse the whole default to a Literal:
-      // rand()'s SEED is a literal leaf, so a leaf check would pass it
-      val folded = spark.range(1)
-        .select(expr(d).cast(dt).as("d"))
-        .queryExecution.optimizedPlan.expressions
-      require(folded.forall {
-        case a: org.apache.spark.sql.catalyst.expressions.Alias =>
-          a.child.isInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.Literal]
-        case e => e.foldable
-      }, s"DEFAULT for $c must be a constant literal castable to " +
-        s"$dt, got '$d'")
+      requireConstantDefault(spark, c, d,
+        newFields.find(_.name == c).get.dataType)
     }
     val metaUp = defaults.map { case (c, d) =>
       s"colDefault.${enc(c)}" -> enc(d)
@@ -1580,6 +1646,101 @@ object SnapshotTable {
     snap.meta.collect { case (k, v) if k.startsWith("colDefault.") =>
       dec(k.stripPrefix("colDefault.")) -> dec(v)
     }
+
+  /** A default must be a CONSTANT: it is evaluated per-read forever,
+    * so a non-foldable expression (rand(), current_timestamp()) would
+    * make two reads of one committed row disagree. Constant-folding
+    * must collapse the WHOLE expression to a Literal — rand()'s SEED
+    * is a literal leaf, so a mere leaf check would pass it.
+    */
+  private def requireConstantDefault(spark: SparkSession, c: String,
+      d: String, dt: org.apache.spark.sql.types.DataType): Unit = {
+    val folded = spark.range(1)
+      .select(expr(d).cast(dt).as("d"))
+      .queryExecution.optimizedPlan.expressions
+    require(folded.forall {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        a.child.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Literal]
+      case e => e.foldable
+    }, s"DEFAULT for $c must be a constant literal castable to " +
+      s"$dt, got '$d'")
+  }
+
+  /** Write-default on an EXISTING column (Delta `ALTER COLUMN … SET
+    * DEFAULT` semantics): future INSERTs that omit the column fill
+    * the literal; existing rows are NOT rewritten or re-read — a
+    * retroactive initial-default would silently change what committed
+    * history means. Refused while the column still carries LIVE
+    * initial-default markers (it was ADDED with a default and
+    * pre-evolution files still read it): changing that literal would
+    * flip those rows' values — Iceberg freezes initial-defaults at add
+    * time for exactly this reason; `compact()` materializes them,
+    * after which the write-default is freely settable. Metadata-only,
+    * one commit.
+    */
+  def setColumnDefault(spark: SparkSession, table: String,
+      column: String, defaultSql: String): Long = {
+    val snap = loadCurrent(spark, table)
+    val f = snap.schema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no such column $column"))
+    requireConstantDefault(spark, column, defaultSql, f.dataType)
+    require(!hasLiveDefaultFor(snap, column),
+      s"$column still carries a LIVE initial default on pre-evolution " +
+        "files — compact() to materialize it, then SET DEFAULT")
+    require(!defaultSql.exists(c => c == '\n' || c == '\r'),
+      "default must be single-line")
+    commitManifest(spark, table, snap.schema, snap.files, snap.version,
+      snap.meta + (s"colDefault.${enc(column)}" -> enc(defaultSql)),
+      snap.partitionOf, snap.statsOf, snap.deleteFiles, Some(snap),
+      snap.extraOf)
+  }
+
+  /** Drop a column's write-default — future INSERTs that omit it fill
+    * NULL again. Refused while initial-default markers live (dropping
+    * the literal would flip pre-evolution rows back to NULL — those
+    * rows' values are committed history, not a setting).
+    */
+  def dropColumnDefault(spark: SparkSession, table: String,
+      column: String): Long = {
+    val snap = loadCurrent(spark, table)
+    require(snap.schema.fieldNames.contains(column),
+      s"no such column $column")
+    require(!hasLiveDefaultFor(snap, column),
+      s"$column still carries a LIVE initial default on pre-evolution " +
+        "files — compact() to materialize it, then DROP DEFAULT")
+    commitManifest(spark, table, snap.schema, snap.files, snap.version,
+      snap.meta - s"colDefault.${enc(column)}",
+      snap.partitionOf, snap.statsOf, snap.deleteFiles, Some(snap),
+      snap.extraOf)
+  }
+
+  private def hasLiveDefaultFor(snap: Snapshot, column: String): Boolean =
+    snap.extraOf.values.exists(_.contains(s"predates.${enc(column)}"))
+
+  /** Declared NOT NULL as CHECK-constraint sugar (`ALTER COLUMN c SET
+    * NOT NULL`): validates existing data in one DV-aware scan like any
+    * ADD CONSTRAINT (NULL counts as a violation — the Delta rule
+    * already matches NOT NULL semantics exactly), then every staged
+    * batch enforces it via the observed-metric pass. `DROP NOT NULL`
+    * drops the constraint. The schema field stays declared-nullable —
+    * enforcement is the constraint's job, and flipping parquet
+    * nullability on files written nullable would be a lie the
+    * vectorized reader could trip over.
+    */
+  def setNotNull(spark: SparkSession, table: String,
+      column: String): Long = {
+    val snap = loadCurrent(spark, table)
+    require(snap.schema.fieldNames.contains(column),
+      s"no such column $column")
+    require(column.matches("[A-Za-z0-9_]+"),
+      s"SET NOT NULL needs a [A-Za-z0-9_]+ column name, got '$column'")
+    addConstraint(spark, table, s"nn_$column", s"$column IS NOT NULL")
+  }
+
+  def dropNotNull(spark: SparkSession, table: String,
+      column: String): Long =
+    dropConstraint(spark, table, s"nn_$column")
 
   /** True while any file still PREDATES a defaulted column — such
     * files need the read-side default rewrite, which the raw FileIndex
@@ -1613,9 +1774,15 @@ object SnapshotTable {
     * graft dimension then broadcasts without a hint.
     */
   private[graft] def dataBytesOf(spark: SparkSession, table: String,
-      snap: Snapshot): Long = {
+      snap: Snapshot): Long =
+    bytesOfFiles(spark, table, snap.files)
+
+  // public: the change-feed source (org.apache.spark.sql bridge
+  // package) sizes pending versions' added files with it
+  def bytesOfFiles(spark: SparkSession, table: String,
+      files: Seq[String]): Long = {
     val f = fs(spark, table)
-    snap.files
+    files
       .groupBy(r => r.substring(0, r.lastIndexOf('/')))
       .iterator.map { case (dir, rels) =>
         val names = rels.map(r => r.substring(r.lastIndexOf('/') + 1)).toSet
@@ -2185,6 +2352,9 @@ object SnapshotTable {
     snap.meta.get("identityCol").foreach(idc =>
       require(!newPartitionCols.exists(_.equalsIgnoreCase(idc)),
         s"cannot partition by the identity column $idc"))
+    require(bucketSpecOf(snap).isEmpty,
+      s"$table is BUCKETED — one physical layout per table; " +
+        "bucketed and Hive-partitioned layouts do not compose")
     // rewrite = materialization (DVs, colmap, initial defaults), same
     // as compact — so the evolved manifest sheds them
     val df = readFilesDv(spark, table, snap, snap.files)
@@ -2969,10 +3139,13 @@ object SnapshotTable {
     // rows drop out of the rewrite) and the new manifest clears the
     // vector list — compact doubles as the DV purge
     val df0 = readFilesDv(spark, table, snap, snap.files)
-    // partitioned tables compact per partition (stageFor re-labels);
-    // unpartitioned ones into ~targetMB files
+    // partitioned tables compact per partition (stageFor re-labels),
+    // bucketed ones per bucket (stageFor re-buckets — the BucketSpec
+    // must stay true through maintenance); unpartitioned ones into
+    // ~targetMB files
     val (fresh, labels, stats, extras) =
-      if (snap.meta.contains("partitionCols")) stageFor(snap, df0, table)
+      if (snap.meta.contains("partitionCols") ||
+          bucketSpecOf(snap).isDefined) stageFor(snap, df0, table)
       else snap.meta.get("partitionCol") match {
         case Some(_) => stageFor(snap, df0, table)
         case None =>
@@ -3171,6 +3344,31 @@ object SnapshotTable {
   def expireSnapshots(spark: SparkSession, table: String,
       keepLast: Int = 2): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
+    expireSplit(spark, table, versions =>
+      versions.splitAt(math.max(0, versions.size - keepLast)))
+  }
+
+  /** AGE-based expiry (Iceberg `expire_snapshots(older_than)` / the
+    * `VACUUM … RETAIN` clock): expires the CONTIGUOUS PREFIX of
+    * versions whose manifest mtime is older than `cutoffMs` — the
+    * current version is always kept regardless of age, and the prefix
+    * rule keeps the expired set below the retention floor (a gap-
+    * expired newer version would read as a FileNotFound instead of
+    * the floor's clear expired-version error).
+    */
+  def expireSnapshotsOlderThan(spark: SparkSession, table: String,
+      cutoffMs: Long): (Int, Int) =
+    expireSplit(spark, table, { versions =>
+      val f = fs(spark, table)
+      val aged = versions.dropRight(1).takeWhile(v =>
+        f.getFileStatus(manifestPath(table, v))
+          .getModificationTime < cutoffMs)
+      (aged, versions.drop(aged.size))
+    })
+
+  private def expireSplit(spark: SparkSession, table: String,
+      split: Vector[Long] => (Vector[Long], Vector[Long]))
+      : (Int, Int) = {
     val f = fs(spark, table)
     val dir = manifestDir(table)
     if (!f.exists(dir)) return (0, 0)
@@ -3178,7 +3376,7 @@ object SnapshotTable {
       .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toLong
       }.toVector.sorted
-    val (expire, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val (expire, keep) = split(versions)
     // staged WAP candidates keep their files live until published or
     // abandoned — expiry must not pull data out from under an audit
     val stagedLive = f.listStatus(dir).iterator.map(_.getPath)
@@ -3882,6 +4080,34 @@ object SnapshotTable {
         col("flag").asc_nulls_first)
     }),
 
+    // BUCKETED tables (the co-located-join layout): both sides of the
+    // join live pre-hashed into the same bucket count on their join
+    // keys, so the fact-fact join plans with ZERO shuffle exchanges —
+    // through mutations and compaction, which restage per bucket
+    // (exchange-freedom PlanAuditSuite-asserted; this query proves the
+    // CONTENT is right across a mutate + re-join on the hard oracle).
+    "q_table_bucket_join" -> ((s, d) => {
+      val ta = scratch(s, d, "bja")
+      val tb = scratch(s, d, "bjb")
+      fs(s, ta).delete(new Path(ta), true)
+      fs(s, tb).delete(new Path(tb), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      createBucketed(s, ta, orders, "o_custkey", 8)
+      createBucketed(s, tb, cust, "c_custkey", 8)
+      updateWhere(s, ta, col("o_orderkey") % 10 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") + 1)))
+      SnapshotScan.scan(s, ta)._1
+        .join(SnapshotScan.scan(s, tb)._1,
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.r4(sum(col("o_totalprice"))).as("total"))
+        .orderBy(col("c_nationkey").asc_nulls_first)
+    }),
+
     // Column DEFAULT values (Iceberg-v3 initial-default +
     // write-default): ADD COLUMN ... DEFAULT is metadata-only — rows
     // predating the evolution read the default, a post-evolution batch
@@ -4483,6 +4709,17 @@ object SnapshotTable {
         |FROM base
         |ORDER BY l_orderkey ASC NULLS FIRST,
         |  l_linenumber ASC NULLS FIRST, flag ASC NULLS FIRST""".stripMargin,
+    // the bucketed fact-fact join replayed as a plain join + the
+    // update CASE (the layout changes the PLAN, never the answer)
+    "q_table_bucket_join" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  floor((sum(CASE WHEN o_orderkey % 10 = 0
+        |    THEN o_totalprice + 1 ELSE o_totalprice END))
+        |    * 10000 + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+        |    AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin,
     // the DEFAULT lifecycle replayed logically: pre-evolution rows get
     // the declared literals, the post-evolution append its own values
     // (explicit NULL preserved), then the update CASE over the union

@@ -97,7 +97,12 @@ object ScaleAudit {
     "q_table_merge_schema", "q_table_identity", "q_table_recluster",
     // the multi-dimension z-order rewrite: stats pass + interleave +
     // range sort — n log n, inside the linear-with-headroom bound
-    "q_table_zorder")
+    "q_table_zorder",
+    // round 16: the bucketed fact-fact join lifecycle (two bucketed
+    // creates + a mutation rewrite + the exchange-free join) — the
+    // bucket shuffles at create are ∝ data, the join is ∝ data with
+    // NO exchange, so the whole lifecycle must stay linear
+    "q_table_bucket_join")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0

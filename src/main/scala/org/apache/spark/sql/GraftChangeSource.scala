@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftChangeSource(spark: SparkSession, table: String,
     base: Long, override val schema: StructType,
-    maxVersionsPerBatch: Option[Long] = None) extends Source {
+    maxVersionsPerBatch: Option[Long] = None,
+    maxBytesPerBatch: Option[Long] = None) extends Source {
 
   private def longOf(o: Offset): Long = o match {
     case LongOffset(v) => v
@@ -50,17 +51,51 @@ final class GraftChangeSource(spark: SparkSession, table: String,
   // (getBatch sees to <= from) and the anchor self-heals from `start`.
   @volatile private var lastEnd: Option[Long] = None
 
-  /** Rate control (Delta's maxFilesPerTrigger intent at version
-    * granularity): a stream that fell N versions behind drains in
-    * ceil(N / maxVersionsPerBatch) micro-batches instead of one
-    * unbounded catch-up batch. Offsets stay snapshot versions, so the
-    * clamp is pure arithmetic — no extra manifest IO in getOffset.
+  /** Rate control (Delta's maxFilesPerTrigger/maxBytesPerTrigger
+    * intent at version granularity): a stream that fell N versions
+    * behind drains in bounded micro-batches instead of one unbounded
+    * catch-up batch. The version cap is pure offset arithmetic; the
+    * BYTES cap additionally walks the pending versions' manifest
+    * diffs (metadata tier — one manifest + one batched listStatus per
+    * pending version, amortized O(backlog) across the whole catch-up)
+    * and stops before the version whose added files would push the
+    * batch past the budget — always advancing at least one version,
+    * so a single oversized commit still drains. The `fromVersion=0`
+    * initial-snapshot batch is one unit by construction (there is no
+    * diff to split) — the caps bound WHICH version it snapshots, not
+    * its size.
     */
   override def getOffset: Option[Offset] = {
     val v = graft.sources.SnapshotTable.currentVersion(spark, table)
-    val capped = maxVersionsPerBatch match {
-      case Some(n) => math.min(v, math.max(lastEnd.getOrElse(base), base) + n)
+    val anchor = math.max(lastEnd.getOrElse(base), base)
+    var capped = maxVersionsPerBatch match {
+      case Some(n) => math.min(v, anchor + n)
       case None => v
+    }
+    maxBytesPerBatch.foreach { cap =>
+      if (anchor >= 1 && capped > anchor + 1) {
+        try {
+          var acc = 0L
+          var end = anchor
+          var prev = graft.sources.SnapshotTable
+            .readManifest(spark, table, anchor).files.toSet
+          var stop = false
+          while (!stop && end < capped) {
+            val next = graft.sources.SnapshotTable
+              .readManifest(spark, table, end + 1).files
+            acc += graft.sources.SnapshotTable.bytesOfFiles(spark,
+              table, next.filterNot(prev))
+            if (acc > cap && end > anchor) stop = true
+            else { end += 1; prev = next.toSet }
+          }
+          capped = end
+        } catch {
+          // an expired anchor (retention floor moved past it) cannot
+          // be diff-walked — fall back to the version cap; the batch
+          // read itself resolves what is actually readable
+          case _: IllegalArgumentException => ()
+        }
+      }
     }
     if (capped <= base) None else Some(LongOffset(capped))
   }

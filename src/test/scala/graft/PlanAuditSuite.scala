@@ -361,4 +361,61 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(bhj2.nonEmpty, "the DV-bearing relation must broadcast off " +
       "dataBytesOf, hint-free")
   }
+
+  test("bucketed snapshot tables: equal-bucketed join plans with ZERO " +
+      "shuffle exchanges, and the layout survives mutation + compact") {
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bucket").toString
+    val (ta, tb) = (s"$dir/a", s"$dir/b")
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    SnapshotTable.createBucketed(spark, ta, orders, "o_custkey", 8)
+    SnapshotTable.createBucketed(spark, tb, cust, "c_custkey", 8)
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def joined() = graft.sources.SnapshotScan.scan(spark, ta)._1
+        .join(graft.sources.SnapshotScan.scan(spark, tb)._1,
+          col("o_custkey") === col("c_custkey"))
+      def assertNoExchange(tag: String): Unit = {
+        val q = joined()
+        q.collect()
+        val shuffles = collectWithSubqueries(q.queryExecution.executedPlan) {
+          case e: ShuffleExchangeExec => e
+        }
+        assert(shuffles.isEmpty,
+          s"$tag: equal-bucketed join must plan NO exchange, got " +
+            s"${shuffles.size}:\n${q.queryExecution.executedPlan}")
+      }
+      assertNoExchange("fresh layout")
+      // correctness: the bucketed join equals the plain frame join
+      val expect = orders.join(cust,
+        col("o_custkey") === col("c_custkey")).count()
+      assert(joined().count() === expect)
+      // mutations restage per bucket — the property survives an
+      // update, an append, and a full compaction
+      SnapshotTable.updateWhere(spark, ta, col("o_orderkey") % 10 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") + 1)))
+      SnapshotTable.append(spark, tb, cust.limit(50))
+      assertNoExchange("after update + append")
+      SnapshotTable.compact(spark, ta)
+      SnapshotTable.compact(spark, tb)
+      assertNoExchange("after compact")
+      assert(joined().count() ===
+        orders.join(cust.unionAll(cust.limit(50)),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      saved match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }

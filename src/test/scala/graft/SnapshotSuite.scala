@@ -152,6 +152,37 @@ class SnapshotSuite extends AnyFunSuite {
     }
   }
 
+  test("expireSnapshotsOlderThan: age-based expiry keeps the current " +
+      "version regardless of age and expires only the aged prefix") {
+    val t = freshTable("expireage")
+    SnapshotTable.create(spark, t, orders, numFiles = 4) // v1
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 5 === 0,
+      Map("o_orderstatus" -> lit("E"))) // v2
+    SnapshotTable.compact(spark, t, targetMB = 512) // v3
+    // pin the commit clock: v1@t0, v2@t0+60s, v3@t0+120s
+    val hfs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = 1700000000000L
+    (1L to 3L).foreach(v => hfs.setTimes(
+      new org.apache.hadoop.fs.Path(s"$t/_manifests/v$v.manifest"),
+      t0 + (v - 1) * 60000L, -1))
+    val cur = sortedRows(SnapshotTable.read(spark, t))
+    // cutoff between v1 and v2: only v1 expires
+    val (m1, _) = SnapshotTable.expireSnapshotsOlderThan(spark, t,
+      t0 + 30000L)
+    assert(m1 === 1)
+    intercept[Exception] { SnapshotTable.read(spark, t, Some(1L)) }
+    assert(sortedRows(SnapshotTable.read(spark, t, Some(2L))) !== null)
+    // cutoff far in the future: everything but the CURRENT version
+    // expires — the head is kept regardless of age
+    val (m2, files2) = SnapshotTable.expireSnapshotsOlderThan(spark, t,
+      t0 + 999999999L)
+    assert(m2 === 1, s"only v2 should expire, got $m2")
+    assert(files2 > 0, "v2's superseded small files must leave disk")
+    assert(sortedRows(SnapshotTable.read(spark, t)) === cur)
+    intercept[Exception] { SnapshotTable.read(spark, t, Some(2L)) }
+  }
+
   test("mergeInto: updates rewrite only matched files, inserts append, " +
       "one commit") {
     val t = freshTable("merge")
@@ -406,6 +437,94 @@ class SnapshotSuite extends AnyFunSuite {
         defaults = Map("r" -> "rand()"))
     }
     ()
+  }
+
+  test("ALTER COLUMN SET/DROP DEFAULT and SET/DROP NOT NULL: " +
+      "write-defaults on existing columns, constraint-sugar " +
+      "nullability, live-initial-default guard") {
+    import spark.implicits._
+    val t = freshTable("coldefault")
+    SnapshotTable.create(spark, t,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), numFiles = 2)
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    // a plain added column (no initial default), then SET DEFAULT:
+    // existing rows stay NULL (write-default is never retroactive),
+    // later omitting INSERTs fill it
+    s2.sql(s"ALTER TABLE `$t` ADD COLUMN tag STRING")
+    s2.sql(s"ALTER TABLE `$t` ALTER COLUMN tag SET DEFAULT 'web'")
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("tag").isNull).count() === 10L,
+      "SET DEFAULT must not rewrite committed history")
+    s2.sql(s"INSERT INTO `$t` (k, v) VALUES (11, 'v11')")
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("k") === 11L && col("tag") === "web").count() === 1L)
+    // DROP DEFAULT: later omitting INSERTs fill NULL again
+    s2.sql(s"ALTER TABLE `$t` ALTER COLUMN tag DROP DEFAULT")
+    s2.sql(s"INSERT INTO `$t` (k, v) VALUES (12, 'v12')")
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("k") === 12L && col("tag").isNull).count() === 1L)
+    // SET/DROP DEFAULT refuse while an initial default is still live
+    // on pre-evolution files (changing it would flip committed rows)
+    s2.sql(s"ALTER TABLE `$t` ADD COLUMN score DOUBLE DEFAULT 2.5")
+    intercept[Exception] {
+      s2.sql(s"ALTER TABLE `$t` ALTER COLUMN score SET DEFAULT 9.0")
+    }
+    intercept[Exception] {
+      s2.sql(s"ALTER TABLE `$t` ALTER COLUMN score DROP DEFAULT")
+    }
+    SnapshotTable.compact(spark, t)
+    // materialized: now the write-default is freely settable, and the
+    // pre-evolution rows KEEP the original 2.5 they were committed with
+    s2.sql(s"ALTER TABLE `$t` ALTER COLUMN score SET DEFAULT 9.0")
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("score") === 2.5).count() === 12L)
+    s2.sql(s"INSERT INTO `$t` (k, v) VALUES (13, 'v13')")
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("k") === 13L && col("score") === 9.0).count() === 1L)
+    // SET NOT NULL: validates existing data (tag has NULLs -> refuse),
+    // then enforces on every staged batch once declared on a clean col
+    intercept[Exception] {
+      s2.sql(s"ALTER TABLE `$t` ALTER COLUMN tag SET NOT NULL")
+    }
+    s2.sql(s"ALTER TABLE `$t` ALTER COLUMN v SET NOT NULL")
+    intercept[Exception] {
+      s2.sql(s"INSERT INTO `$t` (k) VALUES (14)")
+    }
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("k") === 14L).count() === 0L,
+      "a NOT NULL violation must reject the whole batch atomically")
+    // DROP NOT NULL lifts the rule
+    s2.sql(s"ALTER TABLE `$t` ALTER COLUMN v DROP NOT NULL")
+    s2.sql(s"INSERT INTO `$t` (k) VALUES (15)")
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("k") === 15L && col("v").isNull).count() === 1L)
+    // CREATE TABLE column DEFAULTs (the v1-source opt-in: graft must
+    // be in spark.sql.defaultColumn.allowedProviders) — a fresh
+    // bootstrap has no pre-evolution files, so they are write-defaults
+    val t2 = freshTable("createdefault")
+    val prev = s2.conf.getOption("spark.sql.defaultColumn.allowedProviders")
+    s2.conf.set("spark.sql.defaultColumn.allowedProviders",
+      prev.map(_ + ",graft").getOrElse("csv,json,orc,parquet,graft"))
+    try {
+      val name = s"graft_cdef_${System.nanoTime()}"
+      s2.sql(s"CREATE TABLE $name (k BIGINT, src STRING DEFAULT " +
+        s"'web') USING graft OPTIONS (createIfMissing 'true') " +
+        s"LOCATION '$t2'")
+      try {
+        s2.sql(s"INSERT INTO $name (k) VALUES (1)")
+        s2.sql(s"INSERT INTO $name (k, src) VALUES (2, 'api'), (3, NULL)")
+        val got = SnapshotTable.read(spark, t2).orderBy(col("k"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(got === Seq((1L, "web"), (2L, "api"), (3L, null)),
+          "create-time defaults fill omitted columns only")
+      } finally s2.sql(s"DROP TABLE IF EXISTS $name")
+    } finally prev match {
+      case Some(p) =>
+        s2.conf.set("spark.sql.defaultColumn.allowedProviders", p)
+      case None =>
+        s2.conf.unset("spark.sql.defaultColumn.allowedProviders")
+    }
   }
 
   test("vacuumOrphans removes only aged, unreferenced crash debris") {
@@ -2898,6 +3017,88 @@ class SnapshotSuite extends AnyFunSuite {
     // a non-graft target errors loudly instead of silently parsing
     intercept[Exception] { s2.sql("OPTIMIZE not_a_graft_table") }
     intercept[Exception] { s2.sql(s"VACUUM `/tmp/definitely/not/a/table`") }
+  }
+
+  test("bucketed tables: SQL OPTIONS create + writer create, every " +
+      "file bucket-tagged, incompatible layout declarations rejected") {
+    import spark.implicits._
+    val t = freshTable("sqlbucket")
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val name = s"graft_bkt_${System.nanoTime()}"
+    try {
+      s2.sql(s"CREATE TABLE $name (k BIGINT, v DOUBLE) USING graft " +
+        "OPTIONS (createIfMissing 'true', bucketCol 'k', bucketN '4') " +
+        s"LOCATION '$t'")
+      s2.sql(s"INSERT INTO $name VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+      val snap = SnapshotTable.readManifest(spark, t,
+        SnapshotTable.currentVersion(spark, t))
+      assert(SnapshotTable.bucketSpecOf(snap) === Some(("k", 4)))
+      assert(snap.files.nonEmpty && snap.files.forall(f =>
+        f.substring(f.lastIndexOf('/') + 1)
+          .matches(""".*_(\d+)(?:\..*)?$""")),
+        s"every staged file must carry its bucket tag: ${snap.files}")
+      assert(SnapshotTable.read(spark, t).count() === 3L)
+    } finally s2.sql(s"DROP TABLE IF EXISTS $name")
+    // writer-create shape
+    val t2 = freshTable("wbucket")
+    (1L to 100L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .write.format("graft").option("bucketCol", "k")
+      .option("bucketN", "4").save(t2)
+    assert(SnapshotTable.bucketSpecOf(SnapshotTable.readManifest(spark,
+      t2, 1L)) === Some(("k", 4)))
+    assert(SnapshotTable.read(spark, t2).count() === 100L)
+    // incompatible layout declarations are rejected at create
+    val t3 = freshTable("badbucket")
+    intercept[Exception] {
+      (1L to 10L).map(k => (k, "x")).toDF("k", "c")
+        .write.format("graft").option("bucketCol", "k")
+        .option("bucketN", "4").option("partitionCol", "c").save(t3)
+    }
+    intercept[Exception] {
+      (1L to 10L).map(k => (k, "x")).toDF("k", "c")
+        .write.format("graft").option("bucketCol", "k")
+        .option("bucketN", "4").option("identityCol", "id").save(t3)
+    }
+    // bucketed tables refuse a partition-spec evolution (one layout)
+    intercept[Exception] {
+      SnapshotTable.repartitionTable(spark, t2, Seq("k"))
+    }
+  }
+
+  test("native SQL RESTORE and the graft_restore TVF: metadata-only " +
+      "rollback by version and by timestamp") {
+    val t = freshTable("sqlrestore")
+    SnapshotTable.create(spark, t, orders, numFiles = 4) // v1
+    val pristine = sortedRows(SnapshotTable.read(spark, t))
+    SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 3 === 0) // v2
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val r = s2.sql(s"RESTORE TABLE `$t` TO VERSION AS OF 1").head()
+    assert(r.getLong(0) === 1L && r.getLong(1) === 3L)
+    assert(sortedRows(SnapshotTable.read(spark, t)) === pristine,
+      "RESTORE must roll the content back")
+    // rolled-back history stays readable (restore never erases)
+    assert(SnapshotTable.read(spark, t, Some(2L)).count() < orders.count())
+    // timestamp form: pin the commit clock, restore to between v1/v2
+    val hfs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = 1700000000000L
+    (1L to 3L).foreach(v => hfs.setTimes(
+      new org.apache.hadoop.fs.Path(s"$t/_manifests/v$v.manifest"),
+      t0 + (v - 1) * 60000L, -1))
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 7 === 0,
+      Map("o_orderstatus" -> lit("Z"))) // v4
+    val asSql = java.time.Instant.ofEpochMilli(t0 + 90000L)
+      .atZone(SnapshotTable.sessionZone(spark))
+      .toLocalDateTime.toString.replace('T', ' ')
+    val r2 = s2.sql(s"RESTORE `$t` TO TIMESTAMP AS OF '$asSql'").head()
+    assert(r2.getLong(0) === 2L, s"t0+90s resolves to v2, got $r2")
+    // the TVF surface on a PLAIN session
+    GraftExtensions.register(spark)
+    val r3 = spark.sql(s"SELECT * FROM graft_restore('$t', 1)").head()
+    assert(r3.getLong(0) === 1L)
+    assert(sortedRows(SnapshotTable.read(spark, t)) === pristine)
   }
 
   test("partition-spec evolution: repartitionTable is one atomic " +

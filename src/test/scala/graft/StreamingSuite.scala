@@ -947,5 +947,60 @@ class StreamingSuite extends AnyFunSuite {
     assert(batches.size === 1 &&
       batches.head.map(x => (x._1, x._2)) === Seq((9L, "tail")),
       s"restart must process exactly the missed tail, got $batches")
+    // BYTES cap: with a 1-byte budget every version's added files
+    // exceed it, so the walk degenerates to one version per batch —
+    // the union still equals the uncapped diff and a single oversized
+    // commit always drains
+    batches.clear()
+    val qb = spark.readStream.format("graft").option("path", tbl)
+      .option("fromVersion", "1").option("maxBytesPerBatch", "1")
+      .load()
+      .writeStream.option("checkpointLocation", s"$dir/ckptb")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val got = df.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .toSeq
+        batches.synchronized { if (got.nonEmpty) batches += got }
+        ()
+      }.start()
+    try qb.processAllAvailable() finally qb.stop()
+    assert(batches.size === 6,
+      s"1-byte budget = one version per batch (6 pending), got " +
+        s"${batches.size}")
+    val uncappedAll = SnapshotTable.changesBetween(spark, tbl, 1L, 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    assert(batches.flatten.sorted === uncappedAll)
+    // fromTimestamp (Delta's startingTimestamp through the shared
+    // commit-time resolution): "I hold the state as of ts — stream me
+    // what changed SINCE" = the feed starts after the version the
+    // timestamp resolves to
+    val hfs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = 1700000000000L
+    (1L to 7L).foreach(v => hfs.setTimes(
+      new org.apache.hadoop.fs.Path(s"$tbl/_manifests/v$v.manifest"),
+      t0 + (v - 1) * 60000L, -1))
+    val asSql = java.time.Instant.ofEpochMilli(t0 + 150000L)
+      .atZone(SnapshotTable.sessionZone(spark))
+      .toLocalDateTime.toString.replace('T', ' ')
+    batches.clear()
+    val qt = spark.readStream.format("graft").option("path", tbl)
+      .option("fromTimestamp", asSql).load()
+      .writeStream.option("checkpointLocation", s"$dir/ckptt")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val got = df.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .toSeq
+        batches.synchronized { if (got.nonEmpty) batches += got }
+        ()
+      }.start()
+    try qt.processAllAvailable() finally qt.stop()
+    // t0+150s resolves to v3 — the feed emits exactly v4..v7
+    val tail37 = SnapshotTable.changesBetween(spark, tbl, 3L, 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    assert(batches.flatten.sorted === tail37,
+      "fromTimestamp must start the feed after the resolved version")
   }
 }
