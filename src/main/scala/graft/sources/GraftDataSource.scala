@@ -570,7 +570,8 @@ object GraftDataSource {
         partitionSchema = StructType(Nil),
         dataSchema = snap.schema,
         bucketSpec = SnapshotTable.bucketSpecOf(snap).map { case (c, n) =>
-          org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil)
+          org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c),
+            SnapshotTable.bucketSortOf(snap))
         },
         fileFormat = new ReadOnlyParquetFormat,
         options = Map.empty)(spark)

@@ -226,7 +226,8 @@ object SnapshotScan {
       // output partitioning — equal-bucketed graft tables then join
       // with no exchange on either side
       bucketSpec = SnapshotTable.bucketSpecOf(snap).map { case (c, n) =>
-        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil)
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c),
+          SnapshotTable.bucketSortOf(snap))
       },
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)

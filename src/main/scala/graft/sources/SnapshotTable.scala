@@ -949,10 +949,14 @@ object SnapshotTable {
           (staged.map(_._1), staged.toMap)
         case None => bucketSpecOf(snap) match {
           case Some((bc, n)) =>
-            // bucketed layout: EVERY batch re-buckets, so the declared
-            // BucketSpec stays true for the whole file list and the
-            // shuffle-free join property never silently degrades
-            (stageBucketedBatch(dfIn, table, bc, n, clusterSort),
+            // bucketed layout: EVERY batch re-buckets (and re-sorts
+            // within buckets when a bucket sort is declared), so the
+            // declared BucketSpec stays true for the whole file list
+            // and the shuffle-free join property never degrades
+            val sortWithin =
+              if (clusterSort.nonEmpty) clusterSort
+              else bucketSortOf(snap).map(c => col(s"`$c`"))
+            (stageBucketedBatch(dfIn, table, bc, n, sortWithin),
               Map.empty[String, String])
           case None =>
             val arranged =
@@ -1405,17 +1409,24 @@ object SnapshotTable {
     * but not with Hive partitioning (one physical layout per table).
     */
   def createBucketed(spark: SparkSession, table: String, df: DataFrame,
-      bucketCol: String, numBuckets: Int): Long = {
+      bucketCol: String, numBuckets: Int,
+      sortCols: Seq[String] = Nil): Long = {
     require(currentVersion(spark, table) == 0,
       s"$table already has committed snapshots")
     require(df.columns.contains(bucketCol),
       s"bucket column $bucketCol is not in the frame " +
         s"(${df.columns.mkString(", ")})")
+    sortCols.foreach(c => require(df.columns.contains(c),
+      s"bucket sort column $c is not in the frame " +
+        s"(${df.columns.mkString(", ")})"))
     require(numBuckets > 0 && numBuckets <= 100000,
       s"numBuckets must be in [1, 100000], got $numBuckets")
-    val files = stageBucketedBatch(df, table, bucketCol, numBuckets)
+    val files = stageBucketedBatch(df, table, bucketCol, numBuckets,
+      sortCols.map(c => col(s"`$c`")))
     commitManifest(spark, table, df.schema, files, 0L,
-      Map("bucketCol" -> bucketCol, "bucketN" -> numBuckets.toString))
+      Map("bucketCol" -> bucketCol, "bucketN" -> numBuckets.toString) ++
+        (if (sortCols.isEmpty) Map.empty[String, String]
+         else Map("bucketSort" -> sortCols.map(enc).mkString(","))))
   }
 
   /** The declared bucket layout, when the table has one. */
@@ -1424,6 +1435,17 @@ object SnapshotTable {
       c <- snap.meta.get("bucketCol")
       n <- snap.meta.get("bucketN")
     } yield (c, n.toInt)
+
+  /** Declared within-bucket sort columns (`bucketBy + sortBy`'s role):
+    * staged batches sort inside each bucket, and the relations declare
+    * them in the BucketSpec — Spark trusts the ordering exactly when a
+    * bucket is ONE file (its own single-file check), so after a
+    * compact() the sort-merge join plans with NO SortExec on the graft
+    * sides either: zero exchanges AND zero sorts.
+    */
+  private[graft] def bucketSortOf(snap: Snapshot): Seq[String] =
+    snap.meta.get("bucketSort").toSeq
+      .flatMap(_.split(',').filter(_.nonEmpty).map(dec))
 
   /** The table's partition columns: multi-column tables store the
     * encoded list under `partitionCols`, single-column ones the bare

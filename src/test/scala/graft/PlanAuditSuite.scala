@@ -372,8 +372,10 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val cust = Tables.customer(spark, sf)
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-    SnapshotTable.createBucketed(spark, ta, orders, "o_custkey", 8)
-    SnapshotTable.createBucketed(spark, tb, cust, "c_custkey", 8)
+    SnapshotTable.createBucketed(spark, ta, orders, "o_custkey", 8,
+      sortCols = Seq("o_custkey"))
+    SnapshotTable.createBucketed(spark, tb, cust, "c_custkey", 8,
+      sortCols = Seq("c_custkey"))
     val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -408,6 +410,48 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       assert(joined().count() ===
         orders.join(cust.unionAll(cust.limit(50)),
           col("o_custkey") === col("c_custkey")).count())
+      // SORTED buckets: after compact every bucket is ONE file sorted
+      // on the declared key. Spark only trusts bucketed-scan ordering
+      // behind spark.sql.legacy.bucketedTableScan.outputOrdering
+      // (default false since 3.1 — many-files-per-bucket regressions);
+      // with it on, the sort-merge join plans with no SortExec either:
+      // zero exchanges AND zero sorts
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try {
+        val q = joined()
+        q.collect()
+        val sorts = collectWithSubqueries(q.queryExecution.executedPlan) {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }
+        assert(sorts.isEmpty,
+          s"compacted sorted buckets must need no sort, got " +
+            s"${sorts.size}:\n${q.queryExecution.executedPlan}")
+      } finally spark.conf.unset(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering")
+      // MISMATCHED bucket counts (8 vs 4): Spark's
+      // coalesceBucketsInJoin (opt-in) reads the 8-bucket side
+      // coalesced pairwise into 4 — still ZERO exchanges, no re-layout
+      val tc = s"$dir/c"
+      SnapshotTable.createBucketed(spark, tc, cust
+        .select(col("c_custkey"), col("c_acctbal").as("bal2")),
+        "c_custkey", 4)
+      spark.conf.set(
+        "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+      try {
+        val q2 = graft.sources.SnapshotScan.scan(spark, ta)._1
+          .join(graft.sources.SnapshotScan.scan(spark, tc)._1,
+            col("o_custkey") === col("c_custkey"))
+        q2.collect()
+        val shuffles2 = collectWithSubqueries(
+          q2.queryExecution.executedPlan) {
+          case e: ShuffleExchangeExec => e
+        }
+        assert(shuffles2.isEmpty,
+          s"8x4 bucket join must coalesce, not exchange:\n" +
+            q2.queryExecution.executedPlan)
+      } finally spark.conf.unset(
+        "spark.sql.bucketing.coalesceBucketsInJoin.enabled")
     } finally {
       saved match {
         case Some(v) =>
