@@ -137,9 +137,18 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
   private def recordDeclaredDefaults(spark: SparkSession, table: String,
       schema: StructType): Unit =
     schema.fields.foreach { f =>
-      if (f.metadata.contains("CURRENT_DEFAULT"))
+      if (f.metadata.contains("CURRENT_DEFAULT")) {
+        // a DEFAULT on the identity column is contradictory: the
+        // write-default would fill omitted INSERTs with a non-null id
+        // and the generated-always guard would then reject the batch
+        require(!SnapshotTable.readManifest(spark, table,
+          SnapshotTable.currentVersion(spark, table))
+          .meta.get("identityCol").exists(_.equalsIgnoreCase(f.name)),
+          s"${f.name} is GENERATED ALWAYS AS IDENTITY — it cannot " +
+            "also declare a DEFAULT")
         SnapshotTable.setColumnDefault(spark, table, f.name,
           f.metadata.getString("CURRENT_DEFAULT"))
+      }
     }
 
   /** `df.writeStream.format("graft")` — the exactly-once streaming

@@ -1706,6 +1706,12 @@ object SnapshotTable {
     val snap = loadCurrent(spark, table)
     val f = snap.schema.fields.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(s"no such column $column"))
+    // a write-default on the identity column would fill omitted
+    // INSERTs with a non-null id the generated-always guard rejects
+    require(!snap.meta.get("identityCol")
+      .exists(_.equalsIgnoreCase(column)),
+      s"$column is GENERATED ALWAYS AS IDENTITY — it cannot also " +
+        "declare a DEFAULT")
     requireConstantDefault(spark, column, defaultSql, f.dataType)
     require(!hasLiveDefaultFor(snap, column),
       s"$column still carries a LIVE initial default on pre-evolution " +

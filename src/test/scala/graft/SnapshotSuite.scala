@@ -482,6 +482,14 @@ class SnapshotSuite extends AnyFunSuite {
     s2.sql(s"INSERT INTO `$t` (k, v) VALUES (13, 'v13')")
     assert(SnapshotTable.read(spark, t)
       .filter(col("k") === 13L && col("score") === 9.0).count() === 1L)
+    // the identity column can never carry a DEFAULT (the write-default
+    // would collide with generated-always assignment)
+    val tid = freshTable("identdefault")
+    SnapshotTable.createWithIdentity(spark, tid,
+      (1L to 3L).map(k => (k, "x")).toDF("k", "v"), idCol = "id")
+    intercept[Exception] {
+      SnapshotTable.setColumnDefault(spark, tid, "id", "42")
+    }
     // SET NOT NULL: validates existing data (tag has NULLs -> refuse),
     // then enforces on every staged batch once declared on a clean col
     intercept[Exception] {
