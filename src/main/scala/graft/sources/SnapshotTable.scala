@@ -2221,6 +2221,8 @@ object SnapshotTable {
       snap.files.size, snap.deleteFiles.size,
       partitionColsOf(snap).mkString(","),
       declaredClusterCols(snap).mkString(","),
+      snap.meta.get("bucketCol"),
+      snap.meta.get("bucketN").map(_.toInt),
       snap.meta.get("identityCol"),
       snap.meta.get("identityHwm").map(_.toLong),
       declaredStatsCols(snap).mkString(","),
@@ -2230,6 +2232,7 @@ object SnapshotTable {
       retentionFloor(spark, table)))
       .toDF("format", "location", "version", "num_files",
         "num_delete_files", "partition_columns", "cluster_columns",
+        "bucket_column", "num_buckets",
         "identity_column", "identity_hwm", "stats_columns",
         "bloom_columns", "num_constraints", "is_delta_manifest",
         "retention_floor")

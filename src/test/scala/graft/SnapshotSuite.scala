@@ -2946,6 +2946,7 @@ class SnapshotSuite extends AnyFunSuite {
     assert(d.getAs[String]("format") === "graft-snapshot")
     assert(d.getAs[Long]("version") === 2L)
     assert(d.getAs[String]("identity_column") == null)
+    assert(d.getAs[String]("bucket_column") == null)
     assert(d.getAs[Int]("num_constraints") === 0)
     // timestamp bounds on the change feed: pin the commit clock, then
     // ask for the changes between the two commits' times
