@@ -477,6 +477,9 @@ object GraftExtensions {
     // execute at parse time and return their report as the plan.
     private val OptimizeRe =
       """(?is)\s*OPTIMIZE\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    // partition-scoped: OPTIMIZE t WHERE col = 'v' | col IN ('a','b')
+    private val OptimizeWhereRe =
+      """(?is)\s*OPTIMIZE\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s+WHERE\s+(\w+)\s*(?:=\s*('[^']*')|IN\s*\(([^)]+)\))\s*;?\s*""".r
     private val VacuumRe =
       """(?is)\s*VACUUM\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
     private val RestoreRe =
@@ -505,6 +508,24 @@ object GraftExtensions {
     private def maintenance(sqlText: String): Option[LogicalPlan] = {
       import spark.implicits._
       sqlText match {
+        case OptimizeWhereRe(rawT, colName, eqV, inVs) =>
+          val path = maintTargetPath(rawT, "OPTIMIZE")
+          val snap = graft.sources.SnapshotTable.readManifest(spark,
+            path, graft.sources.SnapshotTable
+              .currentVersion(spark, path))
+          val pcols = graft.sources.SnapshotTable.partitionColsOf(snap)
+          require(pcols == Seq(colName),
+            s"OPTIMIZE ... WHERE supports the partition column; " +
+              s"$path is partitioned by (${pcols.mkString(", ")}), " +
+              s"got $colName")
+          val values = Option(eqV).map(v => Set(unquote(v)))
+            .getOrElse(inVs.split(',').map(s =>
+              unquote(s.trim)).toSet)
+          val (v, before, after) = graft.sources.SnapshotTable
+            .compactPartitions(spark, path, values)
+          Some(Seq((v, before, after))
+            .toDF("version", "files_before", "files_after")
+            .queryExecution.logical)
         case OptimizeRe(rawT, zcols) =>
           val path = maintTargetPath(rawT, "OPTIMIZE")
           val cluster = Option(zcols).toSeq

@@ -3227,6 +3227,47 @@ object SnapshotTable {
     (v, snap.files.size, fresh.size)
   }
 
+  /** PARTITION-SCOPED compaction (Delta's `OPTIMIZE t WHERE part = v`):
+    * rewrite ONLY the named partitions' files — at 100 TB routine
+    * maintenance touches the hot partitions, never the table. The
+    * untouched partitions' files carry over VERBATIM (path identity
+    * suite-asserted), the rewritten ones restage through the shared
+    * layout-aware path (labels, declared cluster sort, stats, blooms),
+    * and ONE atomic commit publishes keep ∪ fresh. Initial-default
+    * markers materialize on the rewritten files and remain on the
+    * untouched ones — exactness is per-file, so a partial rewrite is
+    * always safe. Refused while deletion vectors are outstanding: a
+    * vector file can span partitions, so a partial rewrite could
+    * neither keep nor drop it exactly — purge with compact()/maintain()
+    * first (both are DV-materializing), then scope.
+    */
+  def compactPartitions(spark: SparkSession, table: String,
+      values: Set[String]): (Long, Int, Int) = {
+    val snap = loadCurrent(spark, table)
+    require(partitionColsOf(snap).nonEmpty,
+      s"$table is not partitioned — use compact()")
+    require(values.nonEmpty, "name at least one partition value")
+    require(snap.deleteFiles.isEmpty,
+      s"$table carries deletion vectors — compact()/maintain() purges " +
+        "them table-wide first; a partition-scoped rewrite cannot " +
+        "split a vector file")
+    // single-column tables match the bare value; multi-column tables
+    // match the COMPOSITE label (the readWhere(Map) discipline applies
+    // — callers name full tuples via the composite encoding)
+    val hit = snap.files.filter(f =>
+      snap.partitionOf.get(f).exists(values)).toSet
+    if (hit.isEmpty) return (snap.version, 0, 0)
+    val keep = snap.files.filterNot(hit)
+    val df = readFilesDv(spark, table, snap, snap.files.filter(hit))
+    val (fresh, labels, stats, extras) = stageFor(snap, df, table)
+    val v = commitManifest(spark, table, snap.schema, keep ++ fresh,
+      snap.version, snap.meta,
+      (snap.partitionOf -- hit) ++ labels,
+      (snap.statsOf -- hit) ++ stats, Nil, Some(snap),
+      (snap.extraOf -- hit) ++ extras)
+    (v, hit.size, fresh.size)
+  }
+
   /** Commit one streaming micro-batch as an append, IDEMPOTENTLY: the
     * batch id is recorded in the manifest metadata by the SAME atomic
     * rename that publishes the data files, so a replayed batch (after a

@@ -3028,6 +3028,51 @@ class SnapshotSuite extends AnyFunSuite {
     intercept[Exception] { s2.sql(s"VACUUM `/tmp/definitely/not/a/table`") }
   }
 
+  test("partition-scoped OPTIMIZE WHERE: only the named partitions' " +
+      "files rewrite, the rest carry over verbatim") {
+    import spark.implicits._
+    val t = freshTable("optwhere")
+    SnapshotTable.createPartitioned(spark, t, orders, "o_orderstatus")
+    // fragment ONE partition with 5 small appends
+    (1 to 5).foreach(i => SnapshotTable.append(spark, t,
+      Seq((900000000L + i, "F", i * 1.0))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice")))
+    val before = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    val untouched = before.files.filter(f =>
+      before.partitionOf(f) != "F").toSet
+    val fHit = before.files.count(f => before.partitionOf(f) == "F")
+    assert(fHit >= 6, s"F must be fragmented, got $fHit files")
+    val preContent = sortedRows(SnapshotTable.read(spark, t))
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val r = s2.sql(s"OPTIMIZE `$t` WHERE o_orderstatus = 'F'").head()
+    assert(r.getInt(1) === fHit && r.getInt(2) < fHit,
+      s"F's $fHit files must merge, got $r")
+    val after = SnapshotTable.readManifest(spark, t, r.getLong(0))
+    assert(untouched.subsetOf(after.files.toSet),
+      "untouched partitions' files must carry over VERBATIM")
+    assert(after.files.count(f => after.partitionOf(f) == "F") ===
+      r.getInt(2))
+    assert(sortedRows(SnapshotTable.read(spark, t)) === preContent)
+    // the IN form, and guards: wrong column, unpartitioned, DV-bearing
+    assert(s2.sql(s"OPTIMIZE `$t` WHERE o_orderstatus IN ('O', 'P')")
+      .head().getInt(1) > 0)
+    assert(sortedRows(SnapshotTable.read(spark, t)) === preContent)
+    intercept[Exception] {
+      s2.sql(s"OPTIMIZE `$t` WHERE o_orderkey = '1'")
+    }
+    val t2 = freshTable("optwhere2")
+    SnapshotTable.create(spark, t2, orders.limit(10))
+    intercept[Exception] {
+      SnapshotTable.compactPartitions(spark, t2, Set("F"))
+    }
+    SnapshotTable.deleteWhereVector(spark, t, col("o_orderkey") === 1L)
+    intercept[Exception] {
+      SnapshotTable.compactPartitions(spark, t, Set("F"))
+    }
+  }
+
   test("bucketed tables: SQL OPTIONS create + writer create, every " +
       "file bucket-tagged, incompatible layout declarations rejected") {
     import spark.implicits._
