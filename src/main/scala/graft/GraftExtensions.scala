@@ -284,17 +284,23 @@ object GraftExtensions {
 
   /** `graft_dml('<UPDATE|DELETE|MERGE statement>')` — SQL DML on
     * snapshot tables as a procedure TVF (see [[graft.sources.GraftDml]]).
-    * The statement executes at analysis time (the procedure convention
-    * of the snapshot TVFs); the call returns one row
+    * The call resolves to an EXPLAIN-safe leaf command
+    * ([[graft.sources.GraftProcedureCommand]]): the statement runs when
+    * the query EXECUTES, not while the plan is built, so EXPLAIN over
+    * the call mutates nothing. Returns one row
     * (verb, version, rows_affected, files_rewritten).
     */
   val dmlTvf: Seq[Expression] => LogicalPlan = { args =>
     require(args.size == 1,
       s"graft_dml(statement) takes 1 argument, got ${args.size}")
-    val spark = SparkSession.active
-    graft.sources.GraftDml.execute(spark,
-      litString(args.head, "graft_dml statement"))
-      .queryExecution.logical
+    val stmt = litString(args.head, "graft_dml statement")
+    graft.sources.GraftProcedureCommand(s"graft_dml",
+      Seq("verb" -> org.apache.spark.sql.types.StringType,
+        "version" -> org.apache.spark.sql.types.LongType,
+        "rows_affected" -> org.apache.spark.sql.types.LongType,
+        "files_rewritten" -> org.apache.spark.sql.types.LongType),
+      spark => graft.sources.GraftDml.execute(spark, stmt)
+        .collect().toIndexedSeq)
   }
 
   /** The native-DML/DDL lowering rule for extensions-built sessions: a
@@ -491,6 +497,50 @@ object GraftExtensions {
         s.substring(1, s.length - 1)
       else s
 
+    /** Tokenize `OPTIMIZE … WHERE col IN (…)`'s value list with quote
+      * awareness — a naive split(',') would shred a partition value
+      * containing a comma into fragments that match no partition label
+      * and silently compact nothing. Quoted values may contain commas;
+      * bare values may not contain quotes; anything else fails loudly.
+      */
+    private def parseInValues(raw: String): Set[String] = {
+      val out = scala.collection.mutable.LinkedHashSet[String]()
+      var i = 0
+      def skipWs(): Unit =
+        while (i < raw.length && raw(i).isWhitespace) i += 1
+      skipWs()
+      while (i < raw.length) {
+        if (raw(i) == '\'') {
+          val close = raw.indexOf('\'', i + 1)
+          require(close >= 0, s"OPTIMIZE ... WHERE col IN: " +
+            s"unterminated quoted value in ($raw)")
+          out += raw.substring(i + 1, close)
+          i = close + 1
+        } else {
+          val comma = raw.indexOf(',', i)
+          val end = if (comma < 0) raw.length else comma
+          val v = raw.substring(i, end).trim
+          require(v.nonEmpty && !v.contains('\''),
+            s"OPTIMIZE ... WHERE col IN: cannot parse value list " +
+              s"($raw) — quote values containing commas or quotes")
+          out += v
+          i = end
+        }
+        skipWs()
+        if (i < raw.length) {
+          require(raw(i) == ',', s"OPTIMIZE ... WHERE col IN: " +
+            s"expected ',' between values in ($raw)")
+          i += 1
+          skipWs()
+          require(i < raw.length, s"OPTIMIZE ... WHERE col IN: " +
+            s"trailing ',' in ($raw)")
+        }
+      }
+      require(out.nonEmpty,
+        "OPTIMIZE ... WHERE col IN: empty value list")
+      out.toSet
+    }
+
     private def maintTargetPath(raw: String, what: String): String = {
       val t = unquote(raw)
       if (t.contains('/')) {
@@ -519,8 +569,7 @@ object GraftExtensions {
               s"$path is partitioned by (${pcols.mkString(", ")}), " +
               s"got $colName")
           val values = Option(eqV).map(v => Set(unquote(v)))
-            .getOrElse(inVs.split(',').map(s =>
-              unquote(s.trim)).toSet)
+            .getOrElse(parseInValues(inVs))
           val (v, before, after) = graft.sources.SnapshotTable
             .compactPartitions(spark, path, values)
           Some(Seq((v, before, after))
@@ -551,9 +600,16 @@ object GraftExtensions {
             case None => graft.sources.SnapshotTable
               .expireSnapshots(spark, path)
           }
+          // the ORPHAN grace floors at 1 h regardless of RETAIN:
+          // RETAIN governs how much committed HISTORY to keep, but a
+          // sub-hour orphan grace could delete a concurrent writer's
+          // staged-but-not-yet-committed batch directory between its
+          // stage write and manifest CAS, corrupting that commit
+          // (Delta likewise refuses retention below a safe floor)
           val orphans = graft.sources.SnapshotTable
-            .vacuumOrphans(spark, path, graceMs = Option(hours)
-              .map(_.toLong * 3600000L).getOrElse(3600000L))
+            .vacuumOrphans(spark, path, graceMs = math.max(
+              Option(hours).map(_.toLong * 3600000L)
+                .getOrElse(3600000L), 3600000L))
           Some(Seq((expired, removed, orphans))
             .toDF("manifests_expired", "data_files_removed",
               "orphans_removed")
@@ -676,13 +732,20 @@ object GraftExtensions {
     require(args.size == 2,
       s"graft_restore(table, version|timestamp) takes 2 arguments, " +
         s"got ${args.size}")
-    val spark = SparkSession.active
     val table = litString(args.head, "graft_restore table path")
-    val version = versionArg(spark, table, args(1), "graft_restore")
-    val v = graft.sources.SnapshotTable.restore(spark, table, version)
-    import spark.implicits._
-    Seq((version, v)).toDF("restored_version", "new_version")
-      .queryExecution.logical
+    val versionExpr = args(1)
+    graft.sources.GraftProcedureCommand("graft_restore",
+      Seq("restored_version" -> org.apache.spark.sql.types.LongType,
+        "new_version" -> org.apache.spark.sql.types.LongType),
+      { spark =>
+        // timestamp->version resolution happens at EXECUTION too: the
+        // table may gain commits between plan time and run time
+        val version = versionArg(spark, table, versionExpr,
+          "graft_restore")
+        val v = graft.sources.SnapshotTable.restore(spark, table,
+          version)
+        Seq(org.apache.spark.sql.Row(version, v))
+      })
   }
 
   /** `graft_optimize('<table>'[, 'c1,c2'])` — compaction as a SQL
@@ -697,20 +760,21 @@ object GraftExtensions {
     require(args.size == 1 || args.size == 2,
       s"graft_optimize(table[, clusterCols]) takes 1-2 arguments, " +
         s"got ${args.size}")
-    val spark = SparkSession.active
     val table = litString(args.head, "graft_optimize table path")
     val cluster =
       if (args.size == 2)
         litString(args(1), "graft_optimize cluster columns")
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
       else Nil
-    val (v, before, after) =
-      graft.sources.SnapshotTable.compact(spark, table,
-        clusterBy = cluster)
-    import spark.implicits._
-    Seq((v, before, after))
-      .toDF("version", "files_before", "files_after")
-      .queryExecution.logical
+    graft.sources.GraftProcedureCommand("graft_optimize",
+      Seq("version" -> org.apache.spark.sql.types.LongType,
+        "files_before" -> org.apache.spark.sql.types.IntegerType,
+        "files_after" -> org.apache.spark.sql.types.IntegerType),
+      { spark =>
+        val (v, before, after) = graft.sources.SnapshotTable
+          .compact(spark, table, clusterBy = cluster)
+        Seq(org.apache.spark.sql.Row(v, before, after))
+      })
   }
 
   /** `graft_maintain('<table>')` — the one-call maintenance autopilot
@@ -722,15 +786,20 @@ object GraftExtensions {
   val maintainTvf: Seq[Expression] => LogicalPlan = { args =>
     require(args.size == 1,
       s"graft_maintain(table) takes 1 argument, got ${args.size}")
-    val spark = SparkSession.active
-    val m = graft.sources.SnapshotTable.maintain(spark,
-      litString(args.head, "graft_maintain table path"))
-    import spark.implicits._
-    Seq((m.compacted, m.filesBefore, m.filesAfter, m.manifestsExpired,
-      m.dataFilesRemoved, m.orphanBatchesRemoved))
-      .toDF("compacted", "files_before", "files_after",
-        "manifests_expired", "data_files_removed", "orphans_removed")
-      .queryExecution.logical
+    val table = litString(args.head, "graft_maintain table path")
+    graft.sources.GraftProcedureCommand("graft_maintain",
+      Seq("compacted" -> org.apache.spark.sql.types.BooleanType,
+        "files_before" -> org.apache.spark.sql.types.IntegerType,
+        "files_after" -> org.apache.spark.sql.types.IntegerType,
+        "manifests_expired" -> org.apache.spark.sql.types.IntegerType,
+        "data_files_removed" -> org.apache.spark.sql.types.IntegerType,
+        "orphans_removed" -> org.apache.spark.sql.types.IntegerType),
+      { spark =>
+        val m = graft.sources.SnapshotTable.maintain(spark, table)
+        Seq(org.apache.spark.sql.Row(m.compacted, m.filesBefore,
+          m.filesAfter, m.manifestsExpired, m.dataFilesRemoved,
+          m.orphanBatchesRemoved))
+      })
   }
 
   /** Runtime registration of the full custom-function surface

@@ -120,7 +120,8 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       v.trim.toLong
     }
     new org.apache.spark.sql.GraftChangeSource(spark, table, base,
-      changeSchemaOf(spark, table), maxVersions, maxBytes)
+      changeSchemaOf(spark, table), maxVersions, maxBytes,
+      Some(metadataPath))
   }
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -277,12 +278,11 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
           val empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], schema)
           (partitionColsOf(parameters), bucketOf(parameters)) match {
-            case (Nil, Some((bc, n))) =>
-              SnapshotTable.createBucketed(spark, table, empty, bc, n)
-            case (cols, Some(_)) =>
-              throw new IllegalArgumentException("bucketed and " +
-                "partitioned layouts do not compose — declare one " +
-                s"(got partition ${cols.mkString(",")} + bucketCol)")
+            case (cols, Some((bcs, n))) =>
+              // partition x bucket composes (partition by date, bucket
+              // by join key — the canonical large-fact layout)
+              SnapshotTable.createBucketed(spark, table, empty, bcs, n,
+                Nil, cols)
             case (Nil, None) =>
               SnapshotTable.create(spark, table, empty, numFiles = 1)
             case (cols, None) => SnapshotTable.createPartitioned(spark,
@@ -335,10 +335,9 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
           SnapshotTable.createWithIdentity(spark, table, data,
             idCol = idc, sortCols = sortCols, partitionCols = pcols)
         case None => bucketOf(parameters) match {
-          case Some((bc, n)) =>
-            require(pcols.isEmpty, "bucketed and partitioned layouts " +
-              "do not compose — declare one")
-            SnapshotTable.createBucketed(spark, table, data, bc, n)
+          case Some((bcs, n)) =>
+            SnapshotTable.createBucketed(spark, table, data, bcs, n,
+              Nil, pcols)
           case None =>
             if (pcols.isEmpty) SnapshotTable.create(spark, table, data)
             else SnapshotTable.createPartitioned(spark, table, data,
@@ -428,16 +427,18 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     * AUTOINCREMENT`, database.py:78). Appends by any surface then draw
     * ids from the manifest high-water mark.
     */
-  /** `OPTIONS (bucketCol 'c', bucketN '8')` on the create surfaces. */
+  /** `OPTIONS (bucketCol 'c[,d]', bucketN '8')` on the create surfaces
+    * — a comma list declares multi-column buckets.
+    */
   private def bucketOf(parameters: Map[String, String])
-      : Option[(String, Int)] =
+      : Option[(Seq[String], Int)] =
     parameters.get("bucketCol").map { c =>
       val n = parameters.getOrElse("bucketN",
         throw new IllegalArgumentException(
           "bucketCol needs bucketN (the bucket count)"))
       require(scala.util.Try(n.trim.toInt).isSuccess && n.trim.toInt > 0,
         s"bucketN must be a positive integer, got '$n'")
-      (c.trim, n.trim.toInt)
+      (c.split(',').map(_.trim).filter(_.nonEmpty).toSeq, n.trim.toInt)
     }
 
   private def identityColOf(parameters: Map[String, String])
@@ -578,8 +579,8 @@ object GraftDataSource {
         location = index,
         partitionSchema = StructType(Nil),
         dataSchema = snap.schema,
-        bucketSpec = SnapshotTable.bucketSpecOf(snap).map { case (c, n) =>
-          org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c),
+        bucketSpec = SnapshotTable.bucketSpecOf(snap).map { case (cs, n) =>
+          org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cs,
             SnapshotTable.bucketSortOf(snap))
         },
         fileFormat = new ReadOnlyParquetFormat,

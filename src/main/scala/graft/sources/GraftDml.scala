@@ -261,18 +261,75 @@ object GraftDml {
     }
     roots.flatMap(_.collect { case p => p }).foreach {
       case UnresolvedRelation(parts, _, _) =>
-        namedGraftTable(spark, parts).foreach { case (_, id) =>
-          cat.refreshTable(id) }
+        namedGraftTable(spark, parts).foreach { case (path, id) =>
+          cat.refreshTable(id)
+          publishCatalogStats(spark, id, path)
+        }
       case org.apache.spark.sql.catalyst.catalog
           .UnresolvedCatalogRelation(meta, _, _)
           if meta.provider.exists(_.equalsIgnoreCase("graft")) =>
         cat.refreshTable(meta.identifier)
+        publishCatalogStats(spark, meta.identifier,
+          pathString(meta.location))
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.catalogTable
           .filter(_.provider.exists(_.equalsIgnoreCase("graft")))
-          .foreach(m => cat.refreshTable(m.identifier))
+          .foreach { m =>
+            cat.refreshTable(m.identifier)
+            publishCatalogStats(spark, m.identifier,
+              pathString(m.location))
+          }
       case _ => ()
     }
+  }
+
+  /** Manifest-derived [[org.apache.spark.sql.catalyst.catalog
+    * .CatalogStatistics]] for a NAMED graft table, pushed into the
+    * session catalog after every mutation through the named surface
+    * (and on demand via [[analyzeGraftTable]]): `sizeInBytes` from the
+    * manifest's batched dir listing, `rowCount` as the sum of the
+    * per-file row counts the stats-tracking writer records — exact,
+    * zero data IO, and unlike a native ANALYZE it never counts dead
+    * versions' files at the table LOCATION. Honesty rules: the row
+    * count publishes only when EVERY live file carries one and no
+    * deletion vectors are outstanding (a partial or DV-stale count
+    * would misrank the CBO's join order instead of helping it).
+    * With these stats, CBO join reordering puts the selective graft
+    * dimension first with no user hint (PlanAuditSuite-asserted).
+    */
+  private[graft] def publishCatalogStats(spark: SparkSession,
+      id: org.apache.spark.sql.catalyst.TableIdentifier,
+      path: String): Unit = try {
+    val v = SnapshotTable.currentVersion(spark, path)
+    if (v == 0) return
+    val snap = SnapshotTable.readManifest(spark, path, v)
+    val size = SnapshotTable.dataBytesOf(spark, path, snap)
+    val rows =
+      if (snap.deleteFiles.nonEmpty) None
+      else {
+        val per = snap.files.map(f => snap.extraOf.get(f)
+          .flatMap(_.get("rows"))
+          .flatMap(s => scala.util.Try(s.toLong).toOption))
+        if (per.nonEmpty && per.forall(_.isDefined))
+          Some(BigInt(per.flatten.sum))
+        else None
+      }
+    GraftShim.v1Catalog(spark).alterTableStats(id,
+      Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        BigInt(size), rows)))
+  } catch { case _: Exception => () } // stats are advisory — a racing
+  // DROP TABLE or an unreadable manifest must not fail the mutation
+
+  /** `ANALYZE` for graft tables, manifest-tier: publish the current
+    * snapshot's statistics for a catalog-named graft table without
+    * scanning any data.
+    */
+  def analyzeGraftTable(spark: SparkSession, name: String): Unit = {
+    val parts = name.split('.').toSeq
+    val (path, id) = namedGraftTable(spark, parts).getOrElse(
+      throw new IllegalArgumentException(
+        s"$name is not a catalog-named graft table"))
+    publishCatalogStats(spark, id, path)
   }
 
   private def colName(e: Expression): String = e match {
@@ -421,15 +478,13 @@ object GraftDml {
           .count(org.apache.spark.sql.functions.lit(1L)).as("created"))
         val v = ct.partitioning match {
           case Seq() => SnapshotTable.create(spark, path, observed)
-          // the Scala IdentityTransform case class is private[sql];
-          // the public Transform interface names it "identity"
-          case ts if ts.nonEmpty && ts.forall(t =>
-              t.name == "identity" && t.references.length == 1) =>
-            SnapshotTable.createPartitioned(spark, path, observed,
-              ts.map(_.references()(0).fieldNames.mkString(".")))
-          case other => throw new IllegalArgumentException(
-            "only PARTITIONED BY (<columns>) identity transforms are " +
-              s"supported, got ${other.mkString(", ")}")
+          // Spark's parser already produces typed Transform nodes for
+          // PARTITIONED BY (days(ts), bucket(8, k), truncate(4, s),
+          // c) — lower each to the engine's canonical spec text (the
+          // Scala case classes are private[sql]; the public Transform
+          // interface exposes name/references/arguments)
+          case ts => SnapshotTable.createPartitioned(spark, path,
+            observed, ts.map(transformSpecText))
         }
         ("create", v,
           SnapshotTable.observedLong(obs.get, "created")(df.count()), -1L)
@@ -851,6 +906,36 @@ object GraftDml {
   /** A single backquoted path-shaped identifier under an
     * UnresolvedIdentifier (the CREATE/DROP target form).
     */
+  /** Lower a DSv2 PARTITIONED BY transform to the engine's canonical
+    * spec text ([[PartitionTransforms]] re-parses and validates it
+    * against the schema). Argument order is normalized — the SQL
+    * surface accepts bucket(8, k) and truncate(4, s) in either
+    * (literal, column) order.
+    */
+  private def transformSpecText(
+      t: org.apache.spark.sql.connector.expressions.Transform): String = {
+    val refs = t.references.map(_.fieldNames.mkString("."))
+    t.name.toLowerCase match {
+      case "identity" => refs.head
+      case n @ ("days" | "hours" | "months" | "years") =>
+        require(refs.length == 1,
+          s"$n() takes exactly one column, got ${refs.mkString(", ")}")
+        s"$n(${refs.head})"
+      case n @ ("bucket" | "truncate") =>
+        val lits = t.arguments.collect {
+          case l: org.apache.spark.sql.connector.expressions
+            .Literal[_] => l.value.toString
+        }
+        require(lits.length == 1 && refs.length == 1,
+          s"$n() takes one integer and one column, got $t")
+        s"$n(${lits.head},${refs.head})"
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform $other(...) — supported: " +
+          "identity columns, days/hours/months/years(col), " +
+          "bucket(n, col), truncate(w, col)")
+    }
+  }
+
   private[graft] def pathIdent(plan: LogicalPlan): Option[String] =
     plan match {
       case UnresolvedIdentifier(Seq(p), _) if p.contains('/') => Some(p)
@@ -890,4 +975,25 @@ final case class SnapshotDmlCommand(parsed: LogicalPlan)
     GraftDml.refreshNamedTargets(spark, parsed)
     Seq(Row(verb, v, rows, files))
   }
+}
+
+/** The EXPLAIN-safe procedure shape shared by the side-effecting TVFs
+  * (`graft_dml` / `graft_optimize` / `graft_maintain` /
+  * `graft_restore`): the TVF resolves to THIS leaf command instead of
+  * running its verb while the plan is built. Spark's
+  * EagerlyExecuteCommands then runs it exactly when the statement
+  * executes — and `EXPLAIN SELECT * FROM graft_optimize(...)` analyzes
+  * the child with CommandExecutionMode.SKIP, so explaining a procedure
+  * no longer compacts the table (the r12-era footgun). The output
+  * schema is declared statically because analysis must know it without
+  * executing.
+  */
+final case class GraftProcedureCommand(procedure: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    body: SparkSession => Seq[Row]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    cols.map { case (n, t) => AttributeReference(n, t)() }
+  override def run(spark: SparkSession): Seq[Row] = body(spark)
+  override def simpleString(maxFields: Int): String =
+    s"GraftProcedureCommand $procedure"
 }

@@ -67,6 +67,9 @@ class SnapshotFileIndex(spark: SparkSession, table: String,
   }
 
   private val pcols = SnapshotTable.partitionColsOf(snap)
+  // hidden-partitioning transforms, aligned with pcols (empty on
+  // identity-partitioned and unpartitioned tables)
+  private val ptransforms = SnapshotTable.partitionSpecOf(snap)
 
   /** Can `file` possibly hold a row satisfying `e`? (false only on a
     * provable exclusion.)
@@ -127,13 +130,39 @@ class SnapshotFileIndex(spark: SparkSession, table: String,
     // exact partition value beats range stats for ANY partition column
     // (multi-column tables carry the full value tuple per file, so a
     // predicate on the second column prunes as well as the first —
-    // subset pruning, not Hive's prefix-only trie walk)
-    val pi = pcols.indexOf(column)
-    if (pi >= 0) {
-      SnapshotTable.partValuesOf(snap, file).flatMap(_.lift(pi)) match {
-        case Some(value) if lo && hi => return value == v
-        case _ => ()
+    // subset pruning, not Hive's prefix-only trie walk). Hidden
+    // partitioning prunes the RAW-column predicate THROUGH the
+    // transform: the literal maps into the label domain with the same
+    // derivation staging used, then equality compares labels directly
+    // and — for order-preserving transforms only — ranges compare in
+    // the label domain (x >= L implies t(x) >= t(L), so label < t(L)
+    // provably excludes the file). A column may source SEVERAL
+    // transforms; every position gets its veto.
+    var pi = 0
+    while (pi < pcols.length) {
+      if (pcols(pi) == column) {
+        SnapshotTable.partValuesOf(snap, file).flatMap(_.lift(pi))
+          .foreach { label =>
+            ptransforms.lift(pi) match {
+              case Some(t) if !t.isIdentity =>
+                t.applyLiteral(l).foreach { tl =>
+                  def cmpLe(x: String, y: String): Boolean =
+                    if (t.numericLabel)
+                      try BigDecimal(x) <= BigDecimal(y)
+                      catch { case _: NumberFormatException => true }
+                    else SnapshotTable.codePointLe(x, y)
+                  if (lo && hi) { if (label != tl) return false }
+                  else if (t.monotonic &&
+                      !((!lo || cmpLe(tl, label)) &&
+                        (!hi || cmpLe(label, tl)))) return false
+                  // non-monotonic (bucket) range: no partition verdict
+                }
+              case _ => // identity: exact-equality pruning, as before
+                if (lo && hi) return label == v
+            }
+          }
       }
+      pi += 1
     }
     snap.statsOf.get(file).flatMap(_.get(column)) match {
       case Some((mn, mx)) =>
@@ -225,8 +254,8 @@ object SnapshotScan {
       // scan groups the tagged files by bucket id and reports hash
       // output partitioning — equal-bucketed graft tables then join
       // with no exchange on either side
-      bucketSpec = SnapshotTable.bucketSpecOf(snap).map { case (c, n) =>
-        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c),
+      bucketSpec = SnapshotTable.bucketSpecOf(snap).map { case (cs, n) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cs,
           SnapshotTable.bucketSortOf(snap))
       },
       fileFormat = new ParquetFileFormat,

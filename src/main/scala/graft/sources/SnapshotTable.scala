@@ -504,11 +504,12 @@ object SnapshotTable {
     * PlanAuditSuite asserts the exchange-free plan).
     */
   private[graft] def stageBucketedBatch(df: DataFrame, table: String,
-      bucketCol: String, numBuckets: Int,
+      bucketCols: Seq[String], numBuckets: Int,
       clusterSort: Seq[Column] = Nil): Seq[String] = {
     val batch = "b-" + java.util.UUID.randomUUID().toString
     val dir = s"$table/data/$batch"
-    val bucketed = df.repartition(numBuckets, col(s"`$bucketCol`"))
+    val bucketed = df.repartition(numBuckets,
+      bucketCols.map(c => col(s"`$c`")): _*)
     // declared clustering sorts WITHIN each bucket (after the bucket
     // shuffle — a pre-shuffle sort would be destroyed by it)
     (if (clusterSort.isEmpty) bucketed
@@ -519,15 +520,72 @@ object SnapshotTable {
       .map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .map { n =>
-        val idx = n.substring(5, 10).toInt // part-NNNNN-…
-        val dot = n.indexOf('.')
-        val (stem, ext) =
-          if (dot < 0) (n, "") else (n.substring(0, dot), n.substring(dot))
-        val tagged = f"${stem}_$idx%05d$ext"
+        val tagged = bucketTagName(n)
         require(f.rename(new Path(dir, n), new Path(dir, tagged)),
           s"cannot bucket-tag $n")
         s"data/$batch/$tagged"
       }.toVector.sorted
+  }
+
+  /** `part-NNNNN-…` → `…_NNNNN.parquet`: the task-partition index IS
+    * the bucket id (HashPartitioning's pmod(murmur3, n)), re-rendered
+    * in the `_NNNNN` suffix form `BucketingUtils.getBucketId` parses.
+    */
+  private def bucketTagName(n: String): String = {
+    val idx = n.substring(5, 10).toInt // part-NNNNN-…
+    val dot = n.indexOf('.')
+    val (stem, ext) =
+      if (dot < 0) (n, "") else (n.substring(0, dot), n.substring(dot))
+    f"${stem}_$idx%05d$ext"
+  }
+
+  /** PARTITION × BUCKET staging (the canonical large-fact layout:
+    * partition by date, bucket by join key). One shuffle total: the
+    * batch hash-repartitions into `numBuckets` tasks on the bucket
+    * key, each task sorts its rows by (partition labels, bucket sort)
+    * — the writer's required ordering, so FileFormatWriter inserts no
+    * second sort — and writes ONE file per (partition dir, bucket)
+    * pair, bucket-tagged. Rows of key k live in bucket hash(k)%n
+    * inside EVERY partition dir, so the union of any partition-pruned
+    * file subset still groups cleanly by bucket id and the relation's
+    * BucketSpec keeps reporting hash output partitioning: a
+    * partition-pruned fact-fact join stays exchange-free.
+    */
+  private[graft] def stagePartitionedBucketedBatch(df: DataFrame,
+      table: String, labelCols: Seq[Column], bucketCols: Seq[String],
+      numBuckets: Int, sortWithin: Seq[Column] = Nil)
+      : Seq[(String, String)] = {
+    val batch = "b-" + java.util.UUID.randomUUID().toString
+    val dir = s"$table/data/$batch"
+    val partNames = labelCols.indices.map(i => s"__part$i")
+    val withParts = labelCols.zip(partNames).foldLeft(df) {
+      case (acc, (c, p)) => acc.withColumn(p, c)
+    }
+    withParts
+      .repartition(numBuckets, bucketCols.map(c => col(s"`$c`")): _*)
+      .sortWithinPartitions(partNames.map(col) ++ sortWithin: _*)
+      .write.mode("error").partitionBy(partNames: _*).parquet(dir)
+    val f = fs(df.sparkSession, table)
+    def walk(p: Path, depth: Int, rel: String,
+        vals: List[String]): Vector[(String, String)] =
+      if (depth == labelCols.length)
+        f.listStatus(p).iterator.map(_.getPath.getName)
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+          .map { n =>
+            val tagged = bucketTagName(n)
+            require(f.rename(new Path(p, n), new Path(p, tagged)),
+              s"cannot bucket-tag $rel/$n")
+            (s"$rel/$tagged", vals.reverse.map(enc).mkString(","))
+          }.toVector
+      else
+        f.listStatus(p).iterator.filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith(s"__part$depth="))
+          .flatMap { pd =>
+            val name = pd.getPath.getName
+            val v = unescapePartValue(name.stripPrefix(s"__part$depth="))
+            walk(pd.getPath, depth + 1, s"$rel/$name", v :: vals)
+          }.toVector
+    walk(new Path(dir), 0, s"data/$batch", Nil).sortBy(_._1)
   }
 
   /** Hive-style partitioned batch staging: a duplicated string column
@@ -613,12 +671,23 @@ object SnapshotTable {
     */
   private[graft] def stagePartitionedBatchMulti(df: DataFrame,
       table: String, pcols: Seq[String],
+      clusterSort: Seq[Column] = Nil): Seq[(String, String)] =
+    stageLabeledBatchMulti(df, table,
+      pcols.map(c => col(s"`$c`").cast("string")), clusterSort)
+
+  /** The generalized multi-label staging: each label column DERIVES a
+    * partition label from the row (identity tables pass the raw value
+    * cast to string; transform-partitioned tables pass the transform's
+    * label derivation — see [[PartitionTransforms]]).
+    */
+  private[graft] def stageLabeledBatchMulti(df: DataFrame,
+      table: String, labelCols: Seq[Column],
       clusterSort: Seq[Column] = Nil): Seq[(String, String)] = {
     val batch = "b-" + java.util.UUID.randomUUID().toString
     val dir = s"$table/data/$batch"
-    val partNames = pcols.indices.map(i => s"__part$i")
-    val withParts = pcols.zip(partNames).foldLeft(df) {
-      case (acc, (c, p)) => acc.withColumn(p, col(s"`$c`").cast("string"))
+    val partNames = labelCols.indices.map(i => s"__part$i")
+    val withParts = labelCols.zip(partNames).foldLeft(df) {
+      case (acc, (c, p)) => acc.withColumn(p, c)
     }
     // range-on-(partitions, cluster key) when clustered — same
     // within-partition file-splitting rationale as the single-column
@@ -632,7 +701,7 @@ object SnapshotTable {
     val f = fs(df.sparkSession, table)
     def walk(p: Path, depth: Int, rel: String,
         vals: List[String]): Vector[(String, String)] =
-      if (depth == pcols.length)
+      if (depth == labelCols.length)
         f.listStatus(p).iterator.map(_.getPath.getName)
           .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
           .map(n => (s"$rel/$n", vals.reverse.map(enc).mkString(",")))
@@ -939,7 +1008,29 @@ object SnapshotTable {
         snap.meta.contains("partitionCol"))
     val dfIn = if (rangeStaged) df1.localCheckpoint() else df1
     val (files, labels) =
-      if (snap.meta.contains("partitionCols")) {
+      if (bucketSpecOf(snap).isDefined &&
+          (snap.meta.contains("partitionSpec") ||
+            snap.meta.contains("partitionCols"))) {
+        // PARTITION × BUCKET: relabel through the declared transforms
+        // AND re-bucket, so both the pruning tuples and the BucketSpec
+        // stay true through every mutation
+        val Some((bcols, n)) = bucketSpecOf(snap)
+        val sortWithin =
+          if (clusterSort.nonEmpty) clusterSort
+          else bucketSortOf(snap).map(c => col(s"`$c`"))
+        val staged = stagePartitionedBucketedBatch(dfIn, table,
+          partitionTransformsOf(snap).map(t =>
+            t.labelCol(col(s"`${t.source}`"))), bcols, n, sortWithin)
+        (staged.map(_._1), staged.toMap)
+      } else if (snap.meta.contains("partitionSpec")) {
+        // hidden partitioning: every staged batch re-derives labels
+        // from row values through the declared transforms, so
+        // mutations and appends can never drift from the spec
+        val staged = stageLabeledBatchMulti(dfIn, table,
+          partitionSpecOf(snap).map(t =>
+            t.labelCol(col(s"`${t.source}`"))), clusterSort)
+        (staged.map(_._1), staged.toMap)
+      } else if (snap.meta.contains("partitionCols")) {
         val staged = stagePartitionedBatchMulti(dfIn, table,
           partitionColsOf(snap), clusterSort)
         (staged.map(_._1), staged.toMap)
@@ -1031,6 +1122,17 @@ object SnapshotTable {
     */
   def addConstraint(spark: SparkSession, table: String, name: String,
       predicateSql: String): Long = {
+    // `graft__` prefixes the engine's OWN constraints (SET NOT NULL
+    // sugar) — a user constraint there could collide with, or be
+    // silently dropped by, DROP NOT NULL
+    require(!name.startsWith("graft__"),
+      s"constraint names starting with graft__ are reserved for the " +
+        s"engine (got '$name')")
+    addConstraintInternal(spark, table, name, predicateSql)
+  }
+
+  private def addConstraintInternal(spark: SparkSession, table: String,
+      name: String, predicateSql: String): Long = {
     require(name.matches("[A-Za-z0-9_]+"),
       s"constraint name must be [A-Za-z0-9_]+, got '$name'")
     require(!predicateSql.exists(c => c == '\n' || c == '\r'),
@@ -1388,13 +1490,65 @@ object SnapshotTable {
   def createPartitioned(spark: SparkSession, table: String, df: DataFrame,
       pcols: Seq[String]): Long = {
     require(pcols.nonEmpty, "PARTITIONED BY needs at least one column")
-    if (pcols.length == 1)
-      return createPartitioned(spark, table, df, pcols.head)
+    val transforms = PartitionTransforms.parse(pcols, df.schema)
+    if (transforms.exists(!_.isIdentity))
+      return createTransformPartitioned(spark, table, df, transforms)
+    val idCols = transforms.map(_.source)
+    if (idCols.length == 1)
+      return createPartitioned(spark, table, df, idCols.head)
     require(currentVersion(spark, table) == 0,
       s"$table already has committed snapshots")
-    val staged = stagePartitionedBatchMulti(df, table, pcols)
+    val staged = stagePartitionedBatchMulti(df, table, idCols)
     commitManifest(spark, table, df.schema, staged.map(_._1), 0L,
-      Map("partitionCols" -> pcols.map(enc).mkString(",")), staged.toMap)
+      Map("partitionCols" -> idCols.map(enc).mkString(",")),
+      staged.toMap)
+  }
+
+  /** HIDDEN partitioning (Iceberg partition transforms): the spec list
+    * may mix `days(ts)`/`hours(ts)`/`months(ts)`/`years(ts)`,
+    * `bucket(n, c)`, `truncate(w, c)` and bare identity columns — see
+    * [[PartitionTransforms]]. The manifest stores the canonical spec
+    * under `partitionSpec` plus the SOURCE columns under
+    * `partitionCols` (so every consumer that reasons about "the
+    * partition columns" — rename/drop guards, DESCRIBE, readWhere —
+    * sees the raw columns a user filters on), and each file carries
+    * the TRANSFORMED label tuple. Writers derive labels from row
+    * values; queries filter the raw column and the scan prunes the
+    * predicate through the transform.
+    */
+  private def createTransformPartitioned(spark: SparkSession,
+      table: String, df: DataFrame,
+      transforms: Seq[PartitionTransform]): Long = {
+    require(currentVersion(spark, table) == 0,
+      s"$table already has committed snapshots")
+    val staged = stageLabeledBatchMulti(df, table,
+      transforms.map(t => t.labelCol(col(s"`${t.source}`"))))
+    commitManifest(spark, table, df.schema, staged.map(_._1), 0L,
+      Map(
+        "partitionSpec" -> transforms.map(t => enc(t.spec)).mkString(","),
+        "partitionCols" ->
+          transforms.map(t => enc(t.source)).mkString(",")),
+      staged.toMap)
+  }
+
+  /** The table's partition TRANSFORMS, aligned with [[partitionColsOf]]
+    * — empty when the table is unpartitioned or plainly (identity-)
+    * partitioned in the pre-transform meta format.
+    */
+  private[graft] def partitionSpecOf(snap: Snapshot)
+      : Seq[PartitionTransform] =
+    snap.meta.get("partitionSpec").toSeq.flatMap(v =>
+      v.split(',').filter(_.nonEmpty).toSeq.map(s =>
+        PartitionTransforms.parseOne(dec(s), snap.schema)))
+
+  /** The partition layout as transforms regardless of meta vintage:
+    * the declared spec when present, otherwise the identity columns.
+    */
+  private[graft] def partitionTransformsOf(snap: Snapshot)
+      : Seq[PartitionTransform] = {
+    val specs = partitionSpecOf(snap)
+    if (specs.nonEmpty) specs
+    else partitionColsOf(snap).map(PartitionTransforms.PIdentity)
   }
 
   /** Create a BUCKETED table: every batch — the create, appends,
@@ -1410,29 +1564,72 @@ object SnapshotTable {
     */
   def createBucketed(spark: SparkSession, table: String, df: DataFrame,
       bucketCol: String, numBuckets: Int,
-      sortCols: Seq[String] = Nil): Long = {
+      sortCols: Seq[String] = Nil): Long =
+    createBucketed(spark, table, df, Seq(bucketCol), numBuckets,
+      sortCols, Nil)
+
+  /** Multi-column buckets (Spark's own `bucketBy(n, a, b)` shape) and
+    * — via `partitionBy` — the PARTITION × BUCKET composition:
+    * `partitionBy` takes identity columns or transform specs
+    * ([[PartitionTransforms]]), so `createBucketed(t, df, Seq("k"), 32,
+    * partitionBy = Seq("days(ts)"))` is the canonical date-partitioned,
+    * key-bucketed large fact. Partition pruning and the exchange-free
+    * bucket join compose: rows of one key hash to the same bucket id
+    * inside every partition dir.
+    */
+  def createBucketed(spark: SparkSession, table: String, df: DataFrame,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String], partitionBy: Seq[String]): Long = {
     require(currentVersion(spark, table) == 0,
       s"$table already has committed snapshots")
-    require(df.columns.contains(bucketCol),
-      s"bucket column $bucketCol is not in the frame " +
-        s"(${df.columns.mkString(", ")})")
-    sortCols.foreach(c => require(df.columns.contains(c),
-      s"bucket sort column $c is not in the frame " +
-        s"(${df.columns.mkString(", ")})"))
+    require(bucketCols.nonEmpty, "bucketed layout needs bucket columns")
+    (bucketCols ++ sortCols).foreach(c =>
+      require(df.columns.contains(c),
+        s"bucket/sort column $c is not in the frame " +
+          s"(${df.columns.mkString(", ")})"))
     require(numBuckets > 0 && numBuckets <= 100000,
       s"numBuckets must be in [1, 100000], got $numBuckets")
-    val files = stageBucketedBatch(df, table, bucketCol, numBuckets,
-      sortCols.map(c => col(s"`$c`")))
-    commitManifest(spark, table, df.schema, files, 0L,
-      Map("bucketCol" -> bucketCol, "bucketN" -> numBuckets.toString) ++
+    val transforms = PartitionTransforms.parse(partitionBy, df.schema)
+    transforms.foreach(t => require(!bucketCols.contains(t.source) ||
+      !t.isIdentity,
+      s"${t.source} cannot be both a bucket column and an identity " +
+        "partition column"))
+    val bucketMeta =
+      Map("bucketCols" -> bucketCols.map(enc).mkString(","),
+        "bucketN" -> numBuckets.toString) ++
         (if (sortCols.isEmpty) Map.empty[String, String]
-         else Map("bucketSort" -> sortCols.map(enc).mkString(","))))
+         else Map("bucketSort" -> sortCols.map(enc).mkString(",")))
+    if (transforms.isEmpty) {
+      val files = stageBucketedBatch(df, table, bucketCols, numBuckets,
+        sortCols.map(c => col(s"`$c`")))
+      commitManifest(spark, table, df.schema, files, 0L, bucketMeta)
+    } else {
+      val staged = stagePartitionedBucketedBatch(df, table,
+        transforms.map(t => t.labelCol(col(s"`${t.source}`"))),
+        bucketCols, numBuckets, sortCols.map(c => col(s"`$c`")))
+      val pmeta =
+        if (transforms.exists(!_.isIdentity))
+          Map("partitionSpec" ->
+            transforms.map(t => enc(t.spec)).mkString(","),
+            "partitionCols" ->
+              transforms.map(t => enc(t.source)).mkString(","))
+        else Map("partitionCols" ->
+          transforms.map(t => enc(t.source)).mkString(","))
+      commitManifest(spark, table, df.schema, staged.map(_._1), 0L,
+        bucketMeta ++ pmeta, staged.toMap)
+    }
   }
 
-  /** The declared bucket layout, when the table has one. */
-  private[graft] def bucketSpecOf(snap: Snapshot): Option[(String, Int)] =
+  /** The declared bucket layout, when the table has one (multi-column
+    * tables store the encoded list under `bucketCols`, pre-existing
+    * single-column ones the bare name under `bucketCol` — both read).
+    */
+  private[graft] def bucketSpecOf(snap: Snapshot)
+      : Option[(Seq[String], Int)] =
     for {
-      c <- snap.meta.get("bucketCol")
+      c <- snap.meta.get("bucketCols")
+        .map(_.split(',').filter(_.nonEmpty).map(dec).toSeq)
+        .orElse(snap.meta.get("bucketCol").map(Seq(_)))
       n <- snap.meta.get("bucketN")
     } yield (c, n.toInt)
 
@@ -1673,13 +1870,31 @@ object SnapshotTable {
     * so a non-foldable expression (rand(), current_timestamp()) would
     * make two reads of one committed row disagree. Constant-folding
     * must collapse the WHOLE expression to a Literal — rand()'s SEED
-    * is a literal leaf, so a mere leaf check would pass it.
+    * is a literal leaf, so a mere leaf check would pass it. The fold
+    * check runs on the OPTIMIZED plan, where ComputeCurrentTime has
+    * already frozen now()/current_date()/… to literals — so time- and
+    * session-context-dependent expressions must be rejected FIRST, on
+    * the ANALYZED tree where they are still themselves: the stored
+    * text is re-evaluated per read, so a default that folds to "now"
+    * would drift across reads and compact() would freeze whatever
+    * maintenance-time evaluation produced.
     */
   private def requireConstantDefault(spark: SparkSession, c: String,
       d: String, dt: org.apache.spark.sql.types.DataType): Unit = {
-    val folded = spark.range(1)
-      .select(expr(d).cast(dt).as("d"))
-      .queryExecution.optimizedPlan.expressions
+    val qe = spark.range(1)
+      .select(expr(d).cast(dt).as("d")).queryExecution
+    val contextDep = Set("CurrentTimestamp", "CurrentDate", "Now",
+      "LocalTimestamp", "CurrentTimeZone", "CurrentUser",
+      "CurrentDatabase", "CurrentCatalog", "SparkVersion", "Uuid")
+    val hit = qe.analyzed.expressions.flatMap(_.collect {
+      case e if contextDep.contains(e.getClass.getSimpleName) =>
+        e.getClass.getSimpleName
+    }).headOption
+    require(hit.isEmpty, s"DEFAULT for $c must be a constant: '$d' " +
+      s"contains ${hit.getOrElse("")}, whose value depends on when/" +
+      "where the read runs — it would evaluate differently on every " +
+      "read of the same committed row")
+    val folded = qe.optimizedPlan.expressions
     require(folded.forall {
       case a: org.apache.spark.sql.catalyst.expressions.Alias =>
         a.child.isInstanceOf[
@@ -1763,12 +1978,17 @@ object SnapshotTable {
       s"no such column $column")
     require(column.matches("[A-Za-z0-9_]+"),
       s"SET NOT NULL needs a [A-Za-z0-9_]+ column name, got '$column'")
-    addConstraint(spark, table, s"nn_$column", s"$column IS NOT NULL")
+    // reserved graft__ namespace: a USER constraint can never be
+    // named graft__nn_<col> (addConstraint rejects the prefix), so
+    // SET NOT NULL cannot collide with — and DROP NOT NULL cannot
+    // silently drop — an unrelated user constraint
+    addConstraintInternal(spark, table, s"graft__nn_$column",
+      s"$column IS NOT NULL")
   }
 
   def dropNotNull(spark: SparkSession, table: String,
       column: String): Long =
-    dropConstraint(spark, table, s"nn_$column")
+    dropConstraint(spark, table, s"graft__nn_$column")
 
   /** True while any file still PREDATES a defaulted column — such
     * files need the read-side default rewrite, which the raw FileIndex
@@ -1920,7 +2140,19 @@ object SnapshotTable {
         case ("partitionCols", v) => "partitionCols" ->
           v.split(',').map(c => if (dec(c) == from) enc(to) else c)
             .mkString(",")
+        case ("partitionSpec", v) => "partitionSpec" ->
+          v.split(',').map { s =>
+            val t = PartitionTransforms.parseOne(dec(s), snap.schema)
+            if (t.source == from) enc(t.withSource(to).spec) else s
+          }.mkString(",")
         case ("statsCols", v) => "statsCols" -> rekeyList(v)
+        case ("bucketCol", `from`) => "bucketCol" -> to
+        case ("bucketCols", v) => "bucketCols" ->
+          v.split(',').map(c => if (dec(c) == from) enc(to) else c)
+            .mkString(",")
+        case ("bucketSort", v) => "bucketSort" ->
+          v.split(',').map(c => if (dec(c) == from) enc(to) else c)
+            .mkString(",")
         case ("bloomCols", v) => "bloomCols" -> rekeyList(v)
         case ("clusterCols", v) => "clusterCols" -> rekeyList(v)
         case ("identityCol", `from`) => "identityCol" -> to
@@ -2219,9 +2451,14 @@ object SnapshotTable {
     Seq((
       "graft-snapshot", table, snap.version,
       snap.files.size, snap.deleteFiles.size,
-      partitionColsOf(snap).mkString(","),
+      // transform-partitioned tables show the SPEC (days(ts), ...);
+      // identity tables the bare column list — both read back through
+      // repartitionTable / createPartitioned unchanged
+      (if (snap.meta.contains("partitionSpec"))
+         partitionSpecOf(snap).map(_.spec)
+       else partitionColsOf(snap)).mkString(","),
       declaredClusterCols(snap).mkString(","),
-      snap.meta.get("bucketCol"),
+      bucketSpecOf(snap).map(_._1.mkString(",")),
       snap.meta.get("bucketN").map(_.toInt),
       snap.meta.get("identityCol"),
       snap.meta.get("identityHwm").map(_.toLong),
@@ -2374,30 +2611,82 @@ object SnapshotTable {
   def repartitionTable(spark: SparkSession, table: String,
       newPartitionCols: Seq[String]): Long = {
     val snap = loadCurrent(spark, table)
-    newPartitionCols.foreach(c =>
-      require(snap.schema.fieldNames.contains(c),
-        s"partition column $c is not a table column " +
-          s"(${snap.schema.fieldNames.mkString(", ")})"))
+    // spec items may be transforms (days(ts), bucket(n, c), ...) —
+    // parse validates sources against the schema
+    val transforms =
+      PartitionTransforms.parse(newPartitionCols, snap.schema)
+    val sources = transforms.map(_.source)
     require(newPartitionCols.distinct.size == newPartitionCols.size,
-      "partition columns must be distinct")
+      "partition spec items must be distinct")
     snap.meta.get("identityCol").foreach(idc =>
-      require(!newPartitionCols.exists(_.equalsIgnoreCase(idc)),
+      require(!sources.exists(_.equalsIgnoreCase(idc)),
         s"cannot partition by the identity column $idc"))
-    require(bucketSpecOf(snap).isEmpty,
-      s"$table is BUCKETED — one physical layout per table; " +
-        "bucketed and Hive-partitioned layouts do not compose")
+    // a declared bucket layout SURVIVES partition-spec evolution: the
+    // staged rewrite re-derives labels AND re-buckets (partition ×
+    // bucket composes; see createBucketed's partitionBy)
     // rewrite = materialization (DVs, colmap, initial defaults), same
     // as compact — so the evolved manifest sheds them
     val df = readFilesDv(spark, table, snap, snap.files)
     val newMeta0 =
-      snap.meta - "partitionCol" - "partitionCols" - "colmap" -
-        "droppedCols"
-    val newMeta = newPartitionCols match {
-      case Nil => newMeta0
-      case Seq(one) => newMeta0 + ("partitionCol" -> one)
-      case many =>
-        newMeta0 + ("partitionCols" -> many.map(enc).mkString(","))
-    }
+      snap.meta - "partitionCol" - "partitionCols" - "partitionSpec" -
+        "colmap" - "droppedCols"
+    val newMeta =
+      if (transforms.exists(!_.isIdentity))
+        newMeta0 +
+          ("partitionSpec" ->
+            transforms.map(t => enc(t.spec)).mkString(",")) +
+          ("partitionCols" -> sources.map(enc).mkString(","))
+      else sources match {
+        case Nil => newMeta0
+        case Seq(one) => newMeta0 + ("partitionCol" -> one)
+        case many =>
+          newMeta0 + ("partitionCols" -> many.map(enc).mkString(","))
+      }
+    val target = snap.copy(meta = newMeta)
+    val (files, labels, stats, extras) = stageFor(target, df, table)
+    commitManifest(spark, table, snap.schema, files, snap.version,
+      newMeta, labels, stats, Nil, Some(snap), extras)
+  }
+
+  /** BUCKET-LAYOUT evolution: move a table that outgrew its bucket
+    * count to a new one (or new bucket columns / within-bucket sort)
+    * without recreate — a staged FULL rewrite, the honest shape like
+    * [[repartitionTable]] (a bucket-count change IS a full shuffle of
+    * the data; Iceberg's spec-versioned alternative avoids the rewrite
+    * but then every scan plans against a union of incompatible hash
+    * layouts and the exchange-free join property is lost until
+    * rewrite anyway). Old versions time-travel with THEIR layout; the
+    * new manifest immediately reports the new BucketSpec, so an
+    * equal-bucketed join at the new count plans with zero exchanges.
+    * Composes with a declared partition layout (labels re-derive in
+    * the same rewrite) and materializes DVs/colmap/defaults like
+    * compact. Defaults: keep the current bucket columns and sort.
+    */
+  def rebucketTable(spark: SparkSession, table: String,
+      numBuckets: Int, bucketCols: Seq[String] = Nil,
+      sortCols: Seq[String] = Nil): Long = {
+    val snap = loadCurrent(spark, table)
+    val cur = bucketSpecOf(snap)
+    val cols =
+      if (bucketCols.nonEmpty) bucketCols
+      else cur.map(_._1).getOrElse(Seq.empty)
+    require(cols.nonEmpty,
+      s"$table is not bucketed — pass bucketCols to introduce a " +
+        "bucket layout")
+    (cols ++ sortCols).foreach(c =>
+      require(snap.schema.fieldNames.contains(c),
+        s"bucket/sort column $c is not a table column " +
+          s"(${snap.schema.fieldNames.mkString(", ")})"))
+    require(numBuckets > 0 && numBuckets <= 100000,
+      s"numBuckets must be in [1, 100000], got $numBuckets")
+    val sorts = if (sortCols.nonEmpty) sortCols else bucketSortOf(snap)
+    val df = readFilesDv(spark, table, snap, snap.files)
+    val newMeta = (snap.meta - "bucketCol" - "bucketSort" - "colmap" -
+      "droppedCols") +
+      ("bucketCols" -> cols.map(enc).mkString(",")) +
+      ("bucketN" -> numBuckets.toString) ++
+      (if (sorts.isEmpty) Map.empty[String, String]
+       else Map("bucketSort" -> sorts.map(enc).mkString(",")))
     val target = snap.copy(meta = newMeta)
     val (files, labels, stats, extras) = stageFor(target, df, table)
     commitManifest(spark, table, snap.schema, files, snap.version,
@@ -3478,6 +3767,18 @@ object SnapshotTable {
       }
       acc
     }.toSet
+    // files referenced by the EXPIRED versions: committed history
+    // being GC'd — deletable at any age. Read before their manifests
+    // go. An unreferenced parquet is a different animal: it may be a
+    // concurrent writer's staged batch between its stage write and
+    // manifest CAS, so it only goes once it has aged past the orphan
+    // grace (the vacuumOrphans clock) — deleting it young would
+    // corrupt that writer's commit.
+    val expiredRefs = expire.flatMap { v =>
+      val m = readManifest(spark, table, v)
+      m.files ++ m.deleteFiles
+    }.toSet
+    val orphanGraceCutoff = System.currentTimeMillis() - 3600000L
     val dropped = expire.filterNot(chainNeeded)
     dropped.foreach(v => f.delete(manifestPath(table, v), false))
     val dataDir = new Path(table, "data")
@@ -3500,9 +3801,12 @@ object SnapshotTable {
           val abs = s.getPath.toString
           val rel = abs.stripPrefix(tableUri).stripPrefix("/")
           if (s.getPath.getName.endsWith(".parquet")) {
-            if (!live.contains(rel)) {
+            if (live.contains(rel)) liveParquetLeft = true
+            else if (expiredRefs.contains(rel) ||
+                s.getModificationTime < orphanGraceCutoff) {
               f.delete(s.getPath, false); removed += 1
-            } else liveParquetLeft = true
+            } else liveParquetLeft = true // in-grace unreferenced: a
+            // writer mid-commit — vacuumOrphans reaps it if it ages out
           }
         }
         if (!liveParquetLeft) f.delete(b.getPath, true)
@@ -4180,6 +4484,63 @@ object SnapshotTable {
         .orderBy(col("c_nationkey").asc_nulls_first)
     }),
 
+    // PARTITION x BUCKET composition with a MULTI-COLUMN bucket key
+    // (the canonical large fact: partition by attribute, bucket by
+    // join key): labels and bucket tags both re-derive through an
+    // update and a delete, the final aggregation groups on the bucket
+    // key (map-side, no exchange — PlanAuditSuite asserts the
+    // exchange-free join for this layout; this query proves CONTENT
+    // through the lifecycle on the hard oracle).
+    "q_table_bucket_compose" -> ((s, d) => {
+      val t = scratch(s, d, "bjc")
+      fs(s, t).delete(new Path(t), true)
+      val items = graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_returnflag"))
+      createBucketed(s, t, items, Seq("l_partkey", "l_suppkey"), 8,
+        Seq("l_partkey"), Seq("l_returnflag"))
+      updateWhere(s, t, col("l_orderkey") % 9 === 0,
+        Map("l_quantity" -> (col("l_quantity") + 5)))
+      deleteWhere(s, t, col("l_returnflag") === "N" &&
+        col("l_orderkey") % 11 === 0)
+      SnapshotScan.scan(s, t)._1
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.r4(sum(col("l_quantity"))).as("qty"))
+        .orderBy(col("l_partkey").asc_nulls_first,
+          col("l_suppkey").asc_nulls_first)
+    }),
+
+    // HIDDEN partitioning (Iceberg partition transforms): the events
+    // fact partitions by days(ts) × bucket(8, user_id) with NO
+    // materialized day column — labels derive from row values at every
+    // staging (create, append, both mutations' rewrites), and raw-ts /
+    // raw-user predicates prune through the transforms (suite- and
+    // ScaleAudit-asserted; this query proves CONTENT through the whole
+    // lifecycle on the hard oracle).
+    "q_table_partition_transform" -> ((s, d) => {
+      val t = scratch(s, d, "ptf")
+      fs(s, t).delete(new Path(t), true)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      createPartitioned(s, t, ev, Seq("days(ts)", "bucket(8,user_id)"))
+      // a shifted tail lands in NEW day partitions a year out
+      append(s, t, ev.filter(col("event_id") % 50 === 0)
+        .select((col("event_id") + 10000000L).as("event_id"),
+          (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"),
+          col("user_id"), col("event_type"), col("value")))
+      // delete prunes through days(): only day-2 files rewrite
+      deleteWhere(s, t,
+        col("ts") >= lit("2024-01-02").cast("timestamp") &&
+        col("ts") < lit("2024-01-03").cast("timestamp") &&
+        col("event_type") === "click")
+      // update prunes through bucket(): only user 7's bucket rewrites
+      updateWhere(s, t, col("user_id") === 7L,
+        Map("value" -> (col("value") + 100)))
+      read(s, t).orderBy(col("event_id").asc_nulls_first)
+    }),
+
     // Column DEFAULT values (Iceberg-v3 initial-default +
     // write-default): ADD COLUMN ... DEFAULT is metadata-only — rows
     // predating the evolution read the default, a post-evolution batch
@@ -4792,6 +5153,36 @@ object SnapshotTable {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin,
+    // the composed-layout lifecycle replayed logically: the update
+    // CASE (+5 exact), the delete as NOT (…), then the group-by —
+    // the layout changes the PLAN (exchange-free), never the answer
+    "q_table_bucket_compose" ->
+      """SELECT l_partkey, l_suppkey, count(*) AS n,
+        |  floor((sum(CASE WHEN l_orderkey % 9 = 0 THEN l_quantity + 5
+        |    ELSE l_quantity END)) * 10000 + CAST(0.5 AS DOUBLE))
+        |    / CAST(10000 AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'N' AND l_orderkey % 11 = 0)
+        |GROUP BY l_partkey, l_suppkey
+        |ORDER BY l_partkey ASC NULLS FIRST,
+        |  l_suppkey ASC NULLS FIRST""".stripMargin,
+    // the transform-partitioned lifecycle replayed logically: the
+    // union with the year-shifted tail, the day-scoped delete as NOT
+    // (…), the user-scoped update as a CASE (+100 is an exact IEEE
+    // addition) — partitioning changes the LAYOUT, never the answer
+    "q_table_partition_transform" ->
+      """WITH base AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, ts + INTERVAL 365 DAY, user_id,
+        |    event_type, value
+        |  FROM events WHERE event_id % 50 = 0)
+        |SELECT event_id, ts, user_id, event_type,
+        |  CASE WHEN user_id = 7 THEN value + 100 ELSE value END AS value
+        |FROM base
+        |WHERE NOT (ts >= TIMESTAMP '2024-01-02'
+        |  AND ts < TIMESTAMP '2024-01-03' AND event_type = 'click')
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     // the DEFAULT lifecycle replayed logically: pre-evolution rows get
     // the declared literals, the post-evolution append its own values
     // (explicit NULL preserved), then the update CASE over the union

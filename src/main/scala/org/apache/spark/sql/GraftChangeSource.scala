@@ -36,20 +36,63 @@ import org.apache.spark.sql.types.StructType
 final class GraftChangeSource(spark: SparkSession, table: String,
     base: Long, override val schema: StructType,
     maxVersionsPerBatch: Option[Long] = None,
-    maxBytesPerBatch: Option[Long] = None) extends Source {
+    maxBytesPerBatch: Option[Long] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   private def longOf(o: Offset): Long = o match {
     case LongOffset(v) => v
     case other => other.json.trim.toLong
   }
 
-  // the highest version this source has handed the engine in a batch
-  // range — the catch-up clamp anchors here. Restart recovery: the
-  // engine replays getBatch over the checkpointed range before the
-  // first new trigger, which re-seats the anchor; if a first getOffset
-  // ever races ahead of that, the worst case is ONE empty micro-batch
-  // (getBatch sees to <= from) and the anchor self-heals from `start`.
-  @volatile private var lastEnd: Option[Long] = None
+  private val rateCapped =
+    maxVersionsPerBatch.isDefined || maxBytesPerBatch.isDefined
+
+  // The catch-up clamp anchors at the highest version this source has
+  // handed the engine. Restart safety: with a rate cap configured, an
+  // in-memory-only anchor would be UNSAFE — when the last batch was
+  // fully committed before the restart, the engine never replays
+  // getBatch, so the first getOffset would anchor at `base` and could
+  // return an offset BELOW the checkpointed one; the engine then runs
+  // and commits an empty (to <= from) batch at the regressed offset,
+  // and the NEXT batch spans (regressed, new], re-emitting already-
+  // delivered versions. So when a cap is configured the anchor also
+  // persists in the source's own checkpoint metadata dir (the v1
+  // `metadataPath` contract, the same place Delta keeps its source
+  // init state) on every getBatch, and seeds from there at restart —
+  // monotonic, so a torn write at worst under-anchors back to the
+  // engine-replay recovery path (one empty micro-batch, never a
+  // regression past a committed offset, because the replay getBatch
+  // re-seats from the checkpointed range first).
+  @volatile private var lastEnd: Option[Long] = loadAnchor()
+
+  private def anchorFile: Option[org.apache.hadoop.fs.Path] =
+    if (!rateCapped) None
+    else metadataPath.map(p =>
+      new org.apache.hadoop.fs.Path(p, "graft-rate-anchor"))
+
+  private def loadAnchor(): Option[Long] = anchorFile.flatMap { p =>
+    try {
+      val f = p.getFileSystem(
+        spark.sessionState.newHadoopConf())
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+        } finally in.close()
+      }
+    } catch { case _: Exception => None } // unreadable/torn -> replay path
+  }
+
+  private def persistAnchor(v: Long): Unit = anchorFile.foreach { p =>
+    try {
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = f.create(p, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () } // best-effort; replay recovers
+  }
 
   /** Rate control (Delta's maxFilesPerTrigger/maxBytesPerTrigger
     * intent at version granularity): a stream that fell N versions
@@ -103,8 +146,10 @@ final class GraftChangeSource(spark: SparkSession, table: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(longOf).getOrElse(base)
     val to = longOf(end)
-    lastEnd = Some(math.max(lastEnd.getOrElse(Long.MinValue),
-      math.max(from, to)))
+    val seated = math.max(lastEnd.getOrElse(Long.MinValue),
+      math.max(from, to))
+    lastEnd = Some(seated)
+    persistAnchor(seated)
     val batch =
       if (to <= from)
         spark.createDataFrame(

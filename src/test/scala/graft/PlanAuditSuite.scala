@@ -462,4 +462,173 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("multi-column buckets + partition x bucket composition: the " +
+      "composed layout joins with ZERO exchanges through mutations, " +
+      "partition pruning rides on top, and rebucketTable moves the " +
+      "count without recreate") {
+    import graft.sources.{SnapshotScan, SnapshotTable}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pbucket").toString
+    val (ta, tb) = (s"$dir/a", s"$dir/b")
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_returnflag"))
+    // MULTI-COLUMN bucket key (partkey, suppkey) on both sides; side A
+    // additionally Hive-partitions by the flag — the canonical
+    // partition-by-attr, bucket-by-join-key fact layout
+    SnapshotTable.createBucketed(spark, ta, items,
+      Seq("l_partkey", "l_suppkey"), 8, Nil, Seq("l_returnflag"))
+    SnapshotTable.createBucketed(spark, tb,
+      items.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("total_qty")),
+      Seq("l_partkey", "l_suppkey"), 8, Nil, Nil)
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def joined(filtered: Boolean) = {
+        val (a, idxA) = SnapshotScan.scan(spark, ta)
+        val left = if (filtered) a.filter(col("l_returnflag") === "R")
+          else a
+        (left.join(SnapshotScan.scan(spark, tb)._1,
+          Seq("l_partkey", "l_suppkey")), idxA)
+      }
+      def assertNoExchange(tag: String, filtered: Boolean)
+          : graft.sources.SnapshotFileIndex = {
+        val (q, idxA) = joined(filtered)
+        q.collect()
+        val shuffles = collectWithSubqueries(q.queryExecution.executedPlan) {
+          case e: ShuffleExchangeExec => e
+        }
+        assert(shuffles.isEmpty,
+          s"$tag: composed-layout join must plan NO exchange, got " +
+            s"${shuffles.size}:\n${q.queryExecution.executedPlan}")
+        idxA
+      }
+      assertNoExchange("fresh composed layout", filtered = false)
+      // correctness vs the plain-frame join
+      val expect = items.join(
+        items.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("total_qty")),
+        Seq("l_partkey", "l_suppkey")).count()
+      assert(joined(filtered = false)._1.count() === expect)
+      // partition pruning composes with the bucket layout: the
+      // flag = 'R' side plans only R-partition files AND still no
+      // exchange
+      val snapA = SnapshotTable.readManifest(spark, ta,
+        SnapshotTable.currentVersion(spark, ta))
+      val rFiles = snapA.files.count(f =>
+        snapA.partitionOf.get(f).contains("R"))
+      assert(rFiles > 0 && rFiles < snapA.files.size)
+      val idxA = assertNoExchange("partition-pruned join", filtered = true)
+      assert(idxA.lastPlannedFiles === rFiles,
+        s"flag = 'R' must plan exactly the R partition's " +
+          s"$rFiles files, planned ${idxA.lastPlannedFiles}")
+      // mutations keep BOTH properties (relabel + re-bucket)
+      SnapshotTable.updateWhere(spark, ta, col("l_orderkey") % 7 === 0,
+        Map("l_quantity" -> (col("l_quantity") + 1)))
+      assertNoExchange("after update", filtered = true)
+      // BUCKET-COUNT EVOLUTION: move side B 8 -> 16, then side A too;
+      // at matching counts the join is exchange-free again, and the
+      // pre-evolution version still time-travels with ITS layout
+      val preRebucket = SnapshotTable.currentVersion(spark, tb)
+      val preRows = SnapshotTable.read(spark, tb).count()
+      SnapshotTable.rebucketTable(spark, tb, 16)
+      SnapshotTable.rebucketTable(spark, ta, 16)
+      val snapB = SnapshotTable.readManifest(spark, tb,
+        SnapshotTable.currentVersion(spark, tb))
+      assert(SnapshotTable.bucketSpecOf(snapB)
+        .contains((Seq("l_partkey", "l_suppkey"), 16)))
+      assertNoExchange("after rebucket to 16", filtered = false)
+      assert(SnapshotTable.read(spark, tb, Some(preRebucket)).count()
+        === preRows, "pre-rebucket versions time-travel")
+    } finally {
+      saved match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("manifest-derived CatalogStatistics: named graft tables carry " +
+      "size + row counts after DML / analyze, DESCRIBE EXTENDED shows " +
+      "them, and CBO reorders a 3-table join to the selective " +
+      "dimension with no hint") {
+    import graft.sources.{GraftDml, SnapshotTable}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cbostats").toString
+    val (pf, pp, ps) = (s"$dir/fact", s"$dir/part", s"$dir/supp")
+    val fact = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+    SnapshotTable.createClustered(spark, pf, fact, "l_partkey",
+      statsCols = Seq("l_partkey"))
+    SnapshotTable.createClustered(spark, pp,
+      Tables.part(spark, sf).select(col("p_partkey"), col("p_name")),
+      "p_partkey", statsCols = Seq("p_partkey"))
+    SnapshotTable.createClustered(spark, ps,
+      Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_name")),
+      "s_suppkey", statsCols = Seq("s_suppkey"))
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val names = Seq("graft_cbo_fact" -> pf, "graft_cbo_part" -> pp,
+      "graft_cbo_supp" -> ps)
+    names.foreach { case (n, p) =>
+      s2.sql(s"CREATE TABLE $n USING graft LOCATION '$p'") }
+    try {
+      // a mutation through the named surface publishes stats...
+      s2.sql("INSERT INTO graft_cbo_fact VALUES (9000001, 1, 1, 1.0)")
+      // ...and analyze publishes on demand (metadata-tier, no scan)
+      GraftDml.analyzeGraftTable(s2, "graft_cbo_part")
+      GraftDml.analyzeGraftTable(s2, "graft_cbo_supp")
+      val factRows = SnapshotTable.read(spark, pf).count()
+      val stats = s2.sql("DESCRIBE TABLE EXTENDED graft_cbo_fact")
+        .collect().find(_.getString(0) == "Statistics")
+        .map(_.getString(1)).getOrElse("")
+      assert(stats.contains(s"$factRows rows"),
+        s"DESCRIBE EXTENDED must show the manifest row count, got " +
+          s"'$stats'")
+      // CBO: with row counts on every side, the join reorders to the
+      // SELECTIVE dimension (supp, filtered to <5 rows) first even
+      // though the SQL names the big dimension first
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val q = s2.sql(
+          """SELECT count(*) AS n FROM graft_cbo_fact f
+            |JOIN graft_cbo_part p ON f.l_partkey = p.p_partkey
+            |JOIN graft_cbo_supp s ON f.l_suppkey = s.s_suppkey
+            |WHERE s.s_suppkey < 5""".stripMargin)
+        val joins = q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }
+        assert(joins.size === 2)
+        // the DEEPEST (first-executed) join must involve the supplier
+        // side, not the part side the SQL named first
+        val deepest = joins.last
+        val deepCols = deepest.output.map(_.name).toSet
+        assert(deepCols.contains("s_suppkey") &&
+          !deepCols.contains("p_partkey"),
+          s"CBO must join the selective supp dim first, got:\n" +
+            s"${q.queryExecution.optimizedPlan}")
+        // and the answer is right
+        val expect = fact
+          .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+          .join(Tables.supplier(spark, sf).filter(col("s_suppkey") < 5),
+            col("l_suppkey") === col("s_suppkey"))
+          .count() + (if (1 < 5) 1 else 0) // the inserted row joins too
+        assert(q.head().getLong(0) === expect)
+      } finally {
+        s2.conf.unset("spark.sql.cbo.enabled")
+        s2.conf.unset("spark.sql.cbo.joinReorder.enabled")
+        s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    } finally names.foreach { case (n, _) =>
+      s2.sql(s"DROP TABLE IF EXISTS $n") }
+  }
 }

@@ -3087,7 +3087,7 @@ class SnapshotSuite extends AnyFunSuite {
       s2.sql(s"INSERT INTO $name VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
       val snap = SnapshotTable.readManifest(spark, t,
         SnapshotTable.currentVersion(spark, t))
-      assert(SnapshotTable.bucketSpecOf(snap) === Some(("k", 4)))
+      assert(SnapshotTable.bucketSpecOf(snap) === Some((Seq("k"), 4)))
       assert(snap.files.nonEmpty && snap.files.forall(f =>
         f.substring(f.lastIndexOf('/') + 1)
           .matches(""".*_(\d+)(?:\..*)?$""")),
@@ -3100,24 +3100,38 @@ class SnapshotSuite extends AnyFunSuite {
       .write.format("graft").option("bucketCol", "k")
       .option("bucketN", "4").save(t2)
     assert(SnapshotTable.bucketSpecOf(SnapshotTable.readManifest(spark,
-      t2, 1L)) === Some(("k", 4)))
+      t2, 1L)) === Some((Seq("k"), 4)))
     assert(SnapshotTable.read(spark, t2).count() === 100L)
-    // incompatible layout declarations are rejected at create
-    val t3 = freshTable("badbucket")
+    // bucket + partition COMPOSES on the writer surface (r17): labels
+    // and bucket tags both present on every staged file
+    val t3 = freshTable("composebucket")
+    (1L to 10L).map(k => (k, if (k % 2 == 0) "e" else "o"))
+      .toDF("k", "c")
+      .write.format("graft").option("bucketCol", "k")
+      .option("bucketN", "4").option("partitionCol", "c").save(t3)
+    val snap3 = SnapshotTable.readManifest(spark, t3, 1L)
+    assert(SnapshotTable.bucketSpecOf(snap3) === Some((Seq("k"), 4)))
+    assert(snap3.partitionOf.nonEmpty &&
+      snap3.partitionOf.values.toSet === Set("e", "o"))
+    assert(snap3.files.forall(f => f.substring(f.lastIndexOf('/') + 1)
+      .matches(""".*_(\d+)(?:\..*)?$""")),
+      s"composed files carry bucket tags: ${snap3.files}")
+    assert(SnapshotTable.read(spark, t3).count() === 10L)
+    // identity + bucket stays rejected (ids assigned at commit)
     intercept[Exception] {
       (1L to 10L).map(k => (k, "x")).toDF("k", "c")
         .write.format("graft").option("bucketCol", "k")
-        .option("bucketN", "4").option("partitionCol", "c").save(t3)
+        .option("bucketN", "4").option("identityCol", "id")
+        .save(freshTable("badbucket"))
     }
-    intercept[Exception] {
-      (1L to 10L).map(k => (k, "x")).toDF("k", "c")
-        .write.format("graft").option("bucketCol", "k")
-        .option("bucketN", "4").option("identityCol", "id").save(t3)
-    }
-    // bucketed tables refuse a partition-spec evolution (one layout)
-    intercept[Exception] {
-      SnapshotTable.repartitionTable(spark, t2, Seq("k"))
-    }
+    // partition-spec evolution on a bucketed table KEEPS the buckets
+    // (the layouts compose; the rewrite relabels and re-buckets)
+    SnapshotTable.repartitionTable(spark, t3, Seq("truncate(1,c)"))
+    val snap4 = SnapshotTable.readManifest(spark, t3,
+      SnapshotTable.currentVersion(spark, t3))
+    assert(SnapshotTable.bucketSpecOf(snap4) === Some((Seq("k"), 4)))
+    assert(snap4.partitionOf.values.toSet === Set("e", "o"))
+    assert(SnapshotTable.read(spark, t3).count() === 10L)
   }
 
   test("native SQL RESTORE and the graft_restore TVF: metadata-only " +
@@ -3527,5 +3541,345 @@ class SnapshotSuite extends AnyFunSuite {
       s2.sql(s"SELECT * FROM parquet.`$sf/orders.parquet` " +
         "VERSION AS OF 1").collect()
     }
+  }
+
+  test("context-dependent DEFAULTs are rejected on the ANALYZED tree " +
+      "(the optimizer folds now() to a literal before the fold check)") {
+    import org.apache.spark.sql.types.{DateType, StructField,
+      TimestampType, StringType}
+    import spark.implicits._
+    val t = freshTable("tdefault")
+    SnapshotTable.create(spark, t,
+      (1L to 5L).map(k => (k, s"v$k")).toDF("k", "v"))
+    for (bad <- Seq("current_timestamp()", "now()", "localtimestamp()"))
+      intercept[IllegalArgumentException] {
+        SnapshotTable.addColumns(spark, t,
+          Seq(StructField("ts", TimestampType, nullable = true)),
+          defaults = Map("ts" -> bad))
+      }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addColumns(spark, t,
+        Seq(StructField("d", DateType, nullable = true)),
+        defaults = Map("d" -> "current_date()"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addColumns(spark, t,
+        Seq(StructField("u", StringType, nullable = true)),
+        defaults = Map("u" -> "uuid()"))
+    }
+    // SET DEFAULT guards identically
+    SnapshotTable.addColumns(spark, t,
+      Seq(StructField("ts2", TimestampType, nullable = true)))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.setColumnDefault(spark, t, "ts2",
+        "current_timestamp()")
+    }
+    // a genuinely constant expression still passes and reads stably
+    SnapshotTable.addColumns(spark, t,
+      Seq(StructField("since", DateType, nullable = true)),
+      defaults = Map("since" -> "DATE'2020-01-01'"))
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("since") ===
+        lit(java.sql.Date.valueOf("2020-01-01"))).count() === 5L)
+  }
+
+  test("SET NOT NULL lives in the reserved graft__ constraint " +
+      "namespace: user names cannot collide, DROP NOT NULL cannot " +
+      "drop a user constraint") {
+    import spark.implicits._
+    val t = freshTable("nnns")
+    SnapshotTable.create(spark, t,
+      (1L to 5L).map(k => (k, s"v$k")).toDF("k", "v"))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addConstraint(spark, t, "graft__nn_v",
+        "v IS NOT NULL")
+    }
+    // a user constraint named nn_v coexists with SET NOT NULL on v ...
+    SnapshotTable.addConstraint(spark, t, "nn_v", "length(v) > 0")
+    SnapshotTable.setNotNull(spark, t, "v")
+    // ... and DROP NOT NULL lifts ONLY the engine's rule: the user's
+    // nn_v still rejects empty strings afterwards
+    SnapshotTable.dropNotNull(spark, t, "v")
+    intercept[Exception] {
+      SnapshotTable.append(spark, t, Seq((6L, "")).toDF("k", "v"))
+    }
+    SnapshotTable.dropConstraint(spark, t, "nn_v")
+    SnapshotTable.append(spark, t, Seq((6L, "")).toDF("k", "v"))
+    assert(SnapshotTable.read(spark, t).count() === 6L)
+  }
+
+  test("OPTIMIZE WHERE IN tokenizes quoted values: a partition value " +
+      "containing a comma compacts instead of silently matching " +
+      "nothing, malformed lists fail loudly") {
+    import spark.implicits._
+    val t = freshTable("optcomma")
+    SnapshotTable.createPartitioned(spark, t,
+      Seq((1L, "a,b", 1.0), (2L, "a,b", 2.0), (3L, "F", 3.0))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice"),
+      "o_orderstatus")
+    (1 to 3).foreach(i => SnapshotTable.append(spark, t,
+      Seq((10L + i, "a,b", i * 1.0))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice")))
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val r = s2.sql(s"OPTIMIZE `$t` WHERE o_orderstatus IN ('a,b')")
+      .head()
+    assert(r.getInt(1) >= 4 && r.getInt(2) < r.getInt(1),
+      s"the comma-valued partition must compact, got $r")
+    // mixed quoted + bare, out-of-order whitespace
+    assert(s2.sql(
+      s"OPTIMIZE `$t` WHERE o_orderstatus IN ( F , 'a,b' )").head()
+      .getInt(1) > 0)
+    intercept[Exception] { // unterminated quote
+      s2.sql(s"OPTIMIZE `$t` WHERE o_orderstatus IN ('a,b', 'oops)")
+    }
+    intercept[Exception] { // missing separator between values
+      s2.sql(s"OPTIMIZE `$t` WHERE o_orderstatus IN ('a' 'b')")
+    }
+  }
+
+  test("VACUUM RETAIN 0 HOURS floors the ORPHAN grace at 1h: a live " +
+      "writer's staged-uncommitted batch survives history collapse " +
+      "in BOTH sweeps (expiry GC and vacuumOrphans), while expired " +
+      "versions' own files still GC at any age") {
+    val t = freshTable("vacfloor")
+    SnapshotTable.create(spark, t, orders, numFiles = 2) // v1
+    SnapshotTable.compact(spark, t) // v2, full manifest: v1 droppable
+    val pre = sortedRows(SnapshotTable.read(spark, t))
+    // a concurrent writer mid-commit: staged, not yet in any manifest
+    val live = SnapshotTable.stageBatch(orders.limit(3), t)
+    val liveDir = new org.apache.hadoop.fs.Path(
+      t, live.head.split('/').take(2).mkString("/"))
+    val fs = liveDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val vac = s2.sql(s"VACUUM `$t` RETAIN 0 HOURS").head()
+    assert(vac.getInt(0) >= 1, s"history still collapses, got $vac")
+    assert(vac.getInt(1) >= 1,
+      s"expired v1's pre-compact files still GC at any age, got $vac")
+    assert(fs.exists(liveDir) && fs.listStatus(liveDir).nonEmpty,
+      "RETAIN 0 must not delete an in-grace staged batch between " +
+        "its stage write and manifest CAS")
+    assert(sortedRows(SnapshotTable.read(spark, t)) === pre)
+  }
+
+  test("hidden partitioning: transform specs derive labels at staging, " +
+      "prune raw-column predicates through the transform, and survive " +
+      "mutations, spec evolution, rename, and SQL CTAS") {
+    import graft.sources.SnapshotScan
+    import spark.implicits._
+    def sortedRows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val t = freshTable("ptrans")
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val rows = (0 until 200).map { i =>
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(i * 3600L)),
+        s"u${i % 10}n$i", i * 1.5)
+    }
+    val df = rows.toDF("k", "ts", "who", "v")
+    SnapshotTable.createPartitioned(spark, t, df,
+      Seq("days(ts)", "bucket(4,k)"))
+    // content round-trips; labels are (ISO day, bucket id) tuples
+    assert(sortedRows(SnapshotTable.read(spark, t)) === sortedRows(df))
+    val snap0 = SnapshotTable.readManifest(spark, t, 1L)
+    val dayRe = """2024-03-\d{2}""".r
+    assert(snap0.partitionOf.nonEmpty && snap0.partitionOf.values.forall {
+      lbl =>
+        val Array(day, b) = lbl.split(",", -1)
+        dayRe.matches(java.net.URLDecoder.decode(day, "UTF-8")) &&
+          (0 until 4).map(_.toString)
+            .contains(java.net.URLDecoder.decode(b, "UTF-8"))
+    }, s"labels must be (day, bucket) tuples: ${snap0.partitionOf.values.take(3)}")
+    // RAW-column predicates prune THROUGH the transform
+    val (sdf, idx) = SnapshotScan.scan(spark, t)
+    val nFiles = snap0.files.size
+    val lo = java.sql.Timestamp.from(base.plusSeconds(24 * 3600L))
+    val hi = java.sql.Timestamp.from(base.plusSeconds(48 * 3600L - 1))
+    val gotRange = sdf.filter(col("ts").between(lo, hi)).count()
+    assert(gotRange === 24L, s"day-2 range must hold 24 rows, got $gotRange")
+    assert(idx.lastPlannedFiles < nFiles &&
+      idx.lastPlannedFiles <= 2 * 4,
+      s"ts BETWEEN must prune to ~1 day of $nFiles files, planned " +
+        s"${idx.lastPlannedFiles}")
+    // bucket equality: literal-side murmur3 must agree with staging
+    val gotEq = sdf.filter(col("k") === 97L).count()
+    assert(gotEq === 1L, "bucket pruning must never lose the match")
+    assert(idx.lastPlannedFiles < nFiles / 2,
+      s"k = 97 must prune to one bucket, planned ${idx.lastPlannedFiles}")
+    // mutations relabel through the spec: append a new day + update
+    val extra = Seq((1000L, java.sql.Timestamp.from(
+      base.plusSeconds(30L * 86400)), "u0nX", 9.0))
+      .toDF("k", "ts", "who", "v")
+    SnapshotTable.append(spark, t, extra)
+    SnapshotTable.updateWhere(spark, t, col("k") === 7L,
+      Map("v" -> lit(777.0)))
+    val cur = SnapshotTable.read(spark, t)
+    assert(cur.count() === 201L)
+    assert(cur.filter(col("k") === 7L).head().getDouble(3) === 777.0)
+    val snap2 = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap2.files.exists(f => !snap0.files.contains(f) &&
+      snap2.partitionOf.get(f).exists(l =>
+        java.net.URLDecoder.decode(l.split(",")(0), "UTF-8")
+          .startsWith("2024-03-3"))),
+      "appended rows must derive labels through the declared spec")
+    val preEvolve = SnapshotTable.currentVersion(spark, t)
+    val preRows = sortedRows(cur)
+    // spec EVOLUTION: full relabeling rewrite; old versions time-travel
+    SnapshotTable.repartitionTable(spark, t, Seq("months(ts)"))
+    val snap3 = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap3.meta("partitionSpec").contains("months"))
+    assert(snap3.partitionOf.values.toSet.subsetOf(
+      Set("2024-03", "2024-04")),
+      s"month labels, got ${snap3.partitionOf.values.toSet}")
+    assert(sortedRows(SnapshotTable.read(spark, t)) === preRows)
+    assert(sortedRows(SnapshotTable.read(spark, t, Some(preEvolve)))
+      === preRows, "pre-evolution versions read with THEIR spec")
+    // rename of the transform source rewrites the spec
+    SnapshotTable.renameColumn(spark, t, "ts", "event_ts")
+    val snap4 = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(graft.sources.SnapshotTable.partitionSpecOf(snap4)
+      .map(_.spec) === Seq("months(event_ts)"))
+    // the raw scan refuses column-mapped snapshots (honesty rule) —
+    // compact materializes the rename AND relabels through the spec
+    SnapshotTable.compact(spark, t)
+    val (sdf2, idx2) = SnapshotScan.scan(spark, t)
+    val aprCount = sdf2.filter(col("event_ts") >= java.sql.Timestamp
+      .from(java.time.Instant.parse("2024-04-01T00:00:00Z"))).count()
+    assert(aprCount === 0L)
+    assert(idx2.lastPlannedFiles === 0,
+      "an April predicate must prune every March file through months()")
+    // SQL CTAS with transforms, through the graft_dml surface
+    val t2 = freshTable("ptrans_sql")
+    df.createOrReplaceTempView("graft_ptrans_src")
+    GraftExtensions.register(spark)
+    spark.sql(s"""SELECT * FROM graft_dml("CREATE TABLE `$t2` """ +
+      """PARTITIONED BY (days(ts), bucket(4, k)) AS """ +
+      """SELECT * FROM graft_ptrans_src")""").collect()
+    val snapSql = SnapshotTable.readManifest(spark, t2, 1L)
+    assert(graft.sources.SnapshotTable.partitionSpecOf(snapSql)
+      .map(_.spec) === Seq("days(ts)", "bucket(4,k)"))
+    assert(sortedRows(SnapshotTable.read(spark, t2)) === sortedRows(df))
+    // DESCRIBE DETAIL surfaces the spec text
+    assert(SnapshotTable.detail(spark, t2).head()
+      .getAs[String]("partition_columns") === "days(ts),bucket(4,k)")
+  }
+
+  test("partition transform unit semantics: hours/months/years, " +
+      "truncate over strings and integers, null sources, and the " +
+      "monotonic range-pruning contract") {
+    import graft.sources.SnapshotScan
+    import spark.implicits._
+    // truncate over strings (prefix) and integers (floor multiple)
+    val ts1 = freshTable("ptrunc")
+    val sdf = (0 until 100).map(i =>
+      (i.toLong, f"key${i % 7}%02dtail$i", (i % 50) * 10L))
+      .toDF("k", "s", "n")
+    SnapshotTable.createPartitioned(spark, ts1,
+      sdf, Seq("truncate(5,s)", "truncate(100,n)"))
+    val snap = SnapshotTable.readManifest(spark, ts1, 1L)
+    val labels = snap.partitionOf.values.map(_.split(",", -1)
+      .map(x => java.net.URLDecoder.decode(x, "UTF-8")).toSeq).toSet
+    assert(labels.forall { case Seq(a, b) =>
+      a.matches("key\\d\\d") && b.toLong % 100 == 0 })
+    val (df1, idx1) = SnapshotScan.scan(spark, ts1)
+    assert(df1.filter(col("s") === "key03tail3").count() === 1L)
+    assert(idx1.lastPlannedFiles < snap.files.size,
+      "string-truncate equality must prune")
+    val nBig = df1.filter(col("n") >= 400L).count()
+    assert(nBig === sdf.filter(col("n") >= 400L).count())
+    assert(idx1.lastPlannedFiles < snap.files.size,
+      "integer-truncate range must prune (monotonic floor)")
+    // hours + years, and a NULL timestamp lands in the default
+    // partition without breaking value-predicate pruning
+    val th = freshTable("phours")
+    val b = java.time.Instant.parse("2023-06-15T00:00:00Z")
+    val hdf = ((0 until 48).map(i => (i.toLong, java.sql.Timestamp
+      .from(b.plusSeconds(i * 900L)))) :+
+      (99L, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("k", "ts")
+    SnapshotTable.createPartitioned(spark, th,
+      hdf, Seq("hours(ts)", "years(ts)"))
+    val hsnap = SnapshotTable.readManifest(spark, th, 1L)
+    val hlabels = hsnap.partitionOf.values.map(_.split(",", -1)(0))
+      .map(x => java.net.URLDecoder.decode(x, "UTF-8")).toSet
+    assert(hlabels.exists(_.matches("2023-06-15-\\d{2}")) &&
+      hlabels.exists(_ == "__HIVE_DEFAULT_PARTITION__"),
+      s"hour labels + null partition, got $hlabels")
+    val (hdf2, hidx) = SnapshotScan.scan(spark, th)
+    val in1h = hdf2.filter(col("ts") < java.sql.Timestamp.from(
+      b.plusSeconds(3600L))).count()
+    assert(in1h === 4L)
+    assert(hidx.lastPlannedFiles < hsnap.files.size,
+      "hour range must prune (and exclude the null partition)")
+    assert(hdf2.filter(col("ts").isNull).count() === 1L,
+      "the null row survives in the default partition")
+    // months over DATE sources
+    val tm = freshTable("pmonths")
+    val mdf = (0 until 90).map(i => (i.toLong, java.sql.Date.valueOf(
+      java.time.LocalDate.of(2022, 1, 1).plusDays(i * 3L))))
+      .toDF("k", "d")
+    SnapshotTable.createPartitioned(spark, tm, mdf, Seq("months(d)"))
+    val msnap = SnapshotTable.readManifest(spark, tm, 1L)
+    assert(msnap.partitionOf.values.toSet.forall(_.matches(
+      "2022-\\d{2}")), s"got ${msnap.partitionOf.values.toSet}")
+    val (mdf2, midx) = SnapshotScan.scan(spark, tm)
+    assert(mdf2.filter(col("d") === java.sql.Date.valueOf("2022-03-02"))
+      .count() === 1L)
+    assert(midx.lastPlannedFiles === 1,
+      "a date equality must prune to exactly its month")
+    // malformed specs and wrong source types fail loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.createPartitioned(spark, freshTable("pbad"),
+        sdf, Seq("days(s)"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.createPartitioned(spark, freshTable("pbad2"),
+        sdf, Seq("frobnicate(k)"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.createPartitioned(spark, freshTable("pbad3"),
+        sdf, Seq("bucket(0,k)"))
+    }
+  }
+
+  test("procedure TVFs are EXPLAIN-safe: EXPLAIN plans the call " +
+      "without running the verb; plain SELECT still executes it") {
+    import spark.implicits._
+    val t = freshTable("explainsafe")
+    SnapshotTable.create(spark, t,
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), numFiles = 4)
+    GraftExtensions.register(spark)
+    val v0 = SnapshotTable.currentVersion(spark, t)
+    // EXPLAIN over every side-effecting procedure: version unchanged
+    for (call <- Seq(
+      s"SELECT * FROM graft_optimize('$t')",
+      s"SELECT * FROM graft_maintain('$t')",
+      s"SELECT * FROM graft_restore('$t', 1)",
+      s"""SELECT * FROM graft_dml("DELETE FROM `$t` WHERE k = 1")""")) {
+      val planText = spark.sql(s"EXPLAIN EXTENDED $call")
+        .head().getString(0)
+      assert(planText.contains("GraftProcedureCommand"),
+        s"EXPLAIN must show the deferred procedure, got:\n$planText")
+      assert(SnapshotTable.currentVersion(spark, t) === v0,
+        s"EXPLAIN $call must not run the verb")
+    }
+    assert(SnapshotTable.read(spark, t).count() === 20L)
+    // plain invocation still executes and returns its report row
+    val r = spark.sql(s"SELECT * FROM graft_optimize('$t')").head()
+    assert(r.getLong(0) === v0 + 1 && r.getInt(1) === 4)
+    val d = spark.sql(
+      s"""SELECT * FROM graft_dml("DELETE FROM `$t` WHERE k = 1")""")
+      .head()
+    assert(d.getString(0) === "delete" && d.getLong(2) === 1L)
+    assert(SnapshotTable.read(spark, t).count() === 19L)
+    // restore executes too (and resolves its version at run time)
+    val rr = spark.sql(s"SELECT * FROM graft_restore('$t', ${v0 + 1})")
+      .head()
+    assert(rr.getLong(0) === v0 + 1)
+    assert(SnapshotTable.read(spark, t).count() === 20L)
   }
 }

@@ -1003,4 +1003,50 @@ class StreamingSuite extends AnyFunSuite {
     assert(batches.flatten.sorted === tail37,
       "fromTimestamp must start the feed after the resolved version")
   }
+
+  test("rate-capped change feed: the catch-up anchor persists in the " +
+      "checkpoint metadata dir, so a restart whose last batch was " +
+      "fully committed (no getBatch replay) cannot regress the offset") {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_anchor").toString
+    val tbl = s"$dir/src"
+    SnapshotTable.create(spark, tbl,
+      Seq((0L, "seed")).toDF("k", "v"), numFiles = 1) // v1
+    (1 to 4).foreach(i => SnapshotTable.append(spark, tbl,
+      Seq((i.toLong, s"r$i")).toDF("k", "v"))) // v2..v5
+    val schema = SnapshotTable.read(spark, tbl).schema
+      .add("change_type", org.apache.spark.sql.types.StringType)
+    // a prior run delivered and committed through v4, persisting its
+    // anchor, then stopped with nothing in flight
+    val meta = s"$dir/meta"
+    val mp = new org.apache.hadoop.fs.Path(meta, "graft-rate-anchor")
+    val hfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(mp, true)
+    out.write("4".getBytes("UTF-8")); out.close()
+    // the engine does NOT replay getBatch in that restart shape, so an
+    // in-memory-only anchor would sit at base: base+cap = 2 < the
+    // committed 4, and committing that regressed offset would re-emit
+    // (2, 4] later. The persisted anchor must win: first offer is v5.
+    val src = new org.apache.spark.sql.GraftChangeSource(spark, tbl,
+      1L, schema, Some(1L), None, Some(meta))
+    val off = src.getOffset
+    assert(off.isDefined && off.get.json.trim.toLong === 5L,
+      s"restart getOffset must resume from the persisted anchor, " +
+        s"got $off")
+    // a FRESH capped source (no anchor file yet) anchors at base —
+    // nothing is committed, so nothing can regress
+    val meta2 = s"$dir/meta2"
+    val src2 = new org.apache.spark.sql.GraftChangeSource(spark, tbl,
+      1L, schema, Some(1L), None, Some(meta2))
+    assert(src2.getOffset.get.json.trim.toLong === 2L)
+    // getBatch seats AND persists the anchor for the next restart
+    src2.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    val src3 = new org.apache.spark.sql.GraftChangeSource(spark, tbl,
+      1L, schema, Some(1L), None, Some(meta2))
+    assert(src3.getOffset.get.json.trim.toLong === 3L,
+      "the anchor written by getBatch must seed a restarted source")
+  }
 }
