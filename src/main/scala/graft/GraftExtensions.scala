@@ -93,6 +93,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_restore"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "graft_restore"),
       GraftExtensions.restoreTvf))
+    for ((n, f) <- Seq(
+      "graft_files" -> GraftExtensions.filesTvf,
+      "graft_branch" -> GraftExtensions.branchTvf,
+      "graft_refs" -> GraftExtensions.refsTvf,
+      "graft_create_branch" -> GraftExtensions.createBranchTvf,
+      "graft_publish_branch" -> GraftExtensions.publishBranchTvf,
+      "graft_drop_branch" -> GraftExtensions.dropBranchTvf,
+      "graft_create_tag" -> GraftExtensions.createTagTvf,
+      "graft_drop_tag" -> GraftExtensions.dropTagTvf))
+      e.injectTableFunction((FunctionIdentifier(n),
+        new ExpressionInfo(GraftExtensions.getClass.getName, n), f))
     // NATIVE DML on snapshot-table paths: Spark's grammar already
     // parses `UPDATE `/path` SET...` / `DELETE FROM` / `MERGE INTO`
     // into their catalyst plans; this rule intercepts the ones whose
@@ -707,6 +718,118 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_files('<table>'[, version])` — the FILES metadata relation
+    * (Iceberg's `t.files`): one row per live data file with bytes,
+    * recorded row count, and partition label. Metadata-tier.
+    */
+  val filesTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1 || args.size == 2,
+      s"graft_files(table[, version]) takes 1-2 arguments, got ${args.size}")
+    val spark = SparkSession.active
+    val table = litString(args.head, "graft_files table path")
+    val version =
+      if (args.size == 2) Some(versionArg(spark, table, args(1),
+        "graft_files"))
+      else None
+    graft.sources.SnapshotTable.filesOf(spark, table, version)
+      .queryExecution.logical
+  }
+
+  /** `graft_branch('<table>', '<name>')` — the branch HEAD as a SQL
+    * relation, isolated from main (read-only; splices the branch read
+    * plan like graft_snapshot splices the snapshot's).
+    */
+  val branchTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 2,
+      s"graft_branch(table, name) takes 2 arguments, got ${args.size}")
+    val spark = SparkSession.active
+    graft.sources.SnapshotTable.readBranch(spark,
+      litString(args.head, "graft_branch table path"),
+      litString(args(1), "graft_branch name"))
+      .queryExecution.logical
+  }
+
+  /** `graft_refs('<table>')` — live named refs: one row per branch
+    * (name, fork base, head sequence) and per tag (name, pinned
+    * version). Metadata-tier.
+    */
+  val refsTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1,
+      s"graft_refs(table) takes 1 argument, got ${args.size}")
+    val spark = SparkSession.active
+    val table = litString(args.head, "graft_refs table path")
+    import spark.implicits._
+    (graft.sources.SnapshotTable.branches(spark, table).map {
+      case (n, base, seq) => ("branch", n, base, Some(seq))
+    } ++ graft.sources.SnapshotTable.tags(spark, table).toSeq.sortBy(_._1)
+      .map { case (n, v) => ("tag", n, v, None) })
+      .toDF("ref_type", "name", "version", "head_seq")
+      .queryExecution.logical
+  }
+
+  /** Ref PROCEDURES — side-effecting, so each resolves to the
+    * EXPLAIN-safe deferred command like the other procedures:
+    * `graft_create_branch(t, name[, version])`,
+    * `graft_publish_branch(t, name)`, `graft_drop_branch(t, name)`,
+    * `graft_create_tag(t, name, version)`, `graft_drop_tag(t, name)`.
+    */
+  private def refProcedure(what: String, args: Seq[Expression],
+      arity: Range)(body: (SparkSession, String, String,
+        Option[Expression]) => Seq[org.apache.spark.sql.Row])
+      : LogicalPlan = {
+    require(arity.contains(args.size),
+      s"$what takes ${arity.min}-${arity.max} arguments, got ${args.size}")
+    val table = litString(args.head, s"$what table path")
+    val name = litString(args(1), s"$what ref name")
+    val extra = args.lift(2)
+    graft.sources.GraftProcedureCommand(what,
+      Seq("ref" -> org.apache.spark.sql.types.StringType,
+        "result" -> org.apache.spark.sql.types.LongType),
+      spark => body(spark, table, name, extra))
+  }
+
+  val createBranchTvf: Seq[Expression] => LogicalPlan = { args =>
+    refProcedure("graft_create_branch", args, 2 to 3) {
+      (spark, t, n, extra) =>
+        val from = extra.map(e => versionArg(spark, t, e,
+          "graft_create_branch"))
+        graft.sources.SnapshotTable.createBranch(spark, t, n, from)
+        Seq(org.apache.spark.sql.Row(n, from.getOrElse(
+          graft.sources.SnapshotTable.currentVersion(spark, t))))
+    }
+  }
+
+  val publishBranchTvf: Seq[Expression] => LogicalPlan = { args =>
+    refProcedure("graft_publish_branch", args, 2 to 2) {
+      (spark, t, n, _) =>
+        Seq(org.apache.spark.sql.Row(n,
+          graft.sources.SnapshotTable.publishBranch(spark, t, n)))
+    }
+  }
+
+  val dropBranchTvf: Seq[Expression] => LogicalPlan = { args =>
+    refProcedure("graft_drop_branch", args, 2 to 2) { (spark, t, n, _) =>
+      graft.sources.SnapshotTable.dropBranch(spark, t, n)
+      Seq(org.apache.spark.sql.Row(n, 0L))
+    }
+  }
+
+  val createTagTvf: Seq[Expression] => LogicalPlan = { args =>
+    refProcedure("graft_create_tag", args, 3 to 3) {
+      (spark, t, n, extra) =>
+        val v = versionArg(spark, t, extra.get, "graft_create_tag")
+        graft.sources.SnapshotTable.tagVersion(spark, t, n, v)
+        Seq(org.apache.spark.sql.Row(n, v))
+    }
+  }
+
+  val dropTagTvf: Seq[Expression] => LogicalPlan = { args =>
+    refProcedure("graft_drop_tag", args, 2 to 2) { (spark, t, n, _) =>
+      graft.sources.SnapshotTable.dropTag(spark, t, n)
+      Seq(org.apache.spark.sql.Row(n, 0L))
+    }
+  }
+
   /** `graft_history('<table>')` — the retained-version history
     * (DESCRIBE HISTORY shape) as a SQL relation: commit times, file
     * counts, manifest-diff churn per version, all metadata-tier.
@@ -831,5 +954,21 @@ object GraftExtensions {
       "graft_maintain", maintainTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,
       "graft_restore", restoreTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_files", filesTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_branch", branchTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_refs", refsTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_create_branch", createBranchTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_publish_branch", publishBranchTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_drop_branch", dropBranchTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_create_tag", createTagTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_drop_tag", dropTagTvf)
   }
 }

@@ -219,9 +219,25 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val byTs = parameters.get("timestampAsOf").map(t =>
       SnapshotTable.versionAtTimestamp(spark, table,
         SnapshotTable.parseTsMillis(spark, t)))
-    require(byVersion.isEmpty || byTs.isEmpty,
-      "pass versionAsOf OR timestampAsOf, not both")
-    GraftDataSource.relationFor(spark, table, byVersion.orElse(byTs))
+    // named refs: a TAG resolves to its pinned version (full FileIndex
+    // pruning path); a BRANCH reads its head manifest, isolated from
+    // main (the Iceberg/Delta `option("branch"/"tag", ...)` shape)
+    val byTag = parameters.get("tag").map { n =>
+      SnapshotTable.tags(spark, table).getOrElse(n.trim,
+        throw new IllegalArgumentException(s"no tag '$n' on $table"))
+    }
+    val pins = Seq("versionAsOf" -> byVersion, "timestampAsOf" -> byTs,
+      "tag" -> byTag, "branch" -> parameters.get("branch"))
+      .filter(_._2.isDefined)
+    require(pins.size <= 1, "pass at most ONE of versionAsOf / " +
+      s"timestampAsOf / tag / branch, got ${pins.map(_._1).mkString(", ")}")
+    parameters.get("branch") match {
+      case Some(b) =>
+        new GraftDataSource.BranchRelation(spark, table, b.trim,
+          SnapshotTable.branchSchemaOf(spark, table, b.trim))
+      case None => GraftDataSource.relationFor(spark, table,
+        byVersion.orElse(byTs).orElse(byTag))
+    }
   }
 
   /** Schema-supplied resolution. Bootstrapping an EMPTY table from the
@@ -597,6 +613,22 @@ object GraftDataSource {
     * in time, because compact() purges the vectors and the relation
     * class flips back.
     */
+  /** Branch reads through the provider (`option("branch", name)`):
+    * the head manifest is outside the main version chain, so the scan
+    * wraps [[SnapshotTable.readBranch]] the way DV-bearing snapshots
+    * wrap the anti-join read — correct always; manifest file-skipping
+    * above the scan does not apply to branch reads.
+    */
+  final class BranchRelation(spark: SparkSession, table: String,
+      branch: String, override val schema: StructType)
+      extends BaseRelation with TableScan {
+    override def sqlContext: SQLContext = spark.sqlContext
+    override def needConversion: Boolean = false
+    override def buildScan(): RDD[Row] =
+      SnapshotTable.readBranch(spark, table, branch)
+        .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
   final class DvRelation(spark: SparkSession, table: String,
       pinnedVersion: Long, override val schema: StructType)
       extends BaseRelation with TableScan {

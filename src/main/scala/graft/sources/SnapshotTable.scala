@@ -2762,10 +2762,10 @@ object SnapshotTable {
     sortCols.foreach(c => require(df.columns.contains(c),
       s"identity sort column $c is not in the frame " +
         s"(${df.columns.mkString(", ")})"))
-    partitionCols.foreach(c => require(df.columns.contains(c),
-      s"partition column $c is not in the frame " +
-        s"(${df.columns.mkString(", ")})"))
-    require(!partitionCols.exists(_.equalsIgnoreCase(idCol)),
+    // items may be transforms (days(ts), bucket(n, c), ...) — identity
+    // composes with hidden partitioning like with identity columns
+    val transforms = PartitionTransforms.parse(partitionCols, df.schema)
+    require(!transforms.exists(_.source.equalsIgnoreCase(idCol)),
       s"cannot partition by the identity column $idCol — its values " +
         "are assigned at commit, after the layout is chosen")
     val schema = StructType(
@@ -2775,7 +2775,12 @@ object SnapshotTable {
     val meta = Map("identityCol" -> idCol, "identityHwm" -> "0") ++
       (if (sortCols.isEmpty) Map.empty[String, String]
        else Map("identitySort" -> sortCols.map(enc).mkString(","))) ++
-      (partitionCols match {
+      (if (transforms.exists(!_.isIdentity))
+         Map("partitionSpec" ->
+           transforms.map(t => enc(t.spec)).mkString(","),
+           "partitionCols" ->
+             transforms.map(t => enc(t.source)).mkString(","))
+       else transforms.map(_.source) match {
         case Nil => Map.empty[String, String]
         case Seq(one) => Map("partitionCol" -> one)
         case many => Map("partitionCols" -> many.map(enc).mkString(","))
@@ -3737,7 +3742,20 @@ object SnapshotTable {
       .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toLong
       }.toVector.sorted
-    val (expire, keep) = split(versions)
+    // TAGS pin history: nothing at or after the OLDEST tagged version
+    // expires — the clamp keeps the expired set a contiguous PREFIX,
+    // so the retention-floor readability rule stays intact (a
+    // mid-history hole would read as FileNotFound instead of the
+    // floor's clear error). A forgotten tag therefore pins storage;
+    // dropTag releases it — the Iceberg refs-retention caveat.
+    val (expire, keep) = {
+      val (e0, _) = split(versions)
+      val e = tags(spark, table).values.minOption match {
+        case Some(oldestPin) => e0.takeWhile(_ < oldestPin)
+        case None => e0
+      }
+      (e, versions.drop(e.size))
+    }
     // staged WAP candidates keep their files live until published or
     // abandoned — expiry must not pull data out from under an audit
     val stagedLive = f.listStatus(dir).iterator.map(_.getPath)
@@ -3774,8 +3792,11 @@ object SnapshotTable {
     // manifest CAS, so it only goes once it has aged past the orphan
     // grace (the vacuumOrphans clock) — deleting it young would
     // corrupt that writer's commit.
+    // readManifestAt, NOT readManifest: an earlier expiry may have
+    // left chain-retained manifests BELOW the floor in the version
+    // list — the floor guard would throw on re-reading them here
     val expiredRefs = expire.flatMap { v =>
-      val m = readManifest(spark, table, v)
+      val m = readManifestAt(spark, table, manifestPath(table, v), v)
       m.files ++ m.deleteFiles
     }.toSet
     val orphanGraceCutoff = System.currentTimeMillis() - 3600000L
@@ -4065,6 +4086,249 @@ object SnapshotTable {
       token: String): Unit = {
     fs(spark, table).delete(stagedManifestPath(table, token), false)
     ()
+  }
+
+  // ---- Named refs: BRANCHES and TAGS over the manifest chain -------
+  //
+  // WAP generalized (Iceberg branches/tags, Nessie's shape at one-table
+  // scope): a BRANCH is a named, MULTI-commit staged line — each branch
+  // commit writes a full candidate manifest `staged-branch-<name>-s<k>
+  // .manifest`, so branch reads are isolated from main (version
+  // resolution only considers `v<N>.manifest`) and BOTH GC paths
+  // already treat the whole staged-* family as live. Publishing is a
+  // FAST-FORWARD: metadata-only (the branch's data batches were staged
+  // at write time), valid only while main still sits at the branch's
+  // fork base — a diverged main fails loudly and the caller re-branches.
+  // A TAG is an immutable named pin on a committed version
+  // (`tag-<name>.ref`): expiry clamps its aged prefix BELOW the oldest
+  // tag, so tagged history stays readable until the tag is dropped.
+
+  private def requireRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"ref names must be [A-Za-z0-9_]+, got '$name'")
+
+  private def branchManifestPath(table: String, name: String,
+      seq: Int): Path =
+    new Path(manifestDir(table), s"staged-branch-$name-s$seq.manifest")
+
+  private val BranchManifestRe =
+    """staged-branch-([A-Za-z0-9_]+)-s(\d+)\.manifest""".r
+
+  private def branchHeadSeq(spark: SparkSession, table: String,
+      name: String): Option[Int] = {
+    val f = fs(spark, table)
+    val dir = manifestDir(table)
+    if (!f.exists(dir)) return None
+    val seqs = f.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case BranchManifestRe(n, s) if n == name => s.toInt }
+      .toVector
+    if (seqs.isEmpty) None else Some(seqs.max)
+  }
+
+  private def branchSnapshot(spark: SparkSession, table: String,
+      name: String): (Snapshot, Int) = {
+    val seq = branchHeadSeq(spark, table, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch $name on $table"))
+    (readManifestAt(spark, table,
+      branchManifestPath(table, name, seq), -1L), seq)
+  }
+
+  /** Fork a named branch at `fromVersion` (default: current). The
+    * branch head starts as an exact copy of the base snapshot; commits
+    * to it never touch main.
+    */
+  def createBranch(spark: SparkSession, table: String, name: String,
+      fromVersion: Option[Long] = None): Unit = {
+    requireRefName(name)
+    require(branchHeadSeq(spark, table, name).isEmpty,
+      s"branch $name already exists on $table")
+    val v = fromVersion.getOrElse(currentVersion(spark, table))
+    require(v >= 1, s"$table has no committed snapshot to branch from")
+    val snap = readManifest(spark, table, v)
+    val f = fs(spark, table)
+    val out = f.create(branchManifestPath(table, name, 0), false)
+    try out.write(renderManifest(snap.schema, snap.files,
+      snap.meta + ("branchBase" -> v.toString) + ("branchName" -> name),
+      snap.partitionOf, snap.statsOf, snap.deleteFiles, snap.extraOf))
+    finally out.close()
+  }
+
+  /** The branch head as a DataFrame — isolated from main. */
+  def readBranch(spark: SparkSession, table: String,
+      name: String): DataFrame = {
+    val (snap, _) = branchSnapshot(spark, table, name)
+    readFilesDv(spark, table, snap, snap.files)
+  }
+
+  /** The branch head's schema (the provider's `option("branch", …)`
+    * relation needs it before any scan builds).
+    */
+  private[sources] def branchSchemaOf(spark: SparkSession,
+      table: String, name: String): StructType =
+    branchSnapshot(spark, table, name)._1.schema
+
+  /** Commit an append to the branch: data batches stage through the
+    * SAME layout-aware path as main commits (partition labels, bucket
+    * tags, stats, constraints all enforced), the new head manifest
+    * commits with the create-no-overwrite CAS — two racing branch
+    * writers produce one winner and one clean failure, like main.
+    * Returns the new head sequence.
+    */
+  def appendToBranch(spark: SparkSession, table: String, name: String,
+      df: DataFrame): Int = {
+    val (snap, seq) = branchSnapshot(spark, table, name)
+    val (rows, metaUp) = identityFor(snap, df)
+    val (files, labels, stats, extras) = stageFor(snap, rows, table)
+    val next = seq + 1
+    val f = fs(spark, table)
+    val out = f.create(branchManifestPath(table, name, next), false)
+    try out.write(renderManifest(snap.schema, snap.files ++ files,
+      snap.meta ++ metaUp, snap.partitionOf ++ labels,
+      snap.statsOf ++ stats, snap.deleteFiles, snap.extraOf ++ extras))
+    finally out.close()
+    next
+  }
+
+  /** FAST-FORWARD publish: promote the branch head to main's next
+    * version — metadata-only (one manifest commit; every data byte was
+    * staged at branch-commit time and branch audits read exactly those
+    * files). Requires main to still sit at the fork base: a commit
+    * that landed after the fork would be silently dropped by a
+    * fast-forward, so divergence fails loudly (not retryable — the
+    * caller re-branches from the new base and re-applies). The branch
+    * is consumed by its publish.
+    */
+  def publishBranch(spark: SparkSession, table: String,
+      name: String): Long = {
+    val (snap, _) = branchSnapshot(spark, table, name)
+    val base = snap.meta.getOrElse("branchBase",
+      throw new IllegalStateException(
+        s"branch $name on $table carries no branchBase")).toLong
+    val cur = currentVersion(spark, table)
+    if (cur != base)
+      throw new IllegalStateException(
+        s"fast-forward conflict at $table: branch $name forked at " +
+          s"v$base but main is at v$cur; re-branch from the current " +
+          "version and re-apply")
+    val v = commitManifest(spark, table, snap.schema, snap.files, base,
+      snap.meta - "branchBase" - "branchName",
+      snap.partitionOf, snap.statsOf, snap.deleteFiles,
+      Some(readManifest(spark, table, base)), snap.extraOf)
+    dropBranch(spark, table, name)
+    v
+  }
+
+  /** Drop a branch: its manifests go; its staged batches become
+    * ordinary aged-orphan candidates for [[vacuumOrphans]].
+    */
+  def dropBranch(spark: SparkSession, table: String,
+      name: String): Unit = {
+    requireRefName(name)
+    val f = fs(spark, table)
+    branchHeadSeq(spark, table, name).foreach { head =>
+      (0 to head).foreach(k =>
+        f.delete(branchManifestPath(table, name, k), false))
+    }
+  }
+
+  /** Live branches: (name, fork base version, head sequence). */
+  def branches(spark: SparkSession, table: String)
+      : Seq[(String, Long, Int)] = {
+    val f = fs(spark, table)
+    val dir = manifestDir(table)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case BranchManifestRe(n, s) => n -> s.toInt }
+      .toVector.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (n, seqs) =>
+        val head = seqs.map(_._2).max
+        val snap = readManifestAt(spark, table,
+          branchManifestPath(table, n, head), -1L)
+        (n, snap.meta.getOrElse("branchBase", "-1").toLong, head)
+      }
+  }
+
+  private def tagPath(table: String, name: String): Path =
+    new Path(manifestDir(table), s"tag-$name.ref")
+
+  /** Pin `version` under an immutable name. Expiry keeps everything
+    * from the OLDEST tag forward readable until the tag is dropped.
+    */
+  def tagVersion(spark: SparkSession, table: String, name: String,
+      version: Long): Unit = {
+    requireRefName(name)
+    require(version >= retentionFloor(spark, table) &&
+      version <= currentVersion(spark, table),
+      s"cannot tag v$version of $table: outside the readable range")
+    readManifest(spark, table, version) // must resolve
+    val f = fs(spark, table)
+    val p = tagPath(table, name)
+    require(!f.exists(p),
+      s"tag $name already exists on $table — tags are immutable; " +
+        "dropTag first")
+    val out = f.create(p, false)
+    try out.write(version.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** All tags: name -> pinned version. */
+  def tags(spark: SparkSession, table: String): Map[String, Long] = {
+    val f = fs(spark, table)
+    val dir = manifestDir(table)
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).iterator.map(_.getPath)
+      .filter(p => p.getName.startsWith("tag-") &&
+        p.getName.endsWith(".ref"))
+      .flatMap { p =>
+        val in = f.open(p)
+        val v = try new String(in.readAllBytes(), "UTF-8").trim
+          finally in.close()
+        scala.util.Try(v.toLong).toOption.map(
+          p.getName.stripPrefix("tag-").stripSuffix(".ref") -> _)
+      }.toMap
+  }
+
+  def readTag(spark: SparkSession, table: String,
+      name: String): DataFrame = {
+    val v = tags(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag $name on $table"))
+    read(spark, table, Some(v))
+  }
+
+  def dropTag(spark: SparkSession, table: String, name: String): Unit = {
+    requireRefName(name)
+    fs(spark, table).delete(tagPath(table, name), false)
+    ()
+  }
+
+  /** The FILES metadata relation (Iceberg's `t.files` shape): one row
+    * per live data file — manifest-relative path, on-disk bytes,
+    * recorded row count (when the stats-tracking writer recorded one),
+    * and the partition label tuple. Metadata-tier: one manifest read +
+    * one batched listStatus per batch dir, zero data IO — the
+    * observability surface a 100 TB operator reaches for before any
+    * OPTIMIZE decision (file-size skew, partition balance).
+    */
+  def filesOf(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val snap = version match {
+      case Some(v) => readManifest(spark, table, v)
+      case None => loadCurrent(spark, table)
+    }
+    val f = fs(spark, table)
+    val byDir = snap.files.groupBy(r =>
+      r.split('/').dropRight(1).mkString("/"))
+    val sizes: Map[String, Long] = byDir.keys.flatMap { dir =>
+      f.listStatus(new Path(table, dir)).iterator.filter(_.isFile)
+        .map(st => s"$dir/${st.getPath.getName}" -> st.getLen)
+    }.toMap
+    import spark.implicits._
+    snap.files.map { file =>
+      (file, sizes.getOrElse(file, -1L),
+        snap.extraOf.get(file).flatMap(_.get("rows"))
+          .flatMap(s => scala.util.Try(s.toLong).toOption),
+        snap.partitionOf.get(file))
+    }.toDF("file", "size_bytes", "rows", "partition")
   }
 
   /** Merge-on-read UPDATE: vector-delete the matched rows' positions
@@ -4524,19 +4788,25 @@ object SnapshotTable {
       val ev = graft.Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      createPartitioned(s, t, ev, Seq("days(ts)", "bucket(8,user_id)"))
+      // days(ts) alone here: one file per day keeps the lifecycle's
+      // file count ∝ days (the bucket(n,c) composition is exercised —
+      // with plan audits — by q_table_bucket_compose and the suite)
+      createPartitioned(s, t, ev, Seq("days(ts)"))
       // a shifted tail lands in NEW day partitions a year out
       append(s, t, ev.filter(col("event_id") % 50 === 0)
         .select((col("event_id") + 10000000L).as("event_id"),
           (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"),
           col("user_id"), col("event_type"), col("value")))
-      // delete prunes through days(): only day-2 files rewrite
+      // both mutations prune through days(): only the named days'
+      // files rewrite
       deleteWhere(s, t,
         col("ts") >= lit("2024-01-02").cast("timestamp") &&
         col("ts") < lit("2024-01-03").cast("timestamp") &&
         col("event_type") === "click")
-      // update prunes through bucket(): only user 7's bucket rewrites
-      updateWhere(s, t, col("user_id") === 7L,
+      updateWhere(s, t,
+        col("ts") >= lit("2024-02-01").cast("timestamp") &&
+        col("ts") < lit("2024-02-08").cast("timestamp") &&
+        col("user_id") === 7L,
         Map("value" -> (col("value") + 100)))
       read(s, t).orderBy(col("event_id").asc_nulls_first)
     }),
@@ -5178,7 +5448,9 @@ object SnapshotTable {
         |    event_type, value
         |  FROM events WHERE event_id % 50 = 0)
         |SELECT event_id, ts, user_id, event_type,
-        |  CASE WHEN user_id = 7 THEN value + 100 ELSE value END AS value
+        |  CASE WHEN ts >= TIMESTAMP '2024-02-01'
+        |    AND ts < TIMESTAMP '2024-02-08' AND user_id = 7
+        |    THEN value + 100 ELSE value END AS value
         |FROM base
         |WHERE NOT (ts >= TIMESTAMP '2024-01-02'
         |  AND ts < TIMESTAMP '2024-01-03' AND event_type = 'click')

@@ -102,7 +102,13 @@ object ScaleAudit {
     // creates + a mutation rewrite + the exchange-free join) — the
     // bucket shuffles at create are ∝ data, the join is ∝ data with
     // NO exchange, so the whole lifecycle must stay linear
-    "q_table_bucket_join")
+    "q_table_bucket_join",
+    // round 17: hidden partitioning (transform-label staging + pruned
+    // mutations must stay ∝ data; the label derivation is one codegen
+    // projection inside the staging shuffle) and the composed
+    // partition × bucket layout (one shuffle stages both, mutations
+    // relabel AND re-bucket, the final agg is exchange-free)
+    "q_table_partition_transform", "q_table_bucket_compose")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0

@@ -3831,6 +3831,16 @@ class SnapshotSuite extends AnyFunSuite {
       .count() === 1L)
     assert(midx.lastPlannedFiles === 1,
       "a date equality must prune to exactly its month")
+    // identity composes with hidden partitioning: ids assigned
+    // globally first, then the assigned rows stage through the spec
+    val ti = freshTable("pident")
+    SnapshotTable.createWithIdentity(spark, ti, mdf, idCol = "id",
+      partitionCols = Seq("months(d)"))
+    val isnap = SnapshotTable.readManifest(spark, ti, 1L)
+    assert(isnap.meta("partitionSpec").contains("months"))
+    assert(SnapshotTable.read(spark, ti).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === (1L to 90L),
+      "dense gap-free ids across transform partitions")
     // malformed specs and wrong source types fail loudly
     intercept[IllegalArgumentException] {
       SnapshotTable.createPartitioned(spark, freshTable("pbad"),
@@ -3881,5 +3891,138 @@ class SnapshotSuite extends AnyFunSuite {
       .head()
     assert(rr.getLong(0) === v0 + 1)
     assert(SnapshotTable.read(spark, t).count() === 20L)
+  }
+
+  test("branches and tags: branch reads are isolated from main, " +
+      "publish is a metadata-only fast-forward that fails loudly on " +
+      "divergence, and both GC paths respect live refs") {
+    import spark.implicits._
+    val t = freshTable("refs")
+    SnapshotTable.create(spark, t,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), numFiles = 2)
+    SnapshotTable.append(spark, t,
+      (11L to 15L).map(k => (k, s"v$k")).toDF("k", "v")) // v2
+    val mainRows = SnapshotTable.read(spark, t).count()
+    // branch: two commits, fully isolated from main
+    SnapshotTable.createBranch(spark, t, "exp")
+    SnapshotTable.appendToBranch(spark, t, "exp",
+      Seq((100L, "b1")).toDF("k", "v"))
+    SnapshotTable.appendToBranch(spark, t, "exp",
+      Seq((101L, "b2")).toDF("k", "v"))
+    assert(SnapshotTable.readBranch(spark, t, "exp").count()
+      === mainRows + 2)
+    assert(SnapshotTable.read(spark, t).count() === mainRows,
+      "branch commits must be invisible on main")
+    assert(SnapshotTable.currentVersion(spark, t) === 2L)
+    assert(SnapshotTable.branches(spark, t) === Seq(("exp", 2L, 2)))
+    // GC with a live branch: expiry + vacuum keep the branch's batches
+    SnapshotTable.expireSnapshots(spark, t, keepLast = 1)
+    assert(SnapshotTable.vacuumOrphans(spark, t, graceMs = 0L) === 0,
+      "a live branch's staged batches are not orphans")
+    assert(SnapshotTable.readBranch(spark, t, "exp").count()
+      === mainRows + 2)
+    // divergence: a main commit after the fork fails the fast-forward
+    SnapshotTable.append(spark, t, Seq((200L, "m")).toDF("k", "v")) // v3
+    intercept[IllegalStateException] {
+      SnapshotTable.publishBranch(spark, t, "exp")
+    }
+    SnapshotTable.dropBranch(spark, t, "exp")
+    assert(SnapshotTable.branches(spark, t).isEmpty)
+    // re-branch from the new base; publish is METADATA-ONLY: the
+    // branch batches' files exist before publish and the published
+    // manifest lists exactly them
+    SnapshotTable.createBranch(spark, t, "exp2")
+    SnapshotTable.appendToBranch(spark, t, "exp2",
+      Seq((300L, "p")).toDF("k", "v"))
+    val preFiles = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t)).files.toSet
+    val hfs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = SnapshotTable.publishBranch(spark, t, "exp2")
+    val pub = SnapshotTable.readManifest(spark, t, v)
+    assert(pub.files.toSet.size === preFiles.size + 1)
+    assert(pub.files.forall(f =>
+      hfs.exists(new org.apache.hadoop.fs.Path(t, f))))
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("k") === 300L).count() === 1L)
+    assert(SnapshotTable.branches(spark, t).isEmpty,
+      "publish consumes the branch")
+    // TAGS pin history through expiry
+    val tagged = SnapshotTable.currentVersion(spark, t)
+    SnapshotTable.tagVersion(spark, t, "release", tagged)
+    // provider read options: a tag resolves to its pinned version, a
+    // branch reads its head isolated from main, combinations reject
+    SnapshotTable.createBranch(spark, t, "viaopt")
+    SnapshotTable.appendToBranch(spark, t, "viaopt",
+      Seq((500L, "bb")).toDF("k", "v"))
+    assert(spark.read.format("graft").option("branch", "viaopt")
+      .load(t).filter(col("k") === 500L).count() === 1L)
+    assert(spark.read.format("graft").option("branch", "viaopt")
+      .load(t).count() === SnapshotTable.read(spark, t).count() + 1)
+    assert(spark.read.format("graft").option("tag", "release")
+      .load(t).count() ===
+      SnapshotTable.read(spark, t, Some(tagged)).count())
+    intercept[Exception] {
+      spark.read.format("graft").option("tag", "release")
+        .option("branch", "viaopt").load(t).count()
+    }
+    SnapshotTable.dropBranch(spark, t, "viaopt")
+    SnapshotTable.append(spark, t, Seq((400L, "x")).toDF("k", "v"))
+    SnapshotTable.append(spark, t, Seq((401L, "y")).toDF("k", "v"))
+    SnapshotTable.expireSnapshots(spark, t, keepLast = 1)
+    assert(SnapshotTable.readTag(spark, t, "release")
+      .filter(col("k") === 300L).count() === 1L,
+      "a tagged version must survive expiry")
+    assert(SnapshotTable.tags(spark, t) === Map("release" -> tagged))
+    intercept[IllegalArgumentException] { // immutable
+      SnapshotTable.tagVersion(spark, t, "release", tagged)
+    }
+    // dropping the tag releases the pin: the next expiry collapses it
+    SnapshotTable.dropTag(spark, t, "release")
+    SnapshotTable.expireSnapshots(spark, t, keepLast = 1)
+    intercept[Exception] {
+      SnapshotTable.read(spark, t, Some(tagged)).count()
+    }
+  }
+
+  test("ref + files SQL surface: graft_files/graft_refs/graft_branch " +
+      "relations, EXPLAIN-safe ref procedures") {
+    import spark.implicits._
+    val t = freshTable("refsql")
+    SnapshotTable.createClustered(spark, t,
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "k", numFiles = 4)
+    GraftExtensions.register(spark)
+    // files metadata relation: one row per live file, bytes + rows +
+    // labels, metadata-tier
+    val files = spark.sql(s"SELECT * FROM graft_files('$t')").collect()
+    assert(files.length === 4)
+    assert(files.forall(r => r.getLong(1) > 0L && r.getLong(2) === 10L),
+      s"bytes and recorded row counts per file, got ${files.toSeq}")
+    // procedures: create branch, commit to it via the Scala verb,
+    // inspect refs, publish — EXPLAIN runs nothing
+    spark.sql(s"SELECT * FROM graft_create_branch('$t', 'exp')").collect()
+    SnapshotTable.appendToBranch(spark, t, "exp",
+      Seq((100L, "b")).toDF("k", "v"))
+    spark.sql(s"SELECT * FROM graft_create_tag('$t', 'rel', 1)").collect()
+    val refs = spark.sql(s"SELECT * FROM graft_refs('$t')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSet === Set(("branch", "exp", 1L), ("tag", "rel", 1L)))
+    assert(spark.sql(s"SELECT * FROM graft_branch('$t', 'exp')")
+      .count() === 41L)
+    val v0 = SnapshotTable.currentVersion(spark, t)
+    val ex = spark.sql(
+      s"EXPLAIN SELECT * FROM graft_publish_branch('$t', 'exp')")
+      .head().getString(0)
+    assert(ex.contains("GraftProcedureCommand") &&
+      SnapshotTable.currentVersion(spark, t) === v0 &&
+      SnapshotTable.branches(spark, t).nonEmpty,
+      "EXPLAIN must not publish")
+    val pub = spark.sql(
+      s"SELECT * FROM graft_publish_branch('$t', 'exp')").head()
+    assert(pub.getString(0) === "exp" && pub.getLong(1) === v0 + 1)
+    assert(SnapshotTable.read(spark, t).count() === 41L)
+    spark.sql(s"SELECT * FROM graft_drop_tag('$t', 'rel')").collect()
+    assert(spark.sql(s"SELECT * FROM graft_refs('$t')").count() === 0L)
   }
 }
