@@ -157,8 +157,29 @@ class SnapshotFileIndex(spark: SparkSession, table: String,
                         (!hi || cmpLe(label, tl)))) return false
                   // non-monotonic (bucket) range: no partition verdict
                 }
-              case _ => // identity: exact-equality pruning, as before
-                if (lo && hi) return label == v
+              case _ =>
+                // identity: exact-equality pruning — but the literal
+                // must render in the SAME domain the label was derived
+                // in. Labels come from cast-to-string at staging;
+                // render() emits epoch MICROS for TimestampType, so
+                // comparing cross-domain would silently exclude every
+                // matching file. Catalyst's Cast with the session
+                // timezone IS the staging derivation — render the
+                // timestamp literal through it.
+                if (lo && hi) {
+                  val lv =
+                    if (l.dataType ==
+                        org.apache.spark.sql.types.TimestampType)
+                      org.apache.spark.sql.catalyst.expressions.Cast(l,
+                        org.apache.spark.sql.types.StringType,
+                        Some(org.apache.spark.sql.internal.SQLConf.get
+                          .sessionLocalTimeZone)).eval() match {
+                        case null => null
+                        case s => s.toString
+                      }
+                    else v
+                  if (lv != null) return label == lv
+                }
             }
           }
       }

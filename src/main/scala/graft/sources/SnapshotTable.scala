@@ -2204,6 +2204,16 @@ object SnapshotTable {
       require(!snap.meta.get("partitionCol").contains(name) &&
         !partitionColsOf(snap).contains(name),
         s"cannot drop partition column $name")
+      // bucket membership guards like partition membership: dropping a
+      // bucket (or within-bucket sort) column would leave the manifest
+      // declaring a BucketSpec over a nonexistent column, breaking
+      // every subsequent scan — rebucketTable is the evolution verb
+      require(!bucketSpecOf(snap).exists(_._1.contains(name)),
+        s"cannot drop bucket column $name — rebucket first " +
+          "(rebucketTable)")
+      require(!bucketSortOf(snap).contains(name),
+        s"cannot drop bucket-sort column $name — rebucket first " +
+          "(rebucketTable)")
       requireUnconstrained(snap, name, "drop")
     }
     require(snap.schema.length > distinct.size,
@@ -2638,6 +2648,15 @@ object SnapshotTable {
           ("partitionCols" -> sources.map(enc).mkString(","))
       else sources match {
         case Nil => newMeta0
+        // a BUCKETED table must carry `partitionCols` even for one
+        // identity column: stageFor's partition × bucket composed
+        // branch (and partValuesOf's label decode) key on
+        // partitionCols/partitionSpec — the legacy bare key would
+        // stage partition-only files with NO bucket tags under a
+        // manifest that still declares a BucketSpec ("Invalid bucket
+        // file" on the next bucketed scan)
+        case Seq(one) if bucketSpecOf(snap).isDefined =>
+          newMeta0 + ("partitionCols" -> enc(one))
         case Seq(one) => newMeta0 + ("partitionCol" -> one)
         case many =>
           newMeta0 + ("partitionCols" -> many.map(enc).mkString(","))
@@ -2681,7 +2700,18 @@ object SnapshotTable {
       s"numBuckets must be in [1, 100000], got $numBuckets")
     val sorts = if (sortCols.nonEmpty) sortCols else bucketSortOf(snap)
     val df = readFilesDv(spark, table, snap, snap.files)
-    val newMeta = (snap.meta - "bucketCol" - "bucketSort" - "colmap" -
+    // a table carrying the legacy single `partitionCol` key upgrades
+    // to `partitionCols` here: the bucket layout being introduced (or
+    // rewritten) stages through the partition × bucket composed branch,
+    // which keys on partitionCols/partitionSpec and writes enc'd
+    // composite labels — leaving the bare key would stage partition
+    // files with no bucket tags under a manifest declaring a BucketSpec
+    val meta0 = snap.meta.get("partitionCol") match {
+      case Some(pc) =>
+        (snap.meta - "partitionCol") + ("partitionCols" -> enc(pc))
+      case None => snap.meta
+    }
+    val newMeta = (meta0 - "bucketCol" - "bucketSort" - "colmap" -
       "droppedCols") +
       ("bucketCols" -> cols.map(enc).mkString(",")) +
       ("bucketN" -> numBuckets.toString) ++

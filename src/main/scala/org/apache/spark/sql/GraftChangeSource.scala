@@ -78,9 +78,14 @@ final class GraftChangeSource(spark: SparkSession, table: String,
       else {
         val in = f.open(p)
         try {
+          // read to EOF — a single read() may return fewer bytes than
+          // available on Hadoop streams, and parsing a truncated number
+          // ("12" -> "1") silently under-anchors
+          val bos = new java.io.ByteArrayOutputStream(64)
           val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+          var n = in.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(bos.toByteArray, "UTF-8").trim.toLong)
         } finally in.close()
       }
     } catch { case _: Exception => None } // unreadable/torn -> replay path
@@ -89,8 +94,19 @@ final class GraftChangeSource(spark: SparkSession, table: String,
   private def persistAnchor(v: Long): Unit = anchorFile.foreach { p =>
     try {
       val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val out = f.create(p, true)
+      // tmp + rename (the manifest-commit discipline): an in-place
+      // overwrite torn mid-write leaves an unparseable anchor, and on
+      // a restart whose last batch WAS committed (no getBatch replay
+      // to re-seat lastEnd) the source would re-anchor at `base` and
+      // re-emit delivered versions
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      if (!f.rename(tmp, p)) { // rename-over-existing (local FS): swap
+        f.delete(p, false)
+        if (!f.rename(tmp, p)) f.delete(tmp, false)
+      }
     } catch { case _: Exception => () } // best-effort; replay recovers
   }
 

@@ -4025,4 +4025,103 @@ class SnapshotSuite extends AnyFunSuite {
     spark.sql(s"SELECT * FROM graft_drop_tag('$t', 'rel')").collect()
     assert(spark.sql(s"SELECT * FROM graft_refs('$t')").count() === 0L)
   }
+
+  test("bucket layout survives repartitionTable to ONE identity " +
+      "column, and rebucketTable upgrades legacy partitionCol meta — " +
+      "staged files stay bucket-tagged under the declared BucketSpec") {
+    val t = freshTable("bucket_repart1")
+    SnapshotTable.createBucketed(spark, t, orders, "o_orderkey", 4)
+    val preRows = sortedRows(SnapshotTable.read(spark, t))
+    // evolve to a SINGLE identity partition column: the table is
+    // bucketed, so the meta must come out as `partitionCols` (the
+    // composed staging branch keys on it) — the legacy bare key would
+    // stage partition files with NO bucket tags under a manifest that
+    // still declares a BucketSpec
+    SnapshotTable.repartitionTable(spark, t, Seq("o_orderstatus"))
+    val snap = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap.meta.contains("partitionCols") &&
+      !snap.meta.contains("partitionCol"),
+      s"bucketed tables must carry partitionCols even for one " +
+        s"identity column, got ${snap.meta.keys}")
+    assert(snap.meta("bucketN") === "4")
+    assert(snap.files.forall(_.matches(""".*_\d{5}(\.[A-Za-z0-9]+)*\.parquet""")),
+      s"every staged file must carry its bucket tag: " +
+        s"${snap.files.filterNot(_.matches(""".*_\d{5}(\.[A-Za-z0-9]+)*\.parquet""")).take(3)}")
+    assert(sortedRows(SnapshotTable.read(spark, t)) === preRows)
+    // appends after the evolution stay composed (labels AND tags)
+    SnapshotTable.append(spark, t, orders.limit(5))
+    val snap2 = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap2.files.forall(_.matches(""".*_\d{5}(\.[A-Za-z0-9]+)*\.parquet""")))
+    assert(SnapshotTable.read(spark, t).count() === preRows.size + 5L)
+
+    // legacy single-partitionCol table gaining buckets: rebucketTable
+    // must upgrade the meta key so the same composed branch fires
+    val t2 = freshTable("bucket_legacy_up")
+    SnapshotTable.createPartitioned(spark, t2, orders, "o_orderstatus")
+    val pre2 = sortedRows(SnapshotTable.read(spark, t2))
+    SnapshotTable.rebucketTable(spark, t2, 4, Seq("o_orderkey"))
+    val snap3 = SnapshotTable.readManifest(spark, t2,
+      SnapshotTable.currentVersion(spark, t2))
+    assert(snap3.meta.contains("partitionCols") &&
+      !snap3.meta.contains("partitionCol"),
+      s"rebucketTable must upgrade partitionCol meta, got " +
+        s"${snap3.meta.keys}")
+    assert(snap3.files.forall(_.matches(""".*_\d{5}(\.[A-Za-z0-9]+)*\.parquet""")))
+    assert(sortedRows(SnapshotTable.read(spark, t2)) === pre2)
+    // partition pruning still holds under the upgraded (enc'd) labels
+    val want = orders.filter(col("o_orderstatus") === "F").count()
+    assert(SnapshotTable.readWhere(spark, t2,
+      Map("o_orderstatus" -> Set("F"))).count() === want)
+  }
+
+  test("TIMESTAMP identity-partition equality must not silently " +
+      "exclude files: the label is cast-to-string, the literal " +
+      "renders as epoch micros — no cross-domain partition verdict; " +
+      "stats (min==max per identity partition) still prune") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val df = (0 until 6).map(i => (i.toLong,
+      java.sql.Timestamp.from(base.plusSeconds(i / 2 * 86400L))))
+      .toDF("k", "ts")
+    val t = freshTable("ts_ident_part")
+    SnapshotTable.createPartitioned(spark, t, df, "ts")
+    val nFiles = SnapshotTable.readManifest(spark, t, 1L).files.size
+    assert(nFiles === 3, s"one file per day expected, got $nFiles")
+    val (sdf, idx) = graft.sources.SnapshotScan.scan(spark, t)
+    val day2 = java.sql.Timestamp.from(base.plusSeconds(86400L))
+    val got = sdf.filter(col("ts") === day2).count()
+    assert(got === 2L,
+      s"equality on a timestamp identity partition lost rows: $got")
+    assert(idx.lastPlannedFiles === 1,
+      s"the label-domain partition verdict must prune to the one " +
+        s"matching day, planned ${idx.lastPlannedFiles} of $nFiles")
+    // the plain table read agrees (no pruning layer involved)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("ts") === day2).count() === 2L)
+  }
+
+  test("dropColumns guards bucket and bucket-sort columns like " +
+      "partition columns — and the multi-drop pre-flight never " +
+      "half-applies") {
+    val t = freshTable("drop_bucket_guard")
+    SnapshotTable.createBucketed(spark, t, orders, Seq("o_orderkey"), 4,
+      Seq("o_totalprice"), Nil)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, t, "o_orderkey")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, t, "o_totalprice")
+    }
+    val v = SnapshotTable.currentVersion(spark, t)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumns(spark, t,
+        Seq("o_orderstatus", "o_orderkey"))
+    }
+    assert(SnapshotTable.currentVersion(spark, t) === v,
+      "a failed multi-drop must leave the version untouched")
+    // the scan still plans (the BucketSpec names live columns)
+    assert(SnapshotTable.read(spark, t).count() === orders.count())
+  }
 }

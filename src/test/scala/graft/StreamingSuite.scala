@@ -1049,4 +1049,54 @@ class StreamingSuite extends AnyFunSuite {
     assert(src3.getOffset.get.json.trim.toLong === 3L,
       "the anchor written by getBatch must seed a restarted source")
   }
+
+  test("rate-anchor writes are atomic: tmp+rename replaces an existing " +
+      "anchor with no residue, rewrites advance it in place, and a " +
+      "corrupt (torn) anchor degrades to the replay path, not a crash") {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_anchor_atomic").toString
+    val tbl = s"$dir/src"
+    SnapshotTable.create(spark, tbl,
+      Seq((0L, "seed")).toDF("k", "v"), numFiles = 1) // v1
+    (1 to 3).foreach(i => SnapshotTable.append(spark, tbl,
+      Seq((i.toLong, s"r$i")).toDF("k", "v"))) // v2..v4
+    val schema = SnapshotTable.read(spark, tbl).schema
+      .add("change_type", org.apache.spark.sql.types.StringType)
+    val meta = s"$dir/meta"
+    val src = new org.apache.spark.sql.GraftChangeSource(spark, tbl,
+      1L, schema, Some(1L), None, Some(meta))
+    // two getBatch calls: the second REPLACES the existing anchor file
+    // (rename-over-existing on the local FS takes the delete+rename
+    // fallback) — the final contents must be the latest version and no
+    // .tmp- residue may remain in the metadata dir
+    src.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    src.getBatch(Some(LongOffset(2L)), LongOffset(3L))
+    val mp = new org.apache.hadoop.fs.Path(meta, "graft-rate-anchor")
+    val hfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = hfs.open(mp)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(body.trim === "3",
+      s"anchor must hold the latest delivered version, got '$body'")
+    val residue = hfs.listStatus(new org.apache.hadoop.fs.Path(meta))
+      .map(_.getPath.getName).filter(_.contains(".tmp-"))
+    assert(residue.isEmpty,
+      s"tmp files must be renamed away, found ${residue.mkString(",")}")
+    // a restart seeds from the replaced anchor
+    val src2 = new org.apache.spark.sql.GraftChangeSource(spark, tbl,
+      1L, schema, Some(1L), None, Some(meta))
+    assert(src2.getOffset.get.json.trim.toLong === 4L)
+    // torn/corrupt anchor (unparseable bytes): loadAnchor must return
+    // None — the source degrades to the base anchor (engine-replay
+    // recovery), never throws
+    val out = hfs.create(mp, true)
+    out.write(Array[Byte](0x7f, 0x00, 0x42)); out.close()
+    val src3 = new org.apache.spark.sql.GraftChangeSource(spark, tbl,
+      1L, schema, Some(1L), None, Some(meta))
+    assert(src3.getOffset.get.json.trim.toLong === 2L,
+      "a corrupt anchor must fall back to base+cap (replay path)")
+  }
 }
