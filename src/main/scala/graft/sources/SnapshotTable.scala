@@ -242,11 +242,20 @@ object SnapshotTable {
     }
   }
 
-  private def loadCurrent(spark: SparkSession, table: String): Snapshot = {
-    val v = currentVersion(spark, table)
-    require(v > 0, s"no committed snapshot at $table")
-    readManifest(spark, table, v)
-  }
+  private def loadCurrent(spark: SparkSession, table: String): Snapshot =
+    branchCtx.get.get(table) match {
+      case Some(name) =>
+        // inside withBranch: every verb's "current snapshot" IS the
+        // branch head, with the head sequence standing in for the
+        // version so the verbs' expected+1 commit arithmetic lands on
+        // the next branch manifest
+        val (snap, seq) = branchSnapshot(spark, table, name)
+        snap.copy(version = seq.toLong)
+      case None =>
+        val v = currentVersion(spark, table)
+        require(v > 0, s"no committed snapshot at $table")
+        readManifest(spark, table, v)
+    }
 
   /** Pin `version` (or the current snapshot) and return its DataFrame,
     * deletion vectors applied. The file list is resolved HERE — commits
@@ -1247,9 +1256,14 @@ object SnapshotTable {
     val next = expected + 1
     val f = fs(spark, table)
     f.mkdirs(manifestDir(table))
+    // inside withBranch the commit targets the next staged-branch
+    // manifest; branch heads are always FULL manifests (a delta's base
+    // pointer resolves against MAIN's v<N> chain, which a branch head
+    // must stay independent of)
+    val branchOf = branchCtx.get.get(table)
     val body: Array[Byte] = base match {
-      case Some(b) if b.version == expected && expected > 0 &&
-          b.depth + 1 <= MaxChainDepth =>
+      case Some(b) if branchOf.isEmpty && b.version == expected &&
+          expected > 0 && b.depth + 1 <= MaxChainDepth =>
         val baseSet = b.files.toSet
         val targetSet = files.toSet
         val removed = b.files.filterNot(targetSet)
@@ -1267,7 +1281,10 @@ object SnapshotTable {
     val out = f.create(tmp, false)
     try out.write(body)
     finally out.close()
-    val target = manifestPath(table, next)
+    val target = branchOf match {
+      case Some(n) => branchManifestPath(table, n, next.toInt)
+      case None => manifestPath(table, next)
+    }
     // the catalog seam: publish is delegated to the pluggable
     // CommitCatalog (default: the cross-process lockfile CAS below); a
     // real multi-driver deployment can point it at a catalog endpoint.
@@ -4197,27 +4214,51 @@ object SnapshotTable {
       table: String, name: String): StructType =
     branchSnapshot(spark, table, name)._1.schema
 
+  /** Dynamic branch scope — FULL DML on a branch. Inside `body`, every
+    * snapshot verb on `table` (append, updateWhere, deleteWhere,
+    * mergeIntoFull, the DV mutations, compact, OPTIMIZE, schema
+    * evolution …) resolves its "current snapshot" from the branch HEAD
+    * and commits the next staged-branch manifest instead of a main
+    * version: the WAP workflow's missing arm (audit finds bad rows →
+    * fix ON the branch → publish) without re-implementing a single
+    * verb. Branch commits go through the same lockfile CAS as main
+    * (two racing branch writers: one winner, one clean
+    * CommitConflictException), stage through the same layout-aware
+    * path (partition labels, bucket tags, stats, constraints,
+    * identity), and main stays untouched until [[publishBranch]].
+    * The scope is thread-local and per-table; publish/drop of the
+    * scoped branch inside the scope is refused (the verbs' redirect
+    * would turn publish's main commit into a branch commit).
+    */
+  def withBranch[T](spark: SparkSession, table: String, name: String)(
+      body: => T): T = {
+    requireRefName(name)
+    branchSnapshot(spark, table, name) // must exist (throws otherwise)
+    val prev = branchCtx.get
+    require(!prev.contains(table),
+      s"already inside a branch scope for $table (${prev(table)})")
+    branchCtx.set(prev + (table -> name))
+    try body finally branchCtx.set(prev)
+  }
+
+  /** Tables whose verbs are currently redirected to a branch, per
+    * thread (verbs run driver-side on the calling thread, so the
+    * dynamic scope is exact — no cross-query leakage).
+    */
+  private val branchCtx = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
+
   /** Commit an append to the branch: data batches stage through the
     * SAME layout-aware path as main commits (partition labels, bucket
     * tags, stats, constraints all enforced), the new head manifest
-    * commits with the create-no-overwrite CAS — two racing branch
-    * writers produce one winner and one clean failure, like main.
-    * Returns the new head sequence.
+    * commits with the lockfile CAS — two racing branch writers produce
+    * one winner and one clean failure, like main. Returns the new head
+    * sequence. (Sugar for `withBranch { append }`.)
     */
   def appendToBranch(spark: SparkSession, table: String, name: String,
-      df: DataFrame): Int = {
-    val (snap, seq) = branchSnapshot(spark, table, name)
-    val (rows, metaUp) = identityFor(snap, df)
-    val (files, labels, stats, extras) = stageFor(snap, rows, table)
-    val next = seq + 1
-    val f = fs(spark, table)
-    val out = f.create(branchManifestPath(table, name, next), false)
-    try out.write(renderManifest(snap.schema, snap.files ++ files,
-      snap.meta ++ metaUp, snap.partitionOf ++ labels,
-      snap.statsOf ++ stats, snap.deleteFiles, snap.extraOf ++ extras))
-    finally out.close()
-    next
-  }
+      df: DataFrame): Int =
+    withBranch(spark, table, name)(append(spark, table, df)).toInt
 
   /** FAST-FORWARD publish: promote the branch head to main's next
     * version — metadata-only (one manifest commit; every data byte was
@@ -4230,6 +4271,9 @@ object SnapshotTable {
     */
   def publishBranch(spark: SparkSession, table: String,
       name: String): Long = {
+    require(!branchCtx.get.contains(table),
+      s"cannot publish inside a branch scope for $table — exit " +
+        "withBranch first")
     val (snap, _) = branchSnapshot(spark, table, name)
     val base = snap.meta.getOrElse("branchBase",
       throw new IllegalStateException(
@@ -4254,6 +4298,8 @@ object SnapshotTable {
   def dropBranch(spark: SparkSession, table: String,
       name: String): Unit = {
     requireRefName(name)
+    require(!branchCtx.get.get(table).contains(name),
+      s"cannot drop branch $name inside its own scope")
     val f = fs(spark, table)
     branchHeadSeq(spark, table, name).foreach { head =>
       (0 to head).foreach(k =>
@@ -5259,6 +5305,59 @@ object SnapshotTable {
       s.read.format("graft")
         .option("timestampAsOf", (t0 + 30000L).toString).load(t)
         .orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
+    // BRANCHES + TAGS, the full ref lifecycle under the hard oracle
+    // (the WAP shape generalized to named multi-commit lines —
+    // Iceberg branches/tags; the reference's atomic commit discipline,
+    // database.py:32, extended to named lines): v1 creates the evens,
+    // v2 commits the 4k+1 rows to MAIN, a branch forks at v2 and takes
+    // TWO isolated appends (8k+3 then 8k+7 — main must not see either),
+    // the branch head is audited through the graft_branch TVF, the
+    // pre-publish version is tagged, the branch fast-forward-publishes
+    // to v3 (metadata-only), and the result UNIONs the published main
+    // with the tag's pinned read. The oracle replays both multisets in
+    // plain SQL: published = every orders row, tag = evens + 4k+1.
+    "q_table_refs" -> ((s, d) => {
+      val t = scratch(s, d, "refs")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      create(s, t, orders.filter(col("o_orderkey") % 2 === 0),
+        numFiles = 4)                                        // v1
+      append(s, t, orders.filter(col("o_orderkey") % 4 === 1)) // v2
+      val preBranch = read(s, t).count()
+      createBranch(s, t, "wap")
+      appendToBranch(s, t, "wap",
+        orders.filter(col("o_orderkey") % 8 === 3))
+      appendToBranch(s, t, "wap",
+        orders.filter(col("o_orderkey") % 8 === 7))
+      // AUDIT on the branch head through the SQL surface; main stays
+      // isolated until publish
+      graft.GraftExtensions.register(s)
+      val audit = s.sql(
+        s"SELECT count(*) AS n FROM graft_branch('$t', 'wap')")
+        .head().getLong(0)
+      require(audit == orders.count(),
+        s"branch head must hold every row, got $audit")
+      require(read(s, t).count() == preBranch,
+        "main must not see branch commits before publish")
+      tagVersion(s, t, "prepub", currentVersion(s, t)) // pins v2
+      publishBranch(s, t, "wap")                       // v3, FF
+      // the branch is consumed; the tag survives — the refs TVF is
+      // the audit trail
+      val refs = s.sql(s"SELECT ref_type FROM graft_refs('$t')")
+        .collect().map(_.getString(0)).toSeq
+      require(refs == Seq("tag"),
+        s"publish must consume the branch and keep the tag, got $refs")
+      read(s, t).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit("main").as("src"))
+        .union(readTag(s, t, "prepub").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          lit("tag").as("src")))
+        .orderBy(col("src").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first)
     })
   )
 
@@ -5631,6 +5730,16 @@ object SnapshotTable {
         |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
         |FROM src s LEFT JOIN base b ON b.o_orderkey = s.o_orderkey
         |WHERE b.o_orderkey IS NULL
-        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // published main = v1 evens + v2 4k+1 + the branch's 8k+3 and 8k+7
+    // appends = EVERY orders row; the tag pins v2 = evens + 4k+1
+    "q_table_refs" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, 'main' AS src
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, 'tag' AS src
+        |FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+        |ORDER BY src ASC NULLS FIRST, o_orderkey ASC NULLS FIRST"""
+        .stripMargin
   )
 }

@@ -108,7 +108,12 @@ object ScaleAudit {
     // projection inside the staging shuffle) and the composed
     // partition × bucket layout (one shuffle stages both, mutations
     // relabel AND re-bucket, the final agg is exchange-free)
-    "q_table_partition_transform", "q_table_bucket_compose")
+    "q_table_partition_transform", "q_table_bucket_compose",
+    // round 18: the refs lifecycle (branch fork + two branch appends +
+    // TVF audit + fast-forward publish + tag read) — branch commits
+    // stage ∝ their batch and publish is metadata-only, so the whole
+    // lifecycle must stay ∝ data like any other table lifecycle
+    "q_table_refs")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0

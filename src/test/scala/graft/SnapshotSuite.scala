@@ -4124,4 +4124,62 @@ class SnapshotSuite extends AnyFunSuite {
     // the scan still plans (the BucketSpec names live columns)
     assert(SnapshotTable.read(spark, t).count() === orders.count())
   }
+
+  test("withBranch: FULL DML on a branch — append/update/delete/DV fix " +
+      "rows on the branch through the ordinary verbs, main stays " +
+      "isolated until publish; composes with identity + constraints") {
+    val t = freshTable("branch_dml")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    val odds = orders.filter(col("o_orderkey") % 2 === 1)
+    SnapshotTable.createWithIdentity(spark, t, evens, idCol = "o_id",
+      sortCols = Seq("o_orderkey"))
+    SnapshotTable.addConstraint(spark, t, "positive_price",
+      "o_totalprice >= 0")
+    val mainRows = sortedRows(SnapshotTable.read(spark, t))
+    SnapshotTable.createBranch(spark, t, "fix")
+    SnapshotTable.withBranch(spark, t, "fix") {
+      // the ordinary verbs, redirected: identity keeps assigning,
+      // constraints keep enforcing, every commit lands on the branch
+      SnapshotTable.append(spark, t, odds)
+      SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 100 === 0,
+        Map("o_orderstatus" -> lit("Z")))
+      SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 17 === 3)
+      SnapshotTable.deleteWhereVector(spark, t,
+        col("o_orderkey") % 19 === 5)
+      intercept[SnapshotTable.ConstraintViolationException] {
+        import spark.implicits._
+        SnapshotTable.append(spark, t,
+          Seq((-1L, "F", -5.0)).toDF("o_orderkey", "o_orderstatus",
+            "o_totalprice"))
+      }
+      // publishing (or dropping) the scoped branch inside its own
+      // scope is refused — the redirect would corrupt the main commit
+      intercept[IllegalArgumentException] {
+        SnapshotTable.publishBranch(spark, t, "fix")
+      }
+      intercept[IllegalArgumentException] {
+        SnapshotTable.dropBranch(spark, t, "fix")
+      }
+    }
+    // main saw NOTHING
+    assert(sortedRows(SnapshotTable.read(spark, t)) === mainRows)
+    // the branch head reads the fixed multiset (DVs applied)
+    val expect = evens.unionByName(odds)
+      .filter(col("o_orderkey") % 17 =!= 3)
+      .filter(col("o_orderkey") % 19 =!= 5)
+    val br = SnapshotTable.readBranch(spark, t, "fix")
+    assert(br.count() === expect.count())
+    assert(br.filter(col("o_orderstatus") === "Z").count() ===
+      expect.filter(col("o_orderkey") % 100 === 0).count())
+    // publish: the corrected rows land on main, identity ids stay
+    // unique across the branch's appends
+    SnapshotTable.publishBranch(spark, t, "fix")
+    val pub = SnapshotTable.read(spark, t)
+    assert(pub.count() === expect.count())
+    assert(pub.select(col("o_id")).distinct().count() === expect.count(),
+      "identity ids assigned on the branch must stay unique")
+    assert(pub.filter(col("o_orderstatus") === "Z").count() ===
+      expect.filter(col("o_orderkey") % 100 === 0).count())
+    assert(pub.filter(col("o_orderkey") % 17 === 3).count() === 0L)
+  }
 }
