@@ -95,6 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.restoreTvf))
     for ((n, f) <- Seq(
       "graft_files" -> GraftExtensions.filesTvf,
+      "graft_partitions" -> GraftExtensions.partitionsTvf,
       "graft_branch" -> GraftExtensions.branchTvf,
       "graft_refs" -> GraftExtensions.refsTvf,
       "graft_create_branch" -> GraftExtensions.createBranchTvf,
@@ -495,8 +496,12 @@ object GraftExtensions {
     private val OptimizeRe =
       """(?is)\s*OPTIMIZE\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
     // partition-scoped: OPTIMIZE t WHERE col = 'v' | col IN ('a','b')
+    // | col >= DATE'…' — raw-column predicates resolve through the
+    // declared partition transforms (days/months/bucket/truncate…)
     private val OptimizeWhereRe =
-      """(?is)\s*OPTIMIZE\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s+WHERE\s+(\w+)\s*(?:=\s*('[^']*')|IN\s*\(([^)]+)\))\s*;?\s*""".r
+      ("""(?is)\s*OPTIMIZE\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s+WHERE\s+""" +
+        """(\w+)\s*(?:(>=|<=|=|>|<)\s*((?:DATE|TIMESTAMP)?\s*'[^']*'""" +
+        """|[\w.:-]+)|IN\s*\(([^)]+)\))\s*;?\s*""").r
     private val VacuumRe =
       """(?is)\s*VACUUM\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
     private val RestoreRe =
@@ -569,20 +574,26 @@ object GraftExtensions {
     private def maintenance(sqlText: String): Option[LogicalPlan] = {
       import spark.implicits._
       sqlText match {
-        case OptimizeWhereRe(rawT, colName, eqV, inVs) =>
+        case OptimizeWhereRe(rawT, colName, cmpOp, cmpV, inVs) =>
           val path = maintTargetPath(rawT, "OPTIMIZE")
-          val snap = graft.sources.SnapshotTable.readManifest(spark,
-            path, graft.sources.SnapshotTable
-              .currentVersion(spark, path))
-          val pcols = graft.sources.SnapshotTable.partitionColsOf(snap)
-          require(pcols == Seq(colName),
-            s"OPTIMIZE ... WHERE supports the partition column; " +
-              s"$path is partitioned by (${pcols.mkString(", ")}), " +
-              s"got $colName")
-          val values = Option(eqV).map(v => Set(unquote(v)))
-            .getOrElse(parseInValues(inVs))
-          val (v, before, after) = graft.sources.SnapshotTable
-            .compactPartitions(spark, path, values)
+          // the predicate names the RAW column; the label set resolves
+          // through the declared transforms (scan-pruning semantics:
+          // days(ts) ranges, one bucket for an equality, supersets
+          // where no verdict exists) — the operator never hand-renders
+          // partition labels
+          val (opStr, vals) =
+            if (cmpOp != null)
+              (cmpOp, Seq(unquote(cmpV.trim
+                .replaceAll("(?is)^(DATE|TIMESTAMP)\\s*", ""))))
+            else ("in", parseInValues(inVs).toSeq)
+          val labels = graft.sources.SnapshotTable
+            .partitionLabelsWhere(spark, path, colName, opStr, vals)
+          val (v, before, after) =
+            if (labels.isEmpty)
+              (graft.sources.SnapshotTable.currentVersion(spark, path),
+                0, 0)
+            else graft.sources.SnapshotTable
+              .compactPartitions(spark, path, labels)
           Some(Seq((v, before, after))
             .toDF("version", "files_before", "files_after")
             .queryExecution.logical)
@@ -735,6 +746,24 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_partitions('<table>'[, version])` — the PARTITIONS rollup
+    * (Iceberg's `t.partitions`): one row per live partition with file
+    * count, bytes and recorded rows. Metadata-tier.
+    */
+  val partitionsTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1 || args.size == 2,
+      s"graft_partitions(table[, version]) takes 1-2 arguments, " +
+        s"got ${args.size}")
+    val spark = SparkSession.active
+    val table = litString(args.head, "graft_partitions table path")
+    val version =
+      if (args.size == 2) Some(versionArg(spark, table, args(1),
+        "graft_partitions"))
+      else None
+    graft.sources.SnapshotTable.partitionsOf(spark, table, version)
+      .queryExecution.logical
+  }
+
   /** `graft_branch('<table>', '<name>')` — the branch HEAD as a SQL
     * relation, isolated from main (read-only; splices the branch read
     * plan like graft_snapshot splices the snapshot's).
@@ -800,10 +829,20 @@ object GraftExtensions {
   }
 
   val publishBranchTvf: Seq[Expression] => LogicalPlan = { args =>
-    refProcedure("graft_publish_branch", args, 2 to 2) {
-      (spark, t, n, _) =>
+    refProcedure("graft_publish_branch", args, 2 to 3) {
+      (spark, t, n, extra) =>
+        // optional third arg: cherry-pick onto a diverged main
+        // (`graft_publish_branch(t, name, true)`)
+        val cherry = extra.exists {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(b: Boolean, org.apache.spark.sql.types
+            .BooleanType) => b
+          case e => sys.error("graft_publish_branch cherry_pick must " +
+            s"be a boolean literal, got $e")
+        }
         Seq(org.apache.spark.sql.Row(n,
-          graft.sources.SnapshotTable.publishBranch(spark, t, n)))
+          graft.sources.SnapshotTable.publishBranch(spark, t, n,
+            cherryPick = cherry)))
     }
   }
 
@@ -956,6 +995,8 @@ object GraftExtensions {
       "graft_restore", restoreTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,
       "graft_files", filesTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_partitions", partitionsTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,
       "graft_branch", branchTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,

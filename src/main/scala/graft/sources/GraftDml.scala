@@ -314,9 +314,13 @@ object GraftDml {
           Some(BigInt(per.flatten.sum))
         else None
       }
+    // per-column stats (min/max/nulls/NDV-by-sketch-union/lengths):
+    // manifest-aggregated under the same honesty rules — CBO gets
+    // predicate SELECTIVITY, not just table sizes, with zero data IO
+    val colStats = SnapshotTable.manifestColumnStats(snap)
     GraftShim.v1Catalog(spark).alterTableStats(id,
       Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
-        BigInt(size), rows)))
+        BigInt(size), rows, colStats)))
   } catch { case _: Exception => () } // stats are advisory — a racing
   // DROP TABLE or an unreadable manifest must not fail the mutation
 

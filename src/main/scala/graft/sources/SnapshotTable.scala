@@ -749,10 +749,22 @@ object SnapshotTable {
       }
       (if (isMin) min(v) else max(v)).cast("string")
     }
+    // six accumulators per column, one pass: min/max bounds and null
+    // counts (file skipping), an HLL NDV sketch (lgK=9 ≈ 512 B, ~4%
+    // error — per-file sketches UNION into an exact-shape table NDV
+    // for CBO with zero re-scan, the Iceberg puffin-ndv design), and
+    // length sums/maxes (CBO's avgLen/maxLen for strings). The sketch
+    // hashes the STRING rendering so every column type is sketchable;
+    // distinct values stay distinct under cast-to-string.
     val aggs = statsCols.flatMap(c => Seq(
       bound(c, isMin = true).as(s"min_$c"),
       bound(c, isMin = false).as(s"max_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) :+
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+      base64(hll_sketch_agg(col(c).cast("string"), 9)).as(s"hll_$c"),
+      coalesce(sum(length(col(c).cast("string")).cast("long")), lit(0L))
+        .as(s"lensum_$c"),
+      coalesce(max(length(col(c).cast("string")).cast("long")), lit(0L))
+        .as(s"lenmax_$c"))) :+
       count(lit(1L)).as("__rows")
     val rows = spark.read.schema(schema)
       .parquet(files.map(f => s"$table/$f"): _*)
@@ -760,18 +772,23 @@ object SnapshotTable {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val fileSet = files.toSet
+    val W = 6 // accumulators per column
     val perFile = rows.flatMap { r =>
       // O(1) key extraction per row (extract-then-decode), not an
       // O(files) endsWith scan — and exact for URI-special characters
       relKeyFromUri(r.getString(0)).filter(fileSet).map { rel =>
         val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
-          val mn = r.getString(1 + 3 * i)
-          val mx = r.getString(2 + 3 * i)
+          val mn = r.getString(1 + W * i)
+          val mx = r.getString(2 + W * i)
           if (mn == null || mx == null) None else Some(c -> ((mn, mx)))
         }.toMap
-        val extras = Map("rows" -> r.getLong(1 + 3 * statsCols.size).toString) ++
-          statsCols.zipWithIndex.map { case (c, i) =>
-            s"nulls.$c" -> r.getLong(3 + 3 * i).toString
+        val extras =
+          Map("rows" -> r.getLong(1 + W * statsCols.size).toString) ++
+          statsCols.zipWithIndex.flatMap { case (c, i) =>
+            Seq(s"nulls.$c" -> r.getLong(3 + W * i).toString,
+              s"lensum.$c" -> r.getLong(5 + W * i).toString,
+              s"lenmax.$c" -> r.getLong(6 + W * i).toString) ++
+              Option(r.getString(4 + W * i)).map(s"hll.$c" -> _)
           }
         (rel, stats, extras)
       }
@@ -823,6 +840,111 @@ object SnapshotTable {
   private def declaredStatsCols(snap: Snapshot): Seq[String] =
     snap.meta.get("statsCols").toSeq
       .flatMap(_.split(',').toSeq).filter(_.nonEmpty)
+
+  /** Manifest-aggregated PER-COLUMN statistics for the CBO
+    * ([[org.apache.spark.sql.catalyst.catalog.CatalogColumnStat]]):
+    * min/max fold the per-file bounds, null counts sum, NDV merges the
+    * per-file HLL sketches (sketch union — exact-shape, zero data IO;
+    * the Iceberg puffin-theta design at lgK=9), and string avg/max
+    * lengths derive from the recorded length sums. Honesty rules match
+    * the table-level row count: a column publishes a piece only when
+    * EVERY live file carries what that piece needs (a file whose
+    * values are all null legitimately has no bounds — its null count
+    * vouches for it), and nothing publishes over outstanding deletion
+    * vectors. min/max render in `CatalogColumnStat.fromExternalString`
+    * v2 form: numerics as recorded, timestamps as the epoch micros the
+    * stats already use, dates converted ISO → epoch days; string
+    * bounds are not published (Spark's own ANALYZE doesn't either).
+    */
+  private[graft] def manifestColumnStats(snap: Snapshot)
+      : Map[String, org.apache.spark.sql.catalyst.catalog
+        .CatalogColumnStat] = {
+    import org.apache.spark.sql.types._
+    if (snap.deleteFiles.nonEmpty || snap.files.isEmpty) return Map.empty
+    val files = snap.files
+    def extraLongs(key: String): Option[Seq[Long]] = {
+      val per = files.map(f => snap.extraOf.get(f).flatMap(_.get(key))
+        .flatMap(s => scala.util.Try(s.toLong).toOption))
+      if (per.forall(_.isDefined)) Some(per.flatten) else None
+    }
+    val rowsPer = extraLongs("rows")
+    declaredStatsCols(snap).filter(snap.schema.fieldNames.contains)
+      .flatMap { c =>
+        val dt = snap.schema(c).dataType
+        val nullsPer = extraLongs(s"nulls.$c")
+        val nullCount = nullsPer.map(ns => BigInt(ns.sum))
+        // NDV: union the per-file sketches driver-side
+        val ndv: Option[BigInt] = {
+          val sk = files.map(f =>
+            snap.extraOf.get(f).flatMap(_.get(s"hll.$c")))
+          if (!sk.forall(_.isDefined)) None
+          else scala.util.Try {
+            val u = new org.apache.datasketches.hll.Union(9)
+            sk.flatten.foreach(b64 =>
+              // MIME decoder: Spark's base64() chunk-wraps long output
+              // with newlines (RFC 2045), which the basic decoder
+              // rejects
+              u.update(org.apache.datasketches.hll.HllSketch.heapify(
+                java.util.Base64.getMimeDecoder.decode(b64))))
+            BigInt(math.round(u.getEstimate))
+          }.toOption
+        }
+        // bounds: every file must either carry them or be all-null
+        // (its recorded null count equals its recorded row count)
+        val boundsOk = (nullsPer, rowsPer) match {
+          case (Some(ns), Some(rs)) =>
+            files.lazyZip(ns).lazyZip(rs).forall { (f, n, r) =>
+              snap.statsOf.get(f).exists(_.contains(c)) || n == r
+            }
+          case _ => false
+        }
+        val recorded = files.flatMap(f =>
+          snap.statsOf.get(f).flatMap(_.get(c)))
+        val numericLike = dt.isInstanceOf[NumericType] ||
+          dt == TimestampType
+        val (mnOpt, mxOpt): (Option[String], Option[String]) =
+          if (!boundsOk || recorded.isEmpty) (None, None)
+          else if (numericLike) {
+            val ds = recorded.flatMap { case (a, b) =>
+              scala.util.Try((BigDecimal(a), BigDecimal(b))).toOption }
+            if (ds.size != recorded.size) (None, None)
+            else (Some(ds.map(_._1).min.toString),
+              Some(ds.map(_._2).max.toString))
+          } else if (dt == DateType) {
+            scala.util.Try {
+              val lo = recorded.map(_._1).map(java.time.LocalDate.parse)
+                .min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+              val hi = recorded.map(_._2).map(java.time.LocalDate.parse)
+                .max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+              (Some(lo.toEpochDay.toString), Some(hi.toEpochDay.toString))
+            }.getOrElse((None, None))
+          } else if (dt == BooleanType) {
+            (recorded.map(_._1).reduceOption((a, b) =>
+               if (codePointLe(a, b)) a else b),
+             recorded.map(_._2).reduceOption((a, b) =>
+               if (codePointLe(a, b)) b else a))
+          } else (None, None)
+        // lengths: recorded for strings; fixed-width types use the
+        // type's size like Spark's own ANALYZE
+        val (avgLen, maxLen): (Option[Long], Option[Long]) =
+          if (dt == StringType) {
+            val lens = extraLongs(s"lensum.$c")
+            val lmax = extraLongs(s"lenmax.$c")
+            val nonNull = for (r <- rowsPer; n <- nullsPer)
+              yield r.sum - n.sum
+            (for (ls <- lens; nn <- nonNull; if nn > 0)
+               yield ls.sum / nn,
+             lmax.map(_.max))
+          } else (Some(dt.defaultSize.toLong),
+            Some(dt.defaultSize.toLong))
+        val any = ndv.isDefined || nullCount.isDefined ||
+          mnOpt.isDefined || mxOpt.isDefined
+        if (!any) None
+        else Some(c -> org.apache.spark.sql.catalyst.catalog
+          .CatalogColumnStat(ndv, mnOpt, mxOpt, nullCount,
+            avgLen, maxLen, None))
+      }.toMap
+  }
 
   private def declaredBloomCols(snap: Snapshot): Seq[String] =
     snap.meta.get("bloomCols").toSeq
@@ -3582,6 +3704,99 @@ object SnapshotTable {
     * neither keep nor drop it exactly — purge with compact()/maintain()
     * first (both are DV-materializing), then scope.
     */
+  /** The live partition labels (composite, exactly as the manifest
+    * stores them) that COULD hold rows matching `column <op> value` —
+    * the transform-aware resolution layer for partition-scoped
+    * maintenance (`OPTIMIZE … WHERE ts >= …` on a `days(ts)` table
+    * must rewrite only the straddling days without the operator
+    * hand-rendering labels). RAW-column predicates map through the
+    * declared transforms exactly like scan pruning
+    * ([[SnapshotScan]]'s boundsAdmit): equality via `applyLiteral`
+    * (a bucket equality scopes to ONE bucket), ranges in the label
+    * domain for order-preserving transforms, NO verdict = kept — a
+    * superset selection only costs extra compaction IO, a lost label
+    * would skip data the user asked to rewrite. Identity positions
+    * compare against the literal's cast-to-string rendering (the
+    * derivation that produced the label); null-token labels never
+    * match a comparison, like SQL.
+    *
+    * `op`: one of `=`, `in`, `>=`, `<=`, `>`, `<` (strict bounds widen
+    * to inclusive in the label domain — superset, safe).
+    */
+  private[graft] def partitionLabelsWhere(spark: SparkSession,
+      table: String, column: String, op: String,
+      rawValues: Seq[String]): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
+    val snap = loadCurrent(spark, table)
+    require(partitionColsOf(snap).nonEmpty,
+      s"$table is not partitioned — use compact()")
+    val transforms = partitionTransformsOf(snap)
+    val positions = transforms.zipWithIndex
+      .filter(_._1.source.equalsIgnoreCase(column)).map(_._2)
+    require(positions.nonEmpty,
+      s"$column does not source any partition transform of $table " +
+        s"(${transforms.map(_.spec).mkString(", ")})")
+    require(Seq("=", "in", ">=", "<=", ">", "<").contains(op),
+      s"unsupported partition predicate operator $op")
+    require(rawValues.nonEmpty, "name at least one value")
+    val dt = snap.schema(column).dataType
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val lits = rawValues.map { s =>
+      val v = Cast(Literal(org.apache.spark.unsafe.types.UTF8String
+        .fromString(s), StringType), dt, tz).eval()
+      require(v != null,
+        s"cannot parse '$s' as ${dt.simpleString} for $column")
+      Literal(v, dt)
+    }
+    def rendered(l: Literal): String =
+      Cast(l, StringType, tz).eval().toString
+    val numericCol = dt.isInstanceOf[org.apache.spark.sql.types
+      .NumericType]
+    def identityLe(a: String, b: String): Boolean =
+      if (numericCol)
+        scala.util.Try(BigDecimal(a) <= BigDecimal(b)).getOrElse(true)
+      else codePointLe(a, b) // ISO time renderings order correctly
+    def labelLe(t: PartitionTransform)(a: String, b: String): Boolean =
+      if (t.numericLabel)
+        scala.util.Try(BigDecimal(a) <= BigDecimal(b)).getOrElse(true)
+      else codePointLe(a, b)
+    val nullToken = "__HIVE_DEFAULT_PARTITION__"
+    def admits(t: PartitionTransform, label: String): Boolean = {
+      if (label == nullToken) return false
+      def eqOne(l: Literal): Boolean =
+        if (t.isIdentity) label == rendered(l)
+        else t.applyLiteral(l) match {
+          case Some(tl) => label == tl
+          case None => true // no mapping -> no verdict -> keep
+        }
+      op match {
+        case "=" | "in" => lits.exists(eqOne)
+        case _ =>
+          val l = lits.head
+          if (t.isIdentity) {
+            val r = rendered(l)
+            if (op == ">=" || op == ">") identityLe(r, label)
+            else identityLe(label, r)
+          } else if (!t.monotonic) true // bucket range: no verdict
+          else t.applyLiteral(l) match {
+            case Some(tl) =>
+              if (op == ">=" || op == ">") labelLe(t)(tl, label)
+              else labelLe(t)(label, tl)
+            case None => true
+          }
+      }
+    }
+    snap.partitionOf.values.toSet.filter { composite =>
+      val vals =
+        if (snap.meta.contains("partitionCols"))
+          composite.split(",", -1).map(dec).toSeq
+        else Seq(composite)
+      positions.forall(pi =>
+        vals.lift(pi).forall(v => admits(transforms(pi), v)))
+    }
+  }
+
   def compactPartitions(spark: SparkSession, table: String,
       values: Set[String]): (Long, Int, Int) = {
     val snap = loadCurrent(spark, table)
@@ -4270,7 +4485,22 @@ object SnapshotTable {
     * is consumed by its publish.
     */
   def publishBranch(spark: SparkSession, table: String,
-      name: String): Long = {
+      name: String): Long =
+    publishBranch(spark, table, name, cherryPick = false)
+
+  /** As the three-arg publish; `cherryPick = true` additionally
+    * handles a DIVERGED main (Iceberg's cherry-pick semantics): the
+    * branch's commits re-apply onto the moved main as one fresh
+    * commit, valid ONLY while the branch is append-only against its
+    * fork base — a branch carrying rewrites (removed files or new
+    * deletion vectors) of state main may have since changed fails
+    * loudly, as does layout/constraint divergence on either side, or
+    * identity assignment on BOTH sides (the ids would collide). The
+    * conflict rules are conservative by design: a refused cherry-pick
+    * re-branches and re-applies; a wrong merge would corrupt main.
+    */
+  def publishBranch(spark: SparkSession, table: String, name: String,
+      cherryPick: Boolean): Long = {
     require(!branchCtx.get.contains(table),
       s"cannot publish inside a branch scope for $table — exit " +
         "withBranch first")
@@ -4279,17 +4509,87 @@ object SnapshotTable {
       throw new IllegalStateException(
         s"branch $name on $table carries no branchBase")).toLong
     val cur = currentVersion(spark, table)
-    if (cur != base)
-      throw new IllegalStateException(
-        s"fast-forward conflict at $table: branch $name forked at " +
-          s"v$base but main is at v$cur; re-branch from the current " +
-          "version and re-apply")
-    val v = commitManifest(spark, table, snap.schema, snap.files, base,
-      snap.meta - "branchBase" - "branchName",
-      snap.partitionOf, snap.statsOf, snap.deleteFiles,
-      Some(readManifest(spark, table, base)), snap.extraOf)
+    val v =
+      if (cur == base)
+        // FAST-FORWARD: metadata-only promotion of the branch head
+        commitManifest(spark, table, snap.schema, snap.files, base,
+          snap.meta - "branchBase" - "branchName",
+          snap.partitionOf, snap.statsOf, snap.deleteFiles,
+          Some(readManifest(spark, table, base)), snap.extraOf)
+      else if (!cherryPick)
+        throw new IllegalStateException(
+          s"fast-forward conflict at $table: branch $name forked at " +
+            s"v$base but main is at v$cur; re-branch from the current " +
+            "version and re-apply, or publish with cherryPick = true " +
+            "for an append-only branch")
+      else cherryPickOnto(spark, table, name, snap, base, cur)
     dropBranch(spark, table, name)
     v
+  }
+
+  /** Meta keys that define the table's physical/logical contract —
+    * divergence on any of them makes a cherry-pick unsafe (branch
+    * files were staged under the FORK's layout and validated under the
+    * fork's constraints).
+    */
+  private val CherryLayoutKeys = Seq("partitionCol", "partitionCols",
+    "partitionSpec", "bucketCol", "bucketCols", "bucketN", "bucketSort",
+    "colmap", "droppedCols", "identityCol", "identitySort",
+    "clusterCols", "statsCols", "bloomCols")
+
+  private def cherryPickOnto(spark: SparkSession, table: String,
+      name: String, snap: Snapshot, base: Long, cur: Long): Long = {
+    def conflict(why: String): Nothing =
+      throw new IllegalStateException(
+        s"cherry-pick conflict at $table: $why — re-branch from v$cur " +
+          "and re-apply")
+    val baseSnap = readManifest(spark, table, base)
+    val mainSnap = readManifest(spark, table, cur)
+    // append-only check: the branch may only have ADDED files; any
+    // removed file or new deletion vector is a rewrite of state main
+    // may have since changed
+    val branchFiles = snap.files.toSet
+    val removed = baseSnap.files.filterNot(branchFiles)
+    val dvAdded = snap.deleteFiles
+      .filterNot(baseSnap.deleteFiles.toSet)
+    if (removed.nonEmpty || dvAdded.nonEmpty)
+      conflict(s"branch $name is not append-only against its fork " +
+        s"base v$base (${removed.size} removed/rewritten files, " +
+        s"${dvAdded.size} new deletion vectors)")
+    if (snap.schema != baseSnap.schema)
+      conflict(s"branch $name evolved the schema after the fork")
+    if (mainSnap.schema != baseSnap.schema)
+      conflict("main evolved the schema after the fork")
+    def layout(m: Map[String, String]): Map[String, String] =
+      CherryLayoutKeys.flatMap(k => m.get(k).map(k -> _)).toMap ++
+        m.filter { case (k, _) => k.startsWith("constraint.") ||
+          k.startsWith("colDefault.") }
+    if (layout(snap.meta) != layout(baseSnap.meta))
+      conflict(s"branch $name changed layout/constraints/defaults " +
+        "after the fork")
+    if (layout(mainSnap.meta) != layout(baseSnap.meta))
+      conflict("main changed layout/constraints/defaults after the fork")
+    // identity high-water mark: assignment on both sides collides
+    val hwmOf = (s: Snapshot) => s.meta.get("identityHwm").map(_.toLong)
+    val merged = (hwmOf(snap), hwmOf(baseSnap), hwmOf(mainSnap)) match {
+      case (Some(b), Some(o), Some(m)) if b > o && m > o =>
+        conflict(s"both main and branch $name assigned identity ids " +
+          s"after the fork (base mark $o, branch $b, main $m) — the " +
+          "ids would collide")
+      case (b, _, m) =>
+        (b.toSeq ++ m.toSeq).reduceOption((x: Long, y: Long) =>
+          math.max(x, y))
+    }
+    val added = snap.files.filterNot(baseSnap.files.toSet)
+    val addedSet = added.toSet
+    commitManifest(spark, table, mainSnap.schema,
+      mainSnap.files ++ added, cur,
+      mainSnap.meta ++ merged.map("identityHwm" -> _.toString),
+      mainSnap.partitionOf ++
+        snap.partitionOf.view.filterKeys(addedSet).toMap,
+      mainSnap.statsOf ++ snap.statsOf.view.filterKeys(addedSet).toMap,
+      mainSnap.deleteFiles, Some(mainSnap),
+      mainSnap.extraOf ++ snap.extraOf.view.filterKeys(addedSet).toMap)
   }
 
   /** Drop a branch: its manifests go; its staged batches become
@@ -4405,6 +4705,32 @@ object SnapshotTable {
           .flatMap(s => scala.util.Try(s.toLong).toOption),
         snap.partitionOf.get(file))
     }.toDF("file", "size_bytes", "rows", "partition")
+  }
+
+  /** The PARTITIONS metadata relation (Iceberg's `t.partitions`): one
+    * row per live partition — label, file count, summed bytes, summed
+    * recorded rows (null unless EVERY file of the partition carries a
+    * count — the partial-sum would lie). The rollup an operator reads
+    * before any partition-scoped OPTIMIZE decision (file-count skew,
+    * small-file partitions); metadata-tier like [[filesOf]] — one
+    * manifest read + one batched listing, zero data IO.
+    * Unpartitioned tables roll up under a single null label.
+    */
+  def partitionsOf(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val files = filesOf(spark, table, version)
+      .collect() // metadata-tier: one row per live FILE, already small
+    files.groupBy(r => Option(r.getAs[String]("partition")))
+      .map { case (label, rs) =>
+        val rows = rs.map(r =>
+          Option(r.getAs[java.lang.Long]("rows")).map(_.longValue))
+        (label, rs.length.toLong,
+          rs.map(_.getAs[Long]("size_bytes")).filter(_ >= 0).sum,
+          if (rows.forall(_.isDefined)) Some(rows.flatten.sum)
+          else None)
+      }.toSeq.sortBy(_._1)
+      .toDF("partition", "files", "size_bytes", "rows")
   }
 
   /** Merge-on-read UPDATE: vector-delete the matched rows' positions
@@ -5198,6 +5524,14 @@ object SnapshotTable {
       createWithIdentity(s, t, orders, idCol = "o_id",
         sortCols = Seq("o_orderkey"))
       compact(s, t, clusterBy = Seq("o_orderkey"), numFiles = 4)
+      // the graft_partitions rollup agrees with detail's file count
+      // (metadata-tier audit — EXPLAIN-safe TVF, zero data IO)
+      graft.GraftExtensions.register(s)
+      val roll = s.sql(s"SELECT sum(files) AS f, count(*) AS p " +
+        s"FROM graft_partitions('$t')").head()
+      require(roll.getLong(0) == 4L && roll.getLong(1) == 1L,
+        s"graft_partitions must roll 4 files into the single (null) " +
+          s"partition, got $roll")
       detail(s, t).select(col("version"), col("num_files"),
         col("num_delete_files"), col("partition_columns"),
         col("cluster_columns"), col("identity_column"),

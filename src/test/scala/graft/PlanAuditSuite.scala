@@ -565,10 +565,19 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val fact = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity"))
+    // stats on BOTH join keys: with per-column stats in the cost
+    // model (NDV-based join cardinality), an unstatted key would make
+    // that join's estimate incomparable and skew the reorder
     SnapshotTable.createClustered(spark, pf, fact, "l_partkey",
-      statsCols = Seq("l_partkey"))
+      statsCols = Seq("l_partkey", "l_suppkey"))
+    // the part dim is EXPANDING (4 rows per key — an attribute-history
+    // dim shape): NDV vs rowCount is exactly what tells CBO this join
+    // multiplies rows and must come AFTER the selective one
     SnapshotTable.createClustered(spark, pp,
-      Tables.part(spark, sf).select(col("p_partkey"), col("p_name")),
+      Tables.part(spark, sf).select(col("p_partkey"), col("p_name"))
+        .crossJoin(spark.range(4).select(col("id").as("dup")))
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit("#"), col("dup")).as("p_name")),
       "p_partkey", statsCols = Seq("p_partkey"))
     SnapshotTable.createClustered(spark, ps,
       Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_name")),
@@ -621,7 +630,7 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
           .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
           .join(Tables.supplier(spark, sf).filter(col("s_suppkey") < 5),
             col("l_suppkey") === col("s_suppkey"))
-          .count() + (if (1 < 5) 1 else 0) // the inserted row joins too
+          .count() * 4 + 4 // the x4 dim; the inserted row matches 4 dups
         assert(q.head().getLong(0) === expect)
       } finally {
         s2.conf.unset("spark.sql.cbo.enabled")
@@ -630,5 +639,64 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       }
     } finally names.foreach { case (n, _) =>
       s2.sql(s"DROP TABLE IF EXISTS $n") }
+  }
+
+  test("per-column manifest statistics: DESCRIBE EXTENDED <col> shows " +
+      "min/max/nulls/NDV aggregated from the manifest (per-file HLL " +
+      "sketches unioned, zero data IO), and CBO filter selectivity " +
+      "uses the published bounds") {
+    import graft.sources.{GraftDml, SnapshotTable}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_colstats").toString
+    val pp = s"$dir/part"
+    val part = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"))
+    SnapshotTable.createClustered(spark, pp, part, "p_partkey",
+      statsCols = Seq("p_partkey", "p_name"))
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    s2.sql(s"CREATE TABLE graft_colstats USING graft LOCATION '$pp'")
+    try {
+      GraftDml.analyzeGraftTable(s2, "graft_colstats")
+      val n = part.count()
+      def describe(c: String): Map[String, String] =
+        s2.sql(s"DESCRIBE TABLE EXTENDED graft_colstats $c").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      val (kLo, kHi) = {
+        val r = part.agg(min(col("p_partkey")), max(col("p_partkey")))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val key = describe("p_partkey")
+      assert(key("min") === kLo.toString && key("max") === kHi.toString,
+        s"p_partkey bounds must fold the per-file stats, got $key")
+      assert(key("num_nulls") === "0")
+      val ndv = key("distinct_count").toLong
+      assert(math.abs(ndv - n) <= math.max(2L, n / 5),
+        s"sketch-union NDV must track the true $n, got $ndv")
+      val name = describe("p_name")
+      assert(name("max_col_len").toLong > 0 &&
+        name("avg_col_len").toLong > 0,
+        s"string length stats must publish, got $name")
+      assert(name("min") === "NULL" && name("max") === "NULL",
+        "string bounds are not published (ANALYZE parity)")
+      // CBO: a 5% range predicate estimates ~5% of the rows from the
+      // published min/max — selectivity, not just table size
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val q = s2.sql(s"SELECT * FROM graft_colstats WHERE " +
+          s"p_partkey <= ${math.max(1L, n / 20)}")
+        // plan stats read SQLConf.get from the ACTIVE session — pin it
+        // to s2 (where cbo is on) for the lazily-computed .stats
+        org.apache.spark.sql.SparkSession.setActiveSession(s2)
+        val est =
+          try q.queryExecution.optimizedPlan.stats.rowCount
+          finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        assert(est.isDefined && est.get >= BigInt(1) &&
+          est.get <= BigInt(n / 5),
+          s"filter estimate must use the column bounds " +
+            s"(~${n / 20} of $n), got $est")
+      } finally s2.conf.unset("spark.sql.cbo.enabled")
+    } finally s2.sql("DROP TABLE IF EXISTS graft_colstats")
   }
 }

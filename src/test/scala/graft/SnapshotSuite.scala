@@ -4182,4 +4182,193 @@ class SnapshotSuite extends AnyFunSuite {
       expect.filter(col("o_orderkey") % 100 === 0).count())
     assert(pub.filter(col("o_orderkey") % 17 === 3).count() === 0L)
   }
+
+  test("cherry-pick publish: an append-only branch re-applies onto a " +
+      "MOVED main as a fresh commit; rewrite-bearing, DV-bearing and " +
+      "identity-colliding branches fail loudly") {
+    val t = freshTable("cherry")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    SnapshotTable.create(spark, t, evens, numFiles = 4) // v1
+    SnapshotTable.createBranch(spark, t, "cp")
+    SnapshotTable.appendToBranch(spark, t, "cp",
+      orders.filter(col("o_orderkey") % 4 === 1))
+    // main MOVES after the fork
+    SnapshotTable.append(spark, t,
+      orders.filter(col("o_orderkey") % 4 === 3)) // v2
+    // plain publish: loud fast-forward conflict
+    intercept[IllegalStateException] {
+      SnapshotTable.publishBranch(spark, t, "cp")
+    }
+    // cherry-pick: the branch's appends land ON the moved main
+    SnapshotTable.publishBranch(spark, t, "cp", cherryPick = true)
+    assert(SnapshotTable.read(spark, t).count() === orders.count())
+    assert(sortedRows(SnapshotTable.read(spark, t)) === sortedRows(orders))
+    assert(SnapshotTable.branches(spark, t).isEmpty,
+      "publish consumes the branch")
+    // SQL surface drives the same path
+    graft.GraftExtensions.register(spark)
+    SnapshotTable.createBranch(spark, t, "cp2")
+    SnapshotTable.appendToBranch(spark, t, "cp2",
+      orders.limit(3).select(
+        (col("o_orderkey") + 90000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice")))
+    SnapshotTable.append(spark, t, orders.limit(1).select(
+      (col("o_orderkey") + 91000000L).as("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"))) // main moves again
+    spark.sql(s"SELECT * FROM graft_publish_branch('$t', 'cp2', true)")
+      .collect()
+    assert(SnapshotTable.read(spark, t).count() === orders.count() + 4)
+    // a REWRITE-bearing branch (deleteWhere rewrote files) refuses
+    SnapshotTable.createBranch(spark, t, "rw")
+    SnapshotTable.withBranch(spark, t, "rw") {
+      SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 17 === 3)
+    }
+    SnapshotTable.append(spark, t, orders.limit(1).select(
+      (col("o_orderkey") + 92000000L).as("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice")))
+    val e1 = intercept[IllegalStateException] {
+      SnapshotTable.publishBranch(spark, t, "rw", cherryPick = true)
+    }
+    assert(e1.getMessage.contains("not append-only"))
+    // a DV-bearing branch refuses too
+    SnapshotTable.createBranch(spark, t, "dv")
+    SnapshotTable.withBranch(spark, t, "dv") {
+      SnapshotTable.deleteWhereVector(spark, t,
+        col("o_orderkey") % 19 === 5)
+    }
+    SnapshotTable.append(spark, t, orders.limit(1).select(
+      (col("o_orderkey") + 93000000L).as("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"))) // diverge main
+    val e2 = intercept[IllegalStateException] {
+      SnapshotTable.publishBranch(spark, t, "dv", cherryPick = true)
+    }
+    assert(e2.getMessage.contains("not append-only"))
+    // identity assigned on BOTH sides after the fork: ids collide
+    val t2 = freshTable("cherry_id")
+    SnapshotTable.createWithIdentity(spark, t2,
+      orders.filter(col("o_orderkey") % 2 === 0), idCol = "o_id")
+    SnapshotTable.createBranch(spark, t2, "cpid")
+    SnapshotTable.appendToBranch(spark, t2, "cpid",
+      orders.filter(col("o_orderkey") % 4 === 1))
+    SnapshotTable.append(spark, t2,
+      orders.filter(col("o_orderkey") % 4 === 3))
+    val e3 = intercept[IllegalStateException] {
+      SnapshotTable.publishBranch(spark, t2, "cpid", cherryPick = true)
+    }
+    assert(e3.getMessage.contains("identity"))
+  }
+
+  test("transform-aware OPTIMIZE WHERE: a raw ts >= predicate on a " +
+      "days(ts) x bucket(k) table rewrites only the straddling days, " +
+      "and a bucket-column equality scopes to exactly one bucket") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def mk(off: Int) = (0 until 40).map { i =>
+      val d = i % 10
+      (i.toLong * 100 + off,
+        java.sql.Timestamp.from(base.plusSeconds(d * 86400L)))
+    }.toDF("k", "ts")
+    val t = freshTable("opt_days")
+    GraftExtensions.register(spark)
+    mk(0).createOrReplaceTempView("graft_optdays_src")
+    spark.sql(s"""SELECT * FROM graft_dml("CREATE TABLE `$t` """ +
+      """PARTITIONED BY (days(ts), bucket(4, k)) AS """ +
+      """SELECT * FROM graft_optdays_src")""").collect()
+    SnapshotTable.append(spark, t, mk(1)) // fragment every partition
+    SnapshotTable.append(spark, t, mk(2))
+    val before = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    def dayOf(label: String): String =
+      java.net.URLDecoder.decode(label.split(",")(0), "UTF-8")
+    def bucketOf(label: String): String =
+      java.net.URLDecoder.decode(label.split(",")(1), "UTF-8")
+    val preContent = sortedRows(SnapshotTable.read(spark, t)
+      .select(col("k").as("o_orderkey")))
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    // ts >= day 8 (2024-03-09): exactly days 8 and 9 rewrite — the
+    // RAW predicate maps through days(ts); nobody hand-renders labels
+    val lateFiles = before.files.filter(f =>
+      dayOf(before.partitionOf(f)) >= "2024-03-09").toSet
+    val earlyFiles = before.files.toSet -- lateFiles
+    assert(lateFiles.size >= 6, s"late days must be fragmented")
+    val r1 = s2.sql(s"OPTIMIZE `$t` WHERE ts >= " +
+      "TIMESTAMP'2024-03-09 00:00:00'").head()
+    assert(r1.getInt(1) === lateFiles.size,
+      s"exactly the straddling days' ${lateFiles.size} files must " +
+        s"rewrite, got $r1")
+    val after1 = SnapshotTable.readManifest(spark, t, r1.getLong(0))
+    assert(earlyFiles.subsetOf(after1.files.toSet),
+      "files of days before the cut must carry over VERBATIM")
+    assert(after1.files.toSet.intersect(lateFiles).isEmpty)
+    assert(sortedRows(SnapshotTable.read(spark, t)
+      .select(col("k").as("o_orderkey"))) === preContent)
+    // bucket equality on the RAW key: exactly ONE bucket's files (all
+    // days) rewrite
+    val r2 = s2.sql(s"OPTIMIZE `$t` WHERE k = 500").head()
+    val after2 = SnapshotTable.readManifest(spark, t, r2.getLong(0))
+    val rewritten = after1.files.toSet -- after2.files.toSet
+    assert(rewritten.nonEmpty &&
+      rewritten.map(f => bucketOf(after1.partitionOf(f))).size === 1,
+      s"a key equality must scope to one bucket, rewrote " +
+        s"${rewritten.map(f => after1.partitionOf(f))}")
+    assert(r2.getInt(1) < after1.files.size,
+      "one bucket must be a strict subset of the table")
+    assert(sortedRows(SnapshotTable.read(spark, t)
+      .select(col("k").as("o_orderkey"))) === preContent)
+    // months(ts) equality through a date literal on a separate table
+    val t2 = freshTable("opt_months")
+    mk(0).createOrReplaceTempView("graft_optmonths_src")
+    spark.sql(s"""SELECT * FROM graft_dml("CREATE TABLE `$t2` """ +
+      """PARTITIONED BY (months(ts)) AS """ +
+      """SELECT * FROM graft_optmonths_src")""").collect()
+    SnapshotTable.append(spark, t2, mk(1))
+    val r3 = s2.sql(s"OPTIMIZE `$t2` WHERE ts < DATE'2024-03-05'")
+      .head()
+    assert(r3.getInt(1) > 0,
+      "the straddling month must be selected by a < range " +
+        s"(no-verdict superset is fine), got $r3")
+  }
+
+  test("graft_partitions rollup: per-partition files/bytes/rows from " +
+      "the manifest, version-pinned, null-honest row sums") {
+    import spark.implicits._
+    val t = freshTable("partroll")
+    SnapshotTable.createPartitioned(spark, t, orders, "o_orderstatus")
+    SnapshotTable.append(spark, t,
+      Seq((900000001L, "F", 1.0))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+    GraftExtensions.register(spark)
+    val roll = spark.sql(s"SELECT * FROM graft_partitions('$t')")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Long]("rows")))))
+      .toMap
+    val want = orders.groupBy(col("o_orderstatus")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roll.keySet === want.keySet)
+    roll.foreach { case (status, (files, rows)) =>
+      assert(rows.isEmpty,
+        s"no statsCols declared -> no recorded per-file counts -> the " +
+          s"rollup must be null-honest, got $rows for $status")
+      assert(files === (if (status == "F") 2L else 1L),
+        s"$status file count, got $files")
+    }
+    // version pinning: v1 is one file per partition
+    val v1 = spark.sql(s"SELECT * FROM graft_partitions('$t', 1)")
+      .collect()
+    assert(v1.length === want.size && v1.forall(_.getLong(1) === 1L))
+    // bytes are the batched-listing sizes, all positive
+    assert(spark.sql(s"SELECT min(size_bytes) FROM graft_partitions" +
+      s"('$t')").head().getLong(0) > 0L)
+    // a stats-tracking table DOES roll up recorded rows (single null
+    // partition for an unpartitioned table)
+    val t2 = freshTable("partroll_stats")
+    SnapshotTable.createClustered(spark, t2, orders, "o_orderkey")
+    val r2 = spark.sql(s"SELECT * FROM graft_partitions('$t2')")
+      .collect()
+    assert(r2.length === 1 && r2.head.isNullAt(0))
+    assert(Option(r2.head.getAs[java.lang.Long]("rows"))
+      .map(_.longValue).contains(orders.count()))
+  }
 }
