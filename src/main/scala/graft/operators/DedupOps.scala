@@ -366,6 +366,13 @@ object DedupOps {
     // undeleted probe minus exactly the deleted docs.
     "q_dedup_index_takedown" -> ((s, d) => {
       val path = s"/tmp/graft_mh_takedown_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      // clean slate: leftover index state from a previous run would
+      // couple this lifecycle's cost to history (see the IVF analog)
+      locally {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) { f.delete(p, true); () }
+      }
       val sh = shingleRows(s, d)
       MinHashIndex.fit(sh.filter(col("doc_id") % 5 =!= 0), path)
       MinHashIndex.delete(s, path,

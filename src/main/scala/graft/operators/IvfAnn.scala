@@ -147,6 +147,16 @@ object IvfAnn {
       .orderBy(col("qid").asc_nulls_first, col("rnk").asc_nulls_first)
   }
 
+  /** Remove a scratch index root so every lifecycle run (and every
+    * bench rep) measures the SAME declared fit-from-scratch cost
+    * instead of coupling to a previous generation's leftover files.
+    */
+  private def deleteRecursively(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // HARD ORACLE since round 12: the fitted centroids (+ their ‖c‖²)
     // are staged to parquet and DuckDB independently re-derives the
@@ -170,6 +180,11 @@ object IvfAnn {
     "q_ivf_index_search" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val path = s"/tmp/graft_ivf_index_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      // clean slate: a previous generation's index at this path would
+      // otherwise couple this run's cost to leftover state (stale cell
+      // dirs inflate the overwrite; measured +25% across bench runs) —
+      // the declared lifecycle starts at fit, so the benchmark must too
+      deleteRecursively(s, path)
       val e = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       // 3 Lloyd iterations: cell balance plateaus early on smooth data and
       // each extra iteration is a full corpus pass — index QUALITY (recall,
@@ -193,6 +208,11 @@ object IvfAnn {
     "q_ivf_index_append" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val path = s"/tmp/graft_ivf_append_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      // clean slate: a previous generation's index at this path would
+      // otherwise couple this run's cost to leftover state (stale cell
+      // dirs inflate the overwrite; measured +25% across bench runs) —
+      // the declared lifecycle starts at fit, so the benchmark must too
+      deleteRecursively(s, path)
       val e = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       IvfIndex.fit(e.filter(col("vec_id") % 5 =!= 0), k = 16, iters = 2, path)
       val h = IvfIndex.load(s, path)
@@ -214,6 +234,11 @@ object IvfAnn {
     "q_ivf_index_takedown" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val path = s"/tmp/graft_ivf_takedown_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      // clean slate: a previous generation's index at this path would
+      // otherwise couple this run's cost to leftover state (stale cell
+      // dirs inflate the overwrite; measured +25% across bench runs) —
+      // the declared lifecycle starts at fit, so the benchmark must too
+      deleteRecursively(s, path)
       val e = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       IvfIndex.fit(e, k = 16, iters = 2, path)
       IvfIndex.delete(s, path,

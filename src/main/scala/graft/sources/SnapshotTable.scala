@@ -753,18 +753,32 @@ object SnapshotTable {
     // counts (file skipping), an HLL NDV sketch (lgK=9 ≈ 512 B, ~4%
     // error — per-file sketches UNION into an exact-shape table NDV
     // for CBO with zero re-scan, the Iceberg puffin-ndv design), and
-    // length sums/maxes (CBO's avgLen/maxLen for strings). The sketch
-    // hashes the STRING rendering so every column type is sketchable;
-    // distinct values stay distinct under cast-to-string.
+    // length sums/maxes (CBO's avgLen/maxLen — recorded for STRINGS
+    // only; fixed-width types publish their type size, like Spark's
+    // own ANALYZE, so the hot staging pass pays no per-row length()
+    // on them). The sketch hashes int/long/string/binary RAW (the
+    // datasketches-supported inputs); other types render to string —
+    // distinct values stay distinct either way.
+    def sketchable(c: String) = schema(c).dataType match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType => col(c)
+      case _ => col(c).cast("string")
+    }
+    def isStr(c: String) =
+      schema(c).dataType == org.apache.spark.sql.types.StringType
     val aggs = statsCols.flatMap(c => Seq(
       bound(c, isMin = true).as(s"min_$c"),
       bound(c, isMin = false).as(s"max_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
-      base64(hll_sketch_agg(col(c).cast("string"), 9)).as(s"hll_$c"),
-      coalesce(sum(length(col(c).cast("string")).cast("long")), lit(0L))
-        .as(s"lensum_$c"),
-      coalesce(max(length(col(c).cast("string")).cast("long")), lit(0L))
-        .as(s"lenmax_$c"))) :+
+      base64(hll_sketch_agg(sketchable(c), 9)).as(s"hll_$c"),
+      (if (isStr(c))
+         coalesce(sum(length(col(c)).cast("long")), lit(0L))
+       else lit(0L)).as(s"lensum_$c"),
+      (if (isStr(c))
+         coalesce(max(length(col(c)).cast("long")), lit(0L))
+       else lit(0L)).as(s"lenmax_$c"))) :+
       count(lit(1L)).as("__rows")
     val rows = spark.read.schema(schema)
       .parquet(files.map(f => s"$table/$f"): _*)
