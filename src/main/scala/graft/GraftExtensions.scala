@@ -99,6 +99,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_branch" -> GraftExtensions.branchTvf,
       "graft_refs" -> GraftExtensions.refsTvf,
       "graft_create_branch" -> GraftExtensions.createBranchTvf,
+      "graft_branch_dml" -> GraftExtensions.branchDmlTvf,
       "graft_publish_branch" -> GraftExtensions.publishBranchTvf,
       "graft_drop_branch" -> GraftExtensions.dropBranchTvf,
       "graft_create_tag" -> GraftExtensions.createTagTvf,
@@ -313,6 +314,34 @@ object GraftExtensions {
         "files_rewritten" -> org.apache.spark.sql.types.LongType),
       spark => graft.sources.GraftDml.execute(spark, stmt)
         .collect().toIndexedSeq)
+  }
+
+  /** `graft_branch_dml('<table>', '<branch>', '<statement>')` — SQL
+    * DML executed ON A BRANCH: the statement (whose target must be the
+    * same table path) runs inside [[graft.sources.SnapshotTable
+    * .withBranch]], so UPDATE/DELETE/MERGE/INSERT commit to the next
+    * staged-branch manifest and main stays untouched until publish —
+    * the WAP audit-fix-publish arm, SQL-reachable end to end
+    * (create branch → fix on it → `graft_publish_branch`). Deferred
+    * like every side-effecting procedure (EXPLAIN-safe).
+    */
+  val branchDmlTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 3,
+      s"graft_branch_dml(table, branch, statement) takes 3 " +
+        s"arguments, got ${args.size}")
+    val table = litString(args.head, "graft_branch_dml table path")
+    val name = litString(args(1), "graft_branch_dml branch name")
+    val stmt = litString(args(2), "graft_branch_dml statement")
+    graft.sources.GraftProcedureCommand("graft_branch_dml",
+      Seq("verb" -> org.apache.spark.sql.types.StringType,
+        "version" -> org.apache.spark.sql.types.LongType,
+        "rows_affected" -> org.apache.spark.sql.types.LongType,
+        "files_rewritten" -> org.apache.spark.sql.types.LongType),
+      spark => graft.sources.SnapshotTable.withBranch(spark, table,
+        name) {
+        graft.sources.GraftDml.execute(spark, stmt)
+          .collect().toIndexedSeq
+      })
   }
 
   /** The native-DML/DDL lowering rule for extensions-built sessions: a
@@ -1003,6 +1032,8 @@ object GraftExtensions {
       "graft_refs", refsTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,
       "graft_create_branch", createBranchTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_branch_dml", branchDmlTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,
       "graft_publish_branch", publishBranchTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,

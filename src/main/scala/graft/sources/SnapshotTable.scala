@@ -5706,6 +5706,81 @@ object SnapshotTable {
           lit("tag").as("src")))
         .orderBy(col("src").asc_nulls_first,
           col("o_orderkey").asc_nulls_first)
+    }),
+
+    // SQL DML ON A BRANCH + both publish modes, end to end through the
+    // procedure surface (the WAP audit-fix-publish arm the library's
+    // withBranch provides, driven entirely from spark.sql): branch
+    // `fix` takes an UPDATE and a DELETE via graft_branch_dml — main
+    // provably isolated mid-flight — and fast-forward-publishes; then
+    // branch `cp` takes an INSERT while MAIN also moves (an ordinary
+    // graft_dml INSERT), so its publish needs cherry-pick onto the
+    // diverged main (`graft_publish_branch(t, n, true)`). The oracle
+    // replays update+delete+both inserts in plain SQL.
+    "q_table_branch_dml" -> ((s, d) => {
+      val t = scratch(s, d, "brdml")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      create(s, t, orders, numFiles = 8) // v1
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_create_branch('$t', 'fix')").collect()
+      s.sql(s"""SELECT * FROM graft_branch_dml('$t', 'fix', """ +
+        s""""UPDATE `$t` SET o_orderstatus = 'Z' """ +
+        """WHERE o_orderkey % 100 = 0")""").collect()
+      s.sql(s"""SELECT * FROM graft_branch_dml('$t', 'fix', """ +
+        s""""DELETE FROM `$t` WHERE o_orderkey % 17 = 3")""").collect()
+      // isolation: main still reads the pristine table
+      require(read(s, t).count() == orders.count() &&
+        read(s, t).filter(col("o_orderstatus") === "Z").count() == 0L,
+        "main must not see branch DML before publish")
+      s.sql(s"SELECT * FROM graft_publish_branch('$t', 'fix')")
+        .collect() // fast-forward (main never moved)
+      // cherry-pick leg: branch appends, MAIN moves, publish re-applies
+      s.sql(s"SELECT * FROM graft_create_branch('$t', 'cp')").collect()
+      s.sql(s"""SELECT * FROM graft_branch_dml('$t', 'cp', """ +
+        s""""INSERT INTO `$t` VALUES (910000001, 'B', 1.5)")""")
+        .collect()
+      s.sql(s"""SELECT * FROM graft_dml("INSERT INTO `$t` """ +
+        """VALUES (920000001, 'M', 2.5)")""").collect()
+      s.sql(s"SELECT * FROM graft_publish_branch('$t', 'cp', true)")
+        .collect()
+      read(s, t).orderBy(col("o_orderkey").asc_nulls_first)
+    }),
+
+    // Per-column catalog statistics under the hard oracle — the EXACT
+    // pieces only (min/max folded from the per-file bounds, null
+    // counts summed, fixed-width lengths = the type size): the staged
+    // stats pass records them, publishCatalogStats aggregates them
+    // into CatalogColumnStat (zero data IO), DESCRIBE EXTENDED <col>
+    // surfaces them, and DuckDB recomputes the same values from the
+    // corpus. The sketch-union NDV is approximate by design, so it is
+    // deliberately NOT in the projection (PlanAuditSuite bounds it).
+    "q_table_colstats" -> ((s, d) => {
+      val t = scratch(s, d, "colstats")
+      fs(s, t).delete(new Path(t), true)
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      createClustered(s, t, orders, "o_orderkey",
+        statsCols = Seq("o_orderkey", "o_custkey"))
+      val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(s,
+        e => new graft.GraftExtensions()(e))
+      s2.sql("DROP TABLE IF EXISTS graft_q_colstats")
+      s2.sql(s"CREATE TABLE graft_q_colstats USING graft LOCATION '$t'")
+      GraftDml.analyzeGraftTable(s2, "graft_q_colstats")
+      val exact = Set("min", "max", "num_nulls", "avg_col_len",
+        "max_col_len")
+      val rows = Seq("o_orderkey", "o_custkey").flatMap { c =>
+        s2.sql(s"DESCRIBE TABLE EXTENDED graft_q_colstats $c")
+          .collect()
+          .filter(r => exact(r.getString(0)))
+          .map(r => (c, r.getString(0), r.getString(1)))
+      }
+      import s.implicits._
+      rows.toDF("column_name", "info_name", "info_value")
+        .orderBy(col("column_name").asc_nulls_first,
+          col("info_name").asc_nulls_first)
     })
   )
 
@@ -6088,6 +6163,43 @@ object SnapshotTable {
         |SELECT o_orderkey, o_orderstatus, o_totalprice, 'tag' AS src
         |FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
         |ORDER BY src ASC NULLS FIRST, o_orderkey ASC NULLS FIRST"""
-        .stripMargin
+        .stripMargin,
+    // branch `fix`'s UPDATE + DELETE land via fast-forward publish;
+    // branch `cp`'s INSERT and main's own INSERT both land via
+    // cherry-pick onto the diverged main
+    "q_table_branch_dml" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 100 = 0 THEN 'Z'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 17 <> 3
+        |UNION ALL
+        |SELECT CAST(910000001 AS BIGINT), 'B', CAST(1.5 AS DOUBLE)
+        |UNION ALL
+        |SELECT CAST(920000001 AS BIGINT), 'M', CAST(2.5 AS DOUBLE)
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    // the exact column-stat pieces recomputed from the corpus: bigint
+    // columns carry type-size lengths (8), zero nulls, and the folded
+    // per-file bounds equal the plain aggregates
+    "q_table_colstats" ->
+      """WITH stats AS (
+        |  SELECT 'o_orderkey' AS column_name,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS mn,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS mx
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey',
+        |    CAST(min(o_custkey) AS VARCHAR),
+        |    CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders)
+        |SELECT column_name, info_name, info_value FROM (
+        |  SELECT column_name, 'min' AS info_name, mn AS info_value
+        |  FROM stats
+        |  UNION ALL SELECT column_name, 'max', mx FROM stats
+        |  UNION ALL SELECT column_name, 'num_nulls', '0' FROM stats
+        |  UNION ALL SELECT column_name, 'avg_col_len', '8' FROM stats
+        |  UNION ALL SELECT column_name, 'max_col_len', '8' FROM stats)
+        |ORDER BY column_name ASC NULLS FIRST,
+        |  info_name ASC NULLS FIRST""".stripMargin
   )
 }

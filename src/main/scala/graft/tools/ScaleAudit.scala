@@ -112,8 +112,15 @@ object ScaleAudit {
     // round 18: the refs lifecycle (branch fork + two branch appends +
     // TVF audit + fast-forward publish + tag read) — branch commits
     // stage ∝ their batch and publish is metadata-only, so the whole
-    // lifecycle must stay ∝ data like any other table lifecycle
-    "q_table_refs")
+    // lifecycle must stay ∝ data like any other table lifecycle —
+    // and SQL DML on a branch (UPDATE/DELETE/INSERT through
+    // graft_branch_dml + both publish modes incl. cherry-pick): the
+    // branch verbs are the SAME file-granular verbs, so the lifecycle
+    // must scale like q_table_sql_dml
+    // the column-stats lifecycle (clustered create + stats publish +
+    // DESCRIBE reads): the stats pass rides the staging write and the
+    // publish is metadata-tier, so the lifecycle is create-bound
+    "q_table_refs", "q_table_branch_dml", "q_table_colstats")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0

@@ -3865,11 +3865,14 @@ class SnapshotSuite extends AnyFunSuite {
     GraftExtensions.register(spark)
     val v0 = SnapshotTable.currentVersion(spark, t)
     // EXPLAIN over every side-effecting procedure: version unchanged
+    SnapshotTable.createBranch(spark, t, "exb")
     for (call <- Seq(
       s"SELECT * FROM graft_optimize('$t')",
       s"SELECT * FROM graft_maintain('$t')",
       s"SELECT * FROM graft_restore('$t', 1)",
-      s"""SELECT * FROM graft_dml("DELETE FROM `$t` WHERE k = 1")""")) {
+      s"""SELECT * FROM graft_dml("DELETE FROM `$t` WHERE k = 1")""",
+      s"""SELECT * FROM graft_branch_dml('$t', 'exb', """ +
+        s""""DELETE FROM `$t` WHERE k = 1")""")) {
       val planText = spark.sql(s"EXPLAIN EXTENDED $call")
         .head().getString(0)
       assert(planText.contains("GraftProcedureCommand"),
@@ -3878,6 +3881,9 @@ class SnapshotSuite extends AnyFunSuite {
         s"EXPLAIN $call must not run the verb")
     }
     assert(SnapshotTable.read(spark, t).count() === 20L)
+    assert(SnapshotTable.branches(spark, t) === Seq(("exb", 1L, 0)),
+      "EXPLAIN graft_branch_dml must not advance the branch head")
+    SnapshotTable.dropBranch(spark, t, "exb")
     // plain invocation still executes and returns its report row
     val r = spark.sql(s"SELECT * FROM graft_optimize('$t')").head()
     assert(r.getLong(0) === v0 + 1 && r.getInt(1) === 4)
