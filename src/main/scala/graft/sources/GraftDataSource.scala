@@ -199,9 +199,13 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       outputMode == OutputMode.Complete()),
       "mergeSchema applies to Append-mode sinks — Complete mode " +
         "replaces the whole table, so evolve it with a batch overwrite")
+    val branch = parameters.get("branch").map(_.trim)
+    require(branch.isEmpty || !createIfMissing,
+      "branch sinks need an existing table and branch — createIfMissing "
+        + "cannot bootstrap a branch")
     new GraftDataSource.GraftSink(sqlContext.sparkSession, table,
       queryKey, outputMode == OutputMode.Complete(), createIfMissing,
-      mergeSchema)
+      mergeSchema, branch)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -390,15 +394,16 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     def aligned(): org.apache.spark.sql.DataFrame =
       if (mergeSchema) data
       else {
-        val snap = SnapshotTable.readManifest(spark, table,
-          SnapshotTable.currentVersion(spark, table))
+        // ctx-aware: inside a branch write the alignment target is the
+        // BRANCH head's schema, not main's
+        val snap = SnapshotTable.currentSnapshot(spark, table)
         // identity tables: the id column is ASSIGNED at commit — the
         // writer's every-column-present rule must not demand it
         GraftDml.alignByName(data,
           SnapshotTable.writeSchemaFor(snap, data),
           "write frame", allowSubset = false)
       }
-    val wrote = mode match {
+    def runWrite(): Boolean = mode match {
       case SaveMode.Append =>
         if (exists)
           SnapshotTable.append(spark, table, aligned(), mergeSchema)
@@ -419,6 +424,18 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         true
       case SaveMode.Ignore =>
         if (!exists) { createNew(); true } else false
+    }
+    // branch-targeted writes (Iceberg's write `branch` option): the
+    // whole write runs inside withBranch — append/overwrite commit to
+    // the branch's staged line, main untouched until publish
+    val wrote = parameters.get("branch").map(_.trim) match {
+      case Some(b) =>
+        require(exists,
+          s"branch writes need an existing snapshot table at $table")
+        require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
+          "branch writes support Append and Overwrite modes only")
+        SnapshotTable.withBranch(spark, table, b)(runWrite())
+      case None => runWrite()
     }
     // a catalog name registered at this location holds a cached,
     // snapshot-pinned relation — drop the caches so the next SELECT on
@@ -521,10 +538,23 @@ object GraftDataSource {
     */
   final class GraftSink(spark: SparkSession, table: String,
       queryKey: String, complete: Boolean, createIfMissing: Boolean,
-      mergeSchema: Boolean = false)
+      mergeSchema: Boolean = false, branch: Option[String] = None)
       extends org.apache.spark.sql.execution.streaming.Sink {
 
-    override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // STREAMING WAP (Iceberg's write-to-branch shape): with a `branch`
+    // option every micro-batch commits to the branch's staged line —
+    // the batch-id idempotency mark rides the BRANCH manifests, so
+    // replays stay exactly-once on the branch, and main sees nothing
+    // until publishBranch
+    override def addBatch(batchId: Long, data: DataFrame): Unit =
+      branch match {
+        case Some(b) =>
+          SnapshotTable.withBranch(spark, table, b)(addBatch0(batchId,
+            data))
+        case None => addBatch0(batchId, data)
+      }
+
+    private def addBatch0(batchId: Long, data: DataFrame): Unit = {
       val batch = GraftShim.rewrapBatch(data)
       if (SnapshotTable.currentVersion(spark, table) == 0) {
         require(createIfMissing,
@@ -539,8 +569,9 @@ object GraftDataSource {
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
             batch.schema), numFiles = 1)
       }
-      val snap = SnapshotTable.readManifest(spark, table,
-        SnapshotTable.currentVersion(spark, table))
+      // ctx-aware: inside a branch sink both the replay-skip check and
+      // the alignment target are the BRANCH head
+      val snap = SnapshotTable.currentSnapshot(spark, table)
       // the replay-skip check runs BEFORE alignment: an
       // already-committed batch id must be skipped even when the
       // table's schema evolved since it committed — aligning first

@@ -242,6 +242,13 @@ object SnapshotTable {
     }
   }
 
+  /** The verbs' "current snapshot", BRANCH-SCOPE AWARE (inside
+    * [[withBranch]] this is the branch head) — the accessor provider
+    * code uses when it must see what the verbs will see.
+    */
+  private[sources] def currentSnapshot(spark: SparkSession,
+      table: String): Snapshot = loadCurrent(spark, table)
+
   private def loadCurrent(spark: SparkSession, table: String): Snapshot =
     branchCtx.get.get(table) match {
       case Some(name) =>
@@ -3754,6 +3761,9 @@ object SnapshotTable {
     require(Seq("=", "in", ">=", "<=", ">", "<").contains(op),
       s"unsupported partition predicate operator $op")
     require(rawValues.nonEmpty, "name at least one value")
+    require(op == "=" || op == "in" || rawValues.size == 1,
+      s"range operator $op takes exactly one value, " +
+        s"got ${rawValues.size}")
     val dt = snap.schema(column).dataType
     val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
     val lits = rawValues.map { s =>

@@ -4377,4 +4377,42 @@ class SnapshotSuite extends AnyFunSuite {
     assert(Option(r2.head.getAs[java.lang.Long]("rows"))
       .map(_.longValue).contains(orders.count()))
   }
+
+  test("writer branch option: df.write.option(branch) appends and " +
+      "overwrites ON the branch — main isolated until publish; " +
+      "invalid modes and missing branches fail loudly") {
+    import spark.implicits._
+    val t = freshTable("wbranch")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    SnapshotTable.create(spark, t, evens, numFiles = 4)
+    SnapshotTable.createBranch(spark, t, "wb")
+    // append to the branch through the writer
+    orders.filter(col("o_orderkey") % 4 === 1)
+      .write.format("graft").mode("append")
+      .option("branch", "wb").save(t)
+    assert(SnapshotTable.read(spark, t).count() === evens.count(),
+      "main must not see the branch write")
+    val brCount = evens.count() +
+      orders.filter(col("o_orderkey") % 4 === 1).count()
+    assert(spark.read.format("graft").option("branch", "wb")
+      .load(t).count() === brCount)
+    // overwrite ON the branch replaces the branch contents only
+    orders.limit(7).write.format("graft").mode("overwrite")
+      .option("branch", "wb").save(t)
+    assert(spark.read.format("graft").option("branch", "wb")
+      .load(t).count() === 7L)
+    assert(SnapshotTable.read(spark, t).count() === evens.count())
+    SnapshotTable.publishBranch(spark, t, "wb")
+    assert(SnapshotTable.read(spark, t).count() === 7L)
+    // guards: unknown branch, invalid mode
+    intercept[Exception] {
+      orders.limit(1).write.format("graft").mode("append")
+        .option("branch", "nope").save(t)
+    }
+    SnapshotTable.createBranch(spark, t, "wb2")
+    intercept[Exception] {
+      orders.limit(1).write.format("graft").mode("ignore")
+        .option("branch", "wb2").save(t)
+    }
+  }
 }

@@ -1099,4 +1099,50 @@ class StreamingSuite extends AnyFunSuite {
     assert(src3.getOffset.get.json.trim.toLong === 2L,
       "a corrupt anchor must fall back to base+cap (replay path)")
   }
+
+  test("STREAMING WAP: a branch sink commits every micro-batch to the " +
+      "branch (exactly-once there), main isolated until publish; " +
+      "replays skip on the BRANCH's batch-id mark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{GraftDataSource, SnapshotTable}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_branch_sink").toString
+    val t = s"$dir/table"
+    SnapshotTable.create(spark, t,
+      Seq((0L, "seed")).toDF("k", "v"), numFiles = 1)
+    SnapshotTable.createBranch(spark, t, "wap")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream.format("graft")
+      .option("path", t).option("branch", "wap")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SnapshotTable.read(spark, t).count() === 1L,
+      "main must not see streamed branch batches")
+    assert(SnapshotTable.readBranch(spark, t, "wap").count() === 4L)
+    // replay of a committed id skips on the BRANCH mark
+    val v = SnapshotTable.currentVersion(spark, t)
+    val sink = new GraftDataSource.GraftSink(spark, t, "sink",
+      complete = false, createIfMissing = false,
+      branch = Some("wap"))
+    sink.addBatch(1L, Seq((9L, "dup")).toDF("k", "v"))
+    assert(SnapshotTable.readBranch(spark, t, "wap").count() === 4L,
+      "a replayed batch id must skip on the branch")
+    assert(SnapshotTable.currentVersion(spark, t) === v)
+    // audit passed -> publish lands everything atomically on main
+    SnapshotTable.publishBranch(spark, t, "wap")
+    assert(SnapshotTable.read(spark, t).count() === 4L)
+    // createIfMissing + branch is refused at sink build
+    intercept[Exception] {
+      mem.toDF().toDF("k", "v").writeStream.format("graft")
+        .option("path", s"$dir/t2").option("branch", "x")
+        .option("createIfMissing", "true")
+        .option("checkpointLocation", s"$dir/ckpt2").start()
+    }
+  }
 }
