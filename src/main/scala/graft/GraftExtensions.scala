@@ -103,7 +103,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_publish_branch" -> GraftExtensions.publishBranchTvf,
       "graft_drop_branch" -> GraftExtensions.dropBranchTvf,
       "graft_create_tag" -> GraftExtensions.createTagTvf,
-      "graft_drop_tag" -> GraftExtensions.dropTagTvf))
+      "graft_drop_tag" -> GraftExtensions.dropTagTvf,
+      "graft_create_mv" -> GraftExtensions.createMvTvf,
+      "graft_refresh_mv" -> GraftExtensions.refreshMvTvf))
       e.injectTableFunction((FunctionIdentifier(n),
         new ExpressionInfo(GraftExtensions.getClass.getName, n), f))
     // NATIVE DML on snapshot-table paths: Spark's grammar already
@@ -337,10 +339,28 @@ object GraftExtensions {
         "version" -> org.apache.spark.sql.types.LongType,
         "rows_affected" -> org.apache.spark.sql.types.LongType,
         "files_rewritten" -> org.apache.spark.sql.types.LongType),
-      spark => graft.sources.SnapshotTable.withBranch(spark, table,
-        name) {
-        graft.sources.GraftDml.execute(spark, stmt)
-          .collect().toIndexedSeq
+      spark => {
+        // the branch redirect keys on the table path, so the statement
+        // MUST target the scoped table (same path modulo spelling — a
+        // trailing slash or file: scheme normalizes away): a statement
+        // naming another table, or an unresolvable one, would commit
+        // to MAIN while this procedure reports success
+        val parsed = org.apache.spark.sql.GraftShim.parsePlan(spark, stmt)
+        val tgt = graft.sources.GraftDml
+          .statementTargetPath(spark, parsed).getOrElse(
+            throw new IllegalArgumentException(
+              "graft_branch_dml runs INSERT/UPDATE/DELETE/MERGE " +
+                "statements whose target is the scoped snapshot " +
+                s"table; cannot resolve a snapshot target in: $stmt"))
+        require(graft.sources.SnapshotTable.branchKey(tgt) ==
+          graft.sources.SnapshotTable.branchKey(table),
+          s"graft_branch_dml statement targets $tgt, not the scoped " +
+            s"table $table — the branch redirect would not apply and " +
+            "the statement would commit to that table's main")
+        graft.sources.SnapshotTable.withBranch(spark, table, name) {
+          graft.sources.GraftDml.execute(spark, stmt)
+            .collect().toIndexedSeq
+        }
       })
   }
 
@@ -750,12 +770,18 @@ object GraftExtensions {
     * shape, retention floor).
     */
   val detailTvf: Seq[Expression] => LogicalPlan = { args =>
-    require(args.size == 1,
-      s"graft_detail(table) takes 1 argument, got ${args.size}")
+    require(args.size == 1 || args.size == 2,
+      s"graft_detail(table[, branch]) takes 1-2 arguments, got " +
+        s"${args.size}")
     val spark = SparkSession.active
-    graft.sources.SnapshotTable.detail(spark,
-      litString(args.head, "graft_detail table path"))
-      .queryExecution.logical
+    val table = litString(args.head, "graft_detail table path")
+    args.lift(1) match {
+      case Some(b) => graft.sources.SnapshotTable.branchDetail(spark,
+        table, litString(b, "graft_detail branch name"))
+        .queryExecution.logical
+      case None => graft.sources.SnapshotTable.detail(spark, table)
+        .queryExecution.logical
+    }
   }
 
   /** `graft_files('<table>'[, version])` — the FILES metadata relation
@@ -858,21 +884,29 @@ object GraftExtensions {
   }
 
   val publishBranchTvf: Seq[Expression] => LogicalPlan = { args =>
-    refProcedure("graft_publish_branch", args, 2 to 3) {
-      (spark, t, n, extra) =>
-        // optional third arg: cherry-pick onto a diverged main
-        // (`graft_publish_branch(t, name, true)`)
-        val cherry = extra.exists {
-          case org.apache.spark.sql.catalyst.expressions
-            .Literal(b: Boolean, org.apache.spark.sql.types
-            .BooleanType) => b
-          case e => sys.error("graft_publish_branch cherry_pick must " +
-            s"be a boolean literal, got $e")
-        }
-        Seq(org.apache.spark.sql.Row(n,
-          graft.sources.SnapshotTable.publishBranch(spark, t, n,
-            cherryPick = cherry)))
+    require(args.size >= 2 && args.size <= 4,
+      "graft_publish_branch(table, name[, cherry_pick[, retain]]) " +
+        s"takes 2-4 arguments, got ${args.size}")
+    val table = litString(args.head, "graft_publish_branch table path")
+    val name = litString(args(1), "graft_publish_branch ref name")
+    // optional third arg: cherry-pick onto a diverged main; optional
+    // fourth: RETAIN the branch, re-seeded at the published version
+    // (the continuous streaming-WAP publish — the ref survives)
+    def boolArg(i: Int, what: String): Boolean = args.lift(i).exists {
+      case org.apache.spark.sql.catalyst.expressions
+        .Literal(b: Boolean, org.apache.spark.sql.types
+        .BooleanType) => b
+      case e => sys.error(s"graft_publish_branch $what must be a " +
+        s"boolean literal, got $e")
     }
+    val cherry = boolArg(2, "cherry_pick")
+    val retain = boolArg(3, "retain")
+    graft.sources.GraftProcedureCommand("graft_publish_branch",
+      Seq("ref" -> org.apache.spark.sql.types.StringType,
+        "result" -> org.apache.spark.sql.types.LongType),
+      spark => Seq(org.apache.spark.sql.Row(name,
+        graft.sources.SnapshotTable.publishBranch(spark, table, name,
+          cherryPick = cherry, retainBranch = retain))))
   }
 
   val dropBranchTvf: Seq[Expression] => LogicalPlan = { args =>
@@ -880,6 +914,49 @@ object GraftExtensions {
       graft.sources.SnapshotTable.dropBranch(spark, t, n)
       Seq(org.apache.spark.sql.Row(n, 0L))
     }
+  }
+
+  /** `graft_create_mv('<mv path>', '<source path>', '<select>')` — a
+    * named MATERIALIZED VIEW: the definition (reading the source as
+    * `__source__`) materializes at the current source version; the MV
+    * is itself a snapshot table carrying its definition and refresh
+    * mark in its manifest. Deferred/EXPLAIN-safe like every procedure.
+    */
+  val createMvTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 3,
+      "graft_create_mv(mv, source, query) takes 3 arguments, got " +
+        s"${args.size}")
+    val mv = litString(args.head, "graft_create_mv mv path")
+    val src = litString(args(1), "graft_create_mv source path")
+    val query = litString(args(2), "graft_create_mv query")
+    graft.sources.GraftProcedureCommand("graft_create_mv",
+      Seq("mv" -> org.apache.spark.sql.types.StringType,
+        "version" -> org.apache.spark.sql.types.LongType),
+      spark => Seq(org.apache.spark.sql.Row(mv,
+        graft.sources.MaterializedView.create(spark, mv, src, query))))
+  }
+
+  /** `graft_refresh_mv('<mv path>')` — refresh to the source's current
+    * version: INCREMENTAL (netted change-feed delta merged, churn-
+    * sized IO) when the definition is a nettable count/sum aggregate,
+    * full recompute otherwise; "noop" when already current. The
+    * refresh mark commits atomically with the contents, so a replay
+    * is exactly-once.
+    */
+  val refreshMvTvf: Seq[Expression] => LogicalPlan = { args =>
+    require(args.size == 1,
+      s"graft_refresh_mv(mv) takes 1 argument, got ${args.size}")
+    val mv = litString(args.head, "graft_refresh_mv mv path")
+    graft.sources.GraftProcedureCommand("graft_refresh_mv",
+      Seq("mode" -> org.apache.spark.sql.types.StringType,
+        "from_version" -> org.apache.spark.sql.types.LongType,
+        "to_version" -> org.apache.spark.sql.types.LongType,
+        "mv_version" -> org.apache.spark.sql.types.LongType),
+      spark => {
+        val (mode, from, to, v) =
+          graft.sources.MaterializedView.refresh(spark, mv)
+        Seq(org.apache.spark.sql.Row(mode, from, to, v))
+      })
   }
 
   val createTagTvf: Seq[Expression] => LogicalPlan = { args =>
@@ -903,12 +980,20 @@ object GraftExtensions {
     * counts, manifest-diff churn per version, all metadata-tier.
     */
   val historyTvf: Seq[Expression] => LogicalPlan = { args =>
-    require(args.size == 1,
-      s"graft_history(table) takes 1 argument, got ${args.size}")
+    require(args.size == 1 || args.size == 2,
+      s"graft_history(table[, branch]) takes 1-2 arguments, got " +
+        s"${args.size}")
     val spark = SparkSession.active
-    graft.sources.SnapshotTable.history(spark,
-      litString(args.head, "graft_history table path"))
-      .queryExecution.logical
+    val table = litString(args.head, "graft_history table path")
+    // optional second arg: a BRANCH head's staged commit sequence —
+    // the WAP audit trail, previously main-line only
+    args.lift(1) match {
+      case Some(b) => graft.sources.SnapshotTable.branchHistory(spark,
+        table, litString(b, "graft_history branch name"))
+        .queryExecution.logical
+      case None => graft.sources.SnapshotTable.history(spark, table)
+        .queryExecution.logical
+    }
   }
 
   /** `graft_restore('<table>', version | TIMESTAMP '…')` — rollback
@@ -1042,5 +1127,9 @@ object GraftExtensions {
       "graft_create_tag", createTagTvf)
     org.apache.spark.sql.GraftShim.registerTableFunction(spark,
       "graft_drop_tag", dropTagTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_create_mv", createMvTvf)
+    org.apache.spark.sql.GraftShim.registerTableFunction(spark,
+      "graft_refresh_mv", refreshMvTvf)
   }
 }

@@ -235,7 +235,16 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       .filter(_._2.isDefined)
     require(pins.size <= 1, "pass at most ONE of versionAsOf / " +
       s"timestampAsOf / tag / branch, got ${pins.map(_._1).mkString(", ")}")
-    parameters.get("branch") match {
+    // the session WAP conf (`SET graft.branch = b`) redirects an
+    // UNPINNED read to the branch when the table carries it — a WAP
+    // session must see its own staged writes (the Iceberg
+    // spark.wap.branch read semantics); explicit pins always win
+    val confBranch =
+      if (pins.nonEmpty) None
+      else spark.conf.getOption(SnapshotTable.WapBranchConf)
+        .map(_.trim).filter(_.nonEmpty)
+        .filter(b => SnapshotTable.branchExists(spark, table, b))
+    parameters.get("branch").orElse(confBranch) match {
       case Some(b) =>
         new GraftDataSource.BranchRelation(spark, table, b.trim,
           SnapshotTable.branchSchemaOf(spark, table, b.trim))
@@ -615,24 +624,26 @@ object GraftDataSource {
     */
   private[graft] def relationFor(spark: SparkSession, table: String,
       version: Option[Long]): BaseRelation = {
-    val snap = version match {
-      case Some(v) => SnapshotTable.readManifest(spark, table, v)
-      case None => SnapshotTable.readManifest(spark, table,
-        SnapshotTable.currentVersion(spark, table))
-    }
-    if (SnapshotTable.fileIndexExact(snap)) {
-      val index = new SnapshotFileIndex(spark, table, snap)
+    // metadata-tier lazy planning: only the chain HEADER is parsed
+    // here; a grouped (two-tier) anchor's file entries load per query,
+    // label-pruned inside the FileIndex
+    val v = version.getOrElse(SnapshotTable.currentVersion(spark, table))
+    val plan = SnapshotTable.scanPlanAt(spark, table, v)
+    val header = plan.header
+    if (header.deleteFiles.isEmpty &&
+        SnapshotTable.colMapOf(header).isEmpty && !plan.liveDefaults) {
+      val index = SnapshotFileIndex.lazily(spark, table, plan)
       HadoopFsRelation(
         location = index,
         partitionSchema = StructType(Nil),
-        dataSchema = snap.schema,
-        bucketSpec = SnapshotTable.bucketSpecOf(snap).map { case (cs, n) =>
+        dataSchema = header.schema,
+        bucketSpec = SnapshotTable.bucketSpecOf(header).map { case (cs, n) =>
           org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cs,
-            SnapshotTable.bucketSortOf(snap))
+            SnapshotTable.bucketSortOf(header))
         },
         fileFormat = new ReadOnlyParquetFormat,
         options = Map.empty)(spark)
-    } else new DvRelation(spark, table, snap.version, snap.schema)
+    } else new DvRelation(spark, table, header.version, header.schema)
   }
 
   /** Fallback scan for DV-bearing snapshots: executes the DV-applying

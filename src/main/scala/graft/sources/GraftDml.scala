@@ -239,6 +239,25 @@ object GraftDml {
     case _ => None
   }
 
+  /** The MUTATION target of a parsed DML statement as a snapshot-table
+    * path — the branch-DML procedure's scope check: `graft_branch_dml`
+    * runs its statement inside `withBranch(table)`, and the redirect
+    * keys on the table path, so a statement naming ANOTHER table (or
+    * no resolvable snapshot target at all) would commit to that
+    * table's MAIN while the procedure reports success. Only the four
+    * data-mutation verbs resolve; DDL shapes return None and the
+    * procedure refuses them.
+    */
+  private[graft] def statementTargetPath(spark: SparkSession,
+      parsed: LogicalPlan): Option[String] = parsed match {
+    case cmd: SnapshotDmlCommand => statementTargetPath(spark, cmd.parsed)
+    case u: UpdateTable => targetPath(spark, u.table)
+    case d: DeleteFromTable => targetPath(spark, d.table)
+    case m: MergeIntoTable => targetPath(spark, m.targetTable)
+    case i: InsertIntoStatement => targetPath(spark, i.table)
+    case _ => None
+  }
+
   /** After a mutation through a NAMED target, drop the analyzer's
     * cached relation for that name — FindDataSourceTable caches the
     * resolved (snapshot-pinned) relation per session, so without this
@@ -400,9 +419,10 @@ object GraftDml {
       // the verb re-resolves the current snapshot internally; this read
       // is only for casting, and a schema that moves in between is
       // additive-only (extra columns read as NULL), so the batch stays
-      // readable against the committed snapshot
-      val snap = SnapshotTable.readManifest(spark, path,
-        SnapshotTable.currentVersion(spark, path))
+      // readable against the committed snapshot. BRANCH-SCOPE AWARE:
+      // inside withBranch (graft_branch_dml) the cast target is the
+      // branch head's schema, which may have evolved past main's
+      val snap = SnapshotTable.currentSnapshot(spark, path)
       val schema = snap.schema
       val src = GraftShim.ofRows(spark, i.query)
       import org.apache.spark.sql.functions.{col => c}

@@ -19,179 +19,321 @@ import org.apache.spark.sql.types.{NumericType, StructType}
   * the parquet reader then applies its own row-group pruning inside the
   * surviving files, and the row-level filter keeps exactness.
   *
+  * TWO-TIER metadata: built from a [[SnapshotTable.ScanPlan]] (the
+  * version-chain header with the grouped anchor UNRESOLVED), planning
+  * first prunes whole partition GROUPS on the anchor's labels and only
+  * then reads the surviving groups' file entries — the metadata read is
+  * O(matched partitions), not O(table files). File sizes recorded at
+  * commit time (`bytes` extras) let the index build FileStatus from
+  * the manifest alone, so the planning path performs ZERO filesystem
+  * listing for stamped files (the Delta "metadata is the listing"
+  * shape); legacy entries fall back to one listStatus per batch dir.
+  *
   * Pruning is CONSERVATIVE: only predicate shapes the translator
-  * understands can exclude a file (equality/range/IN on a column with
-  * recorded stats or the partition label, composed with AND/OR);
-  * everything else keeps the file. Exclusion is therefore always
+  * understands can exclude a group or file (equality/range/IN on a
+  * column with recorded stats or the partition label, composed with
+  * AND/OR); everything else keeps it. Exclusion is therefore always
   * sound — an excluded file provably contains no matching row.
   */
-class SnapshotFileIndex(spark: SparkSession, table: String,
-    snap: SnapshotTable.Snapshot) extends FileIndex {
+class SnapshotFileIndex private (spark: SparkSession, table: String,
+    header: SnapshotTable.Snapshot,
+    entriesFor: Option[String => Boolean] => Seq[SnapshotTable.Entry],
+    knownSize: Option[Long],
+    metaGroupsRead: () => Int, metaBytesRead: () => Long)
+    extends FileIndex {
 
-  private val statuses: Seq[(String, FileStatus)] = {
-    val p = new Path(table)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // one listStatus per batch DIR, not one getFileStatus per file: at
-    // production file counts the per-file RPC is the metadata
-    // bottleneck (a manifest of 800k files = 800k round trips vs one
-    // per batch); the dir listing also matches object-store batching
-    val byDir = snap.files.groupBy(r => r.split('/').dropRight(1).mkString("/"))
-    val listed: Map[String, FileStatus] = byDir.keys.flatMap { dir =>
-      f.listStatus(new Path(table, dir)).iterator.filter(_.isFile)
-        .map(st => s"$dir/${st.getPath.getName}" -> st)
-    }.toMap
-    snap.files.map(rel => rel -> listed(rel))
-  }
+  /** Eager compatibility constructor: a fully-resolved snapshot in
+    * hand (branch heads, DV planning, tests) — no group laziness.
+    */
+  def this(spark: SparkSession, table: String,
+      snap: SnapshotTable.Snapshot) =
+    this(spark, table, snap,
+      admit => snap.files.map { p =>
+        (p, snap.partitionOf.get(p),
+          snap.statsOf.getOrElse(p, Map.empty),
+          snap.extraOf.getOrElse(p, Map.empty))
+      }.filter(e => (admit, e._2) match {
+        case (Some(f), Some(l)) => f(l)
+        case _ => true
+      }),
+      None, () => -1, () => -1L)
 
-  /** Test hook: how many files the last `listFiles` call planned. */
+  private val fsys = new Path(table)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The full entry list — forced only by consumers that genuinely
+    * need everything (inputFiles, un-stamped sizeInBytes, unfiltered
+    * scans); a filtered `listFiles` never touches it.
+    */
+  private lazy val allEntries: Seq[SnapshotTable.Entry] =
+    entriesFor(None)
+
+  /** Test hooks: how many files the last `listFiles` call planned, and
+    * what the metadata-tier read cost (groups/bytes/dir listings) was.
+    */
   @volatile var lastPlannedFiles: Int = -1
+  @volatile var lastMetaGroupsRead: Int = -1
+  @volatile var lastMetaBytesRead: Long = -1L
+  @volatile var lastListedDirs: Int = -1
 
   override def rootPaths: Seq[Path] = Seq(new Path(table))
 
   override def partitionSchema: StructType = StructType(Nil)
 
   override def inputFiles: Array[String] =
-    statuses.map(_._2.getPath.toString).toArray
+    statusesFor(allEntries).map(_._2.getPath.toString).toArray
 
   override def refresh(): Unit = ()
 
-  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+  override lazy val sizeInBytes: Long = knownSize.getOrElse(
+    statusesFor(allEntries).map(_._2.getLen).sum)
+
+  /** FileStatus per entry: manifest-stamped sizes build synthetic
+    * statuses with no filesystem call; un-stamped entries list their
+    * batch dirs (one listStatus per DIR, never per-file RPCs — at
+    * production file counts the per-file round trip is the metadata
+    * bottleneck, and the dir listing matches object-store batching).
+    */
+  private def statusesFor(entries: Seq[SnapshotTable.Entry])
+      : Seq[(String, FileStatus)] = {
+    val qualifiedTable = fsys.makeQualified(new Path(table))
+    val (stamped, unstamped) = entries.partition(
+      _._4.get("bytes").exists(v =>
+        scala.util.Try(v.toLong).isSuccess))
+    val synthetic = stamped.map { e =>
+      val len = e._4("bytes").toLong
+      e._1 -> new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
+        new Path(qualifiedTable, e._1))
+    }
+    val listed: Seq[(String, FileStatus)] =
+      if (unstamped.isEmpty) { lastListedDirs = 0; Nil }
+      else {
+        val byDir = unstamped.map(_._1)
+          .groupBy(r => r.split('/').dropRight(1).mkString("/"))
+        lastListedDirs = byDir.size
+        val found: Map[String, FileStatus] = byDir.keys.flatMap { dir =>
+          fsys.listStatus(new Path(table, dir)).iterator
+            .filter(_.isFile)
+            .map(st => s"$dir/${st.getPath.getName}" -> st)
+        }.toMap
+        unstamped.map(e => e._1 -> found(e._1))
+      }
+    synthetic ++ listed
+  }
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = statuses.filter { case (rel, _) =>
-      dataFilters.forall(e => mayMatch(rel, e))
-    }
+    // group-level admission first: a label every filter may match —
+    // groups whose label is provably excluded are never even READ
+    val admit: Option[String => Boolean] =
+      if (pcols.isEmpty || dataFilters.isEmpty) None
+      else Some(label => dataFilters.forall(e => mayMatchLabel(label, e)))
+    val entries = entriesFor(admit)
+    lastMetaGroupsRead = metaGroupsRead()
+    lastMetaBytesRead = metaBytesRead()
+    val kept = entries.filter(e =>
+      dataFilters.forall(expr => mayMatch(e, expr)))
     lastPlannedFiles = kept.size
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+    Seq(PartitionDirectory(InternalRow.empty,
+      statusesFor(kept).map(_._2).toArray))
   }
 
-  private val pcols = SnapshotTable.partitionColsOf(snap)
+  private val pcols = SnapshotTable.partitionColsOf(header)
   // hidden-partitioning transforms, aligned with pcols (empty on
   // identity-partitioned and unpartitioned tables)
-  private val ptransforms = SnapshotTable.partitionSpecOf(snap)
+  private val ptransforms = SnapshotTable.partitionSpecOf(header)
+  private val multiCol = header.meta.contains("partitionCols")
 
-  /** Can `file` possibly hold a row satisfying `e`? (false only on a
+  private def partValues(label: String): Seq[String] =
+    if (multiCol)
+      label.split(",", -1).map(v =>
+        java.net.URLDecoder.decode(v, "UTF-8")).toSeq
+    else Seq(label)
+
+  /** Can a file carrying `label` possibly hold a row satisfying `e`?
+    * The GROUP-level check: partition admission only (no per-file
+    * stats yet) — false only on a provable exclusion.
+    */
+  private def mayMatchLabel(label: String, e: Expression): Boolean =
+    e match {
+      case And(l, r) => mayMatchLabel(label, l) && mayMatchLabel(label, r)
+      case Or(l, r) => mayMatchLabel(label, l) || mayMatchLabel(label, r)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        labelAdmits(label, a.name, l, lo = true, hi = true)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        labelAdmits(label, a.name, l, lo = true, hi = true)
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        labelAdmits(label, a.name, l, lo = true, hi = false)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        labelAdmits(label, a.name, l, lo = true, hi = false)
+      case LessThan(a: AttributeReference, l: Literal) =>
+        labelAdmits(label, a.name, l, lo = false, hi = true)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        labelAdmits(label, a.name, l, lo = false, hi = true)
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        labelAdmits(label, a.name, l, lo = false, hi = true)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        labelAdmits(label, a.name, l, lo = false, hi = true)
+      case LessThan(l: Literal, a: AttributeReference) =>
+        labelAdmits(label, a.name, l, lo = true, hi = false)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        labelAdmits(label, a.name, l, lo = true, hi = false)
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => labelAdmits(label, a.name,
+          v.asInstanceOf[Literal], lo = true, hi = true))
+      case _ => true
+    }
+
+  /** Can `entry` possibly hold a row satisfying `e`? (false only on a
     * provable exclusion.)
     */
-  private def mayMatch(file: String, e: Expression): Boolean = e match {
-    case And(l, r) => mayMatch(file, l) && mayMatch(file, r)
-    case Or(l, r) => mayMatch(file, l) || mayMatch(file, r)
+  private def mayMatch(entry: SnapshotTable.Entry,
+      e: Expression): Boolean = e match {
+    case And(l, r) => mayMatch(entry, l) && mayMatch(entry, r)
+    case Or(l, r) => mayMatch(entry, l) || mayMatch(entry, r)
     case EqualTo(a: AttributeReference, l: Literal) =>
-      boundsAdmit(file, a.name, l, lo = true, hi = true)
+      boundsAdmit(entry, a.name, l, lo = true, hi = true)
     case EqualTo(l: Literal, a: AttributeReference) =>
-      boundsAdmit(file, a.name, l, lo = true, hi = true)
+      boundsAdmit(entry, a.name, l, lo = true, hi = true)
     case GreaterThan(a: AttributeReference, l: Literal) =>
-      boundsAdmit(file, a.name, l, lo = true, hi = false)
+      boundsAdmit(entry, a.name, l, lo = true, hi = false)
     case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-      boundsAdmit(file, a.name, l, lo = true, hi = false)
+      boundsAdmit(entry, a.name, l, lo = true, hi = false)
     case LessThan(a: AttributeReference, l: Literal) =>
-      boundsAdmit(file, a.name, l, lo = false, hi = true)
+      boundsAdmit(entry, a.name, l, lo = false, hi = true)
     case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-      boundsAdmit(file, a.name, l, lo = false, hi = true)
+      boundsAdmit(entry, a.name, l, lo = false, hi = true)
     case GreaterThan(l: Literal, a: AttributeReference) =>
-      boundsAdmit(file, a.name, l, lo = false, hi = true)
+      boundsAdmit(entry, a.name, l, lo = false, hi = true)
     case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-      boundsAdmit(file, a.name, l, lo = false, hi = true)
+      boundsAdmit(entry, a.name, l, lo = false, hi = true)
     case LessThan(l: Literal, a: AttributeReference) =>
-      boundsAdmit(file, a.name, l, lo = true, hi = false)
+      boundsAdmit(entry, a.name, l, lo = true, hi = false)
     case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-      boundsAdmit(file, a.name, l, lo = true, hi = false)
-    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists(v => boundsAdmit(file, a.name,
+      boundsAdmit(entry, a.name, l, lo = true, hi = false)
+    case In(a: AttributeReference, vs)
+        if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => boundsAdmit(entry, a.name,
         v.asInstanceOf[Literal], lo = true, hi = true))
     // per-file row/null counts (manifest `x=` attributes) prove a file
     // all-null or null-free — unknown counts keep the file (soundness)
     case IsNotNull(a: AttributeReference) =>
-      (extraLong(file, "rows"), extraLong(file, s"nulls.${a.name}")) match {
+      (extraLong(entry, "rows"),
+        extraLong(entry, s"nulls.${a.name}")) match {
         case (Some(rows), Some(nulls)) => nulls < rows
         case _ => true
       }
     case IsNull(a: AttributeReference) =>
-      extraLong(file, s"nulls.${a.name}") match {
+      extraLong(entry, s"nulls.${a.name}") match {
         case Some(nulls) => nulls > 0
         case _ => true
       }
     case _ => true
   }
 
-  private def extraLong(file: String, key: String): Option[Long] =
-    snap.extraOf.get(file).flatMap(_.get(key))
+  private def extraLong(entry: SnapshotTable.Entry,
+      key: String): Option[Long] =
+    entry._4.get(key)
       .flatMap(v => scala.util.Try(v.toLong).toOption)
+
+  /** The partition-position admission shared by the group- and
+    * file-level checks: does the label tuple admit the literal under
+    * the column's transforms? `lo`: the predicate needs rows ≥
+    * literal, `hi`: rows ≤ literal; EqualTo checks both. Returns true
+    * (keep) unless every transform position sourcing `column` proves
+    * exclusion... any single position's veto excludes.
+    */
+  private def labelAdmits(label: String, column: String, l: Literal,
+      lo: Boolean, hi: Boolean): Boolean = {
+    val v = render(l)
+    if (v == null) return true
+    if (!pcols.contains(column)) return true
+    val vals = partValues(label)
+    var pi = 0
+    while (pi < pcols.length) {
+      if (pcols(pi) == column) {
+        vals.lift(pi).foreach { lab =>
+          if (!positionAdmits(lab, pi, l, v, lo, hi)) return false
+        }
+      }
+      pi += 1
+    }
+    true
+  }
+
+  /** One transform position's verdict on (label value, literal). */
+  private def positionAdmits(label: String, pi: Int, l: Literal,
+      v: String, lo: Boolean, hi: Boolean): Boolean = {
+    ptransforms.lift(pi) match {
+      case Some(t) if !t.isIdentity =>
+        t.applyLiteral(l) match {
+          case Some(tl) =>
+            def cmpLe(x: String, y: String): Boolean =
+              if (t.numericLabel)
+                try BigDecimal(x) <= BigDecimal(y)
+                catch { case _: NumberFormatException => true }
+              else SnapshotTable.codePointLe(x, y)
+            if (lo && hi) label == tl
+            else if (t.monotonic)
+              (!lo || cmpLe(tl, label)) && (!hi || cmpLe(label, tl))
+            else true // non-monotonic (bucket) range: no verdict
+          case None => true
+        }
+      case _ =>
+        // identity: exact-equality pruning — but the literal must
+        // render in the SAME domain the label was derived in. Labels
+        // come from cast-to-string at staging; render() emits epoch
+        // MICROS for TimestampType, so comparing cross-domain would
+        // silently exclude every matching file. Catalyst's Cast in the
+        // zone staging derived labels under — the manifest's PINNED
+        // staging zone (stageFor refuses writes from any other zone),
+        // falling back to the session zone for pre-pin tables — IS the
+        // staging derivation.
+        if (lo && hi) {
+          val lv =
+            if (l.dataType == org.apache.spark.sql.types.TimestampType)
+              org.apache.spark.sql.catalyst.expressions.Cast(l,
+                org.apache.spark.sql.types.StringType,
+                Some(header.meta.getOrElse("stagingTz",
+                  org.apache.spark.sql.internal.SQLConf.get
+                    .sessionLocalTimeZone))).eval() match {
+                case null => null
+                case s => s.toString
+              }
+            else v
+          if (lv != null) label == lv else true
+        } else true // identity range pruning is handled by file stats
+    }
+  }
 
   /** `lo`: the predicate needs rows with value ≥ literal to exist, so
     * the file admits it iff literal ≤ max; `hi`: needs value ≤ literal,
     * so literal ≥ min must hold. EqualTo checks both sides.
+    * Exact partition value beats range stats for ANY partition column
+    * (multi-column tables carry the full value tuple per file, so a
+    * predicate on the second column prunes as well as the first —
+    * subset pruning, not Hive's prefix-only trie walk). Hidden
+    * partitioning prunes the RAW-column predicate THROUGH the
+    * transform; see [[labelAdmits]].
     */
-  private def boundsAdmit(file: String, column: String, l: Literal,
-      lo: Boolean, hi: Boolean): Boolean = {
+  private def boundsAdmit(entry: SnapshotTable.Entry, column: String,
+      l: Literal, lo: Boolean, hi: Boolean): Boolean = {
     val v = render(l)
     if (v == null) return true
-    // exact partition value beats range stats for ANY partition column
-    // (multi-column tables carry the full value tuple per file, so a
-    // predicate on the second column prunes as well as the first —
-    // subset pruning, not Hive's prefix-only trie walk). Hidden
-    // partitioning prunes the RAW-column predicate THROUGH the
-    // transform: the literal maps into the label domain with the same
-    // derivation staging used, then equality compares labels directly
-    // and — for order-preserving transforms only — ranges compare in
-    // the label domain (x >= L implies t(x) >= t(L), so label < t(L)
-    // provably excludes the file). A column may source SEVERAL
-    // transforms; every position gets its veto.
-    var pi = 0
-    while (pi < pcols.length) {
-      if (pcols(pi) == column) {
-        SnapshotTable.partValuesOf(snap, file).flatMap(_.lift(pi))
-          .foreach { label =>
-            ptransforms.lift(pi) match {
-              case Some(t) if !t.isIdentity =>
-                t.applyLiteral(l).foreach { tl =>
-                  def cmpLe(x: String, y: String): Boolean =
-                    if (t.numericLabel)
-                      try BigDecimal(x) <= BigDecimal(y)
-                      catch { case _: NumberFormatException => true }
-                    else SnapshotTable.codePointLe(x, y)
-                  if (lo && hi) { if (label != tl) return false }
-                  else if (t.monotonic &&
-                      !((!lo || cmpLe(tl, label)) &&
-                        (!hi || cmpLe(label, tl)))) return false
-                  // non-monotonic (bucket) range: no partition verdict
-                }
-              case _ =>
-                // identity: exact-equality pruning — but the literal
-                // must render in the SAME domain the label was derived
-                // in. Labels come from cast-to-string at staging;
-                // render() emits epoch MICROS for TimestampType, so
-                // comparing cross-domain would silently exclude every
-                // matching file. Catalyst's Cast with the session
-                // timezone IS the staging derivation — render the
-                // timestamp literal through it.
-                if (lo && hi) {
-                  val lv =
-                    if (l.dataType ==
-                        org.apache.spark.sql.types.TimestampType)
-                      org.apache.spark.sql.catalyst.expressions.Cast(l,
-                        org.apache.spark.sql.types.StringType,
-                        Some(org.apache.spark.sql.internal.SQLConf.get
-                          .sessionLocalTimeZone)).eval() match {
-                        case null => null
-                        case s => s.toString
-                      }
-                    else v
-                  if (lv != null) return label == lv
-                }
-            }
-          }
-      }
-      pi += 1
+    entry._2.foreach { label =>
+      if (pcols.contains(column) &&
+          !labelAdmits(label, column, l, lo, hi)) return false
+      // identity range over the label: the original per-file path also
+      // admitted ranges via stats below, which remain authoritative
     }
-    snap.statsOf.get(file).flatMap(_.get(column)) match {
+    entry._3.get(column) match {
       case Some((mn, mx)) =>
         // TIMESTAMP stats are recorded as epoch micros, so they compare
         // numerically like any numeric column
-        val numeric = snap.schema.fieldNames.contains(column) &&
-          (snap.schema(column).dataType.isInstanceOf[NumericType] ||
-            snap.schema(column).dataType ==
+        val numeric = header.schema.fieldNames.contains(column) &&
+          (header.schema(column).dataType.isInstanceOf[NumericType] ||
+            header.schema(column).dataType ==
               org.apache.spark.sql.types.TimestampType)
         // unparseable numeric repr -> no exclusion (soundness first);
         // string compare is by CODE POINT — the order UTF8String's
@@ -231,53 +373,65 @@ class SnapshotFileIndex(spark: SparkSession, table: String,
   }
 }
 
+object SnapshotFileIndex {
+
+  /** The TWO-TIER planning constructor: group entries materialize
+    * lazily per query, label-pruned — metadata IO ∝ matched
+    * partitions.
+    */
+  private[sources] def lazily(spark: SparkSession, table: String,
+      plan: SnapshotTable.ScanPlan): SnapshotFileIndex =
+    new SnapshotFileIndex(spark, table, plan.header,
+      admit => plan.entries(admit), plan.knownSizeInBytes,
+      () => plan.lastGroupsRead, () => plan.lastGroupBytesRead)
+}
+
 object SnapshotScan {
 
   /** The Catalyst-planned snapshot read: filters on this frame (or on a
     * view registered from it) prune files through the manifest
     * automatically. Pins the CURRENT snapshot at call time, like
-    * [[SnapshotTable.read]].
+    * [[SnapshotTable.read]]. Planning is metadata-tier lazy: a grouped
+    * (two-tier) manifest's file entries load per query, label-pruned.
     */
   def scan(spark: SparkSession, table: String,
       version: Option[Long] = None): (DataFrame, SnapshotFileIndex) = {
-    val snap = version match {
-      case Some(v) => SnapshotTable.readManifest(spark, table, v)
-      case None => SnapshotTable.readManifest(spark, table,
-        SnapshotTable.currentVersion(spark, table))
-    }
+    val v = version.getOrElse(SnapshotTable.currentVersion(spark, table))
+    val plan = SnapshotTable.scanPlanAt(spark, table, v)
+    val header = plan.header
     // fail honestly rather than resurrect vector-deleted rows: the raw
     // FileIndex relation has no seam for the DV anti join — compact()
     // purges the vectors, after which the Catalyst scan is exact again
-    require(snap.deleteFiles.isEmpty,
-      s"$table v${snap.version} carries deletion vectors; read it via " +
+    require(header.deleteFiles.isEmpty,
+      s"$table v${header.version} carries deletion vectors; read it via " +
         "SnapshotTable.read (DV-applying) or compact() to purge them")
     // same honesty rule for column mapping: the raw FileIndex scan
     // reads by CURRENT names only, so files written before a rename
     // would read the column as NULL — silently wrong. compact()
     // rewrites under current names, after which the mapping clears.
-    require(SnapshotTable.colMapOf(snap).isEmpty,
-      s"$table v${snap.version} carries renamed columns; read it via " +
+    require(SnapshotTable.colMapOf(header).isEmpty,
+      s"$table v${header.version} carries renamed columns; read it via " +
         "SnapshotTable.read (mapping-aware) or compact() to rewrite " +
         "under the current names")
     // and for initial-defaults: files predating an ADD COLUMN DEFAULT
     // must read the default, which only the frame-level read applies —
     // compact() materializes it, after which this scan is exact again
-    require(!SnapshotTable.hasLiveDefaults(snap),
-      s"$table v${snap.version} has files predating a column DEFAULT; " +
+    require(!plan.liveDefaults,
+      s"$table v${header.version} has files predating a column DEFAULT; " +
         "read it via SnapshotTable.read (default-applying) or " +
         "compact() to materialize the defaults")
-    val index = new SnapshotFileIndex(spark, table, snap)
+    val index = SnapshotFileIndex.lazily(spark, table, plan)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
-      dataSchema = snap.schema,
+      dataSchema = header.schema,
       // declared bucket layout rides the relation: the v1 bucketed
       // scan groups the tagged files by bucket id and reports hash
       // output partitioning — equal-bucketed graft tables then join
       // with no exchange on either side
-      bucketSpec = SnapshotTable.bucketSpecOf(snap).map { case (cs, n) =>
+      bucketSpec = SnapshotTable.bucketSpecOf(header).map { case (cs, n) =>
         org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cs,
-          SnapshotTable.bucketSortOf(snap))
+          SnapshotTable.bucketSortOf(header))
       },
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)

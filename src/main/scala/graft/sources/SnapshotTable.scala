@@ -108,24 +108,107 @@ object SnapshotTable {
       partitionOf: Map[String, String] = Map.empty,
       statsOf: Map[String, Map[String, (String, String)]] = Map.empty,
       deleteFiles: Seq[String] = Nil, depth: Int = 0,
-      extraOf: Map[String, Map[String, String]] = Map.empty)
+      extraOf: Map[String, Map[String, String]] = Map.empty,
+      cleanGroups: Map[String, GroupRef] = Map.empty)
 
-  /** One manifest FILE as written (full, or a delta against `base`).
-    * An entry is (path, partition label, min/max stats, extra per-file
-    * attributes — row count and per-column null counts).
+  /** One partition-group reference inside a GROUPED (two-tier) full
+    * manifest: the anchor lists (group file, partition label, entry
+    * count, total data bytes) per group instead of the file entries
+    * themselves, so scan planning with a pruning predicate reads only
+    * the matching groups' metadata — O(matched partitions), not
+    * O(table files). `label` is the group's composite partition value
+    * (None = the label-less group, never prunable). `bytes` is -1 when
+    * some member file's size was unknown at anchor time (sizeInBytes
+    * then falls back to listing).
     */
-  private final case class RawManifest(version: Long, schema: StructType,
+  final case class GroupRef(rel: String, label: Option[String],
+      count: Int, bytes: Long)
+
+  /** One manifest FILE as written (full, grouped-full, or a delta
+    * against `base`). An entry is (path, partition label, min/max
+    * stats, extra per-file attributes — row count, per-column null
+    * counts, on-disk bytes). `groups` is non-empty for GROUPED full
+    * manifests; `entries` then holds the resolved union of all groups
+    * when parsed eagerly, or only the admitted groups when parsed for
+    * pruned scan planning.
+    */
+  private[sources] final case class RawManifest(version: Long,
+      schema: StructType,
       base: Option[Long], depth: Int, meta: Map[String, String],
       deleteFiles: Seq[String], removed: Seq[String],
       entries: Seq[(String, Option[String], Map[String, (String, String)],
-        Map[String, String])])
+        Map[String, String])],
+      groups: Seq[GroupRef] = Nil)
 
-  private def parseManifestFile(spark: SparkSession, table: String,
-      p: Path, version: Long): RawManifest = {
+  private[sources] type Entry =
+    (String, Option[String], Map[String, (String, String)],
+      Map[String, String])
+
+  private def readLinesAt(spark: SparkSession, table: String,
+      p: Path): Vector[String] = {
     val in = fs(spark, table).open(p)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-      finally in.close()
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  /** Parse one file-entry line: `path` plus optional TAB-separated
+    * tagged fields `p=<partitionValue>`, `s=<col>|<min>|<max>[;...]`
+    * and `x=<k>|<v>[;...]` (URL-encoded components).
+    */
+  private def parseEntryLine(l: String): Entry = {
+    val fields = l.split('\t')
+    val path = fields.head
+    var part: Option[String] = None
+    var stats = Map.empty[String, (String, String)]
+    var extra = Map.empty[String, String]
+    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+    fields.tail.foreach {
+      case f if f.startsWith("p=") => part = Some(f.stripPrefix("p="))
+      case f if f.startsWith("s=") =>
+        stats = f.stripPrefix("s=").split(';').iterator.map { e =>
+          // -1 limit: an empty-string max ("col||") must not drop its
+          // trailing field and poison the manifest with a MatchError
+          val Array(c, mn, mx) = e.split("\\|", -1).map(dec)
+          c -> ((mn, mx))
+        }.toMap
+      case f if f.startsWith("x=") =>
+        extra = f.stripPrefix("x=").split(';').iterator.map { e =>
+          val Array(k, v) = e.split("\\|", -1).map(dec)
+          k -> v
+        }.toMap
+      case _ => ()
+    }
+    (path, part, stats, extra)
+  }
+
+  private val GroupMarker = "graft-group-v1"
+
+  /** Read one partition-group file's entries (and its metadata byte
+    * size — the two-tier planning-cost measure).
+    */
+  private def readGroupEntriesWithBytes(spark: SparkSession,
+      table: String, rel: String): (Seq[Entry], Long) = {
+    val lines = readLinesAt(spark, table,
+      new Path(manifestDir(table), rel))
+    require(lines.headOption.contains(GroupMarker),
+      s"$rel is not a $GroupMarker group file")
+    (lines.drop(1).filter(_.nonEmpty).map(parseEntryLine),
+      lines.iterator.map(_.length + 1L).sum)
+  }
+
+  private def readGroupEntries(spark: SparkSession, table: String,
+      rel: String): Seq[Entry] =
+    readGroupEntriesWithBytes(spark, table, rel)._1
+
+  /** Parse a manifest WITHOUT resolving its partition groups —
+    * header (schema/meta/dv/base/depth), its own inline entries, and
+    * the group references. The scan-planning path prunes on the group
+    * labels and reads only matching groups; [[parseManifestFile]]
+    * resolves everything for the verbs.
+    */
+  private def parseManifestHeader(spark: SparkSession, table: String,
+      p: Path, version: Long): RawManifest = {
+    val lines = readLinesAt(spark, table, p)
     require(lines.headOption.contains(Marker),
       s"$p is not a $Marker manifest")
     val schema = DataType.fromJson(lines(1).stripPrefix("schema:"))
@@ -135,44 +218,33 @@ object SnapshotTable {
     val (dvLines, rest1) = rest0.partition(_.startsWith("dv:"))
     val (baseLines, rest2) = rest1.partition(_.startsWith("base:"))
     val (depthLines, rest3) = rest2.partition(_.startsWith("depth:"))
-    val (rmLines, fileLines) = rest3.partition(_.startsWith("rm:"))
+    val (grpLines, rest4) = rest3.partition(_.startsWith("grp:"))
+    val (rmLines, fileLines) = rest4.partition(_.startsWith("rm:"))
     val meta = metaLines.map(_.stripPrefix("meta:")).map { kv =>
       val i = kv.indexOf('=')
       kv.take(i) -> kv.drop(i + 1)
     }.toMap
-    // a file line is `path` plus optional TAB-separated tagged fields:
-    // `p=<partitionValue>` and `s=<col>|<min>|<max>[;...]` (URL-encoded
-    // components)
-    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
-    val parsed = fileLines.map { l =>
-      val fields = l.split('\t')
-      val path = fields.head
-      var part: Option[String] = None
-      var stats = Map.empty[String, (String, String)]
-      var extra = Map.empty[String, String]
-      fields.tail.foreach {
-        case f if f.startsWith("p=") => part = Some(f.stripPrefix("p="))
-        case f if f.startsWith("s=") =>
-          stats = f.stripPrefix("s=").split(';').iterator.map { e =>
-            // -1 limit: an empty-string max ("col||") must not drop its
-            // trailing field and poison the manifest with a MatchError
-            val Array(c, mn, mx) = e.split("\\|", -1).map(dec)
-            c -> ((mn, mx))
-          }.toMap
-        case f if f.startsWith("x=") =>
-          extra = f.stripPrefix("x=").split(';').iterator.map { e =>
-            val Array(k, v) = e.split("\\|", -1).map(dec)
-            k -> v
-          }.toMap
-        case _ => ()
-      }
-      (path, part, stats, extra)
+    val groups = grpLines.map { l =>
+      val Array(rel, lab, cnt, bytes) =
+        l.stripPrefix("grp:").split('\t')
+      GroupRef(rel,
+        if (lab == "-") None else Some(dec(lab.stripPrefix("v"))),
+        cnt.toInt, bytes.toLong)
     }
     RawManifest(version, schema,
       baseLines.headOption.map(_.stripPrefix("base:").toLong),
       depthLines.headOption.map(_.stripPrefix("depth:").toInt).getOrElse(0),
       meta, dvLines.map(_.stripPrefix("dv:")),
-      rmLines.map(_.stripPrefix("rm:")), parsed)
+      rmLines.map(_.stripPrefix("rm:")), fileLines.map(parseEntryLine),
+      groups)
+  }
+
+  private def parseManifestFile(spark: SparkSession, table: String,
+      p: Path, version: Long): RawManifest = {
+    val raw = parseManifestHeader(spark, table, p, version)
+    if (raw.groups.isEmpty) raw
+    else raw.copy(entries = raw.entries ++
+      raw.groups.flatMap(g => readGroupEntries(spark, table, g.rel)))
   }
 
   private def toSnapshot(raw: RawManifest): Snapshot =
@@ -182,16 +254,23 @@ object SnapshotTable {
         case (f, _, st, _) if st.nonEmpty => f -> st }.toMap,
       raw.deleteFiles, raw.depth,
       raw.entries.collect {
-        case (f, _, _, x) if x.nonEmpty => f -> x }.toMap)
+        case (f, _, _, x) if x.nonEmpty => f -> x }.toMap,
+      raw.groups.flatMap(g => g.label.map(_ -> g)).toMap)
 
   /** Apply one delta on top of its resolved base: the file list drops
     * the removed paths and appends the added entries; meta, schema and
     * the DV list come WHOLLY from the delta (each manifest is
     * authoritative for them — this is how additive schema evolution and
     * stream high-water marks ride delta commits unchanged).
+    * `cleanGroups` — the anchor's partition groups whose membership
+    * the chain has NOT touched — loses every label the delta adds to
+    * or removes from; the next re-anchor reuses the surviving groups'
+    * files verbatim (O(churn) re-anchor, not O(table)).
     */
   private def applyDelta(base: Snapshot, d: RawManifest): Snapshot = {
     val rm = d.removed.toSet
+    val dirtyLabels = (d.entries.flatMap(_._2) ++
+      d.removed.flatMap(base.partitionOf.get)).toSet
     Snapshot(d.version, d.schema,
       base.files.filterNot(rm) ++ d.entries.map(_._1), d.meta,
       (base.partitionOf -- rm) ++
@@ -200,7 +279,8 @@ object SnapshotTable {
         d.entries.collect { case (f, _, st, _) if st.nonEmpty => f -> st },
       d.deleteFiles, d.depth,
       (base.extraOf -- rm) ++
-        d.entries.collect { case (f, _, _, x) if x.nonEmpty => f -> x })
+        d.entries.collect { case (f, _, _, x) if x.nonEmpty => f -> x },
+      base.cleanGroups -- dirtyLabels)
   }
 
   def readManifest(spark: SparkSession, table: String,
@@ -242,6 +322,125 @@ object SnapshotTable {
     }
   }
 
+  /** A snapshot resolved for SCAN PLANNING: the header (schema, meta,
+    * DV list — everything the relation needs before filters arrive) is
+    * parsed eagerly, but a GROUPED anchor's file entries are NOT — the
+    * FileIndex materializes them per query with a partition-label
+    * admission predicate, reading only matching groups' metadata.
+    * Delta-chain links are churn-sized and always read whole.
+    */
+  final class ScanPlan private[SnapshotTable] (
+      spark: SparkSession, table: String,
+      private[sources] val anchor: RawManifest,
+      private[sources] val deltas: Seq[RawManifest]) {
+
+    /** Header-only Snapshot (files empty): meta/schema/dv/depth are
+      * authoritative from the chain TOP, like [[applyDelta]].
+      */
+    val header: Snapshot = {
+      val top = deltas.lastOption.getOrElse(anchor)
+      Snapshot(top.version, top.schema, Nil, top.meta,
+        Map.empty, Map.empty, top.deleteFiles, top.depth)
+    }
+
+    /** Bytes of group metadata the last [[entries]] call read — the
+      * two-tier planning cost, asserted ∝ matched partitions.
+      */
+    @volatile var lastGroupsRead: Int = -1
+    @volatile var lastGroupBytesRead: Long = -1L
+
+    /** Live initial-default markers need the PER-FILE extras, which a
+      * header-only snapshot lacks — tables declaring defaults
+      * materialize their entries for this check (rare, and correctness
+      * beats laziness: a missed marker would silently skip applying a
+      * column DEFAULT).
+      */
+    lazy val liveDefaults: Boolean = {
+      val defs = defaultsOf(header)
+      defs.nonEmpty && {
+        val markers = defs.keys.map(c => s"predates.${enc(c)}").toSet
+        entries(None).exists(e => markers.exists(e._4.contains))
+      }
+    }
+
+    /** Total data bytes WITHOUT materializing groups, when every
+      * group's byte total is known (anchors record them from the
+      * staged sizes); None falls back to materializing.
+      */
+    def knownSizeInBytes: Option[Long] = {
+      if (anchor.groups.isEmpty) None
+      else {
+        val rmAll = deltas.flatMap(_.removed).toSet
+        if (rmAll.nonEmpty) None // removed bytes live inside groups
+        else {
+          val g = anchor.groups.map(_.bytes)
+          val d = deltas.flatMap(_.entries).map(_._4.get("bytes")
+            .flatMap(v => scala.util.Try(v.toLong).toOption)
+            .getOrElse(-1L))
+          if (g.exists(_ < 0) || d.exists(_ < 0)) None
+          else Some(g.sum + d.sum)
+        }
+      }
+    }
+
+    /** Materialize the file entries whose partition label `admit`s
+      * (None = all). Group files of non-admitted labels are never
+      * read; the label-less group and every delta entry always
+      * resolve (delta rm-sets apply — a removed file in an unread
+      * group was never listed, harmlessly).
+      */
+    def entries(admit: Option[String => Boolean]): Seq[Entry] = {
+      def keep(label: Option[String]): Boolean = (admit, label) match {
+        case (Some(f), Some(l)) => f(l)
+        case _ => true // no predicate, or label-less: never prunable
+      }
+      var groupsRead = 0
+      var bytesRead = 0L
+      val anchorEntries: Seq[Entry] =
+        if (anchor.groups.isEmpty) anchor.entries.filter(e => keep(e._2))
+        else anchor.entries.filter(e => keep(e._2)) ++
+          anchor.groups.filter(g => keep(g.label)).flatMap { g =>
+            groupsRead += 1
+            val (es, b) = readGroupEntriesWithBytes(spark, table, g.rel)
+            bytesRead += b
+            es
+          }
+      lastGroupsRead = groupsRead
+      lastGroupBytesRead = bytesRead
+      deltas.foldLeft(anchorEntries) { (acc, d) =>
+        val rm = d.removed.toSet
+        acc.filterNot(e => rm(e._1)) ++ d.entries.filter(e => keep(e._2))
+      }
+    }
+  }
+
+  /** Resolve `version` (or a branch/staged manifest path) for scan
+    * planning: chain links parse header-only; grouped anchors defer
+    * their entries to [[ScanPlan.entries]].
+    */
+  private[sources] def scanPlanAt(spark: SparkSession, table: String,
+      version: Long): ScanPlan = {
+    val floor = retentionFloor(spark, table)
+    if (version < floor) throw new IllegalArgumentException(
+      s"version $version of $table is expired (retention floor $floor)")
+    val top = parseManifestHeader(spark, table,
+      manifestPath(table, version), version)
+    if (top.base.isEmpty) new ScanPlan(spark, table, top, Nil)
+    else {
+      var stack: List[RawManifest] = List(top)
+      var baseV = top.base
+      while (baseV.isDefined) {
+        val r = parseManifestHeader(spark, table,
+          manifestPath(table, baseV.get), baseV.get)
+        stack ::= r
+        baseV = r.base
+      }
+      require(stack.head.base.isEmpty,
+        "delta chain must end at a full manifest")
+      new ScanPlan(spark, table, stack.head, stack.tail)
+    }
+  }
+
   /** The verbs' "current snapshot", BRANCH-SCOPE AWARE (inside
     * [[withBranch]] this is the branch head) — the accessor provider
     * code uses when it must see what the verbs will see.
@@ -250,7 +449,7 @@ object SnapshotTable {
       table: String): Snapshot = loadCurrent(spark, table)
 
   private def loadCurrent(spark: SparkSession, table: String): Snapshot =
-    branchCtx.get.get(table) match {
+    scopedBranch(table) match {
       case Some(name) =>
         // inside withBranch: every verb's "current snapshot" IS the
         // branch head, with the head sequence standing in for the
@@ -775,7 +974,24 @@ object SnapshotTable {
     }
     def isStr(c: String) =
       schema(c).dataType == org.apache.spark.sql.types.StringType
-    val aggs = statsCols.flatMap(c => Seq(
+    // KLL quantile sketches (CBO equi-height histograms) for the types
+    // whose histogram domain is a double — the SAME double the
+    // estimator converts predicates into (timestamps: epoch micros,
+    // dates: epoch days, numerics: the value)
+    def kllInput(c: String): Option[Column] =
+      schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          Some(unix_micros(col(c)).cast("double"))
+        case org.apache.spark.sql.types.DateType =>
+          Some(unix_date(col(c)).cast("double"))
+        case _: org.apache.spark.sql.types.NumericType =>
+          Some(col(c).cast("double"))
+        case _ => None
+      }
+    val kllCols = statsCols.filter(c => kllInput(c).isDefined)
+    val kllAgg = udaf(new graft.functions.KllDoubleAgg(128),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val aggs = (statsCols.flatMap(c => Seq(
       bound(c, isMin = true).as(s"min_$c"),
       bound(c, isMin = false).as(s"max_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
@@ -786,7 +1002,11 @@ object SnapshotTable {
       (if (isStr(c))
          coalesce(max(length(col(c)).cast("long")), lit(0L))
        else lit(0L)).as(s"lenmax_$c"))) :+
-      count(lit(1L)).as("__rows")
+      count(lit(1L)).as("__rows")) ++
+      // NaN marks NULL for the sketch (skipped in the reducer): a raw
+      // null through the udaf's primitive input would inject 0.0
+      kllCols.map(c => base64(kllAgg(coalesce(kllInput(c).get,
+        lit(Double.NaN)))).as(s"kll_$c"))
     val rows = spark.read.schema(schema)
       .parquet(files.map(f => s"$table/$f"): _*)
       .groupBy(input_file_name().as("__f"))
@@ -794,6 +1014,7 @@ object SnapshotTable {
       .collect()
     val fileSet = files.toSet
     val W = 6 // accumulators per column
+    val kllBase = 2 + W * statsCols.size // first kll slot
     val perFile = rows.flatMap { r =>
       // O(1) key extraction per row (extract-then-decode), not an
       // O(files) endsWith scan — and exact for URI-special characters
@@ -810,6 +1031,9 @@ object SnapshotTable {
               s"lensum.$c" -> r.getLong(5 + W * i).toString,
               s"lenmax.$c" -> r.getLong(6 + W * i).toString) ++
               Option(r.getString(4 + W * i)).map(s"hll.$c" -> _)
+          } ++
+          kllCols.zipWithIndex.flatMap { case (c, j) =>
+            Option(r.getString(kllBase + j)).map(s"kll.$c" -> _)
           }
         (rel, stats, extras)
       }
@@ -958,12 +1182,68 @@ object SnapshotTable {
              lmax.map(_.max))
           } else (Some(dt.defaultSize.toLong),
             Some(dt.defaultSize.toLong))
+        // EQUI-HEIGHT HISTOGRAM from the per-file KLL quantile
+        // sketches (mergeable, like the HLL-NDV): bin endpoints are
+        // the merged sketch's quantile ladder in the estimator's
+        // double domain, so a SKEWED predicate's selectivity tracks
+        // the true fraction — a heavy value spans many single-value
+        // bins (lo == hi, ndv 1), which min/max/NDV alone flattens to
+        // the uniform estimate. Per-bin NDV for mixed bins is the
+        // uniform share of the sketch-union NDV (bins hold equal row
+        // counts; lo==hi bins are exact at 1).
+        val histogram: Option[org.apache.spark.sql.catalyst.plans
+          .logical.Histogram] =
+          if (!(numericLike || dt == DateType)) None
+          else scala.util.Try {
+            val per = files.map(f =>
+              snap.extraOf.get(f).flatMap(_.get(s"kll.$c")))
+            // every file must carry a sketch or be all-null
+            val ok = (nullsPer, rowsPer) match {
+              case (Some(ns), Some(rs)) =>
+                files.lazyZip(ns).lazyZip(rs).lazyZip(per).toList
+                  .forall { case (_, n, r, s) => s.isDefined || n == r }
+              case _ => false
+            }
+            if (!ok) None
+            else {
+              val merged = org.apache.datasketches.kll
+                .KllDoublesSketch.newHeapInstance(128)
+              per.flatten.foreach(b64 => merged.merge(
+                org.apache.datasketches.kll.KllDoublesSketch.heapify(
+                  org.apache.datasketches.memory.Memory.wrap(
+                    java.util.Base64.getMimeDecoder.decode(b64)))))
+              val totalNonNull = (for (r <- rowsPer; n <- nullsPer)
+                yield r.sum - n.sum).getOrElse(0L)
+              if (merged.isEmpty || totalNonNull <= 0) None
+              else {
+                val numBins = math.max(1, math.min(
+                  org.apache.spark.sql.internal.SQLConf.get
+                    .histogramNumBins, totalNonNull).toInt)
+                val qs = (0 to numBins).map { i =>
+                  if (i == 0) merged.getMinItem
+                  else if (i == numBins) merged.getMaxItem
+                  else merged.getQuantile(i.toDouble / numBins)
+                }
+                val ndvShare = math.max(1L,
+                  ndv.map(_.toLong).getOrElse(numBins.toLong) /
+                    numBins)
+                val bins = (0 until numBins).map { i =>
+                  val (lo, hi) = (qs(i), qs(i + 1))
+                  org.apache.spark.sql.catalyst.plans.logical
+                    .HistogramBin(lo, hi,
+                      if (lo == hi) 1L else ndvShare)
+                }.toArray
+                Some(org.apache.spark.sql.catalyst.plans.logical
+                  .Histogram(totalNonNull.toDouble / numBins, bins))
+              }
+            }
+          }.toOption.flatten
         val any = ndv.isDefined || nullCount.isDefined ||
           mnOpt.isDefined || mxOpt.isDefined
         if (!any) None
         else Some(c -> org.apache.spark.sql.catalyst.catalog
           .CatalogColumnStat(ndv, mnOpt, mxOpt, nullCount,
-            avgLen, maxLen, None))
+            avgLen, maxLen, histogram))
       }.toMap
   }
 
@@ -1127,6 +1407,19 @@ object SnapshotTable {
       : (Seq[String], Map[String, String],
          Map[String, Map[String, (String, String)]],
          Map[String, Map[String, String]]) = {
+    // identity-TIMESTAMP partition labels derive via cast-to-string,
+    // which renders in the SESSION zone — a batch staged under a zone
+    // different from the table's pinned staging zone would label files
+    // in a second domain, silently excluded by every later
+    // label-rendered comparison. Fail loudly instead.
+    snap.meta.get("stagingTz").foreach { tz =>
+      val cur = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+      require(cur == tz,
+        s"session timezone $cur differs from $table's pinned staging " +
+          s"timezone $tz — identity TIMESTAMP partition labels would " +
+          s"mix derivation domains; set spark.sql.session.timeZone=$tz " +
+          "to write this table")
+    }
     // CHECK constraints ride the staging write as observed metrics (no
     // extra pass): a row violates when its predicate is false OR null
     // (the Delta rule). Violations surface AFTER the batch is staged
@@ -1364,6 +1657,182 @@ object SnapshotTable {
     */
   private val MaxChainDepth = 16
 
+  /** Partitioned tables at or above this many files anchor as GROUPED
+    * (two-tier) manifests: scan planning with a pruning predicate then
+    * reads only the matching partition groups' metadata, and the
+    * periodic re-anchor rewrites only churned groups. Below it a
+    * single manifest file is cheaper than one-file-per-group IO.
+    */
+  private[sources] val GroupedManifestMinFiles = 48
+
+  private def shouldGroup(meta: Map[String, String], nFiles: Int)
+      : Boolean =
+    nFiles >= GroupedManifestMinFiles &&
+      (meta.contains("partitionCol") || meta.contains("partitionCols") ||
+        meta.contains("partitionSpec"))
+
+  private def sha1hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** Inject per-file on-disk sizes (the `bytes` extra attribute) for
+    * entries lacking one — one listStatus per batch DIR, never a
+    * per-file RPC. Recorded sizes let scan planning build FileStatus
+    * from the manifest alone (zero filesystem listing on the read
+    * path — the Delta/Iceberg "the metadata IS the listing" shape)
+    * and give grouped anchors their per-group byte totals.
+    */
+  private def withFileBytes(spark: SparkSession, table: String,
+      paths: Seq[String],
+      extraOf: Map[String, Map[String, String]])
+      : Map[String, Map[String, String]] = {
+    val missing = paths.filterNot(p =>
+      extraOf.get(p).exists(_.contains("bytes")))
+    if (missing.isEmpty) return extraOf
+    val f = fs(spark, table)
+    val byDir = missing.groupBy(r =>
+      r.split('/').dropRight(1).mkString("/"))
+    val found = byDir.keysIterator.flatMap { dir =>
+      try f.listStatus(new Path(table, dir)).iterator
+        .filter(_.isFile)
+        .map(st => s"$dir/${st.getPath.getName}" -> st.getLen)
+      catch { // a path outside the expected layout: stay lazy for it
+        case _: java.io.FileNotFoundException =>
+          Iterator.empty[(String, Long)]
+      }
+    }.toMap
+    missing.foldLeft(extraOf) { (acc, p) =>
+      found.get(p) match {
+        case Some(len) => acc + (p ->
+          (acc.getOrElse(p, Map.empty) + ("bytes" -> len.toString)))
+        case None => acc
+      }
+    }
+  }
+
+  /** Write a GROUPED (two-tier) full manifest: file entries grouped by
+    * partition label into CONTENT-ADDRESSED group files under
+    * `_manifests/groups/`, the anchor carrying one
+    * `grp:<file> <label> <count> <bytes>` line per group. Groups whose
+    * membership (and per-file stats) the chain since the previous
+    * anchor did not touch are REUSED from `base.cleanGroups` without
+    * re-rendering or re-writing — the every-MaxChainDepth re-anchor
+    * costs O(churned partitions), not O(table files); content
+    * addressing additionally dedupes identical groups across anchors,
+    * restores and time travel. Returns the anchor body.
+    */
+  private def renderGroupedManifest(spark: SparkSession, table: String,
+      schema: StructType, files: Seq[String], meta: Map[String, String],
+      partitionOf: Map[String, String],
+      statsOf: Map[String, Map[String, (String, String)]],
+      deleteFiles: Seq[String],
+      extraOf: Map[String, Map[String, String]],
+      base: Option[Snapshot]): Array[Byte] = {
+    val f = fs(spark, table)
+    val gDir = new Path(manifestDir(table), "groups")
+    f.mkdirs(gDir)
+    // labels reusable from the base's anchor: untouched through the
+    // chain (cleanGroups) AND untouched by THIS commit's add/remove
+    // AND carrying unchanged per-file stats/extras (a stats backfill
+    // re-publishes the label's group — stale stats are a silent
+    // mis-pruning hazard)
+    val reusable: Map[String, GroupRef] = base match {
+      case Some(b) if b.cleanGroups.nonEmpty =>
+        val baseSet = b.files.toSet
+        val targetSet = files.toSet
+        val dirty = (b.files.filterNot(targetSet)
+          .flatMap(b.partitionOf.get) ++
+          files.filterNot(baseSet).flatMap(partitionOf.get) ++
+          files.filter(p => baseSet(p) &&
+            (statsOf.get(p) != b.statsOf.get(p) ||
+              extraOf.get(p) != b.extraOf.get(p)))
+            .flatMap(partitionOf.get)).toSet
+        b.cleanGroups -- dirty
+      case _ => Map.empty
+    }
+    val byLabel: Seq[(Option[String], Seq[String])] =
+      files.groupBy(partitionOf.get).toSeq
+        .sortBy(_._1.getOrElse(""))
+    val refs = byLabel.map { case (label, members) =>
+      label.flatMap(reusable.get)
+        .filter(_.count == members.size) match {
+        case Some(ref) => ref
+        case None =>
+          val content = (GroupMarker +: members.sorted.map(p =>
+            fileLine(p, partitionOf, statsOf, extraOf)))
+            .mkString("\n").getBytes("UTF-8")
+          val rel = s"groups/g-${sha1hex(content)}.grp"
+          val gp = new Path(manifestDir(table), rel)
+          if (!f.exists(gp)) {
+            // content-addressed: two racing writers of the same name
+            // hold identical bytes, so whoever renames first wins and
+            // the loser's file is already correct on disk
+            val tmp = new Path(gDir,
+              s".tmp-${java.util.UUID.randomUUID()}")
+            val out = f.create(tmp, false)
+            try out.write(content) finally out.close()
+            if (!f.rename(tmp, gp)) {
+              f.delete(tmp, false)
+              require(f.exists(gp), s"cannot publish group $rel")
+            }
+          }
+          val bytes = members.foldLeft(0L) { (s, p) =>
+            if (s < 0) s
+            else extraOf.get(p).flatMap(_.get("bytes"))
+              .flatMap(v => scala.util.Try(v.toLong).toOption) match {
+              case Some(b) => s + b
+              case None => -1L // unknown member: group total unknown
+            }
+          }
+          GroupRef(rel, label, members.size, bytes)
+      }
+    }
+    (Seq(Marker, "schema:" + schema.json) ++
+      meta.toSeq.sortBy(_._1).map { case (k, v) => s"meta:$k=$v" } ++
+      deleteFiles.map(d => s"dv:$d") ++
+      refs.map(g => s"grp:${g.rel}\t" +
+        s"${g.label.map(l => "v" + enc(l)).getOrElse("-")}\t" +
+        s"${g.count}\t${g.bytes}"))
+      .mkString("\n").getBytes("UTF-8")
+  }
+
+  /** The IDENTITY partition sources a layout meta declares (transform
+    * items like `days(ts)` derive zone-free labels and are excluded;
+    * only bare identity columns render labels via the zone-dependent
+    * cast-to-string).
+    */
+  private def identityPartitionSources(
+      meta: Map[String, String]): Seq[String] =
+    meta.get("partitionSpec") match {
+      case Some(spec) => spec.split(",", -1).map(dec).map(_.trim)
+        .filterNot(_.contains("(")).toSeq
+      case None => meta.get("partitionCols")
+        .map(_.split(",", -1).map(dec).toSeq)
+        .orElse(meta.get("partitionCol").map(Seq(_)))
+        .getOrElse(Nil)
+    }
+
+  /** Does this (schema, meta) pair need a pinned staging timezone it
+    * does not have yet? True iff some identity partition source is a
+    * TIMESTAMP column — the one label derivation that depends on the
+    * session zone.
+    */
+  private def wantsStagingTz(schema: StructType,
+      meta: Map[String, String]): Boolean =
+    !meta.contains("stagingTz") &&
+      identityPartitionSources(meta).exists(c =>
+        schema.fieldNames.contains(c) && schema(c).dataType ==
+          org.apache.spark.sql.types.TimestampType)
+
+  /** The zone identity-timestamp partition labels were derived in:
+    * the pinned staging zone when the manifest records one, else the
+    * current session zone (pre-pin tables — unchanged behavior).
+    */
+  private[sources] def stagingTzOf(spark: SparkSession,
+      snap: Snapshot): String =
+    snap.meta.getOrElse("stagingTz",
+      spark.sessionState.conf.sessionLocalTimeZone)
+
   /** The commit point: publish `files` as version `expected + 1`. Fails
     * (leaving staged files orphaned, all snapshots intact) if another
     * writer committed first — optimistic concurrency on the manifest
@@ -1384,18 +1853,30 @@ object SnapshotTable {
     */
   private[graft] def commitManifest(spark: SparkSession, table: String,
       schema: StructType, files: Seq[String], expected: Long,
-      meta: Map[String, String] = Map.empty,
+      meta0: Map[String, String] = Map.empty,
       partitionOf: Map[String, String] = Map.empty,
       statsOf: Map[String, Map[String, (String, String)]] = Map.empty,
       deleteFiles: Seq[String] = Nil, base: Option[Snapshot] = None,
       extraOf: Map[String, Map[String, String]] = Map.empty)
       : Long = {
-    require(meta.forall { case (k, v) =>
+    require(meta0.forall { case (k, v) =>
       !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r') },
       "manifest meta keys/values must be line-safe and '='-free keys")
     require(partitionOf.values.forall(v =>
       !v.exists(c => c == '\n' || c == '\r' || c == '\t')),
       "partition values must be line- and tab-safe")
+    // TIMESTAMP identity-partition labels are rendered by
+    // cast-to-string, which is SESSION-TIMEZONE dependent — pin the
+    // derivation timezone in the manifest at the first commit that
+    // declares such a layout, so (a) later writes under a DIFFERENT
+    // session zone fail loudly in stageFor instead of silently mixing
+    // label domains, and (b) read-side literal rendering
+    // (partitionLabelsWhere, the FileIndex identity-equality path)
+    // uses the zone the labels were actually derived in — a zone
+    // change between write and read must never exclude matching files
+    val meta = if (wantsStagingTz(schema, meta0)) meta0 +
+      ("stagingTz" -> spark.sessionState.conf.sessionLocalTimeZone)
+    else meta0
     val next = expected + 1
     val f = fs(spark, table)
     f.mkdirs(manifestDir(table))
@@ -1403,7 +1884,23 @@ object SnapshotTable {
     // manifest; branch heads are always FULL manifests (a delta's base
     // pointer resolves against MAIN's v<N> chain, which a branch head
     // must stay independent of)
-    val branchOf = branchCtx.get.get(table)
+    val branchOf = scopedBranch(table)
+    // stamp on-disk sizes for this commit's NEW files (one listStatus
+    // per fresh batch dir — O(churn)); scan planning then never lists
+    val extraOf1 = withFileBytes(spark, table,
+      base match {
+        case Some(b) => files.filterNot(b.files.toSet)
+        case None => files
+      }, extraOf)
+    def renderFull(): Array[Byte] =
+      if (branchOf.isEmpty && shouldGroup(meta, files.size))
+        renderGroupedManifest(spark, table, schema, files, meta,
+          partitionOf, statsOf, deleteFiles,
+          // one-time upgrade as a legacy table crosses the grouping
+          // threshold: every group member gets its size recorded
+          withFileBytes(spark, table, files, extraOf1), base)
+      else renderManifest(schema, files, meta, partitionOf, statsOf,
+        deleteFiles, extraOf1)
     val body: Array[Byte] = base match {
       case Some(b) if branchOf.isEmpty && b.version == expected &&
           expected > 0 && b.depth + 1 <= MaxChainDepth =>
@@ -1413,11 +1910,9 @@ object SnapshotTable {
         val added = files.filterNot(baseSet)
         if (removed.size + added.size < b.files.size)
           renderDelta(schema, expected, b.depth + 1, meta, deleteFiles,
-            removed, added, partitionOf, statsOf, extraOf)
-        else renderManifest(schema, files, meta, partitionOf, statsOf,
-          deleteFiles, extraOf)
-      case _ => renderManifest(schema, files, meta, partitionOf, statsOf,
-        deleteFiles, extraOf)
+            removed, added, partitionOf, statsOf, extraOf1)
+        else renderFull()
+      case _ => renderFull()
     }
     val tmp = new Path(manifestDir(table),
       s".tmp-${java.util.UUID.randomUUID()}")
@@ -2519,6 +3014,50 @@ object SnapshotTable {
       .orderBy(col("version").asc_nulls_first)
   }
 
+  /** A BRANCH head's history — the staged commit sequence a long-lived
+    * WAP branch accumulated, previously unreachable from SQL (history
+    * was main-line only): one row per live branch manifest (a re-seed
+    * deletes consumed sequences, so gaps are normal), with the same
+    * add/remove churn columns as [[history]] plus the fork base.
+    * Metadata-tier only.
+    */
+  def branchHistory(spark: SparkSession, table: String,
+      name: String): DataFrame = {
+    import spark.implicits._
+    requireRefName(name)
+    require(branchHeadSeq(spark, table, name).isDefined,
+      s"no branch $name on $table")
+    val f = fs(spark, table)
+    val seqs = f.listStatus(manifestDir(table)).iterator
+      .map(_.getPath.getName)
+      .collect { case BranchManifestRe(n, s) if n == name => s.toInt }
+      .toVector.sorted
+    val snaps = seqs.map(k => k -> readManifestAt(spark, table,
+      branchManifestPath(table, name, k), k.toLong)).toMap
+    seqs.map { k =>
+      val cur = snaps(k)
+      val curSet = cur.files.toSet
+      val prevSet = snaps.get(k - 1).map(_.files.toSet)
+      (k.toLong,
+        new java.sql.Timestamp(f.getFileStatus(
+          branchManifestPath(table, name, k)).getModificationTime),
+        cur.files.size,
+        prevSet.map(p => (curSet -- p).size),
+        prevSet.map(p => (p -- curSet).size),
+        cur.deleteFiles.size,
+        cur.meta.get("branchBase").map(_.toLong))
+    }.toDF("seq", "committed_at", "n_files", "files_added",
+      "files_removed", "delete_files", "branch_base")
+      .orderBy(col("seq").asc_nulls_first)
+  }
+
+  /** [[detail]] of a BRANCH head (same columns; `version` is the head
+    * sequence): the explicit-scope redirect IS the implementation.
+    */
+  def branchDetail(spark: SparkSession, table: String,
+      name: String): DataFrame =
+    withBranch(spark, table, name)(detail(spark, table))
+
   /** `TIMESTAMP AS OF` resolution: the LATEST readable version whose
     * commit time (manifest mtime — the same clock [[history]] reports
     * as `committed_at`) is at or before `tsMillis`. Delta/Iceberg
@@ -2689,7 +3228,7 @@ object SnapshotTable {
         removed += 1
       }
     }
-    removed
+    removed + sweepOrphanGroups(spark, table, graceMs)
   }
 
   /** Append `df` as new files — no existing file is touched, the
@@ -2799,7 +3338,7 @@ object SnapshotTable {
     val df = readFilesDv(spark, table, snap, snap.files)
     val newMeta0 =
       snap.meta - "partitionCol" - "partitionCols" - "partitionSpec" -
-        "colmap" - "droppedCols"
+        "colmap" - "droppedCols" - "stagingTz"
     val newMeta =
       if (transforms.exists(!_.isIdentity))
         newMeta0 +
@@ -3765,16 +4304,22 @@ object SnapshotTable {
       s"range operator $op takes exactly one value, " +
         s"got ${rawValues.size}")
     val dt = snap.schema(column).dataType
-    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // PARSE the user's literal in the SESSION zone (their local-time
+    // intent), but RENDER the comparison value in the zone the labels
+    // were derived in (the pinned staging zone) — rendering in a
+    // session zone that drifted from the writer's would silently
+    // exclude matching partitions, breaking the superset-only contract
+    val tzParse = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val tzRender = Some(stagingTzOf(spark, snap))
     val lits = rawValues.map { s =>
       val v = Cast(Literal(org.apache.spark.unsafe.types.UTF8String
-        .fromString(s), StringType), dt, tz).eval()
+        .fromString(s), StringType), dt, tzParse).eval()
       require(v != null,
         s"cannot parse '$s' as ${dt.simpleString} for $column")
       Literal(v, dt)
     }
     def rendered(l: Literal): String =
-      Cast(l, StringType, tz).eval().toString
+      Cast(l, StringType, tzRender).eval().toString
     val numericCol = dt.isInstanceOf[org.apache.spark.sql.types
       .NumericType]
     def identityLe(a: String, b: String): Boolean =
@@ -4062,11 +4607,13 @@ object SnapshotTable {
     // the KEPT file lists only, never liveness of their own)
     val chainNeeded: Set[Long] = keep.flatMap { v =>
       val acc = scala.collection.mutable.ListBuffer.empty[Long]
-      var cur = parseManifestFile(spark, table,
+      // header parse: only the base pointer is needed — resolving a
+      // grouped anchor's file entries here would be O(table files)
+      var cur = parseManifestHeader(spark, table,
         manifestPath(table, v), v).base
       while (cur.isDefined) {
         acc += cur.get
-        cur = parseManifestFile(spark, table,
+        cur = parseManifestHeader(spark, table,
           manifestPath(table, cur.get), cur.get).base
       }
       acc
@@ -4119,6 +4666,9 @@ object SnapshotTable {
         if (!liveParquetLeft) f.delete(b.getPath, true)
       }
     }
+    // group files referenced only by the dropped anchors are metadata
+    // orphans now — swept under the same grace rule as data orphans
+    sweepOrphanGroups(spark, table, 3600000L)
     // record the READ floor: chain-retained manifests BELOW the oldest
     // kept version still exist (kept deltas resolve through them) but
     // their own data files are gone — without the floor, history()
@@ -4141,6 +4691,48 @@ object SnapshotTable {
       }
     }
     (dropped.size, removed)
+  }
+
+  /** Every group file some surviving manifest still references —
+    * anchors are scanned by their `grp:` lines alone (no group file is
+    * opened), so the sweep's metadata cost is O(manifests), not
+    * O(table files).
+    */
+  private def referencedGroups(spark: SparkSession,
+      table: String): Set[String] = {
+    val f = fs(spark, table)
+    val dir = manifestDir(table)
+    if (!f.exists(dir)) return Set.empty
+    f.listStatus(dir).iterator.map(_.getPath)
+      .filter(_.getName.endsWith(".manifest"))
+      .flatMap(p => readLinesAt(spark, table, p).iterator
+        .filter(_.startsWith("grp:"))
+        .map(_.stripPrefix("grp:").split('\t')(0)))
+      .toSet
+  }
+
+  /** Delete partition-group files no surviving manifest references —
+    * aged past `graceMs` only: a racing committer writes its groups
+    * BEFORE the anchor's commit CAS, so a young unreferenced group may
+    * be a commit in flight (the same grace rule staged data files
+    * follow).
+    */
+  private def sweepOrphanGroups(spark: SparkSession, table: String,
+      graceMs: Long): Int = {
+    val f = fs(spark, table)
+    val gDir = new Path(manifestDir(table), "groups")
+    if (!f.exists(gDir)) return 0
+    val refed = referencedGroups(spark, table)
+    val cutoff = System.currentTimeMillis() - graceMs
+    var removed = 0
+    f.listStatus(gDir).foreach { st =>
+      val rel = s"groups/${st.getPath.getName}"
+      if (!refed.contains(rel) && st.getModificationTime < cutoff) {
+        f.delete(st.getPath, false)
+        removed += 1
+      }
+    }
+    removed
   }
 
   private def retentionFloorPath(table: String): Path =
@@ -4439,6 +5031,10 @@ object SnapshotTable {
     finally out.close()
   }
 
+  /** Does `name` exist as a branch on `table`? */
+  private[graft] def branchExists(spark: SparkSession, table: String,
+      name: String): Boolean = branchHeadSeq(spark, table, name).isDefined
+
   /** The branch head as a DataFrame — isolated from main. */
   def readBranch(spark: SparkSession, table: String,
       name: String): DataFrame = {
@@ -4473,11 +5069,80 @@ object SnapshotTable {
       body: => T): T = {
     requireRefName(name)
     branchSnapshot(spark, table, name) // must exist (throws otherwise)
+    val key = branchKey(table)
     val prev = branchCtx.get
-    require(!prev.contains(table),
-      s"already inside a branch scope for $table (${prev(table)})")
-    branchCtx.set(prev + (table -> name))
+    require(!prev.contains(key),
+      s"already inside a branch scope for $table (${prev(key)})")
+    branchCtx.set(prev + (key -> name))
     try body finally branchCtx.set(prev)
+  }
+
+  /** The branch-scope redirect keys on this NORMALIZED path (trailing
+    * slashes, redundant segments and the plain-path vs `file:`-scheme
+    * spelling all collapse to one key): a scope opened on one spelling
+    * must redirect a verb invoked with another — raw-string keying
+    * would let `withBranch("/tmp/t")` plus a statement naming
+    * `/tmp/t/` commit to MAIN while the caller believes it landed on
+    * the branch.
+    */
+  private[graft] def branchKey(table: String): String = {
+    val u = new Path(table).toUri
+    if (u.getScheme == null || u.getScheme.equalsIgnoreCase("file"))
+      u.getPath
+    else new Path(table).toString
+  }
+
+  /** The SESSION-SCOPED WAP branch conf (the Iceberg `spark.wap.branch`
+    * ergonomics): with `SET graft.branch = <name>`, every snapshot verb
+    * — native SQL DML, `graft_dml`, the DataFrameWriter, the streaming
+    * sink, reads through `SnapshotTable.read`/the provider — resolves
+    * against that branch ON TABLES THAT CARRY IT, with zero statement
+    * quoting. Tables without the branch stay on main (a session-global
+    * conf must not break reads of unrelated dimensions — the Iceberg
+    * "if it exists" rule); the suite pins both behaviors. Explicit
+    * `withBranch` composes when it names the SAME branch and is
+    * refused otherwise (two different targets for one verb is always a
+    * bug); ref-lifecycle internals (publish, drop, re-seed) run inside
+    * [[noWap]] so the conf can never redirect a publish's MAIN commit
+    * back onto the branch.
+    */
+  private[sources] val WapBranchConf = "graft.branch"
+
+  private val wapSuppressed = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  private def noWap[T](body: => T): T = {
+    val prev = wapSuppressed.get
+    wapSuppressed.set(true)
+    try body finally wapSuppressed.set(prev)
+  }
+
+  private def sessionWapBranch(table: String): Option[String] =
+    if (wapSuppressed.get) None
+    else SparkSession.getActiveSession.flatMap { s =>
+      s.conf.getOption(WapBranchConf).filter(_.nonEmpty).filter { b =>
+        requireRefName(b)
+        branchHeadSeq(s, table, b).isDefined
+      }
+    }
+
+  /** The branch currently scoped over `table` on this thread, if any
+    * — the one lookup every redirect site shares. Explicit
+    * [[withBranch]] scope first, then the session WAP conf.
+    */
+  private def scopedBranch(table: String): Option[String] = {
+    val explicit = branchCtx.get.get(branchKey(table))
+    if (wapSuppressed.get) explicit
+    else (explicit, sessionWapBranch(table)) match {
+      case (Some(b), Some(c)) if b != c =>
+        throw new IllegalStateException(
+          s"explicit branch scope $b on $table conflicts with session " +
+            s"conf $WapBranchConf=$c — unset the conf or scope the " +
+            "same branch")
+      case (Some(b), _) => Some(b)
+      case (None, c) => c
+    }
   }
 
   /** Tables whose verbs are currently redirected to a branch, per
@@ -4510,7 +5175,12 @@ object SnapshotTable {
     */
   def publishBranch(spark: SparkSession, table: String,
       name: String): Long =
-    publishBranch(spark, table, name, cherryPick = false)
+    publishBranch(spark, table, name, cherryPick = false,
+      retainBranch = false)
+
+  def publishBranch(spark: SparkSession, table: String, name: String,
+      cherryPick: Boolean): Long =
+    publishBranch(spark, table, name, cherryPick, retainBranch = false)
 
   /** As the three-arg publish; `cherryPick = true` additionally
     * handles a DIVERGED main (Iceberg's cherry-pick semantics): the
@@ -4522,10 +5192,21 @@ object SnapshotTable {
     * identity assignment on BOTH sides (the ids would collide). The
     * conflict rules are conservative by design: a refused cherry-pick
     * re-branches and re-applies; a wrong merge would corrupt main.
+    *
+    * `retainBranch = true` keeps the branch ALIVE after publish,
+    * re-seeded at the freshly published main version (the Iceberg
+    * fast-forward-keeps-the-ref shape): a continuous streaming WAP
+    * sink writing through `option("branch", …)` publishes
+    * periodically WITHOUT its next micro-batch failing on a dropped
+    * ref — the re-seed carries the published snapshot (batch-id marks
+    * included), so exactly-once continues across the publish.
     */
   def publishBranch(spark: SparkSession, table: String, name: String,
-      cherryPick: Boolean): Long = {
-    require(!branchCtx.get.contains(table),
+      cherryPick: Boolean, retainBranch: Boolean): Long = noWap {
+    // noWap: the publish's commit targets MAIN by definition — neither
+    // an explicit scope nor the session WAP conf may redirect it back
+    // onto the branch (which would make publish a self-append)
+    require(!branchCtx.get.contains(branchKey(table)),
       s"cannot publish inside a branch scope for $table — exit " +
         "withBranch first")
     val (snap, _) = branchSnapshot(spark, table, name)
@@ -4533,8 +5214,17 @@ object SnapshotTable {
       throw new IllegalStateException(
         s"branch $name on $table carries no branchBase")).toLong
     val cur = currentVersion(spark, table)
+    // REPLAY detection before anything else: a crash between the main
+    // commit and dropBranch leaves the branch alive with a stale
+    // branchBase; a retried publish whose content already landed must
+    // be a no-op (drop/re-seed the branch, commit nothing) — not a
+    // duplicate append, and not a spurious conflict on checks the
+    // first publish legitimately passed
+    val mainNow = readManifest(spark, table, cur)
     val v =
-      if (cur == base)
+      if (cur != base && mainNow.files.toSet == snap.files.toSet &&
+          mainNow.schema == snap.schema) cur
+      else if (cur == base)
         // FAST-FORWARD: metadata-only promotion of the branch head
         commitManifest(spark, table, snap.schema, snap.files, base,
           snap.meta - "branchBase" - "branchName",
@@ -4547,8 +5237,29 @@ object SnapshotTable {
             "version and re-apply, or publish with cherryPick = true " +
             "for an append-only branch")
       else cherryPickOnto(spark, table, name, snap, base, cur)
-    dropBranch(spark, table, name)
+    if (retainBranch) reseedBranch(spark, table, name, v)
+    else dropBranch(spark, table, name)
     v
+  }
+
+  /** Re-fork `name` at main version `v` IN PLACE: the new head
+    * manifest (a copy of v's snapshot, branchBase = v) is written at
+    * the next head sequence BEFORE the old sequences are deleted, so
+    * the branch head is valid at every instant — a crash mid-re-seed
+    * leaves a live branch, never a dangling ref.
+    */
+  private def reseedBranch(spark: SparkSession, table: String,
+      name: String, v: Long): Unit = {
+    val head = branchHeadSeq(spark, table, name).getOrElse(-1)
+    val snap = readManifest(spark, table, v)
+    val f = fs(spark, table)
+    val out = f.create(branchManifestPath(table, name, head + 1), false)
+    try out.write(renderManifest(snap.schema, snap.files,
+      snap.meta + ("branchBase" -> v.toString) + ("branchName" -> name),
+      snap.partitionOf, snap.statsOf, snap.deleteFiles, snap.extraOf))
+    finally out.close()
+    (0 to head).foreach(k =>
+      f.delete(branchManifestPath(table, name, k), false))
   }
 
   /** Meta keys that define the table's physical/logical contract —
@@ -4604,11 +5315,39 @@ object SnapshotTable {
         (b.toSeq ++ m.toSeq).reduceOption((x: Long, y: Long) =>
           math.max(x, y))
     }
+    // MONOTONE CONSUMER MARKS ride the merge: the streaming sink's
+    // batch-id idempotency marks (lastBatchId.<queryKey>) and the CDF
+    // consumer's high-water mark (cdcUpTo) were committed on the
+    // branch; dropping them (fast-forward preserves them wholesale)
+    // would let a micro-batch replay after a cherry-pick publish
+    // double-apply a batch to main. Both are monotone skip-marks, so
+    // max(branch, main) is the correct merge on every path: the merged
+    // table must never re-apply a batch EITHER side already holds.
+    def isMark(k: String) =
+      k.startsWith("lastBatchId.") || k == "cdcUpTo"
+    val markMerge = (snap.meta.keySet ++ mainSnap.meta.keySet)
+      .filter(isMark).flatMap { k =>
+        val vs = (snap.meta.get(k) ++ mainSnap.meta.get(k))
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+        vs.reduceOption((a, b) => math.max(a, b))
+          .map(k -> _.toString)
+      }.toMap
+    // REPLAY IDEMPOTENCE: a crash between the first cherry-pick's main
+    // commit and dropBranch leaves the branch alive; the retried
+    // publish passes every conflict check (the branch is still
+    // append-only vs its base) but its files already sit in main —
+    // re-appending them would list them twice in the manifest and
+    // double those rows on every read. Files main already holds are
+    // skipped; a pure replay commits nothing.
+    val mainSet = mainSnap.files.toSet
     val added = snap.files.filterNot(baseSnap.files.toSet)
+      .filterNot(mainSet)
+    if (added.isEmpty) return cur
     val addedSet = added.toSet
     commitManifest(spark, table, mainSnap.schema,
       mainSnap.files ++ added, cur,
-      mainSnap.meta ++ merged.map("identityHwm" -> _.toString),
+      mainSnap.meta ++ merged.map("identityHwm" -> _.toString) ++
+        markMerge,
       mainSnap.partitionOf ++
         snap.partitionOf.view.filterKeys(addedSet).toMap,
       mainSnap.statsOf ++ snap.statsOf.view.filterKeys(addedSet).toMap,
@@ -4622,7 +5361,10 @@ object SnapshotTable {
   def dropBranch(spark: SparkSession, table: String,
       name: String): Unit = {
     requireRefName(name)
-    require(!branchCtx.get.get(table).contains(name),
+    // guard on the EXPLICIT scope only: the session WAP conf must not
+    // wedge its own branch against dropping (publish consumes branches
+    // while the conf is still set — that is the normal WAP sequence)
+    require(!branchCtx.get.get(branchKey(table)).contains(name),
       s"cannot drop branch $name inside its own scope")
     val f = fs(spark, table)
     branchHeadSeq(spark, table, name).foreach { head =>
@@ -5472,6 +6214,43 @@ object SnapshotTable {
         .orderBy(col("l_returnflag").asc_nulls_first)
     }),
 
+    // Named MATERIALIZED VIEW lifecycle: create the MV (a filtered
+    // count/sum aggregate) at v1, run a mixed mutation gauntlet on the
+    // source (update, delete, append), refresh — the refresh must
+    // engage the INCREMENTAL path (netted change-feed delta, churn-
+    // sized IO; asserted) and a second refresh must be a noop (the
+    // cdcUpTo mark committed atomically with the contents). The oracle
+    // is the FULL recompute of the definition over the logically
+    // replayed source — a hash match proves incremental == recompute.
+    "q_table_mv" -> ((s, d) => {
+      val t = scratch(s, d, "mv_src")
+      val m = scratch(s, d, "mv")
+      fs(s, t).delete(new Path(t), true)
+      fs(s, m).delete(new Path(m), true)
+      val items = graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+      create(s, t, items, numFiles = 8)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_create_mv('$m', '$t', " +
+        "\"SELECT l_returnflag, count(1) AS n, sum(l_quantity) AS qty " +
+        "FROM __source__ WHERE l_orderkey % 3 != 1 " +
+        "GROUP BY l_returnflag\")").collect()
+      updateWhere(s, t, col("l_orderkey") % 100 === 0,
+        Map("l_quantity" -> (col("l_quantity") + 5)))
+      deleteWhere(s, t, col("l_orderkey") % 17 === 3)
+      append(s, t, items.filter(col("l_orderkey") % 5 === 0))
+      val r = s.sql(s"SELECT * FROM graft_refresh_mv('$m')").head()
+      require(r.getString(0) == "incremental",
+        s"expected the incremental refresh path, got ${r.getString(0)}")
+      require(r.getLong(1) == 1L && r.getLong(2) == 4L,
+        s"refresh must advance the mark 1 -> 4, got $r")
+      val r2 = s.sql(s"SELECT * FROM graft_refresh_mv('$m')").head()
+      require(r2.getString(0) == "noop",
+        s"a replayed refresh must be exactly-once, got ${r2.getString(0)}")
+      read(s, m).orderBy(col("l_returnflag").asc_nulls_first)
+    }),
+
     // Rollback: restore(v1) after the same two mutations is a
     // metadata-only commit (SnapshotSuite asserts the restored manifest
     // lists v1's files verbatim — no data rewrite); reading the current
@@ -5919,6 +6698,27 @@ object SnapshotTable {
         |    ELSE l_quantity END) AS qty
         |FROM lineitem
         |WHERE NOT (l_orderkey % 17 = 3)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    // the MV definition recomputed in full over the logically replayed
+    // source (update as CASE — +5 exact; delete as NOT; append as
+    // UNION ALL of the original-valued slice): a hash match proves the
+    // INCREMENTAL refresh (old + ins − del over the netted change
+    // feed) equals the recompute. Quantities are small integers, so
+    // the double sums are order-independent-exact.
+    "q_table_mv" ->
+      """SELECT l_returnflag, count(1) AS n, sum(l_quantity) AS qty
+        |FROM (
+        |  SELECT l_orderkey, l_returnflag,
+        |    CASE WHEN l_orderkey % 100 = 0 THEN l_quantity + 5
+        |      ELSE l_quantity END AS l_quantity
+        |  FROM lineitem
+        |  WHERE NOT (l_orderkey % 17 = 3)
+        |  UNION ALL
+        |  SELECT l_orderkey, l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 5 = 0
+        |) u
+        |WHERE l_orderkey % 3 <> 1
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "q_table_skipping" ->

@@ -120,7 +120,14 @@ object ScaleAudit {
     // the column-stats lifecycle (clustered create + stats publish +
     // DESCRIBE reads): the stats pass rides the staging write and the
     // publish is metadata-tier, so the lifecycle is create-bound
-    "q_table_refs", "q_table_branch_dml", "q_table_colstats")
+    "q_table_refs", "q_table_branch_dml", "q_table_colstats",
+    // round 19: the materialized-view lifecycle (create MV + mutation
+    // gauntlet + incremental refresh) — the refresh reads ONLY the
+    // netted change-feed delta, but the gauntlet's churn is modulus-
+    // scoped (∝ data), so the lifecycle bound is the standard linear
+    // one; the INCREMENTAL property itself is suite-asserted (the
+    // refresh mode is required to be "incremental")
+    "q_table_mv")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0

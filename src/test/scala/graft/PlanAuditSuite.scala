@@ -699,4 +699,75 @@ class PlanAuditSuite extends AnyFunSuite with AdaptiveSparkPlanHelper {
       } finally s2.conf.unset("spark.sql.cbo.enabled")
     } finally s2.sql("DROP TABLE IF EXISTS graft_colstats")
   }
+
+  test("CBO equi-height histograms from per-file KLL sketches: a " +
+      "SKEWED predicate's estimate tracks the true fraction, and the " +
+      "same query shape flips its join strategy by literal — " +
+      "indistinguishable under uniform min/max/NDV stats") {
+    import graft.sources.{GraftDml, SnapshotTable}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_histo").toString
+    val sp = s"$dir/skew"
+    val n = 20000L
+    // 90% of rows hold v = 7; the rest spread over 1000 light values —
+    // uniform stats estimate EVERY equality as n/ndv ≈ 20 rows
+    val skew = spark.range(n).select(
+      when(col("id") % 10 < 9, lit(7L))
+        .otherwise(col("id") % 1000 + 1000).as("v"),
+      col("id").as("k"))
+    SnapshotTable.createClustered(spark, sp, skew, "v",
+      statsCols = Seq("v", "k"))
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    s2.sql("DROP TABLE IF EXISTS graft_histo")
+    s2.sql(s"CREATE TABLE graft_histo USING graft LOCATION '$sp'")
+    try {
+      GraftDml.analyzeGraftTable(s2, "graft_histo")
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      def estimate(lit: Long): BigInt = {
+        val q = s2.sql(s"SELECT * FROM graft_histo WHERE v = $lit")
+        org.apache.spark.sql.SparkSession.setActiveSession(s2)
+        try q.queryExecution.optimizedPlan.stats.rowCount.getOrElse(
+          BigInt(-1))
+        finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      }
+      val heavy = estimate(7L)
+      val light = estimate(1500L)
+      assert(heavy >= BigInt(n / 2) && heavy <= BigInt(n),
+        s"the heavy value is ~90% of $n rows; the histogram estimate " +
+          s"must track it (uniform says ~${n / 1001}), got $heavy")
+      assert(light >= BigInt(0) && light <= BigInt(n / 50),
+        s"a light value is ~2 rows; estimate must stay small, " +
+          s"got $light")
+      // JOIN strategy flip: the filtered fact side is broadcast-sized
+      // for a light literal and NOT for the heavy one — a decision
+      // uniform stats cannot make (both estimates would be ~20 rows,
+      // broadcasting 18k rows at 100x scale = a driver OOM)
+      s2.range(200000).select(col("id").as("k"),
+        (col("id") % 97).as("w"))
+        .createOrReplaceTempView("graft_histo_other")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        def joinPlan(lit: Long): String = {
+          val q = s2.sql("SELECT f.k, o.w FROM graft_histo f JOIN " +
+            s"graft_histo_other o ON f.k = o.k WHERE f.v = $lit")
+          org.apache.spark.sql.SparkSession.setActiveSession(s2)
+          try q.queryExecution.sparkPlan.toString
+          finally org.apache.spark.sql.SparkSession
+            .setActiveSession(spark)
+        }
+        assert(joinPlan(1500L).contains("BroadcastHashJoin"),
+          "the light-literal side is provably tiny — broadcast it")
+        assert(!joinPlan(7L).contains("BroadcastHashJoin"),
+          "the heavy-literal side is ~90% of the fact table — " +
+            "broadcasting it is the histogram-less mistake")
+      } finally {
+        s2.conf.unset("spark.sql.adaptive.enabled")
+        s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        s2.catalog.dropTempView("graft_histo_other")
+      }
+      s2.conf.unset("spark.sql.cbo.enabled")
+    } finally s2.sql("DROP TABLE IF EXISTS graft_histo")
+  }
 }

@@ -4415,4 +4415,489 @@ class SnapshotSuite extends AnyFunSuite {
         .option("branch", "wb2").save(t)
     }
   }
+
+  test("publish replay is idempotent: a crash between the main commit " +
+      "and dropBranch followed by a retried publish commits nothing " +
+      "and never duplicates rows (fast-forward AND cherry-pick paths)") {
+    val t = freshTable("pub_replay")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    SnapshotTable.create(spark, t, evens, numFiles = 4) // v1
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def branchManifests(name: String): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(t, "_manifests"))
+        .map(_.getPath)
+        .filter(_.getName.startsWith(s"staged-branch-$name-"))
+        .toIndexedSeq
+    def snapshotAside(name: String): Seq[(String, Array[Byte])] =
+      branchManifests(name).map { p =>
+        val in = fs.open(p)
+        try (p.getName, in.readAllBytes()) finally in.close()
+      }
+    def restore(saved: Seq[(String, Array[Byte])]): Unit =
+      saved.foreach { case (n, bytes) =>
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(t, s"_manifests/$n"), true)
+        try out.write(bytes) finally out.close()
+      }
+    // --- cherry-pick replay ---
+    SnapshotTable.createBranch(spark, t, "cpr")
+    SnapshotTable.appendToBranch(spark, t, "cpr",
+      orders.filter(col("o_orderkey") % 4 === 1))
+    SnapshotTable.append(spark, t,
+      orders.filter(col("o_orderkey") % 4 === 3)) // main diverges: v2
+    val savedCp = snapshotAside("cpr")
+    val v3 = SnapshotTable.publishBranch(spark, t, "cpr",
+      cherryPick = true)
+    val rowsAfter = sortedRows(SnapshotTable.read(spark, t))
+    restore(savedCp) // simulate the crash window: branch still alive
+    val vRetry = SnapshotTable.publishBranch(spark, t, "cpr",
+      cherryPick = true)
+    assert(vRetry === v3, "a pure replay must not commit a new version")
+    assert(SnapshotTable.currentVersion(spark, t) === v3)
+    assert(sortedRows(SnapshotTable.read(spark, t)) === rowsAfter,
+      "a replayed cherry-pick publish must not duplicate rows")
+    assert(SnapshotTable.branches(spark, t).isEmpty)
+    // --- fast-forward replay ---
+    SnapshotTable.createBranch(spark, t, "ffr")
+    SnapshotTable.appendToBranch(spark, t, "ffr", orders.limit(5).select(
+      (col("o_orderkey") + 95000000L).as("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice")))
+    val savedFf = snapshotAside("ffr")
+    val v4 = SnapshotTable.publishBranch(spark, t, "ffr")
+    val rowsFf = sortedRows(SnapshotTable.read(spark, t))
+    restore(savedFf)
+    // the retry cannot fast-forward (main moved past the stale base) —
+    // the replay detector must short-circuit before any conflict check
+    val vFfRetry = SnapshotTable.publishBranch(spark, t, "ffr",
+      cherryPick = true)
+    assert(vFfRetry === v4)
+    assert(SnapshotTable.currentVersion(spark, t) === v4)
+    assert(sortedRows(SnapshotTable.read(spark, t)) === rowsFf)
+  }
+
+  test("cherry-pick publish merges the branch's monotone consumer " +
+      "marks (streaming batch ids), so a micro-batch replay after the " +
+      "publish is still skipped") {
+    val t = freshTable("cherry_marks")
+    SnapshotTable.create(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 0), numFiles = 2)
+    SnapshotTable.createBranch(spark, t, "mk")
+    // two micro-batches land on the branch through the exactly-once path
+    SnapshotTable.withBranch(spark, t, "mk") {
+      assert(SnapshotTable.commitStreamBatch(spark, t,
+        orders.filter(col("o_orderkey") % 4 === 1).limit(5), 0L, "q1"))
+      assert(SnapshotTable.commitStreamBatch(spark, t,
+        orders.filter(col("o_orderkey") % 4 === 1)
+          .filter(col("o_orderkey") > 100).limit(5), 1L, "q1"))
+    }
+    SnapshotTable.append(spark, t,
+      orders.limit(1).select(
+        (col("o_orderkey") + 96000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))) // diverge main
+    SnapshotTable.publishBranch(spark, t, "mk", cherryPick = true)
+    val cur = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(cur.meta.get("lastBatchId.q1").contains("1"),
+      "the branch's batch-id mark must ride the cherry-pick merge")
+    val before = SnapshotTable.read(spark, t).count()
+    // a replay of batch 1 on the published main must be skipped
+    assert(!SnapshotTable.commitStreamBatch(spark, t,
+      orders.limit(5), 1L, "q1"),
+      "replayed batch id must be skipped after a cherry-pick publish")
+    assert(SnapshotTable.read(spark, t).count() === before)
+  }
+
+  test("publishBranch(retainBranch = true) keeps the ref alive, " +
+      "re-seeded at the published version — continuous WAP publishes " +
+      "without out-of-band branch re-creation") {
+    val t = freshTable("pub_retain")
+    SnapshotTable.create(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 0), numFiles = 2) // v1
+    SnapshotTable.createBranch(spark, t, "wap")
+    SnapshotTable.withBranch(spark, t, "wap") {
+      assert(SnapshotTable.commitStreamBatch(spark, t,
+        orders.filter(col("o_orderkey") % 4 === 1).limit(4), 0L, "s"))
+    }
+    val v = SnapshotTable.publishBranch(spark, t, "wap",
+      cherryPick = false, retainBranch = true)
+    assert(SnapshotTable.currentVersion(spark, t) === v)
+    val refs = SnapshotTable.branches(spark, t)
+    assert(refs.map(r => (r._1, r._2)) === Seq(("wap", v)),
+      "the branch must survive its publish, re-forked at the " +
+        "published version")
+    // the re-seeded head carries the published snapshot INCLUDING the
+    // batch-id mark — the streaming sink's next micro-batch keeps its
+    // exactly-once protocol without interruption
+    val headCount = SnapshotTable.readBranch(spark, t, "wap").count()
+    assert(headCount === SnapshotTable.read(spark, t).count())
+    SnapshotTable.withBranch(spark, t, "wap") {
+      assert(!SnapshotTable.commitStreamBatch(spark, t,
+        orders.limit(3), 0L, "s"), "replayed batch id skips on the " +
+          "re-seeded branch (mark preserved across publish)")
+      assert(SnapshotTable.commitStreamBatch(spark, t,
+        orders.filter(col("o_orderkey") % 4 === 3).limit(4), 1L, "s"))
+    }
+    // and the NEXT publish fast-forwards cleanly from the new base
+    val v2 = SnapshotTable.publishBranch(spark, t, "wap",
+      cherryPick = false, retainBranch = true)
+    assert(v2 === v + 1)
+    assert(SnapshotTable.branches(spark, t)
+      .map(r => (r._1, r._2)) === Seq(("wap", v2)))
+  }
+
+  test("branch scope keys on the NORMALIZED path: a verb or statement " +
+      "naming the scoped table with a different spelling redirects to " +
+      "the branch, and graft_branch_dml refuses a foreign target") {
+    val t = freshTable("branch_norm")
+    SnapshotTable.create(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 0), numFiles = 2)
+    SnapshotTable.createBranch(spark, t, "nb")
+    val mainBefore = SnapshotTable.read(spark, t).count()
+    // trailing-slash spelling inside the scope still hits the branch
+    SnapshotTable.withBranch(spark, t, "nb") {
+      SnapshotTable.append(spark, t + "/", orders.limit(3).select(
+        (col("o_orderkey") + 97000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice")))
+    }
+    assert(SnapshotTable.read(spark, t).count() === mainBefore,
+      "a differently-spelled path must NOT leak the commit to main")
+    assert(SnapshotTable.readBranch(spark, t, "nb").count() ===
+      mainBefore + 3)
+    // graft_branch_dml: statement with a trailing-slash spelling works…
+    GraftExtensions.register(spark)
+    spark.sql(s"SELECT * FROM graft_branch_dml('$t', 'nb', " +
+      s""""DELETE FROM `$t/` WHERE o_orderkey >= 97000000")""").collect()
+    assert(SnapshotTable.readBranch(spark, t, "nb").count() ===
+      mainBefore)
+    assert(SnapshotTable.read(spark, t).count() === mainBefore)
+    // …but a statement naming ANOTHER table is refused loudly instead
+    // of silently committing to that table's main
+    val t2 = freshTable("branch_norm_other")
+    SnapshotTable.create(spark, t2, orders.limit(10), numFiles = 1)
+    val other = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_branch_dml('$t', 'nb', " +
+        s""""DELETE FROM `$t2` WHERE o_orderkey > 0")""").collect()
+    }
+    assert(other.getMessage.contains("targets"),
+      s"foreign-target branch DML must refuse, got: ${other.getMessage}")
+    assert(SnapshotTable.read(spark, t2).count() === 10L,
+      "the foreign table must be untouched")
+    // …and a non-DML statement has no resolvable mutation target
+    val ddl = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_branch_dml('$t', 'nb', " +
+        s""""DROP TABLE `$t`")""").collect()
+    }
+    assert(ddl.getMessage.contains("INSERT/UPDATE/DELETE/MERGE"))
+  }
+
+  test("identity-TIMESTAMP partition labels pin their staging " +
+      "timezone: writes from a drifted session zone fail loudly, and " +
+      "reads render pruning literals in the PINNED zone") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val df = (0 until 30).map { i =>
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(
+        (i % 3) * 86400L)))
+    }.toDF("k", "ts")
+    val t = freshTable("staging_tz")
+    SnapshotTable.createPartitioned(spark, t, df, Seq("ts"))
+    val snap = SnapshotTable.readManifest(spark, t, 1L)
+    assert(snap.meta.get("stagingTz").contains("UTC"),
+      "the first commit of a timestamp-identity layout must pin the " +
+        "session zone")
+    val tzKey = "spark.sql.session.timeZone"
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      // writes from the drifted zone refuse (labels would mix domains)
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.append(spark, t, df.limit(3))
+      }
+      assert(e.getMessage.contains("staging timezone"))
+      // reads from the drifted zone still prune correctly: the raw
+      // value parses in the SESSION zone (the user's local-time
+      // intent: NY 19:00 on Mar 1 IS the UTC-midnight instant the
+      // partition was labeled from) and the literal renders in the
+      // PINNED zone, so the matching partition is found — the old
+      // session-zone rendering produced "2024-03-01 19:00:00", a
+      // label that exists in no domain, excluding every file
+      val hits = SnapshotTable.partitionLabelsWhere(spark, t, "ts",
+        "=", Seq("2024-03-01 19:00:00"))
+      assert(hits === Set("2024-03-02 00:00:00"),
+        s"drifted-zone read must render in the pinned zone, got $hits")
+      // Catalyst scan path: equality on the partition timestamp plans
+      // only that partition's files (literal arrives as an instant —
+      // 2024-03-02 00:00 UTC written as NY local time)
+      val (sdf, idx) = graft.sources.SnapshotScan.scan(spark, t)
+      val n = sdf.filter(col("ts") ===
+        org.apache.spark.sql.functions.to_timestamp(
+          lit("2024-03-01 19:00:00"))).count()
+      assert(n === 10L)
+      assert(idx.lastPlannedFiles > 0 &&
+        idx.lastPlannedFiles < snap.files.size,
+        "identity-equality pruning must hold under a drifted session " +
+          s"zone (planned ${idx.lastPlannedFiles} of " +
+          s"${snap.files.size})")
+    } finally spark.conf.set(tzKey, "UTC")
+    // an unpartitioned (or non-timestamp) table pins nothing
+    val t2 = freshTable("staging_tz_none")
+    SnapshotTable.create(spark, t2, orders.limit(5), numFiles = 1)
+    assert(!SnapshotTable.readManifest(spark, t2, 1L).meta
+      .contains("stagingTz"))
+  }
+
+  private def manifestText(t: String, name: String): Vector[String] = {
+    val p = new org.apache.hadoop.fs.Path(t, s"_manifests/$name")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  test("two-tier manifests: planning metadata reads are ∝ matched " +
+      "partitions — a pruned scan over a 1000-file table reads ONE " +
+      "group's metadata, lists no directories, and stays exact") {
+    import graft.sources.SnapshotScan
+    val t = freshTable("two_tier")
+    def batch(rows: Int, tag: Int): DataFrame =
+      spark.range(rows).select(
+        (col("id") + tag * 100000L).as("k"),
+        (col("id") % 100).cast("string").as("part"))
+    SnapshotTable.createPartitioned(spark, t, batch(1000, 0), "part")
+    (1 to 9).foreach(i => SnapshotTable.append(spark, t, batch(1000, i)))
+    val snap = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap.files.size === 1000,
+      s"expected 1000 files, got ${snap.files.size}")
+    // the anchor is GROUPED: grp: lines, zero inline file entries
+    val anchorLines = manifestText(t, "v1.manifest")
+    assert(anchorLines.count(_.startsWith("grp:")) === 100,
+      "the anchor must carry one group line per partition label")
+    assert(!anchorLines.exists(_.startsWith("data/")),
+      "a grouped anchor must carry no inline file entries")
+    // total group metadata on disk, for the proportionality assertion
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val groupsDir = new org.apache.hadoop.fs.Path(t, "_manifests/groups")
+    val totalGroupBytes = fsys.listStatus(groupsDir)
+      .filter(_.getPath.getName.endsWith(".grp")).map(_.getLen).sum
+    assert(totalGroupBytes > 0L)
+    // pruned scan: ONE group read, bytes ∝ 1/100 of the metadata,
+    // ZERO filesystem listing (sizes are manifest-stamped), 10 files
+    val (df, idx) = SnapshotScan.scan(spark, t)
+    val got = df.filter(col("part") === "42").count()
+    assert(got === 100L, s"10 commits x 10 rows of part=42, got $got")
+    assert(idx.lastMetaGroupsRead === 1,
+      s"one matched partition must read ONE group, read " +
+        s"${idx.lastMetaGroupsRead}")
+    assert(idx.lastMetaBytesRead > 0 &&
+      idx.lastMetaBytesRead <= totalGroupBytes / 50,
+      s"pruned planning read ${idx.lastMetaBytesRead} of " +
+        s"$totalGroupBytes group-metadata bytes — not ∝ matched " +
+        "partitions")
+    assert(idx.lastListedDirs === 0,
+      "stamped file sizes must plan with ZERO filesystem listing, " +
+        s"listed ${idx.lastListedDirs} dirs")
+    assert(idx.lastPlannedFiles === 10,
+      s"part=42 lives in 10 files (one per commit), planned " +
+        s"${idx.lastPlannedFiles}")
+    // the relation's size statistic needs no group materialization and
+    // equals the true on-disk total (synthetic FileStatus correctness)
+    val realBytes = snap.files.map(rel => fsys.getFileStatus(
+      new org.apache.hadoop.fs.Path(t, rel)).getLen).sum
+    assert(idx.sizeInBytes === realBytes,
+      s"sizeInBytes ${idx.sizeInBytes} != on-disk $realBytes")
+    // unfiltered scan stays exact
+    assert(df.count() === 10000L)
+    // a RANGE predicate over the partition column prunes groups too
+    // (identity labels: equality only at group level — range falls to
+    // per-file stats, still sound)
+    assert(df.filter(col("part").isin("7", "8")).count() === 200L)
+    assert(idx.lastMetaGroupsRead === 2,
+      s"IN(2 labels) must read two groups, read " +
+        s"${idx.lastMetaGroupsRead}")
+    // time travel mid-chain resolves (anchor + delta prefix)
+    val (dfv, idxv) = SnapshotScan.scan(spark, t, Some(3L))
+    assert(dfv.filter(col("part") === "42").count() === 30L)
+    assert(idxv.lastMetaGroupsRead === 1)
+    // a table BELOW the grouping threshold stays single-file
+    val ts = freshTable("two_tier_small")
+    SnapshotTable.createPartitioned(spark, ts,
+      batch(1000, 0).filter(col("part").isin("1", "2", "3")), "part")
+    assert(!manifestText(ts, "v1.manifest").exists(_.startsWith("grp:")),
+      "a 3-file table must not pay the two-tier indirection")
+  }
+
+  test("two-tier re-anchor reuses untouched partition groups: after " +
+      "MaxChainDepth single-partition appends the fresh anchor " +
+      "re-writes ONE group and reuses the other 99 verbatim") {
+    import graft.sources.SnapshotScan
+    val t = freshTable("two_tier_reanchor")
+    val base = spark.range(1000).select(
+      col("id").as("k"), (col("id") % 100).cast("string").as("part"))
+    SnapshotTable.createPartitioned(spark, t, base, "part") // v1 anchor
+    val v1Groups = manifestText(t, "v1.manifest")
+      .filter(_.startsWith("grp:"))
+      .map(_.split('\t')).map(a => a(1) -> a(0)).toMap
+    // 17 appends touching ONLY part=0: v2..v17 are deltas, v18 (depth
+    // 17 > MaxChainDepth) re-anchors as a fresh GROUPED full manifest
+    (1 to 17).foreach { i =>
+      SnapshotTable.append(spark, t, spark.range(5).select(
+        (col("id") + i * 1000000L).as("k"), lit("0").as("part")))
+    }
+    val vCur = SnapshotTable.currentVersion(spark, t)
+    assert(vCur === 18L)
+    val v18Lines = manifestText(t, s"v$vCur.manifest")
+    assert(!v18Lines.exists(_.startsWith("base:")),
+      "v18 must re-anchor (chain depth exceeded)")
+    val v18Groups = v18Lines.filter(_.startsWith("grp:"))
+      .map(_.split('\t')).map(a => a(1) -> a(0)).toMap
+    assert(v18Groups.size === 100)
+    val label0 = "v" + java.net.URLEncoder.encode("0", "UTF-8")
+    assert(v18Groups(label0) !== v1Groups(label0),
+      "the churned partition's group must be re-rendered")
+    val reused = v18Groups.filter { case (l, g) =>
+      l != label0 && v1Groups.get(l).contains(g) }
+    assert(reused.size === 99,
+      s"the 99 untouched partitions must reuse their group files " +
+        s"verbatim, reused ${reused.size}")
+    // reads across the re-anchor stay exact
+    val (df, idx) = SnapshotScan.scan(spark, t)
+    assert(df.filter(col("part") === "0").count() === 10L + 17L * 5L)
+    assert(idx.lastMetaGroupsRead === 1)
+    assert(df.count() === 1000L + 17L * 5L)
+    // orphan-group GC: expire history, then a zero-grace vacuum sweeps
+    // group files only the dropped anchors referenced — and every
+    // surviving read still resolves
+    SnapshotTable.expireSnapshots(spark, t, keepLast = 1)
+    val before = new org.apache.hadoop.fs.Path(t, "_manifests/groups")
+    val f = before.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBefore = f.listStatus(before).count(
+      _.getPath.getName.endsWith(".grp"))
+    SnapshotTable.vacuumOrphans(spark, t, graceMs = 0L)
+    val nAfter = f.listStatus(before).count(
+      _.getPath.getName.endsWith(".grp"))
+    assert(nAfter < nBefore,
+      s"unreferenced groups must be swept ($nBefore -> $nAfter)")
+    assert(nAfter >= 100,
+      "every group the live anchor references must survive")
+    assert(SnapshotTable.read(spark, t).count() === 1000L + 17L * 5L)
+    val (df2, _) = SnapshotScan.scan(spark, t)
+    assert(df2.filter(col("part") === "13").count() === 10L)
+  }
+
+  test("session-scoped WAP branch (SET graft.branch): plain SQL DML, " +
+      "the writer and unpinned reads land on the branch; tables " +
+      "without the branch stay on main; publish lands everything with " +
+      "the conf still set") {
+    val t = freshTable("wap_conf")
+    val tOther = freshTable("wap_conf_other")
+    SnapshotTable.create(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 0), numFiles = 2)
+    SnapshotTable.create(spark, tOther, orders.limit(10), numFiles = 1)
+    SnapshotTable.createBranch(spark, t, "audit")
+    GraftExtensions.register(spark)
+    val mainBefore = SnapshotTable.read(spark, t).count()
+    try {
+      spark.conf.set("graft.branch", "audit")
+      // SQL DML — no graft_branch_dml quoting — lands on the branch
+      // (the runtime-registered procedure route; ExtensionsSuite
+      // drives the native-statement route on an extensions session)
+      spark.sql(s"SELECT * FROM graft_dml(" +
+        s""""DELETE FROM `$t` WHERE o_orderkey % 10 = 0")""").collect()
+      val branchN = SnapshotTable.readBranch(spark, t, "audit").count()
+      assert(branchN < mainBefore, "the DELETE must hit the branch")
+      // …and main is untouched (read WITHOUT the conf in scope)
+      spark.conf.unset("graft.branch")
+      assert(SnapshotTable.read(spark, t).count() === mainBefore)
+      spark.conf.set("graft.branch", "audit")
+      // Scala-verb writes redirect too (same loadCurrent seam)
+      SnapshotTable.append(spark, t, orders.limit(3).select(
+        (col("o_orderkey") + 98000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice")))
+      assert(SnapshotTable.readBranch(spark, t, "audit").count() ===
+        branchN + 3)
+      // unpinned provider reads see the branch (WAP read-your-writes)
+      assert(spark.read.format("graft").load(t).count() === branchN + 3)
+      // an explicit version pin beats the conf
+      assert(spark.read.format("graft").option("versionAsOf", "1")
+        .load(t).count() === mainBefore)
+      // a table WITHOUT the branch stays on main — the session conf
+      // must not break unrelated reads or writes
+      assert(SnapshotTable.read(spark, tOther).count() === 10L)
+      SnapshotTable.append(spark, tOther, orders.limit(2).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      assert(SnapshotTable.readBranch(spark, t, "audit").count() ===
+        branchN + 3, "the other table's append must not hit the branch")
+      spark.conf.unset("graft.branch")
+      assert(SnapshotTable.read(spark, tOther).count() === 12L)
+      spark.conf.set("graft.branch", "audit")
+      // explicit withBranch naming a DIFFERENT branch conflicts loudly
+      SnapshotTable.createBranch(spark, t, "other")
+      val e = intercept[IllegalStateException] {
+        SnapshotTable.withBranch(spark, t, "other") {
+          SnapshotTable.read(spark, t).count()
+        }
+      }
+      assert(e.getMessage.contains("graft.branch"))
+      SnapshotTable.dropBranch(spark, t, "other")
+      // NATIVE statements on an extensions-built session follow the
+      // same conf — zero quoting, the Iceberg spark.wap.branch shape
+      val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(
+        spark, ext => new GraftExtensions()(ext))
+      s2.conf.set("graft.branch", "audit")
+      s2.sql(s"DELETE FROM `$t` WHERE o_orderkey >= 98000000").head()
+      assert(SnapshotTable.readBranch(spark, t, "audit").count() ===
+        branchN, "the native DELETE must land on the branch")
+      spark.conf.unset("graft.branch")
+      assert(SnapshotTable.read(spark, t).count() === mainBefore,
+        "main must be untouched by the native branch DELETE")
+      spark.conf.set("graft.branch", "audit")
+      // publish works with the conf STILL SET (noWap: the main commit
+      // is never redirected back onto the branch)
+      val v = SnapshotTable.publishBranch(spark, t, "audit")
+      spark.conf.unset("graft.branch")
+      assert(SnapshotTable.currentVersion(spark, t) === v)
+      assert(SnapshotTable.read(spark, t).count() === branchN)
+      assert(SnapshotTable.branches(spark, t).isEmpty)
+    } finally spark.conf.unset("graft.branch")
+  }
+
+  test("branch history/detail observability: graft_history(t, branch) " +
+      "reads the staged commit sequence, graft_detail(t, branch) the " +
+      "branch head — the WAP audit trail, SQL-reachable") {
+    val t = freshTable("branch_hist")
+    SnapshotTable.create(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 0), numFiles = 2)
+    SnapshotTable.createBranch(spark, t, "bh")
+    SnapshotTable.appendToBranch(spark, t, "bh", orders.limit(4).select(
+      (col("o_orderkey") + 99000000L).as("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice")))
+    SnapshotTable.withBranch(spark, t, "bh") {
+      SnapshotTable.deleteWhere(spark, t,
+        col("o_orderkey") >= 99000000L)
+    }
+    GraftExtensions.register(spark)
+    val hist = spark.sql(s"SELECT * FROM graft_history('$t', 'bh')")
+      .collect()
+    assert(hist.length === 3, s"fork + 2 commits, got ${hist.length}")
+    assert(hist.map(_.getAs[Long]("seq")).toSeq === Seq(0L, 1L, 2L))
+    assert(hist.forall(_.getAs[Long]("branch_base") === 1L))
+    assert(hist(1).getAs[Int]("files_added") === 1,
+      "the append staged one file")
+    val detail = spark.sql(s"SELECT * FROM graft_detail('$t', 'bh')")
+      .head()
+    assert(detail.getAs[Long]("version") === 2L,
+      "branch detail reports the head sequence")
+    // main-line history/detail unchanged
+    assert(spark.sql(s"SELECT * FROM graft_history('$t')")
+      .collect().length === 1)
+    assert(spark.sql(s"SELECT * FROM graft_detail('$t')")
+      .head().getAs[Long]("version") === 1L)
+    // EXPLAIN over the branch forms mutates nothing
+    spark.sql(s"EXPLAIN SELECT * FROM graft_history('$t', 'bh')")
+      .collect()
+    assert(SnapshotTable.branches(spark, t)
+      .map(r => (r._1, r._3)) === Seq(("bh", 2)))
+  }
 }
