@@ -5214,29 +5214,31 @@ object SnapshotTable {
       throw new IllegalStateException(
         s"branch $name on $table carries no branchBase")).toLong
     val cur = currentVersion(spark, table)
-    // REPLAY detection before anything else: a crash between the main
-    // commit and dropBranch leaves the branch alive with a stale
-    // branchBase; a retried publish whose content already landed must
-    // be a no-op (drop/re-seed the branch, commit nothing) — not a
-    // duplicate append, and not a spurious conflict on checks the
-    // first publish legitimately passed
-    val mainNow = readManifest(spark, table, cur)
     val v =
-      if (cur != base && mainNow.files.toSet == snap.files.toSet &&
-          mainNow.schema == snap.schema) cur
-      else if (cur == base)
+      if (cur == base)
         // FAST-FORWARD: metadata-only promotion of the branch head
         commitManifest(spark, table, snap.schema, snap.files, base,
           snap.meta - "branchBase" - "branchName",
           snap.partitionOf, snap.statsOf, snap.deleteFiles,
           Some(readManifest(spark, table, base)), snap.extraOf)
-      else if (!cherryPick)
-        throw new IllegalStateException(
-          s"fast-forward conflict at $table: branch $name forked at " +
-            s"v$base but main is at v$cur; re-branch from the current " +
-            "version and re-apply, or publish with cherryPick = true " +
-            "for an append-only branch")
-      else cherryPickOnto(spark, table, name, snap, base, cur)
+      else {
+        // REPLAY detection before any conflict check: a crash between
+        // the main commit and dropBranch leaves the branch alive with
+        // a stale branchBase; a retried publish whose content already
+        // landed must be a no-op (drop/re-seed the branch, commit
+        // nothing) — not a duplicate append, and not a spurious
+        // conflict on checks the first publish legitimately passed
+        val mainNow = readManifest(spark, table, cur)
+        if (mainNow.files.toSet == snap.files.toSet &&
+            mainNow.schema == snap.schema) cur
+        else if (!cherryPick)
+          throw new IllegalStateException(
+            s"fast-forward conflict at $table: branch $name forked at " +
+              s"v$base but main is at v$cur; re-branch from the " +
+              "current version and re-apply, or publish with " +
+              "cherryPick = true for an append-only branch")
+        else cherryPickOnto(spark, table, name, snap, base, cur)
+      }
     if (retainBranch) reseedBranch(spark, table, name, v)
     else dropBranch(spark, table, name)
     v
@@ -6214,6 +6216,47 @@ object SnapshotTable {
         .orderBy(col("l_returnflag").asc_nulls_first)
     }),
 
+    // TWO-TIER (partition-grouped) manifest lifecycle: 19 commits on a
+    // 7-label partitioned table cross the grouping threshold at the
+    // chain re-anchor (the depth-17 commit re-anchors FULL with ~133
+    // files ≥ 48), so the anchor is GROUPED — the lambda REQUIRES that
+    // a one-partition scan reads exactly ONE group's metadata
+    // (∝ matched partitions, not table files) and performs ZERO
+    // directory listings (manifest-stamped file sizes), then returns
+    // that partition's rows; the oracle replays the filter in plain
+    // SQL — a hash match proves group-pruned planning loses no row
+    // and resurrects none.
+    "q_table_metadata_tier" -> ((s, d) => {
+      val t = scratch(s, d, "mtier")
+      fs(s, t).delete(new Path(t), true)
+      val items = graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      createPartitioned(s, t, items.filter(col("l_orderkey") % 19 === 0),
+        Seq("l_linenumber"))
+      (1 to 18).foreach(i =>
+        append(s, t, items.filter(col("l_orderkey") % 19 === i)))
+      val snap = readManifest(s, t, currentVersion(s, t))
+      require(snap.files.size >= GroupedManifestMinFiles &&
+        snap.cleanGroups.nonEmpty,
+        s"the re-anchor must be GROUPED (${snap.files.size} files, " +
+          s"${snap.cleanGroups.size} groups)")
+      val (df, idx) = SnapshotScan.scan(s, t)
+      val out = df.filter(col("l_linenumber") === 3)
+        .orderBy(col("l_orderkey").asc_nulls_first)
+      out.count() // drive planning so the metadata-tier audit can run
+      require(idx.lastMetaGroupsRead == 1,
+        s"one matched partition must read ONE group of " +
+          s"${snap.cleanGroups.size}, read ${idx.lastMetaGroupsRead}")
+      require(idx.lastListedDirs == 0,
+        "stamped sizes must plan with zero filesystem listing, " +
+          s"listed ${idx.lastListedDirs} dirs")
+      require(idx.lastPlannedFiles >= 1 && idx.lastPlannedFiles <= 19 &&
+        idx.lastPlannedFiles * 3 < snap.files.size,
+        s"label 3 lives in ≤19 of ${snap.files.size} files, planned " +
+          s"${idx.lastPlannedFiles}")
+      out
+    }),
+
     // Named MATERIALIZED VIEW lifecycle: create the MV (a filtered
     // count/sum aggregate) at v1, run a mixed mutation gauntlet on the
     // source (update, delete, append), refresh — the refresh must
@@ -6700,6 +6743,14 @@ object SnapshotTable {
         |WHERE NOT (l_orderkey % 17 = 3)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    // the one-partition read after the 18-commit two-tier lifecycle:
+    // the 18 modulus slices union back to the whole table, so the
+    // oracle is the plain partition filter — group-pruned planning
+    // must lose no row and resurrect none
+    "q_table_metadata_tier" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_linenumber = 3
+        |ORDER BY l_orderkey ASC NULLS FIRST""".stripMargin,
     // the MV definition recomputed in full over the logically replayed
     // source (update as CASE — +5 exact; delete as NOT; append as
     // UNION ALL of the original-valued slice): a hash match proves the

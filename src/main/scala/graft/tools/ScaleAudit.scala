@@ -126,8 +126,12 @@ object ScaleAudit {
     // netted change-feed delta, but the gauntlet's churn is modulus-
     // scoped (∝ data), so the lifecycle bound is the standard linear
     // one; the INCREMENTAL property itself is suite-asserted (the
-    // refresh mode is required to be "incremental")
-    "q_table_mv")
+    // refresh mode is required to be "incremental") — and the
+    // TWO-TIER manifest lifecycle (18 commits crossing the grouping
+    // threshold at the re-anchor + a group-pruned one-partition read
+    // whose metadata cost the lambda REQUIRES to be one group / zero
+    // listings): the commits stage ∝ data, so linear overall
+    "q_table_mv", "q_table_metadata_tier")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0
