@@ -4786,6 +4786,51 @@ class SnapshotSuite extends AnyFunSuite {
     assert(df2.filter(col("part") === "13").count() === 10L)
   }
 
+  test("materialized views: a non-nettable definition (avg) falls " +
+      "back to FULL recompute, stays exact through mutations, and a " +
+      "replayed refresh is a noop; a foreign definition is refused") {
+    val t = freshTable("mv_src_avg")
+    val m = freshTable("mv_avg")
+    SnapshotTable.create(spark, t, orders, numFiles = 4)
+    GraftExtensions.register(spark)
+    val defn = "SELECT o_orderstatus, avg(o_totalprice) AS p, " +
+      "count(1) AS n FROM __source__ GROUP BY o_orderstatus"
+    spark.sql(s"SELECT * FROM graft_create_mv('$m', '$t', " +
+      s""""$defn")""").collect()
+    // avg is not nettable under deletes — the refresh must take the
+    // full-recompute path and still be exact
+    SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 7 === 0)
+    SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 11 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + 1)))
+    val r = spark.sql(s"SELECT * FROM graft_refresh_mv('$m')").head()
+    assert(r.getString(0) === "full",
+      s"avg cannot net under deletes — expected full, got $r")
+    val got = SnapshotTable.read(spark, m)
+      .orderBy(col("o_orderstatus")).collect().toSeq
+    val want = SnapshotTable.read(spark, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(avg(col("o_totalprice")).as("p"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus")).collect().toSeq
+    assert(got === want, "full recompute must equal the definition " +
+      "over the current source")
+    val r2 = spark.sql(s"SELECT * FROM graft_refresh_mv('$m')").head()
+    assert(r2.getString(0) === "noop",
+      "the cdcUpTo mark must make a replayed refresh exactly-once")
+    // a definition that does not read __source__ is refused at create
+    val m2 = freshTable("mv_bad")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_create_mv('$m2', '$t', " +
+        """"SELECT 1 AS x")""").collect()
+    }
+    assert(e.getMessage.contains("__source__"))
+    // refreshing a non-MV table is refused
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_refresh_mv('$t')").collect()
+    }
+    assert(e2.getMessage.contains("mvSource"))
+  }
+
   test("session-scoped WAP branch (SET graft.branch): plain SQL DML, " +
       "the writer and unpinned reads land on the branch; tables " +
       "without the branch stay on main; publish lands everything with " +
