@@ -4538,9 +4538,11 @@ class SnapshotSuite extends AnyFunSuite {
       assert(SnapshotTable.commitStreamBatch(spark, t,
         orders.filter(col("o_orderkey") % 4 === 3).limit(4), 1L, "s"))
     }
-    // and the NEXT publish fast-forwards cleanly from the new base
-    val v2 = SnapshotTable.publishBranch(spark, t, "wap",
-      cherryPick = false, retainBranch = true)
+    // and the NEXT publish fast-forwards cleanly from the new base —
+    // via the 4-arg SQL procedure form (cherry_pick, retain)
+    GraftExtensions.register(spark)
+    val v2 = spark.sql(s"SELECT * FROM graft_publish_branch('$t', " +
+      "'wap', false, true)").head().getLong(1)
     assert(v2 === v + 1)
     assert(SnapshotTable.branches(spark, t)
       .map(r => (r._1, r._2)) === Seq(("wap", v2)))
