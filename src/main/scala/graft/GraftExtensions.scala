@@ -555,6 +555,17 @@ object GraftExtensions {
       """(?is)\s*VACUUM\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
     private val RestoreRe =
       """(?is)\s*RESTORE\s+(?:TABLE\s+)?(`[^`]+`|'[^']+'|[\w$./-]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']+'|[\w.:-]+)\s*;?\s*""".r
+    // Native MATERIALIZED VIEW statements (the warehouse-SQL shape over
+    // sources/MaterializedView): targets may be a snapshot path or a
+    // catalog name (the MV lands at the catalog's default location and
+    // registers as a graft table); the definition's FROM names the
+    // source table directly — the stored definition keeps the
+    // operator's text, bound to the RESOLVED path. An `EXPLAIN` prefix
+    // returns a descriptive no-op plan without executing.
+    private val CreateMvRe =
+      """(?is)\s*(EXPLAIN\s+)?CREATE\s+MATERIALIZED\s+VIEW\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s+AS\s+(.+?)\s*;?\s*""".r
+    private val RefreshMvRe =
+      """(?is)\s*(EXPLAIN\s+)?REFRESH\s+MATERIALIZED\s+VIEW\s+(`[^`]+`|'[^']+'|[\w$./-]+)\s*;?\s*""".r
 
     private def unquote(s: String): String =
       if ((s.startsWith("`") && s.endsWith("`")) ||
@@ -620,9 +631,96 @@ object GraftExtensions {
           s"$what targets graft snapshot tables; $t is not one"))
     }
 
+    /** Identifier for a catalog-named MV target; None for a path. */
+    private def mvIdent(t: String)
+        : Option[org.apache.spark.sql.catalyst.TableIdentifier] =
+      if (t.contains('/')) None
+      else t.split('.').toSeq match {
+        case Seq(n) =>
+          Some(org.apache.spark.sql.catalyst.TableIdentifier(n))
+        case Seq(db, n) =>
+          Some(org.apache.spark.sql.catalyst.TableIdentifier(n, Some(db)))
+        case _ => throw new IllegalArgumentException(
+          s"MATERIALIZED VIEW names take at most db.name, got $t")
+      }
+
+    private def createMv(rawT: String, defn: String): LogicalPlan = {
+      import spark.implicits._
+      val t = unquote(rawT)
+      // exactly one source relation; it must be a graft snapshot table
+      val rels = delegate.parsePlan(defn).collect {
+        case r: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedRelation => r.multipartIdentifier
+      }.distinct
+      require(rels.size == 1,
+        s"CREATE MATERIALIZED VIEW takes exactly one source relation " +
+          s"in its definition, got ${rels.size}")
+      val srcPath = graft.sources.GraftDml
+        .snapshotPathOf(spark, rels.head)
+        .orElse(graft.sources.GraftDml
+          .namedGraftTable(spark, rels.head).map(_._1))
+        .getOrElse(throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW source " +
+            s"${rels.head.mkString(".")} is not a graft snapshot table"))
+      val ident = mvIdent(t)
+      val mvPath = ident match {
+        case None => t
+        case Some(id) =>
+          val cat = org.apache.spark.sql.GraftShim.v1Catalog(spark)
+          require(!cat.tableExists(id),
+            s"table $t already exists")
+          new org.apache.hadoop.fs.Path(
+            cat.defaultTablePath(id)).toString
+      }
+      val v = graft.sources.MaterializedView.create(spark, mvPath,
+        srcPath, defn, rels.head.mkString("."))
+      // catalog-named MVs register like any named graft table, so
+      // SELECT/DETAIL/REFRESH by name all resolve
+      ident.foreach { id =>
+        spark.sql(s"CREATE TABLE ${id.quotedString} USING graft " +
+          s"LOCATION '$mvPath'")
+        ()
+      }
+      Seq((mvPath, srcPath, v))
+        .toDF("mv", "source", "version").queryExecution.logical
+    }
+
+    private def explainNoop(op: String, target: String): LogicalPlan = {
+      import spark.implicits._
+      Seq((op, unquote(target)))
+        .toDF("statement", "target").queryExecution.logical
+    }
+
     private def maintenance(sqlText: String): Option[LogicalPlan] = {
       import spark.implicits._
       sqlText match {
+        case CreateMvRe(explain, rawT, defn) =>
+          Some(
+            if (explain != null)
+              explainNoop("CREATE MATERIALIZED VIEW", rawT)
+            else createMv(rawT, defn))
+        case RefreshMvRe(explain, rawT) =>
+          Some {
+            if (explain != null)
+              explainNoop("REFRESH MATERIALIZED VIEW", rawT)
+            else {
+              val path = maintTargetPath(rawT,
+                "REFRESH MATERIALIZED VIEW")
+              val (mode, from, to, v) =
+                graft.sources.MaterializedView.refresh(spark, path)
+              // a NAMED target's cached relation still serves the old
+              // snapshot — same invalidation discipline as named DML
+              if (!unquote(rawT).contains('/'))
+                graft.sources.GraftDml.namedGraftTable(spark,
+                  unquote(rawT).split('.').toSeq).foreach {
+                  case (_, id) => org.apache.spark.sql.GraftShim
+                    .v1Catalog(spark).refreshTable(id)
+                }
+              Seq((mode, from, to, v))
+                .toDF("mode", "from_version", "to_version", "mv_version")
+                .queryExecution.logical
+            }
+          }
         case OptimizeWhereRe(rawT, colName, cmpOp, cmpV, inVs) =>
           val path = maintTargetPath(rawT, "OPTIMIZE")
           // the predicate names the RAW column; the label set resolves
@@ -1069,12 +1167,13 @@ object GraftExtensions {
         "files_after" -> org.apache.spark.sql.types.IntegerType,
         "manifests_expired" -> org.apache.spark.sql.types.IntegerType,
         "data_files_removed" -> org.apache.spark.sql.types.IntegerType,
-        "orphans_removed" -> org.apache.spark.sql.types.IntegerType),
+        "orphans_removed" -> org.apache.spark.sql.types.IntegerType,
+        "mv_refresh" -> org.apache.spark.sql.types.StringType),
       { spark =>
         val m = graft.sources.SnapshotTable.maintain(spark, table)
         Seq(org.apache.spark.sql.Row(m.compacted, m.filesBefore,
           m.filesAfter, m.manifestsExpired, m.dataFilesRemoved,
-          m.orphanBatchesRemoved))
+          m.orphanBatchesRemoved, m.mvRefresh))
       })
   }
 

@@ -74,10 +74,28 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         org.apache.spark.sql.types.StringType, nullable = true))
   }
 
+  /** The BRANCH feed's schema: branch head schema + change_type. */
+  private def branchChangeSchemaOf(spark: SparkSession, table: String,
+      branch: String): StructType = {
+    val base = SnapshotTable.branchSchemaOf(spark, table, branch)
+    require(!base.fieldNames.exists(_.equalsIgnoreCase("change_type")),
+      s"$table has a column named change_type — the change feed " +
+        "reserves that name; rename the column to stream this table")
+    StructType(base.fields
+      :+ org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType, nullable = true))
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    ("graft", changeSchemaOf(sqlContext.sparkSession, pathOf(parameters)))
+    ("graft", parameters.get("branch").map(_.trim).filter(_.nonEmpty)
+      match {
+        case Some(b) => branchChangeSchemaOf(sqlContext.sparkSession,
+          pathOf(parameters), b)
+        case None => changeSchemaOf(sqlContext.sparkSession,
+          pathOf(parameters))
+      })
 
   /** `spark.readStream.format("graft").load(path)`: the change feed
     * as a streaming source whose checkpointed offsets are snapshot
@@ -91,6 +109,22 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     val spark = sqlContext.sparkSession
     val table = pathOf(parameters)
+    // `option("branch", b)`: tail the branch's staged commit sequence
+    // (offsets = head seqs) — the continuous-WAP audit stream. The
+    // main-feed knobs are version-domain and do not apply.
+    parameters.get("branch").map(_.trim).filter(_.nonEmpty)
+      .foreach { b =>
+        require(Seq("fromVersion", "fromTimestamp",
+          "maxVersionsPerBatch", "maxBytesPerBatch")
+          .forall(!parameters.contains(_)),
+          "branch streams tail staged sequences — fromVersion/" +
+            "fromTimestamp/rate options are version-domain and do " +
+            "not apply")
+        require(SnapshotTable.branchExists(spark, table, b),
+          s"no branch $b on $table")
+        return new org.apache.spark.sql.GraftBranchChangeSource(spark,
+          table, b, branchChangeSchemaOf(spark, table, b))
+      }
     // `fromTimestamp` mirrors `fromVersion` through the shared
     // commit-time resolution (Delta's startingTimestamp): the feed
     // starts AFTER the latest version committed at or before it
@@ -243,7 +277,8 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       if (pins.nonEmpty) None
       else spark.conf.getOption(SnapshotTable.WapBranchConf)
         .map(_.trim).filter(_.nonEmpty)
-        .filter(b => SnapshotTable.branchExists(spark, table, b))
+        .filter(b =>
+          SnapshotTable.branchExistsCached(spark, table, b))
     parameters.get("branch").orElse(confBranch) match {
       case Some(b) =>
         new GraftDataSource.BranchRelation(spark, table, b.trim,
@@ -636,14 +671,18 @@ object GraftDataSource {
       HadoopFsRelation(
         location = index,
         partitionSchema = StructType(Nil),
-        dataSchema = header.schema,
+        // an MV's hidden maintained-state columns are not in the
+        // reader schema (visibleSchema) — by-name parquet resolution
+        // never requests them
+        dataSchema = SnapshotTable.visibleSchema(header),
         bucketSpec = SnapshotTable.bucketSpecOf(header).map { case (cs, n) =>
           org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cs,
             SnapshotTable.bucketSortOf(header))
         },
         fileFormat = new ReadOnlyParquetFormat,
         options = Map.empty)(spark)
-    } else new DvRelation(spark, table, header.version, header.schema)
+    } else new DvRelation(spark, table, header.version,
+      SnapshotTable.visibleSchema(header))
   }
 
   /** Fallback scan for DV-bearing snapshots: executes the DV-applying

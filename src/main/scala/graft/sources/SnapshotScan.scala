@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.{NumericType, StructType}
   */
 class SnapshotFileIndex private (spark: SparkSession, table: String,
     header: SnapshotTable.Snapshot,
-    entriesFor: Option[String => Boolean] => Seq[SnapshotTable.Entry],
+    entriesFor: Option[SnapshotTable.GroupRef => Boolean] =>
+      Seq[SnapshotTable.Entry],
     knownSize: Option[Long],
     metaGroupsRead: () => Int, metaBytesRead: () => Long)
     extends FileIndex {
@@ -52,10 +53,8 @@ class SnapshotFileIndex private (spark: SparkSession, table: String,
         (p, snap.partitionOf.get(p),
           snap.statsOf.getOrElse(p, Map.empty),
           snap.extraOf.getOrElse(p, Map.empty))
-      }.filter(e => (admit, e._2) match {
-        case (Some(f), Some(l)) => f(l)
-        case _ => true
-      }),
+      }.filter(e => admit.forall(_(
+        SnapshotTable.GroupRef("", e._2, 1, -1L, e._3)))),
       None, () => -1, () => -1L)
 
   private val fsys = new Path(table)
@@ -123,11 +122,18 @@ class SnapshotFileIndex private (spark: SparkSession, table: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // group-level admission first: a label every filter may match —
-    // groups whose label is provably excluded are never even READ
-    val admit: Option[String => Boolean] =
-      if (pcols.isEmpty || dataFilters.isEmpty) None
-      else Some(label => dataFilters.forall(e => mayMatchLabel(label, e)))
+    // group-level admission first: a group every filter may match —
+    // on its partition label AND its per-group column bounds (the
+    // cluster-range / partitioned-stats tier) — groups provably
+    // excluded are never even READ. Synthetic cluster-chunk labels
+    // (#batch#i) are group identity, not partition values — masked.
+    val admit: Option[SnapshotTable.GroupRef => Boolean] =
+      if (dataFilters.isEmpty) None
+      else Some { g =>
+        val asEntry: SnapshotTable.Entry =
+          ("", g.label.filterNot(_.startsWith("#")), g.stats, Map.empty)
+        dataFilters.forall(e => mayMatch(asEntry, e))
+      }
     val entries = entriesFor(admit)
     lastMetaGroupsRead = metaGroupsRead()
     lastMetaBytesRead = metaBytesRead()
@@ -149,41 +155,6 @@ class SnapshotFileIndex private (spark: SparkSession, table: String,
       label.split(",", -1).map(v =>
         java.net.URLDecoder.decode(v, "UTF-8")).toSeq
     else Seq(label)
-
-  /** Can a file carrying `label` possibly hold a row satisfying `e`?
-    * The GROUP-level check: partition admission only (no per-file
-    * stats yet) — false only on a provable exclusion.
-    */
-  private def mayMatchLabel(label: String, e: Expression): Boolean =
-    e match {
-      case And(l, r) => mayMatchLabel(label, l) && mayMatchLabel(label, r)
-      case Or(l, r) => mayMatchLabel(label, l) || mayMatchLabel(label, r)
-      case EqualTo(a: AttributeReference, l: Literal) =>
-        labelAdmits(label, a.name, l, lo = true, hi = true)
-      case EqualTo(l: Literal, a: AttributeReference) =>
-        labelAdmits(label, a.name, l, lo = true, hi = true)
-      case GreaterThan(a: AttributeReference, l: Literal) =>
-        labelAdmits(label, a.name, l, lo = true, hi = false)
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-        labelAdmits(label, a.name, l, lo = true, hi = false)
-      case LessThan(a: AttributeReference, l: Literal) =>
-        labelAdmits(label, a.name, l, lo = false, hi = true)
-      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-        labelAdmits(label, a.name, l, lo = false, hi = true)
-      case GreaterThan(l: Literal, a: AttributeReference) =>
-        labelAdmits(label, a.name, l, lo = false, hi = true)
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-        labelAdmits(label, a.name, l, lo = false, hi = true)
-      case LessThan(l: Literal, a: AttributeReference) =>
-        labelAdmits(label, a.name, l, lo = true, hi = false)
-      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-        labelAdmits(label, a.name, l, lo = true, hi = false)
-      case In(a: AttributeReference, vs)
-          if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists(v => labelAdmits(label, a.name,
-          v.asInstanceOf[Literal], lo = true, hi = true))
-      case _ => true
-    }
 
   /** Can `entry` possibly hold a row satisfying `e`? (false only on a
     * provable exclusion.)
@@ -424,7 +395,8 @@ object SnapshotScan {
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
-      dataSchema = header.schema,
+      // MV maintained-state columns stay hidden on this surface too
+      dataSchema = SnapshotTable.visibleSchema(header),
       // declared bucket layout rides the relation: the v1 bucketed
       // scan groups the tagged files by bucket id and reports hash
       // output partitioning — equal-bucketed graft tables then join

@@ -111,18 +111,26 @@ object SnapshotTable {
       extraOf: Map[String, Map[String, String]] = Map.empty,
       cleanGroups: Map[String, GroupRef] = Map.empty)
 
-  /** One partition-group reference inside a GROUPED (two-tier) full
-    * manifest: the anchor lists (group file, partition label, entry
-    * count, total data bytes) per group instead of the file entries
-    * themselves, so scan planning with a pruning predicate reads only
-    * the matching groups' metadata — O(matched partitions), not
-    * O(table files). `label` is the group's composite partition value
-    * (None = the label-less group, never prunable). `bytes` is -1 when
-    * some member file's size was unknown at anchor time (sizeInBytes
-    * then falls back to listing).
+  /** One group reference inside a GROUPED (two-tier) full manifest:
+    * the anchor lists (group file, label, entry count, total data
+    * bytes, per-group column BOUNDS) per group instead of the file
+    * entries themselves, so scan planning with a pruning predicate
+    * reads only the matching groups' metadata — O(matched groups),
+    * not O(table files). For PARTITIONED tables `label` is the
+    * composite partition value; for UNPARTITIONED CLUSTERED tables
+    * groups are cluster-range CHUNKS of each write batch's sorted file
+    * run and `label` is the synthetic `#<batch>#<chunk>` key (never a
+    * partition value — admission ignores it). `stats` holds min/max
+    * per column, folded over the member files' recorded stats (only
+    * columns every member carries) — range predicates prune GROUPS
+    * before any group file is read, on partitioned tables too (a
+    * non-partition predicate can now skip whole groups). `bytes` is
+    * -1 when some member file's size was unknown at anchor time
+    * (sizeInBytes then falls back to listing).
     */
   final case class GroupRef(rel: String, label: Option[String],
-      count: Int, bytes: Long)
+      count: Int, bytes: Long,
+      stats: Map[String, (String, String)] = Map.empty)
 
   /** One manifest FILE as written (full, grouped-full, or a delta
     * against `base`). An entry is (path, partition label, min/max
@@ -225,11 +233,17 @@ object SnapshotTable {
       kv.take(i) -> kv.drop(i + 1)
     }.toMap
     val groups = grpLines.map { l =>
-      val Array(rel, lab, cnt, bytes) =
-        l.stripPrefix("grp:").split('\t')
+      val fields = l.stripPrefix("grp:").split('\t')
+      val Array(rel, lab, cnt, bytes) = fields.take(4)
+      // optional 5th field: per-group column bounds, entry-line syntax
+      val stats = fields.lift(4).filter(_.startsWith("s="))
+        .map(_.stripPrefix("s=").split(';').iterator.map { e =>
+          val Array(c, mn, mx) = e.split("\\|", -1).map(dec)
+          c -> ((mn, mx))
+        }.toMap).getOrElse(Map.empty[String, (String, String)])
       GroupRef(rel,
         if (lab == "-") None else Some(dec(lab.stripPrefix("v"))),
-        cnt.toInt, bytes.toLong)
+        cnt.toInt, bytes.toLong, stats)
     }
     RawManifest(version, schema,
       baseLines.headOption.map(_.stripPrefix("base:").toLong),
@@ -269,8 +283,14 @@ object SnapshotTable {
     */
   private def applyDelta(base: Snapshot, d: RawManifest): Snapshot = {
     val rm = d.removed.toSet
+    // cluster-chunk groups dirty at batch granularity: a removed file
+    // shifts its batch's surviving sorted run, so every chunk of that
+    // batch loses reuse (adds land in fresh batches — no chunk exists)
+    val rmBatches = d.removed.map(batchDirOf).toSet
+    val dirtyChunks = base.cleanGroups.keySet.filter(l =>
+      chunkBatchOf(l).exists(rmBatches.contains))
     val dirtyLabels = (d.entries.flatMap(_._2) ++
-      d.removed.flatMap(base.partitionOf.get)).toSet
+      d.removed.flatMap(base.partitionOf.get)).toSet ++ dirtyChunks
     Snapshot(d.version, d.schema,
       base.files.filterNot(rm) ++ d.entries.map(_._1), d.meta,
       (base.partitionOf -- rm) ++
@@ -383,23 +403,25 @@ object SnapshotTable {
       }
     }
 
-    /** Materialize the file entries whose partition label `admit`s
-      * (None = all). Group files of non-admitted labels are never
-      * read; the label-less group and every delta entry always
-      * resolve (delta rm-sets apply — a removed file in an unread
-      * group was never listed, harmlessly).
+    /** Materialize the file entries whose group reference `admit`s
+      * (None = all). Group files of non-admitted refs are never read;
+      * the admission sees the ref's partition label AND its per-group
+      * column bounds — partition pruning and cluster-range pruning
+      * share one gate. Inline anchor entries and delta entries pass
+      * through the same predicate as single-entry pseudo-refs (their
+      * own label + per-file stats); delta rm-sets apply (a removed
+      * file in an unread group was never listed, harmlessly).
       */
-    def entries(admit: Option[String => Boolean]): Seq[Entry] = {
-      def keep(label: Option[String]): Boolean = (admit, label) match {
-        case (Some(f), Some(l)) => f(l)
-        case _ => true // no predicate, or label-less: never prunable
-      }
+    def entries(admit: Option[GroupRef => Boolean]): Seq[Entry] = {
+      def keepRef(g: GroupRef): Boolean = admit.forall(_(g))
+      def keepEntry(e: Entry): Boolean =
+        admit.forall(_(GroupRef("", e._2, 1, -1L, e._3)))
       var groupsRead = 0
       var bytesRead = 0L
       val anchorEntries: Seq[Entry] =
-        if (anchor.groups.isEmpty) anchor.entries.filter(e => keep(e._2))
-        else anchor.entries.filter(e => keep(e._2)) ++
-          anchor.groups.filter(g => keep(g.label)).flatMap { g =>
+        if (anchor.groups.isEmpty) anchor.entries.filter(keepEntry)
+        else anchor.entries.filter(keepEntry) ++
+          anchor.groups.filter(keepRef).flatMap { g =>
             groupsRead += 1
             val (es, b) = readGroupEntriesWithBytes(spark, table, g.rel)
             bytesRead += b
@@ -409,7 +431,7 @@ object SnapshotTable {
       lastGroupBytesRead = bytesRead
       deltas.foldLeft(anchorEntries) { (acc, d) =>
         val rm = d.removed.toSet
-        acc.filterNot(e => rm(e._1)) ++ d.entries.filter(e => keep(e._2))
+        acc.filterNot(e => rm(e._1)) ++ d.entries.filter(keepEntry)
       }
     }
   }
@@ -473,8 +495,37 @@ object SnapshotTable {
       case Some(v) => readManifest(spark, table, v)
       case None => loadCurrent(spark, table)
     }
+    val df = readFilesDv(spark, table, snap, snap.files)
+    // a materialized view's hidden maintained-state columns
+    // (__graft_mv_*) are refresh machinery, not contents: the visible
+    // schema is the definition's schema
+    if (snap.meta.contains("mvQuery"))
+      df.drop(df.columns
+        .filter(_.startsWith(MaterializedView.AuxPrefix)): _*)
+    else df
+  }
+
+  /** The MV refresh's view of its own stored state: the current
+    * snapshot WITH the hidden maintained-state columns.
+    */
+  private[sources] def readCurrentWithAux(spark: SparkSession,
+      table: String): DataFrame = {
+    val snap = loadCurrent(spark, table)
     readFilesDv(spark, table, snap, snap.files)
   }
+
+  /** The schema a READER sees: for materialized views the hidden
+    * maintained-state columns are projected away (parquet by-name
+    * resolution simply never requests them), everywhere else the
+    * manifest schema verbatim. Every scan surface — the frame read,
+    * the provider relation, the Catalyst FileIndex scan — goes
+    * through this, so an MV's visible schema is its definition's.
+    */
+  private[sources] def visibleSchema(snap: Snapshot): StructType =
+    if (snap.meta.contains("mvQuery"))
+      StructType(snap.schema.fields.filterNot(
+        _.name.startsWith(MaterializedView.AuxPrefix)))
+    else snap.schema
 
   /** The location-independent identity of a data file: its
     * `data/<batch>/...` suffix — the manifest's relative path in the
@@ -1665,11 +1716,33 @@ object SnapshotTable {
     */
   private[sources] val GroupedManifestMinFiles = 48
 
+  private def partitionLayout(meta: Map[String, String]): Boolean =
+    meta.contains("partitionCol") || meta.contains("partitionCols") ||
+      meta.contains("partitionSpec")
+
   private def shouldGroup(meta: Map[String, String], nFiles: Int)
       : Boolean =
     nFiles >= GroupedManifestMinFiles &&
-      (meta.contains("partitionCol") || meta.contains("partitionCols") ||
-        meta.contains("partitionSpec"))
+      (partitionLayout(meta) || meta.contains("clusterCols"))
+
+  /** Cluster-range chunk width: an UNPARTITIONED CLUSTERED table's
+    * grouped anchor chunks each write batch's (range-sorted) file run
+    * into groups of this many files — a clustered compact's output is
+    * range-disjoint, so consecutive chunks carry disjoint cluster-key
+    * bounds and a narrow range predicate admits ~one chunk.
+    */
+  private[sources] val ClusterGroupChunk = 16
+
+  private def batchDirOf(rel: String): String = rel.split('/')(1)
+
+  /** Synthetic cluster-chunk group label: `#<batch>#<index>`. Purely a
+    * group identity for reuse tracking — never a partition value, and
+    * admission never treats it as one.
+    */
+  private def chunkLabel(batch: String, idx: Int): String = s"#$batch#$idx"
+
+  private def chunkBatchOf(label: String): Option[String] =
+    if (label.startsWith("#")) label.split('#').lift(1) else None
 
   private def sha1hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
@@ -1731,29 +1804,82 @@ object SnapshotTable {
     val f = fs(spark, table)
     val gDir = new Path(manifestDir(table), "groups")
     f.mkdirs(gDir)
+    val clusterMode = !partitionLayout(meta)
     // labels reusable from the base's anchor: untouched through the
     // chain (cleanGroups) AND untouched by THIS commit's add/remove
     // AND carrying unchanged per-file stats/extras (a stats backfill
     // re-publishes the label's group — stale stats are a silent
-    // mis-pruning hazard)
+    // mis-pruning hazard). Cluster-chunk labels dirty at BATCH
+    // granularity: chunk membership is a function of the batch's
+    // surviving sorted file run, so any touched file invalidates every
+    // chunk of its batch (a shifted run could otherwise alias an old
+    // chunk's count).
     val reusable: Map[String, GroupRef] = base match {
       case Some(b) if b.cleanGroups.nonEmpty =>
         val baseSet = b.files.toSet
         val targetSet = files.toSet
-        val dirty = (b.files.filterNot(targetSet)
-          .flatMap(b.partitionOf.get) ++
-          files.filterNot(baseSet).flatMap(partitionOf.get) ++
+        val touched = b.files.filterNot(targetSet) ++
+          files.filterNot(baseSet) ++
           files.filter(p => baseSet(p) &&
             (statsOf.get(p) != b.statsOf.get(p) ||
               extraOf.get(p) != b.extraOf.get(p)))
-            .flatMap(partitionOf.get)).toSet
+        val dirty =
+          if (clusterMode) {
+            val dirtyBatches = touched.map(batchDirOf).toSet
+            b.cleanGroups.keySet.filter(l =>
+              chunkBatchOf(l).exists(dirtyBatches.contains))
+          } else touched.flatMap(partitionOf.get).toSet
         b.cleanGroups -- dirty
       case _ => Map.empty
     }
-    val byLabel: Seq[(Option[String], Seq[String])] =
-      files.groupBy(partitionOf.get).toSeq
+    // group-level column BOUNDS folded over the members' recorded
+    // stats: a column participates only when EVERY member carries it
+    // (a missing member bound makes the group bound unknowable) and,
+    // for numeric/timestamp columns, every value parses (an
+    // unparseable bound could silently mis-prune). Soundness first:
+    // omitted columns simply don't prune at group level.
+    def groupStats(members: Seq[String])
+        : Map[String, (String, String)] = {
+      val perFile = members.map(p => statsOf.getOrElse(p,
+        Map.empty[String, (String, String)]))
+      if (perFile.exists(_.isEmpty)) return Map.empty
+      val common = perFile.map(_.keySet).reduce(_ intersect _)
+      common.iterator.flatMap { c =>
+        val numeric = schema.fieldNames.contains(c) &&
+          (schema(c).dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+            schema(c).dataType ==
+              org.apache.spark.sql.types.TimestampType)
+        val bounds = perFile.map(_(c))
+        if (numeric) {
+          try {
+            val mns = bounds.map(b => BigDecimal(b._1) -> b._1)
+            val mxs = bounds.map(b => BigDecimal(b._2) -> b._2)
+            Some(c -> ((mns.minBy(_._1)._2, mxs.maxBy(_._1)._2)))
+          } catch { case _: NumberFormatException => None }
+        } else Some(c -> ((
+          bounds.map(_._1).reduce((a, x) =>
+            if (codePointLe(a, x)) a else x),
+          bounds.map(_._2).reduce((a, x) =>
+            if (codePointLe(a, x)) x else a))))
+      }.toMap
+    }
+    // PARTITIONED: one group per partition label. CLUSTERED
+    // (unpartitioned): each batch's sorted file run chunked — a
+    // clustered compact writes range-disjoint files, so chunks carry
+    // tight disjoint bounds; batches are immutable, so chunk identity
+    // is stable for reuse
+    val byGroup: Seq[(Option[String], Seq[String])] =
+      if (clusterMode)
+        files.groupBy(batchDirOf).toSeq.sortBy(_._1).flatMap {
+          case (b, fs0) =>
+            fs0.sorted.grouped(ClusterGroupChunk).zipWithIndex.map {
+              case (chunk, i) => (Some(chunkLabel(b, i)), chunk)
+            }
+        }
+      else files.groupBy(partitionOf.get).toSeq
         .sortBy(_._1.getOrElse(""))
-    val refs = byLabel.map { case (label, members) =>
+    val refs = byGroup.map { case (label, members) =>
       label.flatMap(reusable.get)
         .filter(_.count == members.size) match {
         case Some(ref) => ref
@@ -1784,7 +1910,8 @@ object SnapshotTable {
               case None => -1L // unknown member: group total unknown
             }
           }
-          GroupRef(rel, label, members.size, bytes)
+          GroupRef(rel, label, members.size, bytes,
+            groupStats(members))
       }
     }
     (Seq(Marker, "schema:" + schema.json) ++
@@ -1792,7 +1919,11 @@ object SnapshotTable {
       deleteFiles.map(d => s"dv:$d") ++
       refs.map(g => s"grp:${g.rel}\t" +
         s"${g.label.map(l => "v" + enc(l)).getOrElse("-")}\t" +
-        s"${g.count}\t${g.bytes}"))
+        s"${g.count}\t${g.bytes}" +
+        (if (g.stats.isEmpty) ""
+         else "\ts=" + g.stats.toSeq.sortBy(_._1).map {
+           case (c, (mn, mx)) => s"${enc(c)}|${enc(mn)}|${enc(mx)}"
+         }.mkString(";"))))
       .mkString("\n").getBytes("UTF-8")
   }
 
@@ -1867,14 +1998,23 @@ object SnapshotTable {
       "partition values must be line- and tab-safe")
     // TIMESTAMP identity-partition labels are rendered by
     // cast-to-string, which is SESSION-TIMEZONE dependent — pin the
-    // derivation timezone in the manifest at the first commit that
-    // declares such a layout, so (a) later writes under a DIFFERENT
-    // session zone fail loudly in stageFor instead of silently mixing
-    // label domains, and (b) read-side literal rendering
-    // (partitionLabelsWhere, the FileIndex identity-equality path)
-    // uses the zone the labels were actually derived in — a zone
-    // change between write and read must never exclude matching files
-    val meta = if (wantsStagingTz(schema, meta0)) meta0 +
+    // derivation timezone in the manifest at the commit that DECLARES
+    // such a layout (create, or a layout change), so (a) later writes
+    // under a DIFFERENT session zone fail loudly in stageFor instead
+    // of silently mixing label domains, and (b) read-side literal
+    // rendering (partitionLabelsWhere, the FileIndex identity-equality
+    // path) uses the zone the labels were actually derived in — a zone
+    // change between write and read must never exclude matching files.
+    // DECLARATION-TIME ONLY (the r19 legacy-adoption fix): a
+    // pre-existing table whose labels were derived under earlier,
+    // possibly different session zones must NOT get pinned to whatever
+    // zone the next commit happens to run under — that would codify a
+    // wrong derivation zone, refuse writes from the original zone and
+    // mis-render read literals. Such tables stay unpinned (session-zone
+    // reads, the pre-pin behavior) until a layout redeclaration.
+    val declaresLayout = expected == 0 || base.exists(b =>
+      identityPartitionSources(b.meta) != identityPartitionSources(meta0))
+    val meta = if (wantsStagingTz(schema, meta0) && declaresLayout) meta0 +
       ("stagingTz" -> spark.sessionState.conf.sessionLocalTimeZone)
     else meta0
     val next = expected + 1
@@ -3157,6 +3297,19 @@ object SnapshotTable {
   def detail(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val snap = loadCurrent(spark, table)
+    // materialized-view observability: its source, the refresh mark,
+    // the source's CURRENT version (one manifest-dir listing) and the
+    // derived staleness — the row an operator's "which MVs need a
+    // refresh" sweep reads, and what maintain() keys its refresh on
+    val mvSource = snap.meta.get("mvSource")
+    val mvUpTo =
+      if (mvSource.isDefined) snap.meta.get("cdcUpTo").map(_.toLong)
+      else None
+    val mvSrcVersion = mvSource.map(s => currentVersion(spark, s))
+    val mvStale = (mvUpTo, mvSrcVersion) match {
+      case (Some(u), Some(c)) => Some(c > u)
+      case _ => None
+    }
     Seq((
       "graft-snapshot", table, snap.version,
       snap.files.size, snap.deleteFiles.size,
@@ -3175,13 +3328,15 @@ object SnapshotTable {
       declaredBloomCols(snap).mkString(","),
       constraintsOf(snap).size,
       snap.depth > 0,
-      retentionFloor(spark, table)))
+      retentionFloor(spark, table),
+      mvSource, mvUpTo, mvSrcVersion, mvStale))
       .toDF("format", "location", "version", "num_files",
         "num_delete_files", "partition_columns", "cluster_columns",
         "bucket_column", "num_buckets",
         "identity_column", "identity_hwm", "stats_columns",
         "bloom_columns", "num_constraints", "is_delta_manifest",
-        "retention_floor")
+        "retention_floor",
+        "mv_source", "mv_up_to", "mv_source_version", "mv_stale")
   }
 
   /** Remove staged-but-never-committed batch dirs older than `graceMs`
@@ -4788,8 +4943,57 @@ object SnapshotTable {
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
-    val from = readManifest(spark, table, fromVersion)
-    val to = readManifest(spark, table, toVersion)
+    changesBetweenSnapshots(spark, table,
+      readManifest(spark, table, fromVersion),
+      readManifest(spark, table, toVersion))
+  }
+
+  /** The change feed between two BRANCH head sequences — the branch
+    * arm of [[changesBetween]], diffing staged-branch manifests so a
+    * continuous-WAP audit stream can tail the branch it is writing.
+    * A sequence consumed by a `retainBranch` re-seed (which keeps only
+    * the prior head) fails LOUDLY — a lagging consumer across a
+    * re-seed has no reconstructable pre-image.
+    */
+  def branchChangesBetween(spark: SparkSession,
+      table: String, name: String, fromSeq: Int, toSeq: Int): DataFrame = {
+    require(fromSeq <= toSeq,
+      s"branchChangesBetween: fromSeq $fromSeq > toSeq $toSeq")
+    changesBetweenSnapshots(spark, table,
+      branchSeqSnapshot(spark, table, name, fromSeq),
+      branchSeqSnapshot(spark, table, name, toSeq))
+  }
+
+  /** One branch-head sequence's snapshot; a missing manifest (dropped
+    * branch, or a sequence a re-seed consumed) fails loudly.
+    */
+  /** The live head sequence of a branch (None = no such branch) —
+    * the branch CDF source's offset domain.
+    */
+  def branchHeadSeqOf(spark: SparkSession, table: String,
+      name: String): Option[Int] = branchHeadSeq(spark, table, name)
+
+  /** The branch content AT a specific head sequence, DVs applied —
+    * the branch CDF source's initial-batch read.
+    */
+  def readBranchAt(spark: SparkSession, table: String, name: String,
+      seq: Int): DataFrame = {
+    val snap = branchSeqSnapshot(spark, table, name, seq)
+    readFilesDv(spark, table, snap, snap.files)
+  }
+
+  private[graft] def branchSeqSnapshot(spark: SparkSession,
+      table: String, name: String, seq: Int): Snapshot = {
+    val p = branchManifestPath(table, name, seq)
+    require(fs(spark, table).exists(p),
+      s"branch $name on $table has no staged sequence $seq — the " +
+        "branch was dropped or re-seeded past this stream's offset; " +
+        "restart the stream from a fresh checkpoint")
+    readManifestAt(spark, table, p, -1L)
+  }
+
+  private def changesBetweenSnapshots(spark: SparkSession,
+      table: String, from: Snapshot, to: Snapshot): DataFrame = {
     val fromSet = from.files.toSet
     val toSet = to.files.toSet
     val removed = from.files.filterNot(toSet)
@@ -5029,6 +5233,7 @@ object SnapshotTable {
       snap.meta + ("branchBase" -> v.toString) + ("branchName" -> name),
       snap.partitionOf, snap.statsOf, snap.deleteFiles, snap.extraOf))
     finally out.close()
+    cacheWapExists(table, name, exists = true)
   }
 
   /** Does `name` exist as a branch on `table`? */
@@ -5118,12 +5323,49 @@ object SnapshotTable {
     try body finally wapSuppressed.set(prev)
   }
 
+  /** MEMOIZED branch-existence for the session-WAP conf: while
+    * `graft.branch` is set, EVERY verb on every table resolves "does
+    * this table carry the branch?" — a per-verb directory listing
+    * that at production metadata latencies is one extra RPC per query
+    * per table. The verdict is cached per (normalized table key,
+    * branch) and invalidated by this process's ref verbs
+    * (create/drop/publish/re-seed), like the chain loader. The cache
+    * is in-process by design: a branch created elsewhere is seen
+    * after this process touches the ref (or restarts) — the Iceberg
+    * "if it exists" rule at process scope; a branch dropped elsewhere
+    * fails LOUDLY at the head read (never a silent main write).
+    */
+  private val wapBranchExists = new java.util.concurrent
+    .ConcurrentHashMap[(String, String), java.lang.Boolean]()
+
+  /** Test hook: resolution-path filesystem probes performed. */
+  private[graft] val wapProbeCount =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def cacheWapExists(table: String, name: String,
+      exists: Boolean): Unit = {
+    wapBranchExists.put((branchKey(table), name),
+      java.lang.Boolean.valueOf(exists))
+    ()
+  }
+
+  /** The memoized existence check itself — also the probe the
+    * provider's unpinned-read WAP redirect shares.
+    */
+  private[graft] def branchExistsCached(spark: SparkSession,
+      table: String, name: String): Boolean =
+    wapBranchExists.computeIfAbsent((branchKey(table), name), _ => {
+      wapProbeCount.incrementAndGet()
+      java.lang.Boolean.valueOf(
+        branchHeadSeq(spark, table, name).isDefined)
+    }).booleanValue()
+
   private def sessionWapBranch(table: String): Option[String] =
     if (wapSuppressed.get) None
     else SparkSession.getActiveSession.flatMap { s =>
       s.conf.getOption(WapBranchConf).filter(_.nonEmpty).filter { b =>
         requireRefName(b)
-        branchHeadSeq(s, table, b).isDefined
+        branchExistsCached(s, table, b)
       }
     }
 
@@ -5260,8 +5502,15 @@ object SnapshotTable {
       snap.meta + ("branchBase" -> v.toString) + ("branchName" -> name),
       snap.partitionOf, snap.statsOf, snap.deleteFiles, snap.extraOf))
     finally out.close()
-    (0 to head).foreach(k =>
+    // keep the PRIOR head (delete only the sequences below it): a
+    // branch-tailing CDF stream checkpointed at that head can then
+    // diff across the re-seed — empty on a fast-forward publish,
+    // main's extra files on a cherry-pick — instead of failing on a
+    // vanished pre-image. One extra manifest, collected by the next
+    // re-seed.
+    (0 until head).foreach(k =>
       f.delete(branchManifestPath(table, name, k), false))
+    cacheWapExists(table, name, exists = true)
   }
 
   /** Meta keys that define the table's physical/logical contract —
@@ -5373,6 +5622,7 @@ object SnapshotTable {
       (0 to head).foreach(k =>
         f.delete(branchManifestPath(table, name, k), false))
     }
+    cacheWapExists(table, name, exists = false)
   }
 
   /** Live branches: (name, fork base version, head sequence). */
@@ -5553,7 +5803,7 @@ object SnapshotTable {
 
   final case class Maintenance(compacted: Boolean, filesBefore: Int,
       filesAfter: Int, manifestsExpired: Int, dataFilesRemoved: Int,
-      orphanBatchesRemoved: Int)
+      orphanBatchesRemoved: Int, mvRefresh: String = "")
 
   /** One-call table maintenance — the OPTIMIZE autopilot every
     * long-lived table needs, composing the primitives under thresholds:
@@ -5568,6 +5818,17 @@ object SnapshotTable {
   def maintain(spark: SparkSession, table: String, maxFiles: Int = 64,
       maxDeleteRatio: Double = 0.1, keepLast: Int = 2,
       graceMs: Long = 3600000L): Maintenance = {
+    // a STALE materialized view refreshes first (so the compaction /
+    // retention passes below see the refreshed state) — folding MV
+    // freshness into the same autopilot that repairs file counts
+    val mvRefresh = {
+      val head = loadCurrent(spark, table)
+      if (head.meta.contains("mvQuery") &&
+          currentVersion(spark, head.meta("mvSource")) >
+            head.meta.getOrElse("cdcUpTo", "0").toLong)
+        MaterializedView.refresh(spark, table)._1
+      else ""
+    }
     val snap = loadCurrent(spark, table)
     val dvRows =
       if (snap.deleteFiles.isEmpty) 0L
@@ -5585,7 +5846,8 @@ object SnapshotTable {
       else (snap.files.size, snap.files.size)
     val (expired, removed) = expireSnapshots(spark, table, keepLast)
     val orphans = vacuumOrphans(spark, table, graceMs)
-    Maintenance(needCompact, before, after, expired, removed, orphans)
+    Maintenance(needCompact, before, after, expired, removed, orphans,
+      mvRefresh)
   }
 
   /** Optimistic-concurrency retry: run `op` (any mutation verb — each
@@ -6257,6 +6519,54 @@ object SnapshotTable {
       out
     }),
 
+    // CLUSTER-RANGE two-tier manifests (r20): an UNPARTITIONED
+    // clustered table's grouped anchor chunks the range-sorted file
+    // run into groups carrying per-group cluster-key BOUNDS, so a
+    // narrow range predicate admits ~one chunk — planning metadata is
+    // ∝ matched key range, not table files, with ZERO directory
+    // listings (REQUIREd in-lambda). A post-anchor append rides as a
+    // delta whose entries always resolve; the oracle replays the
+    // lifecycle in plain SQL — a hash match proves chunk-pruned
+    // planning loses no row and resurrects none.
+    "q_table_cluster_tier" -> ((s, d) => {
+      val t = scratch(s, d, "ctier")
+      fs(s, t).delete(new Path(t), true)
+      // the cluster key is DOMAIN-BOUNDED (k in [0, 4096)) so the
+      // narrow-range predicate below covers the same key fraction at
+      // every scale factor — the REQUIRE is scale-independent
+      val orders = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 4096).as("k"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      create(s, t, orders, numFiles = 8) // hash layout: nothing prunes
+      compact(s, t, clusterBy = Seq("k"), numFiles = 96)
+      val snap = readManifest(s, t, currentVersion(s, t))
+      require(snap.files.size >= GroupedManifestMinFiles &&
+        snap.cleanGroups.nonEmpty,
+        s"the clustered anchor must be GROUPED (${snap.files.size} " +
+          s"files, ${snap.cleanGroups.size} groups)")
+      append(s, t, orders.filter(col("o_orderkey") % 1000 === 1)
+        .withColumn("o_orderstatus", lit("Z")))
+      val (df, idx) = SnapshotScan.scan(s, t)
+      val out = df.filter(col("k") <= 250)
+        .orderBy(col("k").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+      out.count() // drive planning so the metadata-tier audit can run
+      require(idx.lastMetaGroupsRead >= 1 &&
+        idx.lastMetaGroupsRead * 3 <= snap.cleanGroups.size,
+        s"a narrow key range must read a fraction of " +
+          s"${snap.cleanGroups.size} chunk groups, read " +
+          s"${idx.lastMetaGroupsRead}")
+      require(idx.lastListedDirs == 0,
+        "stamped sizes must plan with zero filesystem listing, " +
+          s"listed ${idx.lastListedDirs} dirs")
+      require(idx.lastPlannedFiles >= 1 &&
+        idx.lastPlannedFiles * 3 < snap.files.size,
+        s"the range lives in a sliver of ${snap.files.size} files, " +
+          s"planned ${idx.lastPlannedFiles}")
+      out
+    }),
+
     // Named MATERIALIZED VIEW lifecycle: create the MV (a filtered
     // count/sum aggregate) at v1, run a mixed mutation gauntlet on the
     // source (update, delete, append), refresh — the refresh must
@@ -6286,6 +6596,45 @@ object SnapshotTable {
       val r = s.sql(s"SELECT * FROM graft_refresh_mv('$m')").head()
       require(r.getString(0) == "incremental",
         s"expected the incremental refresh path, got ${r.getString(0)}")
+      require(r.getLong(1) == 1L && r.getLong(2) == 4L,
+        s"refresh must advance the mark 1 -> 4, got $r")
+      val r2 = s.sql(s"SELECT * FROM graft_refresh_mv('$m')").head()
+      require(r2.getString(0) == "noop",
+        s"a replayed refresh must be exactly-once, got ${r2.getString(0)}")
+      read(s, m).orderBy(col("l_returnflag").asc_nulls_first)
+    }),
+
+    // MV maintenance beyond count/sum (r20): avg is REWRITTEN to
+    // maintained (sum, count) hidden state and min/max merge inserts
+    // monotonically while RECOMPUTING only the delete-touched groups
+    // (the update touches group A, the delete touches R — both repair
+    // paths run; group N merges monotonically). The refresh must still
+    // engage the INCREMENTAL path and replay as a noop; the oracle is
+    // the full recompute over the logically replayed source, so the
+    // hash match proves the avg/min/max maintenance == recompute.
+    "q_table_mv_avg" -> ((s, d) => {
+      val t = scratch(s, d, "mva_src")
+      val m = scratch(s, d, "mva")
+      fs(s, t).delete(new Path(t), true)
+      fs(s, m).delete(new Path(m), true)
+      val items = graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      create(s, t, items, numFiles = 8)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_create_mv('$m', '$t', " +
+        "\"SELECT l_returnflag, count(1) AS n, avg(l_quantity) AS aq, " +
+        "min(l_quantity) AS mn, max(l_quantity) AS mx " +
+        "FROM __source__ WHERE l_orderkey % 3 != 1 " +
+        "GROUP BY l_returnflag\")").collect()
+      updateWhere(s, t,
+        col("l_returnflag") === "A" && col("l_orderkey") % 100 === 0,
+        Map("l_quantity" -> (col("l_quantity") + 5)))
+      deleteWhere(s, t,
+        col("l_returnflag") === "R" && col("l_orderkey") % 17 === 3)
+      append(s, t, items.filter(col("l_orderkey") % 5 === 0))
+      val r = s.sql(s"SELECT * FROM graft_refresh_mv('$m')").head()
+      require(r.getString(0) == "incremental",
+        s"avg/min/max must maintain incrementally, got ${r.getString(0)}")
       require(r.getLong(1) == 1L && r.getLong(2) == 4L,
         s"refresh must advance the mark 1 -> 4, got $r")
       val r2 = s.sql(s"SELECT * FROM graft_refresh_mv('$m')").head()
@@ -6751,6 +7100,21 @@ object SnapshotTable {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_linenumber = 3
         |ORDER BY l_orderkey ASC NULLS FIRST""".stripMargin,
+    // the narrow-range read after the clustered two-tier lifecycle
+    // (compact preserves every row; the append adds the 'Z' slice):
+    // chunk-pruned planning must lose no row and resurrect none
+    "q_table_cluster_tier" ->
+      """SELECT k, o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey % 4096 AS k, o_orderkey, o_orderstatus,
+        |    o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey % 4096 AS k, o_orderkey,
+        |    'Z' AS o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 1
+        |) u
+        |WHERE k <= 250
+        |ORDER BY k ASC NULLS FIRST, o_orderkey ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
     // the MV definition recomputed in full over the logically replayed
     // source (update as CASE — +5 exact; delete as NOT; append as
     // UNION ALL of the original-valued slice): a hash match proves the
@@ -6765,6 +7129,27 @@ object SnapshotTable {
         |      ELSE l_quantity END AS l_quantity
         |  FROM lineitem
         |  WHERE NOT (l_orderkey % 17 = 3)
+        |  UNION ALL
+        |  SELECT l_orderkey, l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 5 = 0
+        |) u
+        |WHERE l_orderkey % 3 <> 1
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    // the avg/min/max MV definition recomputed in full over the
+    // logically replayed source (the update CASE is group-scoped like
+    // the engine's gauntlet). Quantities are small integers, so the
+    // maintained double sum is exact and the avg ratio is the same
+    // IEEE division on both engines; min/max are order-free.
+    "q_table_mv_avg" ->
+      """SELECT l_returnflag, count(1) AS n, avg(l_quantity) AS aq,
+        |  min(l_quantity) AS mn, max(l_quantity) AS mx
+        |FROM (
+        |  SELECT l_orderkey, l_returnflag,
+        |    CASE WHEN l_returnflag = 'A' AND l_orderkey % 100 = 0
+        |      THEN l_quantity + 5 ELSE l_quantity END AS l_quantity
+        |  FROM lineitem
+        |  WHERE NOT (l_returnflag = 'R' AND l_orderkey % 17 = 3)
         |  UNION ALL
         |  SELECT l_orderkey, l_returnflag, l_quantity
         |  FROM lineitem WHERE l_orderkey % 5 = 0

@@ -131,7 +131,14 @@ object ScaleAudit {
     // threshold at the re-anchor + a group-pruned one-partition read
     // whose metadata cost the lambda REQUIRES to be one group / zero
     // listings): the commits stage ∝ data, so linear overall
-    "q_table_mv", "q_table_metadata_tier")
+    "q_table_mv", "q_table_metadata_tier",
+    // round 20: the avg/min/max MV lifecycle (the delete-touched-group
+    // recompute is churn-scoped on the group dimension; the gauntlet
+    // churn is modulus-scoped ∝ data — standard linear bound) — and
+    // the CLUSTER-RANGE two-tier lifecycle (clustered compact ∝ data,
+    // chunk-pruned narrow read; the lambda REQUIRES the metadata cost:
+    // a fraction of the chunk groups, zero listings)
+    "q_table_mv_avg", "q_table_cluster_tier")
 
   /** Audit-only runners for scale paths that have no driver query entry:
     * the distributed BPE merge rounds are forced via localDictLimit = 0

@@ -188,3 +188,60 @@ final class GraftChangeSource(spark: SparkSession, table: String,
   override def toString: String =
     s"GraftChangeSource[$table, from v$base]"
 }
+
+/** The BRANCH change feed: `readStream.format("graft")
+  * .option("branch", name).load(path)` tails a branch's staged commit
+  * sequence — the audit arm of a continuous streaming WAP loop, which
+  * otherwise must poll the branch with batch reads. Offsets ARE branch
+  * head SEQUENCES (checkpointed like any source offset, so a restart
+  * resumes exactly). The first batch emits the branch content at the
+  * current head as `insert` rows; each later batch is the file-set /
+  * DV diff between two staged heads (churn-sized IO, the same differ
+  * as the main feed).
+  *
+  * `publishBranch(retainBranch = true)` is SURVIVED: the re-seed keeps
+  * the prior head manifest, so the cross-publish diff is computable —
+  * empty on a fast-forward, main's extra files on a cherry-pick. A
+  * DROPPED branch (or a lagging consumer whose sequence an older
+  * re-seed collected) fails loudly instead of silently re-snapshotting.
+  */
+final class GraftBranchChangeSource(spark: SparkSession, table: String,
+    branch: String, override val schema: StructType) extends Source {
+
+  private def longOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  private def headSeq: Int =
+    graft.sources.SnapshotTable.branchHeadSeqOf(spark, table, branch)
+      .getOrElse(throw new IllegalStateException(
+        s"branch $branch on $table no longer exists — it was dropped " +
+          "or fully published; stop the audit stream"))
+
+  override def getOffset: Option[Offset] = Some(LongOffset(headSeq.toLong))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val to = longOf(end).toInt
+    val batch = start.map(longOf(_).toInt) match {
+      case Some(from) if to <= from =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case Some(from) =>
+        graft.sources.SnapshotTable.branchChangesBetween(spark, table,
+          branch, from, to)
+      case None =>
+        // stream-from-birth: the branch head IS the initial batch
+        graft.sources.SnapshotTable.readBranchAt(spark, table, branch, to)
+          .withColumn("change_type", lit("insert"))
+    }
+    val aligned = batch.select(
+      schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      aligned.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"GraftBranchChangeSource[$table @ $branch]"
+}

@@ -4648,6 +4648,62 @@ class SnapshotSuite extends AnyFunSuite {
       .contains("stagingTz"))
   }
 
+  test("a pre-existing timestamp-partitioned table WITHOUT a pin is " +
+      "never retroactively pinned: its labels' true derivation zone " +
+      "is unknowable, so later commits must not adopt the session zone") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val df = (0 until 12).map { i =>
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(
+        (i % 3) * 86400L)))
+    }.toDF("k", "ts")
+    val t = freshTable("staging_tz_legacy")
+    SnapshotTable.createPartitioned(spark, t, df, Seq("ts"))
+    val v1 = SnapshotTable.readManifest(spark, t, 1L)
+    assert(v1.meta.contains("stagingTz"))
+    // simulate a legacy (pre-pin) table: a v2 commit whose meta drops
+    // the pin — each manifest is wholly authoritative for meta
+    SnapshotTable.commitManifest(spark, t, v1.schema, v1.files, 1L,
+      v1.meta - "stagingTz", v1.partitionOf, v1.statsOf, Nil, Some(v1),
+      v1.extraOf)
+    val v2 = SnapshotTable.readManifest(spark, t, 2L)
+    assert(!v2.meta.contains("stagingTz"),
+      "an unchanged layout must not re-pin (retroactive adoption " +
+        "would codify whatever zone this commit happens to run under)")
+    // a later ordinary commit keeps it unpinned too
+    SnapshotTable.append(spark, t, df.limit(3))
+    assert(!SnapshotTable.readManifest(spark, t, 3L).meta
+      .contains("stagingTz"))
+    // reads keep the pre-pin session-zone behavior and lose no row
+    assert(SnapshotTable.read(spark, t).count() === 15L)
+  }
+
+  test("session-WAP resolution is MEMOIZED: repeated reads under SET " +
+      "graft.branch probe the filesystem once per (table, branch), " +
+      "and the ref verbs invalidate the cache") {
+    val t = freshTable("wap_memo")
+    SnapshotTable.create(spark, t, orders.limit(20), numFiles = 1)
+    try {
+      spark.conf.set("graft.branch", "memo")
+      SnapshotTable.read(spark, t).count() // first read: one probe
+      val before = SnapshotTable.wapProbeCount.get()
+      (1 to 5).foreach(_ => SnapshotTable.read(spark, t).count())
+      val probes = SnapshotTable.wapProbeCount.get() - before
+      assert(probes === 0L,
+        s"resolution must hit the cache on a branch-free table, " +
+          s"probed $probes more times")
+      // create invalidates the negative verdict: reads now redirect
+      SnapshotTable.createBranch(spark, t, "memo")
+      SnapshotTable.appendToBranch(spark, t, "memo", orders.limit(5))
+      assert(SnapshotTable.read(spark, t).count() === 25L,
+        "after createBranch the session conf must redirect to the branch")
+      // drop invalidates back to main
+      SnapshotTable.dropBranch(spark, t, "memo")
+      assert(SnapshotTable.read(spark, t).count() === 20L,
+        "after dropBranch reads must land on main again")
+    } finally spark.conf.unset("graft.branch")
+  }
+
   private def manifestText(t: String, name: String): Vector[String] = {
     val p = new org.apache.hadoop.fs.Path(t, s"_manifests/$name")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -4788,30 +4844,100 @@ class SnapshotSuite extends AnyFunSuite {
     assert(df2.filter(col("part") === "13").count() === 10L)
   }
 
-  test("materialized views: a non-nettable definition (avg) falls " +
-      "back to FULL recompute, stays exact through mutations, and a " +
-      "replayed refresh is a noop; a foreign definition is refused") {
-    val t = freshTable("mv_src_avg")
-    val m = freshTable("mv_avg")
+  test("cluster-range chunk groups: an UNPARTITIONED clustered " +
+      "anchor prunes whole groups on the key range with zero " +
+      "listings; chain mutations dirty only their batch's chunks and " +
+      "the re-anchor stays exact") {
+    import graft.sources.SnapshotScan
+    val t = freshTable("cluster_tier")
+    val df = spark.range(3000).select(col("id").as("k"),
+      (col("id") % 7).cast("string").as("s"))
+    SnapshotTable.create(spark, t, df, numFiles = 4)
+    SnapshotTable.compact(spark, t, clusterBy = Seq("k"), numFiles = 64)
+    val snap = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap.files.size === 64)
+    assert(snap.cleanGroups.size === 4,
+      s"64 range-sorted files chunk into 4 groups of 16, got " +
+        s"${snap.cleanGroups.size}")
+    val (d1, idx) = SnapshotScan.scan(spark, t)
+    assert(d1.filter(col("k") < 100).count() === 100L)
+    assert(idx.lastMetaGroupsRead === 1,
+      s"a narrow range must read ONE chunk's metadata, read " +
+        s"${idx.lastMetaGroupsRead}")
+    assert(idx.lastListedDirs === 0)
+    // CoW update rewrites one file of the anchored batch (its chunks
+    // go dirty); 16 further commits force the chain re-anchor
+    SnapshotTable.updateWhere(spark, t, col("k") === 10,
+      Map("s" -> lit("X")))
+    (1 to 16).foreach(i => SnapshotTable.append(spark, t,
+      spark.range(3000L + i * 10, 3000L + i * 10 + 10)
+        .select(col("id").as("k"), lit("a").as("s"))))
+    val snap2 = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap2.depth === 0, "the depth-17 commit must re-anchor")
+    assert(snap2.cleanGroups.nonEmpty,
+      "the re-anchor must stay GROUPED")
+    val (d2, idx2) = SnapshotScan.scan(spark, t)
+    assert(d2.count() === 3160L)
+    assert(d2.filter(col("k") === 10).head().getString(1) === "X",
+      "the chunk-dirty tracking must never resurrect a rewritten file")
+    d2.filter(col("k") < 100).count()
+    assert(idx2.lastMetaGroupsRead >= 1 &&
+      idx2.lastMetaGroupsRead * 3 < snap2.cleanGroups.size,
+      s"re-anchored chunk bounds must still prune (read " +
+        s"${idx2.lastMetaGroupsRead} of ${snap2.cleanGroups.size})")
+  }
+
+  test("partitioned grouped anchors prune on NON-partition " +
+      "predicates through per-group column bounds") {
+    import graft.sources.SnapshotScan
+    val t = freshTable("group_stats")
+    val df = spark.range(6000).select(col("id").as("k"),
+      (col("id") / 100).cast("int").cast("string").as("part"))
+    SnapshotTable.createPartitioned(spark, t, df, "part")
+    // per-partition re-sort records k stats (statsCols = cluster key);
+    // the 60-label layout stays grouped
+    SnapshotTable.compact(spark, t, clusterBy = Seq("k"))
+    val snap = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t))
+    assert(snap.files.size >= 48 && snap.cleanGroups.size >= 48,
+      s"expected a grouped 60-label anchor, got ${snap.files.size} " +
+        s"files / ${snap.cleanGroups.size} groups")
+    val (d, idx) = SnapshotScan.scan(spark, t)
+    assert(d.filter(col("k").between(150, 250)).count() === 101L)
+    assert(idx.lastMetaGroupsRead <= 3,
+      s"a k-range spanning two partitions' bounds must read ≤3 of " +
+        s"${snap.cleanGroups.size} groups, read ${idx.lastMetaGroupsRead}")
+    assert(idx.lastListedDirs === 0)
+  }
+
+  test("materialized views: a non-maintainable definition (DISTINCT " +
+      "count) falls back to FULL recompute, stays exact through " +
+      "mutations, and a replayed refresh is a noop; a foreign " +
+      "definition is refused") {
+    val t = freshTable("mv_src_full")
+    val m = freshTable("mv_full")
     SnapshotTable.create(spark, t, orders, numFiles = 4)
     GraftExtensions.register(spark)
-    val defn = "SELECT o_orderstatus, avg(o_totalprice) AS p, " +
+    val defn = "SELECT o_orderstatus, " +
+      "count(DISTINCT o_totalprice) AS p, " +
       "count(1) AS n FROM __source__ GROUP BY o_orderstatus"
     spark.sql(s"SELECT * FROM graft_create_mv('$m', '$t', " +
       s""""$defn")""").collect()
-    // avg is not nettable under deletes — the refresh must take the
-    // full-recompute path and still be exact
+    // a DISTINCT aggregate is not maintainable under deletes — the
+    // refresh must take the full-recompute path and still be exact
     SnapshotTable.deleteWhere(spark, t, col("o_orderkey") % 7 === 0)
     SnapshotTable.updateWhere(spark, t, col("o_orderkey") % 11 === 0,
       Map("o_totalprice" -> (col("o_totalprice") + 1)))
     val r = spark.sql(s"SELECT * FROM graft_refresh_mv('$m')").head()
     assert(r.getString(0) === "full",
-      s"avg cannot net under deletes — expected full, got $r")
+      s"DISTINCT cannot net under deletes — expected full, got $r")
     val got = SnapshotTable.read(spark, m)
       .orderBy(col("o_orderstatus")).collect().toSeq
     val want = SnapshotTable.read(spark, t)
       .groupBy(col("o_orderstatus"))
-      .agg(avg(col("o_totalprice")).as("p"),
+      .agg(countDistinct(col("o_totalprice")).as("p"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus")).collect().toSeq
     assert(got === want, "full recompute must equal the definition " +
@@ -4831,6 +4957,79 @@ class SnapshotSuite extends AnyFunSuite {
       spark.sql(s"SELECT * FROM graft_refresh_mv('$t')").collect()
     }
     assert(e2.getMessage.contains("mvSource"))
+  }
+
+  test("native SQL materialized views: CREATE MATERIALIZED VIEW by " +
+      "catalog name over a NAMED source, SELECT by name hides the " +
+      "maintained state, staleness surfaces in graft_detail, REFRESH " +
+      "is incremental, maintain() auto-refreshes, EXPLAIN is a no-op") {
+    import spark.implicits._
+    val t = freshTable("mvsql_src")
+    SnapshotTable.create(spark, t,
+      Seq((1L, "a", 2L), (2L, "a", 4L), (3L, "b", 6L)).toDF("k", "g", "x"),
+      numFiles = 1)
+    val s2 = org.apache.spark.sql.GraftShim.sessionWithExtensions(spark,
+      e => new GraftExtensions()(e))
+    val src = s"graft_mvsql_src_${System.nanoTime()}"
+    val mv = s"graft_mvsql_mv_${System.nanoTime()}"
+    try {
+      s2.sql(s"CREATE TABLE $src USING graft LOCATION '$t'")
+      // EXPLAIN form: descriptive no-op, nothing created
+      val ex = s2.sql(s"EXPLAIN CREATE MATERIALIZED VIEW $mv AS " +
+        s"SELECT g, count(1) AS n, sum(x) AS sx FROM $src GROUP BY g")
+        .head()
+      assert(ex.getString(0) === "CREATE MATERIALIZED VIEW")
+      assert(!org.apache.spark.sql.GraftShim.v1Catalog(s2).tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(mv)),
+        "EXPLAIN must not create the MV")
+      // create by name: lands at the catalog default location,
+      // registers as a graft table, the definition names the source
+      val cr = s2.sql(s"CREATE MATERIALIZED VIEW $mv AS " +
+        s"SELECT g, count(1) AS n, sum(x) AS sx FROM $src GROUP BY g")
+        .head()
+      assert(cr.getLong(2) === 1L)
+      val got0 = s2.sql(s"SELECT * FROM $mv").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got0 === Set(("a", 2L, 6L), ("b", 1L, 6L)))
+      assert(s2.sql(s"SELECT * FROM $mv").columns.toSeq ===
+        Seq("g", "n", "sx"),
+        "the named read must hide the maintained-state columns")
+      // freshness observability before/after a source mutation (the
+      // CREATE row reports the resolved path — the detail TVF's key)
+      val mvPath = cr.getString(0)
+      assert(s2.sql(s"SELECT mv_stale FROM graft_detail('$mvPath')")
+        .head().getBoolean(0) === false)
+      s2.sql(s"INSERT INTO $src VALUES (4, 'b', 8)").collect()
+      assert(s2.sql(s"SELECT mv_stale FROM graft_detail('$mvPath')")
+        .head().getBoolean(0) === true,
+        "a source commit past the mark must surface as stale")
+      // REFRESH by name engages the incremental path
+      val rf = s2.sql(s"REFRESH MATERIALIZED VIEW $mv").head()
+      assert(rf.getString(0) === "incremental", s"got $rf")
+      val got1 = s2.sql(s"SELECT * FROM $mv").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got1 === Set(("a", 2L, 6L), ("b", 2L, 14L)))
+      // maintain() folds "refresh stale MVs" into the autopilot
+      // (path-keyed like every maintenance verb — read back through
+      // the path surface)
+      s2.sql(s"INSERT INTO $src VALUES (5, 'a', 10)").collect()
+      val mnt = s2.sql(s"SELECT * FROM graft_maintain('$mvPath')").head()
+      assert(mnt.getAs[String]("mv_refresh") === "incremental",
+        s"maintain must refresh the stale MV, got $mnt")
+      assert(s2.sql(s"SELECT sx FROM graft_snapshot('$mvPath') " +
+        "WHERE g = 'a'").head().getLong(0) === 16L)
+      assert(s2.sql(s"SELECT mv_stale FROM graft_detail('$mvPath')")
+        .head().getBoolean(0) === false)
+      // EXPLAIN REFRESH: no-op (the mark must not move)
+      s2.sql(s"INSERT INTO $src VALUES (6, 'b', 1)").collect()
+      s2.sql(s"EXPLAIN REFRESH MATERIALIZED VIEW $mv").collect()
+      assert(s2.sql(s"SELECT mv_stale FROM graft_detail('$mvPath')")
+        .head().getBoolean(0) === true,
+        "EXPLAIN REFRESH must not execute the refresh")
+    } finally {
+      s2.sql(s"DROP TABLE IF EXISTS $mv")
+      s2.sql(s"DROP TABLE IF EXISTS $src")
+    }
   }
 
   test("session-scoped WAP branch (SET graft.branch): plain SQL DML, " +

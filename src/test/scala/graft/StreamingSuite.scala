@@ -1145,4 +1145,61 @@ class StreamingSuite extends AnyFunSuite {
         .option("checkpointLocation", s"$dir/ckpt2").start()
     }
   }
+
+  test("branch CDF source: readStream option(branch) tails the staged " +
+      "sequence, survives publish(retainBranch) with no re-emission, " +
+      "and a dropped branch fails loudly") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_branch_src").toString
+    val t = s"$dir/table"
+    SnapshotTable.create(spark, t,
+      Seq((0L, "seed")).toDF("k", "v"), numFiles = 1)
+    SnapshotTable.createBranch(spark, t, "wap")
+    val qn = s"branch_audit_${System.nanoTime()}"
+    val q = spark.readStream.format("graft").option("branch", "wap")
+      .load(t)
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(qn).count() === 1L,
+        "the first batch is the branch head as inserts")
+      SnapshotTable.appendToBranch(spark, t, "wap",
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.table(qn)
+        .filter(col("change_type") === "insert").count() === 3L)
+      // publish with retain: the stream crosses the re-seed (the kept
+      // prior head makes the diff computable) with an EMPTY batch
+      SnapshotTable.publishBranch(spark, t, "wap",
+        cherryPick = false, retainBranch = true)
+      q.processAllAvailable()
+      assert(spark.table(qn).count() === 3L,
+        "a fast-forward publish must re-emit nothing")
+      // the retained branch keeps streaming, exactly once
+      SnapshotTable.appendToBranch(spark, t, "wap",
+        Seq((3L, "c")).toDF("k", "v"))
+      q.processAllAvailable()
+      val ks = spark.table(qn)
+        .filter(col("change_type") === "insert")
+        .select("k").as[Long].collect().sorted
+      assert(ks.toSeq === Seq(0L, 1L, 2L, 3L),
+        s"exactly-once across the publish, got ${ks.mkString(",")}")
+      // a dropped branch fails LOUDLY at the next poll
+      SnapshotTable.dropBranch(spark, t, "wap")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def causes(x: Throwable): Seq[Throwable] =
+        if (x == null) Nil else x +: causes(x.getCause)
+      assert(causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("no longer exists"))),
+        s"expected the dropped-branch refusal, got $e")
+    } finally q.stop()
+    // rate/version options are version-domain: refused with branch
+    intercept[Exception] {
+      spark.readStream.format("graft").option("branch", "wap")
+        .option("fromVersion", "1").load(t)
+    }
+  }
 }
