@@ -19,6 +19,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch on the fastest local device (see
+      // LocalScratch: map tasks measured ~80% blocked on shuffle-file
+      // creates on the VM's journaled ext4; /dev/shm when available,
+      // SPARK_GRAFT_LOCAL_DIR to override)
+      .config("spark.local.dir", LocalScratch.sparkLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer costs land here instead

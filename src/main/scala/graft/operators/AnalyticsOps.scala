@@ -28,11 +28,24 @@ object AnalyticsOps {
     * (Bench REPS note: reps >= 2 of the two consumers time cache-warmed
     * reads — documented at the REPS parse in Bench.)
     */
-  private[operators] def orderPartSets(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  private[operators] def orderPartSets(s: SparkSession, d: String): DataFrame = {
+    val sets = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Fill the cache NOW, with one cheap pass, before any consumer plan
+    // fans out: the consumers' shuffle stages and broadcast subtrees
+    // materialize CONCURRENTLY (AQE submits independent stages in
+    // parallel), and a still-empty cache makes each of them recompute
+    // the full mining lineage — measured 5-6x the mining CPU on
+    // q_graph_triangles before this fill. Once filled, every consumer
+    // (this query's and later queries' — the CacheManager dedupes the
+    // plan) reads cached partitions, and the count here is
+    // partition-count work. Lazy-persist fault semantics are kept:
+    // lost blocks recompute from lineage.
+    sets.count()
+    sets
+  }
 
   /** Co-purchase pairs (p1 < p2, support >= minSupport) over the sets. */
   private[operators] def coPurchasePairs(sets: DataFrame,
@@ -71,6 +84,11 @@ object AnalyticsOps {
     // calls on the same input by plan equality)
     val edges = edges0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fill before fan-out: the two degree broadcasts and the three
+    // join legs below otherwise race to materialize the un-filled
+    // cache concurrently, each recomputing the pair mining (same fix
+    // and measurement as orderPartSets above)
+    edges.count()
     val deg = edges.select(col("p1").as("v"))
       .unionAll(edges.select(col("p2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))

@@ -414,6 +414,7 @@ object CorpusPipeline {
     // or the replay meets a half-published corpus (admitted docs whose
     // sketches are missing) and re-admits their near-dups
     reconcile(spark, corpusDir, indexPath)
+    graft.streaming.CheckpointTuning.forLocalCheckpoint(spark, checkpointDir)
     val batches = spark.readStream
       .schema(graft.Schemas.corpus("documents"))
       .parquet(sourceDir)

@@ -4633,7 +4633,9 @@ object SnapshotTable {
     */
   def appendSink(stream: DataFrame, table: String, checkpointDir: String,
       queryKey: String = "stream")
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.streaming.CheckpointTuning.forLocalCheckpoint(
+      stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -4641,6 +4643,7 @@ object SnapshotTable {
         ()
       }
       .start()
+  }
 
   /** The STREAMING change-feed source: tail new snapshot versions and
     * hand each advance's [[changesBetween]] delta frame to `process` —
@@ -4669,6 +4672,7 @@ object SnapshotTable {
       process: (DataFrame, Long, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cursor = new java.util.concurrent.atomic.AtomicLong(fromVersion)
+    graft.streaming.CheckpointTuning.forLocalCheckpoint(spark, checkpointDir)
     spark.readStream.format("rate").option("rowsPerSecond", "1").load()
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -211,7 +211,8 @@ object StreamOps {
     * format (Delta/Iceberg) — a format concern, not a planning one.
     */
   def upsertSink(stream: DataFrame, tablePath: String, key: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    CheckpointTuning.forLocalCheckpoint(stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -243,6 +244,7 @@ object StreamOps {
         ()
       }
       .start()
+  }
 
   /** The snapshot change feed consumed as a FIRST-CLASS streaming
     * source (`readStream.format("graft")` — GraftChangeSource, whose
@@ -263,6 +265,7 @@ object StreamOps {
     val orders = graft.Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     SnapshotTable.create(s, t, orders, numFiles = 4)
+    CheckpointTuning.forLocalCheckpoint(s, s"$root/ckpt")
     val agg = s.readStream.format("graft").option("path", t).load()
       .groupBy(col("change_type"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"))
@@ -310,6 +313,7 @@ object StreamOps {
     val orders = graft.Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     SnapshotTable.create(s, a, orders, numFiles = 4)
+    CheckpointTuning.forLocalCheckpoint(s, s"$root/ckpt")
     val q = s.readStream.format("graft").option("path", a).load()
       .filter(col("change_type") === "insert").drop("change_type")
       .writeStream.format("graft").option("path", b)
