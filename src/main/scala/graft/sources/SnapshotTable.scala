@@ -624,6 +624,18 @@ object SnapshotTable {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** The fixed schema of a deletion-vector sidecar file. Passed
+    * explicitly to every DV read: a schema-less parquet read runs
+    * footer schema inference (SchemaMergeUtils.mergeSchemasInParallel —
+    * an extra job or driver-side footer pass per read), pure overhead
+    * for a two-column format the engine itself wrote.
+    */
+  private val dvFileSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_key",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = true)))
+
   private def readFilesDv(spark: SparkSession, table: String,
       snap: Snapshot, files: Seq[String]): DataFrame = {
     if (files.isEmpty)
@@ -697,7 +709,7 @@ object SnapshotTable {
     val base = withInitialDefaults(base0, snap, files, col("__fk"))
     if (snap.deleteFiles.isEmpty) base
     else {
-      val dv = spark.read
+      val dv = spark.read.schema(dvFileSchema)
         .parquet(snap.deleteFiles.map(d => s"$table/$d"): _*)
         .select(col("file_key").as("__dk"), col("pos").as("__dp"))
       base.join(dv,
@@ -733,7 +745,7 @@ object SnapshotTable {
       .map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .map(n => s"data/$batch/$n").toVector.sorted
-    val n = spark.read.parquet(dir).count()
+    val n = spark.read.schema(dvFileSchema).parquet(dir).count()
     if (n == 0) { f.delete(new Path(dir), true); return (snap.version, 0L) }
     val v = commitManifest(spark, table, snap.schema, snap.files,
       snap.version, snap.meta, snap.partitionOf, snap.statsOf,
@@ -5016,7 +5028,7 @@ object SnapshotTable {
       else {
         // stored DV file_keys live in the encoded __fk space; decode
         // before matching the raw manifest paths
-        val keys = spark.read
+        val keys = spark.read.schema(dvFileSchema)
           .parquet(dvChangedFiles.map(d => s"$table/$d"): _*)
           .select(col("file_key")).distinct()
           .collect().map(r => pctDecode(r.getString(0))).toSet
@@ -5043,9 +5055,32 @@ object SnapshotTable {
       }).toIndexedSeq: _*)
     val newRows = readFilesDv(spark, table, to, added ++ dvTargets)
       .select(outCols.map(col).toIndexedSeq: _*)
-    newRows.exceptAll(oldRows).withColumn("change_type", lit("insert"))
-      .unionAll(
-        oldRows.exceptAll(newRows).withColumn("change_type", lit("delete")))
+    // ONE union-aggregate nets BOTH directions. Two exceptAll calls
+    // would each expand to Spark's union+count rewrite — every side
+    // scanned and shuffled twice for the same multiset difference
+    // (measured: the netting dominates MV-refresh and CDF-lifecycle
+    // CPU). Per-row multiplicity |sum(side)| replicates through an
+    // exploded sequence: identical multiset semantics (a row with a
+    // copies in `to` and b in `from` emits |a-b| rows of the sign's
+    // change_type), with NULL and NaN/-0.0 keys grouping exactly as
+    // exceptAll groups them. The sequence length is the net DUPLICATE
+    // count of one identical row within the churn files — bounded by
+    // the churn, and degenerate (million-fold duplicate single rows)
+    // only where exceptAll's own aggregate state would degenerate too.
+    val side = "__graft_cdc_side"
+    val net = "__graft_cdc_net"
+    val rep = "__graft_cdc_rep"
+    val keyCols = outCols.map(c => col(s"`$c`")).toIndexedSeq
+    val counted = newRows.withColumn(side, lit(1L))
+      .unionAll(oldRows.withColumn(side, lit(-1L)))
+      .groupBy(keyCols: _*)
+      .agg(sum(col(side)).as(net))
+      .filter(col(net) =!= 0L)
+    counted.select(keyCols :+
+      when(col(net) > 0, lit("insert")).otherwise(lit("delete"))
+        .as("change_type") :+
+      explode(sequence(lit(1L), abs(col(net)))).as(rep): _*)
+      .drop(rep)
   }
 
   /** Roll the table back to `version` as a NEW commit, never by erasing
@@ -5836,7 +5871,7 @@ object SnapshotTable {
     val snap = loadCurrent(spark, table)
     val dvRows =
       if (snap.deleteFiles.isEmpty) 0L
-      else spark.read
+      else spark.read.schema(dvFileSchema)
         .parquet(snap.deleteFiles.map(d => s"$table/$d"): _*).count()
     // resident rows from parquet footer counts (metadata-only plan)
     val resident =
@@ -5887,7 +5922,8 @@ object SnapshotTable {
     * IvfPq.fittedFor: concurrent processes never share a table path).
     */
   private def scratch(s: SparkSession, d: String, tag: String): String =
-    s"/tmp/graft_snap_${tag}_${s.sparkContext.applicationId}_" +
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH_ROOT", "/tmp") +
+      s"/graft_snap_${tag}_${s.sparkContext.applicationId}_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

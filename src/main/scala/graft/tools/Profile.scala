@@ -37,8 +37,14 @@ object Profile {
     val fetchWait = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
     val resSer = new java.util.concurrent.atomic.AtomicLong
-    def resetMetrics(): Unit = Seq(run, deser, gc, cpu, fetchWait,
-      shufWrite, resSer).foreach(_.set(0L))
+    val perStage = new scala.collection.concurrent.TrieMap[
+      Int, Array[java.util.concurrent.atomic.AtomicLong]]
+    val stageNames = new scala.collection.concurrent.TrieMap[Int, String]
+    def resetMetrics(): Unit = {
+      Seq(run, deser, gc, cpu, fetchWait,
+        shufWrite, resSer).foreach(_.set(0L))
+      perStage.clear(); stageNames.clear()
+    }
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
@@ -61,11 +67,18 @@ object Profile {
           fetchWait.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
           shufWrite.addAndGet(m.shuffleWriteMetrics.writeTime / 1000000L)
           resSer.addAndGet(m.resultSerializationTime)
+          val rec = perStage.getOrElseUpdate(e.stageId,
+            Array.fill(4)(new java.util.concurrent.atomic.AtomicLong))
+          rec(0).addAndGet(m.executorRunTime)
+          rec(1).addAndGet(m.executorCpuTime / 1000000L)
+          rec(2).addAndGet(m.executorDeserializeTime)
+          rec(3).incrementAndGet()
         }
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         // attribute stages/tasks to the most recent unfinished job; a
         // local profiler runs queries serially so this is accurate
+        stageNames.put(e.stageInfo.stageId, e.stageInfo.name.take(80))
         val open = jobs.values.filter(_.end == 0L)
         if (open.nonEmpty) {
           val j = open.maxBy(_.start)
@@ -134,6 +147,12 @@ object Profile {
         f"fetchWait=${fetchWait.get / 1000.0}%.2f s " +
         f"shufWrite=${shufWrite.get / 1000.0}%.2f s " +
         f"resSer=${resSer.get / 1000.0}%.2f s")
+      perStage.toSeq.sortBy(-_._2(0).get).take(8).foreach {
+        case (sid, a) =>
+          println(f"  stage $sid%4d run=${a(0).get / 1000.0}%7.2f " +
+            f"cpu=${a(1).get / 1000.0}%7.2f deser=${a(2).get / 1000.0}%7.2f " +
+            f"tasks=${a(3).get}%4d  ${stageNames.getOrElse(sid, "?")}%s")
+      }
       recs.foreach { r =>
         val w = if (r.end > 0) (r.end - r.start) / 1e9 else -1.0
         println(f"  job ${r.id}%4d  $w%8.3f s  stages=${r.stages}%2d " +
